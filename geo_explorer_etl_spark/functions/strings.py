@@ -1,0 +1,156 @@
+"""String scalar operators (SURVEY.md §2.8, F1–F16).
+
+Pure column expressions — every one of the reference's row-at-a-time
+``apply``/``map`` string transforms is vectorized here and runs inside
+whole-stage codegen. Reference citations are to SGC-CGS/geo-explorer-etl
+file:line for parity checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# F1 — strip "NN. " sort prefix from member names (reference dfhandler.py:55–57).
+# Pattern: an integer 0..1000 followed by "." and optional spaces, anchored.
+_SORT_PREFIX_RE = r"^\d{1,4}\.\s*"
+
+
+def strip_sort_prefix(col: Column) -> Column:
+    """``"02. Resident owners" -> "Resident owners"``."""
+    return F.regexp_replace(col, _SORT_PREFIX_RE, "")
+
+
+def strip_coordinate_geography(coordinate: Column) -> Column:
+    """F2 — drop the first (geography) element of a dotted coordinate.
+
+    ``"1.2.3" -> "2.3"`` (reference dfhandler.py:210–214).
+    """
+    return F.regexp_replace(coordinate, r"^[^.]+\.", "")
+
+
+def geo_level_recode(level: Column) -> Column:
+    """F3 — collapse census-subdivision variants S0504/S0505/S0506 into
+    S0503 (reference dfhandler.py:160–161)."""
+    return F.regexp_replace(level, "S0504|S0505|S0506", "S0503")
+
+
+def dguid_scrub(dguid: Column) -> Column:
+    """F4 — remove stray dots and repair the ``201A`` vintage typo
+    (reference dfhandler.py:678)."""
+    return F.regexp_replace(F.regexp_replace(dguid, r"\.", ""), "^201A", "2015A")
+
+
+def dguid_repair(dguid: Column, ref_year: Column) -> Column:
+    """F5 — order-sensitive DGUID repair chain (reference
+    dfhandler.py:597–617, 679).
+
+    The reference applies, in order, to justice-domain rows:
+      1. short ids (<10 chars) get a default vintage+schema prepended:
+         years <2016 -> ``2016A0025``, else ``{year}A0025``;
+      2. schema typo ``2016S05003`` -> ``2016S0503``;
+      3. CMA rows tagged vintage 2011 with schema B -> 2016 vintage
+         (``2011B`` -> ``2016B``... reference maps ``2011S0503`` forms).
+
+    Implemented as a single when/otherwise chain — no UDF. The branch
+    ORDER matters: prepend-default must run before typo fixes so the
+    typo patterns see full-width ids.
+    """
+    step1 = (
+        F.when(
+            F.length(dguid) < 10,
+            F.concat(
+                F.when(ref_year.cast("int") < 2016, F.lit("2016")).otherwise(
+                    ref_year.cast("string")
+                ),
+                F.lit("A0025"),
+                dguid,
+            ),
+        )
+        .otherwise(dguid)
+    )
+    step2 = F.regexp_replace(step1, "^2016S05003", "2016S0503")
+    step3 = F.regexp_replace(step2, "^2011B", "2016B")
+    return step3
+
+
+def composite_code(*parts: Column, sep: str = ".") -> Column:
+    """F6 — composite natural keys: ``IndicatorCode = pid.coord.date``,
+    ``IndicatorValueCode = DGUID.IndicatorCode`` (reference
+    dfhandler.py:213, 285, 451)."""
+    return F.concat_ws(sep, *parts)
+
+
+def html_member_list(year_col: Column, names_col: Column, sep: str = " _ ") -> Column:
+    """F7 — indicator display ``<ul><li>year<li>m1<li>m2</li></ul>``
+    built by replacing the member separator with ``<li>`` (reference
+    dfhandler.py:87–90, 286–287)."""
+    return F.concat(
+        F.lit("<ul><li>"),
+        year_col.cast("string"),
+        F.lit("<li>"),
+        F.regexp_replace(names_col, sep, "<li>"),
+        F.lit("</li></ul>"),
+    )
+
+
+def nth_delimited(col: Column, n: int, sep: str = " _ ") -> Column:
+    """F8 — nth element of a delimited string; negative n counts from the
+    end (indicator short name = last, legend member = second-to-last;
+    reference helpers.py:104–113, dfhandler.py:275–278, 291–294)."""
+    return F.element_at(F.split(col, sep), n)
+
+
+def substring_after_first(col: Column, sep: str = "/") -> Column:
+    """F9 — text after the first separator (subject descriptions,
+    reference helpers.py:116–121). ``"a/b/c" -> "b/c"``; no separator
+    returns the input unchanged (anchored regex, so one replace)."""
+    import re
+
+    return F.regexp_replace(col, "^[^" + re.escape(sep) + "]*" + re.escape(sep), "")
+
+
+def ordinal_prefix(order_col: Column, width: int = 2) -> Column:
+    """F10 — zero-padded display prefix ``7 -> "07. "`` (reference
+    dfhandler.py:102–104)."""
+    return F.concat(F.lpad(order_col.cast("string"), width, "0"), F.lit(". "))
+
+
+def truncate_for_column(col: Column, n: int) -> Column:
+    """F11 — fixed-width truncation before insert (reference
+    dfhandler.py:108–109, 299, 366–371, 420–423, 532–536)."""
+    return F.substring(col, 1, n)
+
+
+def dguid_geo_level(dguid: Column) -> Column:
+    """F12 — geographic level is chars 5–9 of the DGUID (reference
+    dfhandler.py:685)."""
+    return F.substring(dguid, 5, 5)
+
+
+def subject_code_of_product(product_id: Column) -> Column:
+    """F12b — subject code is the first 2 digits of the product id
+    (reference helpers.py:124–126)."""
+    return F.substring(product_id.cast("string"), 1, 2)
+
+
+def vector_id(vector: Column) -> Column:
+    """F15 — ``"v123456" -> 123456`` as int (reference dfhandler.py:684)."""
+    return F.regexp_replace(vector, "^v", "").cast("int")
+
+
+def generic_wildcard_code(coordinate: Column, sep: str = ".") -> Column:
+    """F16 — related-indicator generic code: replace the second-to-last
+    coordinate element with ``%`` (reference dfhandler.py:635–644).
+
+    ``"1.2.3.4" -> "1.2.%.4"`` — done with array surgery, not regex,
+    so dots inside members can't confuse it.
+    """
+    parts = F.split(coordinate, r"\.")
+    n = F.size(parts)
+    replaced = F.concat(
+        F.slice(parts, 1, n - 2),
+        F.array(F.lit("%")),
+        F.slice(parts, n, 1),
+    )
+    return F.when(n >= 2, F.array_join(replaced, sep)).otherwise(coordinate)

@@ -1,0 +1,181 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, scale-ranked:
+
+- exact            — one hash-groupBy; the 100 TB default first pass.
+- minhash_lsh      — shingle -> minhash signature -> banded LSH
+                     bucket join; near-dup candidates without the O(n²)
+                     pair explosion (the scale path for fuzzy dedup).
+- simhash          — per-doc 64/16-bit signature via higher-order
+                     functions; no shuffle at all until the final
+                     bucket grouping.
+- ngram_jaccard    — exact pairwise Jaccard on shared-shingle pairs;
+                     quadratic in the worst case, use on candidate sets
+                     (or small partitions), not raw corpora.
+
+All are pure DataFrame ops — shingling and signatures use Spark's
+higher-order array functions, not Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles as an array column (empty when the
+    document has fewer than n tokens — guards sequence() against a
+    descending range)."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id as
+    canonical. One shuffle on the hash — the map side pre-aggregates,
+    so at 100 TB this moves one row per distinct document."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).cast("long").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    shuffle plan: explode shingles -> self equi-join on shingle (hash
+    shuffle on the shingle, which is high-cardinality and therefore
+    well distributed) -> count per pair -> join doc sizes (broadcastable
+    summary). The shingle join bounds candidates to docs that actually
+    share content — never a full cross join.
+    """
+    sh = shingle_df(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # Explicit aliases: a bare self-join on `shingle` would resolve both
+    # sides to the same attribute id (Spark's trivially-true-predicate
+    # trap) and silently cross-join.
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle").alias("a")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle").alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_a") < F.col("b.doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    xxhash64(i, shingle). One explode + one groupBy with num_hashes
+    min() aggregates — partial aggregation keeps the shuffle at one row
+    per doc."""
+    sh = shingle_df(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: docs sharing any band bucket
+    become candidate near-duplicate pairs.
+
+    At scale: the band-bucket self-join shuffles on (band_id,
+    band_hash) — a high-cardinality composite key; true near-dups
+    concentrate in small buckets, so no quadratic blowup unless data
+    is pathologically self-similar (then salting the degenerate bucket
+    is the fix).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.hash(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature per document, computed entirely row-local with
+    nested higher-order functions (no explode, no shuffle): for each bit
+    position, sum +-1 votes of every distinct token's md5-derived hash,
+    set the bit when the vote is positive.
+
+    Token hash = first 15 hex chars of md5 -> 60-bit integer, so the
+    same signature is reproducible in any engine with md5 (the DuckDB
+    oracle mirrors it bit for bit).
+    """
+    toks_sql = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
+    tok_hash = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    expr = f"""
+      aggregate(
+        sequence(0, {bits - 1}),
+        cast(0 as bigint),
+        (acc, bit) -> acc + if(
+          aggregate({toks_sql}, cast(0 as bigint),
+                    (a, t) -> a + if((({tok_hash} >> bit) & 1) = 1,
+                                     cast(1 as bigint), cast(-1 as bigint))) > 0,
+          shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))
+    """
+    return df.select(F.col(id_col), F.expr(expr).alias(f"simhash{bits}"))

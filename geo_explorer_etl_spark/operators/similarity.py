@@ -1,0 +1,126 @@
+"""Embedding similarity search.
+
+- ``cosine_topk``     — brute-force cosine top-k against one query
+  vector: the correctness baseline. The dot product is a higher-order
+  ``zip_with``+``aggregate`` fold — JVM-side, no Python. One pass over
+  the corpus, a top-k sort of a scalar column; at 100 TB this is a
+  full scan but embarrassingly parallel (no shuffle until the final
+  k-row ordering, which AQE executes as a partial top-k per partition).
+- ``lsh_bucket_topk`` — random-hyperplane LSH: each vector gets a
+  sign-bit bucket; only the query's bucket is scanned. The scale path:
+  bucket count 2^n_planes partitions the corpus so the scan touches
+  ~corpus/2^n of the data; planes are deterministic (seeded) driver
+  constants broadcast into the plan as literals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Brute-force cosine top-k neighbours of one stored vector.
+
+    The 1-row query side is crossJoined broadcast — no shuffle of the
+    corpus. Ties at equal (rounded) similarity break by id so the k-cut
+    is deterministic.
+    """
+    q = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(_as_double(F.col(vec_col)).alias("qv"))
+    )
+    sims = (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine(_as_double(F.col(vec_col)), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    return sims.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _seeded_planes(n_planes: int, dim: int, seed: str = "geo-explorer-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from sha256 — stable
+    across runs and engines, no RNG state in the plan."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{j}".encode()).digest()
+            (v,) = struct.unpack(">q", h[:8])
+            row.append((v % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff vec · plane_p >= 0."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        * (2**p)
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ANN: scan only the query's LSH bucket, then exact cosine top-k
+    within it. Recall < 1.0 by design — the scale/latency trade; the
+    brute-force twin is the accuracy oracle."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _seeded_planes(n_planes, dim)
+    v = _as_double(F.col(vec_col))
+    bucketed = emb.withColumn("bucket", bucket_bits(v, planes))
+    qrow = bucketed.filter(F.col(id_col) == query_vec_id).select("bucket", v.alias("qv"))
+    cands = (
+        bucketed.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(qrow), "bucket")
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine(v, F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    return cands.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

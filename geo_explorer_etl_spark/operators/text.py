@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data pipelines: quality
+scoring, token counting, language ID, fingerprinting.
+
+All row-local column expressions (higher-order array functions) — they
+pipeline inside whole-stage codegen with zero shuffles, so throughput
+at 100 TB is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in"]
+STOPWORDS_FR = ["le", "la", "de", "et", "un", "les"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ein", "zu"]
+STOPWORDS_ES = ["el", "la", "de", "y", "un", "en"]
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = "[.,;:!?]"
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features: token count, stopword ratio,
+    distinct-token ratio, punctuation count."""
+    text = F.col(text_col)
+    toks = _ws_tokens(text)
+    lt = F.lower(text)
+    n_tokens = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars_meta"),
+        F.round(
+            _count_in(F.transform(toks, F.lower), STOPWORDS_EN).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("distinct_ratio"),
+        (F.length(lt) - F.length(F.regexp_replace(lt, PUNCT_RE, ""))).cast("long").alias(
+            "n_punct"
+        ),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(_ws_tokens(text)).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def langid(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-vote language ID (en/fr/de/es) with a deterministic
+    argmax tiebreak (en > fr > de > es). A heuristic by construction —
+    the oracle checks the formula, not linguistic truth."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    en = _count_in(toks, STOPWORDS_EN)
+    fr = _count_in(toks, STOPWORDS_FR)
+    de = _count_in(toks, STOPWORDS_DE)
+    es = _count_in(toks, STOPWORDS_ES)
+    guess = (
+        F.when((en >= fr) & (en >= de) & (en >= es), "en")
+        .when((fr >= de) & (fr >= es), "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+    return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — catches shuffled/duplicated-content documents that
+    exact hashing misses."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fingerprint"),
+    )

@@ -1,0 +1,739 @@
+"""Core operator catalog — reference-parity queries (SURVEY.md §2)
+expressed over the TPC-H-ish testdata, each with a DuckDB oracle.
+
+The TPC-H tables play the reference's roles (FIXTURES.md §C):
+``lineitem``/``orders`` = the fact cube / IndicatorValues;
+``customer``/``nation``/``region``/``supplier``/``part`` = the small
+broadcast lookups (GeographyReference, code sets); ``events`` = the
+incremental feed.
+
+Plan-shape invariants (checked in tests/test_plans.py):
+- every lookup join is a BroadcastHashJoin (no fact shuffle);
+- scans show pushed filters / pruned schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geo_explorer_etl_spark.functions import (
+    date_series,
+    dguid_geo_level,
+    dguid_repair,
+    generic_wildcard_code,
+    html_member_list,
+    nth_delimited,
+    ordinal_prefix,
+    ref_year_normalize,
+    strip_coordinate_geography,
+    strip_sort_prefix,
+    substring_after_first,
+    truncate_for_column,
+    vector_id,
+    year_to_jan1,
+)
+from geo_explorer_etl_spark.operators import joins as J
+from geo_explorer_etl_spark.operators import windows as W
+from geo_explorer_etl_spark.plans.registry import register
+from geo_explorer_etl_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# Null-reason lookup: the reference's IndicatorNullReason table
+# (scdb.py:139–143) recreated as a literal broadcast frame; the oracle
+# uses an equivalent VALUES clause.
+# ---------------------------------------------------------------------------
+_NULL_REASONS = [("A", "suppressed"), ("N", "not available"), ("R", "revised")]
+_NULL_REASON_SQL = (
+    "(VALUES ('A','suppressed'),('N','not available'),('R','revised'))"
+    " AS nr(symbol, reason)"
+)
+
+
+def _null_reason_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_NULL_REASONS, "symbol string, reason string")
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the generated PrimaryQuery shape (SURVEY.md §2.14,
+# reference dfhandler.py:345–363): fact ⋈ 5 lookups (all broadcast)
+# ⟕ null-reason, with the null-display CASE. The "indicator value" is
+# discounted price, nulled when quantity > 45 to exercise the NULL arm
+# (the reference's STATUS-symbol path).
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_primary_query",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           r.r_name AS region_name, n.n_name AS nation_name,
+           c.c_name AS customer_name, s.s_name AS supplier_name,
+           floor((CASE WHEN l.l_quantity > 45 THEN NULL
+                  ELSE l.l_extendedprice * (1 - l.l_discount) END) * 100 + 0.5) / 100
+             AS ind_value,
+           CASE WHEN l.l_quantity > 45 THEN nr.reason
+                ELSE CAST(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 0) AS BIGINT) AS VARCHAR)
+           END AS display_value
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN (VALUES ('A','suppressed'),('N','not available'),('R','revised'))
+         AS nr(symbol, reason) ON l.l_returnflag = nr.symbol
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    tags="flagship J1 J2 M5 P1",
+)
+def flagship_primary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier")
+    li, o, c, n, r, s = (
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"], t["supplier"],
+    )
+    nr = _null_reason_df(spark)
+    value = F.when(F.col("l_quantity") > 45, F.lit(None).cast("double")).otherwise(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    out = (
+        li.join(o.filter(F.col("o_orderdate") < "1997-01-01"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(nr), li.l_returnflag == nr.symbol, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_name").alias("customer_name"),
+            F.col("s_name").alias("supplier_name"),
+            # floor(x*100+0.5)/100 instead of round(x, 2): both engines
+            # then execute the identical IEEE ops, so no half-boundary
+            # disagreements (Spark rounds via BigDecimal, DuckDB doesn't).
+            (F.floor(value * 100 + F.lit(0.5)) / 100).alias("ind_value"),
+            F.when(F.col("l_quantity") > 45, F.col("reason"))
+            .otherwise(F.round(value, 0).cast("long").cast("string"))
+            .alias("display_value"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A* — aggregation suite (TPC-H Q1 shape: the engine's headline agg).
+# The reference itself never aggregates values (SURVEY.md §2.4), but the
+# engine must: partial/final hash aggregation, map-side combine.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags="A2 A4 agg",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a_group_max_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags="A1 A2 A5",
+)
+def a_group_max_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "a6_distinct_years",
+    oracle="""
+    SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS ref_year FROM orders
+    """,
+    tags="A6 D",
+)
+def a6_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(F.year("o_orderdate").cast("long").alias("ref_year")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# J* — joins
+# ---------------------------------------------------------------------------
+@register(
+    "j7_anti_new_members",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 4000)
+    """,
+    tags="J7 anti",
+)
+def j7_anti_new_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer")
+    existing = t["customer"].filter(F.col("c_acctbal") > 4000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return J.anti_new_rows(t["orders"], existing, ["o_custkey"]).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "j8_anti_composite_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem e
+        WHERE e.l_shipdate < TIMESTAMP '1997-01-01'
+          AND e.l_orderkey = l.l_orderkey AND e.l_linenumber = l.l_linenumber)
+    """,
+    tags="J8 anti I3",
+)
+def j8_anti_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    existing = li.filter(F.col("l_shipdate") < "1997-01-01")
+    return J.anti_new_rows(li, existing, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "j11_semi_product_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags="J11 semi",
+)
+def j11_semi_product_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer")
+    ids = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    return J.semi_exists(t["customer"], ids, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "j12_orphan_validation",
+    oracle="""
+    SELECT DISTINCT l_suppkey AS orphan_key FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_acctbal > 0 AND s.s_suppkey = l.l_suppkey)
+    """,
+    tags="J12 anti validation",
+)
+def j12_orphan_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    known = t["supplier"].filter(F.col("s_acctbal") > 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    _, orphans = J.inner_with_orphans(
+        t["lineitem"].select("l_suppkey"), known.withColumnRenamed("l_suppkey", "k"),
+        "l_suppkey", "k",
+    )
+    return orphans.withColumnRenamed("l_suppkey", "orphan_key")
+
+
+@register(
+    "j13_member_cross_product",
+    oracle="""
+    SELECT concat_ws('.', seg.id, st.id, fl.id) AS coordinate,
+           concat_ws(' _ ', seg.nm, st.nm, fl.nm) AS member_names
+    FROM (SELECT DISTINCT c_mktsegment AS id, lower(c_mktsegment) AS nm FROM customer) seg
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS id, lower(o_orderstatus) AS nm FROM orders) st
+    CROSS JOIN (SELECT DISTINCT l_returnflag AS id, lower(l_returnflag) AS nm FROM lineitem) fl
+    """,
+    tags="J13 cross",
+)
+def j13_member_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    dims = [
+        t["customer"].select(F.col("c_mktsegment").alias("member_id")).distinct()
+        .withColumn("member_name", F.lower("member_id")),
+        t["orders"].select(F.col("o_orderstatus").alias("member_id")).distinct()
+        .withColumn("member_name", F.lower("member_id")),
+        t["lineitem"].select(F.col("l_returnflag").alias("member_id")).distinct()
+        .withColumn("member_name", F.lower("member_id")),
+    ]
+    return J.member_cross_product(dims).select("coordinate", "member_names")
+
+
+@register(
+    "j14_date_fanout",
+    oracle="""
+    SELECT seg.c_mktsegment, CAST(d.d AS DATE) AS ref_date
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) seg
+    CROSS JOIN (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2020-12-01',
+                                              INTERVAL 1 MONTH)) AS d) d
+    """,
+    tags="J14 D1 cross",
+)
+def j14_date_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    dates = spark.range(1).select(
+        F.explode(
+            date_series(F.lit("2020-01-01"), F.lit("2020-12-01"), freq_code=6)
+        ).alias("ref_date")
+    )
+    segs = c.select("c_mktsegment").distinct()
+    return J.date_fanout(segs, dates)
+
+
+@register(
+    "j15_related_topk_csv",
+    oracle="""
+    SELECT p_brand,
+           array_to_string(
+             (list(CAST(p_partkey AS VARCHAR) ORDER BY CAST(p_partkey AS VARCHAR)))[1:10],
+             ',') AS related_ids
+    FROM part GROUP BY p_brand
+    """,
+    tags="J15 O3 agg",
+)
+def j15_related_topk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return J.related_topk_csv(p, "p_brand", "p_partkey", k=10)
+
+
+# ---------------------------------------------------------------------------
+# W*/O* — windows, ids, top-k
+# ---------------------------------------------------------------------------
+@register(
+    "w1_sequential_ids",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) + 1000 AS indicator_id
+    FROM orders
+    """,
+    tags="W1 ids",
+)
+def w1_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return W.sequential_ids(o, ["o_orderkey"], id_col="indicator_id", offset=1000).select(
+        "o_orderkey", "indicator_id"
+    )
+
+
+@register(
+    "w2_group_ordinal_display",
+    oracle="""
+    SELECT n_name,
+           lpad(CAST(ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_name)
+                AS VARCHAR), 2, '0') || '. ' || n_name AS display_name
+    FROM nation
+    """,
+    tags="W2 A3 F10",
+)
+def w2_group_ordinal_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    ranked = W.group_ordinal(n, ["n_regionkey"], ["n_name"], out_col="ord")
+    return ranked.select(
+        "n_name",
+        F.concat(ordinal_prefix(F.col("ord")), F.col("n_name")).alias("display_name"),
+    )
+
+
+@register(
+    "w3_keep_first_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+    """,
+    tags="W3 J10 dedup",
+)
+def w3_keep_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return J.keep_first_per_key(o, "o_custkey", ["o_orderdate", "o_orderkey"]).select(
+        "o_custkey", F.col("o_orderkey").alias("first_orderkey")
+    )
+
+
+@register(
+    "o3_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 5
+    """,
+    tags="O3 topk",
+)
+def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return W.topk_per_group(
+        o, ["o_orderpriority"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=5
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# U* — set ops: union of derived rows with literal rows (the reference
+# appends synthesized subject-code theme rows, dfhandler.py:392–411).
+# ---------------------------------------------------------------------------
+@register(
+    "u2_union_literal_rows",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS theme_id, n_name AS theme_name FROM nation
+    UNION ALL
+    SELECT * FROM (VALUES (CAST(9900 AS BIGINT), 'SYNTH-SUBJECT-99'),
+                          (CAST(9999 AS BIGINT), 'SYNTH-SUBJECT-9999')) t(theme_id, theme_name)
+    """,
+    tags="U2 union",
+)
+def u2_union_literal_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    base = n.select(
+        F.col("n_nationkey").cast("long").alias("theme_id"),
+        F.col("n_name").alias("theme_name"),
+    )
+    synth = spark.createDataFrame(
+        [(9900, "SYNTH-SUBJECT-99"), (9999, "SYNTH-SUBJECT-9999")],
+        "theme_id long, theme_name string",
+    )
+    return base.unionByName(synth)
+
+
+# ---------------------------------------------------------------------------
+# F* — string scalar suite. Synthetic DGUID/coordinate/vector inputs are
+# derived deterministically from part/lineitem columns, then every F*
+# operator is applied; the oracle mirrors each expression.
+# ---------------------------------------------------------------------------
+@register(
+    "f_scalar_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace('0' || CAST(p_partkey % 100 AS VARCHAR) || '. ' || p_name,
+                          '^\\d{1,4}\\.\\s*', '') AS clean_name,
+           regexp_replace(CAST(p_partkey AS VARCHAR) || '.2.3', '^[^.]+\\.', '') AS coord_tail,
+           regexp_replace('S050' || CAST(p_partkey % 7 AS VARCHAR),
+                          'S0504|S0505|S0506', 'S0503', 'g') AS level_recoded,
+           substr('2016A' || lpad(CAST(p_partkey AS VARCHAR), 8, '0'), 5, 5) AS geo_level,
+           CAST(regexp_replace('v' || CAST(p_partkey AS VARCHAR), '^v', '') AS INTEGER) AS vector_id,
+           substr(p_name, 1, 5) AS name_trunc,
+           lower(p_brand) AS brand_key,
+           trim('  ' || p_type || ' ') AS type_trim,
+           regexp_replace(p_type || '/EXTRA', '^[^/]*/', '') AS after_slash,
+           CAST(p_partkey AS VARCHAR) || '.' || p_brand || '.' || p_type AS composite_code
+    FROM part
+    """,
+    tags="F1 F2 F3 F6 F9 F11 F12 F13 F14 F15",
+)
+def f_scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    pk = F.col("p_partkey")
+    prefixed = F.concat(F.lit("0"), (pk % 100).cast("string"), F.lit(". "), F.col("p_name"))
+    coord = F.concat(pk.cast("string"), F.lit(".2.3"))
+    level = F.concat(F.lit("S050"), (pk % 7).cast("string"))
+    dguid = F.concat(F.lit("2016A"), F.lpad(pk.cast("string"), 8, "0"))
+    return p.select(
+        pk.alias("p_partkey"),
+        strip_sort_prefix(prefixed).alias("clean_name"),
+        strip_coordinate_geography(coord).alias("coord_tail"),
+        F.regexp_replace(level, "S0504|S0505|S0506", "S0503").alias("level_recoded"),
+        dguid_geo_level(dguid).alias("geo_level"),
+        vector_id(F.concat(F.lit("v"), pk.cast("string"))).alias("vector_id"),
+        truncate_for_column(F.col("p_name"), 5).alias("name_trunc"),
+        F.lower("p_brand").alias("brand_key"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        substring_after_first(F.concat(F.col("p_type"), F.lit("/EXTRA")), "/").alias("after_slash"),
+        F.concat_ws(".", pk.cast("string"), F.col("p_brand"), F.col("p_type")).alias("composite_code"),
+    )
+
+
+@register(
+    "f5_dguid_repair_chain",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 4
+                    WHEN 0 THEN lpad(CAST(o_custkey AS VARCHAR), 4, '0')
+                    WHEN 1 THEN '2016S05003' || lpad(CAST(o_custkey AS VARCHAR), 4, '0')
+                    WHEN 2 THEN '2011B' || lpad(CAST(o_custkey AS VARCHAR), 8, '0')
+                    ELSE '2016A' || lpad(CAST(o_custkey AS VARCHAR), 8, '0')
+               END AS dguid,
+               CAST(2014 + o_orderkey % 4 AS INTEGER) AS ref_year
+        FROM orders)
+    SELECT o_orderkey,
+           regexp_replace(regexp_replace(
+             CASE WHEN length(dguid) < 10 THEN
+                  (CASE WHEN ref_year < 2016 THEN '2016'
+                        ELSE CAST(ref_year AS VARCHAR) END) || 'A0025' || dguid
+                  ELSE dguid END,
+             '^2016S05003', '2016S0503'), '^2011B', '2016B') AS dguid_fixed
+    FROM src
+    """,
+    tags="F5 F4 when-chain",
+)
+def f5_dguid_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    ck = F.col("o_custkey").cast("string")
+    dguid = (
+        F.when(k % 4 == 0, F.lpad(ck, 4, "0"))
+        .when(k % 4 == 1, F.concat(F.lit("2016S05003"), F.lpad(ck, 4, "0")))
+        .when(k % 4 == 2, F.concat(F.lit("2011B"), F.lpad(ck, 8, "0")))
+        .otherwise(F.concat(F.lit("2016A"), F.lpad(ck, 8, "0")))
+    )
+    ref_year = (F.lit(2014) + (k % 4)).cast("int")
+    return o.select(
+        "o_orderkey",
+        dguid_repair(dguid, ref_year).alias("dguid_fixed"),
+    )
+
+
+@register(
+    "f7_f8_display_strings",
+    oracle="""
+    SELECT p_partkey,
+           '<ul><li>' || CAST(2020 AS VARCHAR) || '<li>' ||
+             regexp_replace(p_name || ' _ ' || p_brand || ' _ ' || p_type,
+                            ' _ ', '<li>', 'g') || '</li></ul>' AS indicator_display,
+           string_split(p_name || ' _ ' || p_brand || ' _ ' || p_type, ' _ ')[-1] AS short_name,
+           string_split(p_name || ' _ ' || p_brand || ' _ ' || p_type, ' _ ')[-2] AS legend_member
+    FROM part
+    """,
+    tags="F7 F8",
+)
+def f7_f8_display_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    names = F.concat_ws(" _ ", F.col("p_name"), F.col("p_brand"), F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        html_member_list(F.lit(2020), names).alias("indicator_display"),
+        nth_delimited(names, -1).alias("short_name"),
+        nth_delimited(names, -2).alias("legend_member"),
+    )
+
+
+@register(
+    "f16_generic_wildcard",
+    oracle="""
+    WITH src AS (SELECT l_orderkey, l_linenumber,
+                        CAST(l_orderkey AS VARCHAR) || '.' || CAST(l_partkey AS VARCHAR)
+                        || '.' || CAST(l_suppkey AS VARCHAR)
+                        || '.' || CAST(l_linenumber AS VARCHAR) AS coordinate
+                 FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_append(
+             list_append(string_split(coordinate, '.')[1:-3], '%'),
+             string_split(coordinate, '.')[-1]), '.') AS generic_code
+    FROM src
+    """,
+    tags="F16 J15",
+)
+def f16_generic_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    coord = F.concat_ws(
+        ".",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        generic_wildcard_code(coord).alias("generic_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D* — date scalar suite
+# ---------------------------------------------------------------------------
+@register(
+    "d1_freq_date_series",
+    oracle="""
+    SELECT 6 AS freq_code, CAST(unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31',
+                                       INTERVAL 1 MONTH)) AS DATE) AS ref_date
+    UNION ALL
+    SELECT 9, CAST(unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31',
+                          INTERVAL 3 MONTH)) AS DATE)
+    UNION ALL
+    SELECT 12, CAST(unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31',
+                           INTERVAL 1 YEAR)) AS DATE)
+    """,
+    tags="D1",
+)
+def d1_freq_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for code in (6, 9, 12):
+        frames.append(
+            spark.range(1).select(
+                F.lit(code).cast("int").alias("freq_code"),
+                F.explode(
+                    date_series(F.lit("2020-01-01"), F.lit("2021-12-31"), freq_code=code)
+                ).alias("ref_date"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@register(
+    "d2_ref_year_normalize",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+               CASE o_orderkey % 4
+                    WHEN 0 THEN CAST(year(o_orderdate) AS VARCHAR)
+                    WHEN 1 THEN CAST(year(o_orderdate) AS VARCHAR) || '/'
+                         || lpad(CAST((year(o_orderdate) + 1) % 100 AS VARCHAR), 2, '0')
+                    WHEN 2 THEN CAST(year(o_orderdate) AS VARCHAR) || '/'
+                         || CAST(year(o_orderdate) + 1 AS VARCHAR)
+                    ELSE 'bogus'
+               END AS ref_date
+        FROM orders)
+    SELECT o_orderkey, ref_date,
+           CAST(CASE WHEN length(ref_date) = 4 THEN ref_date
+                 WHEN length(ref_date) = 7 THEN substr(ref_date, 1, 2) || substr(ref_date, 6, 2)
+                 WHEN length(ref_date) = 9 THEN substr(ref_date, 6, 4)
+                 ELSE '1900' END AS INTEGER) AS ref_year,
+           CAST(make_date(CAST(CASE WHEN length(ref_date) = 4 THEN ref_date
+                 WHEN length(ref_date) = 7 THEN substr(ref_date, 1, 2) || substr(ref_date, 6, 2)
+                 WHEN length(ref_date) = 9 THEN substr(ref_date, 6, 4)
+                 ELSE '1900' END AS INTEGER), 1, 1) AS DATE) AS reference_period
+    FROM src
+    """,
+    tags="D2 D3",
+)
+def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    y = F.year("o_orderdate").cast("int")
+    ref_date = (
+        F.when(k % 4 == 0, y.cast("string"))
+        .when(k % 4 == 1, F.concat(y.cast("string"), F.lit("/"), F.lpad(((y + 1) % 100).cast("string"), 2, "0")))
+        .when(k % 4 == 2, F.concat(y.cast("string"), F.lit("/"), (y + 1).cast("string")))
+        .otherwise(F.lit("bogus"))
+    )
+    ry = ref_year_normalize(F.col("ref_date"))
+    return o.select("o_orderkey", ref_date.alias("ref_date")).select(
+        "o_orderkey",
+        "ref_date",
+        ry.alias("ref_year"),
+        year_to_jan1(ry).alias("reference_period"),
+    )
+
+
+@register(
+    "d5_date_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           strftime(o_orderdate, '%Y-%m') AS year_month
+    FROM orders
+    """,
+    tags="D5",
+)
+def d5_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M* — null handling / CASE display
+# ---------------------------------------------------------------------------
+@register(
+    "m3_coalesce_defaults",
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END, 0.0) AS acctbal_defaulted,
+           COALESCE(CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_name END, 'DEFAULT_NAME') AS name_defaulted
+    FROM supplier
+    """,
+    tags="M3 M4",
+)
+def m3_coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")["supplier"]
+    return s.select(
+        "s_suppkey",
+        F.coalesce(
+            F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(F.col("s_acctbal")),
+            F.lit(0.0),
+        ).alias("acctbal_defaulted"),
+        F.coalesce(
+            F.when(F.col("s_suppkey") % 3 == 0, F.lit(None)).otherwise(F.col("s_name")),
+            F.lit("DEFAULT_NAME"),
+        ).alias("name_defaulted"),
+    )
+
+
+@register(
+    "m5_null_display_case",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CASE WHEN l.l_quantity > 45 THEN nr.reason
+                ELSE CAST(CAST(ROUND(l.l_extendedprice, 0) AS BIGINT) AS VARCHAR)
+           END AS display_value
+    FROM lineitem l
+    LEFT JOIN (VALUES ('A','suppressed'),('N','not available'),('R','revised'))
+         AS nr(symbol, reason) ON l.l_returnflag = nr.symbol
+    """,
+    tags="M5 J2",
+)
+def m5_null_display_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    nr = _null_reason_df(spark)
+    return (
+        li.join(F.broadcast(nr), li.l_returnflag == nr.symbol, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_quantity") > 45, F.col("reason"))
+            .otherwise(F.round(F.col("l_extendedprice"), 0).cast("long").cast("string"))
+            .alias("display_value"),
+        )
+    )

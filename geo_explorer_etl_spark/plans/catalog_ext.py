@@ -1,0 +1,292 @@
+"""Extension operator catalog — the LLM-training-data pipeline surface
+(dedup, similarity search, text analysis) plus the incremental /
+streaming-analog operators over ``events``.
+
+These go beyond the reference's own operators (SURVEY.md §7 step 9) but
+follow the same contract: idiomatic DataFrame ops, DuckDB oracle per
+query where SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geo_explorer_etl_spark.operators import dedup as DD
+from geo_explorer_etl_spark.operators import similarity as SIM
+from geo_explorer_etl_spark.operators import text as TX
+from geo_explorer_etl_spark.plans.registry import register
+from geo_explorer_etl_spark.session import load_tables
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags="ext dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE doc_id < 100),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] AS shingle
+        FROM docs, (SELECT unnest(range(1, 2000)) AS i)
+        WHERE i + 1 <= len(toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.05
+    """,
+    tags="ext dedup jaccard",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 100)
+    return DD.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=2, threshold=0.05)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # pairwise candidate recall depends on hash family; rows-only check
+    tags="ext dedup minhash lsh",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.minhash_lsh_candidates(
+        docs, text_col="text", id_col="doc_id", n=3, num_hashes=16, bands=4
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents),
+    bits AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                          >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM toks, (SELECT unnest(range(0, 16)) AS bit) b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS simhash16
+    FROM (SELECT doc_id, bit, SUM(v) AS sgn FROM bits GROUP BY doc_id, bit)
+    GROUP BY doc_id
+    """,
+    tags="ext dedup simhash",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.simhash(docs, text_col="text", id_col="doc_id", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id, e.label,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id != 0)
+    SELECT vec_id, label, cosine FROM sims
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tags="ext similarity ann",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.cosine_topk(emb, query_vec_id=0, k=10)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # bucket assignment is hash-family specific; rows-only check
+    tags="ext similarity lsh",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.lsh_bucket_topk(emb, query_vec_id=0, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars,
+                      string_split_regex(trim(text), '\\s+') AS toks,
+                      lower(text) AS lt
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars_meta,
+           ROUND(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in')))
+                 AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio,
+           CAST(length(lt) - length(regexp_replace(lt, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+    FROM t
+    """,
+    tags="ext text quality",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return TX.quality_scores(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    tags="ext text tokens",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return TX.token_counts(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+    scores AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS en,
+               len(list_filter(toks, x -> x IN ('le','la','de','et','un','les'))) AS fr,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ein','zu'))) AS de,
+               len(list_filter(toks, x -> x IN ('el','la','de','y','un','en'))) AS es
+        FROM t)
+    SELECT doc_id,
+           CASE WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+                WHEN fr >= de AND fr >= es THEN 'fr'
+                WHEN de >= es THEN 'de'
+                ELSE 'es' END AS lang_guess
+    FROM scores
+    """,
+    tags="ext text langid",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return TX.langid(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    tags="ext text fingerprint",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return TX.fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental / streaming-analog operators over events.
+# The streaming versions (readStream + watermark) live in
+# geo_explorer_etl_spark/streaming and are covered by pytest; these
+# batch twins define the same logical result for the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "i1_changed_set_poll",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_changed
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    tags="I1 incremental",
+)
+def i1_changed_set_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_changed")
+    )
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags="ext streaming window",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    tags="ext streaming sessionize",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

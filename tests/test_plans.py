@@ -1,0 +1,48 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness says WHAT; these tests pin HOW: lookup joins must be
+broadcast (no fact-side shuffle), parquet scans must show pushed
+filters and pruned schemas, higher-order text ops must not introduce
+exchanges. A regression here is a 100 TB performance bug even when
+every value still matches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.plans.catalog import flagship_primary_query
+from geo_explorer_etl_spark.operators.text import fingerprint
+from geo_explorer_etl_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_joins_are_broadcast(spark):
+    plan = plan_of(flagship_primary_query(spark, SF_SMOKE))
+    # 5 lookup joins + null-reason: every one must be broadcast…
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    # …and nothing may fall back to a fact-shuffling strategy.
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_scan_pushdown_and_pruning(spark):
+    li = load_tables(spark, SF_SMOKE, "lineitem")["lineitem"]
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # projection pruning: the parquet ReadSchema must not include
+    # unprojected columns like l_comment-tier fields
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_rowlocal_text_ops_have_no_exchange(spark):
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    plan = plan_of(fingerprint(docs, "text", "doc_id"))
+    assert "Exchange" not in plan, plan
