@@ -95,9 +95,19 @@ def member_cross_product(
     ]
     combos = reduce(lambda a, b: a.crossJoin(F.broadcast(b)), renamed)
     n = len(dims)
+    cols = [
+        F.concat_ws(sep_coord, *[F.col(f"_id_{i}") for i in range(n)]).alias("coordinate")
+    ]
+    # joined display names only when names are plain strings; struct
+    # names (e.g. en/fr/uom bundles) stay per-dimension for the caller
+    if dict(dims[0].dtypes)[name_col] == "string":
+        cols.append(
+            F.concat_ws(sep_names, *[F.col(f"_nm_{i}") for i in range(n)]).alias(
+                "member_names"
+            )
+        )
     return combos.select(
-        F.concat_ws(sep_coord, *[F.col(f"_id_{i}") for i in range(n)]).alias("coordinate"),
-        F.concat_ws(sep_names, *[F.col(f"_nm_{i}") for i in range(n)]).alias("member_names"),
+        *cols,
         *[F.col(f"_id_{i}") for i in range(n)],
         *[F.col(f"_nm_{i}") for i in range(n)],
     )

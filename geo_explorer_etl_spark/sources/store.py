@@ -1,0 +1,141 @@
+"""Table store: the SQL Server sink re-imagined for Spark
+(SURVEY.md §2.1 S8–S11, §2.12 I2).
+
+Parquet tables partitioned by ``IndicatorThemeId`` (the product id)
+give the reference's delete-then-append product replace (reference
+scdb.py:32–72) as an atomic-per-partition dynamic overwrite — no
+6-table cascading DELETE, no transaction bookkeeping. Delta/Iceberg
+would add cross-table atomicity; their jars aren't in this image, so
+the store isolates the commit protocol behind one class (swap the
+implementation, keep the pipeline).
+
+At 100 TB: partitioning by product bounds every replace to the files
+of one product; appends never rewrite history; readers prune on
+partition column automatically.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tables partitioned by product (replace unit). Lookup tables
+# (GeographyReference, GeographicLevel, NullReason) are unpartitioned.
+PRODUCT_TABLES = [
+    "IndicatorTheme",
+    "Dimensions",
+    "DimensionValues",
+    "Indicators",
+    "IndicatorValues",
+    "GeographyReferenceForIndicator",
+    "GeographicLevelForIndicator",
+    "IndicatorMetaData",
+    "RelatedCharts",
+]
+PARTITION_COL = "IndicatorThemeId"
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        # dynamic mode: overwrite only the partitions present in the
+        # incoming frame — this IS the product-replace primitive
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _path(self, table: str) -> str:
+        return f"{self.root}/{table}"
+
+    def exists(self, table: str) -> bool:
+        return Path(self._path(table)).exists()
+
+    def read(self, table: str) -> DataFrame | None:
+        """None when the table has no data yet (including the
+        every-partition-deleted state, where the directory exists but
+        holds no parquet files to infer a schema from)."""
+        p = Path(self._path(table))
+        if not p.exists() or not any(p.rglob("*.parquet")):
+            return None
+        return self.spark.read.parquet(self._path(table))
+
+    # -- S10: append sink --------------------------------------------------
+    def append(self, table: str, df: DataFrame) -> None:
+        """Append rows; product tables keep their partition layout (a
+        bare-file append into a partitioned directory would make the
+        rows invisible to partition discovery)."""
+        w = df.write.mode("append")
+        if PARTITION_COL in df.columns:
+            w = w.partitionBy(PARTITION_COL)
+        w.parquet(self._path(table))
+
+    # -- S11 + I2: idempotent product replace ------------------------------
+    def replace_product(self, table: str, df: DataFrame, product_id: int) -> None:
+        """Replace exactly one product's rows: write partitioned by
+        product id with dynamic partition overwrite. The frame must
+        carry PARTITION_COL (added here when absent)."""
+        if PARTITION_COL not in df.columns:
+            df = df.withColumn(PARTITION_COL, F.lit(product_id).cast("long"))
+        (
+            df.write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(self._path(table))
+        )
+
+    def delete_product(self, product_id: int) -> None:
+        """Cascading delete across all product tables (reference
+        scdb.py:32–72): with product partitioning this is dropping one
+        partition directory per table — O(1) metadata, not a scan."""
+        import shutil
+
+        for table in PRODUCT_TABLES:
+            part_dir = Path(self._path(table)) / f"{PARTITION_COL}={product_id}"
+            if part_dir.exists():
+                shutil.rmtree(part_dir)
+
+    # -- S9: scalar service queries ---------------------------------------
+    def max_id(self, table: str, col: str, exclude_product: int | None = None) -> int:
+        """A1 high-water mark. ``exclude_product`` mirrors the
+        reference's delete-before-MAX ordering (scdb.py:32–72 then
+        :154–159): a replaced product's old ids don't count, so
+        re-appends reuse the same id range (idempotent ids)."""
+        df = self.read(table)
+        if df is None:
+            return 0
+        if exclude_product is not None and PARTITION_COL in df.columns:
+            df = df.filter(F.col(PARTITION_COL) != exclude_product)
+        row = df.agg(F.max(col).alias("m")).first()
+        return int(row["m"]) if row and row["m"] is not None else 0
+
+    def read_other_products(self, table: str, product_id: int) -> DataFrame | None:
+        """Current state EXCLUDING one product's partition — the
+        post-delete view the reference's anti-joins see, and safe to
+        scan lazily while that partition is being overwritten."""
+        df = self.read(table)
+        if df is None or PARTITION_COL not in df.columns:
+            return df
+        return df.filter(F.col(PARTITION_COL) != product_id)
+
+    def product_exists(self, product_id: int) -> bool:
+        df = self.read("IndicatorTheme")
+        if df is None:
+            return False
+        return (
+            df.filter(F.col(PARTITION_COL) == product_id).limit(1).count() > 0
+        )
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 10000, **options) -> None:
+    """S10 parity mode — bulk append to an external RDBMS, the analog
+    of the reference's fast_executemany/chunksize=10000 path
+    (scdb.py:27–30, 174–187)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode("append")
+        .save()
+    )
