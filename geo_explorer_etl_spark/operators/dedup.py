@@ -52,8 +52,12 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
-    return df.select(
+    """(id, shingle) pairs, distinct per doc. Shingling is compute-bound
+    — spread narrow inputs across cores first (no-op on well-split
+    data)."""
+    from geo_explorer_etl_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -166,6 +170,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     same signature is reproducible in any engine with md5 (the DuckDB
     oracle mirrors it bit for bit).
     """
+    from geo_explorer_etl_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks_sql = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
     tok_hash = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
     expr = f"""

@@ -83,6 +83,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     return out
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Spread a narrow input before CPU-heavy row-local work.
+
+    A small parquet table arrives as one partition (one file, one row
+    group) and a compute-bound operator then runs on one core. At
+    cluster scale inputs are many-files so this is a no-op; locally it
+    buys cores at the cost of one round-robin shuffle of the (small)
+    input. Only repartitions UP — never coalesces a well-split input.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _read_events(spark: SparkSession, sf_dir: str):
     """events.parquet stores nanosecond timestamps, which the vectorized
     parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the column as

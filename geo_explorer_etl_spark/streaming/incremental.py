@@ -1,0 +1,120 @@
+"""Streaming & incremental operators (SURVEY.md §2.12 + extensions).
+
+The reference has no streaming runtime — its incremental surface is a
+daily changed-cube poll (I1), delete-then-append replace (I2), and
+anti-join dimension growth (I3). Here the same semantics run as
+Structured Streaming plans so a 100 TB deployment can ingest
+continuously instead of re-polling:
+
+- ``stream_events``        — file-source stream over an events
+  directory; ``availableNow`` trigger = catch-up-then-stop, the
+  streaming analog of the reference's per-date polling loop.
+- ``tumbling_counts``      — watermarked event-time windows; late rows
+  beyond the watermark are dropped deterministically.
+- ``session_aggregates``   — native ``session_window`` gap sessions
+  (the batch twin is ``sessionize_events`` in the catalog).
+- ``run_to_memory``        — drive any streaming frame to completion
+  synchronously for tests/oracles (memory sink + processAllAvailable).
+- ``upsert_sink``          — foreachBatch writer applying
+  replace-by-key semantics per micro-batch (I2 at stream cadence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (testdata parquet layout)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events; ts arrives as raw nanos (the
+    testdata's physical layout) and is converted with integer division
+    exactly like the batch reader."""
+    # Left ON for the session: streaming scans consult the conf at
+    # query start (and per micro-batch), not at readStream build time.
+    # The conf only changes behavior for NANOS columns, which would
+    # otherwise be a hard error — safe as a session default.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type. The watermark
+    bounds state: at scale, state size = (#types × windows inside the
+    watermark horizon), independent of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based), per user: count + value sum
+    per session. State is closed (emitted) once the watermark passes
+    the session end — bounded like the tumbling case."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion synchronously (availableNow
+    semantics): memory sink, processAllAvailable, stop. Returns the
+    materialized result as a batch frame."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    apply_batch,
+):
+    """foreachBatch upsert: each micro-batch is handed to
+    ``apply_batch(df, epoch_id)`` — e.g. a TableStore replace keyed by
+    product/partition — giving I2 replace semantics at stream cadence
+    with exactly-once via the checkpoint + idempotent writes."""
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
