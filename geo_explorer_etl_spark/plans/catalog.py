@@ -737,3 +737,246 @@ def m5_null_display_case(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("display_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# P3/P4 — min-ref-year filter with special-product escape (reference
+# dfhandler.py:686–690, 437–443): normal rows need year >= cutoff;
+# "mixed-geo" rows survive when their level is in the keep-set.
+# ---------------------------------------------------------------------------
+@register(
+    "p3_p4_policy_filter",
+    oracle="""
+    SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS ref_year, o_orderpriority
+    FROM orders
+    WHERE year(o_orderdate) >= 1998 OR o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    tags="P3 P4 filter",
+)
+def p3_p4_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    keep = (F.year("o_orderdate") >= 1998) | F.col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH"
+    )
+    return o.filter(keep).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("ref_year"),
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1/L2 — code-set lookup as broadcast join + default fallback
+# (reference scans the code set per row, helpers.py:155–167, 129–142;
+# json_handler "default" fallback L4 → coalesce)
+# ---------------------------------------------------------------------------
+@register(
+    "l1_l4_lookup_with_default",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           COALESCE(r.r_name, 'UNKNOWN REGION') AS region_desc
+    FROM nation n
+    LEFT JOIN (SELECT * FROM region WHERE r_regionkey <> 2) r
+      ON n.n_regionkey = r.r_regionkey
+    """,
+    tags="L1 L2 L4 M3 lookup",
+)
+def l1_l4_lookup_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "nation", "region")
+    codes = t["region"].filter(F.col("r_regionkey") != 2)
+    out = J.broadcast_lookup(
+        t["nation"], codes, t["nation"].n_regionkey == codes.r_regionkey, "left"
+    )
+    return out.select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce(F.col("r_name"), F.lit("UNKNOWN REGION")).alias("region_desc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 — UOM extraction from a member-combination string
+# (reference dfhandler.py:263–265 "nan nan 229.0" -> 229)
+# ---------------------------------------------------------------------------
+@register(
+    "m1_uom_from_combo",
+    oracle="""
+    WITH src AS (
+        SELECT p_partkey,
+               CASE p_partkey % 3
+                    WHEN 0 THEN 'nan nan ' || CAST(p_size AS VARCHAR) || '.0'
+                    WHEN 1 THEN CAST(p_size AS VARCHAR)
+                    ELSE 'nan nan'
+               END AS combo
+        FROM part)
+    SELECT p_partkey, combo,
+           CAST(CASE WHEN combo = 'nan nan' THEN NULL
+                ELSE CAST(string_split_regex(combo, '\\s+')[-1] AS DOUBLE) END
+           AS SMALLINT) AS uom_id
+    FROM src
+    """,
+    tags="M1 cast",
+)
+def m1_uom_from_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_explorer_etl_spark.functions import uom_from_combo
+
+    p = _t(spark, sf_dir, "part")["part"]
+    k = F.col("p_partkey")
+    combo = (
+        F.when(k % 3 == 0, F.concat(F.lit("nan nan "), F.col("p_size").cast("string"), F.lit(".0")))
+        .when(k % 3 == 1, F.col("p_size").cast("string"))
+        .otherwise(F.lit("nan nan"))
+    )
+    return p.select(
+        "p_partkey", combo.alias("combo"), uom_from_combo(F.col("combo")).alias("uom_id")
+    ).select("p_partkey", "combo", "uom_id")
+
+
+# ---------------------------------------------------------------------------
+# O4 — deterministic LIMIT (reference sql_scripts TOP(1000))
+# ---------------------------------------------------------------------------
+@register(
+    "o4_ordered_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    tags="O4 limit",
+)
+def o4_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — chunk-accumulation union + dedup (reference pd.concat of
+# per-chunk frames then drop_duplicates, main.py:234–248)
+# ---------------------------------------------------------------------------
+@register(
+    "u1_union_chunks_dedup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM (
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        UNION ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags="U1 A2 union",
+)
+def u1_union_chunks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    c1 = li.filter(F.col("l_shipdate") < "1998-01-01").select("l_returnflag", "l_linestatus")
+    c2 = li.filter(F.col("l_shipdate") >= "1997-01-01").select("l_returnflag", "l_linestatus")
+    return c1.unionByName(c2).distinct()
+
+
+# ---------------------------------------------------------------------------
+# D4 — day-range iterator (reference helpers.py:69–75: inclusive days
+# between two dates, drives the changed-cube polling loop)
+# ---------------------------------------------------------------------------
+@register(
+    "d4_day_series",
+    oracle="""
+    SELECT CAST(unnest(generate_series(DATE '2024-02-26', DATE '2024-03-03',
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    """,
+    tags="D4",
+)
+def d4_day_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_explorer_etl_spark.functions.dates import day_series_df
+
+    return day_series_df(spark, "2024-02-26", "2024-03-03")
+
+
+def _decimal_revenue():
+    """SUM(extprice*(1-disc)) in exact decimal arithmetic: 2-decimal
+    inputs -> exact 4-decimal products -> exact sum -> one rounding at
+    the end. Engine-order-independent, so Spark and DuckDB agree to
+    the bit (a double sum would differ in the last ulp per engine and
+    occasionally flip a half-boundary rounding)."""
+    d = F.col("l_discount").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    return F.round(F.sum(p * (F.lit(1).cast("decimal(18,2)") - d)), 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Headline joins beyond the flagship: TPC-H Q3/Q5 shapes — the
+# fact-to-fact join (lineitem ⋈ orders) shuffles on the key while every
+# dimension stays broadcast; AQE picks the strategy at runtime.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    tags="headline J1 agg",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < "1998-03-15")
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(_decimal_revenue().alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags="headline J1 agg",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem")
+    r = t["region"].filter(F.col("r_name") == "EUROPE")
+    n, c, s = t["nation"], t["customer"], t["supplier"]
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t["lineitem"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(_decimal_revenue().alias("revenue"))
+    )
