@@ -1,0 +1,112 @@
+"""CLI entry point — the reference's main.py/arguments.py surface
+(reference arguments.py:26–74, main.py:28–121) over the Spark engine.
+
+    python -m geo_explorer_etl_spark.cli --insert --prodid P [P2 ...]
+    python -m geo_explorer_etl_spark.cli --prodid P            # append
+    python -m geo_explorer_etl_spark.cli --start D1 --end D2   # refresh
+
+Validation parity: insert requires prodid; a date range and prodid are
+mutually exclusive; date range requires both ends, ordered.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="geo-explorer-etl-spark")
+    p.add_argument("-i", "--insert", action="store_true", help="insert new product(s)")
+    p.add_argument("--prodid", type=int, nargs="+", help="8-digit product id(s)")
+    p.add_argument("--start", help="refresh range start YYYY-MM-DD")
+    p.add_argument("--end", help="refresh range end YYYY-MM-DD")
+    p.add_argument("--warehouse", default="./warehouse", help="table store root")
+    p.add_argument("--staging", default="./staging", help="download/extract dir")
+    p.add_argument(
+        "--merged-registry", default="./products_to_merge.json", help="merge registry path"
+    )
+    args = p.parse_args(argv)
+
+    has_range = args.start is not None or args.end is not None
+    if args.insert and not args.prodid:
+        p.error("--insert requires --prodid")
+    if has_range and args.prodid:
+        p.error("--start/--end and --prodid are mutually exclusive")
+    if has_range and (args.start is None or args.end is None):
+        p.error("--start and --end must both be given")
+    if has_range and args.end < args.start:
+        p.error("--end must not precede --start")
+    if not has_range and not args.prodid:
+        p.error("nothing to do: give --prodid or --start/--end")
+    for pid in args.prodid or []:
+        if not 10_000_000 <= pid <= 99_999_999:
+            p.error(f"product id {pid} is not 8 digits")
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from geo_explorer_etl_spark.plans.pipeline import Pipeline
+    from geo_explorer_etl_spark.session import get_spark
+    from geo_explorer_etl_spark.sources.cube_csv import extract_zip
+    from geo_explorer_etl_spark.sources.merge_registry import MergeRegistry
+    from geo_explorer_etl_spark.sources.store import TableStore
+    from geo_explorer_etl_spark.sources.wds import WdsClient
+
+    spark = get_spark("geo-explorer-etl")
+    store = TableStore(spark, args.warehouse)
+    wds = WdsClient(spark)
+
+    def csv_path_for(pid: int) -> str:
+        import urllib.request
+
+        url = wds.full_table_url(pid)
+        zip_path = f"{args.staging}/{pid}.zip"
+        urllib.request.urlretrieve(url, zip_path)  # noqa: S310 — WDS https url
+        return extract_zip(zip_path, args.staging)
+
+    # Lookup tables must exist in the store (loaded by a separate
+    # bootstrap, as in the reference where gis.GeographyReference is
+    # pre-existing — scdb.py:116–120).
+    geo_ref = store.read("GeographyReference")
+    null_reason = store.read("IndicatorNullReason")
+    uom = store.read("UomCodes")
+    subjects = store.read("SubjectCodes")
+    missing = [
+        n
+        for n, df in [
+            ("GeographyReference", geo_ref),
+            ("IndicatorNullReason", null_reason),
+            ("UomCodes", uom),
+            ("SubjectCodes", subjects),
+        ]
+        if df is None
+    ]
+    if missing:
+        print(f"missing lookup tables in warehouse: {missing}", file=sys.stderr)
+        return 2
+
+    pipe = Pipeline(
+        spark=spark,
+        store=store,
+        wds=wds,
+        registry=MergeRegistry(args.merged_registry),
+        geo_ref=geo_ref,
+        null_reason=null_reason,
+        uom_codes=uom,
+        subject_codes=subjects,
+    )
+    if args.insert:
+        pipe.insert_product(args.prodid, csv_path_for)
+    elif args.prodid:
+        for pid in pipe.registry.ordered(args.prodid):
+            pipe.append_product(pid, csv_path_for(pid))
+    else:
+        pipe.refresh_date_range(args.start, args.end, csv_path_for)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,10 +45,12 @@ class Pipeline:
     subject_codes: DataFrame
 
     def policy_for(self, pid: int) -> ProductPolicy:
+        is_sibling = self.registry.is_sibling(pid)
         return ProductPolicy(
             product_id=pid,
             mixed_geo=pid in MIXED_GEO_PIDS,
-            is_sibling=self.registry.is_sibling(pid),
+            is_sibling=is_sibling,
+            code_product_id=self.registry.master_of(pid) if is_sibling else None,
         )
 
     # ------------------------------------------------------------------ E1

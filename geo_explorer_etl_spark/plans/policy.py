@@ -28,6 +28,14 @@ class ProductPolicy:
     min_ref_year: int = 2016
     mixed_geo: bool = False          # justice pids, reference main.py:20
     is_sibling: bool = False         # merged-product member, not master
+    # pid used in composite IndicatorCodes: the MASTER's for merged
+    # siblings (their values must link to the master's indicators —
+    # reference helpers.py:39–45, main.py:169–170), own pid otherwise.
+    code_product_id: int | None = None
+
+    @property
+    def effective_code_pid(self) -> int:
+        return self.code_product_id if self.code_product_id is not None else self.product_id
 
     def value_row_filter(self, ref_year: Column, geo_level: Column) -> Column:
         """P3/P4 — which fact rows survive.

@@ -349,7 +349,7 @@ def prepare_values(cube: DataFrame, policy: ProductPolicy) -> DataFrame:
         vector_id(F.col("VECTOR")).alias("VectorId"),
         strip_coordinate_geography(F.col("COORDINATE")).alias("Coordinate"),
         composite_code(
-            F.lit(str(policy.product_id)),
+            F.lit(str(policy.effective_code_pid)),
             strip_coordinate_geography(F.col("COORDINATE")),
             F.date_format(year_to_jan1(F.col("RefYear")), "yyyy-MM-dd"),
         ).alias("IndicatorCode"),

@@ -1,0 +1,123 @@
+"""CLI argument-validation parity (reference arguments.py:48–74) and
+the merged master/sibling flow end-to-end (reference main.py:128–142:
+sibling reuses the master's indicators, skips presentation tables)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.cli import parse_args
+from tests.test_orchestration import CUBE_METADATA_RESPONSE, CSV_TEXT, PID
+
+
+# ---------------------------------------------------------------------------
+# arguments parity
+# ---------------------------------------------------------------------------
+def test_cli_valid_forms():
+    a = parse_args(["--insert", "--prodid", "35100177"])
+    assert a.insert and a.prodid == [35100177]
+    a = parse_args(["--prodid", "35100177", "46100027"])
+    assert not a.insert and len(a.prodid) == 2
+    a = parse_args(["--start", "2024-01-01", "--end", "2024-01-05"])
+    assert a.start and a.end
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["--insert"],                                        # insert needs prodid
+        ["--prodid", "35100177", "--start", "2024-01-01", "--end", "2024-01-02"],  # exclusive
+        ["--start", "2024-01-01"],                           # range needs both
+        ["--start", "2024-01-05", "--end", "2024-01-01"],    # ordered
+        [],                                                  # nothing to do
+        ["--prodid", "123"],                                 # not 8 digits
+    ],
+)
+def test_cli_invalid_forms(argv):
+    with pytest.raises(SystemExit):
+        parse_args(argv)
+
+
+# ---------------------------------------------------------------------------
+# merged master/sibling end-to-end
+# ---------------------------------------------------------------------------
+SIBLING_PID = 35100299
+
+
+def sibling_fetcher(url, payload=None):
+    import copy
+
+    if "getCubeMetadata" in url:
+        body = copy.deepcopy(CUBE_METADATA_RESPONSE)
+        # both products share shape; sibling has its own pid
+        if payload and payload[0]["productId"] == SIBLING_PID:
+            body[0]["object"]["productId"] = SIBLING_PID
+        return body
+    raise AssertionError(url)
+
+
+@pytest.fixture()
+def merged_env(spark, tmp_path):
+    from geo_explorer_etl_spark.plans.pipeline import Pipeline
+    from geo_explorer_etl_spark.sources.merge_registry import MergeRegistry
+    from geo_explorer_etl_spark.sources.store import TableStore
+    from geo_explorer_etl_spark.sources.wds import WdsClient
+
+    csv = tmp_path / "cube.csv"
+    csv.write_text(CSV_TEXT)
+    geo_ref = spark.createDataFrame(
+        [("2016A000011124", "Canada", "A0000", "P0"), ("2016A000235", "Ontario", "A0002", "P1")],
+        "GeographyReferenceId string, DisplayNameShort_EN string, GeographicLevelId string, Shape string",
+    )
+    nr = spark.createDataFrame([(2, "x", "s")], "NullReasonId int, Symbol string, D string")
+    uom = spark.createDataFrame([(229, "Number", "Nombre")], "memberUomCode int, memberUomEn string, memberUomFr string")
+    subj = spark.createDataFrame([("35", "J", "J")], "subjectCode string, subjectEn string, subjectFr string")
+    pipe = Pipeline(
+        spark=spark,
+        store=TableStore(spark, str(tmp_path / "wh")),
+        wds=WdsClient(spark, fetcher=sibling_fetcher),
+        registry=MergeRegistry(str(tmp_path / "m.json")),
+        geo_ref=geo_ref,
+        null_reason=nr,
+        uom_codes=uom,
+        subject_codes=subj,
+    )
+    return pipe, str(csv)
+
+
+def test_merged_sibling_reuses_master_indicators(merged_env):
+    pipe, csv = merged_env
+    pipe.insert_product([PID, SIBLING_PID], csv_path_for=lambda p: csv)
+    assert pipe.registry.is_master(PID)
+    assert pipe.registry.is_sibling(SIBLING_PID)
+
+    ind = pipe.store.read("Indicators")
+    # only the master writes indicators
+    pids = {r["IndicatorThemeId"] for r in ind.select("IndicatorThemeId").distinct().collect()}
+    assert pids == {PID}
+
+    # sibling's values link to the MASTER's indicator codes
+    vals = pipe.store.read("IndicatorValues")
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL
+
+    sib_vals = vals.filter(F.col(PARTITION_COL) == SIBLING_PID)
+    assert sib_vals.count() > 0
+    # the sibling's composite codes use the MASTER's pid, so every
+    # sibling value joins a master indicator (reference helpers.py:39–45)
+    master_codes = {r["IndicatorCode"] for r in ind.collect()}
+    sib_codes = {r["IndicatorCode"] for r in sib_vals.collect()}
+    assert sib_codes and sib_codes <= master_codes
+    # and the sibling's geo-ref bridge rows carry master indicator ids
+    grb = pipe.store.read("GeographyReferenceForIndicator").filter(
+        F.col(PARTITION_COL) == SIBLING_PID
+    )
+    master_ids = {r["IndicatorId"] for r in ind.collect()}
+    assert {r["IndicatorId"] for r in grb.collect()} <= master_ids
+    assert grb.count() > 0
+    assert pipe.registry.ordered([SIBLING_PID, PID]) == [PID, SIBLING_PID]
+
+    # presentation tables exist only for the master
+    meta = pipe.store.read("IndicatorMetaData")
+    meta_pids = {r[PARTITION_COL] for r in meta.select(PARTITION_COL).distinct().collect()}
+    assert meta_pids == {PID}
