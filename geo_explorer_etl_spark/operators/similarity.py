@@ -124,3 +124,89 @@ def lsh_bucket_topk(
         )
     )
     return cands.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ids whose vectors exceed
+    the cosine threshold.
+
+    This is the EXACT variant (all-pairs self-join) — the correctness
+    oracle. At corpus scale compose it with the LSH bucketer: bucket
+    first, run this within buckets (identical code, bounded pairs).
+    Norms are precomputed once per row so the pair loop only pays one
+    dot product.
+    """
+    v = _as_double(F.col(vec_col))
+    withn = emb.select(
+        F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_n")
+    )
+    a = withn.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    ).alias("a")
+    b = withn.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    ).alias("b")
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def _seeded_centroids(n: int, dim: int, seed: str = "geo-explorer-ivf") -> list[list[float]]:
+    return _seeded_planes(n, dim, seed)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest seeded
+    centroid (argmax dot), scan only the query's ``nprobe`` closest
+    cells, exact cosine top-k within them.
+
+    The centroid set here is deterministic-seeded rather than trained
+    (no MLlib dependency); swapping in k-means centroids changes only
+    the literal arrays. Scan cost ~ corpus * nprobe / n_centroids.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    cents = _seeded_centroids(n_centroids, dim)
+    v = _as_double(F.col(vec_col))
+    scores = F.array(
+        *[_dot(v, F.array(*[F.lit(w) for w in c])) for c in cents]
+    )
+    # cell = argmax(scores): materialize the score array once, then
+    # array_position against its max (1-based -> 0-based)
+    assigned = emb.withColumn("_scores", scores).withColumn(
+        "cell",
+        (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1).cast("int"),
+    ).drop("_scores")
+    qrow = assigned.filter(F.col(id_col) == query_vec_id).first()
+    qcells = sorted(
+        range(n_centroids),
+        key=lambda i: -sum(
+            x * y for x, y in zip(qrow[vec_col], cents[i])
+        ),
+    )[:nprobe]
+    qv = [float(x) for x in qrow[vec_col]]
+    qarr = F.array(*[F.lit(x) for x in qv])
+    cands = assigned.filter(
+        (F.col("cell").isin(qcells)) & (F.col(id_col) != query_vec_id)
+    )
+    cos = cosine(v, qarr)
+    return (
+        cands.select(F.col(id_col), F.col(label_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

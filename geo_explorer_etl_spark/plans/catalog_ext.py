@@ -290,3 +290,32 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+    """,
+    tags="ext dedup similarity",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # cell assignment is centroid-seed specific; rows-only
+    tags="ext similarity ivf",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8, nprobe=2)

@@ -46,3 +46,23 @@ def test_rowlocal_text_ops_have_no_exchange(spark):
     docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
     plan = plan_of(fingerprint(docs, "text", "doc_id"))
     assert "Exchange" not in plan, plan
+
+
+def test_no_python_udf_in_any_catalog_query(spark):
+    """Reference-parity invariant (SURVEY §2.13): zero row-at-a-time
+    Python evaluation in the whole catalog. mapInPandas appears only
+    in the multimodal extension, which is not a catalog query."""
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.queries().items():
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF"
+
+
+def test_anti_joins_are_broadcast(spark):
+    from geo_explorer_etl_spark.plans.catalog import j8_anti_composite_key
+
+    plan = plan_of(j8_anti_composite_key(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
