@@ -144,7 +144,15 @@ class Pipeline:
         )
 
         # replace-then-append in partition terms: every fact table is
-        # written as this product's partition
+        # written as this product's partition. Row accounting (A4,
+        # reference main.py:225–233) rides the write itself via
+        # observe() — no second execution of each plan for a count.
+        from pyspark.sql import Observation
+
+        obs = {n: Observation(n) for n in ("values", "grb", "glb")}
+        values = values.observe(obs["values"], F.count(F.lit(1)).alias("n"))
+        geo_ref_bridge = geo_ref_bridge.observe(obs["grb"], F.count(F.lit(1)).alias("n"))
+        geo_level_bridge = geo_level_bridge.observe(obs["glb"], F.count(F.lit(1)).alias("n"))
         if not policy.is_sibling:
             self.store.replace_product("Indicators", indicators, pid)
         self.store.replace_product("IndicatorValues", values, pid)
@@ -197,10 +205,10 @@ class Pipeline:
             self.store.replace_product("RelatedCharts", charts, pid)
 
         return {
-            "indicators": indicators.count(),
-            "values": values.count(),
-            "geo_ref_bridge": geo_ref_bridge.count(),
-            "geo_level_bridge": geo_level_bridge.count(),
+            "indicators": indicators.count(),  # dimension-sized; cheap
+            "values": obs["values"].get["n"],
+            "geo_ref_bridge": obs["grb"].get["n"],
+            "geo_level_bridge": obs["glb"].get["n"],
             "orphans": len(orphan_list),
         }
 

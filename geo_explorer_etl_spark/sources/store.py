@@ -139,3 +139,42 @@ def write_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 10000, **op
         .mode("append")
         .save()
     )
+
+
+class BucketedStore:
+    """Bucketed managed tables for co-located fact-to-fact joins.
+
+    The parquet ``TableStore`` covers the reference's product-replace
+    lifecycle; THIS store covers the scale pattern the reference never
+    needed: two fact tables repeatedly joined on the same key (e.g.
+    values ⋈ bridge on IndicatorValueCode at 100 TB) should be written
+    ``bucketBy(n, key)`` once so every later join is shuffle-free on
+    both sides (SortMergeJoin over pre-bucketed scans, no Exchange).
+
+    Uses the session's warehouse dir + in-memory catalog — no Hive
+    server needed; ``saveAsTable`` is required because bucketing
+    metadata lives in the table catalog, not in parquet files.
+    """
+
+    def __init__(self, spark: SparkSession, n_buckets: int = 32):
+        self.spark = spark
+        self.n_buckets = n_buckets
+
+    def write(self, df: DataFrame, table: str, bucket_col: str, sort: bool = True) -> None:
+        # drop catalog entry AND any stale location (a crashed earlier
+        # write can leave the dir behind with no catalog entry, which
+        # saveAsTable then refuses: LOCATION_ALREADY_EXISTS)
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+        from pathlib import Path
+
+        loc = Path(self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")) / table
+        if loc.exists():
+            shutil.rmtree(loc)
+        w = df.write.mode("overwrite").bucketBy(self.n_buckets, bucket_col)
+        if sort:
+            w = w.sortBy(bucket_col)
+        w.format("parquet").saveAsTable(table)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(table)

@@ -66,3 +66,32 @@ def test_anti_joins_are_broadcast(spark):
     plan = plan_of(j8_anti_composite_key(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key join with
+    ZERO Exchange — the 100 TB fact-to-fact pattern (SCALE.md)."""
+    from geo_explorer_etl_spark.sources.store import BucketedStore
+
+    li = load_tables(spark, SF_SMOKE, "lineitem")["lineitem"]
+    orders = load_tables(spark, SF_SMOKE, "orders")["orders"]
+    bs = BucketedStore(spark, n_buckets=4)
+    bs.write(li.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey")
+    bs.write(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"),
+        "b_orders",
+        "l_orderkey",
+    )
+    # disable broadcast so the plan shows what happens when BOTH sides
+    # are big (the case bucketing exists for): SMJ over bucketed scans,
+    # no shuffle Exchange on either side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bs.read("b_lineitem").join(bs.read("b_orders"), "l_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
