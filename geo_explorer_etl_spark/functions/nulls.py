@@ -58,3 +58,28 @@ def dummy_subject_suffix(code: Column) -> Column:
     """L6 — dummy subject-code suffix by code length (int-overflow
     workaround in the reference, helpers.py:58–61)."""
     return F.when(F.length(code.cast("string")) > 4, F.lit("99")).otherwise(F.lit("9999"))
+
+
+def format_number_locale(value: Column, locale: str = "en-US", decimals: int = 1) -> Column:
+    """M5 locale variant — T-SQL ``Format(v, 'N', locale)`` analog
+    (reference dfhandler.py:647–666 emits both en-US and fr-CA
+    formatting in the generated queries).
+
+    en-US: ``1,234.5``; fr-CA: ``1 234,5`` (space thousands, comma
+    decimal) — produced by re-mapping en-US separators with
+    ``translate``, still a pure column expression.
+    """
+    base = F.format_number(value, decimals)
+    if locale.lower() in ("fr-ca", "fr"):
+        return F.translate(base, ",.", " ,")
+    return base
+
+
+def null_display_case_locale(
+    value: Column, symbol: Column, locale: str = "en-US", decimals: int = 1
+) -> Column:
+    """The generated queries' dual-locale CASE: null -> status symbol,
+    else locale-formatted number (reference dfhandler.py:345–347)."""
+    return F.when(value.isNull(), symbol).otherwise(
+        format_number_locale(value, locale, decimals)
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from geo_explorer_etl_spark.plans import star_schema as SS
 from geo_explorer_etl_spark.plans.policy import ProductPolicy
+from geo_explorer_etl_spark.plans.schemas import conform
 from geo_explorer_etl_spark.operators import joins as J
 from geo_explorer_etl_spark.sources.cube_csv import read_cube_csv
 from geo_explorer_etl_spark.sources.merge_registry import MergeRegistry
@@ -76,16 +77,21 @@ class Pipeline:
         dvals = SS.build_dimension_values(
             members, dims, id_offset=self.store.max_id("DimensionValues", "DimensionValueId")
         )
+        # conform: declared schema + fixed-width truncation (F11) in one
+        # place. IndicatorTheme partitions by the row's OWN theme id:
+        # the product row lands in partition {pid}; synthesized parent
+        # subject rows land in their subject-id partitions, so two
+        # products sharing a subject overwrite the same one-row
+        # partition with identical content (no duplicates), and
+        # deleting a product leaves shared parents alone.
+        self.store.replace_product("IndicatorTheme", conform(themes, "IndicatorTheme"), pid)
         self.store.replace_product(
-            "IndicatorTheme",
-            themes.withColumn(PARTITION_COL, F.lit(pid).cast("long")),
+            "Dimensions",
+            conform(dims.withColumnRenamed("productId", PARTITION_COL), "Dimensions"),
             pid,
         )
-        self.store.replace_product("Dimensions", dims.withColumnRenamed("productId", PARTITION_COL), pid)
         self.store.replace_product(
-            "DimensionValues",
-            dvals.withColumnRenamed("productId", PARTITION_COL),
-            pid,
+            "DimensionValues", conform(dvals, "DimensionValues"), pid
         )
 
     # ------------------------------------------------------------------ E2
@@ -150,14 +156,24 @@ class Pipeline:
         from pyspark.sql import Observation
 
         obs = {n: Observation(n) for n in ("values", "grb", "glb")}
-        values = values.observe(obs["values"], F.count(F.lit(1)).alias("n"))
-        geo_ref_bridge = geo_ref_bridge.observe(obs["grb"], F.count(F.lit(1)).alias("n"))
-        geo_level_bridge = geo_level_bridge.observe(obs["glb"], F.count(F.lit(1)).alias("n"))
+        values_out = conform(values, "IndicatorValues").observe(
+            obs["values"], F.count(F.lit(1)).alias("n")
+        )
+        grb_out = conform(geo_ref_bridge, "GeographyReferenceForIndicator").observe(
+            obs["grb"], F.count(F.lit(1)).alias("n")
+        )
+        glb_out = conform(geo_level_bridge, "GeographicLevelForIndicator").observe(
+            obs["glb"], F.count(F.lit(1)).alias("n")
+        )
         if not policy.is_sibling:
-            self.store.replace_product("Indicators", indicators, pid)
-        self.store.replace_product("IndicatorValues", values, pid)
-        self.store.replace_product("GeographyReferenceForIndicator", geo_ref_bridge, pid)
-        self.store.replace_product("GeographicLevelForIndicator", geo_level_bridge, pid)
+            # keep `coordinate` alongside the declared columns: the
+            # store copy must let siblings/metadata rebuild unique keys
+            self.store.replace_product(
+                "Indicators", conform(indicators, "Indicators", keep=["coordinate"]), pid
+            )
+        self.store.replace_product("IndicatorValues", values_out, pid)
+        self.store.replace_product("GeographyReferenceForIndicator", grb_out, pid)
+        self.store.replace_product("GeographicLevelForIndicator", glb_out, pid)
 
         # date-dimension growth (I3 anti-join append)
         dims = self.store.read("Dimensions")
@@ -201,8 +217,8 @@ class Pipeline:
             # checkpoint is cheap even at 100 TB fact scale.
             meta = meta.localCheckpoint(eager=True)
             charts = SS.build_related_charts(indicators)
-            self.store.replace_product("IndicatorMetaData", meta, pid)
-            self.store.replace_product("RelatedCharts", charts, pid)
+            self.store.replace_product("IndicatorMetaData", conform(meta, "IndicatorMetaData"), pid)
+            self.store.replace_product("RelatedCharts", conform(charts, "RelatedCharts"), pid)
 
         return {
             "indicators": indicators.count(),  # dimension-sized; cheap

@@ -1,0 +1,122 @@
+"""Explicit StructTypes + width contracts for the star-schema target
+tables (SURVEY.md §7 step 1; the ``gis.*`` tables the reference bulk
+loads, scdb.py:174–187).
+
+Two uses:
+- ``conform(df, table)`` — order/select the frame to the declared
+  schema and apply the fixed-width truncations (F11) the reference
+  does column-by-column before insert (dfhandler.py:108–109, 299,
+  366–371, 420–423, 532–536) — one place instead of 15 call sites;
+- empty-frame construction for first-run anti-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# column -> (type, max_width or None). Widths from the reference's
+# truncation calls; None = untruncated.
+TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
+    "IndicatorTheme": {
+        "IndicatorThemeId": (T.LongType(), None),
+        "IndicatorTheme_EN": (T.StringType(), 255),
+        "IndicatorTheme_FR": (T.StringType(), 255),
+        "ParentThemeId": (T.LongType(), None),
+    },
+    "Dimensions": {
+        "DimensionId": (T.LongType(), None),
+        "IndicatorThemeId": (T.LongType(), None),
+        "Dimension_EN": (T.StringType(), 255),
+        "Dimension_FR": (T.StringType(), 255),
+        "DimensionType": (T.StringType(), 10),
+        "DimPosId": (T.IntegerType(), None),
+    },
+    "DimensionValues": {
+        "DimensionValueId": (T.LongType(), None),
+        "DimensionId": (T.LongType(), None),
+        "Display_EN": (T.StringType(), 255),
+        "Display_FR": (T.StringType(), 255),
+        "ValueDisplayOrder": (T.IntegerType(), None),
+        "MemberId": (T.IntegerType(), None),
+        "MemberUomCode": (T.ShortType(), None),
+    },
+    "Indicators": {
+        "IndicatorId": (T.LongType(), None),
+        "IndicatorThemeId": (T.LongType(), None),
+        "IndicatorCode": (T.StringType(), 100),
+        "IndicatorFmt": (T.StringType(), 255),
+        "IndicatorName_EN": (T.StringType(), 255),
+        "IndicatorName_FR": (T.StringType(), 255),
+        "IndicatorDisplay_EN": (T.StringType(), 500),
+        "IndicatorDisplay_FR": (T.StringType(), 500),
+        "ReferencePeriod": (T.DateType(), None),
+        "UOM_EN": (T.StringType(), 255),
+        "UOM_FR": (T.StringType(), 255),
+        "UOM_ID": (T.ShortType(), None),
+    },
+    "IndicatorValues": {
+        "IndicatorValueId": (T.LongType(), None),
+        "IndicatorValueCode": (T.StringType(), 120),
+        "IndicatorCode": (T.StringType(), 100),
+        "DGUID": (T.StringType(), 25),
+        "Value": (T.DoubleType(), None),
+        "NullReasonId": (T.IntegerType(), None),
+    },
+    "GeographyReferenceForIndicator": {
+        "GeographyReferenceId": (T.StringType(), 25),
+        "IndicatorId": (T.LongType(), None),
+        "IndicatorValueId": (T.LongType(), None),
+        "ReferencePeriod": (T.DateType(), None),
+    },
+    "GeographicLevelForIndicator": {
+        "GeographicLevelId": (T.StringType(), 5),
+        "IndicatorId": (T.LongType(), None),
+    },
+    "IndicatorMetaData": {
+        "IndicatorId": (T.LongType(), None),
+        "IndicatorCode": (T.StringType(), 100),
+        "DimensionUniqueKey": (T.StringType(), 50),
+        "ColorTo": (T.StringType(), 15),
+        "ColorFrom": (T.StringType(), 15),
+        "DefaultBreaks": (T.IntegerType(), None),
+        "DefaultBreaksAlgorithmId": (T.IntegerType(), None),
+        "PrimaryChartTypeId": (T.IntegerType(), None),
+        "UOM_EN": (T.StringType(), 255),
+        "UOM_FR": (T.StringType(), 255),
+        "UOM_ID": (T.ShortType(), None),
+    },
+    "RelatedCharts": {
+        "IndicatorId": (T.LongType(), None),
+        "RelatedIndicatorIds": (T.StringType(), 255),
+        "ChartTypeId": (T.IntegerType(), None),
+    },
+}
+
+
+def schema_of(table: str) -> T.StructType:
+    return T.StructType(
+        [T.StructField(c, t, True) for c, (t, _) in TARGET_TABLES[table].items()]
+    )
+
+
+def conform(df: DataFrame, table: str, keep: list[str] | None = None) -> DataFrame:
+    """Project/cast/truncate a builder output onto the declared target
+    schema. Missing declared columns become typed nulls; extra builder
+    columns are dropped unless named in ``keep`` (e.g. ``coordinate``
+    on Indicators, which siblings/metadata need downstream)."""
+    spec = TARGET_TABLES[table]
+    cols = []
+    for name, (dtype, width) in spec.items():
+        if name in df.columns:
+            c = F.col(name).cast(dtype)
+            if width is not None and isinstance(dtype, T.StringType):
+                c = F.substring(c, 1, width)
+        else:
+            c = F.lit(None).cast(dtype)
+        cols.append(c.alias(name))
+    for extra in keep or []:
+        if extra in df.columns and extra not in spec:
+            cols.append(F.col(extra))
+    return df.select(*cols)

@@ -665,15 +665,18 @@ def primary_query(
             "left",
         )
     )
+    from geo_explorer_etl_spark.functions.nulls import null_display_case_locale
+
+    number_locale = "fr-CA" if loc == "FR" else "en-US"
     return joined.select(
         "GeographyReferenceId",
         F.col(f"DisplayNameShort_{loc}").alias("GeographyName"),
         F.col(f"LevelName_{loc}").alias("GeographicLevelName"),
         F.col(f"IndicatorName_{loc}").alias("IndicatorName"),
         "Value",
-        F.when(F.col("Value").isNull(), F.col("Symbol"))
-        .otherwise(F.format_number(F.col("Value"), 1))
-        .alias("FormattedValue"),
+        null_display_case_locale(
+            F.col("Value"), F.col("Symbol"), locale=number_locale
+        ).alias("FormattedValue"),
         "Shape",
     )
 

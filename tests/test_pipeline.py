@@ -287,3 +287,20 @@ def test_presentation_and_read_side_views(spark, cube, members, lookups, metadat
     )
     got = {r["IndicatorId"]: r["FormattedValue"] for r in rq.collect()}
     assert got == {1: "10.5"}  # related id 4 has no value at this geo
+
+
+def test_conform_schema_and_truncation(spark):
+    from geo_explorer_etl_spark.plans.schemas import conform, schema_of
+
+    df = spark.createDataFrame(
+        [(1, "x" * 300, None, 5, "EXTRA")],
+        "IndicatorThemeId long, IndicatorTheme_EN string, IndicatorTheme_FR string, "
+        "ParentThemeId int, junk string",
+    )
+    out = conform(df, "IndicatorTheme")
+    assert out.schema == schema_of("IndicatorTheme")
+    row = out.first()
+    assert len(row["IndicatorTheme_EN"]) == 255      # F11 truncation
+    assert row["IndicatorTheme_FR"] is None          # missing -> typed null
+    assert "junk" not in out.columns                 # extras dropped
+    assert row["ParentThemeId"] == 5                 # int -> long cast

@@ -98,3 +98,46 @@ def test_video_frame_sampling_fanout(spark):
     assert [(r["frame_idx"], r["frame_ts_ms"]) for r in frames] == [
         (0, 0), (1, 1000), (2, 2000),
     ]
+
+
+def test_stateful_first_seen_dedup(spark, events_stream, tmp_path):
+    """applyInPandasWithState: per-key first-seen id + running count;
+    final state must equal the batch ground truth."""
+    from geo_explorer_etl_spark.streaming.stateful import streaming_first_seen_dedup
+
+    out = streaming_first_seen_dedup(events_stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode may emit a row per batch per key; the LAST row per key
+    # is the final state
+    rows = spark.sql(
+        "SELECT key, first_event_id, n_seen FROM t_stateful"
+    ).toPandas()
+    final = rows.groupby("key").last()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    truth = {
+        r["event_type"]: (r["first_id"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("event_id").alias("first_id"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {k: (int(v["first_event_id"]), int(v["n_seen"])) for k, v in final.iterrows()}
+    assert got == truth
+
+
+def test_locale_formatting(spark):
+    from geo_explorer_etl_spark.functions.nulls import format_number_locale
+
+    df = spark.createDataFrame([(1234567.85,), (0.5,)], "v double")
+    en = [r[0] for r in df.select(format_number_locale(F.col("v"), "en-US")).collect()]
+    fr = [r[0] for r in df.select(format_number_locale(F.col("v"), "fr-CA")).collect()]
+    assert en == ["1,234,567.9", "0.5"]
+    assert fr == ["1 234 567,9", "0,5"]
