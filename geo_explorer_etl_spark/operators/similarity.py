@@ -171,6 +171,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest seeded
     centroid (argmax dot), scan only the query's ``nprobe`` closest
@@ -181,7 +182,8 @@ def ivf_topk(
     the literal arrays. Scan cost ~ corpus * nprobe / n_centroids.
     """
     dim = len(emb.select(vec_col).first()[0])
-    cents = _seeded_centroids(n_centroids, dim)
+    cents = centroids if centroids is not None else _seeded_centroids(n_centroids, dim)
+    n_centroids = len(cents)
     v = _as_double(F.col(vec_col))
     scores = F.array(
         *[_dot(v, F.array(*[F.lit(w) for w in c])) for c in cents]
@@ -210,3 +212,39 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    sample_limit: int = 2000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic driver-side k-means for IVF cells.
+
+    Samples up to ``sample_limit`` vectors (ordered by id — stable),
+    initializes centroids from evenly spaced sample points, runs a few
+    Lloyd iterations in numpy. Driver-side by design: the TRAINING set
+    is a bounded sample regardless of corpus size; only ASSIGNMENT
+    scales with the data and that stays in Spark.
+    """
+    import numpy as np
+
+    sample = (
+        emb.orderBy(id_col).limit(sample_limit).select(vec_col).collect()
+    )
+    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    c = x[idx].copy()
+    for _ in range(iters):
+        sims = x @ c.T                       # cosine on normalized rows
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in row] for row in c]

@@ -313,9 +313,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # cell assignment is centroid-seed specific; rows-only
+    oracle=None,  # cell assignment is centroid-specific; rows-only
     tags="ext similarity ivf",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return SIM.ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8, nprobe=2)
+    cents = SIM.train_centroids(emb, n_centroids=8)
+    return SIM.ivf_topk(emb, query_vec_id=0, k=10, nprobe=2, centroids=cents)

@@ -1,0 +1,62 @@
+"""Skew operators + pushdown audit + hypothesis property tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.operators.skew import salted_count, salted_join
+from geo_explorer_etl_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = load_tables(spark, SF_SMOKE, "lineitem", "orders")
+    li, o = t["lineitem"], t["orders"]
+    small = o.select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(small, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()
+    salted = salted_join(li, small, "l_orderkey", n_salts=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).first()
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_salted_count_matches_plain_count(spark):
+    li = load_tables(spark, SF_SMOKE, "lineitem")["lineitem"]
+    plain = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["n"]
+        for r in salted_count(li, "l_returnflag", n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_doc_filter_pushdown(spark):
+    """Extension scans prune too: the ngram query's doc_id<100 filter
+    must reach the parquet reader."""
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"].filter(
+        F.col("doc_id") < 100
+    )
+    plan = docs._sc._jvm.PythonSQLUtils.explainString(
+        docs._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan
+
+
+def test_ivf_trained_recall(spark):
+    """Trained IVF cells must recover most of the brute-force top-10
+    while scanning only nprobe/n_centroids of the corpus."""
+    from geo_explorer_etl_spark.operators import similarity as SIM
+
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"]
+    bf = {r["vec_id"] for r in SIM.cosine_topk(emb, 0, 10).collect()}
+    cents = SIM.train_centroids(emb, n_centroids=8)
+    ivf = {
+        r["vec_id"]
+        for r in SIM.ivf_topk(emb, 0, 10, nprobe=2, centroids=cents).collect()
+    }
+    assert len(ivf & bf) / 10 >= 0.6

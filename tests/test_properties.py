@@ -1,0 +1,142 @@
+"""Property-based tests (SURVEY §5.3) — hypothesis generates inputs,
+a pure-Python model predicts the result, one Spark job per example
+batch checks the column expressions agree with the model."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.functions import (
+    dguid_repair,
+    generic_wildcard_code,
+    ref_year_normalize,
+    strip_sort_prefix,
+)
+
+
+def run_batch(spark, expr_builder, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return [r["out"] for r in df.select(expr_builder().alias("out")).collect()]
+
+
+# -- D2 ref-year ----------------------------------------------------------
+def model_ref_year(s: str) -> int:
+    if re.fullmatch(r"\d{4}", s):
+        return int(s)
+    if re.fullmatch(r"\d{4}/\d{2}", s):
+        return int(s[:2] + s[5:7])
+    if re.fullmatch(r"\d{4}/\d{4}", s):
+        return int(s[5:9])
+    return 1900
+
+
+ref_date_strategy = st.one_of(
+    st.integers(1900, 2100).map(str),
+    st.integers(1900, 2099).map(lambda y: f"{y}/{(y + 1) % 100:02d}"),
+    st.integers(1900, 2099).map(lambda y: f"{y}/{y + 1}"),
+    st.text(
+        alphabet="0123456789/ab", min_size=0, max_size=12
+    ),  # junk incl. near-misses
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(ref_date_strategy, min_size=1, max_size=30))
+def test_ref_year_property(spark, inputs):
+    got = run_batch(
+        spark, lambda: ref_year_normalize(F.col("s")), [(x,) for x in inputs], "s string"
+    )
+    assert got == [model_ref_year(x) for x in inputs]
+
+
+# -- F5 DGUID repair ------------------------------------------------------
+def model_dguid_repair(dguid: str, year: int) -> str:
+    if len(dguid) < 10:
+        vintage = "2016" if year < 2016 else str(year)
+        dguid = f"{vintage}A0025{dguid}"
+    dguid = re.sub(r"^2016S05003", "2016S0503", dguid)
+    dguid = re.sub(r"^2011B", "2016B", dguid)
+    return dguid
+
+
+dguid_strategy = st.one_of(
+    st.text(alphabet="0123456789AB", min_size=0, max_size=9),          # short ids
+    st.text(alphabet="0123456789", min_size=4, max_size=8).map(lambda s: "2016S05003" + s),
+    st.text(alphabet="0123456789", min_size=5, max_size=8).map(lambda s: "2011B" + s),
+    st.text(alphabet="0123456789AS", min_size=10, max_size=18),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(dguid_strategy, st.integers(2000, 2030)), min_size=1, max_size=30
+    )
+)
+def test_dguid_repair_property(spark, pairs):
+    got = run_batch(
+        spark,
+        lambda: dguid_repair(F.col("d"), F.col("y")),
+        pairs,
+        "d string, y int",
+    )
+    assert got == [model_dguid_repair(d, y) for d, y in pairs]
+
+
+# -- F16 generic wildcard -------------------------------------------------
+def model_wildcard(coord: str) -> str:
+    parts = coord.split(".")
+    if len(parts) < 2:
+        return coord
+    parts[-2] = "%"
+    return ".".join(parts)
+
+
+coord_strategy = st.lists(
+    st.integers(0, 99).map(str), min_size=1, max_size=6
+).map(".".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(coord_strategy, min_size=1, max_size=30))
+def test_generic_wildcard_property(spark, coords):
+    got = run_batch(
+        spark,
+        lambda: generic_wildcard_code(F.col("c")),
+        [(c,) for c in coords],
+        "c string",
+    )
+    assert got == [model_wildcard(c) for c in coords]
+
+
+# -- F1 sort prefix -------------------------------------------------------
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 1000)),
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Zs")),
+                min_size=0,
+                max_size=20,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_strip_sort_prefix_property(spark, items):
+    rows, expected = [], []
+    for prefix_num, name in items:
+        if prefix_num is None:
+            raw = name
+            expected.append(re.sub(r"^\d{1,4}\.\s*", "", name))
+        else:
+            raw = f"{prefix_num:02d}. {name}"
+            expected.append(name)
+        rows.append((raw,))
+    got = run_batch(spark, lambda: strip_sort_prefix(F.col("s")), rows, "s string")
+    assert got == expected
