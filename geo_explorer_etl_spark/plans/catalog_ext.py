@@ -320,3 +320,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     cents = SIM.train_centroids(emb, n_centroids=8)
     return SIM.ivf_topk(emb, query_vec_id=0, k=10, nprobe=2, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Engine breadth beyond the reference surface: semi-structured JSON,
+# pivot, rollup — table stakes for an analytics engine at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           TRY_CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_value
+    FROM events
+    """,
+    tags="ext json semistructured",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    # try_cast, not cast: a JSON field holding a non-numeric value must
+    # yield NULL, not kill the scan (ANSI cast throws CAST_INVALID_INPUT)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_value"),
+        F.get_json_object("props", "$.missing").try_cast("long").alias("missing_value"),
+    )
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+    tags="ext pivot",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent combos; the oracle's FILTER gives 0
+    return out.na.fill(0, ["click", "view", "purchase", "signup", "error"])
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags="ext rollup agg",
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
