@@ -386,3 +386,34 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
     )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH quotes AS (SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+                    FROM events WHERE event_id % 2 = 0),
+    trades AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1)
+    SELECT t.event_id, t.user_id,
+           q.quote_id AS quote_id_asof,
+           ROUND(q.quote_value, 2) AS quote_value_asof
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND q.ts <= t.ts
+    """,
+    tags="ext asof join",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_explorer_etl_spark.operators.asof import as_of_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    quotes = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("quote_id"), F.col("value").alias("quote_value")
+    )
+    trades = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "ts", "event_id")
+    out = as_of_join(trades, quotes, key="user_id", ts="ts", right_cols=["quote_id", "quote_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "quote_id_asof",
+        F.round(F.col("quote_value_asof"), 2).alias("quote_value_asof"),
+    )
