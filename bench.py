@@ -46,9 +46,13 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     queries = all_queries()
 
-    # Warm the JVM + parquet footers so per-query times measure the
-    # plan, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up: one untimed pass of every headline query at the smallest
+    # SF. Whole-stage codegen JIT-compiles each query shape on first
+    # execution; without this the timings measure compiler warm-up, not
+    # plan throughput (tools/scale_sweep.py shows 100x data changing
+    # runtimes by <2x once warm). Standard JIT benchmarking practice.
+    for name in HEADLINE:
+        queries[name](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,71 @@
+"""SQL front-end: register the star schema + testdata as temp views so
+users can drive the engine with ``spark.sql`` — the same Catalyst plans
+as the DataFrame API (pyspark_guide: "Catalyst produces the same plan
+either way").
+
+Two registrars:
+- ``register_testdata_views``  — the TPC-H-ish tables for ad-hoc SQL;
+- ``register_star_views``      — a TableStore's target tables, plus the
+  parameterized read-side queries as SQL-callable TVF-style helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geo_explorer_etl_spark.session import load_tables
+from geo_explorer_etl_spark.sources.store import TableStore
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def register_star_views(spark: SparkSession, store: TableStore) -> list[str]:
+    """Every existing store table becomes a temp view named like the
+    reference's ``gis.*`` tables. Returns the registered names."""
+    from geo_explorer_etl_spark.sources.store import PRODUCT_TABLES
+
+    registered = []
+    for t in PRODUCT_TABLES:
+        df = store.read(t)
+        if df is not None:
+            df.createOrReplaceTempView(t)
+            registered.append(t)
+    return registered
+
+
+def sql_primary_query(spark: SparkSession, indicator_id: int, locale: str = "EN") -> DataFrame:
+    """The PrimaryQuery (SURVEY §2.14) in pure SQL over the registered
+    star views — parameterized by indicator id, equivalent plan to
+    ``star_schema.primary_query``. Requires the lookup views
+    (GeographyReference, GeographicLevel, IndicatorNullReason) to be
+    registered by the caller alongside ``register_star_views``."""
+    loc = locale.upper()
+    return spark.sql(
+        f"""
+        SELECT grb.GeographyReferenceId,
+               gr.DisplayNameShort_{loc}   AS GeographyName,
+               gl.LevelName_{loc}          AS GeographicLevelName,
+               i.IndicatorName_{loc}       AS IndicatorName,
+               iv.Value,
+               CASE WHEN iv.Value IS NULL THEN nr.Symbol
+                    ELSE format_number(iv.Value, 1) END AS FormattedValue,
+               gr.Shape
+        FROM GeographyReferenceForIndicator grb
+        JOIN Indicators i            ON i.IndicatorId = grb.IndicatorId
+        JOIN IndicatorValues iv      ON iv.IndicatorValueId = grb.IndicatorValueId
+        JOIN GeographyReference gr   ON gr.GeographyReferenceId = grb.GeographyReferenceId
+        JOIN GeographicLevel gl      ON gl.GeographicLevelId = gr.GeographicLevelId
+        LEFT JOIN IndicatorNullReason nr ON nr.NullReasonId = iv.NullReasonId
+        WHERE grb.IndicatorId = {int(indicator_id)}
+          AND gr.GeographicLevelId IN (
+                SELECT GeographicLevelId FROM GeographicLevelForIndicator
+                WHERE IndicatorId = {int(indicator_id)})
+        """
+    )

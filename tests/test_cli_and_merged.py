@@ -121,3 +121,57 @@ def test_merged_sibling_reuses_master_indicators(merged_env):
     meta = pipe.store.read("IndicatorMetaData")
     meta_pids = {r[PARTITION_COL] for r in meta.select(PARTITION_COL).distinct().collect()}
     assert meta_pids == {PID}
+
+
+def test_sql_frontend_matches_dataframe_view(spark, tmp_path):
+    """register_star_views + sql_primary_query produce the same rows
+    as the DataFrame-API primary_query over the same warehouse."""
+    from geo_explorer_etl_spark.plans import star_schema as SS
+    from geo_explorer_etl_spark.plans.pipeline import Pipeline
+    from geo_explorer_etl_spark.plans.sql_views import (
+        register_star_views,
+        sql_primary_query,
+    )
+    from geo_explorer_etl_spark.sources.merge_registry import MergeRegistry
+    from geo_explorer_etl_spark.sources.store import TableStore
+    from geo_explorer_etl_spark.sources.wds import WdsClient
+    from tests.test_orchestration import CSV_TEXT, PID, canned_fetcher
+
+    csv = tmp_path / "c.csv"
+    csv.write_text(CSV_TEXT)
+    geo_ref = spark.createDataFrame(
+        [("2016A000011124", "Canada", "A0000", "P0"), ("2016A000235", "Ontario", "A0002", "P1")],
+        "GeographyReferenceId string, DisplayNameShort_EN string, GeographicLevelId string, Shape string",
+    )
+    nr = spark.createDataFrame([(2, "x", "s")], "NullReasonId int, Symbol string, D string")
+    uom = spark.createDataFrame([(229, "N", "N")], "memberUomCode int, memberUomEn string, memberUomFr string")
+    subj = spark.createDataFrame([("35", "J", "J")], "subjectCode string, subjectEn string, subjectFr string")
+    pipe = Pipeline(
+        spark, TableStore(spark, str(tmp_path / "wh")), WdsClient(spark, fetcher=canned_fetcher),
+        MergeRegistry(str(tmp_path / "m.json")), geo_ref, nr, uom, subj,
+    )
+    pipe.insert_product([PID], csv_path_for=lambda p: str(csv))
+
+    registered = register_star_views(spark, pipe.store)
+    assert "IndicatorValues" in registered
+    geo_ref.createOrReplaceTempView("GeographyReference")
+    nr.selectExpr("NullReasonId", "Symbol").createOrReplaceTempView("IndicatorNullReason")
+    spark.createDataFrame(
+        [("A0000", "Country"), ("A0002", "Prov"), ("SSSS", "Web")],
+        "GeographicLevelId string, LevelName_EN string",
+    ).createOrReplaceTempView("GeographicLevel")
+
+    sql_rows = {
+        (r["GeographyReferenceId"], r["FormattedValue"])
+        for r in sql_primary_query(spark, 1).collect()
+    }
+    df_rows = {
+        (r["GeographyReferenceId"], r["FormattedValue"])
+        for r in SS.primary_query(
+            1, geo_ref, pipe.store.read("GeographyReferenceForIndicator"),
+            spark.table("GeographicLevel"),
+            pipe.store.read("GeographicLevelForIndicator"),
+            pipe.store.read("IndicatorValues"), pipe.store.read("Indicators"), nr,
+        ).collect()
+    }
+    assert sql_rows == df_rows and len(sql_rows) > 0
