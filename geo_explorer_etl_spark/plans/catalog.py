@@ -50,12 +50,6 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
 # uses an equivalent VALUES clause.
 # ---------------------------------------------------------------------------
 _NULL_REASONS = [("A", "suppressed"), ("N", "not available"), ("R", "revised")]
-_NULL_REASON_SQL = (
-    "(VALUES ('A','suppressed'),('N','not available'),('R','revised'))"
-    " AS nr(symbol, reason)"
-)
-
-
 def _null_reason_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_NULL_REASONS, "symbol string, reason string")
 

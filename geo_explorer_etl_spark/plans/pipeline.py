@@ -14,7 +14,7 @@ product; IDs are assigned once over the whole input (SURVEY.md §7
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +25,7 @@ from geo_explorer_etl_spark.plans.schemas import conform
 from geo_explorer_etl_spark.operators import joins as J
 from geo_explorer_etl_spark.sources.cube_csv import read_cube_csv
 from geo_explorer_etl_spark.sources.merge_registry import MergeRegistry
+from geo_explorer_etl_spark.sources.product_defaults import ProductDefaults
 from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
 from geo_explorer_etl_spark.sources.wds import WdsClient
 
@@ -44,6 +45,7 @@ class Pipeline:
     null_reason: DataFrame
     uom_codes: DataFrame
     subject_codes: DataFrame
+    chart_defaults: ProductDefaults = field(default_factory=ProductDefaults)
 
     def policy_for(self, pid: int) -> ProductPolicy:
         is_sibling = self.registry.is_sibling(pid)
@@ -210,6 +212,7 @@ class Pipeline:
                 indicators,
                 keys,
                 existing_meta.drop(PARTITION_COL) if existing_meta is not None else None,
+                defaults=self.chart_defaults.for_product(pid),
             )
             # chart-config reuse (J10) legitimately reads the partition
             # we're replacing → materialize before the overwrite.

@@ -55,3 +55,25 @@ def test_merge_registry_ordering(tmp_path):
     # persisted across instances
     reg2 = MergeRegistry(str(tmp_path / "m.json"))
     assert reg2.siblings_of(100) == [200, 300]
+
+
+def test_product_defaults_fallback_chain(tmp_path):
+    import json
+
+    from geo_explorer_etl_spark.sources.product_defaults import ProductDefaults
+    from geo_explorer_etl_spark.plans.star_schema import CHART_DEFAULTS
+
+    p = tmp_path / "product_defaults.json"
+    p.write_text(json.dumps({
+        "default": {"DefaultBreaks": 7},
+        "35100177": {"ColorTo": "#112233", "PrimaryChartTypeId": 3},
+    }))
+    pd_reg = ProductDefaults(str(p))
+    d = pd_reg.for_product(35100177)
+    assert d["ColorTo"] == "#112233"            # per-pid wins
+    assert d["DefaultBreaks"] == 7              # file default wins over engine
+    assert d["ColorFrom"] == CHART_DEFAULTS["ColorFrom"]   # engine fallback
+    other = pd_reg.for_product(99999999)
+    assert other["DefaultBreaks"] == 7 and other["ColorTo"] == CHART_DEFAULTS["ColorTo"]
+    # no file at all -> engine defaults
+    assert ProductDefaults(None).for_product(1) == CHART_DEFAULTS
