@@ -417,3 +417,38 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quote_id_asof",
         F.round(F.col("quote_value_asof"), 2).alias("quote_value_asof"),
     )
+
+
+@register(
+    "range_join_business_hours",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(d AS DATE) AS day,
+               CAST(d AS TIMESTAMP) + INTERVAL 8 HOUR  AS win_start,
+               CAST(d AS TIMESTAMP) + INTERVAL 16 HOUR AS win_end
+        FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                            INTERVAL 1 DAY)) AS d))
+    SELECT e.event_id, iv.day
+    FROM events e JOIN iv
+      ON e.ts >= iv.win_start AND e.ts < iv.win_end
+    """,
+    tags="ext rangejoin",
+)
+def range_join_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-interval: events landing inside synthetic business-hour
+    windows (08:00–16:00 per day). The oracle is the naive inequality
+    join; the Spark side is the bucketized equi-join plan."""
+    from geo_explorer_etl_spark.operators.rangejoin import range_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"].select("event_id", "ts")
+    days = spark.sql(
+        "SELECT explode(sequence(date'2024-01-01', date'2024-03-31', interval 1 day)) AS day"
+    )
+    intervals = days.select(
+        "day",
+        (F.col("day").cast("timestamp") + F.expr("interval 8 hours")).alias("win_start"),
+        (F.col("day").cast("timestamp") + F.expr("interval 16 hours")).alias("win_end"),
+    )
+    return range_join(ev, intervals, "ts", "win_start", "win_end", bucket_seconds=3600).select(
+        "event_id", "day"
+    )
