@@ -42,36 +42,43 @@ def dguid_scrub(dguid: Column) -> Column:
 
 
 def dguid_repair(dguid: Column, ref_year: Column) -> Column:
-    """F5 — order-sensitive DGUID repair chain (reference
-    dfhandler.py:597–617, 679).
+    """F5 — order-sensitive DGUID repair chain, faithful to reference
+    ``fix_dguid`` (dfhandler.py:597–617; called with vintage=RefYear at
+    dfhandler.py:679). Six rules, IN ORDER, all unanchored literal
+    replaces (the reference uses ``str.replace``):
 
-    The reference applies, in order, to justice-domain rows:
       1. short ids (<10 chars) get a default vintage+schema prepended:
-         years <2016 -> ``2016A0025``, else ``{year}A0025``;
-      2. schema typo ``2016S05003`` -> ``2016S0503``;
-      3. CMA rows tagged vintage 2011 with schema B -> 2016 vintage
-         (``2011B`` -> ``2016B``... reference maps ``2011S0503`` forms).
+         vintage <2016 -> ``2016A0025`` (1998–2015 use 2016
+         geographies), else ``{vintage}A0025``;
+      2. schema typo: ``2011B`` -> ``2011S``;
+      3. St. John's typo: ``2011S05031`` -> ``2011S0503001``;
+      4. CMAs incorrectly tagged 2011 vintage — only when vintage
+         >= 2016: ``2011S0503`` -> ``{vintage}S0503``;
+      5. Belleville (CA until 2011): ``2011S0503522`` -> ``2011S0504522``;
+      6. Lethbridge (CA until 2011): ``2011S0503810`` -> ``2011S0504810``.
 
-    Implemented as a single when/otherwise chain — no UDF. The branch
-    ORDER matters: prepend-default must run before typo fixes so the
-    typo patterns see full-width ids.
+    Rules 5/6 only ever fire when rule 4 did not (vintage < 2016) —
+    same net behaviour as the reference's sequential replaces. Pure
+    column expressions (``F.replace`` = literal, not regex); no UDF.
+    Null DGUIDs propagate as null (the reference skips ``<NA>``).
     """
-    step1 = (
-        F.when(
-            F.length(dguid) < 10,
-            F.concat(
-                F.when(ref_year.cast("int") < 2016, F.lit("2016")).otherwise(
-                    ref_year.cast("string")
-                ),
-                F.lit("A0025"),
-                dguid,
-            ),
-        )
-        .otherwise(dguid)
-    )
-    step2 = F.regexp_replace(step1, "^2016S05003", "2016S0503")
-    step3 = F.regexp_replace(step2, "^2011B", "2016B")
-    return step3
+    year = ref_year.cast("int")
+    step1 = F.when(
+        F.length(dguid) < 10,
+        F.concat(
+            F.when(year < 2016, F.lit("2016")).otherwise(year.cast("string")),
+            F.lit("A0025"),
+            dguid,
+        ),
+    ).otherwise(dguid)
+    step2 = F.replace(step1, F.lit("2011B"), F.lit("2011S"))
+    step3 = F.replace(step2, F.lit("2011S05031"), F.lit("2011S0503001"))
+    step4 = F.when(
+        year >= 2016,
+        F.replace(step3, F.lit("2011S0503"), F.concat(year.cast("string"), F.lit("S0503"))),
+    ).otherwise(step3)
+    step5 = F.replace(step4, F.lit("2011S0503522"), F.lit("2011S0504522"))
+    return F.replace(step5, F.lit("2011S0503810"), F.lit("2011S0504810"))
 
 
 def composite_code(*parts: Column, sep: str = ".") -> Column:

@@ -486,34 +486,56 @@ def f_scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH src AS (
         SELECT o_orderkey,
-               CASE o_orderkey % 4
+               CASE o_orderkey % 6
                     WHEN 0 THEN lpad(CAST(o_custkey AS VARCHAR), 4, '0')
-                    WHEN 1 THEN '2016S05003' || lpad(CAST(o_custkey AS VARCHAR), 4, '0')
-                    WHEN 2 THEN '2011B' || lpad(CAST(o_custkey AS VARCHAR), 8, '0')
-                    ELSE '2016A' || lpad(CAST(o_custkey AS VARCHAR), 8, '0')
+                    WHEN 1 THEN '2011B' || lpad(CAST(o_custkey AS VARCHAR), 8, '0')
+                    WHEN 2 THEN '2011S05031' || lpad(CAST(o_custkey AS VARCHAR), 2, '0')
+                    WHEN 3 THEN '2011S0503' || lpad(CAST(o_custkey AS VARCHAR), 3, '0')
+                    WHEN 4 THEN '2011S0503522'
+                    ELSE '2011S0503810'
                END AS dguid,
                CAST(2014 + o_orderkey % 4 AS INTEGER) AS ref_year
-        FROM orders)
+        FROM orders),
+    s1 AS (
+        SELECT o_orderkey, ref_year,
+               CASE WHEN length(dguid) < 10 THEN
+                    (CASE WHEN ref_year < 2016 THEN '2016'
+                          ELSE CAST(ref_year AS VARCHAR) END) || 'A0025' || dguid
+                    ELSE dguid END AS d
+        FROM src),
+    s3 AS (
+        SELECT o_orderkey, ref_year,
+               replace(replace(d, '2011B', '2011S'),
+                       '2011S05031', '2011S0503001') AS d
+        FROM s1),
+    s4 AS (
+        SELECT o_orderkey, ref_year,
+               CASE WHEN ref_year >= 2016
+                    THEN replace(d, '2011S0503', CAST(ref_year AS VARCHAR) || 'S0503')
+                    ELSE d END AS d
+        FROM s3)
     SELECT o_orderkey,
-           regexp_replace(regexp_replace(
-             CASE WHEN length(dguid) < 10 THEN
-                  (CASE WHEN ref_year < 2016 THEN '2016'
-                        ELSE CAST(ref_year AS VARCHAR) END) || 'A0025' || dguid
-                  ELSE dguid END,
-             '^2016S05003', '2016S0503'), '^2011B', '2016B') AS dguid_fixed
-    FROM src
+           replace(replace(d, '2011S0503522', '2011S0504522'),
+                   '2011S0503810', '2011S0504810') AS dguid_fixed
+    FROM s4
     """,
     tags="F5 F4 when-chain",
 )
 def f5_dguid_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six fix_dguid rules (reference dfhandler.py:597–617): short
+    prepend, 2011B schema typo, St. John's, conditional CMA vintage
+    rewrite, Belleville, Lethbridge — over ref years 2014–2017 so both
+    the <2016 and >=2016 arms of rules 1 and 4 are exercised."""
     o = _t(spark, sf_dir, "orders")["orders"]
     k = F.col("o_orderkey")
     ck = F.col("o_custkey").cast("string")
     dguid = (
-        F.when(k % 4 == 0, F.lpad(ck, 4, "0"))
-        .when(k % 4 == 1, F.concat(F.lit("2016S05003"), F.lpad(ck, 4, "0")))
-        .when(k % 4 == 2, F.concat(F.lit("2011B"), F.lpad(ck, 8, "0")))
-        .otherwise(F.concat(F.lit("2016A"), F.lpad(ck, 8, "0")))
+        F.when(k % 6 == 0, F.lpad(ck, 4, "0"))
+        .when(k % 6 == 1, F.concat(F.lit("2011B"), F.lpad(ck, 8, "0")))
+        .when(k % 6 == 2, F.concat(F.lit("2011S05031"), F.lpad(ck, 2, "0")))
+        .when(k % 6 == 3, F.concat(F.lit("2011S0503"), F.lpad(ck, 3, "0")))
+        .when(k % 6 == 4, F.lit("2011S0503522"))
+        .otherwise(F.lit("2011S0503810"))
     )
     ref_year = (F.lit(2014) + (k % 4)).cast("int")
     return o.select(

@@ -31,8 +31,9 @@ from geo_explorer_etl_spark.sources.wds import WdsClient
 
 log = logging.getLogger(__name__)
 
-# Mixed-geo justice product ids (reference main.py:20).
-MIXED_GEO_PIDS = {35100177, 35100002, 35100026}
+# Mixed-geo justice product ids (reference main.py:20 lists four:
+# 35100177, 35100002, 35100026, 35100068 — master pids only).
+MIXED_GEO_PIDS = {35100177, 35100002, 35100026, 35100068}
 
 
 @dataclass

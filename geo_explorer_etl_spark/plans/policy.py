@@ -57,6 +57,8 @@ class ProductPolicy:
 
     @property
     def repair_dguids(self) -> bool:
-        """F5 runs only for mixed-geo products (reference
-        dfhandler.py:601–615)."""
-        return self.mixed_geo
+        """F5 runs for EVERY justice product — subject code "35", the
+        first two digits of the product id (reference dfhandler.py:601
+        gates ``fix_dguid`` on ``get_subject_code_from_product_id(...)
+        == "35"``, helpers.py:124–126) — not just the mixed-geo trio."""
+        return str(self.product_id)[:2] == "35"

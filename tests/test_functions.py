@@ -63,10 +63,18 @@ def test_dguid_scrub(spark):
         ("1124", 2014, "2016A00251124"),
         # short id, 2016+ -> that year's vintage
         ("1124", 2017, "2017A00251124"),
-        # schema typo fix (full-width id untouched otherwise)
-        ("2016S05003abc", 2018, "2016S0503abc"),
-        # CMA vintage rewrite
-        ("2011B00000001", 2018, "2016B00000001"),
+        # schema typo: 2011B -> 2011S (reference dfhandler.py:606)
+        ("2011B00000001", 2018, "2011S00000001"),
+        # St. John's typo, pre-2016 vintage left alone
+        ("2011S0503122", 2014, "2011S050300122"),
+        # CMA vintage rewrite only when vintage >= 2016
+        ("2011S0503001", 2018, "2018S0503001"),
+        ("2011S0503001", 2014, "2011S0503001"),
+        # Belleville / Lethbridge CA recodes (pre-2016 path)
+        ("2011S0503522", 2014, "2011S0504522"),
+        ("2011S0503810", 2015, "2011S0504810"),
+        # vintage rewrite wins over Belleville when >= 2016
+        ("2011S0503522", 2018, "2018S0503522"),
         # clean id passes through
         ("2016A000011124", 2018, "2016A000011124"),
     ],

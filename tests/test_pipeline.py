@@ -75,6 +75,7 @@ def lookups(spark):
             ("2016A000011124", "Canada", "A0000", "POLYGON((0 0))"),
             ("2016A000235", "Ontario", "A0002", "POLYGON((1 1))"),
             ("2016S05030001", "Toronto CMA", "S0503", "POLYGON((2 2))"),
+            ("2019S05030001", "Toronto CMA (2019 vintage)", "S0503", "POLYGON((2 2))"),
         ],
         "GeographyReferenceId string, DisplayNameShort_EN string, "
         "GeographicLevelId string, Shape string",
@@ -100,8 +101,9 @@ def cube(spark):
         ("2018", "2016A000011124", "v100", "1.1.1", None, 10.5),
         # YYYY/YYYY form + provincial
         ("2017/2018", "2016A000235", "v101", "1.1.2", None, 20.0),
-        # dotted DGUID (scrub) + CMA schema typo (repair S05003→S0503)
-        ("2019", "2016S05003.0001", "v102", "1.2.1", None, 30.25),
+        # dotted DGUID (scrub) + CMA 2011-vintage rewrite (F5 rule 4:
+        # 2011S0503→{vintage}S0503 since RefYear 2019 >= 2016)
+        ("2019", "2011S0503.0001", "v102", "1.2.1", None, 30.25),
         # null value with status symbol
         ("2019", "2016A000011124", "v103", "1.2.2", "x", None),
         # orphan DGUID (not in geo_ref)
@@ -169,8 +171,8 @@ def test_prepare_values_repair_and_policy(cube):
     pol = ProductPolicy(product_id=PID, min_ref_year=2016, mixed_geo=True)
     prep = SS.prepare_values(cube, pol)
     rows = {r["VectorId"]: r for r in prep.collect()}
-    # scrub+repair: dotted typo DGUID fixed
-    assert rows[102]["DGUID"] == "2016S05030001"
+    # scrub+repair: dot removed, then 2011-vintage CMA recoded to RefYear
+    assert rows[102]["DGUID"] == "2019S05030001"
     assert rows[102]["GeographicLevelId"] == "S0503"
     # ref-year forms
     assert rows[101]["RefYear"] == 2018
@@ -304,3 +306,18 @@ def test_conform_schema_and_truncation(spark):
     assert row["IndicatorTheme_FR"] is None          # missing -> typed null
     assert "junk" not in out.columns                 # extras dropped
     assert row["ParentThemeId"] == 5                 # int -> long cast
+
+
+def test_repair_dguids_gated_on_subject_35():
+    # Reference dfhandler.py:601: fix_dguid runs for EVERY subject-35
+    # product (first 2 digits), not only the mixed-geo list.
+    assert ProductPolicy(product_id=35100005).repair_dguids          # justice, not mixed-geo
+    assert ProductPolicy(product_id=35100177, mixed_geo=True).repair_dguids
+    assert not ProductPolicy(product_id=46100027).repair_dguids      # non-justice
+
+
+def test_mixed_geo_pid_list_matches_reference():
+    from geo_explorer_etl_spark.plans.pipeline import MIXED_GEO_PIDS
+
+    # reference main.py:20 lists exactly these four master pids
+    assert MIXED_GEO_PIDS == {35100177, 35100002, 35100026, 35100068}

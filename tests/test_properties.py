@@ -54,18 +54,26 @@ def test_ref_year_property(spark, inputs):
 
 # -- F5 DGUID repair ------------------------------------------------------
 def model_dguid_repair(dguid: str, year: int) -> str:
+    """Reference-derived model of fix_dguid (dfhandler.py:597–617):
+    six sequential unanchored literal replaces."""
     if len(dguid) < 10:
         vintage = "2016" if year < 2016 else str(year)
         dguid = f"{vintage}A0025{dguid}"
-    dguid = re.sub(r"^2016S05003", "2016S0503", dguid)
-    dguid = re.sub(r"^2011B", "2016B", dguid)
+    dguid = dguid.replace("2011B", "2011S")
+    dguid = dguid.replace("2011S05031", "2011S0503001")
+    if year >= 2016:
+        dguid = dguid.replace("2011S0503", f"{year}S0503")
+    dguid = dguid.replace("2011S0503522", "2011S0504522")
+    dguid = dguid.replace("2011S0503810", "2011S0504810")
     return dguid
 
 
 dguid_strategy = st.one_of(
     st.text(alphabet="0123456789AB", min_size=0, max_size=9),          # short ids
-    st.text(alphabet="0123456789", min_size=4, max_size=8).map(lambda s: "2016S05003" + s),
-    st.text(alphabet="0123456789", min_size=5, max_size=8).map(lambda s: "2011B" + s),
+    st.text(alphabet="0123456789", min_size=2, max_size=6).map(lambda s: "2011B" + s),
+    st.text(alphabet="0123456789", min_size=1, max_size=6).map(lambda s: "2011S05031" + s),
+    st.text(alphabet="0123456789", min_size=2, max_size=6).map(lambda s: "2011S0503" + s),
+    st.sampled_from(["2011S0503522", "2011S0503810", "2011S0504522"]),
     st.text(alphabet="0123456789AS", min_size=10, max_size=18),
 )
 
