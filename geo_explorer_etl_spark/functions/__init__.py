@@ -23,7 +23,7 @@ from geo_explorer_etl_spark.functions.strings import (  # noqa: F401
     vector_id,
 )
 from geo_explorer_etl_spark.functions.dates import (  # noqa: F401
-    FREQ_INTERVALS,
+    FREQ_SPEC,
     date_series,
     format_date,
     ref_year_normalize,

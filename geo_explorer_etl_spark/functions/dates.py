@@ -12,36 +12,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# D1 — WDS frequency code -> Spark INTERVAL literal
-# (reference helpers.py:14–36 maps 21 codes to pandas freq strings).
-FREQ_INTERVALS: dict[int, str] = {
-    1: "interval 1 day",        # daily
-    2: "interval 1 week",       # weekly
-    4: "interval 2 week",       # biweekly
-    6: "interval 1 month",      # monthly
-    7: "interval 2 month",      # bimonthly
-    9: "interval 3 month",      # quarterly
-    10: "interval 4 month",
-    11: "interval 6 month",     # semiannual
-    12: "interval 1 year",      # annual
-    13: "interval 2 year",
-    14: "interval 3 year",
-    15: "interval 4 year",
-    16: "interval 5 year",
-    17: "interval 10 year",
-    18: "interval 1 day",       # occasional -> treated as point dates
-    19: "interval 1 day",
-    20: "interval 1 day",
-    21: "interval 1 day",
+# D1 — WDS frequency code -> (Spark INTERVAL literal, anchor unit).
+# Mirrors the reference's pandas freq map (helpers.py:14–36): pandas
+# "MS"/"QS"/"AS" emit only period-START dates within [start, end]
+# (never the raw start when it is mid-period), and "W" anchors to
+# Sunday — so each code carries the anchor its series snaps to.
+# Occasional codes 18/19/20/21 are annual/quarterly/monthly/daily
+# (helpers.py:31–34), NOT daily point-dates.
+FREQ_SPEC: dict[int, tuple[str, str]] = {
+    1: ("interval 1 day", "day"),        # D
+    2: ("interval 1 week", "week"),      # W (Sunday)
+    4: ("interval 2 week", "week"),      # 2W (Sunday)
+    6: ("interval 1 month", "month"),    # MS
+    7: ("interval 2 month", "month"),    # 2MS
+    9: ("interval 3 month", "quarter"),  # QS
+    10: ("interval 4 month", "month"),   # 4MS (3×/year)
+    11: ("interval 6 month", "month"),   # 6MS (semiannual)
+    12: ("interval 1 year", "year"),     # AS
+    13: ("interval 2 year", "year"),
+    14: ("interval 3 year", "year"),
+    15: ("interval 4 year", "year"),
+    16: ("interval 5 year", "year"),
+    17: ("interval 10 year", "year"),
+    18: ("interval 1 year", "year"),     # occasional -> annual
+    19: ("interval 3 month", "quarter"), # occasional quarterly
+    20: ("interval 1 month", "month"),   # occasional monthly
+    21: ("interval 1 day", "day"),       # occasional daily
 }
 DEFAULT_FREQ_CODE = 12
 
+_ANCHOR_STEP_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _ceil_to_anchor(start: Column, unit: str) -> Column:
+    """First anchor point >= start: period start for month/quarter/year,
+    Sunday for week, identity for day — pandas ``date_range`` semantics
+    (anchored offsets emit only on-anchor dates inside the range)."""
+    if unit == "day":
+        return start
+    if unit == "week":
+        # next_day is strictly-after, so back up one day to keep a
+        # start that already falls on Sunday
+        return F.next_day(F.date_add(start, -1), "Sun")
+    trunc = F.date_trunc(unit, start).cast("date")
+    bumped = F.add_months(trunc, _ANCHOR_STEP_MONTHS[unit])
+    return F.when(trunc == start, start).otherwise(bumped)
+
 
 def date_series(start: Column, end: Column, freq_code: int) -> Column:
-    """D1 — inclusive array of reference dates from start to end at the
-    cube's frequency. Explode the result to fan out (J14)."""
-    interval = FREQ_INTERVALS.get(freq_code, FREQ_INTERVALS[DEFAULT_FREQ_CODE])
-    return F.sequence(start.cast("date"), end.cast("date"), F.expr(interval))
+    """D1 — inclusive array of reference dates at the cube's frequency,
+    snapped to the pandas anchor (reference dfhandler.py:481–489 uses
+    ``pd.date_range``). Explode the result to fan out (J14). An
+    anchor past ``end`` yields an empty array, like pandas."""
+    interval, unit = FREQ_SPEC.get(freq_code, FREQ_SPEC[DEFAULT_FREQ_CODE])
+    s = start.cast("date")
+    e = end.cast("date")
+    anchored = _ceil_to_anchor(s, unit)
+    return F.when(
+        anchored <= e, F.sequence(anchored, e, F.expr(interval))
+    ).otherwise(F.array().cast("array<date>"))
 
 
 def day_series_df(spark: SparkSession, start: str, end: str) -> DataFrame:

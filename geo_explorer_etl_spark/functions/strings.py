@@ -103,9 +103,11 @@ def html_member_list(year_col: Column, names_col: Column, sep: str = " _ ") -> C
 
 def nth_delimited(col: Column, n: int, sep: str = " _ ") -> Column:
     """F8 — nth element of a delimited string; negative n counts from the
-    end (indicator short name = last, legend member = second-to-last;
-    reference helpers.py:104–113, dfhandler.py:275–278, 291–294)."""
-    return F.element_at(F.split(col, sep), n)
+    end (legend member = second-to-last, last member = -1; reference
+    helpers.py:104–113, dfhandler.py:275–279, 291–294). Out-of-range
+    returns ``""`` like the reference's IndexError branch — and keeps
+    ANSI-mode ``element_at`` from throwing on short lists."""
+    return F.coalesce(F.try_element_at(F.split(col, sep), F.lit(n)), F.lit(""))
 
 
 def substring_after_first(col: Column, sep: str = "/") -> Column:
@@ -146,18 +148,23 @@ def vector_id(vector: Column) -> Column:
     return F.regexp_replace(vector, "^v", "").cast("int")
 
 
-def generic_wildcard_code(coordinate: Column, sep: str = ".") -> Column:
-    """F16 — related-indicator generic code: replace the second-to-last
-    coordinate element with ``%`` (reference dfhandler.py:635–644).
+def generic_wildcard_code(ind_code: Column, sep: str = ".") -> Column:
+    """F16 — related-indicator generic code (reference
+    set_generic_indicator_code, dfhandler.py:637–644): the input is a
+    full IndicatorCode ``pid.coord....date``; the THIRD-from-last
+    element (= second-to-last coordinate element, since the date is the
+    final element) becomes ``%`` and the last TWO elements are kept:
 
-    ``"1.2.3.4" -> "1.2.%.4"`` — done with array surgery, not regex,
-    so dots inside members can't confuse it.
+    ``"13100778.4.1.2.1.2018-01-01" -> "13100778.4.1.%.1.2018-01-01"``
+
+    Codes with <= 3 elements return null (the reference's len guard).
+    Array surgery, not regex, so ``%`` can't be misplaced by repeats.
     """
-    parts = F.split(coordinate, r"\.")
+    parts = F.split(ind_code, r"\.")
     n = F.size(parts)
     replaced = F.concat(
-        F.slice(parts, 1, n - 2),
+        F.slice(parts, 1, n - 3),
         F.array(F.lit("%")),
-        F.slice(parts, n, 1),
+        F.slice(parts, n - 1, 2),
     )
-    return F.when(n >= 2, F.array_join(replaced, sep)).otherwise(coordinate)
+    return F.when(n > 3, F.array_join(replaced, sep)).otherwise(F.lit(None))

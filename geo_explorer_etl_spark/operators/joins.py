@@ -131,11 +131,18 @@ def related_topk_csv(
     (related-chart id lists, reference dfhandler.py:620–644).
 
     ``sort_array(collect_list())`` then ``slice`` — one shuffle, no
-    window pass; deterministic because ids are sorted before slicing.
+    window pass. Ids sort NUMERICALLY before stringifying (the
+    reference keeps ascending-id frame order; a lexicographic sort
+    would put "10" before "2").
     """
     return df.groupBy(group_col).agg(
         F.array_join(
-            F.slice(F.sort_array(F.collect_list(F.col(id_col).cast("string"))), 1, k),
+            F.transform(
+                F.slice(
+                    F.sort_array(F.collect_list(F.col(id_col).cast("long"))), 1, k
+                ),
+                lambda x: x.cast("string"),
+            ),
             ",",
         ).alias(out_col)
     )

@@ -322,7 +322,7 @@ def j14_date_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            array_to_string(
-             (list(CAST(p_partkey AS VARCHAR) ORDER BY CAST(p_partkey AS VARCHAR)))[1:10],
+             (list(CAST(p_partkey AS VARCHAR) ORDER BY p_partkey))[1:10],
              ',') AS related_ids
     FROM part GROUP BY p_brand
     """,
@@ -572,31 +572,48 @@ def f7_f8_display_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f16_generic_wildcard",
     oracle="""
     WITH src AS (SELECT l_orderkey, l_linenumber,
-                        CAST(l_orderkey AS VARCHAR) || '.' || CAST(l_partkey AS VARCHAR)
-                        || '.' || CAST(l_suppkey AS VARCHAR)
-                        || '.' || CAST(l_linenumber AS VARCHAR) AS coordinate
-                 FROM lineitem)
+                        CASE WHEN l_linenumber % 2 = 0
+                             THEN CAST(l_orderkey AS VARCHAR) || '.' || CAST(l_partkey AS VARCHAR)
+                                  || '.' || CAST(l_suppkey AS VARCHAR)
+                                  || '.' || CAST(l_linenumber AS VARCHAR) || '.2020-01-01'
+                             ELSE CAST(l_orderkey AS VARCHAR) || '.' || CAST(l_partkey AS VARCHAR)
+                                  || '.2020-01-01'
+                        END AS code
+                 FROM lineitem),
+    parts AS (SELECT l_orderkey, l_linenumber, string_split(code, '.') AS p FROM src)
     SELECT l_orderkey, l_linenumber,
-           array_to_string(list_append(
-             list_append(string_split(coordinate, '.')[1:-3], '%'),
-             string_split(coordinate, '.')[-1]), '.') AS generic_code
-    FROM src
+           CASE WHEN len(p) > 3
+                THEN array_to_string(
+                       list_concat(list_append(p[1:len(p) - 3], '%'), p[-2:]), '.')
+                ELSE NULL END AS generic_code
+    FROM parts
     """,
     tags="F16 J15",
 )
 def f16_generic_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference set_generic_indicator_code semantics: wildcard the
+    third-from-last element of the full IndicatorCode, keep the last
+    two; codes with <= 3 elements (odd lines here) yield null."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    coord = F.concat_ws(
+    long_code = F.concat_ws(
         ".",
         F.col("l_orderkey").cast("string"),
         F.col("l_partkey").cast("string"),
         F.col("l_suppkey").cast("string"),
         F.col("l_linenumber").cast("string"),
+        F.lit("2020-01-01"),
     )
+    short_code = F.concat_ws(
+        ".",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.lit("2020-01-01"),
+    )
+    code = F.when(F.col("l_linenumber") % 2 == 0, long_code).otherwise(short_code)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        generic_wildcard_code(coord).alias("generic_code"),
+        generic_wildcard_code(code).alias("generic_code"),
     )
 
 
@@ -614,17 +631,46 @@ def f16_generic_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 12, CAST(unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31',
                            INTERVAL 1 YEAR)) AS DATE)
+    -- occasional codes map to annual/quarterly/monthly (reference
+    -- helpers.py:31-34), and a mid-period start snaps UP to the next
+    -- anchor like pandas date_range (2020-07-15 -> first Jan-1 /
+    -- quarter-start / month-start / Sunday on or after it)
+    UNION ALL
+    SELECT 18, CAST(unnest(generate_series(DATE '2021-01-01', DATE '2023-12-31',
+                           INTERVAL 1 YEAR)) AS DATE)
+    UNION ALL
+    SELECT 19, CAST(unnest(generate_series(DATE '2020-10-01', DATE '2021-06-30',
+                           INTERVAL 3 MONTH)) AS DATE)
+    UNION ALL
+    SELECT 20, CAST(unnest(generate_series(DATE '2020-08-01', DATE '2020-12-31',
+                           INTERVAL 1 MONTH)) AS DATE)
+    UNION ALL
+    SELECT 2, CAST(unnest(generate_series(DATE '2020-07-19', DATE '2020-09-01',
+                          INTERVAL 7 DAY)) AS DATE)
+    UNION ALL
+    SELECT 4, CAST(unnest(generate_series(DATE '2020-07-19', DATE '2020-09-01',
+                          INTERVAL 14 DAY)) AS DATE)
     """,
     tags="D1",
 )
 def d1_freq_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cases = [
+        (6, "2020-01-01", "2021-12-31"),
+        (9, "2020-01-01", "2021-12-31"),
+        (12, "2020-01-01", "2021-12-31"),
+        (18, "2020-07-15", "2023-12-31"),   # occasional -> annual, snapped
+        (19, "2020-07-15", "2021-06-30"),   # occasional quarterly, snapped
+        (20, "2020-07-15", "2020-12-31"),   # occasional monthly, snapped
+        (2, "2020-07-15", "2020-09-01"),    # weekly -> Sundays
+        (4, "2020-07-15", "2020-09-01"),    # biweekly -> Sundays
+    ]
     frames = []
-    for code in (6, 9, 12):
+    for code, start, end in cases:
         frames.append(
             spark.range(1).select(
                 F.lit(code).cast("int").alias("freq_code"),
                 F.explode(
-                    date_series(F.lit("2020-01-01"), F.lit("2021-12-31"), freq_code=code)
+                    date_series(F.lit(start), F.lit(end), freq_code=code)
                 ).alias("ref_date"),
             )
         )

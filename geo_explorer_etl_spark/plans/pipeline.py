@@ -123,6 +123,7 @@ class Pipeline:
                 self.uom_codes,
                 pid,
                 id_offset=self.store.max_id("Indicators", "IndicatorId", exclude_product=pid),
+                policy=policy,
             )
 
         cube = read_cube_csv(self.spark, csv_path, dim_names)

@@ -49,6 +49,8 @@ TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
         "IndicatorFmt": (T.StringType(), 255),
         "IndicatorName_EN": (T.StringType(), 255),
         "IndicatorName_FR": (T.StringType(), 255),
+        "LastIndicatorMember_EN": (T.StringType(), 255),
+        "LastIndicatorMember_FR": (T.StringType(), 255),
         "IndicatorDisplay_EN": (T.StringType(), 500),
         "IndicatorDisplay_FR": (T.StringType(), 500),
         "ReferencePeriod": (T.DateType(), None),

@@ -236,6 +236,7 @@ def build_indicators(
     uom_codes: DataFrame,
     product_id: int,
     id_offset: int = 0,
+    policy: "ProductPolicy | None" = None,
 ) -> DataFrame:
     """The heart of the write side (reference dfhandler.py:217–300):
 
@@ -244,10 +245,17 @@ def build_indicators(
        zipped by row order — SURVEY.md §7 hard part #1);
     2. M1/L1 — the single real UOM of each combination (last numeric
        code), resolved to text via broadcast join on the code set;
-    3. J14 — fan the combinations out over the reference dates;
+    3. J14 — fan the combinations out over the reference dates,
+       dropping pre-``min_ref_year`` dates for non-mixed-geo products
+       (reference copy_data_frames_for_date_range,
+       dfhandler.py:562–580 — mixed-geo justice products keep all);
     4. F6/F7/F8 — IndicatorCode, display HTML, short names;
     5. W1 — contiguous IndicatorId.
     """
+    if policy is not None and policy.min_ref_year and not policy.mixed_geo:
+        ref_dates = ref_dates.filter(
+            F.year("RefDate") >= F.lit(policy.min_ref_year)
+        )
     m = non_geography_members(members).filter(F.col("productId") == product_id)
     dim_pos = [
         r["DimPosId"]
@@ -309,11 +317,20 @@ def build_indicators(
         truncate_for_column(html_member_list(ref_year, F.col("names_fr")), 500).alias(
             "IndicatorDisplay_FR"
         ),
-        truncate_for_column(nth_delimited(F.col("names_en"), -1), 255).alias(
+        # IndicatorName is the SECOND-to-last member — it titles
+        # related-chart legends (reference dfhandler.py:275–279); the
+        # last member is a separate LastIndicatorMember field
+        truncate_for_column(nth_delimited(F.col("names_en"), -2), 255).alias(
             "IndicatorName_EN"
         ),
-        truncate_for_column(nth_delimited(F.col("names_fr"), -1), 255).alias(
+        truncate_for_column(nth_delimited(F.col("names_fr"), -2), 255).alias(
             "IndicatorName_FR"
+        ),
+        truncate_for_column(nth_delimited(F.col("names_en"), -1), 255).alias(
+            "LastIndicatorMember_EN"
+        ),
+        truncate_for_column(nth_delimited(F.col("names_fr"), -1), 255).alias(
+            "LastIndicatorMember_FR"
         ),
         "UOM_EN",
         "UOM_FR",
@@ -447,10 +464,16 @@ def build_geo_level_bridge(
     with_ids = with_ids.filter(
         policy.geo_level_bridge_filter(F.col("GeographicLevelId"))
     )
-    web_rows = with_ids.select("IndicatorId").distinct().select(
-        F.lit(WEB_DISPLAY_LEVEL).alias("GeographicLevelId"), "IndicatorId"
-    )
-    out = with_ids.unionByName(web_rows).distinct()
+    if not policy.is_sibling:
+        # every indicator gets a synthetic web-display row — but only
+        # for non-sibling products (reference dfhandler.py:176–180
+        # gates the SSSS append on ``not is_sibling``)
+        web_rows = with_ids.select("IndicatorId").distinct().select(
+            F.lit(WEB_DISPLAY_LEVEL).alias("GeographicLevelId"), "IndicatorId"
+        )
+        out = with_ids.unionByName(web_rows).distinct()
+    else:
+        out = with_ids.distinct()
     if existing_bridge is not None:
         out = J.anti_new_rows(out, existing_bridge, ["GeographicLevelId", "IndicatorId"])
     return out
@@ -593,10 +616,21 @@ def build_related_charts(
         "IndicatorId",
         generic_wildcard_code(F.col("IndicatorCode")).alias("GenericCode"),
     )
-    related = J.related_topk_csv(generic, "GenericCode", "IndicatorId", k=k)
-    return generic.join(related, "GenericCode").select(
+    related = J.related_topk_csv(
+        generic.filter(F.col("GenericCode").isNotNull()),
+        "GenericCode",
         "IndicatorId",
-        F.col("related_ids").alias("RelatedIndicatorIds"),
+        k=k,
+    )
+    # indicators whose code is too short for a generic form (null
+    # GenericCode) fall back to their own id — reference
+    # get_related_indicator_list's empty-match branch
+    # (dfhandler.py:628–630)
+    return generic.join(related, "GenericCode", "left").select(
+        "IndicatorId",
+        F.coalesce(
+            F.col("related_ids"), F.col("IndicatorId").cast("string")
+        ).alias("RelatedIndicatorIds"),
         F.lit(d["PrimaryChartTypeId"]).alias("ChartTypeId"),
     )
 

@@ -134,7 +134,16 @@ def test_dguid_geo_level(spark):
 
 @pytest.mark.parametrize(
     "coord,expected",
-    [("1.2.3.4", "1.2.%.4"), ("2.3", "%.3"), ("7", "7")],
+    [
+        # reference dfhandler.py:637-644's own example
+        ("13100778.4.1.2.1.2018-01-01", "13100778.4.1.%.1.2018-01-01"),
+        # wildcard lands third-from-last; last TWO elements kept
+        ("1.2.3.4", "1.%.3.4"),
+        # len <= 3 -> null (reference's guard)
+        ("1.2.3", None),
+        ("2.3", None),
+        ("7", None),
+    ],
 )
 def test_generic_wildcard_code(spark, coord, expected):
     assert one(spark, generic_wildcard_code(F.col("s")), s=coord) == expected
@@ -159,3 +168,49 @@ def test_date_series_frequencies(spark):
     assert count_for(12) == 2      # annual
     assert count_for(9) == 8       # quarterly
     assert count_for(6) == 24      # monthly
+    # occasional codes are annual/quarterly/monthly/daily
+    # (reference helpers.py:31-34), not daily point-dates
+    assert count_for(18) == 2
+    assert count_for(19) == 8
+    assert count_for(20) == 24
+
+
+def test_date_series_matches_pandas_date_range(spark):
+    """All 18 WDS codes against the reference's own engine: pandas
+    date_range (helpers.py:14-36, dfhandler.py:481-489), including
+    mid-period starts that must snap to the anchor."""
+    import pandas as pd
+
+    from geo_explorer_etl_spark.functions.dates import FREQ_SPEC, date_series
+
+    pd_freq = {
+        1: "D", 2: "W", 4: "2W", 6: "MS", 7: "2MS", 9: "QS", 10: "4MS",
+        11: "6MS", 12: "YS", 13: "2YS", 14: "3YS", 15: "4YS", 16: "5YS",
+        17: "10YS", 18: "YS", 19: "QS", 20: "MS", 21: "D",
+    }
+    spans = [("2016-07-01", "2020-12-31"), ("2020-01-01", "2020-03-15")]
+    frames = []
+    for code in FREQ_SPEC:
+        for start, end in spans:
+            frames.append(
+                spark.range(1).select(
+                    F.lit(code).alias("code"),
+                    F.lit(start).alias("start"),
+                    F.explode_outer(
+                        date_series(F.lit(start), F.lit(end), freq_code=code)
+                    ).alias("d"),
+                )
+            )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    got: dict[tuple[int, str], list] = {}
+    for r in out.collect():
+        got.setdefault((r["code"], r["start"]), []).append(r["d"])
+    for code in FREQ_SPEC:
+        for start, end in spans:
+            expected = [
+                ts.date() for ts in pd.date_range(start, end, freq=pd_freq[code])
+            ]
+            actual = [d for d in got[(code, start)] if d is not None]
+            assert actual == expected, (code, start, actual[:3], expected[:3])

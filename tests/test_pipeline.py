@@ -159,7 +159,8 @@ def test_indicator_build_cross_product_and_dates(spark, members, lookups, metada
     assert len(rows) == 12  # 2 property × 2 owner × 3 dates
     first = rows[0]
     assert first["IndicatorCode"] == "35100177.1.1.2018-01-01"
-    assert first["IndicatorName_EN"] == "Owner"           # last member (F8)
+    assert first["IndicatorName_EN"] == "House"           # 2nd-to-last member (F8)
+    assert first["LastIndicatorMember_EN"] == "Owner"     # last member
     assert first["UOM_EN"] == "Number"                    # M1+L1 via broadcast
     assert first["IndicatorDisplay_EN"] == "<ul><li>2018<li>House<li>Owner</li></ul>"
     assert rows[-1]["IndicatorCode"] == "35100177.2.2.2020-01-01"
@@ -259,9 +260,11 @@ def test_presentation_and_read_side_views(spark, cube, members, lookups, metadat
 
     rc = SS.build_related_charts(ind)
     r = rc.filter(F.col("IndicatorId") == 1).first()
-    # generic code wildcards the 2nd-to-last coordinate element: the
-    # group is {same owner-status, same date} = 2 property types
-    assert r["RelatedIndicatorIds"].split(",") == ["1", "4"]
+    # generic code wildcards the 2nd-to-last COORDINATE element (3rd-
+    # from-last of the full code, reference dfhandler.py:637-644): the
+    # group is {same owner-status, same date} over property types —
+    # coords 1.1 and 2.1 @ 2018 = indicator ids 1 and 7
+    assert r["RelatedIndicatorIds"].split(",") == ["1", "7"]
 
     # PrimaryQuery view: indicator 4 = coord 2.1? find the 2019 null row's
     # indicator to check symbol formatting; use indicator of 1.1@2018
@@ -288,7 +291,7 @@ def test_presentation_and_read_side_views(spark, cube, members, lookups, metadat
         1, rc, vals, grb, ind, lookups["null_reason"], dguid="2016A000011124"
     )
     got = {r["IndicatorId"]: r["FormattedValue"] for r in rq.collect()}
-    assert got == {1: "10.5"}  # related id 4 has no value at this geo
+    assert got == {1: "10.5"}  # related id 7 has no value at this geo
 
 
 def test_conform_schema_and_truncation(spark):
@@ -321,3 +324,17 @@ def test_mixed_geo_pid_list_matches_reference():
 
     # reference main.py:20 lists exactly these four master pids
     assert MIXED_GEO_PIDS == {35100177, 35100002, 35100026, 35100068}
+
+
+def test_indicator_fanout_respects_min_ref_year(spark, members, lookups, metadata):
+    # Non-mixed-geo products drop pre-min-ref-year dates at the fan-out
+    # (reference copy_data_frames_for_date_range, dfhandler.py:562-580)
+    ref_dates = SS.build_reference_dates(spark, metadata.first().asDict())
+    pol = ProductPolicy(product_id=PID, min_ref_year=2019, mixed_geo=False)
+    ind = SS.build_indicators(members, ref_dates, lookups["uom"], PID, policy=pol)
+    years = {r["ReferencePeriod"].year for r in ind.select("ReferencePeriod").collect()}
+    assert years == {2019, 2020}
+    # mixed-geo products keep every date
+    pol_mixed = ProductPolicy(product_id=PID, min_ref_year=2019, mixed_geo=True)
+    ind_mixed = SS.build_indicators(members, ref_dates, lookups["uom"], PID, policy=pol_mixed)
+    assert ind_mixed.count() == 12

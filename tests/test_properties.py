@@ -95,16 +95,16 @@ def test_dguid_repair_property(spark, pairs):
 
 
 # -- F16 generic wildcard -------------------------------------------------
-def model_wildcard(coord: str) -> str:
+def model_wildcard(coord: str) -> str | None:
+    # reference set_generic_indicator_code (dfhandler.py:637-644)
     parts = coord.split(".")
-    if len(parts) < 2:
-        return coord
-    parts[-2] = "%"
-    return ".".join(parts)
+    if len(parts) <= 3:
+        return None
+    return ".".join(parts[: len(parts) - 3]) + ".%." + ".".join(parts[-2:])
 
 
 coord_strategy = st.lists(
-    st.integers(0, 99).map(str), min_size=1, max_size=6
+    st.integers(0, 99).map(str), min_size=1, max_size=8
 ).map(".".join)
 
 
