@@ -29,9 +29,12 @@ HEADLINE = [
     "o3_topk_per_group",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine_ivf",
     "ann_cosine_topk",
     "text_quality_scores",
     "sessionize_events",
+    "asof_join_events",
+    "range_join_business_hours",
 ]
 
 

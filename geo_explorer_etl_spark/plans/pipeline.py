@@ -137,9 +137,16 @@ class Pipeline:
                 "IndicatorValues", "IndicatorValueId", exclude_product=pid
             ),
         )
-        orphan_list = [r["DGUID"] for r in orphans.collect()]
-        if orphan_list:
-            log.warning("product %s: %d orphan DGUIDs: %s", pid, len(orphan_list), orphan_list[:10])
+        # bounded collect: a bad feed can orphan millions of DGUIDs —
+        # never materialize more than 1000 on the driver
+        orphan_sample = [r["DGUID"] for r in orphans.limit(1000).collect()]
+        orphan_count = (
+            orphans.count() if len(orphan_sample) == 1000 else len(orphan_sample)
+        )
+        if orphan_count:
+            log.warning(
+                "product %s: %d orphan DGUIDs: %s", pid, orphan_count, orphan_sample[:10]
+            )
 
         geo_ref_bridge = SS.build_geo_ref_bridge(values, indicators)
         # anti-join state = other products only: the reference deletes
@@ -169,15 +176,34 @@ class Pipeline:
         glb_out = conform(geo_level_bridge, "GeographicLevelForIndicator").observe(
             obs["glb"], F.count(F.lit(1)).alias("n")
         )
+        frames = {
+            "IndicatorValues": values_out,
+            "GeographyReferenceForIndicator": grb_out,
+            "GeographicLevelForIndicator": glb_out,
+        }
         if not policy.is_sibling:
             # keep `coordinate` alongside the declared columns: the
             # store copy must let siblings/metadata rebuild unique keys
-            self.store.replace_product(
-                "Indicators", conform(indicators, "Indicators", keep=["coordinate"]), pid
-            )
-        self.store.replace_product("IndicatorValues", values_out, pid)
-        self.store.replace_product("GeographyReferenceForIndicator", grb_out, pid)
-        self.store.replace_product("GeographicLevelForIndicator", glb_out, pid)
+            frames["Indicators"] = conform(indicators, "Indicators", keep=["coordinate"])
+            # presentation tables join the same transaction — the
+            # chart-config reuse (J10) legitimately reads the partition
+            # being replaced, so the metadata plan is materialized
+            # BEFORE the commit swaps it out. Dimension-sized, so the
+            # checkpoint is cheap even at 100 TB fact scale.
+            keys = SS.build_dimension_unique_keys(None, indicators)
+            existing_meta = self.store.read("IndicatorMetaData")
+            meta = SS.build_indicator_metadata(
+                indicators,
+                keys,
+                existing_meta.drop(PARTITION_COL) if existing_meta is not None else None,
+                defaults=self.chart_defaults.for_product(pid),
+            ).localCheckpoint(eager=True)
+            charts = SS.build_related_charts(indicators)
+            frames["IndicatorMetaData"] = conform(meta, "IndicatorMetaData")
+            frames["RelatedCharts"] = conform(charts, "RelatedCharts")
+        # one transaction for every table of this product: all-or-
+        # nothing across tables (reference scdb.py:51-71's DB txn)
+        self.store.replace_product_all(pid, frames)
 
         # date-dimension growth (I3 anti-join append)
         dims = self.store.read("Dimensions")
@@ -206,31 +232,12 @@ class Pipeline:
                     new_dates.withColumn(PARTITION_COL, F.lit(pid).cast("long")),
                 )
 
-        # presentation tables (masters/singles only, reference main.py:261)
-        if not policy.is_sibling:
-            keys = SS.build_dimension_unique_keys(None, indicators)
-            existing_meta = self.store.read("IndicatorMetaData")
-            meta = SS.build_indicator_metadata(
-                indicators,
-                keys,
-                existing_meta.drop(PARTITION_COL) if existing_meta is not None else None,
-                defaults=self.chart_defaults.for_product(pid),
-            )
-            # chart-config reuse (J10) legitimately reads the partition
-            # we're replacing → materialize before the overwrite.
-            # Presentation tables are dimension-sized, so the
-            # checkpoint is cheap even at 100 TB fact scale.
-            meta = meta.localCheckpoint(eager=True)
-            charts = SS.build_related_charts(indicators)
-            self.store.replace_product("IndicatorMetaData", conform(meta, "IndicatorMetaData"), pid)
-            self.store.replace_product("RelatedCharts", conform(charts, "RelatedCharts"), pid)
-
         return {
             "indicators": indicators.count(),  # dimension-sized; cheap
             "values": obs["values"].get["n"],
             "geo_ref_bridge": obs["grb"].get["n"],
             "geo_level_bridge": obs["glb"].get["n"],
-            "orphans": len(orphan_list),
+            "orphans": orphan_count,
         }
 
     @staticmethod

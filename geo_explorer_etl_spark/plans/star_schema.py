@@ -386,11 +386,20 @@ def build_indicator_values(
     geo_ref: DataFrame,
     null_reason: DataFrame,
     id_offset: int = 0,
-    scale_ids: bool = False,
+    scale_ids: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """J1 inner vs GeographyReference (orphans captured via anti),
     J2 left vs NullReason, W1 ids, IndicatorValueCode F6
     (reference dfhandler.py:430–462). Returns (values, orphan_dguids).
+
+    ``scale_ids=True`` (the default, and what the E2 pipeline uses)
+    assigns IndicatorValueIds with ``distributed_unique_ids`` — unique
+    and stable but non-contiguous, O(1) per row with no shuffle. Only
+    uniqueness + cross-table linkage is semantically required of fact
+    ids (SURVEY.md §7); a ``row_number`` over an unpartitioned window
+    funnels the whole fact table through ONE task — fatal at 100 TB.
+    Pass ``scale_ids=False`` only when reference-exact contiguous ids
+    are needed on a dimension-sized frame.
     """
     with_geo, orphans = J.inner_with_orphans(
         prepared.na.drop(subset=["DGUID"]),

@@ -44,6 +44,10 @@ class TableStore:
         # dynamic mode: overwrite only the partitions present in the
         # incoming frame — this IS the product-replace primitive
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # roll forward / roll back any replace_product_all transaction
+        # a previous process died inside — readers through a fresh
+        # store handle always see a consistent all-old or all-new state
+        self.recover()
 
     def _path(self, table: str) -> str:
         return f"{self.root}/{table}"
@@ -82,6 +86,84 @@ class TableStore:
             .partitionBy(PARTITION_COL)
             .parquet(self._path(table))
         )
+
+    # -- I2 at cross-table scope: atomic multi-table product replace ------
+    # The reference wraps its 6-table cascading DELETE + inserts in one
+    # RDBMS transaction (reference scdb.py:51–71). On a filesystem the
+    # same guarantee comes from write-ahead intent + roll-forward:
+    #
+    #   1. STAGE   every table's new partition payload under
+    #              _staging/txn_{pid}/<table>/ (no live dir touched);
+    #   2. INTENT  write MANIFEST.json into the txn dir via tmp+rename
+    #              (the atomic commit point);
+    #   3. PUBLISH swap each table's IndicatorThemeId={pid} dir for the
+    #              staged one.
+    #
+    # A crash before (2) leaves the live tables untouched (recover()
+    # discards the orphan staging dir -> all-OLD). A crash after (2)
+    # is completed by recover() on the next store open (roll-forward
+    # -> all-NEW). Readers opening the store never observe a mix.
+    # In-flight readers during PUBLISH on a plain filesystem are out
+    # of scope (no snapshot isolation without a table format's
+    # manifest indirection); the recovery contract covers every
+    # process boundary, which is what the reference's transaction
+    # gave its batch pipeline.
+    def replace_product_all(
+        self, product_id: int, frames: dict[str, DataFrame]
+    ) -> None:
+        import json
+        import shutil
+
+        txn = Path(self.root) / "_staging" / f"txn_{product_id}"
+        if txn.exists():
+            shutil.rmtree(txn)
+        txn.mkdir(parents=True)
+        for table, df in frames.items():
+            if PARTITION_COL in df.columns:
+                df = df.drop(PARTITION_COL)
+            # payload files exclude the partition column, exactly like
+            # a partitioned write's IndicatorThemeId={pid} directory
+            df.write.parquet(str(txn / table))
+        manifest = {"product_id": product_id, "tables": sorted(frames)}
+        tmp = txn / "MANIFEST.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.rename(txn / "MANIFEST.json")          # commit point
+        self._publish(txn, manifest)
+
+    def _publish(self, txn: Path, manifest: dict, fail_after: int | None = None) -> None:
+        """Swap staged dirs into place; ``fail_after`` is a test hook
+        that simulates a crash after N table swaps."""
+        import shutil
+
+        pid = manifest["product_id"]
+        for n, table in enumerate(manifest["tables"]):
+            if fail_after is not None and n >= fail_after:
+                raise RuntimeError(f"simulated crash after {fail_after} swaps")
+            staged = txn / table
+            if not staged.exists():
+                continue                            # already swapped (redo)
+            target = Path(self._path(table)) / f"{PARTITION_COL}={pid}"
+            if target.exists():
+                shutil.rmtree(target)
+            target.parent.mkdir(parents=True, exist_ok=True)
+            staged.rename(target)
+        shutil.rmtree(txn)
+
+    def recover(self) -> None:
+        """Complete (roll forward) any committed-but-unpublished
+        transaction; discard (roll back) any uncommitted staging."""
+        import json
+        import shutil
+
+        staging = Path(self.root) / "_staging"
+        if not staging.exists():
+            return
+        for txn in staging.iterdir():
+            mf = txn / "MANIFEST.json"
+            if mf.exists():
+                self._publish(txn, json.loads(mf.read_text()))
+            else:
+                shutil.rmtree(txn)
 
     def delete_product(self, product_id: int) -> None:
         """Cascading delete across all product tables (reference

@@ -60,3 +60,43 @@ def test_ivf_trained_recall(spark):
         for r in SIM.ivf_topk(emb, 0, 10, nprobe=2, centroids=cents).collect()
     }
     assert len(ivf & bf) / 10 >= 0.6
+
+
+def test_bucketed_near_dup_recall_and_plan(spark):
+    """LSH-bucketed near-dup pairs: every reported pair must also be in
+    the exact all-pairs set (precision 1.0 — within-bucket cosine is
+    exact), recall must clear 0.8 with 8 bands of 2 planes, and the plan must be an
+    equi-join, never a CartesianProduct/BroadcastNestedLoop."""
+    from geo_explorer_etl_spark.operators import similarity as SIM
+
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed_df = SIM.bucketed_near_dup_pairs(
+        emb, threshold=0.4, planes_per_band=2, n_bands=8
+    )
+    bucketed = {(r["id_a"], r["id_b"]) for r in bucketed_df.collect()}
+    assert bucketed <= exact
+    assert exact and len(bucketed & exact) / len(exact) >= 0.8
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_near_dup_recall_and_plan(spark):
+    """Trained-centroid multi-probe near-dup: subset of exact pairs
+    (precision 1.0), recall >= 0.7 at K=16/nprobe=3, equi-join plan."""
+    from geo_explorer_etl_spark.operators import similarity as SIM
+
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    ivf_df = SIM.ivf_near_dup_pairs(emb, threshold=0.4, n_centroids=16, nprobe=3)
+    ivf = {(r["id_a"], r["id_b"]) for r in ivf_df.collect()}
+    assert ivf <= exact
+    assert exact and len(ivf & exact) / len(exact) >= 0.7
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -198,8 +198,20 @@ def test_indicator_values_orphans_and_nullreason(cube, lookups):
     assert len(v) == 5                              # 6 surviving - 1 orphan
     nullrow = v["2016A000011124.35100177.2.2.2019-01-01"]
     assert nullrow["Value"] is None and nullrow["NullReasonId"] == 2
-    ids = sorted(r["IndicatorValueId"] for r in v.values())
-    assert ids == list(range(9001, 9006))
+    # scale-safe ids: unique and above the offset, NOT contiguous
+    ids = [r["IndicatorValueId"] for r in v.values()]
+    assert len(set(ids)) == 5 and all(i > 9000 for i in ids)
+    # no single-partition window in the fact-id plan (the 100 TB
+    # killer); contiguity is only required on dimension-sized frames
+    plan = vals._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # reference-parity strategy still available on demand
+    seq_vals, _ = SS.build_indicator_values(
+        prep, lookups["geo_ref"], lookups["null_reason"], id_offset=9000,
+        scale_ids=False,
+    )
+    seq_ids = sorted(r["IndicatorValueId"] for r in seq_vals.collect())
+    assert seq_ids == list(range(9001, 9006))
 
 
 def test_bridges_and_idempotence(spark, cube, lookups, members, metadata):

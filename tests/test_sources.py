@@ -77,3 +77,124 @@ def test_product_defaults_fallback_chain(tmp_path):
     assert other["DefaultBreaks"] == 7 and other["ColorTo"] == CHART_DEFAULTS["ColorTo"]
     # no file at all -> engine defaults
     assert ProductDefaults(None).for_product(1) == CHART_DEFAULTS
+
+
+def test_jdbc_lookup_source_roundtrip(spark):
+    """S8 — real JDBC round-trip against in-memory Derby (ships in
+    Spark's jars): the reference's scdb lookup reads (scdb.py:83-143)
+    come back as DataFrames, per-product predicates push into the DB,
+    and write_jdbc appends land where read_table sees them. Derby
+    folds unquoted identifiers to UPPERCASE; Spark resolves columns
+    case-insensitively, so lookups keep their reference names."""
+    from geo_explorer_etl_spark.sources.jdbc import JdbcLookupSource
+    from geo_explorer_etl_spark.sources.store import write_jdbc
+
+    url = "jdbc:derby:memory:gisdb;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    ddl = [
+        "CREATE SCHEMA gis",
+        "CREATE TABLE gis.GeographyReference (GeographyReferenceId VARCHAR(25) NOT NULL, DisplayNameShort_EN VARCHAR(255))",
+        "INSERT INTO gis.GeographyReference VALUES ('2016A000011124', 'Canada'), ('2016A000235', 'Ontario')",
+        "CREATE TABLE gis.IndicatorNullReason (NullReasonId INT, Symbol VARCHAR(10))",
+        "INSERT INTO gis.IndicatorNullReason VALUES (1, '..'), (2, 'x'), (3, NULL)",
+        "CREATE TABLE gis.\"INDICATOR\" (IndicatorId BIGINT, IndicatorThemeId BIGINT, IndicatorCode VARCHAR(100))",
+        "INSERT INTO gis.\"INDICATOR\" VALUES (1, 35100177, '35100177.1.1.2018-01-01'),"
+        " (2, 35100177, '35100177.1.2.2018-01-01'), (3, 46100027, '46100027.1.1.2018-01-01')",
+        "CREATE TABLE gis.GeographicLevelForIndicator (GeographicLevelId VARCHAR(10), IndicatorId BIGINT)",
+        "INSERT INTO gis.GeographicLevelForIndicator VALUES ('A0000', 1), ('SSSS', 1), ('A0000', 3)",
+        "CREATE TABLE gis.IndicatorMetaData (IndicatorId BIGINT, DefaultBreaksAlgorithmId INT, DefaultBreaks INT,"
+        " PrimaryChartTypeId INT, ColorTo VARCHAR(20), ColorFrom VARCHAR(20))",
+        "INSERT INTO gis.IndicatorMetaData VALUES (1, 1, 5, 1, '#AA0000', '#00AA00')",
+        "CREATE TABLE gis.RelatedCharts (RelatedChartId BIGINT, ChartTypeId INT, ChartTitle_EN VARCHAR(255),"
+        " ChartTitle_FR VARCHAR(255), FieldAlias_EN VARCHAR(255), FieldAlias_FR VARCHAR(255))",
+        "INSERT INTO gis.RelatedCharts VALUES (1, 2, 'Title', 'Titre', 'A', 'A')",
+    ]
+    for stmt in ddl:
+        st.execute(stmt)
+    st.close()
+    conn.close()
+
+    src = JdbcLookupSource(spark, url, quote_identifiers=True)
+    geo = src.geo_reference_ids()
+    assert {r[0] for r in geo.collect()} == {"2016A000011124", "2016A000235"}
+    nr = {r[0]: r[1] for r in src.null_reasons().collect()}
+    assert nr == {1: "..", 2: "x"}              # NULL symbol filtered DB-side
+
+    ind = src.indicators(35100177)
+    assert ind.count() == 2
+    # the pid predicate reaches the JDBC source (scan-level pushdown)
+    plan = ind._sc._jvm.PythonSQLUtils.explainString(
+        ind._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "35100177" in plan
+
+    gl = src.geo_levels(35100177)
+    assert {(r[0], r[1]) for r in gl.collect()} == {("A0000", 1), ("SSSS", 1)}
+
+    ci = src.indicator_chart_info(35100177).collect()
+    assert len(ci) == 2                          # left joins keep both indicators
+    by_code = {r["INDICATORCODE"]: r for r in ci}
+    assert by_code["35100177.1.1.2018-01-01"]["CHARTTYPEID"] == 2
+    assert by_code["35100177.1.2.2018-01-01"]["CHARTTYPEID"] is None
+
+    # write_jdbc S10 parity: append rows, read them back
+    extra = spark.createDataFrame(
+        [("2021A000011124", "Canada 2021")],
+        "GeographyReferenceId string, DisplayNameShort_EN string",
+    )
+    write_jdbc(extra, url, 'gis."GEOGRAPHYREFERENCE"')
+    assert src.read_table("GeographyReference").count() == 3
+
+
+def test_replace_product_all_crash_recovery(spark, tmp_path):
+    """Cross-table atomic replace (reference scdb.py:51-71's RDBMS
+    transaction): a crash BEFORE the manifest commit point leaves every
+    table old; a crash mid-publish AFTER it is rolled forward on the
+    next store open — readers through a store handle never see a mix."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    root = str(tmp_path / "store")
+    pid = 101
+
+    def frames(tag):
+        return {
+            "IndicatorValues": spark.createDataFrame([(1, tag)], "id long, v string"),
+            "RelatedCharts": spark.createDataFrame([(1, tag)], "id long, v string"),
+        }
+
+    def versions(store):
+        return {
+            t: store.read(t).select("v").first()["v"]
+            for t in ("IndicatorValues", "RelatedCharts")
+        }
+
+    store = TableStore(spark, root)
+    store.replace_product_all(pid, frames("v1"))
+    assert versions(store) == {"IndicatorValues": "v1", "RelatedCharts": "v1"}
+
+    # --- crash AFTER the commit point, mid-publish (1 of 2 swapped) ---
+    txn = Path(root) / "_staging" / f"txn_{pid}"
+    for table, df in frames("v2").items():
+        df.write.parquet(str(txn / table))
+    manifest = {"product_id": pid, "tables": ["IndicatorValues", "RelatedCharts"]}
+    (txn / "MANIFEST.json.tmp").write_text(json.dumps(manifest))
+    (txn / "MANIFEST.json.tmp").rename(txn / "MANIFEST.json")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store._publish(txn, manifest, fail_after=1)
+    # fresh handle rolls FORWARD: all tables v2, never one of each
+    store2 = TableStore(spark, root)
+    assert versions(store2) == {"IndicatorValues": "v2", "RelatedCharts": "v2"}
+
+    # --- crash BEFORE the commit point (staged, no manifest) ----------
+    txn3 = Path(root) / "_staging" / f"txn_{pid}"
+    for table, df in frames("v3").items():
+        df.write.parquet(str(txn3 / table))
+    store3 = TableStore(spark, root)              # rolls BACK the staging
+    assert versions(store3) == {"IndicatorValues": "v2", "RelatedCharts": "v2"}
+    assert not txn3.exists()

@@ -83,11 +83,81 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises(spark):
+    # compressed formats have no codec in this image -> per-row raise
     media = spark.createDataFrame(
-        [(1, "image", "image/png", b"x", None, None, None)], MEDIA_SCHEMA
+        [(1, "image", "image/png", b"\x89PNGx", None, None, None)], MEDIA_SCHEMA
     )
-    with pytest.raises(Exception, match="NotImplementedError|codecs not available"):
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(media, fake=False).collect()
+
+
+def _wav_fixture() -> bytes:
+    """440 Hz-ish PCM-16 mono square wave, 800 samples @ 8 kHz."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = [16000 if (i // 9) % 2 == 0 else -16000 for i in range(800)]
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _bmp_fixture(width: int = 6, height: int = 4) -> bytes:
+    """Uncompressed 24-bit BMP: left half black, right half white."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    pix = bytearray()
+    for _row in range(height):                    # bottom-up rows
+        row = bytearray()
+        for col in range(width):
+            v = 255 if col >= width // 2 else 0
+            row += bytes([v, v, v])               # BGR
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return bytes(header + pix)
+
+
+def test_multimodal_real_wav_bmp_decode(spark):
+    """fake=False really decodes: WAV via stdlib wave, BMP via the
+    hand-parsed DIB header — no codec libraries involved."""
+    from geo_explorer_etl_spark.operators.multimodal import decode_bmp, decode_wav
+
+    wav, bmp = _wav_fixture(), _bmp_fixture()
+    # local decoder sanity first
+    sr, nch, mono = decode_wav(wav)
+    assert (sr, nch, len(mono)) == (8000, 1, 800)
+    assert max(mono) > 0.4 and min(mono) < -0.4
+    w, h, gray = decode_bmp(bmp)
+    assert (w, h) == (6, 4) and len(gray) == 24
+    assert gray[0] == 0.0 and gray[5] == 1.0      # left black, right white
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", wav, None, None, 100),
+            (2, "image", "image/bmp", bmp, 6, 4, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8, fake=False).collect()}
+    assert len(feats[1]["feat"]) == 8 and len(feats[2]["feat"]) == 8
+    # square wave -> every chunk's mean |level| ~ 0.49; image -> half gray
+    assert all(0.4 < f < 0.6 for f in feats[1]["feat"])
+    # half-black/half-white image -> chunk means average to 0.5
+    assert abs(sum(feats[2]["feat"]) / 8 - 0.5) < 1e-6
+    # deterministic across runs
+    again = {r["media_id"]: r for r in extract_features(media, dim=8, fake=False).collect()}
+    assert feats[1]["feat"] == again[1]["feat"]
 
 
 def test_video_frame_sampling_fanout(spark):
