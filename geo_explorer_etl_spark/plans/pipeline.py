@@ -198,7 +198,14 @@ class Pipeline:
                 existing_meta.drop(PARTITION_COL) if existing_meta is not None else None,
                 defaults=self.chart_defaults.for_product(pid),
             ).localCheckpoint(eager=True)
-            charts = SS.build_related_charts(indicators)
+            existing_rc = self.store.read("RelatedCharts")
+            charts = SS.build_related_charts(
+                indicators,
+                existing_charts=(
+                    existing_rc.drop(PARTITION_COL) if existing_rc is not None else None
+                ),
+                defaults=self.chart_defaults.for_product(pid),
+            ).localCheckpoint(eager=True)  # reads the partition being replaced
             frames["IndicatorMetaData"] = conform(meta, "IndicatorMetaData")
             frames["RelatedCharts"] = conform(charts, "RelatedCharts")
         # one transaction for every table of this product: all-or-

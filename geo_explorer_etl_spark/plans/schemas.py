@@ -89,10 +89,22 @@ TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
         "UOM_FR": (T.StringType(), 255),
         "UOM_ID": (T.ShortType(), None),
     },
+    # reference insert column set (dfhandler.py:539-541) with the
+    # generated T-SQL Query string replaced by RelatedIndicatorIds
+    # (the parameterized related_charts_query consumes it);
+    # IndicatorId/IndicatorCode kept for the view + chart-type reuse
     "RelatedCharts": {
         "IndicatorId": (T.LongType(), None),
+        "RelatedChartId": (T.LongType(), None),
+        "IndicatorMetaDataId": (T.LongType(), None),
+        "IndicatorCode": (T.StringType(), 100),
+        "ChartTitle_EN": (T.StringType(), 150),
+        "ChartTitle_FR": (T.StringType(), 150),
         "RelatedIndicatorIds": (T.StringType(), 255),
         "ChartTypeId": (T.IntegerType(), None),
+        "DataFormatId": (T.IntegerType(), None),
+        "FieldAlias_EN": (T.StringType(), 150),
+        "FieldAlias_FR": (T.StringType(), 150),
     },
 }
 

@@ -535,6 +535,8 @@ CHART_DEFAULTS = {
     "DefaultBreaks": 5,
     "PrimaryChartTypeId": 1,
     "PrimaryQuery": "",
+    # reference product_defaults.json "default".related_chart_type_id
+    "RelatedChartTypeId": 1,
 }
 
 
@@ -615,14 +617,28 @@ def build_dimension_unique_keys(dimension_values: DataFrame, indicators: DataFra
 
 
 def build_related_charts(
-    indicators: DataFrame, k: int = 10, defaults: dict | None = None
+    indicators: DataFrame,
+    existing_charts: DataFrame | None = None,
+    k: int = 10,
+    defaults: dict | None = None,
 ) -> DataFrame:
     """RelatedCharts (reference dfhandler.py:492–541): F16 generic
-    wildcard code groups sibling indicators (J15), capped CSV id list,
-    chart-type defaults M3. Query itself = ``related_charts_query``."""
+    wildcard code groups sibling indicators (J15), capped CSV id list;
+    chart titles = the LAST indicator member, field aliases = the UOM
+    text, DataFormatId = UOM id (dfhandler.py:502–510); ChartTypeId is
+    reused from existing chart config when present, else the product's
+    ``related_chart_type_id`` default (M3). The reference's generated
+    T-SQL ``Query`` string is replaced by the parameterized view
+    ``related_charts_query`` driven by ``RelatedIndicatorIds``."""
     d = {**CHART_DEFAULTS, **(defaults or {})}
     generic = indicators.select(
         "IndicatorId",
+        "IndicatorCode",
+        "LastIndicatorMember_EN",
+        "LastIndicatorMember_FR",
+        "UOM_EN",
+        "UOM_FR",
+        "UOM_ID",
         generic_wildcard_code(F.col("IndicatorCode")).alias("GenericCode"),
     )
     related = J.related_topk_csv(
@@ -635,12 +651,35 @@ def build_related_charts(
     # GenericCode) fall back to their own id — reference
     # get_related_indicator_list's empty-match branch
     # (dfhandler.py:628–630)
-    return generic.join(related, "GenericCode", "left").select(
+    out = generic.join(related, "GenericCode", "left")
+    if existing_charts is not None and "ChartTypeId" in existing_charts.columns \
+            and "IndicatorCode" in existing_charts.columns:
+        reuse = J.keep_first_per_key(
+            existing_charts.select(
+                "IndicatorCode", F.col("ChartTypeId").alias("_ChartTypeId")
+            ),
+            "IndicatorCode",
+            ["_ChartTypeId"],
+        )
+        out = out.join(F.broadcast(reuse), "IndicatorCode", "left")
+    else:
+        out = out.withColumn("_ChartTypeId", F.lit(None).cast("int"))
+    return out.select(
         "IndicatorId",
+        F.col("IndicatorId").alias("RelatedChartId"),
+        F.col("IndicatorId").alias("IndicatorMetaDataId"),
+        "IndicatorCode",
+        truncate_for_column(F.col("LastIndicatorMember_EN"), 150).alias("ChartTitle_EN"),
+        truncate_for_column(F.col("LastIndicatorMember_FR"), 150).alias("ChartTitle_FR"),
         F.coalesce(
             F.col("related_ids"), F.col("IndicatorId").cast("string")
         ).alias("RelatedIndicatorIds"),
-        F.lit(d["PrimaryChartTypeId"]).alias("ChartTypeId"),
+        F.coalesce(F.col("_ChartTypeId"), F.lit(d["RelatedChartTypeId"])).alias(
+            "ChartTypeId"
+        ),
+        F.col("UOM_ID").cast("int").alias("DataFormatId"),
+        truncate_for_column(F.col("UOM_EN"), 150).alias("FieldAlias_EN"),
+        truncate_for_column(F.col("UOM_FR"), 150).alias("FieldAlias_FR"),
     )
 
 

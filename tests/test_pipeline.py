@@ -277,6 +277,11 @@ def test_presentation_and_read_side_views(spark, cube, members, lookups, metadat
     # group is {same owner-status, same date} over property types —
     # coords 1.1 and 2.1 @ 2018 = indicator ids 1 and 7
     assert r["RelatedIndicatorIds"].split(",") == ["1", "7"]
+    # reference dfhandler.py:502-510: titles = LAST member, aliases =
+    # UOM text, DataFormatId = UOM id, default related chart type
+    assert r["ChartTitle_EN"] == "Owner" and r["ChartTitle_FR"] == "Propriétaire"
+    assert r["FieldAlias_EN"] == "Number" and r["DataFormatId"] == 229
+    assert r["ChartTypeId"] == SS.CHART_DEFAULTS["RelatedChartTypeId"]
 
     # PrimaryQuery view: indicator 4 = coord 2.1? find the 2019 null row's
     # indicator to check symbol formatting; use indicator of 1.1@2018
