@@ -103,7 +103,12 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    seeded_hash: str = "md5",
 ) -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of
     xxhash64(i, shingle). One explode + one groupBy with num_hashes
@@ -117,12 +122,22 @@ def minhash_signatures(
     explode is NOT a shuffle cost: partial aggregation runs map-side,
     so only one signature row per doc crosses the wire — the
     (doc x shingle) expansion never leaves its input partition. This
-    is the plan to keep at 100 TB."""
+    is the plan to keep at 100 TB.
+
+    ``seeded_hash="md5"`` (default) derives a 60-bit int from
+    md5(seed:shingle) — bit-for-bit reproducible in any engine with
+    md5, so the whole MinHash+LSH pipeline is oracle-checkable
+    (same trick as ``simhash``). ``"xxhash64"`` trades that for raw
+    hash throughput in Spark-only deployments."""
     sh = shingle_df(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if seeded_hash == "md5":
+        def h(i: int) -> Column:
+            hexed = F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+            return F.conv(F.substring(hexed, 1, 15), 16, 10).cast("long")
+    else:
+        def h(i: int) -> Column:
+            return F.xxhash64(F.lit(i), F.col("shingle"))
+    aggs = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -145,13 +160,20 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # band key = the band's signature values joined as a string —
+    # engine-reproducible (a Spark-side F.hash() here would be cheaper
+    # per byte but would make the candidate set un-oracle-able)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.hash(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "band_hash"
-                ),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_hash"),
             )
             for b in range(bands)
         ]

@@ -71,7 +71,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # pairwise candidate recall depends on hash family; rows-only check
+    # FULL oracle (upgraded from rows-only): the md5-derived minhash
+    # family and concatenated band keys are engine-reproducible, so
+    # DuckDB rebuilds the identical candidate set bit for bit.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               )) AS shingle
+        FROM toks WHERE len(t) >= 3),
+    sig AS (
+        SELECT doc_id, s.seed,
+               min(CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15))
+                        AS BIGINT)) AS h
+        FROM sh, (SELECT unnest(range(0, 16)) AS seed) s
+        GROUP BY doc_id, s.seed),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band_id,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_hash
+        FROM sig GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
     tags="ext dedup minhash lsh",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,9 +155,42 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, query_vec_id=0, k=10)
 
 
+# The seeded hyperplanes are deterministic module-level constants, so
+# the oracle SQL can inline them as literals and DuckDB can rebuild
+# the exact bucket assignment — upgrading these entries from rows-only
+# to full value-hash checks. The testdata embedding dim (64) is baked
+# into the literals; the operators themselves stay dim-agnostic.
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(str(w) for w in plane) + "]"
+
+
+def _bucket_sql(planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+_ANN_PLANES = SIM._seeded_planes(8, 64)
+
+_ANN_LSH_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    b AS (SELECT vec_id, label, v, {_bucket_sql(_ANN_PLANES)} AS bucket FROM e),
+    q AS (SELECT bucket, v AS qv FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           ROUND(list_dot_product(b.v, q.qv)
+                 / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cosine
+    FROM b, q
+    WHERE b.bucket = q.bucket AND b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+"""
+
+
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # bucket assignment is hash-family specific; rows-only check
+    oracle=_ANN_LSH_ORACLE,
     tags="ext similarity lsh",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,9 +373,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_near_dup_pairs(emb, threshold=0.4)
 
 
+_BAND_PLANES = [
+    SIM._seeded_planes(2, 64, seed=f"geo-explorer-lsh:band{b}") for b in range(8)
+]
+
+_BUCKETED_NEAR_DUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) n
+               FROM embeddings),
+    bb AS ({" UNION ALL ".join(
+        f"SELECT vec_id, v, n, {b} AS band, {_bucket_sql(planes)} AS bucket FROM e"
+        for b, planes in enumerate(_BAND_PLANES)
+    )})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+    FROM bb a JOIN bb b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+"""
+
+
 @register(
     "dedup_embedding_cosine_bucketed",
-    oracle=None,  # bucket membership is hash-family-specific; rows-only
+    oracle=_BUCKETED_NEAR_DUP_ORACLE,
     tags="ext dedup similarity lsh",
 )
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
