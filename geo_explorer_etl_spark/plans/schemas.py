@@ -76,12 +76,20 @@ TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
         "GeographicLevelId": (T.StringType(), 5),
         "IndicatorId": (T.LongType(), None),
     },
+    # reference insert column set (dfhandler.py:374-377); the generated
+    # T-SQL PrimaryQuery string is replaced by the parameterized view
+    # primary_query (its inputs live as the typed columns here)
     "IndicatorMetaData": {
+        "MetaDataId": (T.LongType(), None),
         "IndicatorId": (T.LongType(), None),
+        "DefaultRelatedChartId": (T.LongType(), None),
         "IndicatorCode": (T.StringType(), 100),
         "DimensionUniqueKey": (T.StringType(), 50),
-        "ColorTo": (T.StringType(), 15),
-        "ColorFrom": (T.StringType(), 15),
+        "FieldAlias_EN": (T.StringType(), 600),
+        "FieldAlias_FR": (T.StringType(), 600),
+        "DataFormatId": (T.IntegerType(), None),
+        "ColorTo": (T.StringType(), 35),
+        "ColorFrom": (T.StringType(), 35),
         "DefaultBreaks": (T.IntegerType(), None),
         "DefaultBreaksAlgorithmId": (T.IntegerType(), None),
         "PrimaryChartTypeId": (T.IntegerType(), None),

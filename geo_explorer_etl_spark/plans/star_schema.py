@@ -570,13 +570,21 @@ def build_indicator_metadata(
         "IndicatorFmt_Lower",
         "left",
     )
+    # the reference dedups after the keys merge (drop_duplicates on
+    # IndicatorId keep-first, dfhandler.py:328) — a shared
+    # IndicatorFmt must not fan an indicator out to two metadata rows
+    meta = J.keep_first_per_key(meta, "IndicatorId", ["DimensionUniqueKey"])
     if existing_meta is not None:
+        # reference reuses ALL five chart-config fields from existing
+        # metadata (dfhandler.py:324-340), defaults fill only the gaps
         reuse = J.keep_first_per_key(
             existing_meta.select(
                 "IndicatorCode",
                 F.col("ColorTo").alias("_ColorTo"),
                 F.col("ColorFrom").alias("_ColorFrom"),
                 F.col("DefaultBreaks").alias("_DefaultBreaks"),
+                F.col("DefaultBreaksAlgorithmId").alias("_DefaultBreaksAlgorithmId"),
+                F.col("PrimaryChartTypeId").alias("_PrimaryChartTypeId"),
             ),
             "IndicatorCode",
             ["_ColorTo"],
@@ -588,16 +596,30 @@ def build_indicator_metadata(
             F.lit(None).cast("string").alias("_ColorTo"),
             F.lit(None).cast("string").alias("_ColorFrom"),
             F.lit(None).cast("int").alias("_DefaultBreaks"),
+            F.lit(None).cast("int").alias("_DefaultBreaksAlgorithmId"),
+            F.lit(None).cast("int").alias("_PrimaryChartTypeId"),
         )
     return meta.select(
         "IndicatorId",
+        # id columns duplicated from IndicatorId (dfhandler.py:330-332)
+        F.col("IndicatorId").alias("MetaDataId"),
+        F.col("IndicatorId").alias("DefaultRelatedChartId"),
         "IndicatorCode",
         "DimensionUniqueKey",
         F.coalesce(F.col("_ColorTo"), F.lit(d["ColorTo"])).alias("ColorTo"),
         F.coalesce(F.col("_ColorFrom"), F.lit(d["ColorFrom"])).alias("ColorFrom"),
         F.coalesce(F.col("_DefaultBreaks"), F.lit(d["DefaultBreaks"])).alias("DefaultBreaks"),
-        F.lit(d["DefaultBreaksAlgorithmId"]).alias("DefaultBreaksAlgorithmId"),
-        F.lit(d["PrimaryChartTypeId"]).alias("PrimaryChartTypeId"),
+        F.coalesce(
+            F.col("_DefaultBreaksAlgorithmId"), F.lit(d["DefaultBreaksAlgorithmId"])
+        ).alias("DefaultBreaksAlgorithmId"),
+        F.coalesce(
+            F.col("_PrimaryChartTypeId"), F.lit(d["PrimaryChartTypeId"])
+        ).alias("PrimaryChartTypeId"),
+        # FieldAlias/DataFormat renames of the UOM columns
+        # (dfhandler.py:333)
+        truncate_for_column(F.col("UOM_EN"), 600).alias("FieldAlias_EN"),
+        truncate_for_column(F.col("UOM_FR"), 600).alias("FieldAlias_FR"),
+        F.col("UOM_ID").cast("int").alias("DataFormatId"),
         "UOM_EN",
         "UOM_FR",
         "UOM_ID",

@@ -269,6 +269,9 @@ def test_presentation_and_read_side_views(spark, cube, members, lookups, metadat
     m = meta.orderBy("IndicatorId").first()
     assert m["ColorTo"] == SS.CHART_DEFAULTS["ColorTo"]   # M3 defaults
     assert m["DimensionUniqueKey"] == "1-1"
+    # reference dfhandler.py:330-333: duplicated id columns + UOM renames
+    assert m["MetaDataId"] == m["IndicatorId"] == m["DefaultRelatedChartId"]
+    assert m["FieldAlias_EN"] == m["UOM_EN"] and m["DataFormatId"] == m["UOM_ID"]
 
     rc = SS.build_related_charts(ind)
     r = rc.filter(F.col("IndicatorId") == 1).first()
