@@ -124,6 +124,7 @@ class Pipeline:
                 pid,
                 id_offset=self.store.max_id("Indicators", "IndicatorId", exclude_product=pid),
                 policy=policy,
+                release_date=metadata.first().asDict().get("releaseTime"),
             )
 
         cube = read_cube_csv(self.spark, csv_path, dim_names)

@@ -19,11 +19,16 @@ from pyspark.sql import types as T
 # column -> (type, max_width or None). Widths from the reference's
 # truncation calls; None = untruncated.
 TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
+    # reference insert column set (dfhandler.py:424-427)
     "IndicatorTheme": {
         "IndicatorThemeId": (T.LongType(), None),
-        "IndicatorTheme_EN": (T.StringType(), 255),
-        "IndicatorTheme_FR": (T.StringType(), 255),
+        "IndicatorTheme_EN": (T.StringType(), 400),
+        "IndicatorTheme_FR": (T.StringType(), 400),
+        "StatisticsProgramId": (T.LongType(), None),
+        "IndicatorThemeDescription_EN": (T.StringType(), 1000),
+        "IndicatorThemeDescription_FR": (T.StringType(), 1000),
         "ParentThemeId": (T.LongType(), None),
+        "IndicatorThemeStatus": (T.StringType(), 1),
     },
     "Dimensions": {
         "DimensionId": (T.LongType(), None),
@@ -51,8 +56,12 @@ TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
         "IndicatorName_FR": (T.StringType(), 255),
         "LastIndicatorMember_EN": (T.StringType(), 255),
         "LastIndicatorMember_FR": (T.StringType(), 255),
+        "IndicatorNameLong_EN": (T.StringType(), 500),
+        "IndicatorNameLong_FR": (T.StringType(), 500),
         "IndicatorDisplay_EN": (T.StringType(), 500),
         "IndicatorDisplay_FR": (T.StringType(), 500),
+        "ReleaseIndicatorDate": (T.TimestampType(), None),
+        "Vector": (T.IntegerType(), None),
         "ReferencePeriod": (T.DateType(), None),
         "UOM_EN": (T.StringType(), 255),
         "UOM_FR": (T.StringType(), 255),

@@ -33,6 +33,7 @@ from geo_explorer_etl_spark.functions import (
     dguid_repair,
     dguid_scrub,
     date_series,
+    dummy_subject_suffix,
     generic_wildcard_code,
     html_member_list,
     nth_delimited,
@@ -99,25 +100,41 @@ def non_geography_members(members: DataFrame) -> DataFrame:
 def build_indicator_theme(
     metadata: DataFrame, subject_codes: DataFrame, next_theme_id_unused: int = 0
 ) -> DataFrame:
-    """Theme rows: the product itself plus synthesized 4-digit and
-    2-digit subject ancestors (reference dfhandler.py:380–427,
-    392–411). Subject descriptions come from the subject code set via
-    broadcast join (L2 — reference scans per row, helpers.py:129–142).
-    """
-    product_rows = metadata.select(
-        F.col("productId").cast("long").alias("IndicatorThemeId"),
-        truncate_for_column(F.col("cubeTitleEn"), 255).alias("IndicatorTheme_EN"),
-        truncate_for_column(F.col("cubeTitleFr"), 255).alias("IndicatorTheme_FR"),
-        subject_code_of_product(F.col("productId")).cast("long").alias("ParentThemeId"),
+    """Theme rows, full reference hierarchy (dfhandler.py:380–427):
+    the product itself (parent = its full subject code, program id =
+    its survey code), the 4-digit subject ancestor when the subject
+    code is longer than 2 digits, the 2-digit subject root, and the
+    web app's dummy "*...Select a ..." selector rows under each
+    subject (L6 — suffix "99" past 4 digits else "9999",
+    helpers.py:58–61). Subject descriptions come from the subject
+    code set via broadcast join (L2). Re-synthesized parent rows are
+    idempotent under the store's partition-by-own-id overwrite, which
+    replaces the reference's row_count existence probes."""
+    subj_full_raw = (
+        F.try_element_at(F.col("subjectCode"), F.lit(1))
+        if "subjectCode" in metadata.columns
+        else F.lit(None).cast("string")
     )
-    # 2-digit subject ancestors from the code set (distinct parents used)
-    parents = (
-        product_rows.select(F.col("ParentThemeId").alias("subject_key"))
-        .distinct()
-        .join(
+    survey = (
+        F.try_element_at(F.col("surveyCode"), F.lit(1)).cast("long")
+        if "surveyCode" in metadata.columns
+        else F.lit(None).cast("long")
+    )
+    base = metadata.select(
+        F.col("productId").cast("long").alias("pid"),
+        F.col("cubeTitleEn").alias("title_en"),
+        F.col("cubeTitleFr").alias("title_fr"),
+        F.coalesce(subj_full_raw, subject_code_of_product(F.col("productId"))).alias(
+            "subj_full"
+        ),
+        survey.alias("survey"),
+    ).withColumn("subj_short", F.substring(F.col("subj_full"), 1, 2))
+
+    def descs(keys: DataFrame) -> DataFrame:
+        return keys.join(
             F.broadcast(
                 subject_codes.select(
-                    F.col("subjectCode").cast("long").alias("subject_key"),
+                    F.col("subjectCode").alias("subject_key"),
                     F.col("subjectEn"),
                     F.col("subjectFr"),
                 )
@@ -125,14 +142,73 @@ def build_indicator_theme(
             "subject_key",
             "left",
         )
-        .select(
-            F.col("subject_key").alias("IndicatorThemeId"),
-            F.coalesce("subjectEn", F.lit("Unknown subject")).alias("IndicatorTheme_EN"),
-            F.coalesce("subjectFr", F.lit("Sujet inconnu")).alias("IndicatorTheme_FR"),
-            F.lit(None).cast("long").alias("ParentThemeId"),
-        )
+
+    product_rows = base.select(
+        F.col("pid").alias("IndicatorThemeId"),
+        F.col("title_en").alias("IndicatorTheme_EN"),
+        F.col("title_fr").alias("IndicatorTheme_FR"),
+        F.col("survey").alias("StatisticsProgramId"),
+        F.col("subj_full").cast("long").alias("ParentThemeId"),
     )
-    return product_rows.unionByName(parents)
+    # 4-digit (or longer) subject ancestor + its dummy product selector
+    full = base.filter(F.length("subj_full") > 2)
+    full_subject_rows = descs(
+        full.select(F.col("subj_full").alias("subject_key"), "subj_short").distinct()
+    ).select(
+        F.col("subject_key").cast("long").alias("IndicatorThemeId"),
+        F.coalesce("subjectEn", F.lit("Unknown subject")).alias("IndicatorTheme_EN"),
+        F.coalesce("subjectFr", F.lit("Sujet inconnu")).alias("IndicatorTheme_FR"),
+        F.lit(None).cast("long").alias("StatisticsProgramId"),
+        F.col("subj_short").cast("long").alias("ParentThemeId"),
+    )
+    dummy_full_rows = full.select(
+        F.concat(F.col("subj_full"), dummy_subject_suffix(F.col("subj_full")))
+        .cast("long")
+        .alias("IndicatorThemeId"),
+        F.lit("*...Select a Product").alias("IndicatorTheme_EN"),
+        F.lit("*...Sélectionnez un produit").alias("IndicatorTheme_FR"),
+        F.lit(None).cast("long").alias("StatisticsProgramId"),
+        F.col("subj_full").cast("long").alias("ParentThemeId"),
+    ).distinct()
+    # 2-digit subject root + its dummy theme selector
+    short_subject_rows = descs(
+        base.select(F.col("subj_short").alias("subject_key")).distinct()
+    ).select(
+        F.col("subject_key").cast("long").alias("IndicatorThemeId"),
+        F.coalesce("subjectEn", F.lit("Unknown subject")).alias("IndicatorTheme_EN"),
+        F.coalesce("subjectFr", F.lit("Sujet inconnu")).alias("IndicatorTheme_FR"),
+        F.lit(None).cast("long").alias("StatisticsProgramId"),
+        F.lit(None).cast("long").alias("ParentThemeId"),
+    )
+    dummy_short_rows = base.select(
+        F.concat(F.col("subj_short"), dummy_subject_suffix(F.col("subj_short")))
+        .cast("long")
+        .alias("IndicatorThemeId"),
+        F.lit("*...Select a Theme ").alias("IndicatorTheme_EN"),
+        F.lit("*...Sélectionnez un thème").alias("IndicatorTheme_FR"),
+        F.lit(None).cast("long").alias("StatisticsProgramId"),
+        F.col("subj_short").cast("long").alias("ParentThemeId"),
+    ).distinct()
+    out = (
+        product_rows.unionByName(full_subject_rows)
+        .unionByName(dummy_full_rows)
+        .unionByName(short_subject_rows)
+        .unionByName(dummy_short_rows)
+    )
+    return out.select(
+        "IndicatorThemeId",
+        truncate_for_column(F.col("IndicatorTheme_EN"), 400).alias("IndicatorTheme_EN"),
+        truncate_for_column(F.col("IndicatorTheme_FR"), 400).alias("IndicatorTheme_FR"),
+        "StatisticsProgramId",
+        truncate_for_column(F.col("IndicatorTheme_EN"), 1000).alias(
+            "IndicatorThemeDescription_EN"
+        ),
+        truncate_for_column(F.col("IndicatorTheme_FR"), 1000).alias(
+            "IndicatorThemeDescription_FR"
+        ),
+        "ParentThemeId",
+        F.lit("C").alias("IndicatorThemeStatus"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +313,7 @@ def build_indicators(
     product_id: int,
     id_offset: int = 0,
     policy: "ProductPolicy | None" = None,
+    release_date: str | None = None,
 ) -> DataFrame:
     """The heart of the write side (reference dfhandler.py:217–300):
 
@@ -332,6 +409,13 @@ def build_indicators(
         truncate_for_column(nth_delimited(F.col("names_fr"), -1), 255).alias(
             "LastIndicatorMember_FR"
         ),
+        # remaining reference insert columns (build_indicator_df_subset,
+        # dfhandler.py:304-309): the full member-name string, the cube's
+        # release timestamp, and the always-null Vector field
+        truncate_for_column(F.col("names_en"), 500).alias("IndicatorNameLong_EN"),
+        truncate_for_column(F.col("names_fr"), 500).alias("IndicatorNameLong_FR"),
+        F.lit(release_date).cast("timestamp").alias("ReleaseIndicatorDate"),
+        F.lit(None).cast("int").alias("Vector"),
         "UOM_EN",
         "UOM_FR",
         "UOM_ID",

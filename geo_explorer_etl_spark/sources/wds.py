@@ -51,6 +51,7 @@ METADATA_SCHEMA = T.StructType(
         T.StructField("frequencyCode", T.IntegerType()),
         T.StructField("releaseTime", T.StringType()),
         T.StructField("subjectCode", T.ArrayType(T.StringType())),
+        T.StructField("surveyCode", T.ArrayType(T.StringType())),
         T.StructField("dimension", T.ArrayType(DIMENSION_STRUCT)),
     ]
 )
@@ -96,6 +97,7 @@ class WdsClient:
             "frequencyCode": int(obj.get("frequencyCode", 12)),
             "releaseTime": obj.get("releaseTime"),
             "subjectCode": obj.get("subjectCode") or [],
+            "surveyCode": obj.get("surveyCode") or [],
             "dimension": [
                 (
                     int(d["dimensionPositionId"]),

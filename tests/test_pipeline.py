@@ -125,6 +125,13 @@ def test_theme_with_parent_subjects(metadata, lookups):
     assert by_id[PID]["ParentThemeId"] == 35
     assert by_id[35]["IndicatorTheme_EN"] == "Crime and justice"
     assert by_id[35]["ParentThemeId"] is None
+    # L6 dummy selector row under the 2-digit subject (reference
+    # dfhandler.py:407-411: code + "9999" suffix, parent = subject)
+    assert by_id[359999]["IndicatorTheme_EN"] == "*...Select a Theme "
+    assert by_id[359999]["ParentThemeId"] == 35
+    # common fields (dfhandler.py:414-416)
+    assert by_id[PID]["IndicatorThemeStatus"] == "C"
+    assert by_id[PID]["IndicatorThemeDescription_EN"] == "Police personnel"
 
 
 def test_dimensions_prepend_date_and_type_value(members):
@@ -318,14 +325,14 @@ def test_conform_schema_and_truncation(spark):
     from geo_explorer_etl_spark.plans.schemas import conform, schema_of
 
     df = spark.createDataFrame(
-        [(1, "x" * 300, None, 5, "EXTRA")],
+        [(1, "x" * 500, None, 5, "EXTRA")],
         "IndicatorThemeId long, IndicatorTheme_EN string, IndicatorTheme_FR string, "
         "ParentThemeId int, junk string",
     )
     out = conform(df, "IndicatorTheme")
     assert out.schema == schema_of("IndicatorTheme")
     row = out.first()
-    assert len(row["IndicatorTheme_EN"]) == 255      # F11 truncation
+    assert len(row["IndicatorTheme_EN"]) == 400      # F11 truncation
     assert row["IndicatorTheme_FR"] is None          # missing -> typed null
     assert "junk" not in out.columns                 # extras dropped
     assert row["ParentThemeId"] == 5                 # int -> long cast
@@ -358,3 +365,24 @@ def test_indicator_fanout_respects_min_ref_year(spark, members, lookups, metadat
     pol_mixed = ProductPolicy(product_id=PID, min_ref_year=2019, mixed_geo=True)
     ind_mixed = SS.build_indicators(members, ref_dates, lookups["uom"], PID, policy=pol_mixed)
     assert ind_mixed.count() == 12
+
+
+def test_theme_hierarchy_with_full_subject_code(spark, lookups):
+    # subjectCode "3510" (4-digit): product -> 3510 -> 35, with dummy
+    # selector rows under both levels (reference dfhandler.py:392-411)
+    md = spark.createDataFrame(
+        [(35100177, "Police personnel", "Personnel policier", ["3510"], ["3302"])],
+        "productId long, cubeTitleEn string, cubeTitleFr string, "
+        "subjectCode array<string>, surveyCode array<string>",
+    )
+    by_id = {
+        r["IndicatorThemeId"]: r
+        for r in SS.build_indicator_theme(md, lookups["subjects"]).collect()
+    }
+    assert by_id[35100177]["ParentThemeId"] == 3510
+    assert by_id[35100177]["StatisticsProgramId"] == 3302
+    assert by_id[3510]["ParentThemeId"] == 35
+    assert by_id[35109999]["IndicatorTheme_EN"] == "*...Select a Product"
+    assert by_id[35109999]["ParentThemeId"] == 3510
+    assert by_id[359999]["ParentThemeId"] == 35
+    assert by_id[35]["ParentThemeId"] is None
