@@ -30,11 +30,14 @@ TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
         "ParentThemeId": (T.LongType(), None),
         "IndicatorThemeStatus": (T.StringType(), 1),
     },
+    # reference insert column sets (dfhandler.py:38-39, 110-111);
+    # DimPosId/MemberId/MemberUomCode kept for downstream joins
     "Dimensions": {
         "DimensionId": (T.LongType(), None),
         "IndicatorThemeId": (T.LongType(), None),
         "Dimension_EN": (T.StringType(), 255),
         "Dimension_FR": (T.StringType(), 255),
+        "DisplayOrder": (T.IntegerType(), None),
         "DimensionType": (T.StringType(), 10),
         "DimPosId": (T.IntegerType(), None),
     },
@@ -44,6 +47,7 @@ TARGET_TABLES: dict[str, dict[str, tuple[T.DataType, int | None]]] = {
         "Display_EN": (T.StringType(), 255),
         "Display_FR": (T.StringType(), 255),
         "ValueDisplayOrder": (T.IntegerType(), None),
+        "ValueDisplayParent": (T.StringType(), 50),
         "MemberId": (T.IntegerType(), None),
         "MemberUomCode": (T.ShortType(), None),
     },

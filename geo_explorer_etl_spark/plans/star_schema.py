@@ -240,6 +240,10 @@ def build_dimensions(members: DataFrame, id_offset: int = 0) -> DataFrame:
         .otherwise(F.lit("Filter"))
         .alias("DimensionType"),
     )
+    # 1-based per-product display counter (reference dfhandler.py:30)
+    typed = W.group_ordinal(
+        typed, ["productId"], ["DimPosId"], out_col="DisplayOrder"
+    )
     return W.sequential_ids(
         typed, ["productId", "DimPosId"], id_col="DimensionId", offset=id_offset
     )

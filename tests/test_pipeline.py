@@ -139,6 +139,8 @@ def test_dimensions_prepend_date_and_type_value(members):
     assert [d["Dimension_EN"] for d in dims] == ["Date", "Property type", "Owner status"]
     assert [d["DimensionId"] for d in dims] == [101, 102, 103]
     assert [d["DimensionType"] for d in dims] == ["Filter", "Filter", "Value"]
+    # 1-based per-product counter (reference dfhandler.py:30)
+    assert [d["DisplayOrder"] for d in dims] == [1, 2, 3]
     # geography never becomes a dimension
     assert all(d["Dimension_EN"].lower() != "geography" for d in dims)
 
