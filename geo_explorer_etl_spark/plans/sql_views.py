@@ -69,3 +69,33 @@ def sql_primary_query(spark: SparkSession, indicator_id: int, locale: str = "EN"
                 WHERE IndicatorId = {int(indicator_id)})
         """
     )
+
+
+def sql_related_charts_query(
+    spark: SparkSession, indicator_id: int, dguid: str, locale: str = "EN"
+) -> DataFrame:
+    """The generated ``RelatedCharts.Query`` (SURVEY §2.14, reference
+    dfhandler.py:522–529) in pure SQL over the registered star views:
+    values of this indicator's related indicators at one geography.
+    Equivalent plan to ``star_schema.related_charts_query``."""
+    loc = locale.upper()
+    dguid_lit = dguid.replace("'", "''")
+    return spark.sql(
+        f"""
+        SELECT i.IndicatorId,
+               i.IndicatorName_{loc}      AS IndicatorName,
+               grb.GeographyReferenceId,
+               iv.Value,
+               CASE WHEN iv.Value IS NULL THEN nr.Symbol
+                    ELSE format_number(iv.Value, 1) END AS FormattedValue
+        FROM (SELECT CAST(r.rid AS BIGINT) AS rid
+              FROM RelatedCharts rc
+              LATERAL VIEW explode(split(rc.RelatedIndicatorIds, ',')) r AS rid
+              WHERE rc.IndicatorId = {int(indicator_id)}) rel
+        JOIN GeographyReferenceForIndicator grb ON grb.IndicatorId = rel.rid
+        JOIN IndicatorValues iv ON iv.IndicatorValueId = grb.IndicatorValueId
+        JOIN Indicators i       ON i.IndicatorId = grb.IndicatorId
+        LEFT JOIN IndicatorNullReason nr ON nr.NullReasonId = iv.NullReasonId
+        WHERE grb.GeographyReferenceId = '{dguid_lit}'
+        """
+    )

@@ -175,3 +175,21 @@ def test_sql_frontend_matches_dataframe_view(spark, tmp_path):
         ).collect()
     }
     assert sql_rows == df_rows and len(sql_rows) > 0
+
+    # RelatedCharts.Query SQL twin vs the DataFrame view
+    from geo_explorer_etl_spark.plans.sql_views import sql_related_charts_query
+
+    rc = pipe.store.read("RelatedCharts")
+    sql_rc = {
+        (r["IndicatorId"], r["FormattedValue"])
+        for r in sql_related_charts_query(spark, 1, "2016A000011124").collect()
+    }
+    df_rc = {
+        (r["IndicatorId"], r["FormattedValue"])
+        for r in SS.related_charts_query(
+            1, rc, pipe.store.read("IndicatorValues"),
+            pipe.store.read("GeographyReferenceForIndicator"),
+            pipe.store.read("Indicators"), nr, dguid="2016A000011124",
+        ).collect()
+    }
+    assert sql_rc == df_rc and len(sql_rc) > 0
