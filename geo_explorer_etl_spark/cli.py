@@ -26,6 +26,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--merged-registry", default="./products_to_merge.json", help="merge registry path"
     )
+    p.add_argument(
+        "--jdbc-url",
+        help="read the lookup tables (GeographyReference, "
+        "IndicatorNullReason) from this JDBC database — parity with the "
+        "reference's pre-existing gis.* RDBMS (scdb.py:83-143) — "
+        "instead of the warehouse; UOM/subject code sets come from WDS",
+    )
+    p.add_argument("--jdbc-schema", default="gis", help="schema of the JDBC lookup tables")
     args = p.parse_args(argv)
 
     has_range = args.start is not None or args.end is not None
@@ -67,13 +75,24 @@ def main(argv: list[str] | None = None) -> int:
         urllib.request.urlretrieve(url, zip_path)  # noqa: S310 — WDS https url
         return extract_zip(zip_path, args.staging)
 
-    # Lookup tables must exist in the store (loaded by a separate
-    # bootstrap, as in the reference where gis.GeographyReference is
-    # pre-existing — scdb.py:116–120).
-    geo_ref = store.read("GeographyReference")
-    null_reason = store.read("IndicatorNullReason")
-    uom = store.read("UomCodes")
-    subjects = store.read("SubjectCodes")
+    # Lookup tables: from the JDBC database when --jdbc-url is given
+    # (the reference's deployment shape — gis.* pre-exists in the
+    # RDBMS, scdb.py:83–143), else from the warehouse (loaded by a
+    # separate bootstrap).
+    if args.jdbc_url:
+        from geo_explorer_etl_spark.sources.jdbc import JdbcLookupSource
+
+        src = JdbcLookupSource(spark, args.jdbc_url, schema=args.jdbc_schema)
+        geo_ref = src.read_table("GeographyReference")
+        null_reason = src.null_reasons()
+        codes = wds.code_sets()
+        uom = codes.get("uom")
+        subjects = codes.get("subject")
+    else:
+        geo_ref = store.read("GeographyReference")
+        null_reason = store.read("IndicatorNullReason")
+        uom = store.read("UomCodes")
+        subjects = store.read("SubjectCodes")
     missing = [
         n
         for n, df in [
@@ -85,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         if df is None
     ]
     if missing:
-        print(f"missing lookup tables in warehouse: {missing}", file=sys.stderr)
+        print(f"missing lookup tables: {missing}", file=sys.stderr)
         return 2
 
     pipe = Pipeline(
