@@ -148,6 +148,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: docs sharing any band bucket
     become candidate near-duplicate pairs.
@@ -155,8 +156,13 @@ def minhash_lsh_candidates(
     At scale: the band-bucket self-join shuffles on (band_id,
     band_hash) — a high-cardinality composite key; true near-dups
     concentrate in small buckets, so no quadratic blowup unless data
-    is pathologically self-similar (then salting the degenerate bucket
-    is the fix).
+    is pathologically self-similar. ``max_bucket_size`` bounds that
+    worst case: buckets with more members are dropped before the
+    self-join (a bucket of B docs emits B²/2 pairs — at corpus scale
+    an over-full bucket is near-always boilerplate/templated text, and
+    byte-identical copies are already caught by ``exact_dedup_groups``
+    upstream). With the cap, candidate count is bounded by
+    bands × n_buckets × cap²/2 regardless of input pathology.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
@@ -181,6 +187,15 @@ def minhash_lsh_candidates(
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col), F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
     return (

@@ -100,3 +100,23 @@ def test_ivf_near_dup_recall_and_plan(spark):
     assert exact and len(ivf & exact) / len(exact) >= 0.7
     plan = ivf_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """A pathological corpus (many copies of one template) floods one
+    LSH bucket; max_bucket_size drops the degenerate bucket so the
+    candidate count is bounded, while distinct near-dup pairs in
+    normal-sized buckets survive."""
+    from geo_explorer_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    template = "the quick brown fox jumps over the lazy dog number %d end"
+    rows = [(i, "identical boilerplate text repeated verbatim many times over") for i in range(50)]
+    rows += [(100, template % 1), (101, template % 1)]  # one true near-dup pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_candidates(docs, "text", "doc_id").count()
+    assert uncapped >= 50 * 49 / 2               # boilerplate quadratic blowup
+    capped = minhash_lsh_candidates(docs, "text", "doc_id", max_bucket_size=10)
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in capped_pairs            # real pair survives
+    assert len(capped_pairs) < 50                # blowup gone
