@@ -29,14 +29,25 @@ def _count_in(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 
-def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def fingerprint_expr(text: Column) -> Column:
+    """md5 of the sorted distinct token set — the order-insensitive
+    content fingerprint used by both ``fingerprint`` and the combined
+    quality query."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def quality_scores(
+    df: DataFrame, text_col: str, id_col: str, with_fingerprint: bool = False
+) -> DataFrame:
     """Per-document quality features: token count, stopword ratio,
-    distinct-token ratio, punctuation count."""
+    distinct-token ratio, punctuation count — optionally plus the
+    order-insensitive content fingerprint (all row-local, one scan)."""
     text = F.col(text_col)
     toks = _ws_tokens(text)
     lt = F.lower(text)
     n_tokens = F.size(toks).cast("long")
-    return df.select(
+    cols = [
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.col("n_chars").cast("long").alias("n_chars_meta"),
@@ -51,7 +62,10 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (F.length(lt) - F.length(F.regexp_replace(lt, PUNCT_RE, ""))).cast("long").alias(
             "n_punct"
         ),
-    )
+    ]
+    if with_fingerprint:
+        cols.append(fingerprint_expr(text).alias("fingerprint"))
+    return df.select(*cols)
 
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -88,8 +102,6 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set — catches shuffled/duplicated-content documents that
     exact hashing misses."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     return df.select(
-        F.col(id_col),
-        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fingerprint"),
+        F.col(id_col), fingerprint_expr(F.col(text_col)).alias("fingerprint")
     )

@@ -442,6 +442,15 @@ def u2_union_literal_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f_scalar_string_suite",
     oracle="""
+    WITH src AS (
+        SELECT *,
+               p_name || ' _ ' || p_brand || ' _ ' || p_type AS names,
+               CASE p_partkey % 3
+                    WHEN 0 THEN 'nan nan ' || CAST(p_size AS VARCHAR) || '.0'
+                    WHEN 1 THEN CAST(p_size AS VARCHAR)
+                    ELSE 'nan nan'
+               END AS combo
+        FROM part)
     SELECT p_partkey,
            regexp_replace('0' || CAST(p_partkey % 100 AS VARCHAR) || '. ' || p_name,
                           '^\\d{1,4}\\.\\s*', '') AS clean_name,
@@ -454,18 +463,39 @@ def u2_union_literal_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(p_brand) AS brand_key,
            trim('  ' || p_type || ' ') AS type_trim,
            regexp_replace(p_type || '/EXTRA', '^[^/]*/', '') AS after_slash,
-           CAST(p_partkey AS VARCHAR) || '.' || p_brand || '.' || p_type AS composite_code
-    FROM part
+           CAST(p_partkey AS VARCHAR) || '.' || p_brand || '.' || p_type AS composite_code,
+           '<ul><li>' || CAST(2020 AS VARCHAR) || '<li>' ||
+             regexp_replace(names, ' _ ', '<li>', 'g') || '</li></ul>' AS indicator_display,
+           string_split(names, ' _ ')[-1] AS short_name,
+           string_split(names, ' _ ')[-2] AS legend_member,
+           combo,
+           CAST(CASE WHEN combo = 'nan nan' THEN NULL
+                ELSE CAST(string_split_regex(combo, '\\s+')[-1] AS DOUBLE) END
+           AS SMALLINT) AS uom_id
+    FROM src
     """,
-    tags="F1 F2 F3 F6 F9 F11 F12 F13 F14 F15",
+    tags="F1 F2 F3 F6 F7 F8 F9 F11 F12 F13 F14 F15 M1",
 )
 def f_scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every row-local F* string operator plus the F7/F8 display-string
+    builders and the M1 UOM extraction, applied to the same ``part``
+    scan. (F7/F8 and M1 were standalone catalog entries through round
+    2 — folded in here so the registry fits the driver's 50-entry
+    correctness window without losing any operator's oracle check.)"""
+    from geo_explorer_etl_spark.functions import uom_from_combo
+
     p = _t(spark, sf_dir, "part")["part"]
     pk = F.col("p_partkey")
     prefixed = F.concat(F.lit("0"), (pk % 100).cast("string"), F.lit(". "), F.col("p_name"))
     coord = F.concat(pk.cast("string"), F.lit(".2.3"))
     level = F.concat(F.lit("S050"), (pk % 7).cast("string"))
     dguid = F.concat(F.lit("2016A"), F.lpad(pk.cast("string"), 8, "0"))
+    names = F.concat_ws(" _ ", F.col("p_name"), F.col("p_brand"), F.col("p_type"))
+    combo = (
+        F.when(pk % 3 == 0, F.concat(F.lit("nan nan "), F.col("p_size").cast("string"), F.lit(".0")))
+        .when(pk % 3 == 1, F.col("p_size").cast("string"))
+        .otherwise(F.lit("nan nan"))
+    )
     return p.select(
         pk.alias("p_partkey"),
         strip_sort_prefix(prefixed).alias("clean_name"),
@@ -478,6 +508,11 @@ def f_scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
         substring_after_first(F.concat(F.col("p_type"), F.lit("/EXTRA")), "/").alias("after_slash"),
         F.concat_ws(".", pk.cast("string"), F.col("p_brand"), F.col("p_type")).alias("composite_code"),
+        html_member_list(F.lit(2020), names).alias("indicator_display"),
+        nth_delimited(names, -1).alias("short_name"),
+        nth_delimited(names, -2).alias("legend_member"),
+        combo.alias("combo"),
+        uom_from_combo(combo).alias("uom_id"),
     )
 
 
@@ -541,30 +576,6 @@ def f5_dguid_repair_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         dguid_repair(dguid, ref_year).alias("dguid_fixed"),
-    )
-
-
-@register(
-    "f7_f8_display_strings",
-    oracle="""
-    SELECT p_partkey,
-           '<ul><li>' || CAST(2020 AS VARCHAR) || '<li>' ||
-             regexp_replace(p_name || ' _ ' || p_brand || ' _ ' || p_type,
-                            ' _ ', '<li>', 'g') || '</li></ul>' AS indicator_display,
-           string_split(p_name || ' _ ' || p_brand || ' _ ' || p_type, ' _ ')[-1] AS short_name,
-           string_split(p_name || ' _ ' || p_brand || ' _ ' || p_type, ' _ ')[-2] AS legend_member
-    FROM part
-    """,
-    tags="F7 F8",
-)
-def f7_f8_display_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")["part"]
-    names = F.concat_ws(" _ ", F.col("p_name"), F.col("p_brand"), F.col("p_type"))
-    return p.select(
-        "p_partkey",
-        html_member_list(F.lit(2020), names).alias("indicator_display"),
-        nth_delimited(names, -1).alias("short_name"),
-        nth_delimited(names, -2).alias("legend_member"),
     )
 
 
@@ -650,8 +661,14 @@ def f16_generic_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 4, CAST(unnest(generate_series(DATE '2020-07-19', DATE '2020-09-01',
                           INTERVAL 14 DAY)) AS DATE)
+    -- D4 day-range iterator (reference helpers.py:69-75), tagged as
+    -- pseudo-code 1; standalone d4_day_series entry through round 2,
+    -- folded in so the registry fits the driver's 50-entry window.
+    UNION ALL
+    SELECT 1, CAST(unnest(generate_series(DATE '2024-02-26', DATE '2024-03-03',
+                          INTERVAL 1 DAY)) AS DATE)
     """,
-    tags="D1",
+    tags="D1 D4",
 )
 def d1_freq_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     cases = [
@@ -674,6 +691,13 @@ def d1_freq_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("ref_date"),
             )
         )
+    from geo_explorer_etl_spark.functions.dates import day_series_df
+
+    frames.append(
+        day_series_df(spark, "2024-02-26", "2024-03-03").select(
+            F.lit(1).cast("int").alias("freq_code"), F.col("day").alias("ref_date")
+        )
+    )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -684,7 +708,7 @@ def d1_freq_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d2_ref_year_normalize",
     oracle="""
     WITH src AS (
-        SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+        SELECT o_orderkey, o_orderdate, CAST(year(o_orderdate) AS INTEGER) AS y,
                CASE o_orderkey % 4
                     WHEN 0 THEN CAST(year(o_orderdate) AS VARCHAR)
                     WHEN 1 THEN CAST(year(o_orderdate) AS VARCHAR) || '/'
@@ -702,12 +726,17 @@ def d1_freq_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(make_date(CAST(CASE WHEN length(ref_date) = 4 THEN ref_date
                  WHEN length(ref_date) = 7 THEN substr(ref_date, 1, 2) || substr(ref_date, 6, 2)
                  WHEN length(ref_date) = 9 THEN substr(ref_date, 6, 4)
-                 ELSE '1900' END AS INTEGER), 1, 1) AS DATE) AS reference_period
+                 ELSE '1900' END AS INTEGER), 1, 1) AS DATE) AS reference_period,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           strftime(o_orderdate, '%Y-%m') AS year_month
     FROM src
     """,
-    tags="D2 D3",
+    tags="D2 D3 D5",
 )
 def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 REF_DATE-string normalization plus the D5 display formats
+    (standalone ``d5_date_format`` entry through round 2 — folded in
+    so the registry fits the driver's 50-entry window)."""
     o = _t(spark, sf_dir, "orders")["orders"]
     k = F.col("o_orderkey")
     y = F.year("o_orderdate").cast("int")
@@ -718,28 +747,11 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("bogus"))
     )
     ry = ref_year_normalize(F.col("ref_date"))
-    return o.select("o_orderkey", ref_date.alias("ref_date")).select(
+    return o.select("o_orderkey", "o_orderdate", ref_date.alias("ref_date")).select(
         "o_orderkey",
         "ref_date",
         ry.alias("ref_year"),
         year_to_jan1(ry).alias("reference_period"),
-    )
-
-
-@register(
-    "d5_date_format",
-    oracle="""
-    SELECT o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
-           strftime(o_orderdate, '%Y-%m') AS year_month
-    FROM orders
-    """,
-    tags="D5",
-)
-def d5_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")["orders"]
-    return o.select(
-        "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
         F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
     )
@@ -857,44 +869,6 @@ def l1_l4_lookup_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M1 — UOM extraction from a member-combination string
-# (reference dfhandler.py:263–265 "nan nan 229.0" -> 229)
-# ---------------------------------------------------------------------------
-@register(
-    "m1_uom_from_combo",
-    oracle="""
-    WITH src AS (
-        SELECT p_partkey,
-               CASE p_partkey % 3
-                    WHEN 0 THEN 'nan nan ' || CAST(p_size AS VARCHAR) || '.0'
-                    WHEN 1 THEN CAST(p_size AS VARCHAR)
-                    ELSE 'nan nan'
-               END AS combo
-        FROM part)
-    SELECT p_partkey, combo,
-           CAST(CASE WHEN combo = 'nan nan' THEN NULL
-                ELSE CAST(string_split_regex(combo, '\\s+')[-1] AS DOUBLE) END
-           AS SMALLINT) AS uom_id
-    FROM src
-    """,
-    tags="M1 cast",
-)
-def m1_uom_from_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geo_explorer_etl_spark.functions import uom_from_combo
-
-    p = _t(spark, sf_dir, "part")["part"]
-    k = F.col("p_partkey")
-    combo = (
-        F.when(k % 3 == 0, F.concat(F.lit("nan nan "), F.col("p_size").cast("string"), F.lit(".0")))
-        .when(k % 3 == 1, F.col("p_size").cast("string"))
-        .otherwise(F.lit("nan nan"))
-    )
-    return p.select(
-        "p_partkey", combo.alias("combo"), uom_from_combo(F.col("combo")).alias("uom_id")
-    ).select("p_partkey", "combo", "uom_id")
-
-
-# ---------------------------------------------------------------------------
 # O4 — deterministic LIMIT (reference sql_scripts TOP(1000))
 # ---------------------------------------------------------------------------
 @register(
@@ -936,24 +910,6 @@ def u1_union_chunks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = li.filter(F.col("l_shipdate") < "1998-01-01").select("l_returnflag", "l_linestatus")
     c2 = li.filter(F.col("l_shipdate") >= "1997-01-01").select("l_returnflag", "l_linestatus")
     return c1.unionByName(c2).distinct()
-
-
-# ---------------------------------------------------------------------------
-# D4 — day-range iterator (reference helpers.py:69–75: inclusive days
-# between two dates, drives the changed-cube polling loop)
-# ---------------------------------------------------------------------------
-@register(
-    "d4_day_series",
-    oracle="""
-    SELECT CAST(unnest(generate_series(DATE '2024-02-26', DATE '2024-03-03',
-                                       INTERVAL 1 DAY)) AS DATE) AS day
-    """,
-    tags="D4",
-)
-def d4_day_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geo_explorer_etl_spark.functions.dates import day_series_df
-
-    return day_series_df(spark, "2024-02-26", "2024-03-03")
 
 
 def _decimal_revenue():

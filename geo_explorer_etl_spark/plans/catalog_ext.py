@@ -69,12 +69,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=2, threshold=0.05)
 
 
+def _minhash_coeff_values_sql(num_hashes: int = 16) -> str:
+    """Inline the seeded universal-hash coefficients as a VALUES list —
+    the same constants ``minhash_coefficients`` hands the Spark plan, so
+    DuckDB rebuilds the identical signatures bit for bit (the pattern
+    the hyperplane-LSH oracle uses for its seeded planes)."""
+    from geo_explorer_etl_spark.operators.dedup import minhash_coefficients
+
+    rows = ", ".join(
+        f"({i}, {c}, {d})" for i, (c, d) in enumerate(minhash_coefficients(num_hashes))
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS s(seed, c, d))"
+
+
 @register(
     "dedup_minhash_lsh",
     # FULL oracle (upgraded from rows-only): the md5-derived minhash
     # family and concatenated band keys are engine-reproducible, so
     # DuckDB rebuilds the identical candidate set bit for bit.
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
         FROM documents),
@@ -84,11 +97,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                )) AS shingle
         FROM toks WHERE len(t) >= 3),
+    hashed AS (
+        -- universal-hash minhash: ONE md5 per shingle -> base integer a,
+        -- then seeded affine permutations (c*a + d) mod p, p = 2^31-1
+        -- (same family the Spark side builds, bit for bit)
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) % 2147483647 AS a
+        FROM sh),
     sig AS (
-        SELECT doc_id, s.seed,
-               min(CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15))
-                        AS BIGINT)) AS h
-        FROM sh, (SELECT unnest(range(0, 16)) AS seed) s
+        SELECT doc_id, s.seed, min((s.c * a + s.d) % 2147483647) AS h
+        FROM hashed, {_minhash_coeff_values_sql(16)} s
         GROUP BY doc_id, s.seed),
     bands AS (
         SELECT doc_id, seed // 4 AS band_id,
@@ -214,14 +232,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in')))
                  AS DOUBLE) / len(toks), 4) AS stopword_ratio,
            ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio,
-           CAST(length(lt) - length(regexp_replace(lt, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+           CAST(length(lt) - length(regexp_replace(lt, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lt), '\\s+'))), ' ')) AS fingerprint
     FROM t
     """,
-    tags="ext text quality",
+    tags="ext text quality fingerprint",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features plus the order-insensitive content fingerprint
+    (standalone ``text_fingerprint`` entry through round 2 — folded in
+    so the registry fits the driver's 50-entry window; both remain
+    row-local in one scan)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return TX.quality_scores(docs, text_col="text", id_col="doc_id")
+    return TX.quality_scores(docs, text_col="text", id_col="doc_id", with_fingerprint=True)
 
 
 @register(
@@ -264,21 +288,6 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return TX.langid(docs, text_col="text", id_col="doc_id")
-
-
-@register(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
-    FROM documents
-    """,
-    tags="ext text fingerprint",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return TX.fingerprint(docs, text_col="text", id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------
