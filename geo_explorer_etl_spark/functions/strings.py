@@ -112,11 +112,15 @@ def nth_delimited(col: Column, n: int, sep: str = " _ ") -> Column:
 
 def substring_after_first(col: Column, sep: str = "/") -> Column:
     """F9 — text after the first separator (subject descriptions,
-    reference helpers.py:116–121). ``"a/b/c" -> "b/c"``; no separator
-    returns the input unchanged (anchored regex, so one replace)."""
+    reference helpers.py:116–121). ``"a/b/c" -> "b/c"``; when the part
+    after the first separator is empty — no separator at all, OR a
+    trailing separator like ``"a/"`` — the reference's
+    ``str.partition`` branch returns the input unchanged (anchored
+    regex plus one emptiness guard, still a single row-local pass)."""
     import re
 
-    return F.regexp_replace(col, "^[^" + re.escape(sep) + "]*" + re.escape(sep), "")
+    stripped = F.regexp_replace(col, "^[^" + re.escape(sep) + "]*" + re.escape(sep), "")
+    return F.when(stripped == "", col).otherwise(stripped)
 
 
 def ordinal_prefix(order_col: Column, width: int = 2) -> Column:

@@ -39,8 +39,35 @@ def sequential_ids(
 def distributed_unique_ids(df: DataFrame, id_col: str = "id", offset: int = 0) -> DataFrame:
     """W1 (scale strategy) — unique, non-contiguous 64-bit ids with no
     shuffle (partition-id in the high bits). Use for fact-sized frames
-    where ids only need to be unique and joinable within the run."""
+    where ids only need to be unique and joinable within the run.
+
+    CAUTION: ``monotonically_increasing_id`` is nondeterministic across
+    re-executions of the same plan (task retries, AQE re-plans, a second
+    action re-running the lineage). If the id must agree between two
+    frames derived from the same plan — e.g. a fact table and its bridge
+    written as two jobs — use :func:`keyed_unique_ids` on the natural
+    key instead, or materialize the frame once before fanning out."""
     return df.withColumn(id_col, (F.monotonically_increasing_id() + F.lit(offset)).cast("long"))
+
+
+def keyed_unique_ids(
+    df: DataFrame, key_col: str, id_col: str = "id", offset: int = 0
+) -> DataFrame:
+    """W1 (deterministic scale strategy) — 64-bit id derived from a
+    unique natural key via ``xxhash64``: row-local (no shuffle, no
+    Window), and — unlike ``monotonically_increasing_id`` — DETERMINISTIC
+    across task retries, AQE re-plans, and independent re-executions of
+    the same lineage, so two plans that both embed this id (fact table +
+    bridge) agree without materializing the frame first.
+
+    Uniqueness is probabilistic: for n distinct keys the collision
+    probability is ~n²/2⁶⁵ (≈0.03% at n=10⁸, ≈2.7% at n=10⁹ — per
+    product partition, not per 100 TB table, since the key embeds the
+    product-specific indicator code). Rows with *equal* keys collide by
+    construction — the key must be unique upstream."""
+    return df.withColumn(
+        id_col, (F.xxhash64(F.col(key_col)) + F.lit(offset)).cast("long")
+    )
 
 
 def group_ordinal(

@@ -149,6 +149,14 @@ class Pipeline:
                 "product %s: %d orphan DGUIDs: %s", pid, orphan_count, orphan_sample[:10]
             )
 
+        # `values` feeds two writes (IndicatorValues + the bridge). Ids
+        # are deterministic (keyed_unique_ids), so this persist is a
+        # pure perf hint, not a correctness requirement: if a cached
+        # block is evicted or an executor dies, the recomputed lineage
+        # yields byte-identical rows.
+        from pyspark import StorageLevel
+
+        values = values.persist(StorageLevel.DISK_ONLY)
         geo_ref_bridge = SS.build_geo_ref_bridge(values, indicators)
         # anti-join state = other products only: the reference deletes
         # this product's rows before rebuilding, and reading the
@@ -211,7 +219,10 @@ class Pipeline:
             frames["RelatedCharts"] = conform(charts, "RelatedCharts")
         # one transaction for every table of this product: all-or-
         # nothing across tables (reference scdb.py:51-71's DB txn)
-        self.store.replace_product_all(pid, frames)
+        try:
+            self.store.replace_product_all(pid, frames)
+        finally:
+            values.unpersist()
 
         # date-dimension growth (I3 anti-join append)
         dims = self.store.read("Dimensions")

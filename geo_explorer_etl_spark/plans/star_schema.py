@@ -42,6 +42,7 @@ from geo_explorer_etl_spark.functions import (
     strip_coordinate_geography,
     strip_sort_prefix,
     subject_code_of_product,
+    substring_after_first,
     truncate_for_column,
     uom_from_combo,
     vector_id,
@@ -131,12 +132,18 @@ def build_indicator_theme(
     ).withColumn("subj_short", F.substring(F.col("subj_full"), 1, 2))
 
     def descs(keys: DataFrame) -> DataFrame:
+        # L2/F9 — the reference resolves subject descriptions through
+        # get_subject_desc_from_code_set, which strips everything up to
+        # the first "/" ("Crime and justice/Crimes and offences" ->
+        # "Crimes and offences"; reference dfhandler.py:394–405,
+        # helpers.py:116–121,129–142). Absent codes yield NULL, matching
+        # the reference's `next(..., None)` default.
         return keys.join(
             F.broadcast(
                 subject_codes.select(
                     F.col("subjectCode").alias("subject_key"),
-                    F.col("subjectEn"),
-                    F.col("subjectFr"),
+                    substring_after_first(F.col("subjectEn"), "/").alias("subjectEn"),
+                    substring_after_first(F.col("subjectFr"), "/").alias("subjectFr"),
                 )
             ),
             "subject_key",
@@ -156,8 +163,10 @@ def build_indicator_theme(
         full.select(F.col("subj_full").alias("subject_key"), "subj_short").distinct()
     ).select(
         F.col("subject_key").cast("long").alias("IndicatorThemeId"),
-        F.coalesce("subjectEn", F.lit("Unknown subject")).alias("IndicatorTheme_EN"),
-        F.coalesce("subjectFr", F.lit("Sujet inconnu")).alias("IndicatorTheme_FR"),
+        # Absent code -> NULL, matching the reference's next(..., None)
+        # (helpers.py:129-142); no "Unknown subject" literal substitute.
+        F.col("subjectEn").alias("IndicatorTheme_EN"),
+        F.col("subjectFr").alias("IndicatorTheme_FR"),
         F.lit(None).cast("long").alias("StatisticsProgramId"),
         F.col("subj_short").cast("long").alias("ParentThemeId"),
     )
@@ -175,8 +184,10 @@ def build_indicator_theme(
         base.select(F.col("subj_short").alias("subject_key")).distinct()
     ).select(
         F.col("subject_key").cast("long").alias("IndicatorThemeId"),
-        F.coalesce("subjectEn", F.lit("Unknown subject")).alias("IndicatorTheme_EN"),
-        F.coalesce("subjectFr", F.lit("Sujet inconnu")).alias("IndicatorTheme_FR"),
+        # Absent code -> NULL, matching the reference's next(..., None)
+        # (helpers.py:129-142); no "Unknown subject" literal substitute.
+        F.col("subjectEn").alias("IndicatorTheme_EN"),
+        F.col("subjectFr").alias("IndicatorTheme_FR"),
         F.lit(None).cast("long").alias("StatisticsProgramId"),
         F.lit(None).cast("long").alias("ParentThemeId"),
     )
@@ -481,13 +492,18 @@ def build_indicator_values(
     (reference dfhandler.py:430–462). Returns (values, orphan_dguids).
 
     ``scale_ids=True`` (the default, and what the E2 pipeline uses)
-    assigns IndicatorValueIds with ``distributed_unique_ids`` — unique
-    and stable but non-contiguous, O(1) per row with no shuffle. Only
-    uniqueness + cross-table linkage is semantically required of fact
-    ids (SURVEY.md §7); a ``row_number`` over an unpartitioned window
-    funnels the whole fact table through ONE task — fatal at 100 TB.
-    Pass ``scale_ids=False`` only when reference-exact contiguous ids
-    are needed on a dimension-sized frame.
+    assigns IndicatorValueIds with ``keyed_unique_ids`` over the
+    IndicatorValueCode natural key: row-local (no shuffle, no Window)
+    AND deterministic across re-executions — the bridge plan, which
+    re-embeds this lineage as a second job, derives byte-identical ids
+    without materializing the frame (``monotonically_increasing_id``
+    was nondeterministic under task retries/AQE and could silently
+    break the fact↔bridge linkage the reference's DB txn guarantees).
+    Only uniqueness + cross-table linkage is semantically required of
+    fact ids (SURVEY.md §7); a ``row_number`` over an unpartitioned
+    window funnels the whole fact table through ONE task — fatal at
+    100 TB. Pass ``scale_ids=False`` only when reference-exact
+    contiguous ids are needed on a dimension-sized frame.
     """
     with_geo, orphans = J.inner_with_orphans(
         prepared.na.drop(subset=["DGUID"]),
@@ -506,12 +522,14 @@ def build_indicator_values(
         F.col("VALUE").alias("Value"),
         "NullReasonId",
     )
-    ider = W.distributed_unique_ids if scale_ids else (
-        lambda df, id_col, offset: W.sequential_ids(
-            df, ["IndicatorValueCode"], id_col=id_col, offset=offset
+    if scale_ids:
+        vals = W.keyed_unique_ids(
+            vals, "IndicatorValueCode", id_col="IndicatorValueId", offset=id_offset
         )
-    )
-    vals = ider(vals, id_col="IndicatorValueId", offset=id_offset)
+    else:
+        vals = W.sequential_ids(
+            vals, ["IndicatorValueCode"], id_col="IndicatorValueId", offset=id_offset
+        )
     return vals, orphans
 
 

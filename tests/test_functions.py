@@ -122,6 +122,10 @@ def test_ordinal_prefix(spark):
 def test_substring_after_first(spark):
     assert one(spark, substring_after_first(F.col("s")), s="a/b/c") == "b/c"
     assert one(spark, substring_after_first(F.col("s")), s="nosep") == "nosep"
+    # reference str.partition branch: empty tail -> original string
+    # (helpers.py:116-121, "str_tup[2] if str_tup[2] != '' else search_str")
+    assert one(spark, substring_after_first(F.col("s")), s="trailing/") == "trailing/"
+    assert one(spark, substring_after_first(F.col("s")), s="/lead") == "lead"
 
 
 def test_vector_id(spark):

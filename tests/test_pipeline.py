@@ -63,7 +63,16 @@ def lookups(spark):
         "memberUomCode int, memberUomEn string, memberUomFr string",
     )
     subjects = spark.createDataFrame(
-        [("35", "Crime and justice", "Criminalité et justice")],
+        [
+            ("35", "Crime and justice", "Criminalité et justice"),
+            # slash-delimited form the reference strips via
+            # get_partitioned_string(desc, "/") (helpers.py:116-121)
+            (
+                "3510",
+                "Crime and justice/Crimes and offences",
+                "Criminalité et justice/Crimes et infractions",
+            ),
+        ],
         "subjectCode string, subjectEn string, subjectFr string",
     )
     null_reason = spark.createDataFrame(
@@ -207,9 +216,17 @@ def test_indicator_values_orphans_and_nullreason(cube, lookups):
     assert len(v) == 5                              # 6 surviving - 1 orphan
     nullrow = v["2016A000011124.35100177.2.2.2019-01-01"]
     assert nullrow["Value"] is None and nullrow["NullReasonId"] == 2
-    # scale-safe ids: unique and above the offset, NOT contiguous
+    # scale-safe ids: unique, NOT contiguous, and DETERMINISTIC — a
+    # second, independent execution of the same lineage (the bridge
+    # write re-runs the values plan as its own job) must produce the
+    # identical code->id mapping, or the fact<->bridge linkage breaks
     ids = [r["IndicatorValueId"] for r in v.values()]
-    assert len(set(ids)) == 5 and all(i > 9000 for i in ids)
+    assert len(set(ids)) == 5
+    vals2, _ = SS.build_indicator_values(
+        prep, lookups["geo_ref"], lookups["null_reason"], id_offset=9000
+    )
+    v2 = {r["IndicatorValueCode"]: r["IndicatorValueId"] for r in vals2.collect()}
+    assert {c: r["IndicatorValueId"] for c, r in v.items()} == v2
     # no single-partition window in the fact-id plan (the 100 TB
     # killer); contiguity is only required on dimension-sized frames
     plan = vals._jdf.queryExecution().executedPlan().toString()
@@ -384,7 +401,29 @@ def test_theme_hierarchy_with_full_subject_code(spark, lookups):
     assert by_id[35100177]["ParentThemeId"] == 3510
     assert by_id[35100177]["StatisticsProgramId"] == 3302
     assert by_id[3510]["ParentThemeId"] == 35
+    # L2/F9: the 4-digit ancestor carries the code set's description
+    # with everything before the first "/" stripped (reference
+    # dfhandler.py:394-405, helpers.py:116-121)
+    assert by_id[3510]["IndicatorTheme_EN"] == "Crimes and offences"
+    assert by_id[3510]["IndicatorTheme_FR"] == "Crimes et infractions"
     assert by_id[35109999]["IndicatorTheme_EN"] == "*...Select a Product"
     assert by_id[35109999]["ParentThemeId"] == 3510
     assert by_id[359999]["ParentThemeId"] == 35
     assert by_id[35]["ParentThemeId"] is None
+
+
+def test_theme_absent_subject_code_yields_null(spark, lookups):
+    # reference get_subject_desc_from_code_set returns None when the
+    # code is missing from the set (helpers.py:129-142) — no literal
+    # "Unknown subject" substitute
+    md = spark.createDataFrame(
+        [(44100001, "Some cube", "Un cube", ["4410"], ["9999"])],
+        "productId long, cubeTitleEn string, cubeTitleFr string, "
+        "subjectCode array<string>, surveyCode array<string>",
+    )
+    by_id = {
+        r["IndicatorThemeId"]: r
+        for r in SS.build_indicator_theme(md, lookups["subjects"]).collect()
+    }
+    assert by_id[4410]["IndicatorTheme_EN"] is None
+    assert by_id[44]["IndicatorTheme_FR"] is None
