@@ -16,10 +16,14 @@ partition column automatically.
 
 from __future__ import annotations
 
+import json
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+COMMITTED = "_committed.json"  # per-partition live-file manifest (hidden from Spark's own discovery by the leading underscore)
 
 # Tables partitioned by product (replace unit). Lookup tables
 # (GeographyReference, GeographicLevel, NullReason) are unpartitioned.
@@ -52,33 +56,105 @@ class TableStore:
     def _path(self, table: str) -> str:
         return f"{self.root}/{table}"
 
+    @contextmanager
+    def _exclusive_lock(self):
+        """Cross-process mutual exclusion for recover()/publish: two
+        processes opening the store while a committed txn is publishing
+        must not both enter _publish on the same txn dir (the bare
+        ``staged.exists()`` guard is TOCTOU). flock works on local and
+        NFS filesystems; on an object store a table format's own commit
+        service would replace this class wholesale."""
+        import fcntl
+
+        Path(self.root).mkdir(parents=True, exist_ok=True)
+        f = open(Path(self.root) / "_lock", "w")
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+            f.close()
+
     def exists(self, table: str) -> bool:
         return Path(self._path(table)).exists()
 
+    def _live_files(self, table_dir: Path) -> list[str]:
+        """Resolve the table's live data files through the per-partition
+        ``_committed.json`` manifests (snapshot isolation: a publish
+        swaps the manifest atomically and leaves the previous version's
+        files on disk until vacuum(), so an in-flight reader whose plan
+        captured the old list keeps reading consistent all-old data).
+        Partitions without a manifest — plain appends, legacy layouts —
+        fall back to directory listing, where every file is live."""
+        files: list[str] = []
+        for entry in sorted(table_dir.iterdir()):
+            if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
+                cm = entry / COMMITTED
+                if cm.exists():
+                    names = json.loads(cm.read_text())["files"]
+                    files += [str(entry / n) for n in names]
+                else:
+                    files += sorted(str(f) for f in entry.glob("*.parquet"))
+            elif entry.suffix == ".parquet":
+                files.append(str(entry))
+        return files
+
     def read(self, table: str) -> DataFrame | None:
         """None when the table has no data yet (including the
-        every-partition-deleted state, where the directory exists but
-        holds no parquet files to infer a schema from)."""
+        every-partition-deleted state). Reads resolve through the
+        committed manifests — the explicit file list (with basePath so
+        the partition column survives) is the same mechanism a table
+        format's snapshot read uses, and costs one driver-side listing,
+        no extra Spark jobs."""
         p = Path(self._path(table))
-        if not p.exists() or not any(p.rglob("*.parquet")):
+        if not p.exists():
             return None
-        return self.spark.read.parquet(self._path(table))
+        files = self._live_files(p)
+        if not files:
+            return None
+        return self.spark.read.option("basePath", str(p)).parquet(*files)
 
     # -- S10: append sink --------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
         """Append rows; product tables keep their partition layout (a
         bare-file append into a partitioned directory would make the
-        rows invisible to partition discovery)."""
+        rows invisible to partition discovery). Partitions already under
+        manifest control get their manifest extended with exactly the
+        newly-written files, so the append is visible without
+        resurrecting unvacuumed previous-version files."""
+        p = Path(self._path(table))
+        before: dict[Path, set[str]] = {}
+        if p.exists():
+            for part in p.glob(f"{PARTITION_COL}=*"):
+                if (part / COMMITTED).exists():
+                    before[part] = {f.name for f in part.glob("*.parquet")}
         w = df.write.mode("append")
         if PARTITION_COL in df.columns:
             w = w.partitionBy(PARTITION_COL)
         w.parquet(self._path(table))
+        for part, old_names in before.items():
+            new_names = {f.name for f in part.glob("*.parquet")} - old_names
+            if new_names:
+                cm = part / COMMITTED
+                names = json.loads(cm.read_text())["files"] + sorted(new_names)
+                self._write_committed(part, names)
+
+    @staticmethod
+    def _write_committed(part_dir: Path, names: list[str]) -> None:
+        tmp = part_dir / (COMMITTED + ".tmp")
+        tmp.write_text(json.dumps({"files": names}))
+        tmp.rename(part_dir / COMMITTED)  # atomic swap: the snapshot point
 
     # -- S11 + I2: idempotent product replace ------------------------------
     def replace_product(self, table: str, df: DataFrame, product_id: int) -> None:
         """Replace exactly one product's rows: write partitioned by
         product id with dynamic partition overwrite. The frame must
-        carry PARTITION_COL (added here when absent)."""
+        carry PARTITION_COL (added here when absent). This legacy
+        single-table path rewrites the partition dir in place (no
+        snapshot for in-flight readers — use replace_product_all for
+        the transactional publish); any manifest left from a previous
+        transactional publish is dropped so the freshly-written files
+        are live under listing mode."""
         if PARTITION_COL not in df.columns:
             df = df.withColumn(PARTITION_COL, F.lit(product_id).cast("long"))
         (
@@ -86,6 +162,8 @@ class TableStore:
             .partitionBy(PARTITION_COL)
             .parquet(self._path(table))
         )
+        cm = Path(self._path(table)) / f"{PARTITION_COL}={product_id}" / COMMITTED
+        cm.unlink(missing_ok=True)
 
     # -- I2 at cross-table scope: atomic multi-table product replace ------
     # The reference wraps its 6-table cascading DELETE + inserts in one
@@ -103,67 +181,133 @@ class TableStore:
     # discards the orphan staging dir -> all-OLD). A crash after (2)
     # is completed by recover() on the next store open (roll-forward
     # -> all-NEW). Readers opening the store never observe a mix.
-    # In-flight readers during PUBLISH on a plain filesystem are out
-    # of scope (no snapshot isolation without a table format's
-    # manifest indirection); the recovery contract covers every
-    # process boundary, which is what the reference's transaction
-    # gave its batch pipeline.
+    # In-flight readers during PUBLISH are covered by manifest
+    # indirection: staged files move into the partition dir under
+    # their (UUID-unique) names, then the partition's _committed.json
+    # swaps atomically — a reader whose plan resolved the old manifest
+    # keeps scanning the old files, which stay on disk until vacuum().
     def replace_product_all(
         self, product_id: int, frames: dict[str, DataFrame]
     ) -> None:
-        import json
         import shutil
 
-        txn = Path(self.root) / "_staging" / f"txn_{product_id}"
-        if txn.exists():
-            shutil.rmtree(txn)
-        txn.mkdir(parents=True)
-        for table, df in frames.items():
-            if PARTITION_COL in df.columns:
-                df = df.drop(PARTITION_COL)
-            # payload files exclude the partition column, exactly like
-            # a partitioned write's IndicatorThemeId={pid} directory
-            df.write.parquet(str(txn / table))
-        manifest = {"product_id": product_id, "tables": sorted(frames)}
-        tmp = txn / "MANIFEST.json.tmp"
-        tmp.write_text(json.dumps(manifest))
-        tmp.rename(txn / "MANIFEST.json")          # commit point
-        self._publish(txn, manifest)
+        with self._exclusive_lock():
+            txn = Path(self.root) / "_staging" / f"txn_{product_id}"
+            if txn.exists():
+                shutil.rmtree(txn)
+            txn.mkdir(parents=True)
+            for table, df in frames.items():
+                if PARTITION_COL in df.columns:
+                    df = df.drop(PARTITION_COL)
+                # payload files exclude the partition column, exactly like
+                # a partitioned write's IndicatorThemeId={pid} directory
+                df.write.parquet(str(txn / table))
+            manifest = {
+                "product_id": product_id,
+                "tables": sorted(frames),
+                # captured at commit time so a redo after a mid-publish
+                # crash knows exactly which target files belong to this
+                # txn (some may already have moved out of staging)
+                "files": {
+                    t: sorted(f.name for f in (txn / t).glob("*.parquet"))
+                    for t in frames
+                },
+            }
+            tmp = txn / "MANIFEST.json.tmp"
+            tmp.write_text(json.dumps(manifest))
+            tmp.rename(txn / "MANIFEST.json")          # commit point
+            self._publish(txn, manifest)
 
     def _publish(self, txn: Path, manifest: dict, fail_after: int | None = None) -> None:
-        """Swap staged dirs into place; ``fail_after`` is a test hook
-        that simulates a crash after N table swaps."""
+        """Move each table's staged files into its partition dir, then
+        atomically swap that partition's _committed.json to the new file
+        list. Idempotent: a redo re-moves whatever is still staged and
+        rewrites the same manifests. Caller holds the store lock (or is
+        a test driving the crash hook). ``fail_after`` simulates a crash
+        after N tables are published."""
         import shutil
 
         pid = manifest["product_id"]
+        if "files" not in manifest:
+            # manifest from an older layout (or hand-built in tests):
+            # amend it with the staged file lists before touching any
+            # live dir, so a crash mid-publish still leaves a redo-able
+            # record of which files are this txn's
+            manifest["files"] = {
+                t: sorted(f.name for f in (txn / t).glob("*.parquet"))
+                for t in manifest["tables"]
+                if (txn / t).exists()
+            }
+            tmp = txn / "MANIFEST.json.tmp"
+            tmp.write_text(json.dumps(manifest))
+            tmp.rename(txn / "MANIFEST.json")
         for n, table in enumerate(manifest["tables"]):
             if fail_after is not None and n >= fail_after:
                 raise RuntimeError(f"simulated crash after {fail_after} swaps")
-            staged = txn / table
-            if not staged.exists():
-                continue                            # already swapped (redo)
+            names = manifest["files"].get(table, [])
+            if not names:
+                continue
             target = Path(self._path(table)) / f"{PARTITION_COL}={pid}"
-            if target.exists():
-                shutil.rmtree(target)
-            target.parent.mkdir(parents=True, exist_ok=True)
-            staged.rename(target)
+            target.mkdir(parents=True, exist_ok=True)
+            for name in names:
+                src = txn / table / name
+                if src.exists():
+                    try:
+                        src.rename(target / name)
+                    except FileNotFoundError:
+                        pass                       # concurrent recover won
+            self._write_committed(target, names)   # snapshot point
         shutil.rmtree(txn)
 
     def recover(self) -> None:
         """Complete (roll forward) any committed-but-unpublished
-        transaction; discard (roll back) any uncommitted staging."""
-        import json
+        transaction; discard (roll back) any uncommitted staging.
+        Exclusive-locked: concurrent store opens serialize here instead
+        of double-publishing (or rolling back a transaction another
+        process is mid-staging)."""
         import shutil
 
         staging = Path(self.root) / "_staging"
         if not staging.exists():
             return
-        for txn in staging.iterdir():
-            mf = txn / "MANIFEST.json"
-            if mf.exists():
-                self._publish(txn, json.loads(mf.read_text()))
-            else:
-                shutil.rmtree(txn)
+        with self._exclusive_lock():
+            if not staging.exists():
+                return
+            for txn in staging.iterdir():
+                if not txn.is_dir():
+                    continue
+                mf = txn / "MANIFEST.json"
+                if mf.exists():
+                    self._publish(txn, json.loads(mf.read_text()))
+                else:
+                    shutil.rmtree(txn)
+
+    def vacuum(self, table: str | None = None, older_than_seconds: float = 0.0) -> int:
+        """Garbage-collect previous-version data files: in every
+        manifest-bearing partition, delete parquet files NOT in the
+        committed manifest and older than the retention window. Run
+        out-of-band (the analog of a table format's VACUUM) once no
+        reader still holds a plan over the superseded snapshot.
+        Returns the number of files removed."""
+        import time
+
+        cutoff = time.time() - older_than_seconds
+        removed = 0
+        tables = [table] if table else PRODUCT_TABLES
+        for t in tables:
+            p = Path(self._path(t))
+            if not p.exists():
+                continue
+            for part in p.glob(f"{PARTITION_COL}=*"):
+                cm = part / COMMITTED
+                if not cm.exists():
+                    continue
+                live = set(json.loads(cm.read_text())["files"])
+                for f in part.glob("*.parquet"):
+                    if f.name not in live and f.stat().st_mtime <= cutoff:
+                        f.unlink()
+                        removed += 1
+        return removed
 
     def delete_product(self, product_id: int) -> None:
         """Cascading delete across all product tables (reference

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import zipfile
 
+from pyspark.sql import functions as F
+
 from geo_explorer_etl_spark.sources.cube_csv import (
     cube_schema,
     extract_zip,
@@ -198,3 +200,67 @@ def test_replace_product_all_crash_recovery(spark, tmp_path):
     store3 = TableStore(spark, root)              # rolls BACK the staging
     assert versions(store3) == {"IndicatorValues": "v2", "RelatedCharts": "v2"}
     assert not txn3.exists()
+
+
+def test_snapshot_isolation_for_inflight_readers(spark, tmp_path):
+    """Manifest-indirection reads: a reader whose plan was resolved
+    BEFORE a replace_product_all keeps seeing the old version in full
+    (the publish swaps _committed.json atomically and leaves the old
+    files on disk), while a fresh read resolves the new manifest.
+    vacuum() then garbage-collects the superseded files."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import COMMITTED, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 7
+    store = TableStore(spark, root)
+
+    def frame(tag, n):
+        return spark.range(n).select(
+            F.col("id"), F.lit(tag).alias("v")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame("old", 10)})
+    snapshot = store.read("IndicatorValues")      # file list resolved NOW
+
+    store.replace_product_all(pid, {"IndicatorValues": frame("new", 7)})
+
+    # the in-flight reader still scans consistent all-OLD data
+    old_rows = snapshot.collect()
+    assert len(old_rows) == 10 and {r["v"] for r in old_rows} == {"old"}
+    # a fresh read resolves the swapped manifest: all-NEW
+    new_rows = store.read("IndicatorValues").collect()
+    assert len(new_rows) == 7 and {r["v"] for r in new_rows} == {"new"}
+
+    # superseded files linger until vacuum (that's the isolation), then
+    # are GC'd; the live manifest's files all survive
+    part = Path(root) / "IndicatorValues" / f"IndicatorThemeId={pid}"
+    import json
+
+    live = set(json.loads((part / COMMITTED).read_text())["files"])
+    on_disk = {f.name for f in part.glob("*.parquet")}
+    assert live < on_disk                          # old files still present
+    removed = store.vacuum("IndicatorValues")
+    assert removed == len(on_disk - live)
+    assert {f.name for f in part.glob("*.parquet")} == live
+    assert [r["v"] for r in store.read("IndicatorValues").limit(1).collect()] == ["new"]
+
+
+def test_append_extends_committed_manifest(spark, tmp_path):
+    """An append into a manifest-controlled partition must be visible
+    (manifest extended with exactly the new files) without resurrecting
+    unvacuumed previous-version files."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 7
+    store = TableStore(spark, root)
+    store.replace_product_all(pid, {"DimensionValues": spark.range(5).select("id")})
+    store.replace_product_all(pid, {"DimensionValues": spark.range(3).select("id")})
+    # old 5-row version is unvacuumed on disk; append 2 more rows
+    store.append(
+        "DimensionValues",
+        spark.range(2).select("id").withColumn(PARTITION_COL, F.lit(pid).cast("long")),
+    )
+    assert store.read("DimensionValues").count() == 5  # 3 live + 2 appended
