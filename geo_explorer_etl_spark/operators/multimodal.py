@@ -126,7 +126,14 @@ def _signal_features(samples: list[float], dim: int) -> list[float]:
 
 
 def _real_decode(content: bytes, mime: str, dim: int) -> list[float]:
-    if mime == "audio/wav" or (content or b"")[:4] == b"RIFF":
+    blob = content or b""
+    # RIFF is a container family (WAV, WebP, AVI…): require the WAVE
+    # form type at bytes 8:12 before dispatching to the WAV decoder, so
+    # a WebP/AVI blob falls through to the honest NotImplementedError
+    # instead of a wave.Error deep in the decoder
+    if mime in ("audio/wav", "audio/x-wav") or (
+        blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    ):
         _, _, samples = decode_wav(content)
         return _signal_features(samples, dim)
     if mime == "image/bmp" or (content or b"")[:2] == b"BM":

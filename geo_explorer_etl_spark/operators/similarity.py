@@ -184,7 +184,13 @@ def bucketed_near_dup_pairs(
     recall gate in tests compares the two. Skewed buckets are handled
     by AQE skew-join or the salting helpers in operators/skew.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:  # empty input: same empty (id_a, id_b, cosine) frame as the exact twin
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {emb.schema[id_col].dataType.simpleString()}, "
+                f"id_b {emb.schema[id_col].dataType.simpleString()}, cosine double"
+        )
+    dim = len(first[0])
     v = _as_double(F.col(vec_col))
     band_buckets = F.array(
         *[
@@ -260,6 +266,7 @@ def ivf_near_dup_pairs(
     (bounded to [16, 4096]) so per-cell candidate blowup stays ~constant
     as the corpus grows; the count() it costs is one columnar scan.
     """
+    id_type = emb.schema[id_col].dataType.simpleString()
     if centroids is None and n_centroids is None:
         n_centroids = max(16, min(4096, int(emb.count() ** 0.5)))
     cents = (
@@ -267,6 +274,10 @@ def ivf_near_dup_pairs(
         if centroids is not None
         else train_centroids(emb, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col)
     )
+    if not cents:  # empty corpus: same empty frame as the exact twin
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
     # cell assignment is a dense (batch × dim) @ (dim × K) matmul —
     # exactly what Arrow-batched numpy is for. A per-centroid column
     # expression would codegen K×dim literal folds per row (minutes of
@@ -295,8 +306,10 @@ def ivf_near_dup_pairs(
                 }
             )
 
+    # id field keeps the INPUT id type (string ids must round-trip
+    # unchanged, not be coerced to long)
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, _v array<double>, _n double, _cell int"
+        assign, schema=f"{id_col} {id_type}, _v array<double>, _n double, _cell int"
     )
     a = assigned.select(
         F.col("_cell").alias("cell_a"),
@@ -384,30 +397,133 @@ def train_centroids(
     iters: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    samples_per_centroid: int = 32,
+    distributed: bool | None = None,
 ) -> list[list[float]]:
-    """Deterministic driver-side k-means for IVF cells.
+    """Deterministic k-means for IVF cells — scales to the corpus.
 
-    Samples up to ``sample_limit`` vectors (ordered by id — stable),
-    initializes centroids from evenly spaced sample points, runs a few
-    Lloyd iterations in numpy. Driver-side by design: the TRAINING set
-    is a bounded sample regardless of corpus size; only ASSIGNMENT
-    scales with the data and that stays in Spark.
+    The training set is drawn DISTRIBUTED: a seeded hash-mod filter on
+    the id keeps ~target rows wherever they live — no global sort, no
+    low-id bias, no driver materialization of the corpus (the round-2
+    version collected the first ``sample_limit`` rows by id, which
+    neither grew with K nor sampled uniformly). The target grows with
+    the cell count (``samples_per_centroid × K``), so K=√n stays
+    well-determined as the corpus grows.
+
+    Lloyd iterations then run in one of two modes:
+
+    - driver  (small corpora / samples ≤ ``sample_limit``): collect the
+      hash-drawn sample once, iterate in numpy. Bounded and fast.
+    - sharded (``distributed=True`` or target > ``sample_limit``): each
+      iteration is one Spark job — mapInPandas emits per-partition
+      partial (count, vector-sum) per cell, a (cell, pos) groupBy merges
+      them, and the driver collects only K×dim doubles to renormalize.
+      Nothing driver-side ever exceeds the centroid matrix.
+
+    Deterministic by construction: seeded hash sample, farthest-first
+    init over a bounded hash-ordered subsample, fixed iteration count
+    (sharded-mode float sums can differ in the last ulp across
+    partition layouts; cell assignments are robust to that).
     """
     import numpy as np
 
-    sample = (
-        emb.orderBy(id_col).limit(sample_limit).select(vec_col).collect()
+    n = emb.count()
+    if n == 0:
+        return []
+    target = max(sample_limit, samples_per_centroid * n_centroids)
+    mod = max(1, n // target)
+    s = emb.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(mod)) == F.lit(0))
+    if distributed is None:
+        distributed = target > sample_limit
+
+    # deterministic, well-spread init: farthest-first (k-center greedy)
+    # over a BOUNDED hash-ordered subsample — O(k·|subsample|) driver
+    # work, never more than max(2048, k) vectors collected
+    init_rows = (
+        s.orderBy(F.xxhash64(F.col("_id"), F.lit(1)), F.col("_id"))
+        .limit(max(2048, n_centroids))
+        .select("_v")
+        .collect()
     )
-    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
-    c = x[idx].copy()
-    for _ in range(iters):
-        sims = x @ c.T                       # cosine on normalized rows
-        assign = sims.argmax(axis=1)
-        for j in range(n_centroids):
-            members = x[assign == j]
-            if len(members):
-                m = members.mean(axis=0)
-                c[j] = m / max(np.linalg.norm(m), 1e-12)
-    return [[float(v) for v in row] for row in c]
+    if not init_rows:
+        return []
+    xi = np.array([list(r["_v"]) for r in init_rows], dtype=np.float64)
+    xi = xi / np.maximum(np.linalg.norm(xi, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(xi))
+    chosen = [0]
+    dist = 1.0 - xi @ xi[0]
+    for _ in range(1, k):
+        nxt = int(np.argmax(dist))
+        chosen.append(nxt)
+        dist = np.minimum(dist, 1.0 - xi @ xi[nxt])
+    c = xi[chosen].copy()
+    dim = c.shape[1]
+
+    if not distributed:
+        x = np.array(
+            [list(r["_v"]) for r in s.select("_v").collect()], dtype=np.float64
+        )
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        for _ in range(iters):
+            assign = (x @ c.T).argmax(axis=1)
+            for j in range(k):
+                members = x[assign == j]
+                if len(members):
+                    m = members.mean(axis=0)
+                    c[j] = m / max(np.linalg.norm(m), 1e-12)
+        return [[float(v) for v in row] for row in c]
+
+    s = s.persist()
+    try:
+        for _ in range(iters):
+            cb = c.copy()
+
+            def partials(batches, cb=cb):
+                import numpy as np
+                import pandas as pd
+
+                sums = np.zeros_like(cb)
+                cnts = np.zeros(len(cb), dtype=np.int64)
+                for pdf in batches:
+                    x = np.array(pdf["_v"].tolist(), dtype=np.float64)
+                    if len(x) == 0:
+                        continue
+                    xn = x / np.maximum(
+                        np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                    )
+                    a = (xn @ cb.T).argmax(axis=1)
+                    np.add.at(sums, a, xn)
+                    cnts += np.bincount(a, minlength=len(cb))
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(len(cb), dtype=np.int32),
+                        "cnt": cnts,
+                        "vsum": [list(r) for r in sums],
+                    }
+                )
+
+            part = s.mapInPandas(partials, schema="cell int, cnt long, vsum array<double>")
+            counts = {
+                r["cell"]: r["n"]
+                for r in part.groupBy("cell").agg(F.sum("cnt").alias("n")).collect()
+            }
+            merged = (
+                part.select("cell", F.posexplode("vsum").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"))
+                .collect()                       # K×dim rows — the only driver data
+            )
+            new_c = c.copy()
+            acc = np.zeros((k, dim))
+            for r in merged:
+                acc[r["cell"], r["pos"]] = r["s"]
+            for j in range(k):
+                if counts.get(j, 0):
+                    m = acc[j] / counts[j]
+                    new_c[j] = m / max(np.linalg.norm(m), 1e-12)
+            c = new_c
+        return [[float(v) for v in row] for row in c]
+    finally:
+        s.unpersist()

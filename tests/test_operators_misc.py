@@ -102,6 +102,49 @@ def test_ivf_near_dup_recall_and_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_distributed_kmeans_matches_driver_recall(spark):
+    """Sharded Lloyd training (mapInPandas partials + Spark-side merge,
+    K×dim driver collect) must clear the same near-dup recall gate as
+    the driver-mode trainer — the path a 100 TB corpus takes."""
+    from geo_explorer_etl_spark.operators import similarity as SIM
+
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    cents = SIM.train_centroids(emb, n_centroids=16, iters=5, distributed=True)
+    assert len(cents) == 16 and all(len(c) == len(cents[0]) for c in cents)
+    ivf = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.ivf_near_dup_pairs(
+            emb, threshold=0.4, centroids=cents, nprobe=3
+        ).collect()
+    }
+    assert ivf <= exact
+    assert exact and len(ivf & exact) / len(exact) >= 0.7
+
+
+def test_near_dup_empty_input_and_string_ids(spark):
+    """Empty corpora return empty (id_a, id_b, cosine) frames from all
+    three near-dup variants (the exact twin's contract); non-long doc
+    ids survive the IVF mapInPandas round-trip unchanged."""
+    from geo_explorer_etl_spark.operators import similarity as SIM
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label string")
+    assert SIM.cosine_near_dup_pairs(empty).count() == 0
+    assert SIM.bucketed_near_dup_pairs(empty).count() == 0
+    assert SIM.ivf_near_dup_pairs(empty).count() == 0
+    assert SIM.train_centroids(empty) == []
+
+    sids = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.9, 0.1]), ("doc-c", [-1.0, 0.2])],
+        "vec_id string, embedding array<float>",
+    )
+    pairs = SIM.ivf_near_dup_pairs(sids, threshold=0.9, n_centroids=2, nprobe=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("doc-a", "doc-b")}
+
+
 def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
     """A pathological corpus (many copies of one template) floods one
     LSH bucket; max_bucket_size drops the degenerate bucket so the

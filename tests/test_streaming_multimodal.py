@@ -91,6 +91,18 @@ def test_multimodal_decode_stub_raises(spark):
         extract_features(media, fake=False).collect()
 
 
+def test_multimodal_riff_non_wave_not_routed_to_wav(spark):
+    """RIFF is a container family: a WebP blob (RIFF....WEBP) must fall
+    through to the honest no-codec error, not a wave.Error from the WAV
+    decoder."""
+    webp = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"VP8 fake"
+    media = spark.createDataFrame(
+        [(1, "image", "image/webp", webp, None, None, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        extract_features(media, fake=False).collect()
+
+
 def _wav_fixture() -> bytes:
     """440 Hz-ish PCM-16 mono square wave, 800 samples @ 8 kHz."""
     import io
