@@ -26,7 +26,7 @@ from geo_explorer_etl_spark.operators import joins as J
 from geo_explorer_etl_spark.sources.cube_csv import read_cube_csv
 from geo_explorer_etl_spark.sources.merge_registry import MergeRegistry
 from geo_explorer_etl_spark.sources.product_defaults import ProductDefaults
-from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+from geo_explorer_etl_spark.sources.store import BucketedStore, PARTITION_COL, TableStore
 from geo_explorer_etl_spark.sources.wds import WdsClient
 
 log = logging.getLogger(__name__)
@@ -47,6 +47,10 @@ class Pipeline:
     uom_codes: DataFrame
     subject_codes: DataFrame
     chart_defaults: ProductDefaults = field(default_factory=ProductDefaults)
+    # opt-in co-located mirror of the two fact tables, bucketed on
+    # IndicatorValueId: the values⋈bridge join (PrimaryQuery's spine)
+    # then runs with zero Exchange on both sides at any scale
+    bucketed: BucketedStore | None = None
 
     def policy_for(self, pid: int) -> ProductPolicy:
         is_sibling = self.registry.is_sibling(pid)
@@ -221,6 +225,22 @@ class Pipeline:
         # nothing across tables (reference scdb.py:51-71's DB txn)
         try:
             self.store.replace_product_all(pid, frames)
+            if self.bucketed is not None:
+                # bucketed mirror AFTER the txn commits (the mirror is a
+                # derived layout, not the source of truth); both writes
+                # reuse the persisted `values`
+                self.bucketed.mirror_product(
+                    conform(values, "IndicatorValues"),
+                    "IndicatorValuesBucketed",
+                    pid,
+                    "IndicatorValueId",
+                )
+                self.bucketed.mirror_product(
+                    conform(geo_ref_bridge, "GeographyReferenceForIndicator"),
+                    "GeographyReferenceForIndicatorBucketed",
+                    pid,
+                    "IndicatorValueId",
+                )
         finally:
             values.unpersist()
 

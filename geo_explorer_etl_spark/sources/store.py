@@ -404,3 +404,35 @@ class BucketedStore:
 
     def read(self, table: str) -> DataFrame:
         return self.spark.table(table)
+
+    def mirror_product(
+        self, df: DataFrame, table: str, product_id: int, bucket_col: str
+    ) -> None:
+        """Per-product replace into a PARTITIONED + BUCKETED managed
+        table — the co-located mirror of a TableStore fact table. The
+        partition column keeps the product-replace lifecycle (drop one
+        partition, append its successor); the bucket spec makes every
+        later join on ``bucket_col`` between two mirrors shuffle-free
+        on both sides. Storage is paid twice for these tables by
+        design: the bucketed layout is written once per product replace
+        and saves a full-table Exchange on every subsequent fact⋈fact
+        read — the right trade when the read path (PrimaryQuery's
+        values⋈bridge) runs many times per publish."""
+        if PARTITION_COL not in df.columns:
+            df = df.withColumn(PARTITION_COL, F.lit(product_id).cast("long"))
+        if self.spark.catalog.tableExists(table):
+            self.spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS "
+                f"PARTITION ({PARTITION_COL}={product_id})"
+            )
+            mode = "append"
+        else:
+            mode = "overwrite"
+        (
+            df.write.mode(mode)
+            .partitionBy(PARTITION_COL)
+            .bucketBy(self.n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .format("parquet")
+            .saveAsTable(table)
+        )

@@ -144,6 +144,43 @@ def test_delete_product(env):
     assert iv is None or iv.count() == 0
 
 
+def test_pipeline_bucketed_mirror_join_has_no_shuffle(env, spark):
+    """E2 with the opt-in bucketed mirror: the values⋈bridge join over
+    the mirror tables (PrimaryQuery's spine) runs end-to-end with ZERO
+    Exchange — the 100 TB fact-to-fact pattern, now wired through the
+    pipeline rather than only the standalone BucketedStore test."""
+    from geo_explorer_etl_spark.sources.store import BucketedStore
+
+    pipe, csv = env
+    for t in ("IndicatorValuesBucketed", "GeographyReferenceForIndicatorBucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    pipe.bucketed = BucketedStore(spark, n_buckets=4)
+    pipe.insert_product([PID], csv_path_for=lambda pid: csv)
+
+    iv = spark.table("IndicatorValuesBucketed")
+    grb = spark.table("GeographyReferenceForIndicatorBucketed")
+    # mirror contents match the source-of-truth store
+    assert iv.count() == pipe.store.read("IndicatorValues").count()
+    assert grb.count() == pipe.store.read("GeographyReferenceForIndicator").count()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = iv.join(grb, "IndicatorValueId").select(
+            "IndicatorValueCode", "GeographyReferenceId", "Value"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # product re-append replaces the mirror partition, not append-dupes
+    pipe.append_product(PID, csv)
+    assert spark.table("IndicatorValuesBucketed").count() == 4
+
+
 def test_refresh_date_range_filters_unknown_and_merged(env):
     pipe, csv = env
     pipe.insert_product([PID], csv_path_for=lambda pid: csv)
