@@ -29,6 +29,8 @@ HEADLINE = [
     "o3_topk_per_group",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_bucketed",
     "dedup_embedding_cosine_ivf",
     "ann_cosine_topk",
     "text_quality_scores",

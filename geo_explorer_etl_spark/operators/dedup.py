@@ -187,6 +187,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    overflow: str = "drop",
 ) -> DataFrame:
     """Banded LSH over MinHash signatures: docs sharing any band bucket
     become candidate near-duplicate pairs.
@@ -195,12 +196,23 @@ def minhash_lsh_candidates(
     band_hash) — a high-cardinality composite key; true near-dups
     concentrate in small buckets, so no quadratic blowup unless data
     is pathologically self-similar. ``max_bucket_size`` bounds that
-    worst case: buckets with more members are dropped before the
-    self-join (a bucket of B docs emits B²/2 pairs — at corpus scale
-    an over-full bucket is near-always boilerplate/templated text, and
-    byte-identical copies are already caught by ``exact_dedup_groups``
-    upstream). With the cap, candidate count is bounded by
-    bands × n_buckets × cap²/2 regardless of input pathology.
+    worst case (a bucket of B docs emits B²/2 pairs), with two
+    selectable behaviors for over-full buckets:
+
+    - ``overflow="drop"``: discard them before the self-join. Zero
+      recall inside those buckets — at corpus scale an over-full
+      bucket is near-always boilerplate/templated text, and
+      byte-identical copies are already caught by
+      ``exact_dedup_groups`` upstream. Candidates ≤
+      bands × n_buckets × cap²/2.
+    - ``overflow="salt"``: shard each over-full bucket into
+      ⌈B/cap⌉ hash-shards of ~cap docs and self-join within shards.
+      PARTIAL recall inside those buckets (~1/shards of their pairs —
+      the cross-shard pairs are the sacrifice) instead of zero, at the
+      same per-task bound: no shard exceeds ~cap expected members, so
+      the worst task stays bounded and skew-free. Pick salt when
+      over-full buckets may still hide real near-dups worth a
+      recall floor; pick drop when they are known boilerplate.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
@@ -225,19 +237,29 @@ def minhash_lsh_candidates(
     banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         F.col(id_col), F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
+    join_keys = ["band_id", "band_hash"]
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band_id", "band_hash")
-        banded = (
-            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
-    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
+        banded = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        if overflow == "salt":
+            shards = F.ceil(F.col("_bucket_n") / F.lit(max_bucket_size)).cast("long")
+            banded = banded.withColumn(
+                "_shard",
+                F.when(F.col("_bucket_n") <= max_bucket_size, F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col)), shards).cast("int")
+                ),
+            ).drop("_bucket_n")
+            join_keys = join_keys + ["_shard"]
+        else:
+            banded = banded.filter(F.col("_bucket_n") <= max_bucket_size).drop(
+                "_bucket_n"
+            )
+    a = banded.select(F.col(id_col).alias("doc_a"), *join_keys)
+    b = banded.select(F.col(id_col).alias("doc_b"), *join_keys)
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, join_keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -163,3 +163,17 @@ def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
     capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (100, 101) in capped_pairs            # real pair survives
     assert len(capped_pairs) < 50                # blowup gone
+
+    # salt mode: over-full buckets shard instead of vanish — PARTIAL
+    # recall inside the degenerate bucket (drop gives zero there),
+    # bounded per-shard work, and strictly fewer candidates than the
+    # uncapped blowup
+    salted = minhash_lsh_candidates(
+        docs, "text", "doc_id", max_bucket_size=10, overflow="salt"
+    )
+    salted_pairs = {(r["doc_a"], r["doc_b"]) for r in salted.collect()}
+    assert (100, 101) in salted_pairs            # real pair still survives
+    boiler = {p for p in salted_pairs if p[0] < 50 and p[1] < 50}
+    assert boiler                                 # drop-mode recall floor beaten
+    assert len(salted_pairs) < uncapped           # but bounded vs uncapped
+    assert len(capped_pairs) <= len(salted_pairs) <= uncapped

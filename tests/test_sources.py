@@ -148,6 +148,20 @@ def test_jdbc_lookup_source_roundtrip(spark):
     write_jdbc(extra, url, 'gis."GEOGRAPHYREFERENCE"')
     assert src.read_table("GeographyReference").count() == 3
 
+    # full write->read round-trip into a FRESH table whose name is a
+    # Derby reserved word ("ORDER"): the writer must create + quote it,
+    # and the quoted read must return value-identical rows
+    out = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, -0.25)],
+        "id bigint, label string, score double",
+    )
+    write_jdbc(out, url, 'gis."ORDER"')
+    back = src.read_table("ORDER")
+    # the writer quotes identifiers, so column case survives Derby
+    assert sorted(
+        (r["id"], r["label"], r["score"]) for r in back.collect()
+    ) == sorted((r["id"], r["label"], r["score"]) for r in out.collect())
+
 
 def test_replace_product_all_crash_recovery(spark, tmp_path):
     """Cross-table atomic replace (reference scdb.py:51-71's RDBMS
