@@ -142,10 +142,14 @@ def cosine_near_dup_pairs(
     dot product.
     """
     v = _as_double(F.col(vec_col))
+    # spread the pair enumeration across the cluster: a single-file
+    # corpus otherwise cross-joins (and pays every interpreted dot
+    # product) in ONE task
+    par = emb.sparkSession.sparkContext.defaultParallelism
     withn = emb.select(
         F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_n")
     )
-    a = withn.select(
+    a = withn.repartition(par).select(
         F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
     ).alias("a")
     b = withn.select(
@@ -203,40 +207,46 @@ def bucketed_near_dup_pairs(
             for band in range(n_bands)
         ]
     )
-    withn = emb.select(
-        F.col(id_col),
-        v.alias("_v"),
-        F.sqrt(_dot(v, v)).alias("_n"),
-        F.explode(band_buckets).alias("_bb"),
-    ).select(
-        id_col, "_v", "_n", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
+    # ids-only band join -> distinct -> join vectors back. Two wins over
+    # carrying vectors through the band join: (1) a pair matching in k
+    # bands pays its (interpreted, dim-length) dot product ONCE, not k
+    # times; (2) the band join's output is partitioned on (band, bucket)
+    # — as few as bands × 2^r distinct keys, a handful of busy tasks —
+    # while distinct() repartitions by pair id, spreading the expensive
+    # cosine stage evenly across the cluster.
+    banded = emb.select(F.col(id_col), F.explode(band_buckets).alias("_bb")).select(
+        id_col, F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
     )
-    a = withn.select(
-        F.col("_band").alias("band_a"),
-        F.col("_bucket").alias("bucket_a"),
-        F.col(id_col).alias("id_a"),
-        F.col("_v").alias("va"),
-        F.col("_n").alias("na"),
-    )
-    b = withn.select(
-        F.col("_band").alias("band_b"),
-        F.col("_bucket").alias("bucket_b"),
-        F.col(id_col).alias("id_b"),
-        F.col("_v").alias("vb"),
-        F.col("_n").alias("nb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("band_a") == F.col("band_b")) & (F.col("bucket_a") == F.col("bucket_b")),
-    ).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    # a pair can match in several bands: the rounded cosine is
-    # deterministic, so distinct() dedups without a join-back
-    return (
-        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    cand = (
+        banded.select(F.col("_band"), F.col("_bucket"), F.col(id_col).alias("id_a"))
+        .join(
+            banded.select(
+                F.col("_band"), F.col("_bucket"), F.col(id_col).alias("id_b")
+            ),
+            ["_band", "_bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
+    withn = emb.select(
+        F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_n")
+    )
+    pairs = cand.join(
+        withn.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+        ),
+        "id_a",
+    ).join(
+        withn.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def ivf_near_dup_pairs(
@@ -295,13 +305,10 @@ def ivf_near_dup_pairs(
             if len(x) == 0:
                 continue
             top = np.argsort(-(x @ cmat), axis=1)[:, :nprobe_]
-            norms = np.sqrt((x * x).sum(axis=1))
             k = top.shape[1]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy().repeat(k),
-                    "_v": [list(row) for row in x.repeat(k, axis=0)],
-                    "_n": norms.repeat(k),
                     "_cell": top.reshape(-1),
                 }
             )
@@ -309,29 +316,36 @@ def ivf_near_dup_pairs(
     # id field keeps the INPUT id type (string ids must round-trip
     # unchanged, not be coerced to long)
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} {id_type}, _v array<double>, _n double, _cell int"
+        assign, schema=f"{id_col} {id_type}, _cell int"
     )
-    a = assigned.select(
-        F.col("_cell").alias("cell_a"),
-        F.col(id_col).alias("id_a"),
-        F.col("_v").alias("va"),
-        F.col("_n").alias("na"),
-    )
-    b = assigned.select(
-        F.col("_cell").alias("cell_b"),
-        F.col(id_col).alias("id_b"),
-        F.col("_v").alias("vb"),
-        F.col("_n").alias("nb"),
-    )
-    pairs = a.join(b, F.col("cell_a") == F.col("cell_b")).filter(
-        F.col("id_a") < F.col("id_b")
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    # ids-only cell join -> distinct -> join vectors back (same shape as
+    # bucketed_near_dup_pairs): one dot per distinct pair, and the
+    # expensive cosine stage is partitioned by pair id instead of by the
+    # K-distinct-key cell column
+    cand = (
+        assigned.select(F.col("_cell"), F.col(id_col).alias("id_a"))
+        .join(assigned.select(F.col("_cell"), F.col(id_col).alias("id_b")), "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
+    v = _as_double(F.col(vec_col))
+    withn = emb.select(F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_n"))
+    pairs = cand.join(
+        withn.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+        ),
+        "id_a",
+    ).join(
+        withn.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def _seeded_centroids(n: int, dim: int, seed: str = "geo-explorer-ivf") -> list[list[float]]:
