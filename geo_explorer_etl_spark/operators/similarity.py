@@ -34,6 +34,25 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as an unrolled sum of ``dim`` element_at products.
+    Higher-order-function lambdas (`_dot`) evaluate INTERPRETED per
+    element — fine on corpus-sized scans, ~10× too slow on the
+    candidate-pair stage that touches millions of rows. The unrolled
+    form is a flat expression tree that whole-stage codegen compiles
+    to straight-line JVM code; addition order is left-to-right,
+    identical to the fold and to DuckDB's list_dot_product, so
+    rounded results stay oracle-exact. Requires the (plan-time) vector
+    dimension."""
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
@@ -141,10 +160,17 @@ def cosine_near_dup_pairs(
     Norms are precomputed once per row so the pair loop only pays one
     dot product.
     """
+    first = emb.select(vec_col).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {emb.schema[id_col].dataType.simpleString()}, "
+                f"id_b {emb.schema[id_col].dataType.simpleString()}, cosine double"
+        )
+    dim = len(first[0])
     v = _as_double(F.col(vec_col))
     # spread the pair enumeration across the cluster: a single-file
-    # corpus otherwise cross-joins (and pays every interpreted dot
-    # product) in ONE task
+    # corpus otherwise cross-joins (and pays every dot product) in ONE
+    # task
     par = emb.sparkSession.sparkContext.defaultParallelism
     withn = emb.select(
         F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_n")
@@ -156,7 +182,7 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
     ).alias("b")
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -243,7 +269,7 @@ def bucketed_near_dup_pairs(
         ),
         "id_b",
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -288,6 +314,7 @@ def ivf_near_dup_pairs(
         return emb.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, cosine double"
         )
+    dim = len(cents[0])
     # cell assignment is a dense (batch × dim) @ (dim × K) matmul —
     # exactly what Arrow-batched numpy is for. A per-centroid column
     # expression would codegen K×dim literal folds per row (minutes of
@@ -342,7 +369,7 @@ def ivf_near_dup_pairs(
         ),
         "id_b",
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

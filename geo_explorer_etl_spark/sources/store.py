@@ -427,6 +427,16 @@ class BucketedStore:
             )
             mode = "append"
         else:
+            # a fresh in-memory catalog may not know a table whose
+            # warehouse dir survives from an earlier session — clear the
+            # stale location or saveAsTable refuses (LOCATION_ALREADY_EXISTS)
+            import shutil
+
+            loc = Path(
+                self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            ) / table.lower()
+            if loc.exists():
+                shutil.rmtree(loc)
             mode = "overwrite"
         (
             df.write.mode(mode)
