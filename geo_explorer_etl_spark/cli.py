@@ -34,9 +34,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "instead of the warehouse; UOM/subject code sets come from WDS",
     )
     p.add_argument("--jdbc-schema", default="gis", help="schema of the JDBC lookup tables")
+    p.add_argument(
+        "--bucketed-mirror",
+        action="store_true",
+        help="also write IndicatorValues + the geo-ref bridge as "
+        "bucketed mirror tables (co-located values⋈bridge joins, "
+        "zero Exchange) — extra storage, faster repeated reads",
+    )
+    p.add_argument(
+        "--vacuum",
+        type=float,
+        metavar="HOURS",
+        help="garbage-collect fact-table files superseded more than "
+        "HOURS ago (snapshot-read retention), then exit",
+    )
     args = p.parse_args(argv)
 
     has_range = args.start is not None or args.end is not None
+    if args.vacuum is not None:
+        if args.insert or args.prodid or has_range:
+            p.error("--vacuum runs alone")
+        return args
     if args.insert and not args.prodid:
         p.error("--insert requires --prodid")
     if has_range and args.prodid:
@@ -65,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("geo-explorer-etl")
     store = TableStore(spark, args.warehouse)
+    if args.vacuum is not None:
+        removed = store.vacuum(older_than_seconds=args.vacuum * 3600)
+        print(f"vacuum: removed {removed} superseded files")
+        return 0
     wds = WdsClient(spark)
 
     def csv_path_for(pid: int) -> str:
@@ -107,6 +129,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"missing lookup tables: {missing}", file=sys.stderr)
         return 2
 
+    bucketed = None
+    if args.bucketed_mirror:
+        from geo_explorer_etl_spark.sources.store import BucketedStore
+
+        bucketed = BucketedStore(spark)
     pipe = Pipeline(
         spark=spark,
         store=store,
@@ -116,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         null_reason=null_reason,
         uom_codes=uom,
         subject_codes=subjects,
+        bucketed=bucketed,
     )
     if args.insert:
         pipe.insert_product(args.prodid, csv_path_for)

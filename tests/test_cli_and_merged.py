@@ -21,6 +21,10 @@ def test_cli_valid_forms():
     assert not a.insert and len(a.prodid) == 2
     a = parse_args(["--start", "2024-01-01", "--end", "2024-01-05"])
     assert a.start and a.end
+    a = parse_args(["--vacuum", "24"])
+    assert a.vacuum == 24.0
+    a = parse_args(["--prodid", "35100177", "--bucketed-mirror"])
+    assert a.bucketed_mirror
 
 
 @pytest.mark.parametrize(
@@ -32,6 +36,7 @@ def test_cli_valid_forms():
         ["--start", "2024-01-05", "--end", "2024-01-01"],    # ordered
         [],                                                  # nothing to do
         ["--prodid", "123"],                                 # not 8 digits
+        ["--vacuum", "24", "--prodid", "35100177"],          # vacuum runs alone
     ],
 )
 def test_cli_invalid_forms(argv):
