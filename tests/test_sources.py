@@ -261,6 +261,41 @@ def test_snapshot_isolation_for_inflight_readers(spark, tmp_path):
     assert [r["v"] for r in store.read("IndicatorValues").limit(1).collect()] == ["new"]
 
 
+def test_concurrent_publishes_serialize_under_lock(spark, tmp_path):
+    """Two threads replacing DIFFERENT products through the same store
+    root must both commit cleanly — the flock serializes staging and
+    publish, so neither recover() nor _publish can stomp the other's
+    txn dir (the round-2 TOCTOU)."""
+    import threading
+
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    errors: list[Exception] = []
+
+    def publish(pid):
+        try:
+            df = spark.range(50).select(
+                F.col("id"), F.lit(f"p{pid}").alias("v")
+            )
+            TableStore(spark, root).replace_product_all(
+                pid, {"IndicatorValues": df}
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced via the assert below
+            errors.append(e)
+
+    threads = [threading.Thread(target=publish, args=(pid,)) for pid in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    out = store.read("IndicatorValues")
+    assert out.count() == 100
+    assert {r["v"] for r in out.select("v").distinct().collect()} == {"p1", "p2"}
+
+
 def test_append_extends_committed_manifest(spark, tmp_path):
     """An append into a manifest-controlled partition must be visible
     (manifest extended with exactly the new files) without resurrecting
