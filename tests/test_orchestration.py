@@ -111,6 +111,17 @@ def test_insert_then_counts(env):
     vals = store.read("IndicatorValues")
     assert vals.count() == 4
     assert vals.filter(F.col("Value").isNull()).count() == 1
+    # cross-table linkage: the bridge was written as a SEPARATE job
+    # re-running the values lineage — with keyed (deterministic) fact
+    # ids its IndicatorValueIds must still be exactly the fact table's
+    # (the divergence monotonically_increasing_id allowed)
+    fact_ids = {r["IndicatorValueId"] for r in vals.collect()}
+    bridge_ids = {
+        r["IndicatorValueId"]
+        for r in store.read("GeographyReferenceForIndicator").collect()
+    }
+    assert bridge_ids == fact_ids
+    assert len(fact_ids) == 4                   # keyed ids are unique
     # presentation
     assert store.read("IndicatorMetaData").count() == 4
     assert store.read("RelatedCharts").count() == 4
