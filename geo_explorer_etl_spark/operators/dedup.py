@@ -13,6 +13,12 @@ Four strategies, scale-ranked:
                      quadratic in the worst case, use on candidate sets
                      (or small partitions), not raw corpora.
 
+Plus the step every pair generator feeds: ``connected_components``
+(min-label propagation — union-find as iterative DataFrame joins)
+clusters pairs into duplicate groups, and ``keep_representatives``
+emits the deduplicated corpus (min-id doc per cluster, singletons
+untouched).
+
 All are pure DataFrame ops — shingling and signatures use Spark's
 higher-order array functions, not Python UDFs.
 """
@@ -292,3 +298,94 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
           shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))
     """
     return df.select(F.col(id_col), F.expr(expr).alias(f"simhash{bits}"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: every dedup operator in
+    this module emits PAIRS; the pipeline step that follows them needs
+    CLUSTERS ("these 7 docs are one document") with one representative
+    kept. This is connected components over the pair graph, as
+    iterative min-label propagation in plain DataFrame ops — the
+    union-find analog that scales out:
+
+    each node starts labeled with itself; every iteration each node
+    takes the min of its own label and its neighbors' labels; converged
+    when no label changes. Iterations needed = graph diameter — for
+    dedup graphs (dense near-cliques around a template) that is small;
+    ``max_iters`` bounds pathological chains, and each iteration is one
+    self-equi-join + groupBy (no cartesian anything). Lineage is cut
+    per iteration with localCheckpoint so the plan does not grow
+    exponentially (the standard Spark iterative-algorithm pattern; at
+    cluster scale use a reliable checkpoint dir instead).
+
+    Returns (node, component) where component = min node id of the
+    cluster. Nodes that appear in no pair are their own singleton
+    cluster by definition and are NOT emitted — left-join the corpus
+    and coalesce to the doc's own id for the full labeling
+    (``keep_representatives`` does exactly that).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("component").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """The dedup KEEP set: cluster the near-dup pairs, keep the min-id
+    document of every cluster, pass singletons through untouched. One
+    row per surviving document, original columns preserved."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    labeled = docs.join(
+        comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    return (
+        labeled.filter(F.col(id_col) == F.col("component")).drop("component")
+    )

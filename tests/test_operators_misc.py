@@ -145,6 +145,74 @@ def test_near_dup_empty_input_and_string_ids(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("doc-a", "doc-b")}
 
 
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must produce exactly the components a
+    driver-side union-find computes — including a long chain (worst
+    case for propagation depth) and multi-clique merges."""
+    import random
+
+    from geo_explorer_etl_spark.operators.dedup import connected_components
+
+    rnd = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 12)]              # chain 0..12
+    edges += [(20 + a, 20 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
+    edges += [(24, 30), (30, 31)]                            # merge clique into tail
+    edges += [(rnd.randrange(40, 60), rnd.randrange(40, 60)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, max_iters=30).collect()
+    }
+    assert got == expected
+
+
+def test_keep_representatives_composes_with_pair_generators(spark):
+    """End-of-pipeline dedup: exact + near-dup pairs -> clusters -> one
+    surviving doc per cluster, singletons untouched, columns intact."""
+    from geo_explorer_etl_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same text"), (2, "the same text"),   # pair (1,2)
+            (3, "other text a"), (4, "other text a"),     # pair (3,4)
+            (5, "bridges both"),                          # pairs (2,5),(4,5): merges all
+            (9, "a singleton"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 5), (4, 5)], "doc_a long, doc_b long"
+    )
+    kept = keep_representatives(docs, pairs)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 9}
+    assert set(kept.columns) == {"doc_id", "text"}
+    # empty pair set: everything survives
+    nop = keep_representatives(
+        docs, spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    assert nop.count() == 6
+
+
 def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
     """A pathological corpus (many copies of one template) floods one
     LSH bucket; max_bucket_size drops the degenerate bucket so the
