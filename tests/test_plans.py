@@ -95,3 +95,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_asof_join_plan_is_one_keyed_window_no_nested_loop(spark):
+    """The as-of join must execute as union + ONE keyed window — never
+    a BroadcastNestedLoop/CartesianProduct theta join (the naive
+    right.ts <= left.ts formulation), whose cost is points×rows."""
+    from geo_explorer_etl_spark.operators.asof import as_of_join
+    from geo_explorer_etl_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    left = ev.select("event_id", "user_id", "ts").limit(500)
+    right = ev.select(
+        F.col("user_id"), F.col("ts"), F.col("event_type")
+    ).limit(500)
+    out = as_of_join(left, right, key="user_id", ts="ts", right_cols=["event_type"])
+    plan = plan_of(out)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_range_join_plan_is_bucketized_equi_join(spark):
+    """The range join must hit the bucketized equi-join path (hash
+    join/SMJ on the bucket), not a nested-loop theta join over the raw
+    containment predicate."""
+    from geo_explorer_etl_spark.operators.rangejoin import range_join
+    from geo_explorer_etl_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    points = ev.select("event_id", F.col("ts").alias("pt_ts"))
+    intervals = ev.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("user_id").alias("iv_user"),
+    ).limit(200)
+    out = range_join(points, intervals, "pt_ts", "start_ts", "end_ts")
+    plan = plan_of(out)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
