@@ -288,25 +288,29 @@ class TableStore:
         committed manifest and older than the retention window. Run
         out-of-band (the analog of a table format's VACUUM) once no
         reader still holds a plan over the superseded snapshot.
-        Returns the number of files removed."""
+        Returns the number of files removed. Takes the store lock: a
+        publish mid-flight has moved files into the partition dir that
+        its manifest swap has not yet listed — unlocked GC would eat
+        them."""
         import time
 
         cutoff = time.time() - older_than_seconds
         removed = 0
         tables = [table] if table else PRODUCT_TABLES
-        for t in tables:
-            p = Path(self._path(t))
-            if not p.exists():
-                continue
-            for part in p.glob(f"{PARTITION_COL}=*"):
-                cm = part / COMMITTED
-                if not cm.exists():
+        with self._exclusive_lock():
+            for t in tables:
+                p = Path(self._path(t))
+                if not p.exists():
                     continue
-                live = set(json.loads(cm.read_text())["files"])
-                for f in part.glob("*.parquet"):
-                    if f.name not in live and f.stat().st_mtime <= cutoff:
-                        f.unlink()
-                        removed += 1
+                for part in p.glob(f"{PARTITION_COL}=*"):
+                    cm = part / COMMITTED
+                    if not cm.exists():
+                        continue
+                    live = set(json.loads(cm.read_text())["files"])
+                    for f in part.glob("*.parquet"):
+                        if f.name not in live and f.stat().st_mtime <= cutoff:
+                            f.unlink()
+                            removed += 1
         return removed
 
     def delete_product(self, product_id: int) -> None:
