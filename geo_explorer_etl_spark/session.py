@@ -99,11 +99,16 @@ def ensure_parallelism(df, min_partitions: int | None = None):
 
 
 def _read_events(spark: SparkSession, sf_dir: str):
-    """events.parquet stores nanosecond timestamps, which the vectorized
-    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the column as
-    raw nanos (legacy conf) and convert with integer division — ``div``
-    not ``/``, because a double can't hold an epoch-nanos value
-    exactly — truncating to micros exactly like DuckDB does."""
+    """events.parquet timestamp handling, robust to the file's unit.
+
+    Some generations of the testdata store ``ts`` as nanosecond
+    timestamps, which the vectorized parquet reader rejects
+    ([PARQUET_TYPE_ILLEGAL]); those are read as raw nanos (legacy conf)
+    and converted with integer division — ``div`` not ``/``, because a
+    double can't hold an epoch-nanos value exactly — truncating to
+    micros exactly like DuckDB does. Other generations store
+    microsecond timestamps, which arrive as a timestamp column already
+    and need no conversion."""
     from pyspark.sql import functions as F
 
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
@@ -112,4 +117,6 @@ def _read_events(spark: SparkSession, sf_dir: str):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev

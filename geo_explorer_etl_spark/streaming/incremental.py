@@ -38,16 +38,28 @@ EVENT_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream of events; ts arrives as raw nanos (the
-    testdata's physical layout) and is converted with integer division
-    exactly like the batch reader."""
+    """File-source stream of events, robust to the files' timestamp
+    unit: nano-stamped generations arrive as raw longs and are
+    converted with integer division exactly like the batch reader;
+    micro-stamped generations arrive as a timestamp column already."""
     # Left ON for the session: streaming scans consult the conf at
     # query start (and per micro-batch), not at readStream build time.
     # The conf only changes behavior for NANOS columns, which would
     # otherwise be a hard error — safe as a session default.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Probe the physical layout with a batch read (file streams need an
+    # explicit schema, and it must match what the files actually hold).
+    probed = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(probed).format("parquet").load(events_dir)
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in probed.fields).get("ts")
+    if ts_type in ("bigint", "long"):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks/event-time windows require TIMESTAMP (LTZ). The
+        # session timezone is pinned to UTC, so the NTZ wall-clock maps
+        # 1:1 onto the same instant — no shift.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
