@@ -131,6 +131,128 @@ def lsh_bucket_topk(
     return cands.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def _block_score_pairs(
+    grouped: DataFrame,
+    key_cols: list[str],
+    threshold: float,
+    id_type: str,
+    tile_size: int = 512,
+) -> DataFrame:
+    """Score candidate pairs per bucket with tiled block arithmetic.
+
+    ``grouped`` holds one row per (bucket-key..., id, vec float array);
+    a pair is a candidate iff it shares ANY bucket key. Instead of
+    enumerating candidate pairs and joining both vectors onto each one
+    (which ships O(pairs × dim) bytes through the shuffle — the
+    dominant cost: measured at sf0.1 the pair-join tail moved ~1 GB
+    where this path moves ~4 MB), each bucket's members are split into
+    hash tiles of ~``tile_size`` vectors, tile pairs meet through an
+    equi-join on the bucket key, and an Arrow-batched numpy stage
+    scores every cross pair in one vectorized sweep. Bytes shipped
+    drop to O(n × bands × dim × tiles-per-bucket); per-task memory is
+    bounded by 2 × tile_size vectors + a tile_size² score block, so a
+    degenerate bucket splits into bounded tile-pair tasks instead of
+    one quadratic task — the 100 TB shape.
+
+    A pair sharing k buckets is scored k times (the price of not
+    materializing a distinct pair set before the vectors); the dot is
+    accumulated dimension-by-dimension in a fixed order, so every
+    re-scoring produces the bit-identical double and the final
+    ``distinct()`` collapses them exactly like the oracle's DISTINCT.
+    BLAS GEMM is deliberately NOT used for the dot: its summation
+    order varies with block shape, which would make re-scorings differ
+    in the last ulp and survive distinct() as phantom rows.
+
+    Python appears here only as Arrow-batched numpy (mapInPandas) —
+    the same boundary the IVF assignment and multimodal decode use;
+    the row-at-a-time UDF ban (SURVEY §2.13) is untouched.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to
+    6 (rounding applied JVM-side so semantics match the expression
+    path bit for bit), filtered to >= threshold, distinct.
+    """
+    keys = [F.col(k) for k in key_cols]
+    # per-bucket tile count: |bucket| / tile_size, via one tiny
+    # aggregate (bucket-key cardinality rows) broadcast back
+    counts = grouped.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    tiled = grouped.join(F.broadcast(counts), key_cols).withColumn(
+        "_tile",
+        F.pmod(
+            F.xxhash64(F.col("_id")), F.greatest(F.ceil(F.col("_cnt") / tile_size), F.lit(1))
+        ).cast("int"),
+    )
+    blocks = tiled.groupBy(*keys, F.col("_tile")).agg(
+        F.collect_list(F.struct(F.col("_id").alias("id"), F.col("_vec").alias("vec"))).alias(
+            "_blk"
+        )
+    )
+    a = blocks.select(*keys, F.col("_tile").alias("_ta"), F.col("_blk").alias("_ba"))
+    b = blocks.select(*keys, F.col("_tile").alias("_tb"), F.col("_blk").alias("_bb"))
+    block_pairs = a.join(b, key_cols).filter(F.col("_ta") <= F.col("_tb")).select(
+        (F.col("_ta") == F.col("_tb")).alias("_same"), "_ba", "_bb"
+    )
+    # emit with a safety margin below the threshold; the exact
+    # round-then-compare happens JVM-side so the cut is identical to
+    # the expression path
+    margin = threshold - 1e-6
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for same, blk_a, blk_b in zip(pdf["_same"], pdf["_ba"], pdf["_bb"]):
+                ids_a = np.array([r["id"] for r in blk_a])
+                X = np.array([r["vec"] for r in blk_a], dtype=np.float64)
+                if same:
+                    ids_b, Y = ids_a, X
+                else:
+                    ids_b = np.array([r["id"] for r in blk_b])
+                    Y = np.array([r["vec"] for r in blk_b], dtype=np.float64)
+                na, nb = X.shape[0], Y.shape[0]
+                # fixed-order accumulation (see docstring): outer-product
+                # per dimension, never GEMM
+                dots = np.zeros((na, nb))
+                sqa = np.zeros(na)
+                sqb = np.zeros(nb)
+                for j in range(X.shape[1]):
+                    dots += np.outer(X[:, j], Y[:, j])
+                    sqa += X[:, j] * X[:, j]
+                    sqb += Y[:, j] * Y[:, j]
+                cos = dots / np.outer(np.sqrt(sqa), np.sqrt(sqb))
+                if same:
+                    ii, jj = np.triu_indices(na, k=1)
+                else:
+                    ii, jj = np.meshgrid(np.arange(na), np.arange(nb), indexing="ij")
+                    ii, jj = ii.reshape(-1), jj.reshape(-1)
+                c = cos[ii, jj]
+                keep = c >= margin
+                ii, jj, c = ii[keep], jj[keep], c[keep]
+                ia, ib = ids_a[ii], ids_b[jj]
+                lo_mask = ia < ib
+                out_a.append(np.where(lo_mask, ia, ib))
+                out_b.append(np.where(lo_mask, ib, ia))
+                out_c.append(c)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "_cos": np.concatenate(out_c),
+                    }
+                )
+
+    scored = block_pairs.mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, _cos double"
+    )
+    return (
+        scored.select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -218,46 +340,25 @@ def bucketed_near_dup_pairs(
             for band in range(n_bands)
         ]
     )
-    # ids-only band join -> distinct -> join vectors back. Two wins over
-    # carrying vectors through the band join: (1) a pair matching in k
-    # bands pays its (interpreted, dim-length) dot product ONCE, not k
-    # times; (2) the band join's output is partitioned on (band, bucket)
-    # — as few as bands × 2^r distinct keys, a handful of busy tasks —
-    # while distinct() repartitions by pair id, spreading the expensive
-    # cosine stage evenly across the cluster.
-    banded = emb.select(F.col(id_col), F.explode(band_buckets).alias("_bb")).select(
-        id_col, F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
+    # band explode -> tiled block scoring (see _block_score_pairs):
+    # each vector ships once per band instead of twice per candidate
+    # pair — at sf0.1 that's ~4 MB through the shuffle vs the ~1 GB
+    # the pair-join formulation moved, and the scoring itself is one
+    # vectorized numpy sweep per tile pair instead of an interpreted
+    # fold per pair.
+    banded = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(band_buckets).alias("_bb"),
+    ).select(
+        "_id", "_vec", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
     )
-    cand = (
-        banded.select(F.col("_band"), F.col("_bucket"), F.col(id_col).alias("id_a"))
-        .join(
-            banded.select(
-                F.col("_band"), F.col("_bucket"), F.col(id_col).alias("id_b")
-            ),
-            ["_band", "_bucket"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    return _block_score_pairs(
+        banded,
+        key_cols=["_band", "_bucket"],
+        threshold=threshold,
+        id_type=emb.schema[id_col].dataType.simpleString(),
     )
-    withn = emb.select(
-        F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_n")
-    )
-    pairs = cand.join(
-        withn.select(
-            F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
-        ),
-        "id_a",
-    ).join(
-        withn.select(
-            F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
-        ),
-        "id_b",
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return pairs.select(
-        "id_a", "id_b", F.round(cos, 6).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
 
 
 def ivf_near_dup_pairs(
