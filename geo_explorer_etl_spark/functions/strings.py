@@ -12,13 +12,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # F1 — strip "NN. " sort prefix from member names (reference dfhandler.py:55–57).
-# Pattern: an integer 0..1000 followed by "." and optional spaces, anchored.
-_SORT_PREFIX_RE = r"^\d{1,4}\.\s*"
+# The reference pattern matches integers 0..999 with optional zero-padding to
+# at most 4 digits ("02.", "0999.") — "1000." is NOT a prefix — and then
+# applies ``.lstrip()`` unconditionally, so unprefixed names with leading
+# whitespace are trimmed too.  ``^(?:\d{1,3}|0\d{3})\.`` is exhaustively
+# equivalent to the reference's alternation (verified over every digit string
+# of length 1–5); ``(?U)`` makes Java's ``\s`` match the same Unicode
+# whitespace set Python's ``str.lstrip`` strips.
+_SORT_PREFIX_RE = r"^(?:\d{1,3}|0\d{3})\."
 
 
 def strip_sort_prefix(col: Column) -> Column:
     """``"02. Resident owners" -> "Resident owners"``."""
-    return F.regexp_replace(col, _SORT_PREFIX_RE, "")
+    return F.regexp_replace(
+        F.regexp_replace(col, _SORT_PREFIX_RE, ""), r"(?U)^\s+", ""
+    )
 
 
 def strip_coordinate_geography(coordinate: Column) -> Column:

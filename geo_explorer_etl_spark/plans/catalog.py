@@ -452,8 +452,8 @@ def u2_union_literal_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS combo
         FROM part)
     SELECT p_partkey,
-           regexp_replace('0' || CAST(p_partkey % 100 AS VARCHAR) || '. ' || p_name,
-                          '^\\d{1,4}\\.\\s*', '') AS clean_name,
+           regexp_replace(regexp_replace('0' || CAST(p_partkey % 100 AS VARCHAR) || '. ' || p_name,
+                          '^(\\d{1,3}|0\\d{3})\\.', ''), '^\\s+', '') AS clean_name,
            regexp_replace(CAST(p_partkey AS VARCHAR) || '.2.3', '^[^.]+\\.', '') AS coord_tail,
            regexp_replace('S050' || CAST(p_partkey % 7 AS VARCHAR),
                           'S0504|S0505|S0506', 'S0503', 'g') AS level_recoded,

@@ -36,8 +36,13 @@ def one(spark, expr_col, **lits):
     [
         ("02. Resident owners", "Resident owners"),
         ("123. Thing", "Thing"),
-        ("1000. X", "X"),
+        # the reference pattern (dfhandler.py:55) tops out at "0999." —
+        # "1000." is not treated as a sort prefix
+        ("1000. X", "1000. X"),
+        ("0999. Y", "Y"),
         ("No prefix", "No prefix"),
+        # reference lstrips even when no prefix matched (dfhandler.py:57)
+        ("  leading space", "leading space"),
     ],
 )
 def test_strip_sort_prefix(spark, raw, expected):

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from geo_explorer_etl_spark.functions import (
@@ -121,7 +121,22 @@ def test_generic_wildcard_property(spark, coords):
 
 
 # -- F1 sort prefix -------------------------------------------------------
+# The model IS the reference computation (dfhandler.py:55–57): sub the
+# 0..999-with-zero-padding prefix pattern, then Python ``.lstrip()``.
+# ``^(?:\d{1,3}|0\d{3})\.`` is exhaustively equivalent to the reference's
+# alternation over every digit string of length 1–5.
+_REF_SORT_PREFIX = r"^(?:\d{1,3}|0\d{3})\."
+
+
+def model_strip_sort_prefix(raw: str) -> str:
+    return re.sub(_REF_SORT_PREFIX, "", raw).lstrip()
+
+
 @settings(max_examples=12, deadline=None)
+@example(items=[(0, " ")])  # round-4 falsifier: "00.  " -> "" (lstrip)
+@example(items=[(None, "  Abc")])  # unprefixed names lstrip too
+@example(items=[(1000, "X")])  # "1000." is NOT a prefix in the reference
+@example(items=[(999, "X"), (None, " nbsp")])  # unicode whitespace
 @given(
     st.lists(
         st.tuples(
@@ -139,12 +154,8 @@ def test_generic_wildcard_property(spark, coords):
 def test_strip_sort_prefix_property(spark, items):
     rows, expected = [], []
     for prefix_num, name in items:
-        if prefix_num is None:
-            raw = name
-            expected.append(re.sub(r"^\d{1,4}\.\s*", "", name))
-        else:
-            raw = f"{prefix_num:02d}. {name}"
-            expected.append(name)
+        raw = name if prefix_num is None else f"{prefix_num:02d}. {name}"
+        expected.append(model_strip_sort_prefix(raw))
         rows.append((raw,))
     got = run_batch(spark, lambda: strip_sort_prefix(F.col("s")), rows, "s string")
     assert got == expected
