@@ -361,6 +361,56 @@ def bucketed_near_dup_pairs(
     )
 
 
+def stride_seed_vectors(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic data-adaptive IVF seeds: the corpus vectors whose
+    id satisfies ``id % step == 0 and id < k*step`` with
+    ``step = max(n // k, 1)`` — i.e. up to ``k`` evenly-strided rows,
+    indexed by ascending id.
+
+    SELECTION, not averaging: each centroid is an actual stored vector,
+    so an external SQL oracle (DuckDB) can rebuild the identical
+    centroid set from the same table with pure integer arithmetic —
+    no floating-point reduction whose summation order would diverge
+    across engines. This is the zero-iteration point on the k-means
+    spectrum (FAISS-style sampled seeds); ``train_centroids`` is the
+    Lloyd-refined variant for when cross-engine reproducibility isn't
+    required. Cost: one count() plus a k-row collect.
+    """
+    n = emb.count()
+    if n == 0:
+        return []
+    step = max(n // k, 1)
+    rows = (
+        emb.filter(
+            (F.pmod(F.col(id_col), F.lit(step)) == 0) & (F.col(id_col) < k * step)
+        )
+        .select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["_id"])
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def _fixed_order_scores(x, cmat):
+    """batch × K dot scores, accumulated dimension-by-dimension in a
+    fixed order — bit-identical to a left-to-right per-pair fold (the
+    same trick ``_block_score_pairs`` documents), so argmax cell
+    decisions agree exactly with a sequential-loop SQL engine. GEMM is
+    deliberately avoided: its summation order varies with block shape.
+    """
+    import numpy as np
+
+    dots = np.zeros((x.shape[0], cmat.shape[0]))
+    for j in range(x.shape[1]):
+        dots += np.outer(x[:, j], cmat[:, j])
+    return dots
+
+
 def ivf_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -411,12 +461,18 @@ def ivf_near_dup_pairs(
         import numpy as np
         import pandas as pd
 
-        cmat = np.array(cents, dtype=np.float64).T          # dim × K
+        cmat = np.array(cents, dtype=np.float64)            # K × dim
         for pdf in batches:
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if len(x) == 0:
                 continue
-            top = np.argsort(-(x @ cmat), axis=1)[:, :nprobe_]
+            # fixed-order dots + STABLE sort: ties break by cell index,
+            # and the scores are bit-identical to the oracle's
+            # sequential list_dot_product, so the probed cell set is
+            # reproducible across engines
+            top = np.argsort(-_fixed_order_scores(x, cmat), axis=1, kind="stable")[
+                :, :nprobe_
+            ]
             k = top.shape[1]
             yield pd.DataFrame(
                 {

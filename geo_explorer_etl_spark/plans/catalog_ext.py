@@ -421,29 +421,114 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# Both IVF catalog entries use stride_seed_vectors — centroids are
+# actual stored vectors selected by pure integer arithmetic
+# (id % step == 0, step = n // K), so the DuckDB oracle rebuilds the
+# identical cell structure from the same table: no floating-point
+# reduction (k-means averaging) whose cross-engine summation order
+# would flip near-tie cell assignments. The Lloyd-TRAINED path
+# (train_centroids, sharded mapInPandas partials) remains the
+# production training story and keeps its pytest recall gates; the
+# catalog entries pin the full query topology (probe → cell equi-join
+# → exact cosine) under a value-level oracle.
+_IVF_DEDUP_K, _IVF_DEDUP_NPROBE = 16, 3
+
+_IVF_DEDUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    params AS (SELECT GREATEST(count(*) // {_IVF_DEDUP_K}, 1) AS step FROM e),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS c, e.v
+        FROM e, params p
+        WHERE e.vec_id % p.step = 0 AND e.vec_id < {_IVF_DEDUP_K} * p.step),
+    scores AS (
+        SELECT e.vec_id, c.c, list_dot_product(e.v, c.v) AS s
+        FROM e CROSS JOIN cents c),
+    probed AS (
+        SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+            FROM scores)
+        WHERE rn <= {_IVF_DEDUP_NPROBE}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probed a JOIN probed b ON a.c = b.c AND a.vec_id < b.vec_id),
+    withn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+    FROM cand c
+    JOIN withn a ON c.id_a = a.vec_id
+    JOIN withn b ON c.id_b = b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+"""
+
+
 @register(
     "dedup_embedding_cosine_ivf",
-    oracle=None,  # cell assignment is centroid-specific; rows-only
+    oracle=_IVF_DEDUP_ORACLE,
     tags="ext dedup similarity ivf",
 )
 def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-adaptive scale path for weak-similarity corpora: trained
-    k-means cells, 3-probe assignment, within-cell exact cosine.
-    ~0.5·n²/2 candidates at recall ~0.9 on this corpus (measured),
-    where sign-bit banding would need ~2n² for the same recall."""
+    """Data-adaptive scale path for weak-similarity corpora: IVF cells,
+    3-probe assignment, within-cell exact cosine. ~0.5·n²/2 candidates
+    at recall ~0.9 on this corpus (measured), where sign-bit banding
+    would need ~2n² for the same recall. Seeds here are deterministic
+    strided data vectors so the DuckDB oracle reproduces the cells
+    exactly; the trained-k-means variant is pytest-gated on recall."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    return SIM.ivf_near_dup_pairs(emb, threshold=0.4, nprobe=3)
+    cents = SIM.stride_seed_vectors(emb, k=_IVF_DEDUP_K)
+    return SIM.ivf_near_dup_pairs(
+        emb, threshold=0.4, nprobe=_IVF_DEDUP_NPROBE, centroids=cents
+    )
+
+
+_ANN_IVF_K, _ANN_IVF_NPROBE = 8, 2
+
+_ANN_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    params AS (SELECT GREATEST(count(*) // {_ANN_IVF_K}, 1) AS step FROM e),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS c, e.v
+        FROM e, params p
+        WHERE e.vec_id % p.step = 0 AND e.vec_id < {_ANN_IVF_K} * p.step),
+    assigned AS (
+        SELECT vec_id, label, v, c FROM (
+            SELECT e.vec_id, e.label, e.v, c.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_dot_product(e.v, c.v) DESC, c.c) AS rn
+            FROM e CROSS JOIN cents c)
+        WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qcells AS (
+        SELECT c FROM (
+            SELECT c.c,
+                   row_number() OVER (ORDER BY list_dot_product(q.qv, c.v) DESC, c.c) AS rn
+            FROM cents c, q)
+        WHERE rn <= {_ANN_IVF_NPROBE})
+    SELECT a.vec_id, a.label,
+           ROUND(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cosine
+    FROM assigned a, q
+    WHERE a.c IN (SELECT c FROM qcells) AND a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+"""
 
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # cell assignment is centroid-specific; rows-only
+    oracle=_ANN_IVF_ORACLE,
     tags="ext similarity ivf",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k ANN with deterministic strided seeds (see the dedup
+    twin above): every vector indexed to its nearest cell, the query
+    probes its 2 closest cells, exact cosine top-10 within them."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    cents = SIM.train_centroids(emb, n_centroids=8)
-    return SIM.ivf_topk(emb, query_vec_id=0, k=10, nprobe=2, centroids=cents)
+    cents = SIM.stride_seed_vectors(emb, k=_ANN_IVF_K)
+    return SIM.ivf_topk(
+        emb, query_vec_id=0, k=10, nprobe=_ANN_IVF_NPROBE, centroids=cents
+    )
 
 
 # ---------------------------------------------------------------------------
