@@ -149,10 +149,20 @@ def _block_score_pairs(
     hash tiles of ~``tile_size`` vectors, tile pairs meet through an
     equi-join on the bucket key, and an Arrow-batched numpy stage
     scores every cross pair in one vectorized sweep. Bytes shipped
-    drop to O(n × bands × dim × tiles-per-bucket); per-task memory is
-    bounded by 2 × tile_size vectors + a tile_size² score block, so a
-    degenerate bucket splits into bounded tile-pair tasks instead of
-    one quadratic task — the 100 TB shape.
+    drop to O(n × bands × dim × tiles-per-bucket). Per-task memory is
+    bounded by one Arrow input batch — Spark caps worker-bound batches
+    at ``spark.sql.execution.arrow.maxBytesPerBatch`` (64 MB default)
+    in addition to the row cap — plus, per block pair, 2 × tile_size
+    vectors and a tile_size² score block; results are flushed every
+    ``_FLUSH_ROWS`` candidate rows rather than accumulated across the
+    whole batch. A degenerate bucket splits into bounded tile-pair
+    tasks instead of one quadratic task — the 100 TB shape.
+
+    Rows with a null id or null vector are dropped before tiling: the
+    expression path scored them to a null cosine that the threshold
+    filter discarded, while ``np.array`` over a None-bearing list
+    would poison the whole batch (object dtype); the outcome (pair
+    dropped) is identical, the failure mode is not.
 
     A pair sharing k buckets is scored k times (the price of not
     materializing a distinct pair set before the vectors); the dot is
@@ -171,6 +181,7 @@ def _block_score_pairs(
     6 (rounding applied JVM-side so semantics match the expression
     path bit for bit), filtered to >= threshold, distinct.
     """
+    grouped = grouped.filter(F.col("_id").isNotNull() & F.col("_vec").isNotNull())
     keys = [F.col(k) for k in key_cols]
     # per-bucket tile count: |bucket| / tile_size, via one tiny
     # aggregate (bucket-key cardinality rows) broadcast back
@@ -196,12 +207,23 @@ def _block_score_pairs(
     # the expression path
     margin = threshold - 1e-6
 
+    _FLUSH_ROWS = 1 << 18  # flush accumulated candidates every ~256k rows
+
     def score(batches):
         import numpy as np
         import pandas as pd
 
+        def flush(out_a, out_b, out_c):
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "_cos": np.concatenate(out_c),
+                }
+            )
+
         for pdf in batches:
-            out_a, out_b, out_c = [], [], []
+            out_a, out_b, out_c, pending = [], [], [], 0
             for same, blk_a, blk_b in zip(pdf["_same"], pdf["_ba"], pdf["_bb"]):
                 ids_a = np.array([r["id"] for r in blk_a])
                 X = np.array([r["vec"] for r in blk_a], dtype=np.float64)
@@ -234,14 +256,12 @@ def _block_score_pairs(
                 out_a.append(np.where(lo_mask, ia, ib))
                 out_b.append(np.where(lo_mask, ib, ia))
                 out_c.append(c)
+                pending += len(c)
+                if pending >= _FLUSH_ROWS:
+                    yield flush(out_a, out_b, out_c)
+                    out_a, out_b, out_c, pending = [], [], [], 0
             if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                        "_cos": np.concatenate(out_c),
-                    }
-                )
+                yield flush(out_a, out_b, out_c)
 
     scored = block_pairs.mapInPandas(
         score, schema=f"id_a {id_type}, id_b {id_type}, _cos double"

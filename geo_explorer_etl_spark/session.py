@@ -117,6 +117,14 @@ def _read_events(spark: SparkSession, sf_dir: str):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Mirror stream_events: micro-stamped generations arrive as
+        # TIMESTAMP_NTZ; cast to TIMESTAMP (session tz is UTC, so the
+        # wall-clock maps 1:1 onto the same instant) so the batch
+        # schema is generation-invariant and watermark-requiring
+        # consumers can mix batch frames with their streaming twins.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev

@@ -25,10 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Bootstrap schema for a stream started on an EMPTY directory, where
+# there is no file to probe: the nano-stamped layout (ts as raw longs
+# under the nanosAsLong conf), matching the conversion below.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (testdata parquet layout)
+        T.StructField("ts", T.LongType()),  # epoch nanos
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -41,7 +44,15 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream of events, robust to the files' timestamp
     unit: nano-stamped generations arrive as raw longs and are
     converted with integer division exactly like the batch reader;
-    micro-stamped generations arrive as a timestamp column already."""
+    micro-stamped generations arrive as a timestamp column already.
+
+    The unit decision is frozen when the stream is BUILT, from the
+    files present at that moment; a directory whose later files flip
+    the timestamp unit mid-stream is unsupported (the micro-batch scan
+    would reject them against the fixed schema). A directory that is
+    still empty at build time bootstraps with ``EVENT_SCHEMA`` (the
+    nano layout) — the normal file-stream cold start.
+    """
     # Left ON for the session: streaming scans consult the conf at
     # query start (and per micro-batch), not at readStream build time.
     # The conf only changes behavior for NANOS columns, which would
@@ -49,7 +60,10 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Probe the physical layout with a batch read (file streams need an
     # explicit schema, and it must match what the files actually hold).
-    probed = spark.read.parquet(events_dir).schema
+    try:
+        probed = spark.read.parquet(events_dir).schema
+    except Exception:  # no files yet: UNABLE_TO_INFER_SCHEMA / missing path
+        probed = EVENT_SCHEMA
     raw = spark.readStream.schema(probed).format("parquet").load(events_dir)
     ts_type = dict((f.name, f.dataType.simpleString()) for f in probed.fields).get("ts")
     if ts_type in ("bigint", "long"):

@@ -84,6 +84,36 @@ def test_bucketed_near_dup_recall_and_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_bucketed_near_dup_null_rows_dropped(spark):
+    """A null vector (or null id) in a bucket must be dropped, not
+    poison the numpy scoring batch with an object-dtype array: same
+    outcome as the expression path (null cosine fails the threshold),
+    different failure mode avoided."""
+    from geo_explorer_etl_spark.operators import similarity as SIM
+
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    polluted = emb.unionByName(
+        spark.createDataFrame(
+            [(100001, None, 0), (None, [0.5] * dim, 0)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+    )
+    clean = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.bucketed_near_dup_pairs(
+            emb, threshold=0.4, planes_per_band=2, n_bands=8
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.bucketed_near_dup_pairs(
+            polluted, threshold=0.4, planes_per_band=2, n_bands=8
+        ).collect()
+    }
+    assert got == clean
+
+
 def test_ivf_near_dup_recall_and_plan(spark):
     """Trained-centroid multi-probe near-dup: subset of exact pairs
     (precision 1.0), recall >= 0.7 at K=16/nprobe=3, equi-join plan."""

@@ -46,6 +46,43 @@ def test_streaming_tumbling_matches_batch(spark, events_stream):
     assert len(s) >= len(b) - 4  # ≤ watermark horizon (2h/1h windows) + tail
 
 
+def test_stream_events_empty_dir_bootstrap(spark, tmp_path):
+    """A stream started on an empty directory (the normal file-stream
+    cold start) must come up with the EVENT_SCHEMA fallback instead of
+    dying on schema inference, and then ingest files that land later."""
+    import shutil
+
+    d = tmp_path / "cold_start"
+    d.mkdir()
+    stream = stream_events(spark, str(d))  # no files yet
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # a nano-stamped file lands after the stream was built; EVENT_SCHEMA
+    # declares ts as raw nanos, so only a nano-generation file can match
+    # the frozen schema. Build one from the smoke events.
+    from geo_explorer_etl_spark.session import load_tables
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    staging = tmp_path / "staging"
+    (
+        ev.select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .limit(100)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(staging))
+    )
+    part = next(staging.glob("part-*.parquet"))
+    shutil.copy(part, d / "late.parquet")
+    got = run_to_memory(stream.select("event_id"), "t_cold_start")
+    assert got.count() == 100
+
+
 def test_streaming_sessions_close_and_sum(spark, events_stream):
     sessions = run_to_memory(
         session_aggregates(events_stream), "t_sessions", output_mode="append"
