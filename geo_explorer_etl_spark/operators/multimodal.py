@@ -3,11 +3,12 @@ metadata, with decode/feature steps as Arrow-batched Pandas functions
 over ``mapInPandas``.
 
 The Spark-side plumbing — schema, partition sizing, UDF signatures,
-batch shapes — is real and tested. Two REAL decode paths exist with
-no external codec libraries: uncompressed PCM-16 WAV (stdlib ``wave``)
-and uncompressed 24-bit BMP (hand-parsed RIFF/DIB headers). Compressed
-formats (JPEG/PNG/MP3/H.264...) raise ``NotImplementedError`` — those
-codecs are not in this container; ``fake=True`` substitutes a
+batch shapes — is real and tested. Three REAL decode paths exist with
+no external codec libraries: uncompressed PCM-16 WAV (stdlib ``wave``),
+uncompressed 24-bit BMP (hand-parsed RIFF/DIB headers), and 8-bit
+RGB/RGBA PNG (stdlib ``zlib`` + the five PNG row filters). Formats
+needing a true codec (JPEG/MP3/H.264...) raise ``NotImplementedError``
+— those codecs are not in this container; ``fake=True`` substitutes a
 deterministic content-hash pseudo-decode so downstream plumbing can be
 exercised uniformly for any mime type.
 
@@ -111,6 +112,81 @@ def decode_bmp(content: bytes) -> tuple[int, int, list[float]]:
     return width, height, gray
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode, stdlib-only: 8-bit non-interlaced RGB/RGBA
+    PNG -> (width, height, row-major grayscale pixels in [0, 1]).
+
+    PNG is zlib (stdlib ``zlib.decompress`` over the concatenated IDAT
+    chunks) + five per-row byte filters (None/Sub/Up/Average/Paeth),
+    all reversible with pure integer arithmetic — no codec library
+    needed. Palette, 16-bit, and Adam7-interlaced images raise
+    honestly, like every other unsupported codec here.
+    """
+    import struct as st
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG stream")
+    pos, header, idat = 8, None, b""
+    while pos + 8 <= len(content):
+        (length,) = st.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            header = st.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if header is None:
+        raise NotImplementedError("PNG missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = header
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced RGB/RGBA PNG supported"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(idat)
+    stride = width * ch
+    prev = bytearray(stride)
+    gray: list[float] = []
+    pos = 0
+    for _row in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub: add the pixel to the left
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up: add the pixel above
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average of left and above
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        for col in range(width):
+            r, g, b = line[col * ch], line[col * ch + 1], line[col * ch + 2]
+            gray.append((0.299 * r + 0.587 * g + 0.114 * b) / 255.0)
+        prev = line
+    return width, height, gray
+
+
 def _signal_features(samples: list[float], dim: int) -> list[float]:
     """Fixed-dim feature: mean absolute level per equal-width chunk —
     deterministic, shape-compatible with the similarity operators."""
@@ -139,8 +215,11 @@ def _real_decode(content: bytes, mime: str, dim: int) -> list[float]:
     if mime == "image/bmp" or (content or b"")[:2] == b"BM":
         _, _, pixels = decode_bmp(content)
         return _signal_features(pixels, dim)
+    if mime == "image/png" or blob[:8] == _PNG_SIG:
+        _, _, pixels = decode_png(content)
+        return _signal_features(pixels, dim)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment (WAV/BMP decode "
+        f"no codec for {mime!r} in this environment (WAV/BMP/PNG decode "
         "natively; pass fake=True for the pseudo-decode)"
     )
 

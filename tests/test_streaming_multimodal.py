@@ -120,9 +120,10 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises(spark):
-    # compressed formats have no codec in this image -> per-row raise
+    # formats needing a true codec (JPEG here) -> honest per-row raise
     media = spark.createDataFrame(
-        [(1, "image", "image/png", b"\x89PNGx", None, None, None)], MEDIA_SCHEMA
+        [(1, "image", "image/jpeg", b"\xff\xd8\xff\xe0fakejpeg", None, None, None)],
+        MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(media, fake=False).collect()
@@ -207,6 +208,123 @@ def test_multimodal_real_wav_bmp_decode(spark):
     # deterministic across runs
     again = {r["media_id"]: r for r in extract_features(media, dim=8, fake=False).collect()}
     assert feats[1]["feat"] == again[1]["feat"]
+
+
+def _png_fixture(
+    width: int, height: int, color: int = 2, filters: list[int] | None = None,
+    idat_split: int | None = None,
+) -> tuple[bytes, list[list[int]]]:
+    """Hand-rolled PNG encoder: deterministic pixel pattern, explicit
+    per-row filter types (forward-filtered here, so decode must invert
+    each one), optional IDAT split across two chunks."""
+    import struct
+    import zlib
+
+    ch = 3 if color == 2 else 4
+    rows = [
+        [(r * 37 + c * 11 + k * 53) % 256 for c in range(width) for k in range(ch)]
+        for r in range(height)
+    ]
+    filters = filters if filters is not None else [0] * height
+    stride = width * ch
+    raw = bytearray()
+    prev = [0] * stride
+    for r, line in enumerate(rows):
+        f = filters[r]
+        raw.append(f)
+        for i in range(stride):
+            x = line[i]
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = x - pred
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    z = zlib.compress(bytes(raw))
+    if idat_split:
+        idat = chunk(b"IDAT", z[:idat_split]) + chunk(b"IDAT", z[idat_split:])
+    else:
+        idat = chunk(b"IDAT", z)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b""),
+        rows,
+    )
+
+
+def _expected_gray(rows: list[list[int]], width: int, ch: int) -> list[float]:
+    out = []
+    for line in rows:
+        for col in range(width):
+            r, g, b = line[col * ch], line[col * ch + 1], line[col * ch + 2]
+            out.append((0.299 * r + 0.587 * g + 0.114 * b) / 255.0)
+    return out
+
+
+def test_png_decode_all_filters_rgb_rgba(spark):
+    """decode_png inverts every PNG row filter (None/Sub/Up/Average/
+    Paeth) for both RGB and RGBA, reassembles split IDAT chunks, and
+    routes through extract_features; 16-bit/interlaced raise."""
+    from geo_explorer_etl_spark.operators.multimodal import decode_png
+
+    filters = [0, 1, 2, 3, 4, 4, 3, 2]
+    for color, ch in ((2, 3), (6, 4)):
+        png, rows = _png_fixture(5, 8, color=color, filters=filters, idat_split=7)
+        w, h, gray = decode_png(png)
+        assert (w, h) == (5, 8)
+        expected = _expected_gray(rows, 5, ch)
+        assert len(gray) == len(expected)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(gray, expected))
+
+    # interlaced header must raise, as must a 5-byte truncated blob
+    import struct as st
+    import zlib as zl
+
+    bad_ihdr = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    bad = b"\x89PNG\r\n\x1a\n" + (
+        st.pack(">I", len(bad_ihdr)) + b"IHDR" + bad_ihdr
+        + st.pack(">I", zl.crc32(b"IHDR" + bad_ihdr))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+    with pytest.raises(NotImplementedError):
+        decode_png(b"\x89PNGx")
+
+    # Spark routing: real decode via mime AND via magic-byte sniffing
+    png_rgb, rows_rgb = _png_fixture(6, 4, color=2, filters=[0, 1, 2, 4])
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", png_rgb, 6, 4, None),
+            (2, "image", "application/octet-stream", png_rgb, 6, 4, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r for r in extract_features(media, dim=8, fake=False).collect()
+    }
+    expected_mean = sum(_expected_gray(rows_rgb, 6, 3)) / 24
+    for mid in (1, 2):
+        assert len(feats[mid]["feat"]) == 8
+        got_mean = sum(feats[mid]["feat"]) / 8
+        assert abs(got_mean - expected_mean) < 1e-6
 
 
 def test_video_frame_sampling_fanout(spark):
