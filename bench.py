@@ -37,6 +37,11 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_events",
     "range_join_business_hours",
+    # bucketed-mirror twin pair (plans/bucketed_bench.py): the
+    # PrimaryQuery fact⋈fact edge with and without the bucketBy layout;
+    # layout setup happens untimed in main()
+    "bridge_join_bucketed",
+    "bridge_join_plain",
 ]
 
 
@@ -45,11 +50,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    from geo_explorer_etl_spark.plans import bucketed_bench
     from geo_explorer_etl_spark.plans.registry import all_queries
     from geo_explorer_etl_spark.session import get_spark
 
     spark = get_spark("bench", cpus=cpus)
-    queries = all_queries()
+    queries = dict(all_queries())
+    queries["bridge_join_bucketed"] = bucketed_bench.bridge_join_bucketed
+    queries["bridge_join_plain"] = bucketed_bench.bridge_join_plain
+
+    # layout setup is untimed: bucketed mirrors are written once per
+    # publish and amortized over every read (see BucketedStore)
+    bucketed_bench.prepare(spark, sf_dir)
 
     # Warm-up: one untimed pass of every headline query at the smallest
     # SF. Whole-stage codegen JIT-compiles each query shape on first

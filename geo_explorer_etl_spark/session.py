@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # BucketedStore writes exactly one file per bucket; this flag
+        # lets the scan report that file's sortBy ordering so bucketed
+        # merge joins skip the per-read Sort as well as the Exchange.
+        # Spark only claims the ordering when a bucket is a single file,
+        # so multi-file buckets (e.g. partitioned mirrors read whole)
+        # simply fall back to sorting — never wrong results.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -401,6 +401,14 @@ class BucketedStore:
         loc = Path(self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")) / table
         if loc.exists():
             shutil.rmtree(loc)
+        # one file per bucket: repartition on the bucket column with
+        # exactly n_buckets partitions (repartition and bucketBy share
+        # the Murmur3 hash, so each write task holds one whole bucket).
+        # With multiple files per bucket the reader can't trust the
+        # sortBy ordering and re-Sorts above every bucketed scan — one
+        # file per bucket makes later merge joins Sort-free as well as
+        # Exchange-free.
+        df = df.repartition(self.n_buckets, F.col(bucket_col))
         w = df.write.mode("overwrite").bucketBy(self.n_buckets, bucket_col)
         if sort:
             w = w.sortBy(bucket_col)

@@ -92,9 +92,44 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         plan = plan_of(joined)
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan
+        # one file per bucket + sortBy + the sorted-scan flag: the merge
+        # join needs no per-read Sort either
+        assert "Sort (" not in plan, plan
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bench_bridge_join_twins_plans(spark):
+    """The bench twin pair (plans/bucketed_bench.py) must show exactly
+    the contrast it claims: the bucketed path joins with ZERO Exchange
+    before the aggregation, the plain path shuffles both fact sides.
+    Pinned on the same code bench.py times."""
+    from geo_explorer_etl_spark.plans import bucketed_bench as bb
+
+    bb.prepare(spark, SF_SMOKE, n_buckets=4)
+    bucketed = bb.bridge_join_bucketed(spark, SF_SMOKE)
+    plain = bb.bridge_join_plain(spark, SF_SMOKE)
+    # capture plans BEFORE executing: after collect() the adaptive plan
+    # prints Final+Initial sections and double-counts Exchanges
+    pb, pp = plan_of(bucketed), plan_of(plain)
+    # same results across layouts (double sums differ in the last ulp
+    # with aggregation order, hence the rounding)
+    rb = sorted((r["IndicatorId"], round(r["total_value"], 3), r["n_values"]) for r in bucketed.collect())
+    rp = sorted((r["IndicatorId"], round(r["total_value"], 3), r["n_values"]) for r in plain.collect())
+    assert rb == rp
+    assert "SortMergeJoin" in pb, pb
+    # the only Exchange allowed in the bucketed plan is the aggregation's
+    # (hashpartitioning on IndicatorId) — never on the join key
+    assert "hashpartitioning(IndicatorValueId" not in pb, pb
+    # exactly one Exchange tree node (the aggregation's); formatted
+    # explain repeats node names in the detail section, so count the
+    # tree labels. The bucketed scans also report their sortBy order
+    # (one file per bucket), so the merge join needs no Sort.
+    assert pb.count("Exchange (") == 1, pb
+    assert pb.count("Sort (") == 0, pb
+    # the plain layout pays the join-key shuffle on both sides
+    assert pp.count("hashpartitioning(IndicatorValueId") >= 2, pp
 
 
 def test_asof_join_plan_is_one_keyed_window_no_nested_loop(spark):
