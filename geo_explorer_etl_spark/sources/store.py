@@ -291,7 +291,16 @@ class TableStore:
         Returns the number of files removed. Takes the store lock: a
         publish mid-flight has moved files into the partition dir that
         its manifest swap has not yet listed — unlocked GC would eat
-        them."""
+        them.
+
+        RETENTION CONTRACT (pytest-pinned): an in-flight reader whose
+        plan resolved a superseded manifest keeps scanning the old
+        files, so ``older_than_seconds`` must exceed the longest
+        reader's runtime — files younger than the window survive and
+        the reader completes. ``older_than_seconds=0`` is only safe
+        when no reader holds a superseded snapshot; after it runs, a
+        stale plan points at deleted files and fails on next execution
+        (the same contract as Delta/Iceberg VACUUM retention)."""
         import time
 
         cutoff = time.time() - older_than_seconds

@@ -261,6 +261,48 @@ def test_snapshot_isolation_for_inflight_readers(spark, tmp_path):
     assert [r["v"] for r in store.read("IndicatorValues").limit(1).collect()] == ["new"]
 
 
+def test_vacuum_retention_protects_inflight_reader(spark, tmp_path):
+    """The retention contract (store.vacuum): an in-flight reader's
+    planned scan survives publish + vacuum as long as the vacuum's
+    ``older_than_seconds`` exceeds the reader's runtime — superseded
+    files younger than the window are retained. A zero-window vacuum
+    (only safe when no reader holds a superseded snapshot) then
+    removes them, after which only the fresh snapshot is readable."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    root = str(tmp_path / "store")
+    pid = 3
+    store = TableStore(spark, root)
+
+    def frame(tag, n):
+        return spark.range(n).select(F.col("id"), F.lit(tag).alias("v"))
+
+    store.replace_product_all(pid, {"IndicatorValues": frame("v1", 8)})
+    snapshot = store.read("IndicatorValues")       # plan resolves v1 files
+    store.replace_product_all(pid, {"IndicatorValues": frame("v2", 5)})
+
+    # vacuum with a retention window longer than any reader: the v1
+    # files were written seconds ago, so nothing is eligible
+    assert store.vacuum("IndicatorValues", older_than_seconds=3600) == 0
+    rows = snapshot.collect()                      # reader completes on v1
+    assert len(rows) == 8 and {r["v"] for r in rows} == {"v1"}
+
+    # once no reader holds the superseded snapshot, a zero-window
+    # vacuum GCs it; the stale plan now points at deleted files and a
+    # re-collect fails — which is exactly why the retention window must
+    # outlive the longest reader
+    part = Path(root) / "IndicatorValues" / f"IndicatorThemeId={pid}"
+    assert store.vacuum("IndicatorValues") > 0
+    fresh = store.read("IndicatorValues").collect()
+    assert len(fresh) == 5 and {r["v"] for r in fresh} == {"v2"}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        snapshot.collect()
+
+
 def test_concurrent_publishes_serialize_under_lock(spark, tmp_path):
     """Two threads replacing DIFFERENT products through the same store
     root must both commit cleanly — the flock serializes staging and
