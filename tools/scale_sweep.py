@@ -19,15 +19,19 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 
 def main() -> None:
     from bench import HEADLINE
+    from geo_explorer_etl_spark.plans import bucketed_bench
     from geo_explorer_etl_spark.plans.registry import all_queries
     from geo_explorer_etl_spark.session import get_spark
 
     spark = get_spark("scale_sweep", cpus=32)
-    queries = all_queries()
+    queries = dict(all_queries())
+    queries["bridge_join_bucketed"] = bucketed_bench.bridge_join_bucketed
+    queries["bridge_join_plain"] = bucketed_bench.bridge_join_plain
     results: dict[str, dict[str, float]] = {}
     for sf_dir in SFS:
         sf = sf_dir.rsplit("sf", 1)[-1]
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        bucketed_bench.prepare(spark, sf_dir)   # untimed layout setup per SF
         times = {}
         for name in HEADLINE:
             t0 = time.perf_counter()
