@@ -431,15 +431,28 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
 # production training story and keeps its pytest recall gates; the
 # catalog entries pin the full query topology (probe → cell equi-join
 # → exact cosine) under a value-level oracle.
-_IVF_DEDUP_K, _IVF_DEDUP_NPROBE = 16, 3
+# nprobe=6 with strided (untrained) seeds: measured recall 0.94 vs the
+# exact twin at sf0.1 (vs 0.61 at nprobe=3 — unoptimized seeds need
+# more probes than trained centroids for the same recall), while the
+# pruning factor stays ~nprobe²/K = 36/√n of all pairs — under 1% at
+# the K=4096 cap.
+_IVF_DEDUP_NPROBE = 6
 
+# K follows the standard IVF √n rule, bounded to [16, 4096] — and the
+# rule itself is oracle-checked: IEEE sqrt is correctly rounded, so
+# floor(sqrt(n)) is bit-identical between Python and DuckDB and both
+# engines derive the same K, step, and cell set from the same table.
 _IVF_DEDUP_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    params AS (SELECT GREATEST(count(*) // {_IVF_DEDUP_K}, 1) AS step FROM e),
+    params AS (
+        SELECT GREATEST(16, LEAST(4096, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k,
+               GREATEST(count(*) // GREATEST(16, LEAST(4096,
+                        CAST(floor(sqrt(count(*))) AS BIGINT))), 1) AS step
+        FROM e),
     cents AS (
         SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS c, e.v
         FROM e, params p
-        WHERE e.vec_id % p.step = 0 AND e.vec_id < {_IVF_DEDUP_K} * p.step),
+        WHERE e.vec_id % p.step = 0 AND e.vec_id < p.k * p.step),
     scores AS (
         SELECT e.vec_id, c.c, list_dot_product(e.v, c.v) AS s
         FROM e CROSS JOIN cents c),
@@ -468,14 +481,19 @@ _IVF_DEDUP_ORACLE = f"""
     tags="ext dedup similarity ivf",
 )
 def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-adaptive scale path for weak-similarity corpora: IVF cells,
-    3-probe assignment, within-cell exact cosine. ~0.5·n²/2 candidates
-    at recall ~0.9 on this corpus (measured), where sign-bit banding
-    would need ~2n² for the same recall. Seeds here are deterministic
+    """Data-adaptive scale path for weak-similarity corpora: √n IVF
+    cells, 6-probe assignment, within-cell exact cosine — measured
+    recall 0.94 vs the exact twin at sf0.1, where sign-bit banding
+    would need ~2n² dot products for the same recall at this weak
+    (cos 0.4) threshold. Seeds here are deterministic
     strided data vectors so the DuckDB oracle reproduces the cells
-    exactly; the trained-k-means variant is pytest-gated on recall."""
+    exactly — including the √n cell-count rule itself (floor(sqrt) is
+    bit-identical across engines); the trained-k-means variant is
+    pytest-gated on recall."""
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    cents = SIM.stride_seed_vectors(emb, k=_IVF_DEDUP_K)
+    n = emb.count()
+    k = max(16, min(4096, int(n**0.5)))
+    cents = SIM.stride_seed_vectors(emb, k=k)
     return SIM.ivf_near_dup_pairs(
         emb, threshold=0.4, nprobe=_IVF_DEDUP_NPROBE, centroids=cents
     )
