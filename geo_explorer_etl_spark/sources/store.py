@@ -322,6 +322,69 @@ class TableStore:
                             removed += 1
         return removed
 
+    def compact(
+        self,
+        table: str | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite fragmented manifest-bearing partitions into
+        ~``target_file_bytes`` files (the Delta/Iceberg OPTIMIZE
+        analog). Every ``append`` extends a partition's manifest by at
+        least one file, so a hot partition fragments over time — and at
+        scale a scan over thousands of small files pays task-scheduling
+        and footer-read overhead per file. Compaction reads the live
+        file list, rewrites it at target size, and ATOMICALLY swaps the
+        manifest — in-flight readers keep scanning the superseded files
+        (same snapshot semantics as a publish; ``vacuum`` GCs them
+        under the retention contract). Only manifest-bearing partitions
+        are compacted: listing-mode partitions have no snapshot
+        indirection, so a rewrite there couldn't be atomic for readers.
+
+        Returns the number of partitions compacted. A partition is
+        skipped when its live file count is already within the target
+        (``ceil(total_bytes / target)``), so repeated calls are cheap
+        no-ops. Takes the store lock (like vacuum) so a concurrent
+        publish can't interleave with the manifest swap."""
+        import math
+        import uuid
+
+        compacted = 0
+        tables = [table] if table else PRODUCT_TABLES
+        with self._exclusive_lock():
+            for t in tables:
+                p = Path(self._path(t))
+                if not p.exists():
+                    continue
+                for part in p.glob(f"{PARTITION_COL}=*"):
+                    cm = part / COMMITTED
+                    if not cm.exists():
+                        continue
+                    names = json.loads(cm.read_text())["files"]
+                    paths = [part / n for n in names if (part / n).exists()]
+                    if len(paths) <= 1:
+                        continue
+                    total = sum(f.stat().st_size for f in paths)
+                    target_n = max(1, math.ceil(total / target_file_bytes))
+                    if len(paths) <= target_n:
+                        continue
+                    staging = part / f"_compact_{uuid.uuid4().hex}"
+                    (
+                        self.spark.read.parquet(*[str(f) for f in paths])
+                        .repartition(target_n)
+                        .write.parquet(str(staging))
+                    )
+                    new_names = []
+                    for f in sorted(staging.glob("*.parquet")):
+                        new_name = f"compact-{uuid.uuid4().hex}.parquet"
+                        f.rename(part / new_name)
+                        new_names.append(new_name)
+                    import shutil
+
+                    shutil.rmtree(staging)
+                    self._write_committed(part, sorted(new_names))  # snapshot point
+                    compacted += 1
+        return compacted
+
     def delete_product(self, product_id: int) -> None:
         """Cascading delete across all product tables (reference
         scdb.py:32–72): with product partitioning this is dropping one

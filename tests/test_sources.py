@@ -303,6 +303,48 @@ def test_vacuum_retention_protects_inflight_reader(spark, tmp_path):
         snapshot.collect()
 
 
+def test_compact_defragments_under_snapshot_semantics(spark, tmp_path):
+    """OPTIMIZE analog: repeated appends fragment a partition's
+    manifest; compact() rewrites the live files at target size and
+    swaps the manifest atomically — fresh reads see identical data in
+    fewer files, an in-flight reader keeps its superseded snapshot
+    until vacuum, and a second compact is a no-op."""
+    import json as _json
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import COMMITTED, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 5
+    store = TableStore(spark, root)
+
+    def frame(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id"), F.lit(pid).cast("long").alias("IndicatorThemeId")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame(0, 10).drop("IndicatorThemeId")})
+    for i in range(1, 5):
+        store.append("IndicatorValues", frame(10 * i, 10))
+
+    part = Path(root) / "IndicatorValues" / f"IndicatorThemeId={pid}"
+    live_before = _json.loads((part / COMMITTED).read_text())["files"]
+    assert len(live_before) >= 5                    # fragmented
+    snapshot = store.read("IndicatorValues")        # plan over fragmented files
+
+    assert store.compact("IndicatorValues") == 1
+    live_after = _json.loads((part / COMMITTED).read_text())["files"]
+    assert len(live_after) == 1 and all(n.startswith("compact-") for n in live_after)
+    # identical data through the new manifest
+    assert sorted(r["id"] for r in store.read("IndicatorValues").collect()) == list(range(50))
+    # in-flight reader still completes on the superseded fragmented files
+    assert sorted(r["id"] for r in snapshot.collect()) == list(range(50))
+    # superseded files retained until vacuum, then GC'd; compact is now a no-op
+    assert store.vacuum("IndicatorValues") == len(live_before)
+    assert {f.name for f in part.glob("*.parquet")} == set(live_after)
+    assert store.compact("IndicatorValues") == 0
+
+
 def test_concurrent_publishes_serialize_under_lock(spark, tmp_path):
     """Two threads replacing DIFFERENT products through the same store
     root must both commit cleanly — the flock serializes staging and
