@@ -48,12 +48,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="garbage-collect fact-table files superseded more than "
         "HOURS ago (snapshot-read retention), then exit",
     )
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="rewrite fragmented fact-table partitions at target file "
+        "size (atomic manifest swap; superseded files left for "
+        "--vacuum), then exit; combinable with --vacuum",
+    )
     args = p.parse_args(argv)
 
     has_range = args.start is not None or args.end is not None
-    if args.vacuum is not None:
+    if args.vacuum is not None or args.compact:
         if args.insert or args.prodid or has_range:
-            p.error("--vacuum runs alone")
+            p.error("--vacuum/--compact run alone")
         return args
     if args.insert and not args.prodid:
         p.error("--insert requires --prodid")
@@ -83,9 +90,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("geo-explorer-etl")
     store = TableStore(spark, args.warehouse)
-    if args.vacuum is not None:
-        removed = store.vacuum(older_than_seconds=args.vacuum * 3600)
-        print(f"vacuum: removed {removed} superseded files")
+    if args.compact or args.vacuum is not None:
+        if args.compact:
+            n = store.compact()
+            print(f"compact: rewrote {n} fragmented partitions")
+        if args.vacuum is not None:
+            removed = store.vacuum(older_than_seconds=args.vacuum * 3600)
+            print(f"vacuum: removed {removed} superseded files")
         return 0
     wds = WdsClient(spark)
 

@@ -23,6 +23,10 @@ def test_cli_valid_forms():
     assert a.start and a.end
     a = parse_args(["--vacuum", "24"])
     assert a.vacuum == 24.0
+    a = parse_args(["--compact"])
+    assert a.compact
+    a = parse_args(["--compact", "--vacuum", "24"])     # maintenance combo
+    assert a.compact and a.vacuum == 24.0
     a = parse_args(["--prodid", "35100177", "--bucketed-mirror"])
     assert a.bucketed_mirror
 
@@ -37,6 +41,7 @@ def test_cli_valid_forms():
         [],                                                  # nothing to do
         ["--prodid", "123"],                                 # not 8 digits
         ["--vacuum", "24", "--prodid", "35100177"],          # vacuum runs alone
+        ["--compact", "--insert", "--prodid", "35100177"],   # compact runs alone
     ],
 )
 def test_cli_invalid_forms(argv):
