@@ -100,6 +100,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_store_read_prunes_product_partitions(spark, tmp_path):
+    """SCALE.md's 'readers prune on the product id for free': a
+    product-filtered read through the manifest-resolved file list must
+    show a PartitionFilters entry on IndicatorThemeId and scan ONE
+    partition, not every product's files."""
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    for pid in (1, 2, 3):
+        store.replace_product_all(
+            pid, {"IndicatorValues": spark.range(100).select(F.col("id"))}
+        )
+    df = store.read("IndicatorValues").filter(F.col("IndicatorThemeId") == 2)
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(IndicatorThemeId" in plan, plan
+    assert "(IndicatorThemeId" in plan and "= 2)" in plan, plan
+    assert df.count() == 100
+
+
 def test_bench_bridge_join_twins_plans(spark):
     """The bench twin pair (plans/bucketed_bench.py) must show exactly
     the contrast it claims: the bucketed path joins with ZERO Exchange
