@@ -203,6 +203,14 @@ def _signal_features(samples: list[float], dim: int) -> list[float]:
 
 def _real_decode(content: bytes, mime: str, dim: int) -> list[float]:
     blob = content or b""
+    # Null/empty content raises the documented NotImplementedError up
+    # front — a mime-matched row with no bytes must not reach a decoder
+    # with None (TypeError) or a truncated stream (codec-internal error)
+    if not blob:
+        raise NotImplementedError(
+            f"empty or null content for {mime!r} (pass fake=True for the "
+            "pseudo-decode)"
+        )
     # RIFF is a container family (WAV, WebP, AVI…): require the WAVE
     # form type at bytes 8:12 before dispatching to the WAV decoder, so
     # a WebP/AVI blob falls through to the honest NotImplementedError
@@ -210,13 +218,13 @@ def _real_decode(content: bytes, mime: str, dim: int) -> list[float]:
     if mime in ("audio/wav", "audio/x-wav") or (
         blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
     ):
-        _, _, samples = decode_wav(content)
+        _, _, samples = decode_wav(blob)
         return _signal_features(samples, dim)
-    if mime == "image/bmp" or (content or b"")[:2] == b"BM":
-        _, _, pixels = decode_bmp(content)
+    if mime == "image/bmp" or blob[:2] == b"BM":
+        _, _, pixels = decode_bmp(blob)
         return _signal_features(pixels, dim)
     if mime == "image/png" or blob[:8] == _PNG_SIG:
-        _, _, pixels = decode_png(content)
+        _, _, pixels = decode_png(blob)
         return _signal_features(pixels, dim)
     raise NotImplementedError(
         f"no codec for {mime!r} in this environment (WAV/BMP/PNG decode "

@@ -458,9 +458,14 @@ def ivf_near_dup_pairs(
     (bounded to [16, 4096]) so per-cell candidate blowup stays ~constant
     as the corpus grows; the count() it costs is one columnar scan.
     """
+    import math
+
     id_type = emb.schema[id_col].dataType.simpleString()
     if centroids is None and n_centroids is None:
-        n_centroids = max(16, min(4096, int(emb.count() ** 0.5)))
+        # isqrt, not int(n**0.5): exact floor(sqrt) for every n — the
+        # libm pow(x, 0.5) path is not guaranteed correctly rounded and
+        # could desync K from an external oracle at a perfect square
+        n_centroids = max(16, min(4096, math.isqrt(emb.count())))
     cents = (
         centroids
         if centroids is not None

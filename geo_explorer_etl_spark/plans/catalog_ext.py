@@ -490,9 +490,16 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — including the √n cell-count rule itself (floor(sqrt) is
     bit-identical across engines); the trained-k-means variant is
     pytest-gated on recall."""
+    import math
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     n = emb.count()
-    k = max(16, min(4096, int(n**0.5)))
+    # math.isqrt: EXACT integer sqrt. int(n**0.5) routes through libm
+    # pow(x, 0.5), which the C standard does not require to be
+    # correctly rounded — a perfect-square n could floor to k-1 on some
+    # libms and silently desync the cell set from the oracle's
+    # floor(sqrt(n)). isqrt == floor(sqrt(n)) for all n, by definition.
+    k = max(16, min(4096, math.isqrt(n)))
     cents = SIM.stride_seed_vectors(emb, k=k)
     return SIM.ivf_near_dup_pairs(
         emb, threshold=0.4, nprobe=_IVF_DEDUP_NPROBE, centroids=cents

@@ -40,7 +40,11 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    bootstrap_schema: T.StructType | None = None,
+) -> DataFrame:
     """File-source stream of events, robust to the files' timestamp
     unit: nano-stamped generations arrive as raw longs and are
     converted with integer division exactly like the batch reader;
@@ -50,8 +54,12 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     files present at that moment; a directory whose later files flip
     the timestamp unit mid-stream is unsupported (the micro-batch scan
     would reject them against the fixed schema). A directory that is
-    still empty at build time bootstraps with ``EVENT_SCHEMA`` (the
-    nano layout) — the normal file-stream cold start.
+    still empty at build time bootstraps with ``bootstrap_schema`` when
+    given, else ``EVENT_SCHEMA`` (the nano layout) — a cold start that
+    expects micro-stamped files passes the timestamp-typed schema here,
+    e.g. ``EVENT_SCHEMA`` with ``ts`` as ``TimestampType``; without it
+    a micro-stamped first file would fail conversion against the frozen
+    nano layout.
     """
     # Left ON for the session: streaming scans consult the conf at
     # query start (and per micro-batch), not at readStream build time.
@@ -63,7 +71,7 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     try:
         probed = spark.read.parquet(events_dir).schema
     except Exception:  # no files yet: UNABLE_TO_INFER_SCHEMA / missing path
-        probed = EVENT_SCHEMA
+        probed = bootstrap_schema if bootstrap_schema is not None else EVENT_SCHEMA
     raw = spark.readStream.schema(probed).format("parquet").load(events_dir)
     ts_type = dict((f.name, f.dataType.simpleString()) for f in probed.fields).get("ts")
     if ts_type in ("bigint", "long"):

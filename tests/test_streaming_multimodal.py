@@ -129,6 +129,56 @@ def test_multimodal_decode_stub_raises(spark):
         extract_features(media, fake=False).collect()
 
 
+def test_multimodal_null_content_raises_honestly(spark):
+    """A mime-matched row with NULL content must raise the documented
+    NotImplementedError, not a TypeError from a decoder handed None."""
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", None, None, None, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|empty or null"):
+        extract_features(media, fake=False).collect()
+
+
+def test_stream_events_micro_bootstrap_schema(spark, tmp_path):
+    """A cold start that expects micro-stamped files passes a
+    timestamp-typed bootstrap schema; the first file to land is then
+    ingested instead of failing conversion against the frozen nano
+    layout."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from geo_explorer_etl_spark.session import load_tables
+
+    micro_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    d = tmp_path / "cold_start_micro"
+    d.mkdir()
+    stream = stream_events(spark, str(d), bootstrap_schema=micro_schema)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    staging = tmp_path / "staging_micro"
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .limit(50)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(staging))
+    )
+    part = next(staging.glob("part-*.parquet"))
+    shutil.copy(part, d / "late.parquet")
+    got = run_to_memory(stream.select("event_id"), "t_cold_start_micro")
+    assert got.count() == 50
+
+
 def test_multimodal_riff_non_wave_not_routed_to_wav(spark):
     """RIFF is a container family: a WebP blob (RIFF....WEBP) must fall
     through to the honest no-codec error, not a wave.Error from the WAV
