@@ -42,6 +42,13 @@ HEADLINE = [
     # layout setup happens untimed in main()
     "bridge_join_bucketed",
     "bridge_join_plain",
+    # TableStore layout twins (plans/store_bench.py): zone-map file
+    # skipping vs full listing, fragmented vs compacted layout; layout
+    # setup happens untimed in main()
+    "store_read_pruned",
+    "store_read_full",
+    "store_scan_fragmented",
+    "store_scan_compacted",
 ]
 
 
@@ -50,7 +57,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    from geo_explorer_etl_spark.plans import bucketed_bench
+    from geo_explorer_etl_spark.plans import bucketed_bench, store_bench
     from geo_explorer_etl_spark.plans.registry import all_queries
     from geo_explorer_etl_spark.session import get_spark
 
@@ -58,10 +65,19 @@ def main() -> None:
     queries = dict(all_queries())
     queries["bridge_join_bucketed"] = bucketed_bench.bridge_join_bucketed
     queries["bridge_join_plain"] = bucketed_bench.bridge_join_plain
+    for name in (
+        "store_read_pruned",
+        "store_read_full",
+        "store_scan_fragmented",
+        "store_scan_compacted",
+    ):
+        queries[name] = getattr(store_bench, name)
 
-    # layout setup is untimed: bucketed mirrors are written once per
-    # publish and amortized over every read (see BucketedStore)
+    # layout setup is untimed: bucketed mirrors / store layouts are
+    # written once per publish and amortized over every read (see
+    # BucketedStore, TableStore.compact)
     bucketed_bench.prepare(spark, sf_dir)
+    store_bench.prepare(spark, sf_dir)
 
     # Warm-up: one untimed pass of every headline query at the smallest
     # SF. Whole-stage codegen JIT-compiles each query shape on first
@@ -76,20 +92,23 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, "/root/testdata/sf0.001").count()
 
-    # Two timed passes, report the per-query MIN: this box shares a
-    # host and ambient load can double a single-shot number at random —
-    # min-of-2 measures the plan, not the neighbor. Run count is
-    # recorded in the JSON so rounds stay comparable.
-    times: dict[str, float] = {}
-    runs = 2
+    # Three timed passes, report the per-query MIN plus the min→max
+    # spread: this box shares a host and ambient load can double a
+    # single-shot number at random — the min measures the plan, not the
+    # neighbor, and the recorded spread makes round-over-round deltas
+    # interpretable (a 5% "regression" inside the spread band is noise,
+    # not a plan change).
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs = 3
     for _ in range(runs):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
+    times = {name: min(ts) for name, ts in samples.items()}
+    spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -98,6 +117,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
                 "runs": runs,
                 "agg": "min",

@@ -439,6 +439,7 @@ def ivf_near_dup_pairs(
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    angular_prune: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via trained-centroid (IVF) multi-probe
     buckets: assign each vector to its ``nprobe`` closest k-means
@@ -457,6 +458,18 @@ def ivf_near_dup_pairs(
     ``n_centroids=None`` sizes cells by the standard IVF √n rule
     (bounded to [16, 4096]) so per-cell candidate blowup stays ~constant
     as the corpus grows; the count() it costs is one columnar scan.
+
+    ``angular_prune`` (default on) cuts the candidate volume BEFORE the
+    expensive vector join using the angular triangle inequality: for a
+    pair (x, y) sharing probed cell c, θ(x,y) >= |θ(x,c) − θ(y,c)|, so
+    cos(x,y) <= cos(x,c)·cos(y,c) + sin(x,c)·sin(y,c). The assignment
+    stage already computes every x·c dot, so the per-(id, cell) cosine
+    rides along for free and the bound is evaluated JVM-side on the
+    ids-only join — pairs whose upper bound cannot reach the threshold
+    never ship their vectors. The bound is EXACT mathematics (a strict
+    superset of the threshold survivors, kept safe against fp rounding
+    by a 1e-6 margin), so results are bit-identical with it on or off
+    — it needs no oracle change and is pytest-pinned as such.
     """
     import math
 
@@ -487,6 +500,7 @@ def ivf_near_dup_pairs(
         import pandas as pd
 
         cmat = np.array(cents, dtype=np.float64)            # K × dim
+        cnorm = np.maximum(np.sqrt((cmat * cmat).sum(axis=1)), 1e-300)
         for pdf in batches:
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if len(x) == 0:
@@ -495,33 +509,58 @@ def ivf_near_dup_pairs(
             # and the scores are bit-identical to the oracle's
             # sequential list_dot_product, so the probed cell set is
             # reproducible across engines
-            top = np.argsort(-_fixed_order_scores(x, cmat), axis=1, kind="stable")[
-                :, :nprobe_
-            ]
+            dots = _fixed_order_scores(x, cmat)
+            top = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe_]
             k = top.shape[1]
+            rows = np.arange(len(x)).repeat(k)
+            cells = top.reshape(-1)
+            # cosine-to-probed-cell for the angular bound — pruning
+            # only (never in result values), so plain numpy is fine
+            xnorm = np.maximum(np.sqrt((x * x).sum(axis=1)), 1e-300)
+            sims = np.clip(dots[rows, cells] / (xnorm[rows] * cnorm[cells]), -1.0, 1.0)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy().repeat(k),
-                    "_cell": top.reshape(-1),
+                    "_cell": cells,
+                    "_sim": sims,
                 }
             )
 
     # id field keeps the INPUT id type (string ids must round-trip
     # unchanged, not be coerced to long)
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} {id_type}, _cell int"
+        assign, schema=f"{id_col} {id_type}, _cell int, _sim double"
     )
-    # ids-only cell join -> distinct -> join vectors back (same shape as
-    # bucketed_near_dup_pairs): one dot per distinct pair, and the
-    # expensive cosine stage is partitioned by pair id instead of by the
-    # K-distinct-key cell column
-    cand = (
-        assigned.select(F.col("_cell"), F.col(id_col).alias("id_a"))
-        .join(assigned.select(F.col("_cell"), F.col(id_col).alias("id_b")), "_cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # ids-only cell join -> angular bound -> distinct -> join vectors
+    # back (same shape as bucketed_near_dup_pairs): one dot per distinct
+    # surviving pair, and the expensive cosine stage is partitioned by
+    # pair id instead of by the K-distinct-key cell column
+    a_side = assigned.select(
+        F.col("_cell"), F.col(id_col).alias("id_a"), F.col("_sim").alias("_sa")
     )
+    b_side = assigned.select(
+        F.col("_cell"), F.col(id_col).alias("id_b"), F.col("_sim").alias("_sb")
+    )
+    joined = a_side.join(b_side, "_cell").filter(F.col("id_a") < F.col("id_b"))
+    if angular_prune:
+        # cos(x,y) <= sa·sb + sin_a·sin_b where sin = sqrt(1 − s²).
+        # EVERY shared cell yields a valid upper bound, so the MIN over
+        # a pair's shared cells is the tightest sound bound — the
+        # groupBy replaces the plain distinct() (same shuffle keys,
+        # same cost) and prunes pairs whose best bound still can't
+        # reach the threshold. The 1e-6 margin absorbs fp rounding so
+        # the filter stays a strict superset of the exact survivors.
+        sin_a = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_sa") * F.col("_sa")))
+        sin_b = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_sb") * F.col("_sb")))
+        ub = F.col("_sa") * F.col("_sb") + sin_a * sin_b
+        cand = (
+            joined.groupBy("id_a", "id_b")
+            .agg(F.min(ub).alias("_ub"))
+            .filter(F.col("_ub") >= threshold - 1e-6)
+            .select("id_a", "id_b")
+        )
+    else:
+        cand = joined.select("id_a", "id_b").distinct()
     v = _as_double(F.col(vec_col))
     withn = emb.select(F.col(id_col), v.alias("_v"), F.sqrt(_dot(v, v)).alias("_n"))
     pairs = cand.join(

@@ -1,0 +1,105 @@
+"""TableStore layout twins for bench: zone-map file skipping and
+small-file compaction, each measured against its unoptimized mirror.
+
+Two one-time layouts are prepared (untimed — the same amortization
+argument as the bucketed mirrors in bucketed_bench.py):
+
+- FRAGMENTED: the events table published through
+  ``replace_product_all`` as ~``N_FILES`` range-partitioned files
+  (``repartitionByRange`` on ``ts``), so every file covers a disjoint
+  time slice and the manifest's per-file min/max stats can prove most
+  files irrelevant to a time-ranged read. This doubles as the
+  many-small-files state every hot partition degrades into via appends.
+- COMPACTED: the same rows after ``store.compact()`` — the OPTIMIZE
+  analog, a handful of target-size files.
+
+Timed twins:
+
+- ``store_read_pruned``  — one-day aggregate through
+  ``read(where=...)``: the manifest zone maps drop the ~29/30 of files
+  that cannot hold the day before Spark ever lists them.
+- ``store_read_full``    — identical aggregate via
+  ``read().filter(...)``: every live file is opened (parquet row-group
+  stats still cut decoded pages, but each file pays listing, task
+  scheduling, and a footer read — the cost that multiplies by 1000 at
+  cluster scale).
+- ``store_scan_fragmented`` / ``store_scan_compacted`` — full-table
+  aggregate over the two layouts: the per-file fixed cost that
+  compaction exists to remove, measured.
+
+Like the bridge twins, these read the layout prepared for the bench
+TARGET SF and ignore the ``sf_dir`` argument at query time.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.session import load_tables
+from geo_explorer_etl_spark.sources.store import TableStore
+
+N_FILES = 200
+PID = 1
+TABLE = "IndicatorValues"
+
+_DAY_LO = datetime.datetime(2024, 1, 15, 0, 0, 0)
+_DAY_HI = datetime.datetime(2024, 1, 15, 23, 59, 59, 999999)
+
+
+def _roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_frag", f"{wh}/bench_store_compact"
+
+
+def prepare(spark: SparkSession, sf_dir: str) -> None:
+    """One-time layout setup, untimed: publish events into a
+    fragmented store (range-disjoint small files with zone maps) and a
+    compacted mirror of the same rows."""
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    frag_root, compact_root = _roots(spark)
+    for root, compact in ((frag_root, False), (compact_root, True)):
+        store = TableStore(spark, root)
+        # range partitioning gives each payload file a disjoint ts
+        # slice — the layout a time-ordered ingest naturally produces,
+        # and the one zone maps prune best
+        store.replace_product_all(PID, {TABLE: ev.repartitionByRange(N_FILES, "ts")})
+        if compact:
+            store.compact(TABLE)
+            store.vacuum(TABLE)
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+def store_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-day aggregate; the manifest zone maps prune the file list
+    driver-side before the scan is planned."""
+    frag_root, _ = _roots(spark)
+    store = TableStore(spark, frag_root)
+    return _agg(store.read(TABLE, where=[("ts", "between", (_DAY_LO, _DAY_HI))]))
+
+
+def store_read_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same one-day aggregate with no file skipping: every live
+    file is listed, scheduled, and footer-read."""
+    frag_root, _ = _roots(spark)
+    store = TableStore(spark, frag_root)
+    return _agg(store.read(TABLE).filter(F.col("ts").between(_DAY_LO, _DAY_HI)))
+
+
+def store_scan_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag_root, _ = _roots(spark)
+    return _agg(TableStore(spark, frag_root).read(TABLE))
+
+
+def store_scan_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, compact_root = _roots(spark)
+    return _agg(TableStore(spark, compact_root).read(TABLE))

@@ -52,6 +52,11 @@ def get_spark(
         # so multi-file buckets (e.g. partitioned mirrors read whole)
         # simply fall back to sorting — never wrong results.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # INT96 (the historical default) is deprecated AND carries no
+        # parquet min/max statistics, which blinds both row-group
+        # skipping and the TableStore manifest zone maps for timestamp
+        # columns. Micros timestamps get full stats + pushdown.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

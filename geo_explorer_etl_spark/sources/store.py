@@ -25,6 +25,163 @@ from pyspark.sql import functions as F
 
 COMMITTED = "_committed.json"  # per-partition live-file manifest (hidden from Spark's own discovery by the leading underscore)
 
+
+# -- file-level data skipping -----------------------------------------------
+# Manifests carry per-file column min/max ("zone maps"), harvested from
+# the parquet footers at commit time (publish / append / compact). A
+# predicate-bearing read then drops files whose stats PROVE no row can
+# match — below the IndicatorThemeId partition grain, this is the
+# single biggest scan reducer for the web app's per-indicator reads
+# (SURVEY §2.14 filters far below product grain). Skipping is purely an
+# optimization: the same predicate is also applied as a real filter on
+# the returned frame, so a file kept conservatively (no stats, type
+# mismatch, legacy manifest) never changes the result.
+
+
+def _norm_stat(v):
+    """Normalize a footer statistic (or a caller's predicate value) to a
+    JSON-storable, order-preserving scalar: numbers stay numeric,
+    date/datetime become ISO strings (lexicographic == chronologic),
+    bytes decode to str. None = not comparable -> no pruning on it.
+    Decimals are excluded: their string form does not order correctly
+    and floating them would be lossy."""
+    import datetime
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        # normalize tz-aware stats (parquet isAdjustedToUTC) to naive
+        # UTC so they compare exactly against naive-UTC caller values
+        # (the session timezone is pinned to UTC) — an appended "+00:00"
+        # suffix would corrupt lexicographic ordering at equal instants
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _stat_comparable(a, b) -> bool:
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _parquet_file_stats(path: Path) -> dict[str, list] | None:
+    """Per-column [min, max] over all row groups of one parquet file —
+    one footer read, no data pages. Columns whose stats are missing in
+    ANY row group are omitted (unknown -> never pruned). Parquet's
+    truncated string stats are safe here: a truncated min is a prefix
+    (<= the true min), a truncated max is prefix+1 (>= the true max),
+    so the bounds stay conservative."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(str(path)).metadata
+    except Exception:
+        return None
+    out: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:  # nested leaf: not top-level-pruneable
+                continue
+            st = col.statistics
+            has = st is not None and st.has_min_max
+            mn = _norm_stat(st.min) if has else None
+            mx = _norm_stat(st.max) if has else None
+            if mn is None or mx is None:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            if name in out:
+                prev_mn, prev_mx = out[name]
+                if not (_stat_comparable(prev_mn, mn) and _stat_comparable(prev_mx, mx)):
+                    bad.add(name)
+                    out.pop(name, None)
+                    continue
+                out[name] = [min(prev_mn, mn), max(prev_mx, mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
+def _normalize_bound(val):
+    v = _norm_stat(val)
+    return v
+
+
+def _file_may_match(stats: dict[str, list] | None, where) -> bool:
+    """Conservative zone-map check: False only when some predicate is
+    PROVEN empty against the file's [min, max]. Parquet min/max exclude
+    nulls, and every supported op is null-rejecting, so pruning on
+    non-null bounds is sound."""
+    for col, op, val in where:
+        s = (stats or {}).get(col)
+        if not s:
+            continue
+        mn, mx = s
+        if op == "between":
+            lo, hi = _normalize_bound(val[0]), _normalize_bound(val[1])
+            if lo is None or hi is None or not _stat_comparable(mn, lo):
+                continue
+            if mx < lo or mn > hi:
+                return False
+            continue
+        v = _normalize_bound(val)
+        if v is None or not _stat_comparable(mn, v):
+            continue
+        if op == "==" and (v < mn or v > mx):
+            return False
+        if op == ">=" and mx < v:
+            return False
+        if op == ">" and mx <= v:
+            return False
+        if op == "<=" and mn > v:
+            return False
+        if op == "<" and mn >= v:
+            return False
+    return True
+
+
+def _where_expr(where):
+    """The where-list as a Spark Column (ANDed) — applied to the pruned
+    frame so results never depend on stats quality."""
+    import functools
+
+    exprs = []
+    for col, op, val in where:
+        c = F.col(col)
+        if op == "==":
+            exprs.append(c == val)
+        elif op == ">=":
+            exprs.append(c >= val)
+        elif op == ">":
+            exprs.append(c > val)
+        elif op == "<=":
+            exprs.append(c <= val)
+        elif op == "<":
+            exprs.append(c < val)
+        elif op == "between":
+            exprs.append(c.between(val[0], val[1]))
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+    return functools.reduce(lambda a, b: a & b, exprs)
+
 # Tables partitioned by product (replace unit). Lookup tables
 # (GeographyReference, GeographicLevel, NullReason) are unpartitioned.
 PRODUCT_TABLES = [
@@ -48,6 +205,10 @@ class TableStore:
         # dynamic mode: overwrite only the partitions present in the
         # incoming frame — this IS the product-replace primitive
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # never write INT96 timestamps: they carry no parquet min/max
+        # stats, which would blind the manifest zone maps (and Spark's
+        # own row-group skipping) for every timestamp column
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # roll forward / roll back any replace_product_all transaction
         # a previous process died inside — readers through a fresh
         # store handle always see a consistent all-old or all-new state
@@ -78,41 +239,91 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return Path(self._path(table)).exists()
 
-    def _live_files(self, table_dir: Path) -> list[str]:
+    def _live_files(self, table_dir: Path, where=None) -> list[str]:
         """Resolve the table's live data files through the per-partition
         ``_committed.json`` manifests (snapshot isolation: a publish
         swaps the manifest atomically and leaves the previous version's
         files on disk until vacuum(), so an in-flight reader whose plan
         captured the old list keeps reading consistent all-old data).
         Partitions without a manifest — plain appends, legacy layouts —
-        fall back to directory listing, where every file is live."""
+        fall back to directory listing, where every file is live.
+
+        ``where`` (list of ``(col, op, value)``) enables file-level data
+        skipping against the manifest's per-file min/max stats, plus
+        partition-dir skipping when a predicate names PARTITION_COL —
+        both conservative (a file without stats for the column is kept)."""
         files: list[str] = []
         for entry in sorted(table_dir.iterdir()):
             if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
+                if where:
+                    raw = entry.name.split("=", 1)[1]
+                    try:
+                        pv: float | str = int(raw)
+                    except ValueError:
+                        pv = raw
+                    if not _file_may_match({PARTITION_COL: [pv, pv]}, where):
+                        continue
                 cm = entry / COMMITTED
                 if cm.exists():
-                    names = json.loads(cm.read_text())["files"]
-                    files += [str(entry / n) for n in names]
+                    manifest = json.loads(cm.read_text())
+                    stats = manifest.get("stats", {})
+                    for n in manifest["files"]:
+                        if where and not _file_may_match(stats.get(n), where):
+                            continue
+                        files.append(str(entry / n))
                 else:
                     files += sorted(str(f) for f in entry.glob("*.parquet"))
             elif entry.suffix == ".parquet":
                 files.append(str(entry))
         return files
 
-    def read(self, table: str) -> DataFrame | None:
+    def live_files(self, table: str, where=None) -> list[str]:
+        """The exact file list a ``read(table, where)`` would scan —
+        the listing probe tests and ops tooling use to verify skipping."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return []
+        return self._live_files(p, where)
+
+    def read(self, table: str, where=None) -> DataFrame | None:
         """None when the table has no data yet (including the
         every-partition-deleted state). Reads resolve through the
         committed manifests — the explicit file list (with basePath so
         the partition column survives) is the same mechanism a table
         format's snapshot read uses, and costs one driver-side listing,
-        no extra Spark jobs."""
+        no extra Spark jobs.
+
+        ``where`` is a list of ``(col, op, value)`` with op in
+        ``== >= > <= < between`` (between takes a ``(lo, hi)`` value):
+        the predicates prune the FILE LIST through the manifest zone
+        maps (min/max harvested from parquet footers at commit), then
+        are applied as a real ``filter`` on the frame — so the result
+        is always identical to ``read(table).filter(...)``, just
+        without opening files that provably hold no matching row. At
+        100 TB this is the difference between scanning a product's
+        whole history and touching only the files covering one RefDate
+        range."""
         p = Path(self._path(table))
         if not p.exists():
             return None
-        files = self._live_files(p)
+        files = self._live_files(p, where)
         if not files:
+            if where:
+                # every file pruned, but the TABLE may have data: return
+                # an empty frame with the real schema (one footer read),
+                # not None — None means "no data at all"
+                all_files = self._live_files(p)
+                if all_files:
+                    return (
+                        self.spark.read.option("basePath", str(p))
+                        .parquet(all_files[0])
+                        .filter(F.lit(False))
+                    )
             return None
-        return self.spark.read.option("basePath", str(p)).parquet(*files)
+        df = self.spark.read.option("basePath", str(p)).parquet(*files)
+        if where:
+            df = df.filter(_where_expr(where))
+        return df
 
     # -- S10: append sink --------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
@@ -136,13 +347,32 @@ class TableStore:
             new_names = {f.name for f in part.glob("*.parquet")} - old_names
             if new_names:
                 cm = part / COMMITTED
-                names = json.loads(cm.read_text())["files"] + sorted(new_names)
-                self._write_committed(part, names)
+                manifest = json.loads(cm.read_text())
+                names = manifest["files"] + sorted(new_names)
+                # reuse the existing files' stats — only the appended
+                # files pay a footer read
+                self._write_committed(part, names, prior_stats=manifest.get("stats"))
 
     @staticmethod
-    def _write_committed(part_dir: Path, names: list[str]) -> None:
+    def _write_committed(
+        part_dir: Path, names: list[str], prior_stats: dict | None = None
+    ) -> None:
+        """Atomic manifest swap (the snapshot point), now carrying
+        per-file zone maps. Stats are harvested from each file's footer
+        at commit time — one metadata read per NEW file (``prior_stats``
+        carries forward entries for files already profiled). A file
+        whose stats can't be read simply gets no entry (kept by every
+        predicate-bearing read — conservative, never wrong)."""
+        stats: dict[str, dict] = {}
+        for n in names:
+            if prior_stats and n in prior_stats:
+                stats[n] = prior_stats[n]
+                continue
+            st = _parquet_file_stats(part_dir / n)
+            if st:
+                stats[n] = st
         tmp = part_dir / (COMMITTED + ".tmp")
-        tmp.write_text(json.dumps({"files": names}))
+        tmp.write_text(json.dumps({"files": names, "stats": stats}))
         tmp.rename(part_dir / COMMITTED)  # atomic swap: the snapshot point
 
     # -- S11 + I2: idempotent product replace ------------------------------

@@ -397,3 +397,95 @@ def test_append_extends_committed_manifest(spark, tmp_path):
         spark.range(2).select("id").withColumn(PARTITION_COL, F.lit(pid).cast("long")),
     )
     assert store.read("DimensionValues").count() == 5  # 3 live + 2 appended
+
+
+def test_file_level_zone_map_skipping(spark, tmp_path):
+    """File-level data skipping below the partition grain: manifests
+    carry per-file column min/max harvested at commit, and a
+    predicate-bearing read opens ONLY the files whose stats admit a
+    match — pinned by the listing probe (live_files). Results are
+    always identical to read().filter(...), compaction re-harvests
+    stats, and a fully-pruned read returns an empty frame, not None."""
+    import json
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import COMMITTED, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 5
+    store = TableStore(spark, root)
+
+    def frame(year, n=100):
+        return spark.range(n).select(
+            F.col("id"),
+            F.to_date(F.lit(f"{year}-06-15")).alias("RefDate"),
+            F.to_timestamp(F.lit(f"{year}-06-15 10:30:00")).alias("LoadTs"),
+            (F.col("id") + year * 1000).cast("double").alias("Value"),
+        )
+
+    # one file per RefDate year: publish 2018, append 2020 and 2022
+    store.replace_product_all(pid, {"IndicatorValues": frame(2018).coalesce(1)})
+    for year in (2020, 2022):
+        store.append(
+            "IndicatorValues",
+            frame(year)
+            .coalesce(1)
+            .withColumn("IndicatorThemeId", F.lit(pid).cast("long")),
+        )
+    all_files = store.live_files("IndicatorValues")
+    assert len(all_files) == 3
+
+    # the manifest carries zone maps for every live file
+    part = Path(root) / "IndicatorValues" / f"IndicatorThemeId={pid}"
+    manifest = json.loads((part / COMMITTED).read_text())
+    assert set(manifest["stats"]) == set(manifest["files"])
+    assert all("RefDate" in s and "Value" in s for s in manifest["stats"].values())
+
+    # THE PIN: a RefDate-filtered read opens only the matching file
+    where = [("RefDate", ">=", "2021-01-01")]
+    assert len(store.live_files("IndicatorValues", where)) == 1
+    got = sorted(
+        (r["id"], str(r["RefDate"])) for r in store.read("IndicatorValues", where).collect()
+    )
+    want = sorted(
+        (r["id"], str(r["RefDate"]))
+        for r in store.read("IndicatorValues")
+        .filter(F.col("RefDate") >= "2021-01-01")
+        .collect()
+    )
+    assert got == want and len(got) == 100
+
+    # numeric between-predicate prunes to the single covering file
+    vwhere = [("Value", "between", (2020000.0, 2020099.0))]
+    assert len(store.live_files("IndicatorValues", vwhere)) == 1
+    assert store.read("IndicatorValues", vwhere).count() == 100
+
+    # timestamp predicates prune too (requires TIMESTAMP_MICROS writes:
+    # the INT96 legacy type has no parquet stats — session-pinned)
+    import datetime
+
+    twhere = [
+        (
+            "LoadTs",
+            "between",
+            (datetime.datetime(2020, 1, 1), datetime.datetime(2020, 12, 31)),
+        )
+    ]
+    assert len(store.live_files("IndicatorValues", twhere)) == 1
+    assert store.read("IndicatorValues", twhere).count() == 100
+
+    # partition-dir skipping on the partition column predicate
+    assert store.live_files("IndicatorValues", [("IndicatorThemeId", "==", 999)]) == []
+    assert store.read("IndicatorValues", [("IndicatorThemeId", "==", 999)]).count() == 0
+
+    # compact() re-harvests stats for the rewritten files
+    assert store.compact("IndicatorValues") == 1
+    manifest2 = json.loads((part / COMMITTED).read_text())
+    assert manifest2["stats"] and set(manifest2["stats"]) == set(manifest2["files"])
+    # fully-pruned read: empty frame with the real schema, not None
+    none_match = store.read("IndicatorValues", [("RefDate", ">=", "2030-01-01")])
+    assert none_match.count() == 0
+    assert "RefDate" in none_match.columns
+    # predicate semantics survive compaction (pruning can no longer
+    # split the merged file, the filter still cuts the rows)
+    assert store.read("IndicatorValues", where).count() == 100  # the 2022 rows
