@@ -3,14 +3,16 @@ metadata, with decode/feature steps as Arrow-batched Pandas functions
 over ``mapInPandas``.
 
 The Spark-side plumbing — schema, partition sizing, UDF signatures,
-batch shapes — is real and tested. Three REAL decode paths exist with
+batch shapes — is real and tested. Four REAL decode paths exist with
 no external codec libraries: uncompressed PCM-16 WAV (stdlib ``wave``),
-uncompressed 24-bit BMP (hand-parsed RIFF/DIB headers), and 8-bit
-RGB/RGBA PNG (stdlib ``zlib`` + the five PNG row filters). Formats
-needing a true codec (JPEG/MP3/H.264...) raise ``NotImplementedError``
-— those codecs are not in this container; ``fake=True`` substitutes a
-deterministic content-hash pseudo-decode so downstream plumbing can be
-exercised uniformly for any mime type.
+uncompressed 24-bit BMP (hand-parsed RIFF/DIB headers), 8-bit RGB/RGBA
+PNG (stdlib ``zlib`` + the five PNG row filters), and BASELINE
+sequential JPEG (hand-rolled huffman + dequant + iDCT + YCbCr with
+4:4:4/4:2:2/4:2:0 sampling and restart markers, numpy for the
+transform). Formats needing a true external codec (progressive JPEG,
+MP3, H.264...) raise ``NotImplementedError``; ``fake=True`` substitutes
+a deterministic content-hash pseudo-decode so downstream plumbing can
+be exercised uniformly for any mime type.
 
 Scale notes:
 - media rows are wide (MBs) — ``MEDIA_PARTITION_TARGET_BYTES`` is the
@@ -187,6 +189,240 @@ def decode_png(content: bytes) -> tuple[int, int, list[float]]:
     return width, height, gray
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment:
+    un-stuffs 0xFF00, stops at any other marker (the caller handles
+    restart markers by constructing a fresh reader per interval)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1              # stuffed FF
+                else:
+                    raise NotImplementedError("unexpected marker in entropy stream")
+            self.bits = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG huffman code")
+
+
+def _receive_extend(reader: _BitReader, cat: int) -> int:
+    if cat == 0:
+        return 0
+    v = reader.read_bits(cat)
+    # JPEG extend: values with a 0 high bit are negative
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(content: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode, stdlib+numpy: BASELINE sequential JPEG
+    (SOF0, huffman + dequant + iDCT + YCbCr, 4:4:4/4:2:2/4:2:0
+    sampling, restart markers) -> (width, height, row-major grayscale
+    pixels in [0, 1]). Progressive (SOF2), arithmetic coding, and
+    12-bit precision raise honestly — the same boundary policy as the
+    other codecs here."""
+    import struct as st
+
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG stream")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = st.unpack_from(">H", content, pos + 2)
+        seg = content[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:                      # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                tbl = np.zeros(64)
+                for z in range(64):
+                    tbl[_ZIGZAG[z]] = seg[i + 1 + z]
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:                    # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1 : i + 17])
+                syms = seg[i + 17 : i + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + sum(counts)
+        elif marker == 0xC0:                    # SOF0 baseline
+            prec, h, w, nc = seg[0], *st.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xDD:                    # DRI
+            (restart_interval,) = st.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                    # SOS -> entropy data follows
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                content, pos + 2 + seglen, frame, scan, qt, huff, restart_interval
+            )
+        pos += 2 + seglen
+    raise NotImplementedError("JPEG missing SOS")
+
+
+def _idct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (0.5 / (2**0.5)) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+def _decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+        for c in comps
+    }
+    idct = _idct_matrix()
+    reader = _BitReader(content, pos)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # byte-align and consume the RSTn marker, reset DC preds
+                reader.nbits = 0
+                p = reader.pos
+                while p + 1 < len(content) and not (
+                    content[p] == 0xFF and 0xD0 <= content[p + 1] <= 0xD7
+                ):
+                    p += 1
+                reader = _BitReader(content, p + 2)
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_t, ac_t = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64)
+                        cat = _huff_decode(reader, huff[(0, dc_t)])
+                        pred[c["id"]] += _receive_extend(reader, cat)
+                        coeffs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff[(1, ac_t)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16      # ZRL
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError("JPEG AC index overflow")
+                            coeffs[_ZIGZAG[k]] = _receive_extend(reader, s)
+                            k += 1
+                        block = coeffs.reshape(8, 8) * q
+                        spatial = idct.T @ block @ idct + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            n_mcu += 1
+    # upsample each component to full frame resolution (nearest)
+    full = {}
+    for c in comps:
+        pl = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = pl.repeat(ry, axis=0).repeat(rx, axis=1)
+        full[c["id"]] = pl[:h, :w]
+    if len(comps) == 1:
+        gray = np.clip(np.rint(full[comps[0]["id"]]), 0, 255)
+    else:
+        ids = [c["id"] for c in comps]           # Y, Cb, Cr in frame order
+        y, cb, cr = full[ids[0]], full[ids[1]] - 128.0, full[ids[2]] - 128.0
+        r = np.clip(np.rint(y + 1.402 * cr), 0, 255)
+        g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+        b = np.clip(np.rint(y + 1.772 * cb), 0, 255)
+        gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return w, h, [float(v) for v in (gray / 255.0).reshape(-1)]
+
+
 def _signal_features(samples: list[float], dim: int) -> list[float]:
     """Fixed-dim feature: mean absolute level per equal-width chunk —
     deterministic, shape-compatible with the similarity operators."""
@@ -226,9 +462,12 @@ def _real_decode(content: bytes, mime: str, dim: int) -> list[float]:
     if mime == "image/png" or blob[:8] == _PNG_SIG:
         _, _, pixels = decode_png(blob)
         return _signal_features(pixels, dim)
+    if mime == "image/jpeg" or blob[:3] == b"\xff\xd8\xff":
+        _, _, pixels = decode_jpeg(blob)
+        return _signal_features(pixels, dim)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment (WAV/BMP/PNG decode "
-        "natively; pass fake=True for the pseudo-decode)"
+        f"no codec for {mime!r} in this environment (WAV/BMP/PNG/baseline-JPEG "
+        "decode natively; pass fake=True for the pseudo-decode)"
     )
 
 

@@ -116,9 +116,9 @@ class Pipeline:
         # indicators: masters/singles build; siblings reuse the master's
         if policy.is_sibling:
             master = self.registry.master_of(pid)
-            indicators = self.store.read("Indicators").filter(
-                F.col(PARTITION_COL) == master
-            )
+            # partition-predicate read: other products' partitions are
+            # skipped at the driver (manifest listing), not post-listing
+            indicators = self.store.read_product_slice("Indicators", master)
         else:
             ref_dates = SS.build_reference_dates(self.spark, metadata.first().asDict())
             indicators = SS.build_indicators(

@@ -158,6 +158,35 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
     return True
 
 
+def _merge_schemas(a, b):
+    """Union of two payload schemas for schema evolution: fields by
+    name, ``a``'s order first, new fields appended; same-name fields
+    must agree on type (nullability is coerced to nullable — evolved
+    columns are null for pre-evolution files). A type conflict raises:
+    silent coercion would corrupt the zone maps and the readback."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in a.fields}
+    out = [T.StructField(f.name, f.dataType, True) for f in a.fields]
+    for f in b.fields:
+        ex = by_name.get(f.name)
+        if ex is None:
+            by_name[f.name] = f
+            out.append(T.StructField(f.name, f.dataType, True))
+        elif ex.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type conflict on {f.name!r}: "
+                f"{ex.dataType.simpleString()} vs {f.dataType.simpleString()}"
+            )
+    return T.StructType(out)
+
+
+def _schema_from_json(schema_json: str):
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(schema_json))
+
+
 def _where_expr(where):
     """The where-list as a Spark Column (ANDed) — applied to the pruned
     frame so results never depend on stats quality."""
@@ -306,6 +335,13 @@ class TableStore:
         p = Path(self._path(table))
         if not p.exists():
             return None
+        schema = self._declared_schema(p)
+        reader = self.spark.read.option("basePath", str(p))
+        if schema is not None:
+            # declared union schema: pre-evolution files surface new
+            # columns as nulls, subset-appended files surface missing
+            # ones — without a mergeSchema scan of every footer
+            reader = reader.schema(schema)
         files = self._live_files(p, where)
         if not files:
             if where:
@@ -314,16 +350,44 @@ class TableStore:
                 # not None — None means "no data at all"
                 all_files = self._live_files(p)
                 if all_files:
-                    return (
-                        self.spark.read.option("basePath", str(p))
-                        .parquet(all_files[0])
-                        .filter(F.lit(False))
-                    )
+                    return reader.parquet(all_files[0]).filter(F.lit(False))
             return None
-        df = self.spark.read.option("basePath", str(p)).parquet(*files)
+        df = reader.parquet(*files)
         if where:
             df = df.filter(_where_expr(where))
         return df
+
+    def _declared_schema(self, table_dir: Path):
+        """Merged declared payload schema across the table's manifest
+        partitions, or None for fully-legacy layouts (plain inference).
+        Partitions without a declared schema contribute one live file's
+        footer schema (driver cost bounded by PARTITION count, not file
+        count — intra-partition evolution only happens through manifest
+        commits, so one file per legacy partition is representative)."""
+        import functools
+
+        declared = []
+        probes: list[Path] = []
+        for entry in sorted(table_dir.iterdir()):
+            if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
+                cm = entry / COMMITTED
+                if cm.exists():
+                    manifest = json.loads(cm.read_text())
+                    if manifest.get("schema"):
+                        declared.append(_schema_from_json(manifest["schema"]))
+                    elif manifest["files"]:
+                        probes.append(entry / manifest["files"][0])
+                else:
+                    fs = sorted(entry.glob("*.parquet"))
+                    if fs:
+                        probes.append(fs[0])
+            elif entry.suffix == ".parquet":
+                probes.append(entry)
+        if not declared:
+            return None  # legacy store: schema inference, as always
+        for f in probes:
+            declared.append(self.spark.read.parquet(str(f)).schema)
+        return functools.reduce(_merge_schemas, declared)
 
     # -- S10: append sink --------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
@@ -332,13 +396,42 @@ class TableStore:
         rows invisible to partition discovery). Partitions already under
         manifest control get their manifest extended with exactly the
         newly-written files, so the append is visible without
-        resurrecting unvacuumed previous-version files."""
+        resurrecting unvacuumed previous-version files.
+
+        SCHEMA EVOLUTION: the appended frame may carry a superset or
+        subset of the partition's current schema — exactly how a cube's
+        dimension tail varies between refreshes (the reference discovers
+        dimensions at runtime, dfhandler.py:21–22). The manifest's
+        declared schema becomes the UNION (new columns appended, missing
+        columns stay); reads declare that union so old files surface the
+        new columns as nulls and subset-appended files surface the
+        missing ones as nulls — no mergeSchema footer-scan, no file
+        rewrite. Same-name-different-type raises before anything is
+        written."""
         p = Path(self._path(table))
+        payload_schema = df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
         before: dict[Path, set[str]] = {}
+        prior_schemas: dict[Path, object] = {}
         if p.exists():
             for part in p.glob(f"{PARTITION_COL}=*"):
-                if (part / COMMITTED).exists():
+                cm = part / COMMITTED
+                if cm.exists():
                     before[part] = {f.name for f in part.glob("*.parquet")}
+                    manifest = json.loads(cm.read_text())
+                    if manifest.get("schema"):
+                        prior = _schema_from_json(manifest["schema"])
+                    elif manifest["files"]:
+                        # legacy manifest: derive the partition schema
+                        # from one live file's footer
+                        prior = self.spark.read.parquet(
+                            str(part / manifest["files"][0])
+                        ).schema
+                    else:
+                        prior = None
+                    # validate type compatibility BEFORE writing
+                    prior_schemas[part] = (
+                        _merge_schemas(prior, payload_schema) if prior else payload_schema
+                    )
         w = df.write.mode("append")
         if PARTITION_COL in df.columns:
             w = w.partitionBy(PARTITION_COL)
@@ -351,17 +444,26 @@ class TableStore:
                 names = manifest["files"] + sorted(new_names)
                 # reuse the existing files' stats — only the appended
                 # files pay a footer read
-                self._write_committed(part, names, prior_stats=manifest.get("stats"))
+                self._write_committed(
+                    part,
+                    names,
+                    prior_stats=manifest.get("stats"),
+                    schema_json=prior_schemas[part].json(),
+                )
 
     @staticmethod
     def _write_committed(
-        part_dir: Path, names: list[str], prior_stats: dict | None = None
+        part_dir: Path,
+        names: list[str],
+        prior_stats: dict | None = None,
+        schema_json: str | None = None,
     ) -> None:
-        """Atomic manifest swap (the snapshot point), now carrying
-        per-file zone maps. Stats are harvested from each file's footer
-        at commit time — one metadata read per NEW file (``prior_stats``
-        carries forward entries for files already profiled). A file
-        whose stats can't be read simply gets no entry (kept by every
+        """Atomic manifest swap (the snapshot point), carrying per-file
+        zone maps and (when known) the partition's declared payload
+        schema. Stats are harvested from each file's footer at commit
+        time — one metadata read per NEW file (``prior_stats`` carries
+        forward entries for files already profiled). A file whose stats
+        can't be read simply gets no entry (kept by every
         predicate-bearing read — conservative, never wrong)."""
         stats: dict[str, dict] = {}
         for n in names:
@@ -371,8 +473,11 @@ class TableStore:
             st = _parquet_file_stats(part_dir / n)
             if st:
                 stats[n] = st
+        manifest: dict = {"files": names, "stats": stats}
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         tmp = part_dir / (COMMITTED + ".tmp")
-        tmp.write_text(json.dumps({"files": names, "stats": stats}))
+        tmp.write_text(json.dumps(manifest))
         tmp.rename(part_dir / COMMITTED)  # atomic swap: the snapshot point
 
     # -- S11 + I2: idempotent product replace ------------------------------
@@ -426,12 +531,14 @@ class TableStore:
             if txn.exists():
                 shutil.rmtree(txn)
             txn.mkdir(parents=True)
+            schemas: dict[str, str] = {}
             for table, df in frames.items():
                 if PARTITION_COL in df.columns:
                     df = df.drop(PARTITION_COL)
                 # payload files exclude the partition column, exactly like
                 # a partitioned write's IndicatorThemeId={pid} directory
                 df.write.parquet(str(txn / table))
+                schemas[table] = df.schema.json()
             manifest = {
                 "product_id": product_id,
                 "tables": sorted(frames),
@@ -442,6 +549,10 @@ class TableStore:
                     t: sorted(f.name for f in (txn / t).glob("*.parquet"))
                     for t in frames
                 },
+                # declared payload schema per table: a replace RESETS the
+                # partition's schema to the new frames' (old files are
+                # superseded, so no union with history)
+                "schemas": schemas,
             }
             tmp = txn / "MANIFEST.json.tmp"
             tmp.write_text(json.dumps(manifest))
@@ -486,15 +597,149 @@ class TableStore:
                         src.rename(target / name)
                     except FileNotFoundError:
                         pass                       # concurrent recover won
-            self._write_committed(target, names)   # snapshot point
+            self._write_committed(                 # snapshot point
+                target, names, schema_json=manifest.get("schemas", {}).get(table)
+            )
+        shutil.rmtree(txn)
+
+    # -- exactly-once streaming epochs ------------------------------------
+    # foreachBatch can REPLAY a micro-batch after a failure (the
+    # checkpoint only guarantees at-least-once delivery to the sink);
+    # exactly-once therefore needs an idempotent sink. Epoch appends
+    # ride the same write-ahead txn machinery as replace_product_all:
+    # stage -> MANIFEST rename (commit point, carrying stream + batch
+    # id) -> publish EXTENDS the partition manifests (idempotent: file
+    # moves skip already-moved files, name lists dedupe) -> the epoch
+    # ledger (_epochs.json, tmp+rename) records the batch LAST, then
+    # staging is removed. A replay of a ledger-recorded batch is a
+    # no-op before it stages anything; a crash at any point either
+    # rolls back (no manifest) or rolls forward (recover() completes
+    # the publish and the ledger entry) — rows land exactly once.
+
+    def _epoch_ledger(self) -> dict:
+        f = Path(self.root) / "_epochs.json"
+        return json.loads(f.read_text()) if f.exists() else {}
+
+    def _record_epoch(self, stream_id: str, batch_id: int) -> None:
+        ledger = self._epoch_ledger()
+        ledger[stream_id] = max(int(batch_id), int(ledger.get(stream_id, -1)))
+        tmp = Path(self.root) / "_epochs.json.tmp"
+        tmp.write_text(json.dumps(ledger))
+        tmp.rename(Path(self.root) / "_epochs.json")
+
+    def append_epoch(
+        self, stream_id: str, batch_id: int, table: str, df: DataFrame
+    ) -> bool:
+        """Idempotent micro-batch append: returns False (no-op) when
+        ``batch_id`` is already recorded for ``stream_id`` — the replay
+        case — else stages, commits, and publishes the batch through
+        the manifest protocol. Structured Streaming batch ids are
+        monotonic per query, which is what the ledger's high-water
+        check relies on. Readers get the same snapshot isolation as a
+        publish: rows become visible at the atomic manifest swap."""
+        with self._exclusive_lock():
+            if int(batch_id) <= int(self._epoch_ledger().get(stream_id, -1)):
+                return False
+            txn = Path(self.root) / "_staging" / f"etxn_{stream_id}_{batch_id}"
+            if txn.exists():
+                import shutil
+
+                shutil.rmtree(txn)
+            txn.mkdir(parents=True)
+            w = df.write
+            if PARTITION_COL in df.columns:
+                w = w.partitionBy(PARTITION_COL)
+            w.parquet(str(txn / table))
+            payload_schema = (
+                df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
+            )
+            files: dict[str, list[str]] = {}
+            tdir = txn / table
+            parts = sorted(d.name for d in tdir.glob(f"{PARTITION_COL}=*"))
+            if parts:
+                for d in parts:
+                    files[d] = sorted(
+                        f.name for f in (tdir / d).glob("*.parquet")
+                    )
+            else:
+                files["."] = sorted(f.name for f in tdir.glob("*.parquet"))
+            manifest = {
+                "mode": "append",
+                "stream_id": stream_id,
+                "batch_id": int(batch_id),
+                "table": table,
+                "files": files,
+                "schema": payload_schema.json(),
+            }
+            tmp = txn / "MANIFEST.json.tmp"
+            tmp.write_text(json.dumps(manifest))
+            tmp.rename(txn / "MANIFEST.json")          # commit point
+            self._publish_epoch(txn, manifest)
+            return True
+
+    def _publish_epoch(
+        self, txn: Path, manifest: dict, fail_after: int | None = None
+    ) -> None:
+        """Roll an epoch txn forward: move staged files into the live
+        partition dirs, EXTEND each partition's manifest (deduped, so a
+        redo after a crash converges), record the ledger entry, drop
+        the staging dir. Idempotent end to end; caller holds the lock
+        (or is a test driving the crash hook)."""
+        import shutil
+
+        table = manifest["table"]
+        for n_done, (part_name, names) in enumerate(sorted(manifest["files"].items())):
+            if fail_after is not None and n_done >= fail_after:
+                raise RuntimeError(f"simulated crash after {fail_after} partitions")
+            if part_name == ".":
+                target = Path(self._path(table))
+                src_dir = txn / table
+            else:
+                target = Path(self._path(table)) / part_name
+                src_dir = txn / table / part_name
+            target.mkdir(parents=True, exist_ok=True)
+            for name in names:
+                src = src_dir / name
+                if src.exists():
+                    try:
+                        src.rename(target / name)
+                    except FileNotFoundError:
+                        pass                       # concurrent recover won
+            if part_name == ".":
+                continue  # unpartitioned root appends stay listing-mode
+            cm = target / COMMITTED
+            if cm.exists():
+                prior = json.loads(cm.read_text())
+                merged = prior["files"] + [n for n in names if n not in prior["files"]]
+                prior_schema = (
+                    _merge_schemas(
+                        _schema_from_json(prior["schema"]),
+                        _schema_from_json(manifest["schema"]),
+                    ).json()
+                    if prior.get("schema")
+                    else manifest["schema"]
+                )
+                self._write_committed(
+                    target, merged, prior_stats=prior.get("stats"), schema_json=prior_schema
+                )
+            else:
+                # first manifest for this partition: everything listed
+                # on disk is live (listing-mode history) plus the batch
+                existing = sorted(
+                    f.name for f in target.glob("*.parquet") if f.name not in names
+                )
+                self._write_committed(
+                    target, existing + names, schema_json=manifest["schema"]
+                )
+        self._record_epoch(manifest["stream_id"], manifest["batch_id"])
         shutil.rmtree(txn)
 
     def recover(self) -> None:
         """Complete (roll forward) any committed-but-unpublished
-        transaction; discard (roll back) any uncommitted staging.
-        Exclusive-locked: concurrent store opens serialize here instead
-        of double-publishing (or rolling back a transaction another
-        process is mid-staging)."""
+        transaction — replace or epoch-append; discard (roll back) any
+        uncommitted staging. Exclusive-locked: concurrent store opens
+        serialize here instead of double-publishing (or rolling back a
+        transaction another process is mid-staging)."""
         import shutil
 
         staging = Path(self.root) / "_staging"
@@ -507,10 +752,14 @@ class TableStore:
                 if not txn.is_dir():
                     continue
                 mf = txn / "MANIFEST.json"
-                if mf.exists():
-                    self._publish(txn, json.loads(mf.read_text()))
-                else:
+                if not mf.exists():
                     shutil.rmtree(txn)
+                    continue
+                manifest = json.loads(mf.read_text())
+                if manifest.get("mode") == "append":
+                    self._publish_epoch(txn, manifest)
+                else:
+                    self._publish(txn, manifest)
 
     def vacuum(self, table: str | None = None, older_than_seconds: float = 0.0) -> int:
         """Garbage-collect previous-version data files: in every
@@ -589,7 +838,8 @@ class TableStore:
                     cm = part / COMMITTED
                     if not cm.exists():
                         continue
-                    names = json.loads(cm.read_text())["files"]
+                    manifest = json.loads(cm.read_text())
+                    names = manifest["files"]
                     paths = [part / n for n in names if (part / n).exists()]
                     if len(paths) <= 1:
                         continue
@@ -598,8 +848,16 @@ class TableStore:
                     if len(paths) <= target_n:
                         continue
                     staging = part / f"_compact_{uuid.uuid4().hex}"
+                    # read under the DECLARED schema when the partition
+                    # has evolved: a plain read would sample one file's
+                    # schema and silently drop columns the other files
+                    # carry — the rewrite must materialize the union
+                    reader = self.spark.read
+                    schema_json = manifest.get("schema")
+                    if schema_json:
+                        reader = reader.schema(_schema_from_json(schema_json))
                     (
-                        self.spark.read.parquet(*[str(f) for f in paths])
+                        reader.parquet(*[str(f) for f in paths])
                         .repartition(target_n)
                         .write.parquet(str(staging))
                     )
@@ -611,7 +869,9 @@ class TableStore:
                     import shutil
 
                     shutil.rmtree(staging)
-                    self._write_committed(part, sorted(new_names))  # snapshot point
+                    self._write_committed(  # snapshot point
+                        part, sorted(new_names), schema_json=schema_json
+                    )
                     compacted += 1
         return compacted
 
@@ -639,6 +899,18 @@ class TableStore:
             df = df.filter(F.col(PARTITION_COL) != exclude_product)
         row = df.agg(F.max(col).alias("m")).first()
         return int(row["m"]) if row and row["m"] is not None else 0
+
+    def read_product_slice(
+        self, table: str, product_id: int, where=None
+    ) -> DataFrame | None:
+        """Serving-path read for one product, optionally filtered below
+        product grain (SURVEY §2.14: the web app's PrimaryQuery-style
+        reads filter to one indicator / date range / geo level). The
+        product predicate skips other partitions at the driver; extra
+        ``where`` predicates engage the manifest zone maps so only
+        files that can match are ever listed into the plan."""
+        w = [(PARTITION_COL, "==", product_id)] + list(where or [])
+        return self.read(table, where=w)
 
     def read_other_products(self, table: str, product_id: int) -> DataFrame | None:
         """Current state EXCLUDING one product's partition — the

@@ -152,3 +152,24 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def exactly_once_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    store,
+    table: str,
+    stream_id: str,
+):
+    """Exactly-once micro-batch appends into a TableStore: foreachBatch
+    is only at-least-once (a batch can replay after a failure), so each
+    batch rides the store's manifest commit protocol via
+    ``TableStore.append_epoch`` — the epoch ledger makes a replayed
+    batch a no-op, the atomic manifest swap makes a half-published
+    batch invisible until ``recover()`` rolls it forward, and readers
+    keep snapshot isolation throughout."""
+    return upsert_sink(
+        stream_df,
+        checkpoint_dir,
+        lambda df, epoch_id: store.append_epoch(stream_id, epoch_id, table, df),
+    )

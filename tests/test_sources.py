@@ -13,6 +13,9 @@ from geo_explorer_etl_spark.sources.cube_csv import (
     read_cube_csv,
 )
 from geo_explorer_etl_spark.sources.merge_registry import MergeRegistry
+from geo_explorer_etl_spark.session import load_tables
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def test_cube_schema_dynamic_tail():
@@ -399,6 +402,174 @@ def test_append_extends_committed_manifest(spark, tmp_path):
     assert store.read("DimensionValues").count() == 5  # 3 live + 2 appended
 
 
+def test_exactly_once_epoch_appends(spark, tmp_path):
+    """Micro-batch appends through the manifest commit protocol are
+    exactly-once: a replayed batch id is a no-op, a crash mid-publish
+    is rolled forward by the next store open WITHOUT double-appending,
+    and an in-flight reader keeps its snapshot across the epoch."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 3
+    store = TableStore(spark, root)
+    store.replace_product_all(
+        pid,
+        {"IndicatorValues": spark.createDataFrame([(1, "base")], "id long, v string")},
+    )
+
+    def batch(ids, pids=None):
+        rows = [(i, f"b{i}") for i in ids]
+        df = spark.createDataFrame(rows, "id long, v string")
+        return df.withColumn(
+            PARTITION_COL,
+            (F.lit(pid) if pids is None else (F.col("id") % 2 + pid)).cast("long"),
+        )
+
+    # batch 0 lands once; its replay is a no-op
+    assert store.append_epoch("s1", 0, "IndicatorValues", batch([10, 11])) is True
+    assert store.read("IndicatorValues").count() == 3
+    assert store.append_epoch("s1", 0, "IndicatorValues", batch([10, 11])) is False
+    assert store.read("IndicatorValues").count() == 3
+
+    # snapshot isolation: a reader planned pre-epoch keeps its rows
+    snapshot = store.read("IndicatorValues")
+    n_before = snapshot.count()
+    assert store.append_epoch("s1", 1, "IndicatorValues", batch([12])) is True
+    assert snapshot.count() == n_before
+    assert store.read("IndicatorValues").count() == 4
+
+    # crash mid-publish across TWO partitions: stage batch 2 manually,
+    # commit its manifest, crash after 1 partition — the fresh store
+    # handle rolls forward and rows land exactly once
+    df2 = batch([20, 21], pids=True)  # two partition dirs
+    txn = Path(root) / "_staging" / "etxn_s1_2"
+    df2.write.partitionBy(PARTITION_COL).parquet(str(txn / "IndicatorValues"))
+    tdir = txn / "IndicatorValues"
+    files = {
+        d.name: sorted(f.name for f in d.glob("*.parquet"))
+        for d in tdir.glob(f"{PARTITION_COL}=*")
+    }
+    manifest = {
+        "mode": "append",
+        "stream_id": "s1",
+        "batch_id": 2,
+        "table": "IndicatorValues",
+        "files": files,
+        "schema": df2.drop(PARTITION_COL).schema.json(),
+    }
+    (txn / "MANIFEST.json.tmp").write_text(json.dumps(manifest))
+    (txn / "MANIFEST.json.tmp").rename(txn / "MANIFEST.json")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store._publish_epoch(txn, manifest, fail_after=1)
+    store2 = TableStore(spark, root)              # recover() rolls forward
+    assert store2.read("IndicatorValues").count() == 6
+    # the rolled-forward batch is ledger-recorded: replay is a no-op
+    assert store2.append_epoch("s1", 2, "IndicatorValues", df2) is False
+    assert store2.read("IndicatorValues").count() == 6
+
+
+def test_exactly_once_sink_streaming_integration(spark, tmp_path):
+    """The foreachBatch wiring end-to-end: a file stream drained into
+    the store lands every row exactly once, and a replay of the same
+    epoch (the failure-recovery path) does not double-append."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    from geo_explorer_etl_spark.streaming.incremental import (
+        exactly_once_sink,
+        stream_events,
+    )
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    ev = load_tables(spark, SF_SMOKE, "events")["events"].limit(40)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import shutil
+
+    part = next((tmp_path / "stage").glob("part-*.parquet"))
+    shutil.copy(part, src / "g0.parquet")
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    stream = stream_events(spark, str(src)).withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    q = exactly_once_sink(
+        stream, str(tmp_path / "ckpt"), store, "IndicatorValues", "ev_stream"
+    )
+    q.awaitTermination(120)
+    assert store.read("IndicatorValues").count() == 40
+    # simulate the sink-side replay foreachBatch can deliver: batch 0
+    # again -> no-op
+    replay = load_tables(spark, SF_SMOKE, "events")["events"].limit(40).withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    assert store.append_epoch("ev_stream", 0, "IndicatorValues", replay) is False
+    assert store.read("IndicatorValues").count() == 40
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Appends may carry a superset or subset of the partition's schema
+    (a cube adding a dimension column between refreshes): the manifest's
+    declared schema becomes the union, old files read back with nulls in
+    the new columns, subset-appended files with nulls in the missing
+    ones. Type conflicts raise BEFORE writing; compact materializes and
+    preserves the union; a product replace resets the schema."""
+    import pytest
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 9
+    store = TableStore(spark, root)
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)
+    store.replace_product_all(pid, {"IndicatorValues": v1})
+
+    def tagged(df):
+        return df.withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+
+    # superset append: a new dimension column lands
+    store.append(
+        "IndicatorValues",
+        tagged(spark.createDataFrame([(3, "c", "x")], "id long, v string, NewDim string")).coalesce(1),
+    )
+    # subset append: a frame missing `v`
+    store.append(
+        "IndicatorValues", tagged(spark.createDataFrame([(4,)], "id long")).coalesce(1)
+    )
+    out = store.read("IndicatorValues")
+    assert {"id", "v", "NewDim"} <= set(out.columns)
+    rows = {r["id"]: (r["v"], r["NewDim"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "x"), 4: (None, None)}
+
+    # same-name different-type conflict raises before anything lands
+    with pytest.raises(ValueError, match="type conflict"):
+        store.append(
+            "IndicatorValues",
+            tagged(spark.createDataFrame([(5, 7)], "id long, v long")),
+        )
+    assert store.read("IndicatorValues").count() == 4
+
+    # compaction reads under the declared union (no column loss) and
+    # preserves the evolved schema through the rewrite
+    assert store.compact("IndicatorValues") == 1
+    out2 = store.read("IndicatorValues")
+    rows2 = {r["id"]: (r["v"], r["NewDim"]) for r in out2.collect()}
+    assert rows2 == rows
+
+    # a product replace RESETS the declared schema to the new frames'
+    store.replace_product_all(
+        pid,
+        {"IndicatorValues": spark.createDataFrame([(9, 1.5)], "id long, score double")},
+    )
+    out3 = store.read("IndicatorValues")
+    assert "score" in out3.columns and "NewDim" not in out3.columns
+    assert [r["id"] for r in out3.collect()] == [9]
+
+
 def test_file_level_zone_map_skipping(spark, tmp_path):
     """File-level data skipping below the partition grain: manifests
     carry per-file column min/max harvested at commit, and a
@@ -477,6 +648,9 @@ def test_file_level_zone_map_skipping(spark, tmp_path):
     # partition-dir skipping on the partition column predicate
     assert store.live_files("IndicatorValues", [("IndicatorThemeId", "==", 999)]) == []
     assert store.read("IndicatorValues", [("IndicatorThemeId", "==", 999)]).count() == 0
+    # serving-path helper composes the product predicate with zone maps
+    assert store.read_product_slice("IndicatorValues", pid).count() == 300
+    assert store.read_product_slice("IndicatorValues", pid, where=where).count() == 100
 
     # compact() re-harvests stats for the rewritten files
     assert store.compact("IndicatorValues") == 1

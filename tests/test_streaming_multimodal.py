@@ -377,6 +377,111 @@ def test_png_decode_all_filters_rgb_rgba(spark):
         assert abs(got_mean - expected_mean) < 1e-6
 
 
+class _JpegBits:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, s: str):
+        self.bits += [int(c) for c in s]
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1] * ((8 - len(self.bits) % 8) % 8)  # pad with 1s
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+
+def _jpeg_fixture(ncomp: int, sampling_420: bool, scan_bits: str) -> bytes:
+    """Minimal baseline JPEG: all-ones quant table, DC huffman table
+    {len1: cat5, len2: cat0, len3: cat6}, AC table {len1: EOB}."""
+    import struct as st
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    zig_ones = bytes([1] * 64)
+    out += seg(0xDB, b"\x00" + zig_ones)
+    size = 16 if sampling_420 else 8
+    sof = bytes([8]) + st.pack(">HH", size, size) + bytes([ncomp])
+    for c in range(ncomp):
+        hv = 0x22 if (sampling_420 and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0])
+    out += seg(0xC0, sof)
+    dc_counts = [0] * 16
+    dc_counts[0], dc_counts[1], dc_counts[2] = 1, 1, 1  # len1,2,3
+    out += seg(0xC4, bytes([0x00] + dc_counts + [5, 0, 6]))
+    ac_counts = [0] * 16
+    ac_counts[0] = 1
+    out += seg(0xC4, bytes([0x10] + ac_counts + [0x00]))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    w = _JpegBits()
+    w.put(scan_bits)
+    return out + w.bytes() + b"\xff\xd9"
+
+
+def test_jpeg_baseline_decode(spark):
+    """Hand-crafted known-answer baseline JPEGs: grayscale DC-only,
+    and 4:2:0 YCbCr with chroma upsampling — decoded via the
+    hand-rolled huffman+iDCT path. DC huffman codes: '0'→cat5,
+    '10'→cat0, '110'→cat6; AC '0'→EOB; quant all ones, so a DC
+    coefficient d lifts every pixel of its block by d/8."""
+    from geo_explorer_etl_spark.operators.multimodal import decode_jpeg
+
+    # grayscale 8x8, DC diff 16 (cat5 bits 10000) -> pixels 128+2 = 130
+    gray_jpg = _jpeg_fixture(1, False, "0" + "10000" + "0")
+    w, h, px = decode_jpeg(gray_jpg)
+    assert (w, h) == (8, 8) and len(px) == 64
+    assert all(abs(p - 130 / 255) < 1e-9 for p in px)
+
+    # color 16x16 at 4:2:0: four Y blocks (DPCM diffs 16,0,0,0 -> Y=130
+    # everywhere), Cb diff 0 -> 128, Cr diff 40 -> 128 + 40/8 = 133.
+    # Expected gray computed independently: r=rint(130+1.402*5)=137,
+    # g=rint(130-0.714136*5)=126, b=rint(130)=130.
+    scan = (
+        "0" + "10000" + "0"      # Y1: DC diff 16, EOB
+        + "10" + "0"             # Y2: diff 0
+        + "10" + "0"             # Y3
+        + "10" + "0"             # Y4
+        + "10" + "0"             # Cb: diff 0
+        + "110" + "101000" + "0" # Cr: diff 40
+    )
+    color_jpg = _jpeg_fixture(3, True, scan)
+    w, h, px = decode_jpeg(color_jpg)
+    assert (w, h) == (16, 16) and len(px) == 256
+    expected = (0.299 * 137 + 0.587 * 126 + 0.114 * 130) / 255
+    assert all(abs(p - expected) < 1e-9 for p in px)
+
+    # progressive JPEG raises honestly
+    import pytest as _pytest
+
+    prog = gray_jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+    # and the mapInPandas dispatch routes image/jpeg to the real decoder
+    from geo_explorer_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/jpeg", gray_jpg, 8, 8, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, dim=4, fake=False).collect()[0]
+    assert row["feat"] == [round(130 / 255, 6)] * 4
+
+
 def test_video_frame_sampling_fanout(spark):
     media = spark.createDataFrame(
         [(3, "video", "video/mp4", b"v", None, None, 3500)], MEDIA_SCHEMA
