@@ -55,9 +55,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "size (atomic manifest swap; superseded files left for "
         "--vacuum), then exit; combinable with --vacuum",
     )
+    p.add_argument(
+        "--compact-sort",
+        metavar="COLUMN",
+        help="with --compact: cluster the rewrite on COLUMN "
+        "(range-partitioned, sorted files -> tight zone maps, so "
+        "COLUMN-filtered reads skip non-covering files)",
+    )
     args = p.parse_args(argv)
 
     has_range = args.start is not None or args.end is not None
+    if args.compact_sort and not args.compact:
+        p.error("--compact-sort requires --compact")
     if args.vacuum is not None or args.compact:
         if args.insert or args.prodid or has_range:
             p.error("--vacuum/--compact run alone")
@@ -92,7 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     store = TableStore(spark, args.warehouse)
     if args.compact or args.vacuum is not None:
         if args.compact:
-            n = store.compact()
+            n = store.compact(sort_by=args.compact_sort)
             print(f"compact: rewrote {n} fragmented partitions")
         if args.vacuum is not None:
             removed = store.vacuum(older_than_seconds=args.vacuum * 3600)

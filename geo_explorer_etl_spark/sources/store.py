@@ -78,13 +78,14 @@ def _stat_comparable(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
-def _parquet_file_stats(path: Path) -> dict[str, list] | None:
-    """Per-column [min, max] over all row groups of one parquet file —
-    one footer read, no data pages. Columns whose stats are missing in
-    ANY row group are omitted (unknown -> never pruned). Parquet's
-    truncated string stats are safe here: a truncated min is a prefix
-    (<= the true min), a truncated max is prefix+1 (>= the true max),
-    so the bounds stay conservative."""
+def _parquet_file_stats(path: Path) -> tuple[dict[str, list], int] | None:
+    """Per-column [min, max] over all row groups of one parquet file,
+    plus the file's exact row count — one footer read, no data pages.
+    Columns whose stats are missing in ANY row group are omitted
+    (unknown -> never pruned). Parquet's truncated string stats are
+    safe here: a truncated min is a prefix (<= the true min), a
+    truncated max is prefix+1 (>= the true max), so the bounds stay
+    conservative."""
     try:
         import pyarrow.parquet as pq
 
@@ -117,7 +118,7 @@ def _parquet_file_stats(path: Path) -> dict[str, list] | None:
                 out[name] = [min(prev_mn, mn), max(prev_mx, mx)]
             else:
                 out[name] = [mn, mx]
-    return out
+    return out, md.num_rows
 
 
 def _normalize_bound(val):
@@ -357,6 +358,39 @@ class TableStore:
             df = df.filter(_where_expr(where))
         return df
 
+    def count_rows(self, table: str) -> int:
+        """Metadata-only table row count: live file counts are summed
+        from the manifests (recorded at commit from the parquet
+        footers), so a full-table COUNT(*) touches no data pages and
+        launches no Spark job for manifest-covered files. Files outside
+        manifest coverage (legacy/listing partitions) are counted with
+        one scan over exactly those files. At 100 TB this is the
+        difference between a metadata lookup and a cluster-wide scan —
+        the same trick a table format's snapshot row-count serves."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return 0
+        total = 0
+        unknown: list[str] = []
+        for entry in sorted(p.iterdir()):
+            if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
+                cm = entry / COMMITTED
+                if cm.exists():
+                    manifest = json.loads(cm.read_text())
+                    rows = manifest.get("rows", {})
+                    for n in manifest["files"]:
+                        if n in rows:
+                            total += int(rows[n])
+                        else:
+                            unknown.append(str(entry / n))
+                else:
+                    unknown += sorted(str(f) for f in entry.glob("*.parquet"))
+            elif entry.suffix == ".parquet":
+                unknown.append(str(entry))
+        if unknown:
+            total += self.spark.read.parquet(*unknown).count()
+        return total
+
     def _declared_schema(self, table_dir: Path):
         """Merged declared payload schema across the table's manifest
         partitions, or None for fully-legacy layouts (plain inference).
@@ -449,6 +483,7 @@ class TableStore:
                     names,
                     prior_stats=manifest.get("stats"),
                     schema_json=prior_schemas[part].json(),
+                    prior_rows=manifest.get("rows"),
                 )
 
     @staticmethod
@@ -457,23 +492,28 @@ class TableStore:
         names: list[str],
         prior_stats: dict | None = None,
         schema_json: str | None = None,
+        prior_rows: dict | None = None,
     ) -> None:
         """Atomic manifest swap (the snapshot point), carrying per-file
-        zone maps and (when known) the partition's declared payload
-        schema. Stats are harvested from each file's footer at commit
-        time — one metadata read per NEW file (``prior_stats`` carries
-        forward entries for files already profiled). A file whose stats
-        can't be read simply gets no entry (kept by every
-        predicate-bearing read — conservative, never wrong)."""
+        zone maps, per-file row counts, and (when known) the partition's
+        declared payload schema. Stats are harvested from each file's
+        footer at commit time — one metadata read per NEW file
+        (``prior_stats``/``prior_rows`` carry forward entries for files
+        already profiled). A file whose stats can't be read simply gets
+        no entry (kept by every predicate-bearing read, scanned by
+        metadata-only counts — conservative, never wrong)."""
         stats: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         for n in names:
             if prior_stats and n in prior_stats:
                 stats[n] = prior_stats[n]
+                if prior_rows and n in prior_rows:
+                    rows[n] = prior_rows[n]
                 continue
             st = _parquet_file_stats(part_dir / n)
             if st:
-                stats[n] = st
-        manifest: dict = {"files": names, "stats": stats}
+                stats[n], rows[n] = st
+        manifest: dict = {"files": names, "stats": stats, "rows": rows}
         if schema_json is not None:
             manifest["schema"] = schema_json
         tmp = part_dir / (COMMITTED + ".tmp")
@@ -720,7 +760,11 @@ class TableStore:
                     else manifest["schema"]
                 )
                 self._write_committed(
-                    target, merged, prior_stats=prior.get("stats"), schema_json=prior_schema
+                    target,
+                    merged,
+                    prior_stats=prior.get("stats"),
+                    schema_json=prior_schema,
+                    prior_rows=prior.get("rows"),
                 )
             else:
                 # first manifest for this partition: everything listed
@@ -805,6 +849,7 @@ class TableStore:
         self,
         table: str | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: str | None = None,
     ) -> int:
         """Rewrite fragmented manifest-bearing partitions into
         ~``target_file_bytes`` files (the Delta/Iceberg OPTIMIZE
@@ -823,7 +868,18 @@ class TableStore:
         skipped when its live file count is already within the target
         (``ceil(total_bytes / target)``), so repeated calls are cheap
         no-ops. Takes the store lock (like vacuum) so a concurrent
-        publish can't interleave with the manifest swap."""
+        publish can't interleave with the manifest swap.
+
+        ``sort_by`` additionally CLUSTERS the rewrite on one column
+        (``repartitionByRange`` + ``sortWithinPartitions`` — the
+        OPTIMIZE ZORDER-lite analog for a single key): each output
+        file covers a disjoint value range, so the manifest zone maps
+        become maximally tight on that column and a later
+        ``read(where=[(sort_by, ...)])`` skips every non-covering file.
+        With ``sort_by`` set, any multi-file partition is rewritten
+        (clustering is the point, not just file count), and the
+        row-group sort also sharpens parquet's own page/row-group
+        skipping for scans that bypass the manifests."""
         import math
         import uuid
 
@@ -845,7 +901,7 @@ class TableStore:
                         continue
                     total = sum(f.stat().st_size for f in paths)
                     target_n = max(1, math.ceil(total / target_file_bytes))
-                    if len(paths) <= target_n:
+                    if len(paths) <= target_n and sort_by is None:
                         continue
                     staging = part / f"_compact_{uuid.uuid4().hex}"
                     # read under the DECLARED schema when the partition
@@ -856,11 +912,14 @@ class TableStore:
                     schema_json = manifest.get("schema")
                     if schema_json:
                         reader = reader.schema(_schema_from_json(schema_json))
-                    (
-                        reader.parquet(*[str(f) for f in paths])
-                        .repartition(target_n)
-                        .write.parquet(str(staging))
-                    )
+                    df = reader.parquet(*[str(f) for f in paths])
+                    if sort_by is not None:
+                        df = df.repartitionByRange(
+                            target_n, F.col(sort_by)
+                        ).sortWithinPartitions(sort_by)
+                    else:
+                        df = df.repartition(target_n)
+                    df.write.parquet(str(staging))
                     new_names = []
                     for f in sorted(staging.glob("*.parquet")):
                         new_name = f"compact-{uuid.uuid4().hex}.parquet"

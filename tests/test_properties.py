@@ -159,3 +159,56 @@ def test_strip_sort_prefix_property(spark, items):
         rows.append((raw,))
     got = run_batch(spark, lambda: strip_sort_prefix(F.col("s")), rows, "s string")
     assert got == expected
+
+
+# -- zone-map pruning soundness ------------------------------------------
+# _file_may_match may only return False when NO value in [mn, mx] can
+# satisfy the predicate — pure-Python exhaustive witness check over an
+# integer domain (no Spark job needed; the read path re-applies the
+# predicate, so the only way skipping can be WRONG is a false negative
+# here).
+def _pred_holds(w, op, v) -> bool:
+    return {
+        "==": w == v,
+        ">=": w >= v,
+        ">": w > v,
+        "<=": w <= v,
+        "<": w < v,
+    }[op]
+
+
+@settings(max_examples=300, deadline=None)
+@example(mn=0, span=0, v=0, op="==")          # point file, point predicate
+@example(mn=5, span=0, v=5, op=">")           # boundary: strict op at edge
+@example(mn=5, span=0, v=5, op=">=")
+@given(
+    mn=st.integers(-50, 50),
+    span=st.integers(0, 20),
+    v=st.integers(-60, 60),
+    op=st.sampled_from(["==", ">=", ">", "<=", "<"]),
+)
+def test_zone_map_pruning_never_drops_a_matching_file(mn, span, v, op):
+    from geo_explorer_etl_spark.sources.store import _file_may_match
+
+    mx = mn + span
+    kept = _file_may_match({"c": [mn, mx]}, [("c", op, v)])
+    some_row_matches = any(_pred_holds(w, op, v) for w in range(mn, mx + 1))
+    if some_row_matches:
+        assert kept  # skipping a file with a matching row would lose rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    mn=st.integers(-50, 50),
+    span=st.integers(0, 20),
+    lo=st.integers(-60, 60),
+    width=st.integers(0, 30),
+)
+def test_zone_map_between_pruning_sound(mn, span, lo, width):
+    from geo_explorer_etl_spark.sources.store import _file_may_match
+
+    mx, hi = mn + span, lo + width
+    kept = _file_may_match({"c": [mn, mx]}, [("c", "between", (lo, hi))])
+    some_row_matches = any(lo <= w <= hi for w in range(mn, mx + 1))
+    if some_row_matches:
+        assert kept

@@ -402,6 +402,64 @@ def test_append_extends_committed_manifest(spark, tmp_path):
     assert store.read("DimensionValues").count() == 5  # 3 live + 2 appended
 
 
+def test_metadata_only_count_and_sorted_compaction(spark, tmp_path):
+    """count_rows answers COUNT(*) from manifest row counts (no data
+    pages); compact(sort_by=...) range-clusters the rewrite so each
+    output file covers a disjoint key range and zone maps prune a
+    keyed read down to the covering file(s)."""
+    import json
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import COMMITTED, PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 11
+    store = TableStore(spark, root)
+
+    # 3 files with INTERLEAVED key ranges: every file spans ~the whole
+    # key domain, so pre-clustering zone maps cannot prune a key slice
+    base = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 3).alias("shard"), (F.col("id") * 2).alias("k")
+    )
+    store.replace_product_all(
+        pid, {"IndicatorValues": base.repartition(3, "shard").drop("shard")}
+    )
+
+    # metadata-only count == scan count, and survives append + compact
+    assert store.count_rows("IndicatorValues") == 3000
+    store.append(
+        "IndicatorValues",
+        spark.range(10)
+        .select((F.col("id") + 90000).alias("id"), (F.col("id") + 180000).alias("k"))
+        .coalesce(1)
+        .withColumn(PARTITION_COL, F.lit(pid).cast("long")),
+    )
+    assert store.count_rows("IndicatorValues") == 3010
+    assert store.read("IndicatorValues").count() == 3010
+
+    part = Path(root) / "IndicatorValues" / f"IndicatorThemeId={pid}"
+    n_all = len(store.live_files("IndicatorValues"))
+    narrow = [("k", "between", (100, 200))]
+    # interleaved layout: every ORIGINAL file spans the whole k domain,
+    # so the narrow slice prunes only the high-k appended file
+    assert len(store.live_files("IndicatorValues", narrow)) == n_all - 1
+
+    # cluster on k: small target size forces multiple range-disjoint files
+    assert store.compact("IndicatorValues", target_file_bytes=8 * 1024, sort_by="k") == 1
+    manifest = json.loads((part / COMMITTED).read_text())
+    assert len(manifest["files"]) > 1
+    # per-file k-ranges are pairwise disjoint after range clustering
+    ranges = sorted(tuple(manifest["stats"][n]["k"]) for n in manifest["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # the same narrow read now opens a strict subset of the files
+    assert len(store.live_files("IndicatorValues", narrow)) < len(manifest["files"])
+    assert store.read("IndicatorValues", narrow).count() == 51  # k=100..200 even
+    # counts still metadata-exact post-compaction
+    assert store.count_rows("IndicatorValues") == 3010
+    del n_all
+
+
 def test_exactly_once_epoch_appends(spark, tmp_path):
     """Micro-batch appends through the manifest commit protocol are
     exactly-once: a replayed batch id is a no-op, a crash mid-publish
