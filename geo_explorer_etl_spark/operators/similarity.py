@@ -440,11 +440,30 @@ def ivf_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     angular_prune: bool = True,
+    scorer: str = "tiled",
 ) -> DataFrame:
     """Near-duplicate pairs via trained-centroid (IVF) multi-probe
     buckets: assign each vector to its ``nprobe`` closest k-means
     cells, candidate pairs share ANY cell (equi-join on cell id), exact
     cosine filters candidates — precision 1.0, recall trades off.
+
+    ``scorer`` picks the exact-cosine stage:
+
+    - ``"tiled"`` (default) routes cell-sharing pairs through the same
+      tiled Arrow block scoring as the banded path
+      (``_block_score_pairs`` with the cell as the bucket key): each
+      vector ships once per probed cell (~n·nprobe·dim doubles) instead
+      of twice per candidate pair (~pairs·2·dim — at sf0.1 that is
+      ~6 MB vs ~1.2 GB through the shuffle), and scoring is a
+      vectorized numpy sweep per tile pair. Dots accumulate in the
+      fixed dimension order, so a pair scored in several shared cells
+      collapses under distinct() bit-exactly and the DuckDB oracle is
+      untouched.
+    - ``"pairs"`` distinct-dedupes candidate ids first and computes one
+      JVM-side fold per pair — the shape the oracle SQL mirrors
+      literally, and the path the ``angular_prune`` bound applies to
+      (the bound is per (pair, shared cell), which the tiled scorer
+      never materializes).
 
     Complements ``bucketed_near_dup_pairs``: random-hyperplane bands
     prune hard in the high-similarity regime (cos >= 0.9), while
@@ -531,6 +550,13 @@ def ivf_near_dup_pairs(
     assigned = emb.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} {id_type}, _cell int, _sim double"
     )
+    if scorer == "tiled":
+        grouped = assigned.join(
+            emb.select(F.col(id_col), F.col(vec_col).alias("_vec")), id_col
+        ).select(F.col(id_col).alias("_id"), F.col("_vec"), F.col("_cell"))
+        return _block_score_pairs(
+            grouped, key_cols=["_cell"], threshold=threshold, id_type=id_type
+        )
     # ids-only cell join -> angular bound -> distinct -> join vectors
     # back (same shape as bucketed_near_dup_pairs): one dot per distinct
     # surviving pair, and the expensive cosine stage is partitioned by

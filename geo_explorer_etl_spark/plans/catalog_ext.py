@@ -489,7 +489,11 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     strided data vectors so the DuckDB oracle reproduces the cells
     exactly — including the √n cell-count rule itself (floor(sqrt) is
     bit-identical across engines); the trained-k-means variant is
-    pytest-gated on recall."""
+    pytest-gated on recall. Scoring is the TILED path (round 6): each
+    vector ships once per probed cell into Arrow block scoring instead
+    of twice per candidate pair — measured 1.39 s vs 2.16 s for the
+    pair-join scorer at sf0.1, identical rows (fixed-order dots), same
+    oracle."""
     import math
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]

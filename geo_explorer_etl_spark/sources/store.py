@@ -148,6 +148,8 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
             continue
         if op == "==" and (v < mn or v > mx):
             return False
+        if op == "!=" and mn == mx == v:
+            return False  # single-valued file: every row equals v
         if op == ">=" and mx < v:
             return False
         if op == ">" and mx <= v:
@@ -198,6 +200,8 @@ def _where_expr(where):
         c = F.col(col)
         if op == "==":
             exprs.append(c == val)
+        elif op == "!=":
+            exprs.append(c != val)
         elif op == ">=":
             exprs.append(c >= val)
         elif op == ">":
@@ -974,11 +978,14 @@ class TableStore:
     def read_other_products(self, table: str, product_id: int) -> DataFrame | None:
         """Current state EXCLUDING one product's partition — the
         post-delete view the reference's anti-joins see, and safe to
-        scan lazily while that partition is being overwritten."""
-        df = self.read(table)
-        if df is None or PARTITION_COL not in df.columns:
-            return df
-        return df.filter(F.col(PARTITION_COL) != product_id)
+        scan lazily while that partition is being overwritten. The
+        excluded partition's directory is skipped at the driver (the
+        ``!=`` predicate proves a single-valued partition empty), so
+        its files never even enter the plan's listing."""
+        p = Path(self._path(table))
+        if p.exists() and any(p.glob(f"{PARTITION_COL}=*")):
+            return self.read(table, where=[(PARTITION_COL, "!=", product_id)])
+        return self.read(table)
 
     def product_exists(self, product_id: int) -> bool:
         df = self.read("IndicatorTheme")

@@ -134,25 +134,26 @@ def test_ivf_near_dup_recall_and_plan(spark):
 
 def test_ivf_angular_prune_is_superset_safe(spark):
     """The angular candidate bound (min over shared cells of
-    sa·sb + sin·sin) is a STRICT superset filter: results with pruning
-    on and off must be identical pair-for-pair — the bound only skips
-    vector joins for pairs that provably cannot reach the threshold."""
+    sa·sb + sin·sin) is a STRICT superset filter on the pair-join
+    scorer: results with pruning on and off must be identical
+    pair-for-pair — and the tiled scorer (the default) must agree with
+    both bit-exactly (fixed-order dots collapse under distinct)."""
     from geo_explorer_etl_spark.operators import similarity as SIM
 
     emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"]
-    on = {
-        tuple(r)
-        for r in SIM.ivf_near_dup_pairs(
-            emb, threshold=0.4, n_centroids=16, nprobe=3, angular_prune=True
-        ).collect()
-    }
-    off = {
-        tuple(r)
-        for r in SIM.ivf_near_dup_pairs(
-            emb, threshold=0.4, n_centroids=16, nprobe=3, angular_prune=False
-        ).collect()
-    }
-    assert on == off and on
+
+    def run(**kw):
+        return {
+            tuple(r)
+            for r in SIM.ivf_near_dup_pairs(
+                emb, threshold=0.4, n_centroids=16, nprobe=3, **kw
+            ).collect()
+        }
+
+    on = run(scorer="pairs", angular_prune=True)
+    off = run(scorer="pairs", angular_prune=False)
+    tiled = run(scorer="tiled")
+    assert on == off == tiled and on
 
 
 def test_distributed_kmeans_matches_driver_recall(spark):

@@ -170,6 +170,7 @@ def test_strip_sort_prefix_property(spark, items):
 def _pred_holds(w, op, v) -> bool:
     return {
         "==": w == v,
+        "!=": w != v,
         ">=": w >= v,
         ">": w > v,
         "<=": w <= v,
@@ -185,7 +186,7 @@ def _pred_holds(w, op, v) -> bool:
     mn=st.integers(-50, 50),
     span=st.integers(0, 20),
     v=st.integers(-60, 60),
-    op=st.sampled_from(["==", ">=", ">", "<=", "<"]),
+    op=st.sampled_from(["==", "!=", ">=", ">", "<=", "<"]),
 )
 def test_zone_map_pruning_never_drops_a_matching_file(mn, span, v, op):
     from geo_explorer_etl_spark.sources.store import _file_may_match
