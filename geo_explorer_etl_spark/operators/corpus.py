@@ -1,0 +1,147 @@
+"""End-to-end training-corpus construction: the composition the
+individual operators exist for, as one declarative pipeline.
+
+``build_training_corpus`` chains the stages a large-scale LLM data
+pipeline runs over a raw document pool:
+
+1. LANGUAGE gate        — stopword-vote langid, keep the wanted set;
+2. QUALITY gates        — token-count window, stopword ratio (too low =
+   non-natural text), distinct-token ratio (too low = boilerplate);
+3. EXACT dedup          — one survivor (min id) per md5 content group;
+4. NEAR-DUP removal     — MinHash-LSH candidate pairs clustered by
+   connected components, min-id representative kept per cluster;
+5. TOKEN BUDGET (opt.)  — deterministic prefix by ascending id under a
+   total BPE-token cap.
+
+Every stage is lazy DataFrame ops on the same lineage — Catalyst fuses
+the scans, and nothing here collects fact-sized data. The token budget
+uses a TWO-LEVEL cumulative sum (per-bucket totals prefix-summed on the
+driver — thousands of rows, never documents — then a within-bucket
+window), so the global running total needs no single-partition sort at
+100 TB.
+
+Stage counts are exposed via ``corpus_report`` as a separate (eager)
+helper rather than side effects inside the builder, so the composed
+plan stays one lazy lineage unless a report is actually wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geo_explorer_etl_spark.operators import dedup as DD
+from geo_explorer_etl_spark.operators import text as TX
+
+BPE_TOKEN_RE = TX.BPE_TOKEN_RE
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+    min_distinct_ratio: float = 0.0,
+    near_dup: bool = True,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    token_budget: int | None = None,
+    budget_bucket_width: int = 100_000,
+) -> DataFrame:
+    """The cleaned corpus: original document rows (all columns) that
+    survive every gate, deterministically — same input, same survivor
+    set, independent of partitioning (min-id representatives, id-ordered
+    budget prefix)."""
+    lang = TX.langid(docs, text_col=text_col, id_col=id_col)
+    kept = docs.join(
+        lang.filter(F.col("lang_guess").isin(*languages)).select(id_col), id_col
+    )
+
+    q = TX.quality_scores(kept, text_col=text_col, id_col=id_col)
+    good = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    ).select(id_col)
+    kept = kept.join(good, id_col)
+
+    # exact dedup: the canonical (min-id) doc of each content group
+    canon = DD.exact_dedup_groups(kept, text_col=text_col, id_col=id_col).select(
+        F.col("canonical_doc_id").alias(id_col)
+    )
+    kept = kept.join(canon, id_col)
+
+    if near_dup:
+        pairs = DD.minhash_lsh_candidates(
+            kept, text_col=text_col, id_col=id_col,
+            n=shingle_n, num_hashes=num_hashes, bands=bands,
+        )
+        kept = DD.keep_representatives(kept, pairs, id_col=id_col)
+
+    if token_budget is not None:
+        kept = _prefix_under_budget(
+            kept, text_col, id_col, token_budget, budget_bucket_width
+        )
+    return kept
+
+
+def _prefix_under_budget(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    token_budget: int,
+    bucket_width: int,
+) -> DataFrame:
+    """Keep the longest ascending-id prefix whose cumulative BPE token
+    count stays within ``token_budget`` — deterministic subset
+    selection under a cap.
+
+    Scale shape: a naive cumulative sum is a GLOBAL ordered window =
+    one partition holding the corpus. Instead: (1) per-doc token
+    counts; (2) per-BUCKET totals (bucket = id div width) — a tiny
+    aggregate; (3) the bucket prefix offsets computed on the DRIVER
+    (#buckets rows, never documents) and joined back broadcast;
+    (4) a within-bucket ordered window finishes the running total.
+    Window state per task is one bucket, not the corpus."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("_ntok"),
+        (F.col(id_col) / bucket_width).cast("long").alias("_bucket"),
+    )
+    bucket_totals = (
+        toks.groupBy("_bucket").agg(F.sum("_ntok").alias("_btot")).collect()
+    )
+    offsets = {}
+    running = 0
+    for r in sorted(bucket_totals, key=lambda r: r["_bucket"]):
+        offsets[r["_bucket"]] = running
+        running += r["_btot"]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_bucket long, _offset long"
+    )
+    w = Window.partitionBy("_bucket").orderBy(id_col)
+    cum = (
+        toks.join(F.broadcast(off_df), "_bucket")
+        .withColumn("_cum", F.sum("_ntok").over(w) + F.col("_offset"))
+        .filter(F.col("_cum") <= token_budget)
+        .select(id_col)
+    )
+    return docs.join(cum, id_col)
+
+
+def corpus_report(docs: DataFrame, stages: dict[str, DataFrame]) -> dict[str, int]:
+    """Eager per-stage survivor counts for observability — separate
+    from the builder so the composed plan itself stays lazy."""
+    out = {"input": docs.count()}
+    for name, frame in stages.items():
+        out[name] = frame.count()
+    return out

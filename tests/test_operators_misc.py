@@ -299,3 +299,64 @@ def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
     assert boiler                                 # drop-mode recall floor beaten
     assert len(salted_pairs) < uncapped           # but bounded vs uncapped
     assert len(capped_pairs) <= len(salted_pairs) <= uncapped
+
+
+def test_build_training_corpus_composition(spark):
+    """The end-to-end corpus builder: every gate's invariant holds on
+    the survivor set, the result is deterministic, and the token budget
+    keeps the maximal ascending-id prefix (two-level cumulative sum —
+    no global single-partition sort)."""
+    from geo_explorer_etl_spark.operators import text as TX
+    from geo_explorer_etl_spark.operators.corpus import build_training_corpus
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    kept = build_training_corpus(
+        docs,
+        languages=("en",),
+        min_tokens=5,
+        min_distinct_ratio=0.2,
+        near_dup=True,
+    )
+    rows = kept.collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert 0 < len(ids) < docs.count()
+
+    # language gate: every survivor votes en
+    langs = {r["lang_guess"] for r in TX.langid(kept, "text", "doc_id").collect()}
+    assert langs == {"en"}
+    # quality gates hold on survivors
+    q = {r["doc_id"]: r for r in TX.quality_scores(kept, "text", "doc_id").collect()}
+    assert all(v["n_tokens"] >= 5 and v["distinct_ratio"] >= 0.2 for v in q.values())
+    # exact-dup free: one row per content hash
+    assert (
+        kept.select(F.md5("text")).distinct().count() == len(ids)
+    )
+    # deterministic: a second build yields the identical survivor set
+    ids2 = sorted(
+        r["doc_id"]
+        for r in build_training_corpus(
+            docs, languages=("en",), min_tokens=5, min_distinct_ratio=0.2
+        ).collect()
+    )
+    assert ids2 == ids
+
+    # token budget: maximal ascending-id prefix under the cap
+    budget = 5000
+    capped = build_training_corpus(
+        docs,
+        languages=("en",),
+        min_tokens=5,
+        min_distinct_ratio=0.2,
+        token_budget=budget,
+        budget_bucket_width=100,  # force multiple buckets
+    )
+    capped_ids = sorted(r["doc_id"] for r in capped.collect())
+    ntok = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in TX.token_counts(kept, "text", "doc_id").collect()
+    }
+    assert capped_ids == ids[: len(capped_ids)]  # a prefix, in id order
+    used = sum(ntok[i] for i in capped_ids)
+    assert used <= budget
+    if len(capped_ids) < len(ids):  # maximality: the next doc overflows
+        assert used + ntok[ids[len(capped_ids)]] > budget
