@@ -891,6 +891,68 @@ def primary_query(
     )
 
 
+def serve_primary_query(
+    store,
+    indicator_id: int,
+    product_id: int,
+    geo_ref: DataFrame,
+    geo_level: DataFrame,
+    null_reason: DataFrame,
+    locale: str = "EN",
+) -> DataFrame:
+    """Store-backed PrimaryQuery serving read — §2.14's web-app shape
+    driven straight off a ``TableStore`` with every file-skipping lever
+    engaged (``store`` is duck-typed; any object with
+    ``read_product_slice`` works):
+
+    1. the two bridges and the indicator row read via
+       ``read_product_slice`` with an ``IndicatorId`` equality — other
+       products' partitions skip at the driver, and within the
+       partition the manifest zone maps drop files that can't hold the
+       indicator (maximally effective after
+       ``compact(sort_by="IndicatorId")``);
+    2. DYNAMIC file pruning for the fact table: ``IndicatorValues``
+       carries no IndicatorId, so the indicator's value-id span
+       [min, max] is computed over the ALREADY-PRUNED bridge (a tiny
+       driver action) and pushed as a ``between`` zone-map predicate —
+       the same trick Delta's dynamic file pruning plays on join keys.
+       With hash-keyed value ids the span is wide unless the values
+       table was compacted sorted on ``IndicatorValueId``; the
+       predicate is then conservative (opens everything) but never
+       wrong, since ``read`` re-applies it as a row filter.
+
+    Results are identical to ``primary_query`` over full-table reads —
+    pytest-pinned."""
+    where_ind = [("IndicatorId", "==", indicator_id)]
+    bridge = store.read_product_slice(
+        "GeographyReferenceForIndicator", product_id, where=where_ind
+    )
+    glb = store.read_product_slice(
+        "GeographicLevelForIndicator", product_id, where=where_ind
+    )
+    indicators = store.read_product_slice("Indicators", product_id, where=where_ind)
+    span = bridge.agg(
+        F.min("IndicatorValueId").alias("lo"), F.max("IndicatorValueId").alias("hi")
+    ).first()
+    where_vals = (
+        [("IndicatorValueId", "between", (span["lo"], span["hi"]))]
+        if span and span["lo"] is not None
+        else None
+    )
+    values = store.read_product_slice("IndicatorValues", product_id, where=where_vals)
+    return primary_query(
+        indicator_id,
+        geo_ref,
+        bridge,
+        geo_level,
+        glb,
+        values,
+        indicators,
+        null_reason,
+        locale=locale,
+    )
+
+
 def related_charts_query(
     indicator_id: int,
     related_charts: DataFrame,

@@ -201,3 +201,52 @@ def test_refresh_date_range_filters_unknown_and_merged(env):
     pipe.registry.register(PID, [11111111])
     ran2 = pipe.refresh_date_range("2020-01-01", "2020-01-01", csv_path_for=lambda pid: csv)
     assert ran2 == []
+
+
+def test_store_backed_primary_query_serving(env, spark):
+    """serve_primary_query (the §2.14 web read driven off the store
+    with zone-map + dynamic file pruning) must return exactly what
+    primary_query returns over full-table reads — before AND after a
+    key-clustering compaction rewrites the layout."""
+    from geo_explorer_etl_spark.plans import star_schema as SS
+
+    pipe, csv = env
+    pipe.insert_product([PID], csv_path_for=lambda pid: csv)
+    store = pipe.store
+    geo_level = spark.createDataFrame(
+        [("A0000", "Country", "Pays"), ("A0002", "Province", "Province")],
+        "GeographicLevelId string, LevelName_EN string, LevelName_FR string",
+    )
+
+    def full(ind_id):
+        return SS.primary_query(
+            ind_id,
+            pipe.geo_ref,
+            store.read("GeographyReferenceForIndicator"),
+            geo_level,
+            store.read("GeographicLevelForIndicator"),
+            store.read("IndicatorValues"),
+            store.read("Indicators"),
+            pipe.null_reason,
+        )
+
+    def served(ind_id):
+        return SS.serve_primary_query(
+            store, ind_id, PID, pipe.geo_ref, geo_level, pipe.null_reason
+        )
+
+    ind_ids = [r["IndicatorId"] for r in store.read("Indicators").collect()]
+    assert ind_ids
+    for ind_id in ind_ids[:2]:
+        assert sorted(map(tuple, served(ind_id).collect())) == sorted(
+            map(tuple, full(ind_id).collect())
+        )
+
+    # key-clustering compaction (OPTIMIZE ZORDER-lite on the serving
+    # keys) must leave the served results identical
+    store.compact("GeographyReferenceForIndicator", sort_by="IndicatorId")
+    store.compact("IndicatorValues", sort_by="IndicatorValueId")
+    for ind_id in ind_ids[:2]:
+        assert sorted(map(tuple, served(ind_id).collect())) == sorted(
+            map(tuple, full(ind_id).collect())
+        )
