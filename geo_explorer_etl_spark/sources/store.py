@@ -938,6 +938,37 @@ class TableStore:
                     compacted += 1
         return compacted
 
+    def merge_rows(self, table: str, df: DataFrame, key_cols: list[str]) -> None:
+        """MERGE (upsert-by-key) — the table-format operation between
+        append and full replace: incoming rows REPLACE current rows
+        with equal ``key_cols`` and APPEND otherwise, per product
+        partition, atomically. Composition, not new machinery: the
+        merged state (current ⟕-anti incoming ∪ incoming) is published
+        through ``replace_product_all``'s write-ahead txn, so readers
+        get the same snapshot isolation and crash recovery as any
+        publish — the staging write materializes from the OLD snapshot
+        before the manifest swap, so a concurrent reader never sees a
+        half-merged partition. Schema evolution applies: an incoming
+        frame with new columns unions in (old rows null-fill).
+
+        Cost shape at 100 TB: one partition's live rows re-written per
+        merged product (the replace unit) — same bound as the
+        reference's delete-then-insert, minus the cross-table cascade.
+        """
+        if PARTITION_COL not in df.columns:
+            raise ValueError(f"merge_rows needs {PARTITION_COL} on the incoming frame")
+        pids = [r[0] for r in df.select(PARTITION_COL).distinct().collect()]
+        for pid in pids:
+            incoming = df.filter(F.col(PARTITION_COL) == pid)
+            current = self.read_product_slice(table, pid)
+            if current is None:
+                merged = incoming
+            else:
+                keys = incoming.select(*key_cols).distinct()
+                remaining = current.join(keys, key_cols, "left_anti")
+                merged = remaining.unionByName(incoming, allowMissingColumns=True)
+            self.replace_product_all(pid, {table: merged})
+
     def delete_product(self, product_id: int) -> None:
         """Cascading delete across all product tables (reference
         scdb.py:32–72): with product partitioning this is dropping one

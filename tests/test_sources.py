@@ -402,6 +402,53 @@ def test_append_extends_committed_manifest(spark, tmp_path):
     assert store.read("DimensionValues").count() == 5  # 3 live + 2 appended
 
 
+def test_merge_rows_upsert_by_key(spark, tmp_path):
+    """MERGE: equal-key rows replaced, new keys appended, other rows
+    untouched — atomically per partition with snapshot isolation, and
+    schema evolution applies to the incoming frame."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 21
+    store = TableStore(spark, root)
+    store.replace_product_all(
+        pid,
+        {
+            "IndicatorValues": spark.createDataFrame(
+                [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+                "id long, code string, Value double",
+            )
+        },
+    )
+
+    snapshot = store.read("IndicatorValues")      # resolved pre-merge
+    incoming = spark.createDataFrame(
+        [(2, "b", 20.0, "new"), (9, "z", 9.0, "new")],
+        "id long, code string, Value double, Source string",
+    ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+    store.merge_rows("IndicatorValues", incoming, key_cols=["id"])
+
+    got = {
+        r["id"]: (r["Value"], r["Source"])
+        for r in store.read("IndicatorValues").collect()
+    }
+    assert got == {
+        1: (1.0, None),     # untouched, evolved column null-fills
+        2: (20.0, "new"),   # replaced
+        3: (3.0, None),     # untouched
+        9: (9.0, "new"),    # appended
+    }
+    # the pre-merge reader kept its snapshot
+    assert sorted(r["id"] for r in snapshot.collect()) == [1, 2, 3]
+    # idempotent re-merge of the same frame changes nothing
+    store.merge_rows("IndicatorValues", incoming, key_cols=["id"])
+    again = {
+        r["id"]: (r["Value"], r["Source"])
+        for r in store.read("IndicatorValues").collect()
+    }
+    assert again == got
+
+
 def test_metadata_only_count_and_sorted_compaction(spark, tmp_path):
     """count_rows answers COUNT(*) from manifest row counts (no data
     pages); compact(sort_by=...) range-clusters the rewrite so each
