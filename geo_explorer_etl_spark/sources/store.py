@@ -362,6 +362,48 @@ class TableStore:
             df = df.filter(_where_expr(where))
         return df
 
+    def read_at(self, table: str, as_of: float) -> DataFrame | None:
+        """TIME TRAVEL (TIMESTAMP AS OF): the table as of wall-clock
+        ``as_of`` (epoch seconds). Each partition resolves the latest
+        history manifest committed at or before ``as_of`` — partitions
+        first committed later are absent, exactly as they were then.
+        Works as far back as vacuum retention lets the superseded DATA
+        files live (the Delta contract: history manifests are
+        metadata-sized and kept; ``vacuum(older_than_seconds=W)``
+        bounds how old a snapshot remains materializable). Returns None
+        when nothing existed yet."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return None
+        files: list[str] = []
+        schemas = []
+        for entry in sorted(p.iterdir()):
+            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                continue
+            hist = entry / "_history"
+            if not hist.exists():
+                continue
+            best = None
+            for h in sorted(hist.glob("*.json")):
+                m = json.loads(h.read_text())
+                if m.get("committed_at", 0) <= as_of:
+                    best = m          # sorted names: last match = latest
+                else:
+                    break
+            if best is None:
+                continue
+            files += [str(entry / n) for n in best["files"]]
+            if best.get("schema"):
+                schemas.append(_schema_from_json(best["schema"]))
+        if not files:
+            return None
+        reader = self.spark.read.option("basePath", str(p))
+        if schemas:
+            import functools
+
+            reader = reader.schema(functools.reduce(_merge_schemas, schemas))
+        return reader.parquet(*files)
+
     def count_rows(self, table: str) -> int:
         """Metadata-only table row count: live file counts are summed
         from the manifests (recorded at commit from the parquet
@@ -517,12 +559,28 @@ class TableStore:
             st = _parquet_file_stats(part_dir / n)
             if st:
                 stats[n], rows[n] = st
-        manifest: dict = {"files": names, "stats": stats, "rows": rows}
+        import time
+        import uuid
+
+        manifest: dict = {
+            "files": names,
+            "stats": stats,
+            "rows": rows,
+            "committed_at": time.time(),
+        }
         if schema_json is not None:
             manifest["schema"] = schema_json
+        body = json.dumps(manifest)
         tmp = part_dir / (COMMITTED + ".tmp")
-        tmp.write_text(json.dumps(manifest))
+        tmp.write_text(body)
         tmp.rename(part_dir / COMMITTED)  # atomic swap: the snapshot point
+        # append-only version history for time travel (read_at): one
+        # tiny JSON per commit, named so lexicographic order = commit
+        # order. History is metadata-sized; vacuum governs how far back
+        # the DATA files survive (the Delta retention contract).
+        hist = part_dir / "_history"
+        hist.mkdir(exist_ok=True)
+        (hist / f"{manifest['committed_at']:020.6f}-{uuid.uuid4().hex[:8]}.json").write_text(body)
 
     # -- S11 + I2: idempotent product replace ------------------------------
     def replace_product(self, table: str, df: DataFrame, product_id: int) -> None:

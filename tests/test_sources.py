@@ -402,6 +402,56 @@ def test_append_extends_committed_manifest(spark, tmp_path):
     assert store.read("DimensionValues").count() == 5  # 3 live + 2 appended
 
 
+def test_time_travel_read_at(spark, tmp_path):
+    """read_at resolves each partition's latest history manifest at or
+    before the timestamp: superseded versions stay readable until
+    vacuum retention, later-born partitions are absent, and the current
+    read matches read_at(now)."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+
+    store.replace_product_all(
+        31, {"IndicatorValues": spark.createDataFrame([(1, "v1")], "id long, v string")}
+    )
+    t1 = time.time()
+    time.sleep(0.05)
+    store.replace_product_all(
+        31, {"IndicatorValues": spark.createDataFrame([(2, "v2"), (3, "v2")], "id long, v string")}
+    )
+    store.replace_product_all(  # a partition born AFTER t1
+        32, {"IndicatorValues": spark.createDataFrame([(9, "other")], "id long, v string")}
+    )
+    store.append(
+        "IndicatorValues",
+        spark.createDataFrame([(4, "v2b")], "id long, v string").withColumn(
+            PARTITION_COL, F.lit(31).cast("long")
+        ),
+    )
+    t2 = time.time()
+
+    at1 = store.read_at("IndicatorValues", t1)
+    assert {(r["id"], r["v"]) for r in at1.collect()} == {(1, "v1")}
+    at2 = store.read_at("IndicatorValues", t2)
+    assert {r["id"] for r in at2.collect()} == {2, 3, 4, 9}
+    now_rows = {r["id"] for r in store.read("IndicatorValues").collect()}
+    assert {r["id"] for r in store.read_at("IndicatorValues", time.time()).collect()} == now_rows
+    assert store.read_at("IndicatorValues", t1 - 3600) is None
+
+    # retention contract: a windowed vacuum keeps the superseded files,
+    # so the t1 snapshot stays materializable
+    assert store.vacuum("IndicatorValues", older_than_seconds=3600) == 0
+    assert {(r["id"], r["v"]) for r in store.read_at("IndicatorValues", t1).collect()} == {
+        (1, "v1")
+    }
+    # a zero-window vacuum reclaims them — history survives as metadata
+    # but the old snapshot's data is gone (the documented trade)
+    assert store.vacuum("IndicatorValues") > 0
+
+
 def test_merge_rows_upsert_by_key(spark, tmp_path):
     """MERGE: equal-key rows replaced, new keys appended, other rows
     untouched — atomically per partition with snapshot isolation, and
