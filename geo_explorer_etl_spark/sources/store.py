@@ -404,6 +404,55 @@ class TableStore:
             reader = reader.schema(functools.reduce(_merge_schemas, schemas))
         return reader.parquet(*files)
 
+    def restore(self, table: str, as_of: float) -> int:
+        """RESTORE (rollback): make the ``as_of`` snapshot current
+        again, per partition, by republishing that version's manifest —
+        a metadata-only operation (no data rewrite; the files must
+        still exist, i.e. lie within vacuum retention — checked, with a
+        clear error naming the first missing file). Partitions born
+        after ``as_of`` are emptied (their manifest becomes a zero-file
+        list; history keeps every prior version, so a restore is itself
+        restorable). Returns the number of partitions whose manifest
+        changed. Takes the store lock like any publish."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return 0
+        changed = 0
+        with self._exclusive_lock():
+            for entry in sorted(p.iterdir()):
+                if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                    continue
+                hist = entry / "_history"
+                cm = entry / COMMITTED
+                if not hist.exists() or not cm.exists():
+                    continue
+                best = None
+                for h in sorted(hist.glob("*.json")):
+                    m = json.loads(h.read_text())
+                    if m.get("committed_at", 0) <= as_of:
+                        best = m
+                    else:
+                        break
+                current = json.loads(cm.read_text())
+                target_files = best["files"] if best else []
+                if target_files == current["files"]:
+                    continue
+                for n in target_files:
+                    if not (entry / n).exists():
+                        raise FileNotFoundError(
+                            f"restore target file vacuumed: {entry / n} — the "
+                            f"{as_of} snapshot is outside vacuum retention"
+                        )
+                self._write_committed(
+                    entry,
+                    target_files,
+                    prior_stats=(best or {}).get("stats"),
+                    schema_json=(best or {}).get("schema"),
+                    prior_rows=(best or {}).get("rows"),
+                )
+                changed += 1
+        return changed
+
     def count_rows(self, table: str) -> int:
         """Metadata-only table row count: live file counts are summed
         from the manifests (recorded at commit from the parquet

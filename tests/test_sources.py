@@ -452,6 +452,45 @@ def test_time_travel_read_at(spark, tmp_path):
     assert store.vacuum("IndicatorValues") > 0
 
 
+def test_restore_rolls_back_to_snapshot(spark, tmp_path):
+    """restore(table, as_of): metadata-only rollback — the old manifest
+    republishes, later-born partitions empty, the rollback itself is
+    restorable, and a snapshot outside vacuum retention fails with a
+    clear error instead of serving a half-missing table."""
+    import time
+
+    import pytest
+
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.replace_product_all(
+        41, {"IndicatorValues": spark.createDataFrame([(1, "v1")], "id long, v string")}
+    )
+    t1 = time.time()
+    time.sleep(0.05)
+    store.replace_product_all(
+        41, {"IndicatorValues": spark.createDataFrame([(2, "v2")], "id long, v string")}
+    )
+    store.replace_product_all(
+        42, {"IndicatorValues": spark.createDataFrame([(9, "late")], "id long, v string")}
+    )
+    t2 = time.time()
+
+    assert store.restore("IndicatorValues", t1) == 2  # 41 rolled back, 42 emptied
+    assert {(r["id"], r["v"]) for r in store.read("IndicatorValues").collect()} == {(1, "v1")}
+    # the rollback is itself restorable (history is append-only)
+    assert store.restore("IndicatorValues", t2) == 2
+    assert {r["id"] for r in store.read("IndicatorValues").collect()} == {2, 9}
+
+    # outside retention: vacuum the superseded v1 files, then restoring
+    # to t1 must refuse loudly
+    assert store.vacuum("IndicatorValues") > 0
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        store.restore("IndicatorValues", t1)
+
+
 def test_merge_rows_upsert_by_key(spark, tmp_path):
     """MERGE: equal-key rows replaced, new keys appended, other rows
     untouched — atomically per partition with snapshot isolation, and
