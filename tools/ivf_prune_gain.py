@@ -67,8 +67,16 @@ def main() -> None:
 
     for threshold in thresholds:
         def run(prune: bool):
+            # scorer="pairs": the angular bound only exists on the
+            # pair-join path (the tiled default never materializes
+            # per-(pair, cell) rows), so that is the path measured here
             return SIM.ivf_near_dup_pairs(
-                emb, threshold=threshold, nprobe=6, centroids=cents, angular_prune=prune
+                emb,
+                threshold=threshold,
+                nprobe=6,
+                centroids=cents,
+                angular_prune=prune,
+                scorer="pairs",
             )
 
         n_pruned = ivf_candidate_count(
