@@ -1076,6 +1076,61 @@ class TableStore:
                 merged = remaining.unionByName(incoming, allowMissingColumns=True)
             self.replace_product_all(pid, {table: merged})
 
+    def fsck(self, table: str | None = None) -> dict[str, dict]:
+        """Read-only consistency audit — the ops check a 100 TB
+        deployment runs before trusting a store root. Per table:
+
+        - ``missing``    — files a LIVE manifest references that are
+          gone from disk (data loss: a vacuum bug or manual deletion;
+          reads of that partition will fail);
+        - ``superseded`` — on-disk files not in the live manifest but
+          referenced by manifest HISTORY (healthy: retained snapshot
+          data awaiting vacuum / serving time travel);
+        - ``unknown``    — on-disk files referenced by nothing (write
+          leftovers from a crashed pre-manifest append; safe to GC);
+        - ``stats_missing`` — live files without zone-map entries
+          (reads stay correct but skip nothing for them).
+
+        Driver-side listing + JSON reads only — no Spark jobs."""
+        report: dict[str, dict] = {}
+        tables = [table] if table else PRODUCT_TABLES
+        for t in tables:
+            p = Path(self._path(t))
+            if not p.exists():
+                continue
+            missing: list[str] = []
+            superseded: list[str] = []
+            unknown: list[str] = []
+            stats_missing: list[str] = []
+            for part in sorted(p.glob(f"{PARTITION_COL}=*")):
+                cm = part / COMMITTED
+                if not cm.exists():
+                    continue  # listing-mode partition: everything is live
+                manifest = json.loads(cm.read_text())
+                live = set(manifest["files"])
+                stats = manifest.get("stats", {})
+                on_disk = {f.name for f in part.glob("*.parquet")}
+                missing += sorted(f"{part.name}/{n}" for n in live - on_disk)
+                stats_missing += sorted(
+                    f"{part.name}/{n}" for n in live & on_disk if n not in stats
+                )
+                historical: set[str] = set()
+                hist = part / "_history"
+                if hist.exists():
+                    for h in hist.glob("*.json"):
+                        historical |= set(json.loads(h.read_text())["files"])
+                for n in sorted(on_disk - live):
+                    target = superseded if n in historical else unknown
+                    target.append(f"{part.name}/{n}")
+            if missing or superseded or unknown or stats_missing:
+                report[t] = {
+                    "missing": missing,
+                    "superseded": superseded,
+                    "unknown": unknown,
+                    "stats_missing": stats_missing,
+                }
+        return report
+
     def delete_product(self, product_id: int) -> None:
         """Cascading delete across all product tables (reference
         scdb.py:32–72): with product partitioning this is dropping one

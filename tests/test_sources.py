@@ -452,6 +452,41 @@ def test_time_travel_read_at(spark, tmp_path):
     assert store.vacuum("IndicatorValues") > 0
 
 
+def test_fsck_classifies_store_state(spark, tmp_path):
+    """fsck: a healthy store reports nothing; superseded snapshot files
+    classify as retained (not orphans); a hand-dropped unknown file and
+    a deleted live file surface in their own buckets."""
+    from geo_explorer_etl_spark.sources.store import COMMITTED, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 51
+    store = TableStore(spark, root)
+    store.replace_product_all(
+        pid, {"IndicatorValues": spark.createDataFrame([(1, "v1")], "id long, v string")}
+    )
+    assert store.fsck("IndicatorValues") == {}     # healthy
+
+    # supersede v1: its files must classify as retained, not unknown
+    store.replace_product_all(
+        pid, {"IndicatorValues": spark.createDataFrame([(2, "v2")], "id long, v string")}
+    )
+    rep = store.fsck("IndicatorValues")["IndicatorValues"]
+    assert rep["superseded"] and not rep["unknown"] and not rep["missing"]
+
+    # drop an unknown file + delete a live one
+    from pathlib import Path
+
+    part = Path(root) / "IndicatorValues" / f"IndicatorThemeId={pid}"
+    (part / "stray.parquet").write_bytes(b"not really parquet")
+    import json as _json
+
+    live_name = _json.loads((part / COMMITTED).read_text())["files"][0]
+    (part / live_name).unlink()
+    rep = store.fsck("IndicatorValues")["IndicatorValues"]
+    assert any("stray.parquet" in f for f in rep["unknown"])
+    assert any(live_name in f for f in rep["missing"])
+
+
 def test_restore_rolls_back_to_snapshot(spark, tmp_path):
     """restore(table, as_of): metadata-only rollback — the old manifest
     republishes, later-born partitions empty, the rollback itself is
