@@ -931,6 +931,20 @@ def serve_primary_query(
         "GeographicLevelForIndicator", product_id, where=where_ind
     )
     indicators = store.read_product_slice("Indicators", product_id, where=where_ind)
+    missing = [
+        name
+        for name, df in (
+            ("GeographyReferenceForIndicator", bridge),
+            ("GeographicLevelForIndicator", glb),
+            ("Indicators", indicators),
+        )
+        if df is None
+    ]
+    if missing:
+        raise ValueError(
+            f"serve_primary_query: store at product {product_id} has no data "
+            f"for table(s) {', '.join(missing)}"
+        )
     span = bridge.agg(
         F.min("IndicatorValueId").alias("lo"), F.max("IndicatorValueId").alias("hi")
     ).first()
@@ -940,6 +954,11 @@ def serve_primary_query(
         else None
     )
     values = store.read_product_slice("IndicatorValues", product_id, where=where_vals)
+    if values is None:
+        raise ValueError(
+            f"serve_primary_query: store at product {product_id} has no data "
+            f"for table(s) IndicatorValues"
+        )
     return primary_query(
         indicator_id,
         geo_ref,

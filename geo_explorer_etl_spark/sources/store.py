@@ -71,11 +71,32 @@ def _norm_stat(v):
     return None
 
 
+def _temporal_shape(s: str) -> str:
+    """Classify a normalized string stat/bound: 'date' (exactly
+    YYYY-MM-DD), 'datetime' (ISO date + 'T' time), or 'str' (anything
+    else). Pruning only compares strings of the SAME shape: a date
+    predicate against timestamp stats (or vice versa) normalizes to
+    mixed granularity ('2024-01-15' vs '2024-01-15T08:30:00') where
+    lexicographic order no longer tracks Spark's re-applied filter
+    semantics (date→timestamp midnight cast) — and for genuine string
+    columns holding ISO-looking values, any granularity "expansion"
+    would be unsound. Mixed shape ⇒ non-comparable ⇒ keep the file."""
+    import re
+
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+        return "date"
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}T.*", s):
+        return "datetime"
+    return "str"
+
+
 def _stat_comparable(a, b) -> bool:
     num = (int, float)
     if isinstance(a, num) and isinstance(b, num):
         return True
-    return isinstance(a, str) and isinstance(b, str)
+    if isinstance(a, str) and isinstance(b, str):
+        return _temporal_shape(a) == _temporal_shape(b)
+    return False
 
 
 def _parquet_file_stats(path: Path) -> tuple[dict[str, list], int] | None:
@@ -138,7 +159,17 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
         mn, mx = s
         if op == "between":
             lo, hi = _normalize_bound(val[0]), _normalize_bound(val[1])
-            if lo is None or hi is None or not _stat_comparable(mn, lo):
+            # every pair that gets compared must be comparable (same
+            # numeric kind, or strings of the same temporal shape) —
+            # a mixed (lo, hi) bound pair or mixed-granularity stats
+            # fall back to keeping the file, never a TypeError
+            if (
+                lo is None
+                or hi is None
+                or not _stat_comparable(lo, hi)
+                or not _stat_comparable(mn, lo)
+                or not _stat_comparable(mx, hi)
+            ):
                 continue
             if mx < lo or mn > hi:
                 return False
@@ -787,41 +818,58 @@ class TableStore:
         the manifest protocol. Structured Streaming batch ids are
         monotonic per query, which is what the ledger's high-water
         check relies on. Readers get the same snapshot isolation as a
-        publish: rows become visible at the atomic manifest swap."""
+        publish: rows become visible at the atomic manifest swap.
+
+        LOCK SCOPE: the Spark staging write — by far the longest part
+        of the batch — runs OUTSIDE the store lock (the staging dir is
+        uniquely named per stream/batch, touching nothing live), so
+        concurrent store opens / publishes / vacuums are not blocked
+        for the whole batch-write duration. The lock is taken only for
+        the authoritative ledger check, the MANIFEST commit rename,
+        and the publish; the unlocked pre-check just short-circuits
+        obvious replays before paying the staging write."""
+        import shutil
+
+        if int(batch_id) <= int(self._epoch_ledger().get(stream_id, -1)):
+            return False                               # replay fast-path
+        txn = Path(self.root) / "_staging" / f"etxn_{stream_id}_{batch_id}"
+        if txn.exists():
+            shutil.rmtree(txn)
+        txn.mkdir(parents=True)
+        # sentinel: this manifest-less staging dir is live (being
+        # written OUTSIDE the lock) — a concurrent recover() must not
+        # roll it back unless the sentinel has gone stale (crashed
+        # writer), see recover()'s grace window
+        (txn / "_INFLIGHT").write_text("")
+        w = df.write
+        if PARTITION_COL in df.columns:
+            w = w.partitionBy(PARTITION_COL)
+        w.parquet(str(txn / table))
+        payload_schema = (
+            df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
+        )
+        files: dict[str, list[str]] = {}
+        tdir = txn / table
+        parts = sorted(d.name for d in tdir.glob(f"{PARTITION_COL}=*"))
+        if parts:
+            for d in parts:
+                files[d] = sorted(
+                    f.name for f in (tdir / d).glob("*.parquet")
+                )
+        else:
+            files["."] = sorted(f.name for f in tdir.glob("*.parquet"))
+        manifest = {
+            "mode": "append",
+            "stream_id": stream_id,
+            "batch_id": int(batch_id),
+            "table": table,
+            "files": files,
+            "schema": payload_schema.json(),
+        }
         with self._exclusive_lock():
             if int(batch_id) <= int(self._epoch_ledger().get(stream_id, -1)):
+                shutil.rmtree(txn)                     # lost the race: replay
                 return False
-            txn = Path(self.root) / "_staging" / f"etxn_{stream_id}_{batch_id}"
-            if txn.exists():
-                import shutil
-
-                shutil.rmtree(txn)
-            txn.mkdir(parents=True)
-            w = df.write
-            if PARTITION_COL in df.columns:
-                w = w.partitionBy(PARTITION_COL)
-            w.parquet(str(txn / table))
-            payload_schema = (
-                df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
-            )
-            files: dict[str, list[str]] = {}
-            tdir = txn / table
-            parts = sorted(d.name for d in tdir.glob(f"{PARTITION_COL}=*"))
-            if parts:
-                for d in parts:
-                    files[d] = sorted(
-                        f.name for f in (tdir / d).glob("*.parquet")
-                    )
-            else:
-                files["."] = sorted(f.name for f in tdir.glob("*.parquet"))
-            manifest = {
-                "mode": "append",
-                "stream_id": stream_id,
-                "batch_id": int(batch_id),
-                "table": table,
-                "files": files,
-                "schema": payload_schema.json(),
-            }
             tmp = txn / "MANIFEST.json.tmp"
             tmp.write_text(json.dumps(manifest))
             tmp.rename(txn / "MANIFEST.json")          # commit point
@@ -879,23 +927,39 @@ class TableStore:
                 )
             else:
                 # first manifest for this partition: everything listed
-                # on disk is live (listing-mode history) plus the batch
+                # on disk is live (listing-mode history) plus the batch.
+                # The declared schema must UNION one legacy file's footer
+                # schema with the batch's (mirroring append()): declaring
+                # only the batch schema would silently drop columns that
+                # exist solely in the legacy files, and a same-name type
+                # conflict should fail loud here, not at scan time.
                 existing = sorted(
                     f.name for f in target.glob("*.parquet") if f.name not in names
                 )
+                declared = _schema_from_json(manifest["schema"])
+                if existing:
+                    legacy = self.spark.read.parquet(str(target / existing[0])).schema
+                    declared = _merge_schemas(legacy, declared)
                 self._write_committed(
-                    target, existing + names, schema_json=manifest["schema"]
+                    target, existing + names, schema_json=declared.json()
                 )
         self._record_epoch(manifest["stream_id"], manifest["batch_id"])
         shutil.rmtree(txn)
+
+    INFLIGHT_GRACE_SECONDS = 3600.0
 
     def recover(self) -> None:
         """Complete (roll forward) any committed-but-unpublished
         transaction — replace or epoch-append; discard (roll back) any
         uncommitted staging. Exclusive-locked: concurrent store opens
-        serialize here instead of double-publishing (or rolling back a
-        transaction another process is mid-staging)."""
+        serialize here instead of double-publishing. A manifest-less
+        staging dir carrying a FRESH ``_INFLIGHT`` sentinel belongs to
+        a writer currently staging OUTSIDE the lock (append_epoch's
+        unlocked batch write) and is left alone; the sentinel going
+        stale (> INFLIGHT_GRACE_SECONDS) marks a crashed writer and
+        the dir is rolled back as before."""
         import shutil
+        import time
 
         staging = Path(self.root) / "_staging"
         if not staging.exists():
@@ -908,6 +972,13 @@ class TableStore:
                     continue
                 mf = txn / "MANIFEST.json"
                 if not mf.exists():
+                    sentinel = txn / "_INFLIGHT"
+                    if (
+                        sentinel.exists()
+                        and time.time() - sentinel.stat().st_mtime
+                        < self.INFLIGHT_GRACE_SECONDS
+                    ):
+                        continue               # live unlocked stage
                     shutil.rmtree(txn)
                     continue
                 manifest = json.loads(mf.read_text())

@@ -892,3 +892,135 @@ def test_file_level_zone_map_skipping(spark, tmp_path):
     # predicate semantics survive compaction (pruning can no longer
     # split the merged file, the filter still cuts the rows)
     assert store.read("IndicatorValues", where).count() == 100  # the 2022 rows
+
+
+def test_zone_map_mixed_granularity_is_conservative(spark, tmp_path):
+    """ADVICE r6 (medium): a date-valued predicate against a TIMESTAMP
+    column must not prune the file holding the matching midnight rows
+    — mixed date/datetime granularity is treated as non-comparable
+    (keep the file), and the re-applied row filter gives the exact
+    Spark cast semantics. Mixed-type between bounds must keep the file
+    instead of raising during driver-side listing (ADVICE r6 low)."""
+    import datetime
+
+    from geo_explorer_etl_spark.sources.store import (
+        TableStore,
+        _file_may_match,
+    )
+
+    # unit level: date-shaped vs datetime-shaped strings never prune
+    stats = {"ts": ["2024-01-15T00:00:00", "2024-01-15T23:00:00"]}
+    assert _file_may_match(stats, [("ts", "==", datetime.date(2024, 1, 15))])
+    assert _file_may_match(stats, [("ts", "<", datetime.date(2024, 1, 16))])
+    assert _file_may_match(
+        stats, [("ts", "between", (datetime.date(2024, 1, 15), datetime.date(2024, 1, 15)))]
+    )
+    # converse: datetime predicate vs date-shaped stats
+    dstats = {"d": ["2024-01-15", "2024-01-15"]}
+    assert _file_may_match(dstats, [("d", "==", datetime.datetime(2024, 1, 15))])
+    # same-shape comparisons still prune
+    assert not _file_may_match(dstats, [("d", "==", datetime.date(2024, 1, 16))])
+    # mixed-type between bounds: kept conservatively, no TypeError
+    assert _file_may_match({"x": [1, 9]}, [("x", "between", (0, "zzz"))])
+
+    # integration: timestamp column, date equality predicate — the file
+    # whose only matching rows are AT midnight must be scanned
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 15, 0, 0, 0)),
+         (2, datetime.datetime(2024, 1, 15, 12, 0, 0))],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    store.replace_product_all(31, {"IndicatorValues": df})
+    got = store.read("IndicatorValues", [("ts", "==", datetime.date(2024, 1, 15))])
+    want = store.read("IndicatorValues").filter(
+        F.col("ts") == datetime.date(2024, 1, 15)
+    )
+    assert [r["id"] for r in got.collect()] == [r["id"] for r in want.collect()] == [1]
+
+
+def test_epoch_first_manifest_unions_legacy_schema(spark, tmp_path):
+    """ADVICE r6 (medium): when an epoch append creates the FIRST
+    manifest over a listing-mode partition, the declared schema is the
+    UNION of a legacy file's footer schema and the batch's — columns
+    living only in legacy files survive (as null on batch files), and
+    a same-name type conflict raises cleanly."""
+    import pytest
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 41
+    store = TableStore(spark, root)
+    # legacy listing-mode partition: plain append, extra column `legacy_only`
+    legacy = spark.createDataFrame(
+        [(1, "a", 9.5)], "id long, v string, legacy_only double"
+    ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+    store.append("IndicatorValues", legacy)
+    # epoch batch WITHOUT legacy_only creates the first manifest
+    batch = spark.createDataFrame([(2, "b")], "id long, v string").withColumn(
+        PARTITION_COL, F.lit(pid).cast("long")
+    )
+    assert store.append_epoch("s9", 0, "IndicatorValues", batch) is True
+    out = store.read("IndicatorValues")
+    assert "legacy_only" in out.columns
+    rows = {r["id"]: r["legacy_only"] for r in out.collect()}
+    assert rows == {1: 9.5, 2: None}
+
+    # type conflict between legacy and batch schema raises, not a scan error
+    pid2 = 42
+    legacy2 = spark.createDataFrame([(1, "a")], "id long, v string").withColumn(
+        PARTITION_COL, F.lit(pid2).cast("long")
+    )
+    store.append("IndicatorValues", legacy2)
+    bad = spark.createDataFrame([(2, 7.0)], "id long, v double").withColumn(
+        PARTITION_COL, F.lit(pid2).cast("long")
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        store.append_epoch("s9", 1, "IndicatorValues", bad)
+
+
+def test_recover_spares_inflight_unlocked_stage(spark, tmp_path):
+    """append_epoch stages its batch OUTSIDE the store lock (ADVICE r6
+    low: availability); recover() must not roll back a manifest-less
+    staging dir whose _INFLIGHT sentinel is fresh, but still rolls
+    back stale (crashed-writer) dirs and plain manifest-less dirs."""
+    import os
+    import time
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    staging = Path(root) / "_staging"
+    live = staging / "etxn_live_0"
+    live.mkdir(parents=True)
+    (live / "_INFLIGHT").write_text("")
+    stale = staging / "etxn_stale_0"
+    stale.mkdir(parents=True)
+    (stale / "_INFLIGHT").write_text("")
+    old = time.time() - TableStore.INFLIGHT_GRACE_SECONDS - 10
+    os.utime(stale / "_INFLIGHT", (old, old))
+    bare = staging / "txn_99"
+    bare.mkdir(parents=True)
+
+    TableStore(spark, root)  # fresh open -> recover()
+    assert live.exists()
+    assert not stale.exists()
+    assert not bare.exists()
+
+
+def test_serve_primary_query_missing_table_raises(spark, tmp_path):
+    """ADVICE r6 (low): a store without the bridge/fact tables yields a
+    descriptive error naming the missing table, not AttributeError."""
+    import pytest
+
+    from geo_explorer_etl_spark.plans.star_schema import serve_primary_query
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    empty = spark.createDataFrame([], "x long")
+    with pytest.raises(ValueError, match="GeographyReferenceForIndicator"):
+        serve_primary_query(store, 1, 99, empty, empty, empty)
