@@ -1,0 +1,221 @@
+"""Pluggable commit service: the storage primitives behind the
+TableStore's ACID story (SURVEY §2.11 S11 / §2.12 I2 — the reference
+leaned on its RDBMS transaction for exactly this, scdb.py:51–71).
+
+The transaction protocol in ``store.py`` needs precisely two things
+from storage:
+
+1. **versioned manifest publish** — make snapshot version N+1 current
+   iff N is still current (the snapshot point readers resolve);
+2. **writer mutual exclusion** — either real (a lock) or optimistic
+   (compare-and-swap with conflict retry).
+
+On a laptop both come free from POSIX: atomic ``rename(2)`` and
+``flock(2)`` — that is :class:`LocalFSBackend`, byte-identical to the
+pre-factoring behavior. At 100 TB the store lives on S3-class object
+storage with NEITHER primitive; what object stores DO give you is an
+atomic single-key PUT and (since S3 conditional writes / GCS
+generation preconditions / Azure ETags) a **conditional put-if-absent**.
+:class:`CASBackend` builds the same two guarantees from only those:
+
+- the manifest becomes an append-only log of versioned, immutable
+  commit files ``<part>/_cas/<key>/{N:020d}.json``; "current" = the
+  highest N (one LIST + one GET);
+- publishing version N+1 is a put-if-absent on that exact key — two
+  writers racing for N+1 produce exactly one winner; the loser gets
+  :class:`CommitConflict`, re-reads the new current snapshot, and
+  retries its (now rebased) update — optimistic concurrency, no lock
+  anywhere. Locally the conditional put is emulated with
+  ``os.link(tmp, target)``, which fails with ``FileExistsError`` iff
+  the key exists — the same all-or-nothing semantics as S3's
+  ``If-None-Match: *``;
+- ``lock()`` is a documented no-op: every writer path in ``store.py``
+  is written as read-version → compute → CAS → retry-on-conflict, so
+  mutual exclusion is not required for correctness (only the POSIX
+  backend uses the lock, to keep its unconditional rename safe).
+
+File DATA writes need nothing special on either backend: every data
+file is written once under a unique name and never modified (staging
+moves are idempotent re-puts of unique keys — an object-store "move"
+being copy+delete is safe because a redo skips keys already present).
+
+Delta Lake's LogStore/commit-coordinator and Iceberg's catalog CAS are
+the production versions of exactly this interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from abc import ABC, abstractmethod
+from contextlib import contextmanager
+from pathlib import Path
+
+
+class CommitConflict(Exception):
+    """The targeted snapshot version was committed by another writer;
+    re-read the current snapshot and retry the update against it."""
+
+
+class CommitBackend(ABC):
+    """Versioned read / conditional-write of small JSON control blobs
+    (partition manifests, the epoch ledger), plus an optional
+    store-wide writer lock. ``key`` is the blob's logical name within
+    directory ``d`` (e.g. ``_committed.json``)."""
+
+    @abstractmethod
+    def read(self, d: Path, key: str) -> tuple[int, dict] | None:
+        """Current (version, body) of the blob, or None if never
+        committed. Versions start at 1."""
+
+    @abstractmethod
+    def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
+        """Publish ``body`` as version ``expected_version + 1``;
+        raise :class:`CommitConflict` if that version already exists
+        (another writer won). Returns the committed version."""
+
+    @abstractmethod
+    def delete(self, d: Path, key: str) -> None:
+        """Drop the blob entirely (the partition leaves manifest
+        control — e.g. legacy replace_product)."""
+
+    @abstractmethod
+    @contextmanager
+    def lock(self, root: Path):
+        """Store-wide writer mutual exclusion. Real for the POSIX
+        backend; a no-op for CAS (optimistic writers need none)."""
+
+
+class LocalFSBackend(CommitBackend):
+    """POSIX primitives: blob lives AT ``d/key``, swapped via
+    tmp + atomic rename; writers serialize under one ``flock`` at the
+    store root. The version rides inside the body (absent = 0 for
+    manifests written before versioning existed) — under the flock the
+    conditional check can never fail, but it is enforced anyway so a
+    caller bug surfaces as a loud conflict, not a lost update."""
+
+    def read(self, d: Path, key: str) -> tuple[int, dict] | None:
+        f = d / key
+        if not f.exists():
+            return None
+        body = json.loads(f.read_text())
+        return int(body.get("version", 0)), body
+
+    def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
+        cur = self.read(d, key)
+        if (cur[0] if cur else 0) != expected_version:
+            raise CommitConflict(
+                f"{d / key}: expected version {expected_version}, "
+                f"found {cur[0] if cur else 0}"
+            )
+        version = expected_version + 1
+        body = dict(body, version=version)
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f"{key}.tmp"
+        tmp.write_text(json.dumps(body))
+        tmp.rename(d / key)  # atomic swap: the snapshot point
+        return version
+
+    def delete(self, d: Path, key: str) -> None:
+        (d / key).unlink(missing_ok=True)
+
+    @contextmanager
+    def lock(self, root: Path):
+        import fcntl
+
+        root.mkdir(parents=True, exist_ok=True)
+        f = open(root / "_lock", "w")
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+            f.close()
+
+
+class CASBackend(CommitBackend):
+    """Object-store model: immutable versioned commit files under
+    ``d/_cas/<key>/{N:020d}.json``; current = highest N; publish =
+    put-if-absent on version N+1 (emulated with ``os.link``, which is
+    atomic-exclusive like S3 ``If-None-Match: *``). No lock: writers
+    are optimistic and serialize through CAS conflicts.
+
+    A superseded version's commit file stays (metadata-sized, doubles
+    as audit trail); ``prune_commits`` keeps the log bounded the same
+    way Delta checkpoints do. A reader that LISTs between two commits
+    simply resolves the then-current version — immutability makes the
+    read atomic without coordination."""
+
+    KEEP_COMMITS = 64  # retained commit files per blob after pruning
+
+    @staticmethod
+    def _log_dir(d: Path, key: str) -> Path:
+        return d / "_cas" / key
+
+    def read(self, d: Path, key: str) -> tuple[int, dict] | None:
+        log = self._log_dir(d, key)
+        if not log.exists():
+            return None
+        latest = None
+        for f in log.iterdir():
+            if f.suffix == ".json" and (latest is None or f.name > latest.name):
+                latest = f
+        if latest is None:
+            return None
+        return int(latest.stem), json.loads(latest.read_text())
+
+    def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
+        version = expected_version + 1
+        log = self._log_dir(d, key)
+        log.mkdir(parents=True, exist_ok=True)
+        body = dict(body, version=version)
+        tmp = log / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(body))
+        target = log / f"{version:020d}.json"
+        try:
+            os.link(tmp, target)  # put-if-absent: exactly one winner
+        except FileExistsError:
+            raise CommitConflict(f"{target}: version {version} already committed")
+        finally:
+            tmp.unlink(missing_ok=True)
+        self.prune_commits(d, key)
+        return version
+
+    def prune_commits(self, d: Path, key: str) -> int:
+        """Drop all but the newest ``KEEP_COMMITS`` commit files —
+        bounded metadata, like Delta's log cleanup after checkpoints.
+        (Time travel reads resolve through the separate ``_history``
+        journal, which is retained independently.)"""
+        log = self._log_dir(d, key)
+        if not log.exists():
+            return 0
+        commits = sorted(
+            (f for f in log.iterdir() if f.suffix == ".json"), key=lambda f: f.name
+        )
+        removed = 0
+        for f in commits[: -self.KEEP_COMMITS] if self.KEEP_COMMITS else commits:
+            f.unlink(missing_ok=True)
+            removed += 1
+        return removed
+
+    def delete(self, d: Path, key: str) -> None:
+        import shutil
+
+        log = self._log_dir(d, key)
+        if log.exists():
+            shutil.rmtree(log, ignore_errors=True)
+
+    @contextmanager
+    def lock(self, root: Path):
+        yield  # optimistic: CAS conflicts are the serialization point
+
+
+def make_backend(backend: str | CommitBackend) -> CommitBackend:
+    if isinstance(backend, CommitBackend):
+        return backend
+    if backend == "localfs":
+        return LocalFSBackend()
+    if backend == "cas":
+        return CASBackend()
+    raise ValueError(f"unknown commit backend {backend!r} (localfs|cas)")

@@ -23,7 +23,10 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .commit import CommitBackend, CommitConflict, make_backend
+
 COMMITTED = "_committed.json"  # per-partition live-file manifest (hidden from Spark's own discovery by the leading underscore)
+EPOCHS = "_epochs.json"        # exactly-once streaming ledger (high-water batch id per stream)
 
 
 # -- file-level data skipping -----------------------------------------------
@@ -247,6 +250,64 @@ def _where_expr(where):
             raise ValueError(f"unsupported predicate op {op!r}")
     return functools.reduce(lambda a, b: a & b, exprs)
 
+ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def _zorder_key(df: DataFrame, cols: list[str]) -> "F.Column":
+    """Interleaved-bit (Morton / Z-order) clustering key over 2+
+    numeric/date/timestamp columns — the OPTIMIZE ZORDER analog. Each
+    column is affinely scaled to a 16-bit integer against its [min,
+    max] over the frame (one tiny agg — the frame is one partition
+    being rewritten anyway), then the bits interleave column-major:
+    bit b of column i lands at position ``b*len(cols) + i``. Rows close
+    in EVERY dimension get close z-values, so a range-clustered rewrite
+    on the z-key keeps the per-file zone maps tight on ALL the columns
+    at once — a two-predicate web read (RefDate AND GeographicLevelId)
+    then prunes on both, where a single-column sort serves only one.
+
+    Entirely JVM-side expressions (shifts/ands/ors fold into
+    whole-stage codegen); nulls sort lowest (scaled to 0). String
+    columns are rejected: hashing them would destroy the locality that
+    is the whole point — cluster on their dictionary ids upstream
+    instead."""
+    scaled = []
+    top = (1 << ZORDER_BITS) - 1
+    by_name = dict(df.dtypes)
+    for c in cols:
+        dt = by_name.get(c)
+        if dt is None:
+            raise ValueError(f"z-order column {c!r} not in frame")
+        if dt in ("date",) or dt.startswith("timestamp"):
+            expr = F.col(c).cast("timestamp").cast("double")
+        elif dt in ("string", "binary", "boolean") or dt.startswith(("array", "map", "struct", "decimal")):
+            raise ValueError(
+                f"z-order column {c!r} has unsupported type {dt} "
+                "(numeric/date/timestamp only)"
+            )
+        else:
+            expr = F.col(c).cast("double")
+        row = df.agg(F.min(expr).alias("mn"), F.max(expr).alias("mx")).first()
+        mn, mx = row["mn"], row["mx"]
+        if mn is None or mx is None or mx <= mn:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        scaled.append(
+            F.coalesce(
+                ((expr - F.lit(float(mn))) / F.lit(float(mx - mn)) * top)
+                .cast("bigint"),
+                F.lit(0),
+            )
+        )
+    k = len(cols)
+    z = F.lit(0).cast("bigint")
+    for i, s in enumerate(scaled):
+        for b in range(ZORDER_BITS):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + i)
+            )
+    return z
+
+
 # Tables partitioned by product (replace unit). Lookup tables
 # (GeographyReference, GeographicLevel, NullReason) are unpartitioned.
 PRODUCT_TABLES = [
@@ -264,9 +325,24 @@ PARTITION_COL = "IndicatorThemeId"
 
 
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """``backend`` selects the commit service (see ``commit.py``):
+    ``"localfs"`` (default — flock + atomic rename, the POSIX fast
+    path) or ``"cas"`` (object-store model — versioned put-if-absent
+    manifests, lock-free optimistic writers, the 100 TB deployment
+    shape). Every guarantee (snapshot isolation, crash roll-forward/
+    back, exactly-once epochs) holds on both; the protocol code is
+    shared and written as read-version → compute → conditional-write →
+    retry-on-conflict."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        backend: str | CommitBackend = "localfs",
+    ):
         self.spark = spark
         self.root = root
+        self._backend = make_backend(backend)
         # dynamic mode: overwrite only the partitions present in the
         # incoming frame — this IS the product-replace primitive
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -282,24 +358,54 @@ class TableStore:
     def _path(self, table: str) -> str:
         return f"{self.root}/{table}"
 
-    @contextmanager
     def _exclusive_lock(self):
-        """Cross-process mutual exclusion for recover()/publish: two
-        processes opening the store while a committed txn is publishing
-        must not both enter _publish on the same txn dir (the bare
-        ``staged.exists()`` guard is TOCTOU). flock works on local and
-        NFS filesystems; on an object store a table format's own commit
-        service would replace this class wholesale."""
-        import fcntl
+        """Writer mutual exclusion, delegated to the commit backend:
+        a real flock on POSIX, a no-op under CAS (where every write
+        path is conditional and retries on conflict — optimistic
+        concurrency IS the serialization)."""
+        return self._backend.lock(Path(self.root))
 
-        Path(self.root).mkdir(parents=True, exist_ok=True)
-        f = open(Path(self.root) / "_lock", "w")
-        try:
-            fcntl.flock(f, fcntl.LOCK_EX)
-            yield
-        finally:
-            fcntl.flock(f, fcntl.LOCK_UN)
-            f.close()
+    # -- manifest access through the commit backend ------------------------
+    def _manifest(self, part_dir: Path) -> dict | None:
+        cur = self._backend.read(part_dir, COMMITTED)
+        return cur[1] if cur else None
+
+    def _update_manifest(self, part_dir: Path, update_fn, max_retries: int = 50):
+        """Optimistic read-compute-CAS loop, the one shape every
+        manifest write goes through: ``update_fn(prior_body_or_None)``
+        returns the FULL new manifest body (or None to abort). Under
+        the flock'd local backend the first attempt always wins; under
+        CAS a losing writer recomputes against the winner's snapshot —
+        so concurrent appends to one partition merge instead of
+        clobbering (no lost update)."""
+        for _ in range(max_retries):
+            cur = self._backend.read(part_dir, COMMITTED)
+            version = cur[0] if cur else 0
+            body = update_fn(cur[1] if cur else None)
+            if body is None:
+                return None
+            try:
+                v = self._backend.write(part_dir, COMMITTED, body, version)
+            except CommitConflict:
+                continue
+            self._append_history(part_dir, dict(body, version=v))
+            return body
+        raise CommitConflict(
+            f"{part_dir / COMMITTED}: still conflicting after {max_retries} retries"
+        )
+
+    @staticmethod
+    def _append_history(part_dir: Path, body: dict) -> None:
+        """Append-only version journal for time travel (read_at): one
+        tiny immutable JSON per commit, named so lexicographic order =
+        commit order — object-store-safe (unique keys, no renames)."""
+        import uuid
+
+        hist = part_dir / "_history"
+        hist.mkdir(exist_ok=True)
+        (
+            hist / f"{body['committed_at']:020.6f}-{uuid.uuid4().hex[:8]}.json"
+        ).write_text(json.dumps(body))
 
     def exists(self, table: str) -> bool:
         return Path(self._path(table)).exists()
@@ -328,9 +434,8 @@ class TableStore:
                         pv = raw
                     if not _file_may_match({PARTITION_COL: [pv, pv]}, where):
                         continue
-                cm = entry / COMMITTED
-                if cm.exists():
-                    manifest = json.loads(cm.read_text())
+                manifest = self._manifest(entry)
+                if manifest is not None:
                     stats = manifest.get("stats", {})
                     for n in manifest["files"]:
                         if where and not _file_may_match(stats.get(n), where):
@@ -454,8 +559,8 @@ class TableStore:
                 if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                     continue
                 hist = entry / "_history"
-                cm = entry / COMMITTED
-                if not hist.exists() or not cm.exists():
+                current = self._manifest(entry)
+                if not hist.exists() or current is None:
                     continue
                 best = None
                 for h in sorted(hist.glob("*.json")):
@@ -464,7 +569,6 @@ class TableStore:
                         best = m
                     else:
                         break
-                current = json.loads(cm.read_text())
                 target_files = best["files"] if best else []
                 if target_files == current["files"]:
                     continue
@@ -480,6 +584,7 @@ class TableStore:
                     prior_stats=(best or {}).get("stats"),
                     schema_json=(best or {}).get("schema"),
                     prior_rows=(best or {}).get("rows"),
+                    product_seq=(best or {}).get("product_seq"),
                 )
                 changed += 1
         return changed
@@ -500,9 +605,8 @@ class TableStore:
         unknown: list[str] = []
         for entry in sorted(p.iterdir()):
             if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
-                cm = entry / COMMITTED
-                if cm.exists():
-                    manifest = json.loads(cm.read_text())
+                manifest = self._manifest(entry)
+                if manifest is not None:
                     rows = manifest.get("rows", {})
                     for n in manifest["files"]:
                         if n in rows:
@@ -530,9 +634,8 @@ class TableStore:
         probes: list[Path] = []
         for entry in sorted(table_dir.iterdir()):
             if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
-                cm = entry / COMMITTED
-                if cm.exists():
-                    manifest = json.loads(cm.read_text())
+                manifest = self._manifest(entry)
+                if manifest is not None:
                     if manifest.get("schema"):
                         declared.append(_schema_from_json(manifest["schema"]))
                     elif manifest["files"]:
@@ -574,10 +677,9 @@ class TableStore:
         prior_schemas: dict[Path, object] = {}
         if p.exists():
             for part in p.glob(f"{PARTITION_COL}=*"):
-                cm = part / COMMITTED
-                if cm.exists():
+                manifest = self._manifest(part)
+                if manifest is not None:
                     before[part] = {f.name for f in part.glob("*.parquet")}
-                    manifest = json.loads(cm.read_text())
                     if manifest.get("schema"):
                         prior = _schema_from_json(manifest["schema"])
                     elif manifest["files"]:
@@ -598,36 +700,57 @@ class TableStore:
         w.parquet(self._path(table))
         for part, old_names in before.items():
             new_names = {f.name for f in part.glob("*.parquet")} - old_names
-            if new_names:
-                cm = part / COMMITTED
-                manifest = json.loads(cm.read_text())
-                names = manifest["files"] + sorted(new_names)
-                # reuse the existing files' stats — only the appended
-                # files pay a footer read
-                self._write_committed(
+            if not new_names:
+                continue
+
+            def extend(prior_m, part=part, new_names=new_names):
+                """CAS-safe manifest extend: recomputed from the
+                CURRENT snapshot on every attempt, so a concurrent
+                append that won the race contributes its files instead
+                of being clobbered (no lost update). Existing files'
+                stats carry forward — only the appended files pay a
+                footer read."""
+                if prior_m is None:
+                    return self._build_manifest_body(
+                        part, sorted(new_names), schema_json=payload_schema.json()
+                    )
+                if prior_m.get("schema"):
+                    merged = _merge_schemas(
+                        _schema_from_json(prior_m["schema"]), payload_schema
+                    )
+                else:
+                    merged = prior_schemas[part]
+                names = prior_m["files"] + sorted(
+                    n for n in new_names if n not in prior_m["files"]
+                )
+                return self._build_manifest_body(
                     part,
                     names,
-                    prior_stats=manifest.get("stats"),
-                    schema_json=prior_schemas[part].json(),
-                    prior_rows=manifest.get("rows"),
+                    prior_stats=prior_m.get("stats"),
+                    schema_json=merged.json(),
+                    prior_rows=prior_m.get("rows"),
+                    product_seq=prior_m.get("product_seq"),
                 )
 
+            self._update_manifest(part, extend)
+
     @staticmethod
-    def _write_committed(
+    def _build_manifest_body(
         part_dir: Path,
         names: list[str],
         prior_stats: dict | None = None,
         schema_json: str | None = None,
         prior_rows: dict | None = None,
-    ) -> None:
-        """Atomic manifest swap (the snapshot point), carrying per-file
-        zone maps, per-file row counts, and (when known) the partition's
-        declared payload schema. Stats are harvested from each file's
-        footer at commit time — one metadata read per NEW file
-        (``prior_stats``/``prior_rows`` carry forward entries for files
-        already profiled). A file whose stats can't be read simply gets
-        no entry (kept by every predicate-bearing read, scanned by
-        metadata-only counts — conservative, never wrong)."""
+        product_seq: int | None = None,
+    ) -> dict:
+        """Assemble a manifest body (the snapshot content), carrying
+        per-file zone maps, per-file row counts, and (when known) the
+        partition's declared payload schema. Stats are harvested from
+        each file's footer at commit time — one metadata read per NEW
+        file (``prior_stats``/``prior_rows`` carry forward entries for
+        files already profiled). A file whose stats can't be read
+        simply gets no entry (kept by every predicate-bearing read,
+        scanned by metadata-only counts — conservative, never wrong)."""
         stats: dict[str, dict] = {}
         rows: dict[str, int] = {}
         for n in names:
@@ -640,7 +763,6 @@ class TableStore:
             if st:
                 stats[n], rows[n] = st
         import time
-        import uuid
 
         manifest: dict = {
             "files": names,
@@ -650,17 +772,29 @@ class TableStore:
         }
         if schema_json is not None:
             manifest["schema"] = schema_json
-        body = json.dumps(manifest)
-        tmp = part_dir / (COMMITTED + ".tmp")
-        tmp.write_text(body)
-        tmp.rename(part_dir / COMMITTED)  # atomic swap: the snapshot point
-        # append-only version history for time travel (read_at): one
-        # tiny JSON per commit, named so lexicographic order = commit
-        # order. History is metadata-sized; vacuum governs how far back
-        # the DATA files survive (the Delta retention contract).
-        hist = part_dir / "_history"
-        hist.mkdir(exist_ok=True)
-        (hist / f"{manifest['committed_at']:020.6f}-{uuid.uuid4().hex[:8]}.json").write_text(body)
+        if product_seq is not None:
+            manifest["product_seq"] = product_seq
+        return manifest
+
+    def _write_committed(
+        self,
+        part_dir: Path,
+        names: list[str],
+        prior_stats: dict | None = None,
+        schema_json: str | None = None,
+        prior_rows: dict | None = None,
+        product_seq: int | None = None,
+    ) -> None:
+        """REPLACE-semantics manifest publish: the new file list
+        supersedes whatever is current (restore — paths whose outcome
+        does not depend on the prior snapshot, so a CAS conflict just
+        re-stamps the same content at the next version)."""
+        self._update_manifest(
+            part_dir,
+            lambda prior: self._build_manifest_body(
+                part_dir, names, prior_stats, schema_json, prior_rows, product_seq
+            ),
+        )
 
     # -- S11 + I2: idempotent product replace ------------------------------
     def replace_product(self, table: str, df: DataFrame, product_id: int) -> None:
@@ -679,8 +813,9 @@ class TableStore:
             .partitionBy(PARTITION_COL)
             .parquet(self._path(table))
         )
-        cm = Path(self._path(table)) / f"{PARTITION_COL}={product_id}" / COMMITTED
-        cm.unlink(missing_ok=True)
+        self._backend.delete(
+            Path(self._path(table)) / f"{PARTITION_COL}={product_id}", COMMITTED
+        )
 
     # -- I2 at cross-table scope: atomic multi-table product replace ------
     # The reference wraps its 6-table cascading DELETE + inserts in one
@@ -703,16 +838,41 @@ class TableStore:
     # their (UUID-unique) names, then the partition's _committed.json
     # swaps atomically — a reader whose plan resolved the old manifest
     # keeps scanning the old files, which stay on disk until vacuum().
+    def _claim_product_seq(self, product_id: int) -> int:
+        """CAS-claimed, strictly increasing per-product transaction
+        sequence — the optimistic concurrency token for cross-table
+        replaces. Two concurrent writers replacing the SAME product
+        claim distinct seqs; every partition-manifest swap then refuses
+        to replace content carrying a NEWER seq, so whatever tables the
+        loser manages to publish are re-superseded by the winner and
+        the store converges to ONE writer's version across all tables —
+        never a torn mix. (Under the flock'd local backend writers
+        serialize anyway and the first claim always succeeds.)"""
+        d = Path(self.root) / "_pseq"
+        for _ in range(50):
+            cur = self._backend.read(d, f"{product_id}.json")
+            v = cur[0] if cur else 0
+            try:
+                return self._backend.write(d, f"{product_id}.json", {}, v)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"product {product_id}: seq claim still conflicting")
+
     def replace_product_all(
         self, product_id: int, frames: dict[str, DataFrame]
     ) -> None:
-        import shutil
+        import uuid
 
         with self._exclusive_lock():
-            txn = Path(self.root) / "_staging" / f"txn_{product_id}"
-            if txn.exists():
-                shutil.rmtree(txn)
+            seq = self._claim_product_seq(product_id)
+            # unique txn dir per attempt: concurrent same-product
+            # writers (lock-free CAS backend) must not stomp each
+            # other's staging
+            txn = Path(self.root) / "_staging" / f"txn_{product_id}_{seq}_{uuid.uuid4().hex[:8]}"
             txn.mkdir(parents=True)
+            # sentinel: spare this manifest-less dir from a concurrent
+            # recover() while the (unlocked under CAS) staging writes run
+            (txn / "_INFLIGHT").write_text("")
             schemas: dict[str, str] = {}
             for table, df in frames.items():
                 if PARTITION_COL in df.columns:
@@ -723,6 +883,7 @@ class TableStore:
                 schemas[table] = df.schema.json()
             manifest = {
                 "product_id": product_id,
+                "seq": seq,
                 "tables": sorted(frames),
                 # captured at commit time so a redo after a mid-publish
                 # crash knows exactly which target files belong to this
@@ -764,6 +925,7 @@ class TableStore:
             tmp = txn / "MANIFEST.json.tmp"
             tmp.write_text(json.dumps(manifest))
             tmp.rename(txn / "MANIFEST.json")
+        seq = manifest.get("seq")
         for n, table in enumerate(manifest["tables"]):
             if fail_after is not None and n >= fail_after:
                 raise RuntimeError(f"simulated crash after {fail_after} swaps")
@@ -779,10 +941,28 @@ class TableStore:
                         src.rename(target / name)
                     except FileNotFoundError:
                         pass                       # concurrent recover won
-            self._write_committed(                 # snapshot point
-                target, names, schema_json=manifest.get("schemas", {}).get(table)
-            )
-        shutil.rmtree(txn)
+
+            def swap(prior, target=target, names=names, table=table):
+                """Replace-swap guarded by the product txn seq: if the
+                current manifest was produced by a NEWER same-product
+                transaction, this (stale) txn must not clobber it — the
+                swap aborts and the newer writer's state stands on
+                every table (no torn cross-table mix)."""
+                if (
+                    prior is not None
+                    and seq is not None
+                    and int(prior.get("product_seq", -1)) > seq
+                ):
+                    return None
+                return self._build_manifest_body(
+                    target,
+                    names,
+                    schema_json=manifest.get("schemas", {}).get(table),
+                    product_seq=seq,
+                )
+
+            self._update_manifest(target, swap)    # snapshot point
+        shutil.rmtree(txn, ignore_errors=True)  # racer may have cleaned up
 
     # -- exactly-once streaming epochs ------------------------------------
     # foreachBatch can REPLAY a micro-batch after a failure (the
@@ -799,15 +979,29 @@ class TableStore:
     # the publish and the ledger entry) — rows land exactly once.
 
     def _epoch_ledger(self) -> dict:
-        f = Path(self.root) / "_epochs.json"
-        return json.loads(f.read_text()) if f.exists() else {}
+        """O(streams) by construction: one high-water batch id per
+        stream (replays are monotone), NOT one entry per micro-batch —
+        the ledger's size is bounded by the number of distinct writers,
+        never by stream lifetime (pytest-pinned)."""
+        cur = self._backend.read(Path(self.root), EPOCHS)
+        return cur[1].get("streams", {}) if cur else {}
 
     def _record_epoch(self, stream_id: str, batch_id: int) -> None:
-        ledger = self._epoch_ledger()
-        ledger[stream_id] = max(int(batch_id), int(ledger.get(stream_id, -1)))
-        tmp = Path(self.root) / "_epochs.json.tmp"
-        tmp.write_text(json.dumps(ledger))
-        tmp.rename(Path(self.root) / "_epochs.json")
+        """High-water merge with CAS retry: the max() is recomputed
+        against the current ledger on every attempt, so two streams
+        recording concurrently (lock-free CAS backend) both land."""
+        root = Path(self.root)
+        for _ in range(50):
+            cur = self._backend.read(root, EPOCHS)
+            version = cur[0] if cur else 0
+            streams = dict(cur[1].get("streams", {})) if cur else {}
+            streams[stream_id] = max(int(batch_id), int(streams.get(stream_id, -1)))
+            try:
+                self._backend.write(root, EPOCHS, {"streams": streams}, version)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"epoch ledger: still conflicting after 50 retries")
 
     def append_epoch(
         self, stream_id: str, batch_id: int, table: str, df: DataFrame
@@ -906,33 +1100,38 @@ class TableStore:
                         pass                       # concurrent recover won
             if part_name == ".":
                 continue  # unpartitioned root appends stay listing-mode
-            cm = target / COMMITTED
-            if cm.exists():
-                prior = json.loads(cm.read_text())
-                merged = prior["files"] + [n for n in names if n not in prior["files"]]
-                prior_schema = (
-                    _merge_schemas(
-                        _schema_from_json(prior["schema"]),
-                        _schema_from_json(manifest["schema"]),
-                    ).json()
-                    if prior.get("schema")
-                    else manifest["schema"]
-                )
-                self._write_committed(
-                    target,
-                    merged,
-                    prior_stats=prior.get("stats"),
-                    schema_json=prior_schema,
-                    prior_rows=prior.get("rows"),
-                )
-            else:
-                # first manifest for this partition: everything listed
-                # on disk is live (listing-mode history) plus the batch.
-                # The declared schema must UNION one legacy file's footer
-                # schema with the batch's (mirroring append()): declaring
-                # only the batch schema would silently drop columns that
-                # exist solely in the legacy files, and a same-name type
-                # conflict should fail loud here, not at scan time.
+
+            def epoch_extend(prior, target=target, names=names):
+                """Extend the current manifest with this batch's files
+                (CAS-safe: recomputed per attempt, deduped so a redo
+                after a crash converges). First manifest over a
+                listing-mode partition: everything on disk is live
+                (legacy history) plus the batch, and the declared
+                schema must UNION one legacy file's footer schema with
+                the batch's (mirroring append()) — declaring only the
+                batch schema would silently drop columns that exist
+                solely in the legacy files, and a same-name type
+                conflict should fail loud here, not at scan time."""
+                if prior is not None:
+                    merged = prior["files"] + [
+                        n for n in names if n not in prior["files"]
+                    ]
+                    prior_schema = (
+                        _merge_schemas(
+                            _schema_from_json(prior["schema"]),
+                            _schema_from_json(manifest["schema"]),
+                        ).json()
+                        if prior.get("schema")
+                        else manifest["schema"]
+                    )
+                    return self._build_manifest_body(
+                        target,
+                        merged,
+                        prior_stats=prior.get("stats"),
+                        schema_json=prior_schema,
+                        prior_rows=prior.get("rows"),
+                        product_seq=prior.get("product_seq"),
+                    )
                 existing = sorted(
                     f.name for f in target.glob("*.parquet") if f.name not in names
                 )
@@ -940,11 +1139,13 @@ class TableStore:
                 if existing:
                     legacy = self.spark.read.parquet(str(target / existing[0])).schema
                     declared = _merge_schemas(legacy, declared)
-                self._write_committed(
+                return self._build_manifest_body(
                     target, existing + names, schema_json=declared.json()
                 )
+
+            self._update_manifest(target, epoch_extend)
         self._record_epoch(manifest["stream_id"], manifest["batch_id"])
-        shutil.rmtree(txn)
+        shutil.rmtree(txn, ignore_errors=True)  # racer may have cleaned up
 
     INFLIGHT_GRACE_SECONDS = 3600.0
 
@@ -1017,10 +1218,10 @@ class TableStore:
                 if not p.exists():
                     continue
                 for part in p.glob(f"{PARTITION_COL}=*"):
-                    cm = part / COMMITTED
-                    if not cm.exists():
+                    manifest = self._manifest(part)
+                    if manifest is None:
                         continue
-                    live = set(json.loads(cm.read_text())["files"])
+                    live = set(manifest["files"])
                     for f in part.glob("*.parquet"):
                         if f.name not in live and f.stat().st_mtime <= cutoff:
                             f.unlink()
@@ -1031,7 +1232,7 @@ class TableStore:
         self,
         table: str | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
-        sort_by: str | None = None,
+        sort_by: str | list[str] | None = None,
     ) -> int:
         """Rewrite fragmented manifest-bearing partitions into
         ~``target_file_bytes`` files (the Delta/Iceberg OPTIMIZE
@@ -1052,38 +1253,48 @@ class TableStore:
         no-ops. Takes the store lock (like vacuum) so a concurrent
         publish can't interleave with the manifest swap.
 
-        ``sort_by`` additionally CLUSTERS the rewrite on one column
-        (``repartitionByRange`` + ``sortWithinPartitions`` — the
-        OPTIMIZE ZORDER-lite analog for a single key): each output
-        file covers a disjoint value range, so the manifest zone maps
-        become maximally tight on that column and a later
-        ``read(where=[(sort_by, ...)])`` skips every non-covering file.
-        With ``sort_by`` set, any multi-file partition is rewritten
-        (clustering is the point, not just file count), and the
-        row-group sort also sharpens parquet's own page/row-group
-        skipping for scans that bypass the manifests."""
+        ``sort_by`` additionally CLUSTERS the rewrite: a single column
+        range-clusters directly (``repartitionByRange`` +
+        ``sortWithinPartitions``); a LIST of 2+ columns clusters on the
+        interleaved-bit Z-order key (see ``_zorder_key``) so the zone
+        maps stay tight on EVERY listed column — the OPTIMIZE ZORDER
+        analog for the web workload's two-predicate reads (RefDate AND
+        GeographicLevelId). Either way each output file covers a
+        narrow value region, a later ``read(where=...)`` skips every
+        non-covering file, and the row-group sort also sharpens
+        parquet's own page/row-group skipping for scans that bypass
+        the manifests. With ``sort_by`` set, any multi-file partition
+        is rewritten (clustering is the point, not just file count).
+
+        CAS-safety: the manifest swap keeps any file a CONCURRENT
+        append committed between our snapshot read and the swap — the
+        rewrite replaces exactly the files it read, never clobbering a
+        racer's (Iceberg's rewrite-conflict resolution)."""
         import math
+        import shutil
         import uuid
 
         compacted = 0
         tables = [table] if table else PRODUCT_TABLES
+        sort_cols = (
+            [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+        )
         with self._exclusive_lock():
             for t in tables:
                 p = Path(self._path(t))
                 if not p.exists():
                     continue
                 for part in p.glob(f"{PARTITION_COL}=*"):
-                    cm = part / COMMITTED
-                    if not cm.exists():
+                    manifest = self._manifest(part)
+                    if manifest is None:
                         continue
-                    manifest = json.loads(cm.read_text())
                     names = manifest["files"]
                     paths = [part / n for n in names if (part / n).exists()]
                     if len(paths) <= 1:
                         continue
                     total = sum(f.stat().st_size for f in paths)
                     target_n = max(1, math.ceil(total / target_file_bytes))
-                    if len(paths) <= target_n and sort_by is None:
+                    if len(paths) <= target_n and not sort_cols:
                         continue
                     staging = part / f"_compact_{uuid.uuid4().hex}"
                     # read under the DECLARED schema when the partition
@@ -1095,10 +1306,15 @@ class TableStore:
                     if schema_json:
                         reader = reader.schema(_schema_from_json(schema_json))
                     df = reader.parquet(*[str(f) for f in paths])
-                    if sort_by is not None:
+                    if len(sort_cols) > 1:
+                        zkey = _zorder_key(df, sort_cols)
+                        df = df.withColumn("__z", zkey).repartitionByRange(
+                            target_n, F.col("__z")
+                        ).sortWithinPartitions("__z").drop("__z")
+                    elif sort_cols:
                         df = df.repartitionByRange(
-                            target_n, F.col(sort_by)
-                        ).sortWithinPartitions(sort_by)
+                            target_n, F.col(sort_cols[0])
+                        ).sortWithinPartitions(sort_cols[0])
                     else:
                         df = df.repartition(target_n)
                     df.write.parquet(str(staging))
@@ -1107,12 +1323,27 @@ class TableStore:
                         new_name = f"compact-{uuid.uuid4().hex}.parquet"
                         f.rename(part / new_name)
                         new_names.append(new_name)
-                    import shutil
-
                     shutil.rmtree(staging)
-                    self._write_committed(  # snapshot point
-                        part, sorted(new_names), schema_json=schema_json
-                    )
+                    rewritten = set(n for n in names if (part / n).exists())
+
+                    def swap(prior, part=part, new_names=new_names,
+                             rewritten=rewritten, schema_json=schema_json,
+                             manifest=manifest):
+                        keep = [
+                            n
+                            for n in (prior or manifest)["files"]
+                            if n not in rewritten
+                        ]
+                        return self._build_manifest_body(
+                            part,
+                            sorted(new_names) + keep,
+                            prior_stats=(prior or {}).get("stats"),
+                            schema_json=schema_json,
+                            prior_rows=(prior or {}).get("rows"),
+                            product_seq=(prior or manifest).get("product_seq"),
+                        )
+
+                    self._update_manifest(part, swap)  # snapshot point
                     compacted += 1
         return compacted
 
@@ -1174,10 +1405,9 @@ class TableStore:
             unknown: list[str] = []
             stats_missing: list[str] = []
             for part in sorted(p.glob(f"{PARTITION_COL}=*")):
-                cm = part / COMMITTED
-                if not cm.exists():
+                manifest = self._manifest(part)
+                if manifest is None:
                     continue  # listing-mode partition: everything is live
-                manifest = json.loads(cm.read_text())
                 live = set(manifest["files"])
                 stats = manifest.get("stats", {})
                 on_disk = {f.name for f in part.glob("*.parquet")}

@@ -1,0 +1,198 @@
+"""Commit-service tests: the object-store CAS backend must deliver the
+same ACID guarantees as the POSIX flock+rename backend — put-if-absent
+versioned manifests, optimistic conflict retry with no lost update,
+and per-product txn sequencing so concurrent cross-table replaces
+never tear. (VERDICT r6 directive #1.)"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.sources.commit import (
+    CASBackend,
+    CommitConflict,
+    LocalFSBackend,
+    make_backend,
+)
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+
+@pytest.mark.parametrize("backend", [LocalFSBackend(), CASBackend()])
+def test_backend_versioned_cas_semantics(tmp_path, backend):
+    """Unit contract both backends share: versions start at 1, a write
+    against a stale expected version raises CommitConflict (exactly
+    one winner per version), delete clears the blob."""
+    d = tmp_path / "part"
+    assert backend.read(d, "_committed.json") is None
+    v1 = backend.write(d, "_committed.json", {"files": ["a"]}, 0)
+    assert v1 == 1
+    version, body = backend.read(d, "_committed.json")
+    assert version == 1 and body["files"] == ["a"]
+
+    # two writers race for version 2: the one with the stale expected
+    # version loses loudly — never a silent overwrite
+    backend.write(d, "_committed.json", {"files": ["a", "b"]}, 1)
+    with pytest.raises(CommitConflict):
+        backend.write(d, "_committed.json", {"files": ["a", "c"]}, 1)
+    _, body = backend.read(d, "_committed.json")
+    assert body["files"] == ["a", "b"]
+
+    backend.delete(d, "_committed.json")
+    assert backend.read(d, "_committed.json") is None
+
+
+def test_cas_commit_log_is_bounded(tmp_path):
+    """The CAS commit log self-prunes to KEEP_COMMITS entries — bounded
+    metadata like Delta's log cleanup, not an unbounded file-per-commit
+    graveyard."""
+    b = CASBackend()
+    d = tmp_path / "part"
+    for v in range(b.KEEP_COMMITS + 40):
+        b.write(d, "_committed.json", {"n": v}, v)
+    log = d / "_cas" / "_committed.json"
+    commits = [f for f in log.iterdir() if f.suffix == ".json"]
+    assert len(commits) == b.KEEP_COMMITS
+    version, body = b.read(d, "_committed.json")
+    assert version == b.KEEP_COMMITS + 40 and body["n"] == b.KEEP_COMMITS + 39
+
+
+def test_make_backend_dispatch():
+    assert isinstance(make_backend("localfs"), LocalFSBackend)
+    assert isinstance(make_backend("cas"), CASBackend)
+    cb = CASBackend()
+    assert make_backend(cb) is cb
+    with pytest.raises(ValueError, match="unknown commit backend"):
+        make_backend("s3")
+
+
+def test_concurrent_appends_merge_without_lost_update(spark, tmp_path):
+    """THE no-lost-update pin (deterministic interleave, no threads):
+    writer A reads manifest version v, then writer B commits v+1
+    before A's conditional write lands. A's CAS fails, A recomputes
+    against B's snapshot, and the final manifest carries BOTH writers'
+    files — under a lock-free backend, nothing is clobbered."""
+    root = str(tmp_path / "store")
+    pid = 11
+    store_a = TableStore(spark, root, backend="cas")
+    store_b = TableStore(spark, root, backend="cas")
+    store_a.replace_product_all(
+        pid, {"IndicatorValues": spark.createDataFrame([(0, "base")], "id long, v string")}
+    )
+
+    def batch(store, ids, tag):
+        return spark.createDataFrame(
+            [(i, tag) for i in ids], "id long, v string"
+        ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+
+    # interleave: the first conditional write A attempts is preceded by
+    # B completing an ENTIRE append against the same partition
+    real_write = store_a._backend.write
+    fired = {"done": False}
+
+    def write_with_race(d, key, body, expected):
+        if not fired["done"] and key == "_committed.json":
+            fired["done"] = True
+            store_b.append("IndicatorValues", batch(store_b, [100, 101], "B"))
+        return real_write(d, key, body, expected)
+
+    store_a._backend.write = write_with_race
+    try:
+        store_a.append("IndicatorValues", batch(store_a, [200], "A"))
+    finally:
+        store_a._backend.write = real_write
+
+    out = TableStore(spark, root, backend="cas").read("IndicatorValues")
+    got = {(r["id"], r["v"]) for r in out.collect()}
+    assert got == {(0, "base"), (100, "B"), (101, "B"), (200, "A")}
+    # and the race actually happened
+    assert fired["done"]
+
+
+def test_concurrent_replaces_never_tear_cross_table(spark, tmp_path):
+    """Per-product txn sequencing: writer A (older seq) crashes after
+    publishing 1 of 2 tables; writer B (newer seq) then publishes both
+    tables; A's roll-forward must NOT clobber B on the remaining
+    table — every swap by the stale txn aborts and the store converges
+    to B's version on ALL tables (no torn cross-table mix)."""
+    root = str(tmp_path / "store")
+    pid = 21
+    store = TableStore(spark, root, backend="cas")
+
+    def frames(tag):
+        return {
+            "IndicatorValues": spark.createDataFrame([(1, tag)], "id long, v string"),
+            "RelatedCharts": spark.createDataFrame([(1, tag)], "id long, v string"),
+        }
+
+    def versions(st):
+        return {
+            t: st.read(t).select("v").first()["v"]
+            for t in ("IndicatorValues", "RelatedCharts")
+        }
+
+    store.replace_product_all(pid, frames("v0"))
+
+    # stage txn A (older seq) by hand — mimics replace_product_all up
+    # to the commit point
+    seq_a = store._claim_product_seq(pid)
+    txn_a = Path(root) / "_staging" / f"txn_{pid}_{seq_a}_manual"
+    schemas = {}
+    for table, df in frames("A").items():
+        df.write.parquet(str(txn_a / table))
+        schemas[table] = df.schema.json()
+    manifest_a = {
+        "product_id": pid,
+        "seq": seq_a,
+        "tables": sorted(frames("A")),
+        "files": {
+            t: sorted(f.name for f in (txn_a / t).glob("*.parquet"))
+            for t in frames("A")
+        },
+        "schemas": schemas,
+    }
+    (txn_a / "MANIFEST.json.tmp").write_text(json.dumps(manifest_a))
+    (txn_a / "MANIFEST.json.tmp").rename(txn_a / "MANIFEST.json")
+
+    # A crashes after publishing 1 of 2 tables
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store._publish(txn_a, manifest_a, fail_after=1)
+    assert versions(store)["IndicatorValues"] == "A"  # torn... for now
+
+    # B replaces the same product with a NEWER seq, all tables
+    store.replace_product_all(pid, frames("B"))
+    assert versions(store) == {"IndicatorValues": "B", "RelatedCharts": "B"}
+
+    # A's crashed txn rolls forward on the next open — and is refused
+    # everywhere: B's newer-seq state stands on BOTH tables
+    store2 = TableStore(spark, root, backend="cas")
+    assert versions(store2) == {"IndicatorValues": "B", "RelatedCharts": "B"}
+    assert not txn_a.exists()
+
+
+def test_epoch_ledger_stays_o_streams(spark, tmp_path):
+    """VERDICT r6 directive #7: the exactly-once ledger records ONE
+    high-water batch id per stream — its size is bounded by writer
+    count, not stream lifetime — and any batch at or below the
+    high-water replays as a no-op."""
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, backend="cas")
+
+    def batch(i):
+        return spark.createDataFrame([(i, f"b{i}")], "id long, v string").withColumn(
+            PARTITION_COL, F.lit(1).cast("long")
+        )
+
+    for i in range(12):
+        assert store.append_epoch("s1", i, "IndicatorValues", batch(i)) is True
+    assert store.append_epoch("s2", 0, "IndicatorValues", batch(100)) is True
+
+    ledger = store._epoch_ledger()
+    assert ledger == {"s1": 11, "s2": 0}          # O(streams), high-water only
+    # replay of ANY batch <= high-water is a no-op
+    for i in (0, 5, 11):
+        assert store.append_epoch("s1", i, "IndicatorValues", batch(i)) is False
+    assert store.read("IndicatorValues").count() == 13
