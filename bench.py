@@ -49,6 +49,10 @@ HEADLINE = [
     "store_read_full",
     "store_scan_fragmented",
     "store_scan_compacted",
+    # bloom point-lookup twins: hash-scattered layout where zone maps
+    # prune nothing; per-file blooms prune to the holding file(s)
+    "store_point_bloom",
+    "store_point_nobloom",
 ]
 
 
@@ -70,6 +74,8 @@ def main() -> None:
         "store_read_full",
         "store_scan_fragmented",
         "store_scan_compacted",
+        "store_point_bloom",
+        "store_point_nobloom",
     ):
         queries[name] = getattr(store_bench, name)
 

@@ -49,9 +49,17 @@ _DAY_LO = datetime.datetime(2024, 1, 15, 0, 0, 0)
 _DAY_HI = datetime.datetime(2024, 1, 15, 23, 59, 59, 999999)
 
 
+N_HASH_FILES = 64  # bloom twins: hash-scattered files (zone maps useless)
+
+
 def _roots(spark: SparkSession) -> tuple[str, str]:
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     return f"{wh}/bench_store_frag", f"{wh}/bench_store_compact"
+
+
+def _bloom_roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_bloom", f"{wh}/bench_store_nobloom"
 
 
 def prepare(spark: SparkSession, sf_dir: str) -> None:
@@ -71,6 +79,52 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
         if compact:
             store.compact(TABLE)
             store.vacuum(TABLE)
+    # bloom twins: the same rows HASH-scattered across files, so every
+    # file's [min, max] over event_id spans ~the whole key space and
+    # zone maps prune nothing — the layout point lookups hit on any
+    # table keyed by hash/uuid ids. One store declares a bloom on
+    # event_id at commit; its mirror doesn't.
+    bloom_root, nobloom_root = _bloom_roots(spark)
+    scattered = ev.repartition(N_HASH_FILES, "event_id")
+    for root, blooms in ((bloom_root, {TABLE: ["event_id"]}), (nobloom_root, None)):
+        store = TableStore(spark, root, bloom_cols=blooms)
+        store.replace_product_all(PID, {TABLE: scattered})
+    # a real present key for the point probe, recorded once (driver-side)
+    import json as _json
+    from pathlib import Path
+
+    probe = ev.select("event_id").orderBy("event_id").limit(1).first()["event_id"]
+    mid = ev.approxQuantile("event_id", [0.5], 0.01)[0]
+    Path(f"{bloom_root}/_probe.json").write_text(
+        _json.dumps({"probe": int(mid if mid is not None else probe)})
+    )
+
+
+def _point_probe(spark: SparkSession) -> int:
+    import json as _json
+    from pathlib import Path
+
+    bloom_root, _ = _bloom_roots(spark)
+    return int(_json.loads(Path(f"{bloom_root}/_probe.json").read_text())["probe"])
+
+
+def store_point_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the bloom-bearing manifests: the driver
+    drops every file whose bloom provably excludes the key before the
+    scan is planned — at 100 TB, the difference between touching one
+    file and touching a partition's whole history."""
+    bloom_root, _ = _bloom_roots(spark)
+    store = TableStore(spark, bloom_root)
+    return _agg(store.read(TABLE, where=[("event_id", "==", _point_probe(spark))]))
+
+
+def store_point_nobloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same point lookup with no blooms in the manifest: the hash
+    layout defeats the zone maps, so every live file is listed,
+    scheduled, and scanned."""
+    _, nobloom_root = _bloom_roots(spark)
+    store = TableStore(spark, nobloom_root)
+    return _agg(store.read(TABLE, where=[("event_id", "==", _point_probe(spark))]))
 
 
 def _agg(df: DataFrame) -> DataFrame:

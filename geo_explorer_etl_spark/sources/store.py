@@ -151,13 +151,18 @@ def _normalize_bound(val):
 
 
 def _file_may_match(stats: dict[str, list] | None, where) -> bool:
-    """Conservative zone-map check: False only when some predicate is
-    PROVEN empty against the file's [min, max]. Parquet min/max exclude
-    nulls, and every supported op is null-rejecting, so pruning on
-    non-null bounds is sound."""
+    """Conservative zone-map + bloom check: False only when some
+    predicate is PROVEN empty against the file's [min, max] (or, for
+    ``==``, provably absent from the file's bloom filter). Parquet
+    min/max exclude nulls, and every supported op is null-rejecting,
+    so pruning on non-null bounds is sound."""
+    blooms = (stats or {}).get("__bloom__") or {}
     for col, op, val in where:
+        if op == "==" and col in blooms:
+            if not _bloom_may_contain(blooms[col], val):
+                return False
         s = (stats or {}).get(col)
-        if not s:
+        if not s or col == "__bloom__":
             continue
         mn, mx = s
         if op == "between":
@@ -193,6 +198,128 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
         if op == "<" and mn >= v:
             return False
     return True
+
+
+# -- per-file bloom filters --------------------------------------------------
+# Zone maps cannot prune point predicates on HASH-KEYED columns: a
+# file's [min, max] over e.g. IndicatorValueId spans nearly the whole
+# key space unless the layout was re-clustered (compact(sort_by=...)).
+# For declared key columns the manifest therefore also carries a small
+# per-file BLOOM filter harvested at commit: an `==` predicate whose
+# value the bloom PROVABLY excludes drops the file; a bloom hit (or
+# absent bloom) keeps it — false positives cost a read, never a wrong
+# result, and the re-applied row filter stays authoritative. This is
+# the same design as parquet's own column bloom filters / Delta's
+# deletion-vector-adjacent file skipping indexes, held in the manifest
+# so the check needs no file I/O at listing time.
+
+BLOOM_K = 7              # hash functions (~1% FPR at 10 bits/key)
+BLOOM_MAX_BITS = 1 << 20  # 128 KiB per column per file, tops
+
+
+def _bloom_key(v) -> str | None:
+    """Canonical hash key for a value: integral floats collapse onto
+    ints (Spark's numeric equality crosses int/long/double), temporal
+    values use the same ISO forms as the zone maps. None = value can't
+    participate (bloom for that column is skipped)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        n = _norm_stat(v)
+        return n if isinstance(n, str) else None
+    return None
+
+
+def _bloom_positions(key: str, k: int, m: int):
+    """Double hashing off one md5: positions h1 + i*h2 (mod m) —
+    stable across processes (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _build_blooms(path: Path, cols: list[str], max_bits: int = BLOOM_MAX_BITS) -> dict:
+    """Per-column bloom over one parquet file's distinct values — one
+    column-projected read per declared key column at commit time (the
+    price of point-lookup skipping forever after). A column whose
+    distinct count would push past ``max_bits`` at ~10 bits/key is
+    skipped (absent bloom -> file always kept: conservative)."""
+    import base64
+
+    try:
+        import pyarrow.parquet as pq
+
+        schema_names = set(pq.ParquetFile(str(path)).schema_arrow.names)
+        want = [c for c in cols if c in schema_names]
+        if not want:
+            return {}
+        table = pq.read_table(str(path), columns=want)
+    except Exception:
+        return {}
+    out: dict[str, dict] = {}
+    for c in want:
+        keys: set[str] | None = set()
+        for v in table.column(c).to_pylist():
+            if v is None:
+                continue
+            kk = _bloom_key(v)
+            if kk is None:
+                keys = None
+                break
+            keys.add(kk)
+        if not keys:  # unhashable type, or all-null column
+            continue
+        if len(keys) * 10 > max_bits:
+            continue  # too many distinct values: bloom would be useless
+        m = max(64, 1 << (len(keys) * 10 - 1).bit_length())
+        m = min(m, max_bits)
+        bits = bytearray(m // 8)
+        for kk in keys:
+            for pos in _bloom_positions(kk, BLOOM_K, m):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[c] = {
+            "m": m,
+            "k": BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_may_contain(bloom: dict, val) -> bool:
+    """False only when every hash position is clear — a PROOF the
+    value was absent from the file at commit. Unknown/undecodable
+    values keep the file."""
+    import base64
+
+    key = _bloom_key(val)
+    if key is None:
+        return True
+    try:
+        bits = base64.b64decode(bloom["b64"])
+        m, k = int(bloom["m"]), int(bloom["k"])
+    except Exception:
+        return True
+    if m <= 0 or len(bits) * 8 < m:  # truncated/corrupt body: keep the file
+        return True
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_positions(key, k, m)
+    )
 
 
 def _merge_schemas(a, b):
@@ -339,10 +466,17 @@ class TableStore:
         spark: SparkSession,
         root: str,
         backend: str | CommitBackend = "localfs",
+        bloom_cols: dict[str, list[str]] | None = None,
     ):
+        """``bloom_cols`` maps table name -> key columns to bloom-index
+        per file at commit (e.g. ``{"IndicatorValues":
+        ["IndicatorValueId"]}``): point (``==``) reads on those columns
+        then skip files the bloom provably excludes — the lever zone
+        maps don't have on hash-keyed ids over an UNsorted layout."""
         self.spark = spark
         self.root = root
         self._backend = make_backend(backend)
+        self.bloom_cols = dict(bloom_cols or {})
         # dynamic mode: overwrite only the partitions present in the
         # incoming frame — this IS the product-replace primitive
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -734,8 +868,8 @@ class TableStore:
 
             self._update_manifest(part, extend)
 
-    @staticmethod
     def _build_manifest_body(
+        self,
         part_dir: Path,
         names: list[str],
         prior_stats: dict | None = None,
@@ -744,13 +878,16 @@ class TableStore:
         product_seq: int | None = None,
     ) -> dict:
         """Assemble a manifest body (the snapshot content), carrying
-        per-file zone maps, per-file row counts, and (when known) the
+        per-file zone maps, per-file row counts, per-file blooms for
+        the table's declared ``bloom_cols``, and (when known) the
         partition's declared payload schema. Stats are harvested from
         each file's footer at commit time — one metadata read per NEW
         file (``prior_stats``/``prior_rows`` carry forward entries for
-        files already profiled). A file whose stats can't be read
-        simply gets no entry (kept by every predicate-bearing read,
-        scanned by metadata-only counts — conservative, never wrong)."""
+        files already profiled; bloom columns add one column-projected
+        read per new file). A file whose stats can't be read simply
+        gets no entry (kept by every predicate-bearing read, scanned
+        by metadata-only counts — conservative, never wrong)."""
+        bloom_cols = self.bloom_cols.get(part_dir.parent.name, [])
         stats: dict[str, dict] = {}
         rows: dict[str, int] = {}
         for n in names:
@@ -762,6 +899,10 @@ class TableStore:
             st = _parquet_file_stats(part_dir / n)
             if st:
                 stats[n], rows[n] = st
+            if bloom_cols:
+                blooms = _build_blooms(part_dir / n, bloom_cols)
+                if blooms:
+                    stats.setdefault(n, {})["__bloom__"] = blooms
         import time
 
         manifest: dict = {

@@ -213,3 +213,55 @@ def test_zone_map_between_pruning_sound(mn, span, lo, width):
     some_row_matches = any(lo <= w <= hi for w in range(mn, mx + 1))
     if some_row_matches:
         assert kept
+
+
+# -- bloom filter soundness ---------------------------------------------------
+# A bloom may only answer "definitely absent" for values NOT in the
+# committed set: every committed value must admit (no false negative,
+# ever) — a false positive merely keeps a file, which is always safe.
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-(10**12), 10**12),
+            st.text(max_size=30),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    probe=st.integers(-(10**12), 10**12),
+)
+def test_bloom_never_false_negative(vals, probe):
+    import base64
+
+    from geo_explorer_etl_spark.sources.store import (
+        BLOOM_K,
+        _bloom_key,
+        _bloom_may_contain,
+        _bloom_positions,
+    )
+
+    keys = {k for k in (_bloom_key(v) for v in vals) if k is not None}
+    if not keys:
+        return
+    m = max(64, 1 << (len(keys) * 10 - 1).bit_length())
+    bits = bytearray(m // 8)
+    for kk in keys:
+        for pos in _bloom_positions(kk, BLOOM_K, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    bloom = {"m": m, "k": BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+    # THE PROPERTY: every committed value admits
+    for v in vals:
+        assert _bloom_may_contain(bloom, v)
+    # integral float / int cross-representation admits too (Spark's
+    # numeric equality crosses long/double)
+    for v in vals:
+        if isinstance(v, int):
+            assert _bloom_may_contain(bloom, float(v)) or not float(
+                v
+            ).is_integer()
+    # an undecodable bloom body keeps the file (conservative)
+    assert _bloom_may_contain({"m": 64, "k": 7, "b64": "!!!"}, probe)

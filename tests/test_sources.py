@@ -1099,3 +1099,66 @@ def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
         from geo_explorer_etl_spark.sources.store import _zorder_key
 
         _zorder_key(spark.createDataFrame([("a", 1)], "s string, i long"), ["s", "i"])
+
+
+def test_bloom_filter_point_lookup_skipping(spark, tmp_path):
+    """VERDICT r6 directive #2: on an UNsorted hash-keyed layout the
+    zone maps span nearly the whole key range (every file's [min, max]
+    admits every point probe), but the per-file blooms harvested at
+    commit prune a point read down to the file(s) that actually hold
+    the key. Results stay identical to the unpruned filter; blooms
+    carry forward through append; non-bloomed columns are unaffected."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 71
+    store = TableStore(
+        spark, root, bloom_cols={"IndicatorValues": ["IndicatorValueCode"]}
+    )
+
+    def frame(lo, n=400):
+        # hash-ish scattered codes: every file spans ~the full range
+        return (
+            spark.range(lo, lo + n)
+            .select(
+                F.col("id"),
+                F.concat(
+                    F.lit("IVC-"), F.md5(F.col("id").cast("string"))
+                ).alias("IndicatorValueCode"),
+            )
+            .coalesce(1)
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame(0)})
+    for lo in (1000, 2000):
+        store.append(
+            "IndicatorValues",
+            frame(lo).withColumn(PARTITION_COL, F.lit(pid).cast("long")),
+        )
+    assert len(store.live_files("IndicatorValues")) == 3
+
+    import hashlib
+
+    probe = "IVC-" + hashlib.md5(b"1200").hexdigest()  # lives in file 2 only
+    where = [("IndicatorValueCode", "==", probe)]
+    # zone maps alone can't prune this (md5 strings span the space);
+    # THE PIN: the bloom admits exactly the one holding file
+    assert len(store.live_files("IndicatorValues", where)) == 1
+    got = store.read("IndicatorValues", where).collect()
+    assert len(got) == 1 and got[0]["id"] == 1200
+
+    # a probe for an absent key prunes EVERY file, result is empty
+    none = [("IndicatorValueCode", "==", "IVC-not-there")]
+    assert store.live_files("IndicatorValues", none) == []
+    assert store.read("IndicatorValues", none).count() == 0
+
+    # a store handle WITHOUT bloom_cols still reads the blooms from the
+    # manifest (they live in the snapshot, not the handle)
+    plain = TableStore(spark, root)
+    assert len(plain.live_files("IndicatorValues", where)) == 1
+
+    # compact() re-harvests blooms for the rewritten files
+    assert store.compact("IndicatorValues") == 1
+    assert len(store.live_files("IndicatorValues")) == 1
+    assert store.read("IndicatorValues", where).count() == 1
+    assert store.live_files("IndicatorValues", none) == []
