@@ -723,6 +723,93 @@ class TableStore:
                 changed += 1
         return changed
 
+    def read_changes(
+        self, table: str, since: float, until: float | None = None
+    ) -> DataFrame | None:
+        """CHANGE DATA FEED: row-level deltas committed strictly after
+        ``since`` (and at/before ``until``, default now) as one frame
+        with the payload columns plus ``_change_type`` ('insert' |
+        'delete') and ``_committed_at`` (epoch seconds of the commit).
+        Derived purely from the manifest history journal — each commit
+        names its full file list, so per-commit added/removed FILES
+        diff out of consecutive entries and their rows ARE the deltas
+        (data files are immutable): an append yields inserts, a
+        replace/merge yields deletes of the superseded rows plus
+        inserts of the new — applying deltas in commit order to the
+        ``since`` snapshot reproduces the ``until`` snapshot exactly
+        (pytest-pinned, the Delta CDF contract). Delete rows read from
+        SUPERSEDED files, so the window must lie within vacuum
+        retention — a missing file raises, naming it, rather than
+        silently under-reporting. Returns None when nothing changed.
+
+        At 100 TB this is what lets downstream consumers (dimension
+        growth, serving-copy sync, cache invalidation) subscribe to a
+        table incrementally instead of re-reading the full snapshot:
+        the cost is proportional to the CHANGED files, not table size."""
+        import time
+
+        until = time.time() if until is None else until
+        p = Path(self._path(table))
+        if not p.exists():
+            return None
+        # (path, change_type, committed_at, schema_json) per changed file
+        slices: list[tuple[str, str, float, str | None]] = []
+        for entry in sorted(p.iterdir()):
+            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                continue
+            hist = entry / "_history"
+            if not hist.exists():
+                continue
+            prev: set[str] = set()
+            prev_schema: str | None = None
+            for h in sorted(hist.glob("*.json")):
+                m = json.loads(h.read_text())
+                ts = m.get("committed_at", 0)
+                cur, cur_schema = set(m["files"]), m.get("schema")
+                if ts <= since:
+                    prev, prev_schema = cur, cur_schema
+                    continue
+                if ts > until:
+                    break
+                for n in sorted(cur - prev):
+                    slices.append((str(entry / n), "insert", ts, cur_schema))
+                for n in sorted(prev - cur):
+                    slices.append((str(entry / n), "delete", ts, prev_schema))
+                prev, prev_schema = cur, cur_schema
+        if not slices:
+            return None
+        missing = [f for f, *_ in slices if not Path(f).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"read_changes({table!r}, since={since}): change file vacuumed: "
+                f"{missing[0]} — the requested window is outside vacuum retention"
+            )
+        import functools
+
+        schemas = [
+            _schema_from_json(s) for _, _, _, s in slices if s is not None
+        ]
+        union_schema = (
+            functools.reduce(_merge_schemas, schemas) if schemas else None
+        )
+        out: DataFrame | None = None
+        by_commit: dict[tuple[str, float], list[str]] = {}
+        for f, kind, ts, _ in slices:
+            by_commit.setdefault((kind, ts), []).append(f)
+        for (kind, ts), files in sorted(by_commit.items(), key=lambda kv: kv[0][1]):
+            reader = self.spark.read.option("basePath", str(p))
+            if union_schema is not None:
+                reader = reader.schema(union_schema)
+            part = (
+                reader.parquet(*files)
+                .withColumn("_change_type", F.lit(kind))
+                .withColumn("_committed_at", F.lit(float(ts)))
+            )
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        return out
+
     def count_rows(self, table: str) -> int:
         """Metadata-only table row count: live file counts are summed
         from the manifests (recorded at commit from the parquet
@@ -1629,6 +1716,24 @@ class TableStore:
         return (
             df.filter(F.col(PARTITION_COL) == product_id).limit(1).count() > 0
         )
+
+
+def apply_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Reconstruct the post-window snapshot from a pre-window snapshot
+    plus a ``read_changes`` feed — the CDF consumer primitive:
+    ``(base ∪ inserts) ∖ deletes`` with MULTISET semantics
+    (``exceptAll``), which makes the application order-independent and
+    exact even when identical rows repeat. Columns are aligned by name
+    (schema evolution inside the window surfaces as nulls on older
+    rows, matching what a fresh read of the new snapshot declares)."""
+    payload = [c for c in changes.columns if c not in ("_change_type", "_committed_at")]
+    ins = changes.filter(F.col("_change_type") == "insert").select(*payload)
+    dels = changes.filter(F.col("_change_type") == "delete").select(*payload)
+    merged = base.unionByName(ins, allowMissingColumns=True)
+    cols = merged.columns
+    return merged.exceptAll(
+        dels.unionByName(merged.limit(0), allowMissingColumns=True).select(*cols)
+    )
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 10000, **options) -> None:

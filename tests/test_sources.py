@@ -1162,3 +1162,127 @@ def test_bloom_filter_point_lookup_skipping(spark, tmp_path):
     assert len(store.live_files("IndicatorValues")) == 1
     assert store.read("IndicatorValues", where).count() == 1
     assert store.live_files("IndicatorValues", none) == []
+
+
+def test_change_data_feed_reconstructs_snapshots(spark, tmp_path):
+    """VERDICT r6 directive #3: read_changes(table, since) yields
+    row-level insert/delete deltas for append, merge_rows, AND
+    replace_product_all, and applying them (multiset semantics) to the
+    old snapshot reproduces the new one exactly — the Delta CDF
+    contract, derived purely from the manifest history journal."""
+    import time
+
+    import pytest
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        apply_changes,
+    )
+
+    root = str(tmp_path / "store")
+    pid = 81
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    def snap():
+        df = store.read("IndicatorValues")
+        return df.select("k", "v", PARTITION_COL) if df is not None else None
+
+    def check_window(old, since):
+        """Deltas since `since` applied to `old` == current snapshot."""
+        changes = store.read_changes("IndicatorValues", since)
+        assert changes is not None
+        new = snap()
+        rebuilt = apply_changes(
+            old if old is not None else new.limit(0), changes
+        ).select("k", "v", PARTITION_COL)
+        assert rebuilt.exceptAll(new).count() == 0
+        assert new.exceptAll(rebuilt).count() == 0
+        return changes
+
+    # -- append: inserts only -------------------------------------------
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "a"), (2, "b")])})
+    t0 = time.time()
+    old = snap().localCheckpoint()           # pin rows, not the manifest
+    store.append("IndicatorValues", frame([(3, "c")]))
+    ch = check_window(old, t0)
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert kinds == {"insert"}
+
+    # -- merge_rows: delete of superseded rows + insert of new ----------
+    t1 = time.time()
+    old = snap().localCheckpoint()
+    store.merge_rows("IndicatorValues", frame([(2, "B2"), (9, "i")]), ["k"])
+    ch = check_window(old, t1)
+    by_kind = {
+        k: sorted((r["k"], r["v"]) for r in ch.filter(F.col("_change_type") == k).collect())
+        for k in ("insert", "delete")
+    }
+    # the merge rewrites the partition: old rows deleted, merged state inserted
+    assert (2, "b") in by_kind["delete"]
+    assert (2, "B2") in by_kind["insert"] and (9, "i") in by_kind["insert"]
+
+    # -- replace: full supersession -------------------------------------
+    t2 = time.time()
+    old = snap().localCheckpoint()
+    store.replace_product_all(pid, {"IndicatorValues": frame([(7, "z")])})
+    check_window(old, t2)
+
+    # whole-history window from the epoch reconstructs from nothing
+    check_window(None, 0.0)
+
+    # deltas whose files were vacuumed raise loudly, naming the file
+    store.vacuum("IndicatorValues", older_than_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        store.read_changes("IndicatorValues", t2).count()
+
+    # a quiet window returns None
+    assert store.read_changes("IndicatorValues", time.time()) is None
+
+
+def test_change_feed_drives_incremental_dimension_growth(spark, tmp_path):
+    """CDF consumer wiring (I3 incrementally): new REF_DATE years are
+    discovered from the INSERTED rows only — the work is proportional
+    to the changed files, not the table — and the grown dimension
+    matches what a full-table recompute produces."""
+    import time
+
+    from geo_explorer_etl_spark.operators import joins as J
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 82
+    store = TableStore(spark, root)
+
+    def frame(years):
+        return spark.createDataFrame(
+            [(y, f"r{y}") for y in years], "RefYear int, v string"
+        ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([2018, 2019])})
+    existing = spark.createDataFrame([("2018",), ("2019",)], "Display_EN string")
+    t0 = time.time()
+    store.append("IndicatorValues", frame([2019, 2021, 2022]))
+
+    inserted = store.read_changes("IndicatorValues", t0).filter(
+        F.col("_change_type") == "insert"
+    )
+    observed = inserted.select(
+        F.col("RefYear").cast("string").alias("Display_EN")
+    ).distinct()
+    new_years = J.anti_new_rows(observed, existing, ["Display_EN"])
+    assert sorted(r["Display_EN"] for r in new_years.collect()) == ["2021", "2022"]
+
+    # identical to the full-table recompute
+    full = (
+        store.read("IndicatorValues")
+        .select(F.col("RefYear").cast("string").alias("Display_EN"))
+        .distinct()
+    )
+    full_new = J.anti_new_rows(full, existing, ["Display_EN"])
+    assert sorted(r["Display_EN"] for r in full_new.collect()) == ["2021", "2022"]
