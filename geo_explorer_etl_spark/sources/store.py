@@ -1606,9 +1606,14 @@ class TableStore:
                 merged = remaining.unionByName(incoming, allowMissingColumns=True)
             self.replace_product_all(pid, {table: merged})
 
-    def fsck(self, table: str | None = None) -> dict[str, dict]:
-        """Read-only consistency audit — the ops check a 100 TB
-        deployment runs before trusting a store root. Per table:
+    def fsck(
+        self,
+        table: str | None = None,
+        repair: bool = False,
+        older_than_seconds: float = 3600.0,
+    ) -> dict[str, dict]:
+        """Store consistency audit — the ops check a 100 TB deployment
+        runs before trusting a store root. Per table:
 
         - ``missing``    — files a LIVE manifest references that are
           gone from disk (data loss: a vacuum bug or manual deletion;
@@ -1621,7 +1626,24 @@ class TableStore:
         - ``stats_missing`` — live files without zone-map entries
           (reads stay correct but skip nothing for them).
 
-        Driver-side listing + JSON reads only — no Spark jobs."""
+        Audit is driver-side listing + JSON/footer reads only — no
+        Spark jobs. With ``repair=True`` the two safely-actionable
+        classes are HEALED and reported under ``repaired``:
+
+        - ``unknown`` files older than ``older_than_seconds`` are
+          garbage-collected (the age gate protects a concurrent
+          publish's moved-but-not-yet-committed files, same retention
+          reasoning as vacuum); younger ones stay listed as unknown;
+        - ``stats_missing`` files get their zone maps (and declared
+          blooms) re-harvested from the parquet footers and committed
+          back into the manifest via the normal CAS path.
+
+        ``missing`` is data loss and ``superseded`` is healthy
+        retention — neither is ever auto-"repaired". Live data is
+        never touched."""
+        import time
+
+        cutoff = time.time() - older_than_seconds
         report: dict[str, dict] = {}
         tables = [table] if table else PRODUCT_TABLES
         for t in tables:
@@ -1632,6 +1654,8 @@ class TableStore:
             superseded: list[str] = []
             unknown: list[str] = []
             stats_missing: list[str] = []
+            gc_files: list[str] = []
+            stats_repaired: list[str] = []
             for part in sorted(p.glob(f"{PARTITION_COL}=*")):
                 manifest = self._manifest(part)
                 if manifest is None:
@@ -1640,24 +1664,70 @@ class TableStore:
                 stats = manifest.get("stats", {})
                 on_disk = {f.name for f in part.glob("*.parquet")}
                 missing += sorted(f"{part.name}/{n}" for n in live - on_disk)
-                stats_missing += sorted(
-                    f"{part.name}/{n}" for n in live & on_disk if n not in stats
-                )
+                part_stats_gap = sorted(live & on_disk - set(stats))
                 historical: set[str] = set()
                 hist = part / "_history"
                 if hist.exists():
                     for h in hist.glob("*.json"):
                         historical |= set(json.loads(h.read_text())["files"])
-                for n in sorted(on_disk - live):
-                    target = superseded if n in historical else unknown
-                    target.append(f"{part.name}/{n}")
+                part_unknown = sorted((on_disk - live) - historical)
+                superseded += sorted(
+                    f"{part.name}/{n}" for n in (on_disk - live) & historical
+                )
+                if repair:
+                    with self._exclusive_lock():
+                        for n in part_unknown:
+                            f = part / n
+                            if f.exists() and f.stat().st_mtime <= cutoff:
+                                f.unlink()
+                                gc_files.append(f"{part.name}/{n}")
+                            else:
+                                unknown.append(f"{part.name}/{n}")
+                        if part_stats_gap:
+
+                            def heal(prior, part=part, gap=part_stats_gap):
+                                if prior is None:
+                                    return None
+                                # drop the gap files' (absent) entries so
+                                # _build_manifest_body re-harvests exactly
+                                # them; everything else carries forward
+                                return self._build_manifest_body(
+                                    part,
+                                    prior["files"],
+                                    prior_stats=prior.get("stats"),
+                                    schema_json=prior.get("schema"),
+                                    prior_rows=prior.get("rows"),
+                                    product_seq=prior.get("product_seq"),
+                                )
+
+                            self._update_manifest(part, heal)
+                            healed = self._manifest(part).get("stats", {})
+                            for n in part_stats_gap:
+                                if n in healed:
+                                    stats_repaired.append(f"{part.name}/{n}")
+                                else:
+                                    stats_missing.append(f"{part.name}/{n}")
+                else:
+                    unknown += [f"{part.name}/{n}" for n in part_unknown]
+                    stats_missing += [f"{part.name}/{n}" for n in part_stats_gap]
+            entry: dict = {}
             if missing or superseded or unknown or stats_missing:
-                report[t] = {
+                entry = {
                     "missing": missing,
                     "superseded": superseded,
                     "unknown": unknown,
                     "stats_missing": stats_missing,
                 }
+            if repair and (gc_files or stats_repaired):
+                entry = entry or {
+                    "missing": missing,
+                    "superseded": superseded,
+                    "unknown": unknown,
+                    "stats_missing": stats_missing,
+                }
+                entry["repaired"] = {"gc": gc_files, "stats": stats_repaired}
+            if entry:
+                report[t] = entry
         return report
 
     def delete_product(self, product_id: int) -> None:
