@@ -760,28 +760,66 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # M* — null handling / CASE display
 # ---------------------------------------------------------------------------
+# (The former m3_coalesce_defaults registry slot now carries the
+# store-lifecycle oracle below — VERDICT r6 directive #5. M3/M4
+# COALESCE/CASE semantics stay pinned by tests/test_functions.py over
+# functions/nulls.py and by the l1_l4/m5/f_scalar catalog entries.)
 @register(
-    "m3_coalesce_defaults",
+    "store_merge_timetravel",
     oracle="""
-    SELECT s_suppkey,
-           COALESCE(CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END, 0.0) AS acctbal_defaulted,
-           COALESCE(CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_name END, 'DEFAULT_NAME') AS name_defaulted
-    FROM supplier
+    SELECT 'v0' AS snap, o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_orderkey % 100 < 50
+    UNION ALL
+    SELECT 'v1', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
+    FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
+    UNION ALL
+    SELECT 'v1', o_orderkey, 'U', ROUND(o_totalprice * 2, 2)
+    FROM orders WHERE o_orderkey % 100 < 10 OR o_orderkey % 100 >= 95
     """,
-    tags="M3 M4",
+    tags="S11 I2 store merge time-travel",
 )
-def m3_coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _t(spark, sf_dir, "supplier")["supplier"]
-    return s.select(
-        "s_suppkey",
-        F.coalesce(
-            F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(F.col("s_acctbal")),
-            F.lit(0.0),
-        ).alias("acctbal_defaulted"),
-        F.coalesce(
-            F.when(F.col("s_suppkey") % 3 == 0, F.lit(None)).otherwise(F.col("s_name")),
-            F.lit("DEFAULT_NAME"),
-        ).alias("name_defaulted"),
+def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TableStore lifecycle under the hard hash oracle: publish a
+    base snapshot (replace_product_all's write-ahead txn), MERGE an
+    upsert batch (updates double the price and flip the status;
+    brand-new keys insert), then read BOTH the as-of-publish snapshot
+    (read_at time travel) and the current state — DuckDB recomputes
+    the expected post-merge and as-of tables from the same ``orders``
+    slices, so a torn merge, a leaked pre-merge row, or a wrong
+    time-travel resolution all break the value hash."""
+    import tempfile
+    import time
+
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    key = F.col("o_orderkey") % 100
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = o.filter(key < 50).select(*cols)
+    upsert = (
+        o.filter((key < 10) | (key >= 95))
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .withColumn("IndicatorThemeId", F.lit(1).cast("long"))
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="store_mtt_"))
+    store.replace_product_all(1, {"IndicatorValues": base})
+    t0 = time.time()
+    store.merge_rows("IndicatorValues", upsert, ["o_orderkey"])
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("snap"),
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+
+    return tagged(store.read_at("IndicatorValues", t0), "v0").unionByName(
+        tagged(store.read("IndicatorValues"), "v1")
     )
 
 
