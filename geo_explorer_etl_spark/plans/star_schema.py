@@ -912,14 +912,17 @@ def serve_primary_query(
        indicator (maximally effective after
        ``compact(sort_by="IndicatorId")``);
     2. DYNAMIC file pruning for the fact table: ``IndicatorValues``
-       carries no IndicatorId, so the indicator's value-id span
-       [min, max] is computed over the ALREADY-PRUNED bridge (a tiny
-       driver action) and pushed as a ``between`` zone-map predicate —
-       the same trick Delta's dynamic file pruning plays on join keys.
-       With hash-keyed value ids the span is wide unless the values
-       table was compacted sorted on ``IndicatorValueId``; the
-       predicate is then conservative (opens everything) but never
-       wrong, since ``read`` re-applies it as a row filter.
+       carries no IndicatorId, so the indicator's value-id SET is
+       computed over the ALREADY-PRUNED bridge (a tiny driver action)
+       and pushed as an ``in`` predicate — per-member zone-map checks
+       plus per-file BLOOM membership, which prunes even hash-keyed
+       ids over an unsorted layout when the store declares
+       ``bloom_cols`` on ``IndicatorValueId``. A bridge past the
+       10k-id cap falls back to the [min, max] span as a ``between``
+       (the same trick Delta's dynamic file pruning plays on join
+       keys; wide for hash keys until the values table is compacted
+       sorted on ``IndicatorValueId``). Either form is conservative —
+       never wrong, since ``read`` re-applies it as a row filter.
 
     Results are identical to ``primary_query`` over full-table reads —
     pytest-pinned."""
@@ -945,14 +948,35 @@ def serve_primary_query(
             f"serve_primary_query: store at product {product_id} has no data "
             f"for table(s) {', '.join(missing)}"
         )
-    span = bridge.agg(
-        F.min("IndicatorValueId").alias("lo"), F.max("IndicatorValueId").alias("hi")
-    ).first()
-    where_vals = (
-        [("IndicatorValueId", "between", (span["lo"], span["hi"]))]
-        if span and span["lo"] is not None
-        else None
-    )
+    # Dynamic file pruning, set form first: the pruned bridge is one
+    # indicator's rows (tiny), so its DISTINCT value ids usually fit a
+    # driver list — pushed as an ``in`` predicate they engage the
+    # manifest BLOOMS (point-set membership), which prune hash-keyed
+    # layouts where a [min, max] span is uselessly wide. A bridge
+    # bigger than the cap falls back to the span ``between`` (still
+    # zone-map-prunable after sorted compaction). Both forms are
+    # conservative: ``read`` re-applies the predicate as a row filter.
+    id_cap = 10_000
+    ids = [
+        r[0]
+        for r in bridge.select("IndicatorValueId")
+        .where(F.col("IndicatorValueId").isNotNull())
+        .distinct()
+        .limit(id_cap + 1)
+        .collect()
+    ]
+    if ids and len(ids) <= id_cap:
+        where_vals = [("IndicatorValueId", "in", ids)]
+    else:
+        span = bridge.agg(
+            F.min("IndicatorValueId").alias("lo"),
+            F.max("IndicatorValueId").alias("hi"),
+        ).first()
+        where_vals = (
+            [("IndicatorValueId", "between", (span["lo"], span["hi"]))]
+            if span and span["lo"] is not None
+            else None
+        )
     values = store.read_product_slice("IndicatorValues", product_id, where=where_vals)
     if values is None:
         raise ValueError(

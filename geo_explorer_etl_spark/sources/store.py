@@ -161,10 +161,25 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
         if op == "==" and col in blooms:
             if not _bloom_may_contain(blooms[col], val):
                 return False
+        if op == "in" and col in blooms:
+            if not any(_bloom_may_contain(blooms[col], v) for v in val):
+                return False
         s = (stats or {}).get(col)
         if not s or col == "__bloom__":
             continue
         mn, mx = s
+        if op == "in":
+            # prune only when EVERY set member provably misses; any
+            # non-comparable member keeps the file
+            proven_empty = True
+            for v0 in val:
+                v = _normalize_bound(v0)
+                if v is None or not _stat_comparable(mn, v) or mn <= v <= mx:
+                    proven_empty = False
+                    break
+            if proven_empty and len(val) > 0:
+                return False
+            continue
         if op == "between":
             lo, hi = _normalize_bound(val[0]), _normalize_bound(val[1])
             # every pair that gets compared must be comparable (same
@@ -373,6 +388,8 @@ def _where_expr(where):
             exprs.append(c < val)
         elif op == "between":
             exprs.append(c.between(val[0], val[1]))
+        elif op == "in":
+            exprs.append(c.isin(list(val)))
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
     return functools.reduce(lambda a, b: a & b, exprs)
@@ -598,7 +615,9 @@ class TableStore:
         no extra Spark jobs.
 
         ``where`` is a list of ``(col, op, value)`` with op in
-        ``== >= > <= < between`` (between takes a ``(lo, hi)`` value):
+        ``== >= > <= < between in`` (between takes a ``(lo, hi)``
+        value; in takes a sequence, pruned per member through zone
+        maps AND blooms — the point-SET analog of ``==``):
         the predicates prune the FILE LIST through the manifest zone
         maps (min/max harvested from parquet footers at commit), then
         are applied as a real ``filter`` on the frame — so the result

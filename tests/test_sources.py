@@ -1349,3 +1349,53 @@ def test_fsck_repair_heals_leftovers_and_stats(spark, tmp_path):
     # a clean store (after GCing the fresh leftover too) reports nothing
     store.fsck("IndicatorValues", repair=True, older_than_seconds=0.0)
     assert store.fsck("IndicatorValues") == {}
+
+
+def test_in_predicate_prunes_by_zone_map_and_bloom(spark, tmp_path):
+    """``in`` — the point-SET predicate serve_primary_query pushes for
+    dynamic file pruning: zone maps prune when every member provably
+    misses a file's [min, max]; blooms prune hash-scattered layouts by
+    set membership. Results always equal read().filter(isin)."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 95
+    store = TableStore(spark, root, bloom_cols={"IndicatorValues": ["vid"]})
+
+    def frame(lo, n=200):
+        return spark.range(lo, lo + n).select(
+            F.col("id"),
+            # scattered ids: every file's [min,max] spans ~the key space
+            ((F.col("id") * 2654435761) % 1000000).alias("vid"),
+        ).coalesce(1)
+
+    store.replace_product_all(pid, {"IndicatorValues": frame(0)})
+    for lo in (1000, 2000):
+        store.append(
+            "IndicatorValues",
+            frame(lo).withColumn(PARTITION_COL, F.lit(pid).cast("long")),
+        )
+    assert len(store.live_files("IndicatorValues")) == 3
+
+    # probe ids that all live in the SECOND file (source ids 1000-1002)
+    ids = [(i * 2654435761) % 1000000 for i in (1000, 1001, 1002)]
+    where = [("vid", "in", ids)]
+    # blooms are probabilistic: a false positive may keep an extra
+    # file, but the probe must open FEWER than all files and results
+    # must be exact either way
+    assert len(store.live_files("IndicatorValues", where)) < 3
+    got = sorted(r["id"] for r in store.read("IndicatorValues", where).collect())
+    want = sorted(
+        r["id"]
+        for r in store.read("IndicatorValues").filter(F.col("vid").isin(ids)).collect()
+    )
+    assert got == want == [1000, 1001, 1002]
+
+    # an all-absent set prunes every file; empty set matches nothing
+    assert store.live_files("IndicatorValues", [("vid", "in", [10**9])]) == []
+    assert store.read("IndicatorValues", [("vid", "in", [10**9])]).count() == 0
+
+    # zone-map-only path (no blooms on `id`): a set wholly outside
+    # every range prunes; a straddling member keeps
+    assert store.live_files("IndicatorValues", [("id", "in", [5000, 6000])]) == []
+    assert len(store.live_files("IndicatorValues", [("id", "in", [5000, 1005])])) == 1
