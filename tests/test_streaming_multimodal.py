@@ -533,3 +533,61 @@ def test_locale_formatting(spark):
     fr = [r[0] for r in df.select(format_number_locale(F.col("v"), "fr-CA")).collect()]
     assert en == ["1,234,567.9", "0.5"]
     assert fr == ["1 234 567,9", "0,5"]
+
+
+def test_change_feed_reader_incremental_cursor(spark, tmp_path):
+    """ChangeFeedReader: polls deliver each committed delta exactly
+    once across reader RESTARTS (durable CAS cursor), a failing apply
+    leaves the cursor so the window replays, and a quiet poll is a
+    no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    from geo_explorer_etl_spark.streaming.incremental import ChangeFeedReader
+
+    root = str(tmp_path / "store")
+    pid = 3
+    store = TableStore(spark, root)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, f"v{i}") for i in ids], "id long, v string"
+        ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+
+    seen: list[tuple[str, int]] = []
+
+    def apply(changes):
+        seen.extend(
+            (r["_change_type"], r["id"]) for r in changes.collect()
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([1, 2])})
+    reader = ChangeFeedReader(store, "IndicatorValues", "consumer_a")
+    assert reader.poll(apply) is not None
+    assert sorted(seen) == [("insert", 1), ("insert", 2)]
+
+    # quiet window: no deltas, cursor still advances
+    pos = reader.position()
+    assert reader.poll(apply) is None
+    assert reader.position() >= pos and len(seen) == 2
+
+    # a crashing apply does NOT advance the cursor -> window replays
+    store.append("IndicatorValues", frame([3]))
+
+    def boom(changes):
+        raise RuntimeError("consumer crashed")
+
+    with pytest.raises(RuntimeError, match="consumer crashed"):
+        reader.poll(boom)
+    # a FRESH reader (new process) resumes from the durable cursor and
+    # re-delivers exactly the unacknowledged delta
+    reader2 = ChangeFeedReader(store, "IndicatorValues", "consumer_a")
+    assert reader2.poll(apply) is not None
+    assert sorted(seen) == [("insert", 1), ("insert", 2), ("insert", 3)]
+
+    # independent cursors don't interfere
+    other = ChangeFeedReader(store, "IndicatorValues", "consumer_b")
+    got: list = []
+    other.poll(lambda ch: got.extend(r["id"] for r in ch.collect()))
+    assert sorted(got) == [1, 2, 3]
