@@ -949,11 +949,14 @@ class TableStore:
                 append that won the race contributes its files instead
                 of being clobbered (no lost update). Existing files'
                 stats carry forward — only the appended files pay a
-                footer read."""
+                footer read. If the manifest vanished meanwhile (a
+                legacy replace_product dropped the partition to
+                listing mode) the update aborts: listing mode already
+                treats every on-disk file — including this append's —
+                as live, and a fresh manifest naming only the new
+                files would hide the rest."""
                 if prior_m is None:
-                    return self._build_manifest_body(
-                        part, sorted(new_names), schema_json=payload_schema.json()
-                    )
+                    return None
                 if prior_m.get("schema"):
                     merged = _merge_schemas(
                         _schema_from_json(prior_m["schema"]), payload_schema
@@ -1248,7 +1251,7 @@ class TableStore:
                 return
             except CommitConflict:
                 continue
-        raise CommitConflict(f"epoch ledger: still conflicting after 50 retries")
+        raise CommitConflict("epoch ledger: still conflicting after 50 retries")
 
     def append_epoch(
         self, stream_id: str, batch_id: int, table: str, df: DataFrame

@@ -81,6 +81,8 @@ def main() -> None:
         "store_read_full",
         "store_scan_fragmented",
         "store_scan_compacted",
+        "store_point_bloom",
+        "store_point_nobloom",
     ):
         queries[name] = getattr(store_bench, name)
 
