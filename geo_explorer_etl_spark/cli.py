@@ -58,18 +58,34 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--compact-sort",
         metavar="COLUMN",
-        help="with --compact: cluster the rewrite on COLUMN "
-        "(range-partitioned, sorted files -> tight zone maps, so "
-        "COLUMN-filtered reads skip non-covering files)",
+        nargs="+",
+        help="with --compact: cluster the rewrite on COLUMN(s) "
+        "(one column: range-partitioned sorted files; two or more: "
+        "interleaved-bit Z-order -> tight zone maps on EVERY listed "
+        "column, so filtered reads skip non-covering files)",
+    )
+    p.add_argument(
+        "--fsck",
+        action="store_true",
+        help="audit the store (missing / superseded / unknown / "
+        "stats_missing per table) and exit",
+    )
+    p.add_argument(
+        "--repair",
+        action="store_true",
+        help="with --fsck: GC aged unknown leftovers and re-harvest "
+        "missing zone-map/bloom stats (live data never touched)",
     )
     args = p.parse_args(argv)
 
     has_range = args.start is not None or args.end is not None
     if args.compact_sort and not args.compact:
         p.error("--compact-sort requires --compact")
-    if args.vacuum is not None or args.compact:
+    if args.repair and not args.fsck:
+        p.error("--repair requires --fsck")
+    if args.vacuum is not None or args.compact or args.fsck:
         if args.insert or args.prodid or has_range:
-            p.error("--vacuum/--compact run alone")
+            p.error("--vacuum/--compact/--fsck run alone")
         return args
     if args.insert and not args.prodid:
         p.error("--insert requires --prodid")
@@ -99,13 +115,21 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("geo-explorer-etl")
     store = TableStore(spark, args.warehouse)
-    if args.compact or args.vacuum is not None:
+    if args.compact or args.vacuum is not None or args.fsck:
         if args.compact:
-            n = store.compact(sort_by=args.compact_sort)
+            sort_by = args.compact_sort
+            if sort_by is not None and len(sort_by) == 1:
+                sort_by = sort_by[0]
+            n = store.compact(sort_by=sort_by)
             print(f"compact: rewrote {n} fragmented partitions")
         if args.vacuum is not None:
             removed = store.vacuum(older_than_seconds=args.vacuum * 3600)
             print(f"vacuum: removed {removed} superseded files")
+        if args.fsck:
+            import json as _json
+
+            report = store.fsck(repair=args.repair)
+            print(_json.dumps(report, indent=2) if report else "fsck: clean")
         return 0
     wds = WdsClient(spark)
 

@@ -203,3 +203,23 @@ def test_sql_frontend_matches_dataframe_view(spark, tmp_path):
         ).collect()
     }
     assert sql_rc == df_rc and len(sql_rc) > 0
+
+
+def test_cli_fsck_and_multi_sort_flags():
+    """--fsck [--repair] parse as standalone ops; --compact-sort takes
+    one column (range sort) or several (Z-order); --repair requires
+    --fsck."""
+    import pytest
+
+    from geo_explorer_etl_spark.cli import parse_args
+
+    a = parse_args(["--fsck"])
+    assert a.fsck and not a.repair
+    a = parse_args(["--fsck", "--repair"])
+    assert a.fsck and a.repair
+    a = parse_args(["--compact", "--compact-sort", "RefDate", "GeographicLevelId"])
+    assert a.compact_sort == ["RefDate", "GeographicLevelId"]
+    with pytest.raises(SystemExit):
+        parse_args(["--repair"])
+    with pytest.raises(SystemExit):
+        parse_args(["--fsck", "--prodid", "35100177"])
