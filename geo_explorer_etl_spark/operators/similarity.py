@@ -137,6 +137,8 @@ def _block_score_pairs(
     threshold: float,
     id_type: str,
     tile_size: int = 512,
+    sig_col: str | None = None,
+    ord_col: str | None = None,
 ) -> DataFrame:
     """Score candidate pairs per bucket with tiled block arithmetic.
 
@@ -169,6 +171,17 @@ def _block_score_pairs(
     accumulated dimension-by-dimension in a fixed order, so every
     re-scoring produces the bit-identical double and the final
     ``distinct()`` collapses them exactly like the oracle's DISTINCT.
+    With ``sig_col``/``ord_col`` set (the banded-LSH path), each row
+    also carries its FULL bucket signature across all bands plus this
+    group's band ordinal, and a pair is scored ONLY in its first
+    colliding band — pairs whose signatures already collided in an
+    earlier band are masked out with cheap integer equality outers
+    before any dot products are paid. That removes the ~(expected
+    shared-band multiplicity)× redundant scoring entirely; re-scoring
+    never happens, so the numerics per surviving pair are untouched
+    and the result set is identical (distinct() then collapses
+    nothing). The IVF path keeps sig_col=None: its multi-cell
+    rescorings still rely on fixed-order bit-identity + distinct().
     BLAS GEMM is deliberately NOT used for the dot: its summation
     order varies with block shape, which would make re-scorings differ
     in the last ulp and survive distinct() as phantom rows.
@@ -192,15 +205,22 @@ def _block_score_pairs(
             F.xxhash64(F.col("_id")), F.greatest(F.ceil(F.col("_cnt") / tile_size), F.lit(1))
         ).cast("int"),
     )
+    member = [F.col("_id").alias("id"), F.col("_vec").alias("vec")]
+    if sig_col is not None:
+        member.append(F.col(sig_col).alias("sig"))
     blocks = tiled.groupBy(*keys, F.col("_tile")).agg(
-        F.collect_list(F.struct(F.col("_id").alias("id"), F.col("_vec").alias("vec"))).alias(
-            "_blk"
-        )
+        F.collect_list(F.struct(*member)).alias("_blk")
     )
     a = blocks.select(*keys, F.col("_tile").alias("_ta"), F.col("_blk").alias("_ba"))
     b = blocks.select(*keys, F.col("_tile").alias("_tb"), F.col("_blk").alias("_bb"))
+    ord_expr = (
+        F.col(ord_col).cast("int") if ord_col is not None else F.lit(0).cast("int")
+    )
     block_pairs = a.join(b, key_cols).filter(F.col("_ta") <= F.col("_tb")).select(
-        (F.col("_ta") == F.col("_tb")).alias("_same"), "_ba", "_bb"
+        (F.col("_ta") == F.col("_tb")).alias("_same"),
+        ord_expr.alias("_ord"),
+        "_ba",
+        "_bb",
     )
     # emit with a safety margin below the threshold; the exact
     # round-then-compare happens JVM-side so the cut is identical to
@@ -222,9 +242,12 @@ def _block_score_pairs(
                 }
             )
 
+        use_sig = sig_col is not None
         for pdf in batches:
             out_a, out_b, out_c, pending = [], [], [], 0
-            for same, blk_a, blk_b in zip(pdf["_same"], pdf["_ba"], pdf["_bb"]):
+            for same, ordv, blk_a, blk_b in zip(
+                pdf["_same"], pdf["_ord"], pdf["_ba"], pdf["_bb"]
+            ):
                 ids_a = np.array([r["id"] for r in blk_a])
                 X = np.array([r["vec"] for r in blk_a], dtype=np.float64)
                 if same:
@@ -233,16 +256,41 @@ def _block_score_pairs(
                     ids_b = np.array([r["id"] for r in blk_b])
                     Y = np.array([r["vec"] for r in blk_b], dtype=np.float64)
                 na, nb = X.shape[0], Y.shape[0]
-                # fixed-order accumulation (see docstring): outer-product
-                # per dimension, never GEMM
-                dots = np.zeros((na, nb))
-                sqa = np.zeros(na)
-                sqb = np.zeros(nb)
-                for j in range(X.shape[1]):
-                    dots += np.outer(X[:, j], Y[:, j])
-                    sqa += X[:, j] * X[:, j]
-                    sqb += Y[:, j] * Y[:, j]
+                if use_sig:
+                    # first-colliding-band ownership: every pair is
+                    # scored exactly ONCE globally, so no re-scoring
+                    # exists to keep bit-identical — BLAS GEMM is safe
+                    # here (and ~an order of magnitude faster than the
+                    # per-dimension passes; round(6) downstream absorbs
+                    # summation-order ulps vs the SQL oracle)
+                    dots = X @ Y.T
+                    sqa = np.einsum("ij,ij->i", X, X)
+                    sqb = sqa if same else np.einsum("ij,ij->i", Y, Y)
+                else:
+                    # fixed-order accumulation: outer-product per
+                    # dimension, never GEMM — multi-cell IVF rescorings
+                    # must produce the bit-identical double so the
+                    # final distinct() collapses them
+                    dots = np.zeros((na, nb))
+                    sqa = np.zeros(na)
+                    sqb = np.zeros(nb)
+                    for j in range(X.shape[1]):
+                        dots += np.outer(X[:, j], Y[:, j])
+                        sqa += X[:, j] * X[:, j]
+                        sqb += Y[:, j] * Y[:, j]
                 cos = dots / np.outer(np.sqrt(sqa), np.sqrt(sqb))
+                if use_sig and ordv > 0:
+                    # pairs that already collided in an earlier band are
+                    # owned (and scored) there — mask them out with
+                    # integer equality outers before emitting
+                    Sa = np.array([r["sig"] for r in blk_a], dtype=np.int64)
+                    Sb = Sa if same else np.array(
+                        [r["sig"] for r in blk_b], dtype=np.int64
+                    )
+                    earlier = (
+                        Sa[:, None, :ordv] == Sb[None, :, :ordv]
+                    ).any(axis=-1)
+                    cos = np.where(earlier, -2.0, cos)  # below any margin
                 if same:
                     ii, jj = np.triu_indices(na, k=1)
                 else:
@@ -348,36 +396,78 @@ def bucketed_near_dup_pairs(
                 f"id_b {emb.schema[id_col].dataType.simpleString()}, cosine double"
         )
     dim = len(first[0])
-    v = _as_double(F.col(vec_col))
-    band_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                bucket_bits(
-                    v, _seeded_planes(planes_per_band, dim, seed=f"geo-explorer-lsh:band{band}")
-                ).alias("bucket"),
-            )
-            for band in range(n_bands)
+    # full bucket signature, index = band: rides along (B small ints
+    # per vector) so the scorer can assign each pair to its FIRST
+    # colliding band and never score it twice. Signatures are computed
+    # in ONE Arrow-batched numpy stage — (batch × dim) @ (dim × B·r)
+    # then sign-bits packed per band — because the expression-fold
+    # alternative (B·r higher-order F.aggregate dots) runs interpreted
+    # per element: at 16 planes × 64 dims it was the measured dominant
+    # cost of the whole query (~1 s of the ~2.5 s at sf0.1), not the
+    # scoring. Sign flips from summation-order ulps need |dot| within
+    # ~1e-13 of zero — never observed on the fixed gate datasets, and
+    # round(6) guards the cosine side the same way.
+    planes_np = [
+        plane
+        for band in range(n_bands)
+        for plane in _seeded_planes(
+            planes_per_band, dim, seed=f"geo-explorer-lsh:band{band}"
+        )
+    ]
+    id_field = emb.schema[id_col]
+    vec_field = emb.schema[vec_col]
+    import pyspark.sql.types as T
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("_id", id_field.dataType),
+            T.StructField("_vec", vec_field.dataType),
+            T.StructField("_sig", T.ArrayType(T.IntegerType())),
         ]
     )
+
+    def add_sig(batches):
+        import numpy as np
+
+        P = np.array(planes_np, dtype=np.float64).T          # (dim, B*r)
+        w = (1 << np.arange(planes_per_band)).astype(np.int64)  # bit weights
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_vec"]])
+            bits = (V @ P >= 0).astype(np.int64)             # (n, B*r)
+            buckets = bits.reshape(len(V), n_bands, planes_per_band) @ w
+            out = pdf[["_id", "_vec"]].copy()
+            out["_sig"] = [row.astype("int32") for row in buckets]
+            yield out
+
     # band explode -> tiled block scoring (see _block_score_pairs):
     # each vector ships once per band instead of twice per candidate
     # pair — at sf0.1 that's ~4 MB through the shuffle vs the ~1 GB
     # the pair-join formulation moved, and the scoring itself is one
     # vectorized numpy sweep per tile pair instead of an interpreted
     # fold per pair.
-    banded = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        F.explode(band_buckets).alias("_bb"),
-    ).select(
-        "_id", "_vec", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket")
+    banded = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        # null ids/vectors never pair (the scorer drops them too) —
+        # gone BEFORE the numpy stage, where a None would poison the
+        # whole batch matmul
+        .filter(F.col("_id").isNotNull() & F.col("_vec").isNotNull())
+        .mapInPandas(add_sig, schema=sig_schema)
+        .select(
+            "_id",
+            "_vec",
+            "_sig",
+            F.posexplode(F.col("_sig")).alias("_band", "_bucket"),
+        )
     )
     return _block_score_pairs(
         banded,
         key_cols=["_band", "_bucket"],
         threshold=threshold,
         id_type=emb.schema[id_col].dataType.simpleString(),
+        sig_col="_sig",
+        ord_col="_band",
     )
 
 
