@@ -139,6 +139,7 @@ def _block_score_pairs(
     tile_size: int = 512,
     sig_col: str | None = None,
     ord_col: str | None = None,
+    own_mode: str = "prefix",
 ) -> DataFrame:
     """Score candidate pairs per bucket with tiled block arithmetic.
 
@@ -171,17 +172,24 @@ def _block_score_pairs(
     accumulated dimension-by-dimension in a fixed order, so every
     re-scoring produces the bit-identical double and the final
     ``distinct()`` collapses them exactly like the oracle's DISTINCT.
-    With ``sig_col``/``ord_col`` set (the banded-LSH path), each row
-    also carries its FULL bucket signature across all bands plus this
-    group's band ordinal, and a pair is scored ONLY in its first
-    colliding band — pairs whose signatures already collided in an
-    earlier band are masked out with cheap integer equality outers
-    before any dot products are paid. That removes the ~(expected
-    shared-band multiplicity)× redundant scoring entirely; re-scoring
-    never happens, so the numerics per surviving pair are untouched
-    and the result set is identical (distinct() then collapses
-    nothing). The IVF path keeps sig_col=None: its multi-cell
-    rescorings still rely on fixed-order bit-identity + distinct().
+    With ``sig_col``/``ord_col`` set, each row also carries its FULL
+    bucket signature plus this group's ordinal, and every pair is
+    emitted from exactly ONE owning group — ``own_mode`` picks the
+    ownership rule:
+
+    - ``"prefix"`` (banded LSH): sig index IS the band; the pair
+      belongs to its first colliding band, so groups mask pairs whose
+      signatures already collided at an earlier index;
+    - ``"min"`` (IVF multi-probe): sig is the unordered probed-cell
+      set; the pair belongs to the SMALLEST cell id both rows probed,
+      so groups mask pairs whose shared-cell minimum isn't this cell.
+
+    Either way the mask costs cheap integer outers before any dot
+    products are paid, removes the ~(expected shared-bucket
+    multiplicity)× redundant scoring entirely, and — because no pair
+    is ever scored twice — frees the dot products to use BLAS GEMM
+    (the fixed-order constraint exists only so RE-scorings collapse
+    bit-exactly under distinct(); with ownership there are none).
     BLAS GEMM is deliberately NOT used for the dot: its summation
     order varies with block shape, which would make re-scorings differ
     in the last ulp and survive distinct() as phantom rows.
@@ -279,18 +287,36 @@ def _block_score_pairs(
                         sqa += X[:, j] * X[:, j]
                         sqb += Y[:, j] * Y[:, j]
                 cos = dots / np.outer(np.sqrt(sqa), np.sqrt(sqb))
-                if use_sig and ordv > 0:
-                    # pairs that already collided in an earlier band are
-                    # owned (and scored) there — mask them out with
-                    # integer equality outers before emitting
+                if use_sig:
                     Sa = np.array([r["sig"] for r in blk_a], dtype=np.int64)
                     Sb = Sa if same else np.array(
                         [r["sig"] for r in blk_b], dtype=np.int64
                     )
-                    earlier = (
-                        Sa[:, None, :ordv] == Sb[None, :, :ordv]
-                    ).any(axis=-1)
-                    cos = np.where(earlier, -2.0, cos)  # below any margin
+                    if own_mode == "prefix" and ordv > 0:
+                        # owned by the first colliding band: mask pairs
+                        # that already collided at an earlier index
+                        not_mine = (
+                            Sa[:, None, :ordv] == Sb[None, :, :ordv]
+                        ).any(axis=-1)
+                        cos = np.where(not_mine, -2.0, cos)  # below any margin
+                    elif own_mode == "min":
+                        # owned by the smallest shared cell id: for each
+                        # a-side probe value, pairs where the b side also
+                        # probed it lower their shared-min candidate —
+                        # one (na, nb, p) boolean sweep per probe keeps
+                        # memory linear in p instead of quadratic
+                        shared_min = np.full(
+                            (len(ids_a), len(ids_b)), np.iinfo(np.int64).max
+                        )
+                        for kk in range(Sa.shape[1]):
+                            a_k = Sa[:, kk][:, None]          # (na, 1)
+                            match = (a_k[:, :, None] == Sb[None, :, :]).any(-1)
+                            shared_min = np.where(
+                                match,
+                                np.minimum(shared_min, a_k),
+                                shared_min,
+                            )
+                        cos = np.where(shared_min != ordv, -2.0, cos)
                 if same:
                     ii, jj = np.triu_indices(na, k=1)
                 else:
@@ -545,10 +571,11 @@ def ivf_near_dup_pairs(
       vector ships once per probed cell (~n·nprobe·dim doubles) instead
       of twice per candidate pair (~pairs·2·dim — at sf0.1 that is
       ~6 MB vs ~1.2 GB through the shuffle), and scoring is a
-      vectorized numpy sweep per tile pair. Dots accumulate in the
-      fixed dimension order, so a pair scored in several shared cells
-      collapses under distinct() bit-exactly and the DuckDB oracle is
-      untouched.
+      vectorized numpy sweep per tile pair. Each row carries its full
+      probe set, so the scorer assigns every pair to its MIN shared
+      cell and scores it exactly once (own_mode="min") — no
+      re-scoring exists, GEMM is safe, and the DuckDB oracle is
+      untouched (same pair set, same rounded cosines).
     - ``"pairs"`` distinct-dedupes candidate ids first and computes one
       JVM-side fold per pair — the shape the oracle SQL mirrors
       literally, and the path the ``angular_prune`` bound applies to
@@ -632,20 +659,31 @@ def ivf_near_dup_pairs(
                     id_col: pdf[id_col].to_numpy().repeat(k),
                     "_cell": cells,
                     "_sim": sims,
+                    # the row's FULL probe set rides along so the tiled
+                    # scorer can assign each pair to its min shared cell
+                    "_probes": [top[i // k].astype("int32") for i in range(len(rows))],
                 }
             )
 
     # id field keeps the INPUT id type (string ids must round-trip
     # unchanged, not be coerced to long)
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} {id_type}, _cell int, _sim double"
+        assign, schema=f"{id_col} {id_type}, _cell int, _sim double, _probes array<int>"
     )
     if scorer == "tiled":
         grouped = assigned.join(
             emb.select(F.col(id_col), F.col(vec_col).alias("_vec")), id_col
-        ).select(F.col(id_col).alias("_id"), F.col("_vec"), F.col("_cell"))
+        ).select(
+            F.col(id_col).alias("_id"), F.col("_vec"), F.col("_cell"), F.col("_probes")
+        )
         return _block_score_pairs(
-            grouped, key_cols=["_cell"], threshold=threshold, id_type=id_type
+            grouped,
+            key_cols=["_cell"],
+            threshold=threshold,
+            id_type=id_type,
+            sig_col="_probes",
+            ord_col="_cell",
+            own_mode="min",
         )
     # ids-only cell join -> angular bound -> distinct -> join vectors
     # back (same shape as bucketed_near_dup_pairs): one dot per distinct
