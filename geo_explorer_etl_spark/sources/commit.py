@@ -89,11 +89,15 @@ class CommitBackend(ABC):
 
 class LocalFSBackend(CommitBackend):
     """POSIX primitives: blob lives AT ``d/key``, swapped via
-    tmp + atomic rename; writers serialize under one ``flock`` at the
-    store root. The version rides inside the body (absent = 0 for
-    manifests written before versioning existed) — under the flock the
-    conditional check can never fail, but it is enforced anyway so a
-    caller bug surfaces as a loud conflict, not a lost update."""
+    tmp + atomic rename. The version rides inside the body (absent = 0
+    for manifests written before versioning existed). The conditional
+    check runs under a PER-BLOB flock (``d/key.lock``): a bare
+    read-check-rename would be a cross-process TOCTOU — two appenders
+    could both pass the version check and the loser's update would
+    silently vanish. The per-blob lock is distinct from the store-wide
+    writer lock (``lock()``), so a publisher already holding the store
+    lock never re-enters the same flock (no self-deadlock), and
+    lock-ordering is always store-lock → blob-lock."""
 
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         f = d / key
@@ -103,19 +107,26 @@ class LocalFSBackend(CommitBackend):
         return int(body.get("version", 0)), body
 
     def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
-        cur = self.read(d, key)
-        if (cur[0] if cur else 0) != expected_version:
-            raise CommitConflict(
-                f"{d / key}: expected version {expected_version}, "
-                f"found {cur[0] if cur else 0}"
-            )
-        version = expected_version + 1
-        body = dict(body, version=version)
+        import fcntl
+
         d.mkdir(parents=True, exist_ok=True)
-        tmp = d / f"{key}.tmp"
-        tmp.write_text(json.dumps(body))
-        tmp.rename(d / key)  # atomic swap: the snapshot point
-        return version
+        with open(d / f"{key}.lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                cur = self.read(d, key)
+                if (cur[0] if cur else 0) != expected_version:
+                    raise CommitConflict(
+                        f"{d / key}: expected version {expected_version}, "
+                        f"found {cur[0] if cur else 0}"
+                    )
+                version = expected_version + 1
+                body = dict(body, version=version)
+                tmp = d / f"{key}.tmp"
+                tmp.write_text(json.dumps(body))
+                tmp.rename(d / key)  # atomic swap: the snapshot point
+                return version
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def delete(self, d: Path, key: str) -> None:
         (d / key).unlink(missing_ok=True)
@@ -209,6 +220,35 @@ class CASBackend(CommitBackend):
     @contextmanager
     def lock(self, root: Path):
         yield  # optimistic: CAS conflicts are the serialization point
+
+
+def cas_update(
+    backend: CommitBackend,
+    d: Path,
+    key: str,
+    update_fn,
+    max_retries: int = 50,
+):
+    """THE optimistic-concurrency loop every control-blob write goes
+    through: ``update_fn(current_body_or_None)`` returns the full new
+    body (or None to abort). Read version → compute → conditional
+    write → retry against the winner's snapshot on conflict. Returns
+    the committed body, or None when the update aborted. Raises
+    :class:`CommitConflict` after ``max_retries`` losses (a live-lock
+    signal, not a normal outcome)."""
+    for _ in range(max_retries):
+        cur = backend.read(d, key)
+        body = update_fn(cur[1] if cur else None)
+        if body is None:
+            return None
+        try:
+            v = backend.write(d, key, body, cur[0] if cur else 0)
+        except CommitConflict:
+            continue
+        return dict(body, version=v)
+    raise CommitConflict(
+        f"{d / key}: still conflicting after {max_retries} retries"
+    )
 
 
 def make_backend(backend: str | CommitBackend) -> CommitBackend:

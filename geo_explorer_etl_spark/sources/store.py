@@ -162,7 +162,10 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
             if not _bloom_may_contain(blooms[col], val):
                 return False
         if op == "in" and col in blooms:
-            if not any(_bloom_may_contain(blooms[col], v) for v in val):
+            decoded = _bloom_decode(blooms[col])  # once per file, not per member
+            if decoded is not None and not any(
+                _bloom_test(*decoded, v) for v in val
+            ):
                 return False
         s = (stats or {}).get(col)
         if not s or col == "__bloom__":
@@ -258,15 +261,53 @@ def _bloom_key(v) -> str | None:
     return None
 
 
-def _bloom_positions(key: str, k: int, m: int):
-    """Double hashing off one md5: positions h1 + i*h2 (mod m) —
-    stable across processes (no PYTHONHASHSEED dependence)."""
+def _bloom_hash128(key: str) -> tuple[int, int]:
+    """The two 64-bit double-hashing bases for a key — md5-derived
+    (stable across processes, no PYTHONHASHSEED dependence) and
+    LRU-cached: a point-SET predicate probes the same members against
+    every candidate file's bloom, so each member pays its digest once
+    per listing, not once per file."""
     import hashlib
 
     d = hashlib.md5(key.encode("utf-8")).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:], "big") | 1
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+import functools as _functools
+
+_bloom_hash128 = _functools.lru_cache(maxsize=65536)(_bloom_hash128)
+
+
+def _bloom_positions(key: str, k: int, m: int):
+    h1, h2 = _bloom_hash128(key)
     return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_decode(bloom: dict) -> tuple[bytes, int, int] | None:
+    """Decoded (bits, m, k), or None for an unusable body (treat as
+    'keep the file'). Callers decode ONCE per file and then test every
+    probe value against the shared bit array — the base64 body can be
+    128 KiB, so per-member decoding would dominate driver-side listing
+    for large ``in`` sets."""
+    import base64
+
+    try:
+        bits = base64.b64decode(bloom["b64"])
+        m, k = int(bloom["m"]), int(bloom["k"])
+    except Exception:
+        return None
+    if m <= 0 or len(bits) * 8 < m:  # truncated/corrupt body
+        return None
+    return bits, m, k
+
+
+def _bloom_test(bits: bytes, m: int, k: int, val) -> bool:
+    key = _bloom_key(val)
+    if key is None:
+        return True
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_positions(key, k, m)
+    )
 
 
 def _build_blooms(path: Path, cols: list[str], max_bits: int = BLOOM_MAX_BITS) -> dict:
@@ -320,21 +361,10 @@ def _bloom_may_contain(bloom: dict, val) -> bool:
     """False only when every hash position is clear — a PROOF the
     value was absent from the file at commit. Unknown/undecodable
     values keep the file."""
-    import base64
-
-    key = _bloom_key(val)
-    if key is None:
+    decoded = _bloom_decode(bloom)
+    if decoded is None:
         return True
-    try:
-        bits = base64.b64decode(bloom["b64"])
-        m, k = int(bloom["m"]), int(bloom["k"])
-    except Exception:
-        return True
-    if m <= 0 or len(bits) * 8 < m:  # truncated/corrupt body: keep the file
-        return True
-    return all(
-        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_positions(key, k, m)
-    )
+    return _bloom_test(*decoded, val)
 
 
 def _merge_schemas(a, b):
@@ -413,25 +443,40 @@ def _zorder_key(df: DataFrame, cols: list[str]) -> "F.Column":
     whole-stage codegen); nulls sort lowest (scaled to 0). String
     columns are rejected: hashing them would destroy the locality that
     is the whole point — cluster on their dictionary ids upstream
-    instead."""
-    scaled = []
-    top = (1 << ZORDER_BITS) - 1
+    instead.
+
+    Per-dimension resolution adapts to the column count —
+    ``min(ZORDER_BITS, 63 // k)`` bits each — so every interleaved bit
+    position stays inside a bigint's 63 value bits: a fixed 16 bits
+    would push column 4's top bit into the SIGN bit (inverting the
+    range-clustering on exactly the hottest values) and wrap shifts
+    ≥64 entirely at 5+ columns. All column ranges come from ONE
+    combined aggregate (a single scan, not one per column)."""
+    k = len(cols)
+    bits = min(ZORDER_BITS, 63 // k)
+    top = (1 << bits) - 1
     by_name = dict(df.dtypes)
+    exprs = []
     for c in cols:
         dt = by_name.get(c)
         if dt is None:
             raise ValueError(f"z-order column {c!r} not in frame")
         if dt in ("date",) or dt.startswith("timestamp"):
-            expr = F.col(c).cast("timestamp").cast("double")
+            exprs.append(F.col(c).cast("timestamp").cast("double"))
         elif dt in ("string", "binary", "boolean") or dt.startswith(("array", "map", "struct", "decimal")):
             raise ValueError(
                 f"z-order column {c!r} has unsupported type {dt} "
                 "(numeric/date/timestamp only)"
             )
         else:
-            expr = F.col(c).cast("double")
-        row = df.agg(F.min(expr).alias("mn"), F.max(expr).alias("mx")).first()
-        mn, mx = row["mn"], row["mx"]
+            exprs.append(F.col(c).cast("double"))
+    row = df.agg(
+        *[a for i, e in enumerate(exprs)
+          for a in (F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}"))]
+    ).first()
+    scaled = []
+    for i, expr in enumerate(exprs):
+        mn, mx = row[f"mn{i}"], row[f"mx{i}"]
         if mn is None or mx is None or mx <= mn:
             scaled.append(F.lit(0).cast("bigint"))
             continue
@@ -442,10 +487,9 @@ def _zorder_key(df: DataFrame, cols: list[str]) -> "F.Column":
                 F.lit(0),
             )
         )
-    k = len(cols)
     z = F.lit(0).cast("bigint")
     for i, s in enumerate(scaled):
-        for b in range(ZORDER_BITS):
+        for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + i)
             )
@@ -521,29 +565,20 @@ class TableStore:
         cur = self._backend.read(part_dir, COMMITTED)
         return cur[1] if cur else None
 
-    def _update_manifest(self, part_dir: Path, update_fn, max_retries: int = 50):
-        """Optimistic read-compute-CAS loop, the one shape every
-        manifest write goes through: ``update_fn(prior_body_or_None)``
-        returns the FULL new manifest body (or None to abort). Under
-        the flock'd local backend the first attempt always wins; under
-        CAS a losing writer recomputes against the winner's snapshot —
-        so concurrent appends to one partition merge instead of
-        clobbering (no lost update)."""
-        for _ in range(max_retries):
-            cur = self._backend.read(part_dir, COMMITTED)
-            version = cur[0] if cur else 0
-            body = update_fn(cur[1] if cur else None)
-            if body is None:
-                return None
-            try:
-                v = self._backend.write(part_dir, COMMITTED, body, version)
-            except CommitConflict:
-                continue
-            self._append_history(part_dir, dict(body, version=v))
-            return body
-        raise CommitConflict(
-            f"{part_dir / COMMITTED}: still conflicting after {max_retries} retries"
-        )
+    def _update_manifest(self, part_dir: Path, update_fn):
+        """Optimistic read-compute-CAS loop (``commit.cas_update``),
+        the one shape every manifest write goes through:
+        ``update_fn(prior_body_or_None)`` returns the FULL new
+        manifest body (or None to abort). A losing writer recomputes
+        against the winner's snapshot — so concurrent appends to one
+        partition merge instead of clobbering (no lost update, pinned
+        on both backends)."""
+        from .commit import cas_update
+
+        body = cas_update(self._backend, part_dir, COMMITTED, update_fn)
+        if body is not None:
+            self._append_history(part_dir, body)
+        return body
 
     @staticmethod
     def _append_history(part_dir: Path, body: dict) -> None:
@@ -1096,17 +1131,14 @@ class TableStore:
         to replace content carrying a NEWER seq, so whatever tables the
         loser manages to publish are re-superseded by the winner and
         the store converges to ONE writer's version across all tables —
-        never a torn mix. (Under the flock'd local backend writers
-        serialize anyway and the first claim always succeeds.)"""
-        d = Path(self.root) / "_pseq"
-        for _ in range(50):
-            cur = self._backend.read(d, f"{product_id}.json")
-            v = cur[0] if cur else 0
-            try:
-                return self._backend.write(d, f"{product_id}.json", {}, v)
-            except CommitConflict:
-                continue
-        raise CommitConflict(f"product {product_id}: seq claim still conflicting")
+        never a torn mix."""
+        from .commit import cas_update
+
+        body = cas_update(
+            self._backend, Path(self.root) / "_pseq", f"{product_id}.json",
+            lambda prior: {},
+        )
+        return body["version"]
 
     def replace_product_all(
         self, product_id: int, frames: dict[str, DataFrame]
@@ -1228,30 +1260,72 @@ class TableStore:
     # rolls back (no manifest) or rolls forward (recover() completes
     # the publish and the ledger entry) — rows land exactly once.
 
+    @staticmethod
+    def _ledger_streams(body: dict | None) -> dict:
+        """High-water map out of a ledger body — including the LEGACY
+        flat ``{stream: batch}`` layout written before the ledger moved
+        behind the commit backend (dropping those records would turn
+        every replay on an upgraded store into a duplicate append)."""
+        if not body:
+            return {}
+        if "streams" in body:
+            return dict(body["streams"])
+        return {k: v for k, v in body.items() if k != "version"}
+
     def _epoch_ledger(self) -> dict:
         """O(streams) by construction: one high-water batch id per
         stream (replays are monotone), NOT one entry per micro-batch —
         the ledger's size is bounded by the number of distinct writers,
         never by stream lifetime (pytest-pinned)."""
         cur = self._backend.read(Path(self.root), EPOCHS)
-        return cur[1].get("streams", {}) if cur else {}
+        return self._ledger_streams(cur[1] if cur else None)
+
+    def _claim_epoch(self, stream_id: str, batch_id: int, txn_name: str) -> bool:
+        """THE exactly-once arbiter: atomically advance the stream's
+        high-water to ``batch_id`` AND record which txn owns it. The
+        CAS write admits exactly one winner per (stream, batch) even
+        on the lock-free backend — a replayer that stages concurrently
+        loses the claim, discards its own staging, and never publishes.
+        Returns True iff ``txn_name`` owns the batch (a re-entrant
+        check from recover() also lands here)."""
+        from .commit import cas_update
+
+        def advance(prior):
+            streams = self._ledger_streams(prior)
+            txns = dict((prior or {}).get("txns", {}))
+            if int(batch_id) <= int(streams.get(stream_id, -1)):
+                return None  # already claimed: ownership decided below
+            streams[stream_id] = int(batch_id)
+            txns[stream_id] = txn_name
+            return {"streams": streams, "txns": txns}
+
+        body = cas_update(self._backend, Path(self.root), EPOCHS, advance)
+        if body is not None:
+            return True
+        cur = self._backend.read(Path(self.root), EPOCHS)
+        streams = self._ledger_streams(cur[1] if cur else None)
+        txns = (cur[1] if cur else {}).get("txns", {})
+        return (
+            int(streams.get(stream_id, -1)) == int(batch_id)
+            and txns.get(stream_id) == txn_name
+        )
 
     def _record_epoch(self, stream_id: str, batch_id: int) -> None:
-        """High-water merge with CAS retry: the max() is recomputed
-        against the current ledger on every attempt, so two streams
-        recording concurrently (lock-free CAS backend) both land."""
-        root = Path(self.root)
-        for _ in range(50):
-            cur = self._backend.read(root, EPOCHS)
-            version = cur[0] if cur else 0
-            streams = dict(cur[1].get("streams", {})) if cur else {}
-            streams[stream_id] = max(int(batch_id), int(streams.get(stream_id, -1)))
-            try:
-                self._backend.write(root, EPOCHS, {"streams": streams}, version)
-                return
-            except CommitConflict:
-                continue
-        raise CommitConflict("epoch ledger: still conflicting after 50 retries")
+        """High-water max-merge (idempotent; keeps the txn-owner map):
+        retained for roll-forwards of txns that predate claims and for
+        hand-built test txns — the claim above already records normal
+        appends."""
+        from .commit import cas_update
+
+        def merge(prior):
+            streams = self._ledger_streams(prior)
+            hw = max(int(batch_id), int(streams.get(stream_id, -1)))
+            if streams.get(stream_id) == hw and prior and "streams" in prior:
+                return None  # already current
+            streams[stream_id] = hw
+            return {"streams": streams, "txns": dict((prior or {}).get("txns", {}))}
+
+        cas_update(self._backend, Path(self.root), EPOCHS, merge)
 
     def append_epoch(
         self, stream_id: str, batch_id: int, table: str, df: DataFrame
@@ -1264,21 +1338,27 @@ class TableStore:
         check relies on. Readers get the same snapshot isolation as a
         publish: rows become visible at the atomic manifest swap.
 
-        LOCK SCOPE: the Spark staging write — by far the longest part
-        of the batch — runs OUTSIDE the store lock (the staging dir is
-        uniquely named per stream/batch, touching nothing live), so
-        concurrent store opens / publishes / vacuums are not blocked
-        for the whole batch-write duration. The lock is taken only for
-        the authoritative ledger check, the MANIFEST commit rename,
-        and the publish; the unlocked pre-check just short-circuits
-        obvious replays before paying the staging write."""
+        LOCK SCOPE + ARBITRATION: the Spark staging write — by far the
+        longest part of the batch — runs OUTSIDE the store lock, into
+        a staging dir uniquely named PER ATTEMPT (two concurrent
+        writers of the same batch can never stomp each other's files).
+        Exactly-once is decided by ``_claim_epoch``: after the MANIFEST
+        commit rename, the attempt CAS-claims (stream, batch) in the
+        ledger — exactly one winner even on the lock-free CAS backend;
+        a loser discards its own staging and returns False without
+        publishing. The store lock is then taken only for the publish
+        itself; the unlocked pre-check just short-circuits obvious
+        replays before paying the staging write."""
         import shutil
+        import uuid
 
         if int(batch_id) <= int(self._epoch_ledger().get(stream_id, -1)):
             return False                               # replay fast-path
-        txn = Path(self.root) / "_staging" / f"etxn_{stream_id}_{batch_id}"
-        if txn.exists():
-            shutil.rmtree(txn)
+        txn = (
+            Path(self.root)
+            / "_staging"
+            / f"etxn_{stream_id}_{batch_id}_{uuid.uuid4().hex[:8]}"
+        )
         txn.mkdir(parents=True)
         # sentinel: this manifest-less staging dir is live (being
         # written OUTSIDE the lock) — a concurrent recover() must not
@@ -1310,15 +1390,15 @@ class TableStore:
             "files": files,
             "schema": payload_schema.json(),
         }
-        with self._exclusive_lock():
-            if int(batch_id) <= int(self._epoch_ledger().get(stream_id, -1)):
-                shutil.rmtree(txn)                     # lost the race: replay
-                return False
-            tmp = txn / "MANIFEST.json.tmp"
-            tmp.write_text(json.dumps(manifest))
-            tmp.rename(txn / "MANIFEST.json")          # commit point
+        tmp = txn / "MANIFEST.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.rename(txn / "MANIFEST.json")              # commit-ready
+        if not self._claim_epoch(stream_id, int(batch_id), txn.name):
+            shutil.rmtree(txn)                         # lost the race: replay
+            return False
+        with self._exclusive_lock():                   # claimed: publish
             self._publish_epoch(txn, manifest)
-            return True
+        return True
 
     def _publish_epoch(
         self, txn: Path, manifest: dict, fail_after: int | None = None
@@ -1434,7 +1514,31 @@ class TableStore:
                     continue
                 manifest = json.loads(mf.read_text())
                 if manifest.get("mode") == "append":
-                    self._publish_epoch(txn, manifest)
+                    # claim-gated roll-forward: publish only the txn
+                    # that OWNS its (stream, batch) — a crashed
+                    # duplicate attempt (staged + committed but beaten
+                    # to the claim) is discarded, never double-applied
+                    sid = manifest["stream_id"]
+                    b = int(manifest["batch_id"])
+                    hw = int(self._epoch_ledger().get(sid, -1))
+                    if b > hw:
+                        # crashed after MANIFEST, before claiming: try
+                        # to claim now (exactly one of several such
+                        # duplicates wins)
+                        owned = self._claim_epoch(sid, b, txn.name)
+                    elif b == hw:
+                        cur = self._backend.read(Path(self.root), EPOCHS)
+                        owner = ((cur[1] if cur else {}).get("txns", {})).get(sid)
+                        # owner None = ledger predates claims (legacy
+                        # layout / hand-built txn): publish — extends
+                        # dedupe by file name, so a redo converges
+                        owned = owner in (None, txn.name)
+                    else:
+                        owned = False  # superseded batch
+                    if owned:
+                        self._publish_epoch(txn, manifest)
+                    else:
+                        shutil.rmtree(txn, ignore_errors=True)
                 else:
                     self._publish(txn, manifest)
 
@@ -1723,7 +1827,7 @@ class TableStore:
                                 )
 
                             self._update_manifest(part, heal)
-                            healed = self._manifest(part).get("stats", {})
+                            healed = (self._manifest(part) or {}).get("stats", {})
                             for n in part_stats_gap:
                                 if n in healed:
                                     stats_repaired.append(f"{part.name}/{n}")

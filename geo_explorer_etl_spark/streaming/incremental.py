@@ -206,6 +206,16 @@ class ChangeFeedReader:
         cur = self.store._backend.read(self._dir, self._key)
         return float(cur[1].get("ts", 0.0)) if cur else 0.0
 
+    #: Watermark lag (seconds) subtracted from "now" when no explicit
+    #: ``until`` is given: a commit's ``committed_at`` is stamped a
+    #: beat before its history journal entry becomes listable, so a
+    #: poll whose upper bound lands inside that window would advance
+    #: the cursor past a commit it never saw — lost forever. The stamp
+    #: →journal window is the final JSON write + two file creates
+    #: (milliseconds); 2 s covers it with GC-pause headroom. An
+    #: explicit ``until`` bypasses the lag (tests, bounded replays).
+    WATERMARK_LAG_SECONDS = 2.0
+
     def poll(self, apply=None, until: float | None = None):
         """Read deltas since the cursor; when ``apply`` is given, call
         it with the delta frame and advance the cursor only on success
@@ -215,26 +225,22 @@ class ChangeFeedReader:
         or None."""
         import time
 
-        from geo_explorer_etl_spark.sources.commit import CommitConflict
+        from geo_explorer_etl_spark.sources.commit import cas_update
 
         since = self.position()
-        until = time.time() if until is None else until
+        if until is None:
+            until = time.time() - self.WATERMARK_LAG_SECONDS
+        if until <= since:
+            return None
         changes = self.store.read_changes(self.table, since, until)
         if changes is not None and apply is not None:
             apply(changes)
-        # advance with CAS retry: concurrent pollers on one cursor
-        # never move it backwards
-        for _ in range(50):
-            cur = self.store._backend.read(self._dir, self._key)
-            version = cur[0] if cur else 0
-            pos = float(cur[1].get("ts", 0.0)) if cur else 0.0
+
+        def advance(prior):
+            pos = float((prior or {}).get("ts", 0.0))
             if pos >= until:
-                break
-            try:
-                self.store._backend.write(
-                    self._dir, self._key, {"ts": until}, version
-                )
-                break
-            except CommitConflict:
-                continue
+                return None  # a concurrent poller got further: keep it
+            return {"ts": until}
+
+        cas_update(self.store._backend, self._dir, self._key, advance)
         return changes

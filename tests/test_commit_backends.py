@@ -196,3 +196,122 @@ def test_epoch_ledger_stays_o_streams(spark, tmp_path):
     for i in (0, 5, 11):
         assert store.append_epoch("s1", i, "IndicatorValues", batch(i)) is False
     assert store.read("IndicatorValues").count() == 13
+
+
+def test_localfs_write_version_check_is_atomic(tmp_path):
+    """Review r7: LocalFSBackend.write's read-check-rename runs under a
+    per-blob flock, so two racing writers targeting the same expected
+    version produce exactly one winner even with no store-wide lock —
+    pinned with threads hammering the same blob."""
+    import threading
+
+    b = LocalFSBackend()
+    d = tmp_path / "part"
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def writer(tag):
+        for _ in range(20):
+            cur = b.read(d, "_committed.json")
+            v = cur[0] if cur else 0
+            try:
+                b.write(d, "_committed.json", {"by": tag, "at": v + 1}, v)
+                with lock:
+                    outcomes.append("win")
+            except CommitConflict:
+                with lock:
+                    outcomes.append("lose")
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    version, body = b.read(d, "_committed.json")
+    # every win advanced the version exactly once — no silent overwrite
+    assert version == outcomes.count("win")
+    assert version == body["at"]
+
+
+def test_epoch_ledger_migrates_legacy_flat_layout(spark, tmp_path):
+    """Review r7: a store written before the ledger moved behind the
+    commit backend holds a FLAT {stream: batch} _epochs.json; its
+    high-water marks must survive the upgrade, or every replay on an
+    upgraded store double-appends."""
+    import json
+    from pathlib import Path
+
+    root = tmp_path / "store"
+    root.mkdir()
+    (root / "_epochs.json").write_text(json.dumps({"s1": 7, "s2": 0}))
+    store = TableStore(spark, str(root))
+    assert store._epoch_ledger() == {"s1": 7, "s2": 0}
+    # replay of a legacy-recorded batch is still a no-op
+    df = spark.createDataFrame([(1, "x")], "id long, v string").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    assert store.append_epoch("s1", 7, "IndicatorValues", df) is False
+    assert store.read("IndicatorValues") is None
+    # and a NEW batch claims through, migrating the layout
+    assert store.append_epoch("s1", 8, "IndicatorValues", df) is True
+    assert store._epoch_ledger() == {"s1": 8, "s2": 0}
+
+
+def test_duplicate_epoch_attempts_land_exactly_once(spark, tmp_path):
+    """Review r7: two fully-staged-and-committed attempts for the SAME
+    (stream, batch) — the double-started-writer case recover() may
+    find after a crash — publish exactly one of them; the loser is
+    discarded, rows land once."""
+    import json
+    from pathlib import Path
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, backend="cas")
+
+    def stage(tag):
+        txn = Path(root) / "_staging" / f"etxn_s9_0_{tag}"
+        df = spark.createDataFrame([(1, tag)], "id long, v string").withColumn(
+            PARTITION_COL, F.lit(5).cast("long")
+        )
+        df.write.partitionBy(PARTITION_COL).parquet(str(txn / "IndicatorValues"))
+        tdir = txn / "IndicatorValues"
+        files = {
+            d.name: sorted(f.name for f in d.glob("*.parquet"))
+            for d in tdir.glob(f"{PARTITION_COL}=*")
+        }
+        manifest = {
+            "mode": "append",
+            "stream_id": "s9",
+            "batch_id": 0,
+            "table": "IndicatorValues",
+            "files": files,
+            "schema": df.drop(PARTITION_COL).schema.json(),
+        }
+        (txn / "MANIFEST.json.tmp").write_text(json.dumps(manifest))
+        (txn / "MANIFEST.json.tmp").rename(txn / "MANIFEST.json")
+        return txn
+
+    a, b = stage("aa"), stage("bb")
+    TableStore(spark, root, backend="cas")  # recover() arbitrates
+    out = TableStore(spark, root, backend="cas").read("IndicatorValues")
+    assert out.count() == 1                      # exactly once, not twice
+    assert not (a.exists() and b.exists())       # the loser was discarded
+
+
+def test_zorder_key_stays_in_value_bits_at_many_columns(spark):
+    """Review r7: 4+ z-order columns must not push bits into the
+    bigint sign bit (which would invert the clustering) — resolution
+    adapts to 63 // k bits per dimension and the key stays
+    non-negative and monotone-safe."""
+    from geo_explorer_etl_spark.sources.store import _zorder_key
+
+    df = spark.range(256).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 3 % 251).alias("b"),
+        (F.col("id") * 7 % 127).alias("c"),
+        (F.col("id") * 11 % 63).alias("d"),
+    )
+    z = df.select(_zorder_key(df, ["a", "b", "c", "d"]).alias("z"))
+    row = z.agg(F.min("z").alias("mn"), F.max("z").alias("mx")).first()
+    assert row["mn"] >= 0
+    assert row["mx"] < (1 << 63)

@@ -562,15 +562,21 @@ def test_change_feed_reader_incremental_cursor(spark, tmp_path):
             (r["_change_type"], r["id"]) for r in changes.collect()
         )
 
+    import time
+
     store.replace_product_all(pid, {"IndicatorValues": frame([1, 2])})
     reader = ChangeFeedReader(store, "IndicatorValues", "consumer_a")
-    assert reader.poll(apply) is not None
+    # explicit until bypasses the watermark lag (the commit just landed)
+    assert reader.poll(apply, until=time.time()) is not None
     assert sorted(seen) == [("insert", 1), ("insert", 2)]
 
     # quiet window: no deltas, cursor still advances
     pos = reader.position()
-    assert reader.poll(apply) is None
+    assert reader.poll(apply, until=time.time()) is None
     assert reader.position() >= pos and len(seen) == 2
+    # a default poll inside the watermark lag is a safe no-op (the
+    # cursor never advances past commits it could not yet see)
+    assert reader.poll(apply) is None and len(seen) == 2
 
     # a crashing apply does NOT advance the cursor -> window replays
     store.append("IndicatorValues", frame([3]))
@@ -579,15 +585,15 @@ def test_change_feed_reader_incremental_cursor(spark, tmp_path):
         raise RuntimeError("consumer crashed")
 
     with pytest.raises(RuntimeError, match="consumer crashed"):
-        reader.poll(boom)
+        reader.poll(boom, until=time.time())
     # a FRESH reader (new process) resumes from the durable cursor and
     # re-delivers exactly the unacknowledged delta
     reader2 = ChangeFeedReader(store, "IndicatorValues", "consumer_a")
-    assert reader2.poll(apply) is not None
+    assert reader2.poll(apply, until=time.time()) is not None
     assert sorted(seen) == [("insert", 1), ("insert", 2), ("insert", 3)]
 
     # independent cursors don't interfere
     other = ChangeFeedReader(store, "IndicatorValues", "consumer_b")
     got: list = []
-    other.poll(lambda ch: got.extend(r["id"] for r in ch.collect()))
+    other.poll(lambda ch: got.extend(r["id"] for r in ch.collect()), until=time.time())
     assert sorted(got) == [1, 2, 3]
