@@ -265,3 +265,22 @@ def test_bloom_never_false_negative(vals, probe):
             ).is_integer()
     # an undecodable bloom body keeps the file (conservative)
     assert _bloom_may_contain({"m": 64, "k": 7, "b64": "!!!"}, probe)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    mn=st.integers(-50, 50),
+    span=st.integers(0, 20),
+    vals=st.lists(st.integers(-60, 60), min_size=0, max_size=8),
+)
+def test_zone_map_in_pruning_sound(mn, span, vals):
+    """The ``in`` op (point-SET predicate): a file may only be dropped
+    when EVERY set member provably misses [mn, mx] — one member inside
+    the range keeps it, and the empty set never prunes (conservative)."""
+    from geo_explorer_etl_spark.sources.store import _file_may_match
+
+    mx = mn + span
+    kept = _file_may_match({"c": [mn, mx]}, [("c", "in", vals)])
+    some_row_matches = any(mn <= v <= mx for v in vals)
+    if some_row_matches or not vals:
+        assert kept
