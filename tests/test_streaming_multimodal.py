@@ -597,3 +597,105 @@ def test_change_feed_reader_incremental_cursor(spark, tmp_path):
     got: list = []
     other.poll(lambda ch: got.extend(r["id"] for r in ch.collect()), until=time.time())
     assert sorted(got) == [1, 2, 3]
+
+
+def test_change_feed_syncs_serving_copy_exactly_once(spark, tmp_path):
+    """The composition the CDF exists for at 100 TB: a SERVING-COPY
+    sync subscribes to a primary store's change feed and applies each
+    window to a mirror store. Exactly-once under at-least-once
+    delivery comes from the IDEMPOTENT-CONSUMER pattern: the applied
+    window id is committed INSIDE the same cross-table transaction as
+    the data (replace_product_all is all-or-nothing), so a replayed
+    window — crash between apply and cursor advance — is gated out and
+    the mirror always equals the primary."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        apply_changes,
+    )
+    from geo_explorer_etl_spark.streaming.incremental import ChangeFeedReader
+
+    primary = TableStore(spark, str(tmp_path / "primary"))
+    mirror = TableStore(spark, str(tmp_path / "mirror"), backend="cas")
+    pid = 4
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    reader = ChangeFeedReader(primary, "IndicatorValues", "serving_sync")
+    applies = {"n": 0, "skipped": 0}
+
+    def sync(changes):
+        # window id = the newest commit in the window; gate on the id
+        # recorded ATOMICALLY with the data (same txn) so re-delivery
+        # of an already-applied window is a no-op
+        wid = float(changes.agg(F.max("_committed_at")).first()[0])
+        state = mirror.read("RelatedCharts")  # sync-state sidecar table
+        applied = (
+            state.agg(F.max("applied_until")).first()[0]
+            if state is not None
+            else None
+        )
+        if applied is not None and wid <= applied:
+            applies["skipped"] += 1
+            return
+        cur = mirror.read("IndicatorValues")
+        base = (
+            cur.select("k", "v", PARTITION_COL)
+            if cur is not None
+            else changes.limit(0).select("k", "v", PARTITION_COL)
+        )
+        new_state = apply_changes(base, changes).localCheckpoint()
+        mirror.replace_product_all(
+            pid,
+            {
+                "IndicatorValues": new_state,
+                "RelatedCharts": spark.createDataFrame(
+                    [(wid,)], "applied_until double"
+                ),
+            },
+        )
+        applies["n"] += 1
+
+    def assert_in_sync():
+        p = primary.read("IndicatorValues").select("k", "v")
+        m = mirror.read("IndicatorValues").select("k", "v")
+        assert p.exceptAll(m).count() == 0 and m.exceptAll(p).count() == 0
+
+    primary.replace_product_all(pid, {"IndicatorValues": frame([(1, "a"), (2, "b")])})
+    assert reader.poll(sync, until=time.time()) is not None
+    assert_in_sync()
+
+    primary.append("IndicatorValues", frame([(3, "c")]))
+    primary.merge_rows("IndicatorValues", frame([(2, "B2")]), ["k"])
+    assert reader.poll(sync, until=time.time()) is not None
+    assert_in_sync()
+
+    primary.replace_product_all(pid, {"IndicatorValues": frame([(9, "z")])})
+    t_before = reader.position()
+    assert reader.poll(sync, until=time.time()) is not None
+    assert_in_sync()
+
+    # crash simulation: rewind the durable cursor and re-deliver the
+    # SAME window — the idempotent consumer gates it out, the mirror
+    # stays exactly equal (no duplicated rows)
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.commit import cas_update
+
+    cas_update(
+        primary._backend, Path(primary.root) / "_cursors",
+        "serving_sync.json", lambda prior: {"ts": t_before},
+    )
+    replayed = ChangeFeedReader(primary, "IndicatorValues", "serving_sync").poll(
+        sync, until=time.time()
+    )
+    assert replayed is not None
+    assert applies["skipped"] == 1 and applies["n"] == 3
+    assert_in_sync()
