@@ -6,11 +6,13 @@ The Spark-side plumbing — schema, partition sizing, UDF signatures,
 batch shapes — is real and tested. Four REAL decode paths exist with
 no external codec libraries: uncompressed PCM-16 WAV (stdlib ``wave``),
 uncompressed 24-bit BMP (hand-parsed RIFF/DIB headers), 8-bit RGB/RGBA
-PNG (stdlib ``zlib`` + the five PNG row filters), and BASELINE
-sequential JPEG (hand-rolled huffman + dequant + iDCT + YCbCr with
-4:4:4/4:2:2/4:2:0 sampling and restart markers, numpy for the
-transform). Formats needing a true external codec (progressive JPEG,
-MP3, H.264...) raise ``NotImplementedError``; ``fake=True`` substitutes
+PNG (stdlib ``zlib`` + the five PNG row filters), and JPEG — both
+BASELINE sequential (SOF0) and PROGRESSIVE (SOF2): hand-rolled huffman
++ dequant + iDCT + YCbCr with 4:4:4/4:2:2/4:2:0 sampling, restart
+markers, and progressive coefficient accumulation across
+spectral-selection / successive-approximation scans (numpy for the
+transform). Formats needing a true external codec (MP3, H.264,
+arithmetic-coded JPEG...) raise ``NotImplementedError``; ``fake=True`` substitutes
 a deterministic content-hash pseudo-decode so downstream plumbing can
 be exercised uniformly for any mime type.
 
@@ -252,12 +254,15 @@ def _receive_extend(reader: _BitReader, cat: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> tuple[int, int, list[float]]:
-    """Real image decode, stdlib+numpy: BASELINE sequential JPEG
-    (SOF0, huffman + dequant + iDCT + YCbCr, 4:4:4/4:2:2/4:2:0
-    sampling, restart markers) -> (width, height, row-major grayscale
-    pixels in [0, 1]). Progressive (SOF2), arithmetic coding, and
-    12-bit precision raise honestly — the same boundary policy as the
-    other codecs here."""
+    """Real image decode, stdlib+numpy: sequential BASELINE (SOF0) and
+    PROGRESSIVE (SOF2) JPEG — huffman + dequant + iDCT + YCbCr,
+    4:4:4/4:2:2/4:2:0 sampling, restart markers; progressive scans
+    accumulate coefficients across spectral-selection and
+    successive-approximation passes (DC/AC first + refinement,
+    EOB-run encoding) and reconstruct once at EOI -> (width, height,
+    row-major grayscale pixels in [0, 1]). Arithmetic coding,
+    hierarchical (SOF3+), and 12-bit precision raise honestly — the
+    same boundary policy as the other codecs here."""
     import struct as st
 
     import numpy as np
@@ -268,14 +273,19 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[float]]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    coeff_store: dict | None = None
     pos = 2
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
         marker = content[pos + 1]
+        if marker == 0xD9:                      # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(content):
+            break
         (seglen,) = st.unpack_from(">H", content, pos + 2)
         seg = content[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:                      # DQT
@@ -305,7 +315,7 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[float]]:
                     code <<= 1
                 huff[(tc, th)] = table
                 i += 17 + sum(counts)
-        elif marker == 0xC0:                    # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *st.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -313,23 +323,39 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[float]]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = st.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                    # SOS -> entropy data follows
             if frame is None:
-                raise NotImplementedError("JPEG SOS before SOF0")
+                raise NotImplementedError("JPEG SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                content, pos + 2 + seglen, frame, scan, qt, huff, restart_interval
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    content, pos + 2 + seglen, frame, scan, qt, huff, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if coeff_store is None:
+                coeff_store = _alloc_coeff_store(frame)
+            pos = _progressive_scan(
+                content, pos + 2 + seglen, frame, order, scan, huff,
+                restart_interval, coeff_store, ss, se, ah, al,
             )
+            continue
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and coeff_store is not None:
+        return _progressive_finish(frame, qt, coeff_store)
     raise NotImplementedError("JPEG missing SOS")
 
 
@@ -403,7 +429,18 @@ def _decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
             n_mcu += 1
-    # upsample each component to full frame resolution (nearest)
+    return _assemble_planes(frame, planes)
+
+
+def _assemble_planes(frame, planes):
+    """Shared tail of both JPEG paths: upsample each component to full
+    frame resolution (nearest), YCbCr -> grayscale, [0, 1] floats."""
+    import numpy as np
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = {}
     for c in comps:
         pl = planes[c["id"]]
@@ -421,6 +458,207 @@ def _decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
         b = np.clip(np.rint(y + 1.772 * cb), 0, 255)
         gray = 0.299 * r + 0.587 * g + 0.114 * b
     return w, h, [float(v) for v in (gray / 255.0).reshape(-1)]
+
+
+# -- progressive JPEG (SOF2): coefficients accumulate across scans -----------
+def _jpeg_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coeff_store(frame):
+    """Per-component DCT-coefficient accumulator over the MCU-padded
+    block grid, shape (blocks_y, blocks_x, 64) in NATURAL (row-major)
+    coefficient order — every scan deposits into it, reconstruction
+    happens once at EOI."""
+    import numpy as np
+
+    _, _, mcus_x, mcus_y = _jpeg_geometry(frame)
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _progressive_scan(
+    content, pos, frame, order, scan, huff, restart_interval,
+    store, ss, se, ah, al,
+):
+    """Decode ONE progressive scan into the coefficient store and
+    return the offset of the next marker. Implements the four scan
+    kinds of T.81 Annex G: DC first (diff << Al), DC refinement (one
+    appended bit per block), AC first (spectral band [Ss, Se] with
+    EOB-run encoding), and AC refinement (correction bits for known
+    coefficients, ±1<<Al insertions for new ones). A scan with
+    multiple components is interleaved in MCU order (DC only, per
+    spec); a single-component scan walks that component's OWN block
+    grid row-major. Restart markers reset DC predictors and the
+    EOB run."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    hmax, vmax, mcus_x, mcus_y = _jpeg_geometry(frame)
+    reader = _BitReader(content, pos)
+    pred = {cid: 0 for cid in order}
+    eobrun = [0]
+
+    def do_restart():
+        nonlocal reader
+        p = reader.pos
+        while p + 1 < len(content) and not (
+            content[p] == 0xFF and 0xD0 <= content[p + 1] <= 0xD7
+        ):
+            p += 1
+        reader = _BitReader(content, p + 2)
+        for cid in pred:
+            pred[cid] = 0
+        eobrun[0] = 0
+
+    def dc_block(cid, coef):
+        if ah == 0:
+            cat = _huff_decode(reader, huff[(0, scan[cid][0])])
+            pred[cid] += _receive_extend(reader, cat)
+            coef[0] = pred[cid] << al
+        else:
+            if reader.read_bit():
+                coef[0] = int(coef[0]) | (1 << al)
+
+    def ac_first(ac_table, coef):
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = (1 << r) - 1
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    return
+                k += 16                           # ZRL
+                continue
+            k += r
+            if k > se:
+                raise NotImplementedError("JPEG AC index overflow")
+            coef[_ZIGZAG[k]] = _receive_extend(reader, s) << al
+            k += 1
+
+    def ac_refine(ac_table, coef):
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(z):
+            # append one refinement bit to an already-nonzero coeff
+            if reader.read_bit() and (int(coef[z]) & p1) == 0:
+                coef[z] += p1 if coef[z] > 0 else m1
+
+        k = ss
+        if eobrun[0] == 0:
+            while k <= se:
+                rs = _huff_decode(reader, ac_table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun[0] = 1 << r
+                        if r:
+                            eobrun[0] += reader.read_bits(r)
+                        break
+                    val = 0                       # ZRL: skip 16 zero-history
+                else:
+                    # s is always 1 in a refinement scan
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    if coef[z] != 0:
+                        correct(z)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if k <= se and val != 0:
+                    coef[_ZIGZAG[k]] = val
+                k += 1
+        if eobrun[0] > 0:
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    correct(z)
+                k += 1
+            eobrun[0] -= 1
+
+    def decode_block(cid, by, bx):
+        coef = store[cid][by, bx]
+        if ss == 0:
+            dc_block(cid, coef)
+        else:
+            ac_table = huff[(1, scan[cid][1])]
+            if ah == 0:
+                ac_first(ac_table, coef)
+            else:
+                ac_refine(ac_table, coef)
+
+    n_unit = 0
+    if len(order) > 1:
+        # interleaved MCU order (DC scans only, per T.81)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_unit and n_unit % restart_interval == 0:
+                    do_restart()
+                for cid in order:
+                    c = comps[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(cid, my * c["v"] + by, mx * c["h"] + bx)
+                n_unit += 1
+    else:
+        # non-interleaved: the component's own block grid, row-major
+        cid = order[0]
+        c = comps[cid]
+        bw = (-(-(frame["w"] * c["h"]) // hmax) + 7) // 8
+        bh = (-(-(frame["h"] * c["v"]) // vmax) + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n_unit and n_unit % restart_interval == 0:
+                    do_restart()
+                decode_block(cid, by, bx)
+                n_unit += 1
+    p = reader.pos
+    while p + 1 < len(content):
+        if (
+            content[p] == 0xFF
+            and content[p + 1] != 0x00
+            and not (0xD0 <= content[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(content)
+
+
+def _progressive_finish(frame, qt, store):
+    """All scans consumed: dequantize + iDCT every accumulated block
+    (one einsum over each component's whole block stack) and hand the
+    planes to the shared assembly."""
+    import numpy as np
+
+    idct = _idct_matrix()
+    planes = {}
+    for c in frame["comps"]:
+        arr = store[c["id"]]
+        nby, nbx = arr.shape[:2]
+        q = qt[c["tq"]]
+        blocks = arr.reshape(nby * nbx, 8, 8).astype(np.float64) * q
+        spatial = np.einsum("ab,nbc,cd->nad", idct.T, blocks, idct) + 128.0
+        plane = (
+            spatial.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes[c["id"]] = plane
+    return _assemble_planes(frame, planes)
 
 
 def _signal_features(samples: list[float], dim: int) -> list[float]:
@@ -466,7 +704,7 @@ def _real_decode(content: bytes, mime: str, dim: int) -> list[float]:
         _, _, pixels = decode_jpeg(blob)
         return _signal_features(pixels, dim)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment (WAV/BMP/PNG/baseline-JPEG "
+        f"no codec for {mime!r} in this environment (WAV/BMP/PNG/JPEG "
         "decode natively; pass fake=True for the pseudo-decode)"
     )
 

@@ -462,12 +462,12 @@ def test_jpeg_baseline_decode(spark):
     expected = (0.299 * 137 + 0.587 * 126 + 0.114 * 130) / 255
     assert all(abs(p - expected) < 1e-9 for p in px)
 
-    # progressive JPEG raises honestly
+    # arithmetic-coded / hierarchical SOF markers still raise honestly
     import pytest as _pytest
 
-    prog = gray_jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    arith = gray_jpg.replace(b"\xff\xc0", b"\xff\xc9")
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(arith)
 
     # and the mapInPandas dispatch routes image/jpeg to the real decoder
     from geo_explorer_etl_spark.operators.multimodal import (
@@ -699,3 +699,144 @@ def test_change_feed_syncs_serving_copy_exactly_once(spark, tmp_path):
     assert replayed is not None
     assert applies["skipped"] == 1 and applies["n"] == 3
     assert_in_sync()
+
+
+def _jpeg_progressive_fixture(
+    ncomp: int, sampling_420: bool, scans, sof_marker: int = 0xC2
+) -> bytes:
+    """Multi-scan JPEG (SOF2 progressive by default; pass
+    sof_marker=0xC0 for a baseline twin with identical tables) with
+    the baseline fixture's DC table plus AC symbols '10'->(r0,s1),
+    '110'->(r0,s2) and EOB-run '1110'->(r1,s0), '11110'->(r2,s0).
+    ``scans`` is a list of (comp_ids, ss, se, ah, al, bits)."""
+    import struct as st
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    size = 16 if sampling_420 else 8
+    sof = bytes([8]) + st.pack(">HH", size, size) + bytes([ncomp])
+    for c in range(ncomp):
+        hv = 0x22 if (sampling_420 and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0])
+    out += seg(sof_marker, sof)
+    dc_counts = [0] * 16
+    dc_counts[0], dc_counts[1], dc_counts[2] = 1, 1, 1
+    out += seg(0xC4, bytes([0x00] + dc_counts + [5, 0, 6]))
+    ac_counts = [0] * 16
+    ac_counts[0], ac_counts[1], ac_counts[2] = 1, 1, 1
+    ac_counts[3], ac_counts[4] = 1, 1
+    out += seg(0xC4, bytes([0x10] + ac_counts + [0x00, 0x01, 0x02, 0x10, 0x20]))
+    for comp_ids, ss, se, ah, al, bits in scans:
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        wtr = _JpegBits()
+        wtr.put(bits)
+        out += wtr.bytes()
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_decode_matches_baseline(spark):
+    """Progressive (SOF2) decode, differential vs the already
+    known-answer-tested baseline path: the SAME final coefficients
+    encoded as successive-approximation scans (DC first at Al=1 + DC
+    refinement bit, AC first at Al=1 + AC refinement under an EOB-run)
+    must reconstruct pixel-identical images. Covers DC first/refine,
+    AC first/refine, EOB-run skipping, and non-interleaved multi-block
+    grids."""
+    from geo_explorer_etl_spark.operators.multimodal import decode_jpeg
+
+    # -- single 8x8 block, DC 33 + AC(k=1) = -2 -------------------------
+    # baseline twin (same tables): DC cat6 value 33, AC (r0,s2) value
+    # -2 ('01'), EOB
+    base = _jpeg_progressive_fixture(
+        1, False,
+        [([1], 0, 63, 0, 0, "110" + "100001" + "110" + "01" + "0")],
+        sof_marker=0xC0,
+    )
+    wb, hb, pxb = decode_jpeg(base)
+    assert (wb, hb) == (8, 8)
+
+    prog = _jpeg_progressive_fixture(
+        1,
+        False,
+        [
+            # DC first, Al=1: diff 16 (cat5 '10000') -> coef 32
+            ([1], 0, 0, 0, 1, "0" + "10000"),
+            # AC first on band [1,63], Al=1: (r0,s1) value -1 ('0') -> -2; EOB
+            ([1], 1, 63, 0, 1, "10" + "0" + "0"),
+            # DC refine to Al=0: appended bit 1 -> coef 33
+            ([1], 0, 0, 1, 0, "1"),
+            # AC refine to Al=0 via EOB-run: EOB ('0'), then one
+            # correction bit 0 for the existing -2 coef (stays -2)
+            ([1], 1, 63, 1, 0, "0" + "0"),
+        ],
+    )
+    wp, hp, pxp = decode_jpeg(prog)
+    assert (wp, hp) == (wb, hb)
+    assert pxp == pxb
+
+    # the flat-DC sanity value: all pixels rint(128 + 33/8) adjusted by
+    # the AC ripple — at minimum the mean must match the DC level
+    mean = sum(pxp) / len(pxp)
+    assert abs(mean * 255 - (128 + 33 / 8)) < 1.0
+
+    # -- AC refinement that INSERTS a new coefficient -------------------
+    # baseline twin: DC 32, AC(k=1) = +1
+    base2 = _jpeg_progressive_fixture(
+        1, False,
+        [([1], 0, 63, 0, 0, "110" + "100000" + "10" + "1" + "0")],
+        sof_marker=0xC0,
+    )
+    prog2 = _jpeg_progressive_fixture(
+        1,
+        False,
+        [
+            ([1], 0, 0, 0, 0, "110" + "100000"),   # DC first Al=0: 32
+            ([1], 1, 63, 0, 1, "0"),               # AC first Al=1: EOB (none)
+            # AC refine Al=0: (r0,s1) sign bit 1 -> insert +1 at k=1; EOB
+            ([1], 1, 63, 1, 0, "10" + "1" + "0"),
+        ],
+    )
+    assert decode_jpeg(prog2)[2] == decode_jpeg(base2)[2]
+
+
+def test_jpeg_progressive_color_and_eobrun(spark):
+    """Interleaved progressive DC scan over a 4:2:0 color frame + one
+    non-interleaved AC scan per component, with the Y component's four
+    blocks closed by a single EOB-RUN symbol — must equal the baseline
+    4:2:0 decode of the same coefficients."""
+    from geo_explorer_etl_spark.operators.multimodal import decode_jpeg
+
+    scan = (
+        "0" + "10000" + "0"      # Y1: DC diff 16, EOB
+        + "10" + "0"             # Y2: diff 0
+        + "10" + "0"
+        + "10" + "0"
+        + "10" + "0"             # Cb: diff 0
+        + "110" + "101000" + "0" # Cr: diff 40
+    )
+    base = decode_jpeg(_jpeg_fixture(3, True, scan))
+
+    prog = _jpeg_progressive_fixture(
+        3,
+        True,
+        [
+            # interleaved DC-first scan, Al=0: same MCU-ordered diffs
+            ([1, 2, 3], 0, 0, 0, 0,
+             "0" + "10000" + "10" + "10" + "10" + "10" + "110" + "101000"),
+            # Y AC scan: EOB-run (r2,s0)='11110' + 2 appended bits '11'
+            # -> run of (1<<2)-1+3 = 6 >= 4 blocks, all AC-empty
+            ([1], 1, 63, 0, 0, "11110" + "11"),
+            ([2], 1, 63, 0, 0, "0"),               # Cb: EOB
+            ([3], 1, 63, 0, 0, "0"),               # Cr: EOB
+        ],
+    )
+    got = decode_jpeg(prog)
+    assert got[0:2] == base[0:2]
+    assert got[2] == base[2]
