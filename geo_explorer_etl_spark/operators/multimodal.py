@@ -374,12 +374,7 @@ def _decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
     import numpy as np
 
     comps = frame["comps"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
+    hmax, vmax, mcus_x, mcus_y = _jpeg_geometry(frame)
     planes = {
         c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
         for c in comps

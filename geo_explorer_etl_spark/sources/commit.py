@@ -130,6 +130,7 @@ class LocalFSBackend(CommitBackend):
 
     def delete(self, d: Path, key: str) -> None:
         (d / key).unlink(missing_ok=True)
+        (d / f"{key}.lock").unlink(missing_ok=True)  # no lock-file litter
 
     @contextmanager
     def lock(self, root: Path):

@@ -161,7 +161,9 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
         if op == "==" and col in blooms:
             if not _bloom_may_contain(blooms[col], val):
                 return False
-        if op == "in" and col in blooms:
+        if op == "in" and col in blooms and len(val) > 0:
+            # empty set never prunes (conservative — same contract as
+            # the zone-map branch, property-pinned)
             decoded = _bloom_decode(blooms[col])  # once per file, not per member
             if decoded is not None and not any(
                 _bloom_test(*decoded, v) for v in val
@@ -1353,7 +1355,14 @@ class TableStore:
         import uuid
 
         if int(batch_id) <= int(self._epoch_ledger().get(stream_id, -1)):
-            return False                               # replay fast-path
+            # replay fast-path — but "already claimed" must also mean
+            # "visible": if the claimed winner crashed between claim
+            # and publish, roll its committed staging forward NOW (a
+            # long-lived store handle never re-runs recover(), so a
+            # False return here is this path's only chance to make the
+            # batch's rows appear before the stream moves on)
+            self._complete_claimed_epoch(stream_id)
+            return False
         txn = (
             Path(self.root)
             / "_staging"
@@ -1394,11 +1403,37 @@ class TableStore:
         tmp.write_text(json.dumps(manifest))
         tmp.rename(txn / "MANIFEST.json")              # commit-ready
         if not self._claim_epoch(stream_id, int(batch_id), txn.name):
-            shutil.rmtree(txn)                         # lost the race: replay
+            # lost the race: discard OWN staging (a concurrent
+            # recover() may already have — tolerate), and make sure
+            # the winner's rows are visible if it crashed pre-publish
+            shutil.rmtree(txn, ignore_errors=True)
+            self._complete_claimed_epoch(stream_id)
             return False
         with self._exclusive_lock():                   # claimed: publish
             self._publish_epoch(txn, manifest)
         return True
+
+    def _complete_claimed_epoch(self, stream_id: str) -> None:
+        """Roll forward the stream's CLAIMED txn if its staging is
+        still on disk with a committed MANIFEST — the crashed-between-
+        claim-and-publish window. Idempotent (publish skips moved
+        files, manifest extends dedupe), safe to race with the live
+        winner's own publish."""
+        cur = self._backend.read(Path(self.root), EPOCHS)
+        owner = ((cur[1] if cur else {}).get("txns", {}) or {}).get(stream_id)
+        if not owner:
+            return
+        txn = Path(self.root) / "_staging" / owner
+        mf = txn / "MANIFEST.json"
+        if not mf.exists():
+            return
+        try:
+            manifest = json.loads(mf.read_text())
+        except (OSError, json.JSONDecodeError):
+            return  # racer finished and removed it mid-read
+        with self._exclusive_lock():
+            if mf.exists():
+                self._publish_epoch(txn, manifest)
 
     def _publish_epoch(
         self, txn: Path, manifest: dict, fail_after: int | None = None

@@ -315,3 +315,42 @@ def test_zorder_key_stays_in_value_bits_at_many_columns(spark):
     row = z.agg(F.min("z").alias("mn"), F.max("z").alias("mx")).first()
     assert row["mn"] >= 0
     assert row["mx"] < (1 << 63)
+
+
+def test_replay_completes_claimed_but_unpublished_batch(spark, tmp_path):
+    """Review r7 #2: a writer that crashes BETWEEN claiming its batch
+    and publishing it leaves the rows staged-but-invisible while the
+    ledger says 'done'. A replay on a LONG-LIVED store handle (no
+    fresh recover()) must roll the claimed txn forward before
+    returning False — a False return always means the rows are
+    visible."""
+    import json
+    from pathlib import Path
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, backend="cas")
+    df = spark.createDataFrame([(1, "x")], "id long, v string").withColumn(
+        PARTITION_COL, F.lit(2).cast("long")
+    )
+
+    # stage + MANIFEST + claim by hand = crash right before publish
+    txn = Path(root) / "_staging" / "etxn_s5_0_crashed"
+    df.write.partitionBy(PARTITION_COL).parquet(str(txn / "IndicatorValues"))
+    files = {
+        d.name: sorted(f.name for f in d.glob("*.parquet"))
+        for d in (txn / "IndicatorValues").glob(f"{PARTITION_COL}=*")
+    }
+    manifest = {
+        "mode": "append", "stream_id": "s5", "batch_id": 0,
+        "table": "IndicatorValues", "files": files,
+        "schema": df.drop(PARTITION_COL).schema.json(),
+    }
+    (txn / "MANIFEST.json.tmp").write_text(json.dumps(manifest))
+    (txn / "MANIFEST.json.tmp").rename(txn / "MANIFEST.json")
+    assert store._claim_epoch("s5", 0, txn.name) is True
+    assert store.read("IndicatorValues") is None      # invisible...
+
+    # ...until the replay on the SAME handle completes it
+    assert store.append_epoch("s5", 0, "IndicatorValues", df) is False
+    assert store.read("IndicatorValues").count() == 1
+    assert not txn.exists()
