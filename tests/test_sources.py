@@ -1399,3 +1399,49 @@ def test_in_predicate_prunes_by_zone_map_and_bloom(spark, tmp_path):
     # every range prunes; a straddling member keeps
     assert store.live_files("IndicatorValues", [("id", "in", [5000, 6000])]) == []
     assert len(store.live_files("IndicatorValues", [("id", "in", [5000, 1005])])) == 1
+
+
+def test_change_feed_spans_restore(spark, tmp_path):
+    """A restore (time-travel rollback) is itself a commit: its
+    manifest swap re-lists the old files, so the change feed reports
+    the rollback as deletes of the superseded rows plus re-inserts of
+    the restored ones — and applying the deltas across the restore
+    still reconstructs the final snapshot exactly."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        apply_changes,
+    )
+
+    root = str(tmp_path / "store")
+    pid = 83
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "a"), (2, "b")])})
+    t_v1 = time.time()
+    old = store.read("IndicatorValues").select("k", "v", PARTITION_COL).localCheckpoint()
+
+    t0 = time.time()
+    store.replace_product_all(pid, {"IndicatorValues": frame([(7, "z")])})
+    assert store.restore("IndicatorValues", t_v1) == 1
+    assert sorted(r["k"] for r in store.read("IndicatorValues").collect()) == [1, 2]
+
+    changes = store.read_changes("IndicatorValues", t0)
+    kinds = sorted(
+        (r["_change_type"], r["k"]) for r in changes.collect()
+    )
+    # forward replace: +7/-1/-2; restore: -7/+1/+2 — all present
+    assert ("insert", 7) in kinds and ("delete", 7) in kinds
+    assert ("insert", 1) in kinds and ("delete", 1) in kinds
+
+    rebuilt = apply_changes(old, changes).select("k", "v", PARTITION_COL)
+    new = store.read("IndicatorValues").select("k", "v", PARTITION_COL)
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
