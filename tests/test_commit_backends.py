@@ -354,3 +354,104 @@ def test_replay_completes_claimed_but_unpublished_batch(spark, tmp_path):
     assert store.append_epoch("s5", 0, "IndicatorValues", df) is False
     assert store.read("IndicatorValues").count() == 1
     assert not txn.exists()
+
+
+def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path):
+    """Protocol soak: every conditional write randomly loses its first
+    attempt to a simulated racer (the backend bumps the version
+    underneath before delegating), so EVERY retry loop in the store —
+    manifest extends, replace swaps, product-seq claims, epoch claims,
+    ledger merges — exercises its conflict path constantly while a
+    seeded random op sequence (append / merge / replace / epoch append
+    + replay / compact / vacuum) runs against an in-test row model.
+    After every op the store must equal the model; at the end fsck
+    reports no missing files and count_rows agrees."""
+    import random
+
+    from geo_explorer_etl_spark.sources.commit import CASBackend, CommitBackend
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    class Flaky(CommitBackend):
+        def __init__(self, inner, seed):
+            self.inner = inner
+            self.rng = random.Random(seed)
+
+        def read(self, d, key):
+            return self.inner.read(d, key)
+
+        def delete(self, d, key):
+            return self.inner.delete(d, key)
+
+        def lock(self, root):
+            return self.inner.lock(root)
+
+        def write(self, d, key, body, expected):
+            cur = self.inner.read(d, key)
+            if cur is not None and self.rng.random() < 0.4:
+                # a phantom racer re-commits the CURRENT content at the
+                # next version: the caller's conditional write must
+                # lose and retry against it
+                self.inner.write(d, key, dict(cur[1]), cur[0])
+            return self.inner.write(d, key, body, expected)
+
+    store = TableStore(
+        spark, str(tmp_path / "store"), backend=Flaky(CASBackend(), seed=7)
+    )
+    pid = 6
+    rng = random.Random(42)
+    model: dict[int, str] = {}
+    next_k = 0
+    epoch = 0
+
+    def frame(rows):
+        return spark.createDataFrame(
+            list(rows), "k long, v string"
+        ).withColumn("IndicatorThemeId", F.lit(pid).cast("long"))
+
+    def check():
+        df = store.read("IndicatorValues")
+        got = (
+            {(r["k"], r["v"]) for r in df.select("k", "v").collect()}
+            if df is not None
+            else set()
+        )
+        assert got == set(model.items())
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(0, "init")])})
+    model = {0: "init"}
+    next_k = 1
+    for step in range(14):
+        op = rng.choice(["append", "merge", "replace", "epoch", "compact", "vacuum"])
+        if op == "append":
+            rows = [(next_k + i, f"a{step}") for i in range(2)]
+            store.append("IndicatorValues", frame(rows))
+            model.update(dict(rows))
+            next_k += 2
+        elif op == "merge":
+            ks = rng.sample(sorted(model), min(2, len(model))) + [next_k]
+            rows = [(k, f"m{step}") for k in ks]
+            store.merge_rows("IndicatorValues", frame(rows), ["k"])
+            model.update(dict(rows))
+            next_k += 1
+        elif op == "replace":
+            rows = [(next_k, f"r{step}"), (next_k + 1, f"r{step}")]
+            store.replace_product_all(pid, {"IndicatorValues": frame(rows)})
+            model = dict(rows)
+            next_k += 2
+        elif op == "epoch":
+            rows = [(next_k, f"e{step}")]
+            assert store.append_epoch("chaos", epoch, "IndicatorValues", frame(rows))
+            # replay must be a no-op even under injected conflicts
+            assert not store.append_epoch("chaos", epoch, "IndicatorValues", frame(rows))
+            model.update(dict(rows))
+            next_k += 1
+            epoch += 1
+        elif op == "compact":
+            store.compact("IndicatorValues", target_file_bytes=1 << 30)
+        else:
+            store.vacuum("IndicatorValues", older_than_seconds=0.0)
+        check()
+
+    report = store.fsck("IndicatorValues")
+    assert not report.get("IndicatorValues", {}).get("missing")
+    assert store.count_rows("IndicatorValues") == len(model)
