@@ -866,6 +866,37 @@ class TableStore:
             )
         return out
 
+    def history(self, table: str) -> list[dict]:
+        """DESCRIBE HISTORY analog: every commit of the table, newest
+        first — commit timestamp, partition, manifest version, file /
+        row counts, product txn seq. Driver-side JSON reads only (the
+        journal is metadata-sized); the substrate ``read_at`` /
+        ``read_changes`` resolve against."""
+        p = Path(self._path(table))
+        out: list[dict] = []
+        if not p.exists():
+            return out
+        for entry in sorted(p.iterdir()):
+            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                continue
+            hist = entry / "_history"
+            if not hist.exists():
+                continue
+            for hf in hist.glob("*.json"):
+                m = json.loads(hf.read_text())
+                out.append(
+                    {
+                        "partition": entry.name,
+                        "committed_at": m.get("committed_at"),
+                        "version": m.get("version"),
+                        "n_files": len(m.get("files", [])),
+                        "n_rows": sum(m.get("rows", {}).values()) or None,
+                        "product_seq": m.get("product_seq"),
+                    }
+                )
+        out.sort(key=lambda r: r["committed_at"] or 0, reverse=True)
+        return out
+
     def count_rows(self, table: str) -> int:
         """Metadata-only table row count: live file counts are summed
         from the manifests (recorded at commit from the parquet
@@ -1577,7 +1608,12 @@ class TableStore:
                 else:
                     self._publish(txn, manifest)
 
-    def vacuum(self, table: str | None = None, older_than_seconds: float = 0.0) -> int:
+    def vacuum(
+        self,
+        table: str | None = None,
+        older_than_seconds: float = 0.0,
+        prune_history: bool = False,
+    ) -> int:
         """Garbage-collect previous-version data files: in every
         manifest-bearing partition, delete parquet files NOT in the
         committed manifest and older than the retention window. Run
@@ -1595,7 +1631,16 @@ class TableStore:
         the reader completes. ``older_than_seconds=0`` is only safe
         when no reader holds a superseded snapshot; after it runs, a
         stale plan points at deleted files and fails on next execution
-        (the same contract as Delta/Iceberg VACUUM retention)."""
+        (the same contract as Delta/Iceberg VACUUM retention).
+
+        ``prune_history=True`` additionally drops journal entries
+        older than the same window (always keeping each partition's
+        LATEST entry), bounding the metadata journal the same way the
+        data files are bounded: a snapshot outside retention cannot be
+        materialized by ``read_at`` anyway (its data files are gone),
+        so its journal entry served only time-travel/CDF windows that
+        the retention contract already forecloses — Delta's log
+        retention, same reasoning."""
         import time
 
         cutoff = time.time() - older_than_seconds
@@ -1607,6 +1652,12 @@ class TableStore:
                 if not p.exists():
                     continue
                 for part in p.glob(f"{PARTITION_COL}=*"):
+                    if prune_history:
+                        hist = sorted((part / "_history").glob("*.json"))
+                        for hf in hist[:-1]:     # never the latest
+                            m = json.loads(hf.read_text())
+                            if m.get("committed_at", 0) <= cutoff:
+                                hf.unlink()
                     manifest = self._manifest(part)
                     if manifest is None:
                         continue

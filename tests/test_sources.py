@@ -1445,3 +1445,44 @@ def test_change_feed_spans_restore(spark, tmp_path):
     new = store.read("IndicatorValues").select("k", "v", PARTITION_COL)
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_history_api_and_retention(spark, tmp_path):
+    """DESCRIBE HISTORY analog + journal retention: history() lists
+    every commit newest-first with counts; vacuum(prune_history=True)
+    bounds the journal to the retention window while always keeping
+    each partition's latest entry (read_at for in-window snapshots
+    still works)."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 85
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "a")])})
+    store.append("IndicatorValues", frame([(2, "b")]))
+    t_mid = time.time()
+    store.merge_rows("IndicatorValues", frame([(1, "A2")]), ["k"])
+
+    hist = store.history("IndicatorValues")
+    assert len(hist) >= 3
+    assert hist[0]["committed_at"] >= hist[-1]["committed_at"]  # newest first
+    assert hist[0]["n_files"] >= 1 and hist[0]["partition"] == f"IndicatorThemeId={pid}"
+    assert all(h["n_rows"] is not None for h in hist)
+
+    # prune everything outside a zero-second window: only the latest
+    # journal entry per partition survives, current reads are intact
+    store.vacuum("IndicatorValues", older_than_seconds=0.0, prune_history=True)
+    hist2 = store.history("IndicatorValues")
+    assert len(hist2) == 1
+    assert store.read("IndicatorValues").count() == 2
+    # time travel to a pruned snapshot now resolves to nothing older
+    # than the retained entry — the documented retention contract
+    assert store.read_at("IndicatorValues", t_mid) is None
