@@ -583,6 +583,22 @@ class TableStore:
         return body
 
     @staticmethod
+    def _history_entries(part_dir: Path):
+        """Journal entries for one partition in commit order, tolerant
+        of a concurrent ``vacuum(prune_history=True)`` unlinking files
+        between the listing and the read (a pruned entry is simply
+        absent — exactly what the reader would have concluded a moment
+        later)."""
+        hist = part_dir / "_history"
+        if not hist.exists():
+            return
+        for h in sorted(hist.glob("*.json")):
+            try:
+                yield json.loads(h.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+
+    @staticmethod
     def _append_history(part_dir: Path, body: dict) -> None:
         """Append-only version journal for time travel (read_at): one
         tiny immutable JSON per commit, named so lexicographic order =
@@ -706,12 +722,8 @@ class TableStore:
         for entry in sorted(p.iterdir()):
             if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                 continue
-            hist = entry / "_history"
-            if not hist.exists():
-                continue
             best = None
-            for h in sorted(hist.glob("*.json")):
-                m = json.loads(h.read_text())
+            for m in self._history_entries(entry):
                 if m.get("committed_at", 0) <= as_of:
                     best = m          # sorted names: last match = latest
                 else:
@@ -748,13 +760,11 @@ class TableStore:
             for entry in sorted(p.iterdir()):
                 if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                     continue
-                hist = entry / "_history"
                 current = self._manifest(entry)
-                if not hist.exists() or current is None:
+                if not (entry / "_history").exists() or current is None:
                     continue
                 best = None
-                for h in sorted(hist.glob("*.json")):
-                    m = json.loads(h.read_text())
+                for m in self._history_entries(entry):
                     if m.get("committed_at", 0) <= as_of:
                         best = m
                     else:
@@ -813,13 +823,9 @@ class TableStore:
         for entry in sorted(p.iterdir()):
             if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                 continue
-            hist = entry / "_history"
-            if not hist.exists():
-                continue
             prev: set[str] = set()
             prev_schema: str | None = None
-            for h in sorted(hist.glob("*.json")):
-                m = json.loads(h.read_text())
+            for m in self._history_entries(entry):
                 ts = m.get("committed_at", 0)
                 cur, cur_schema = set(m["files"]), m.get("schema")
                 if ts <= since:
@@ -879,11 +885,7 @@ class TableStore:
         for entry in sorted(p.iterdir()):
             if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                 continue
-            hist = entry / "_history"
-            if not hist.exists():
-                continue
-            for hf in hist.glob("*.json"):
-                m = json.loads(hf.read_text())
+            for m in self._history_entries(entry):
                 out.append(
                     {
                         "partition": entry.name,
@@ -1655,9 +1657,12 @@ class TableStore:
                     if prune_history:
                         hist = sorted((part / "_history").glob("*.json"))
                         for hf in hist[:-1]:     # never the latest
-                            m = json.loads(hf.read_text())
+                            try:
+                                m = json.loads(hf.read_text())
+                            except (OSError, json.JSONDecodeError):
+                                continue
                             if m.get("committed_at", 0) <= cutoff:
-                                hf.unlink()
+                                hf.unlink(missing_ok=True)
                     manifest = self._manifest(part)
                     if manifest is None:
                         continue
@@ -1878,10 +1883,8 @@ class TableStore:
                 missing += sorted(f"{part.name}/{n}" for n in live - on_disk)
                 part_stats_gap = sorted(live & on_disk - set(stats))
                 historical: set[str] = set()
-                hist = part / "_history"
-                if hist.exists():
-                    for h in hist.glob("*.json"):
-                        historical |= set(json.loads(h.read_text())["files"])
+                for m in self._history_entries(part):
+                    historical |= set(m.get("files", []))
                 part_unknown = sorted((on_disk - live) - historical)
                 superseded += sorted(
                     f"{part.name}/{n}" for n in (on_disk - live) & historical
