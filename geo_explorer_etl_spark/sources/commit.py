@@ -130,7 +130,12 @@ class LocalFSBackend(CommitBackend):
 
     def delete(self, d: Path, key: str) -> None:
         (d / key).unlink(missing_ok=True)
-        (d / f"{key}.lock").unlink(missing_ok=True)  # no lock-file litter
+        # the .lock file is deliberately LEFT BEHIND: unlinking a path
+        # another process may be flock()ing (or about to) hands the
+        # next writer a fresh inode whose lock it wins immediately —
+        # two writers inside the critical section, the exact lost
+        # update the lock prevents. A few empty lock files are the
+        # cost of correctness.
 
     @contextmanager
     def lock(self, root: Path):

@@ -588,15 +588,30 @@ class TableStore:
         of a concurrent ``vacuum(prune_history=True)`` unlinking files
         between the listing and the read (a pruned entry is simply
         absent — exactly what the reader would have concluded a moment
-        later)."""
+        later). ONLY that race is tolerated: genuine corruption (EIO,
+        truncated writes) still raises loudly — a journal auditor that
+        silently skips bad entries would return wrong snapshots."""
         hist = part_dir / "_history"
         if not hist.exists():
             return
         for h in sorted(hist.glob("*.json")):
+            if h.name.startswith("_"):
+                continue  # tombstones and other control files
             try:
                 yield json.loads(h.read_text())
-            except (OSError, json.JSONDecodeError):
+            except FileNotFoundError:
                 continue
+
+    @staticmethod
+    def _pruned_until(part_dir: Path) -> float:
+        """High-water mark of journal truncation for the partition —
+        snapshots at or before it are no longer resolvable (the
+        retention contract); 0.0 when never pruned."""
+        tomb = part_dir / "_history" / "_pruned_until"
+        try:
+            return float(tomb.read_text())
+        except (OSError, ValueError):
+            return 0.0
 
     @staticmethod
     def _append_history(part_dir: Path, body: dict) -> None:
@@ -729,6 +744,11 @@ class TableStore:
                 else:
                     break
             if best is None:
+                if self._pruned_until(entry) > as_of:
+                    raise ValueError(
+                        f"read_at({table!r}, {as_of}): snapshot pruned from the "
+                        f"journal ({entry.name}) — outside vacuum retention"
+                    )
                 continue
             files += [str(entry / n) for n in best["files"]]
             if best.get("schema"):
@@ -769,6 +789,13 @@ class TableStore:
                         best = m
                     else:
                         break
+                if best is None and self._pruned_until(entry) > as_of:
+                    raise ValueError(
+                        f"restore({table!r}, {as_of}): snapshot pruned from the "
+                        f"journal ({entry.name}) — outside vacuum retention; "
+                        "refusing to conflate with a later-born partition "
+                        "(which would empty it)"
+                    )
                 target_files = best["files"] if best else []
                 if target_files == current["files"]:
                     continue
@@ -823,6 +850,12 @@ class TableStore:
         for entry in sorted(p.iterdir()):
             if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                 continue
+            if self._pruned_until(entry) > since:
+                raise ValueError(
+                    f"read_changes({table!r}, since={since}): baseline pruned "
+                    f"from the journal ({entry.name}) — the requested window "
+                    "is outside vacuum retention"
+                )
             prev: set[str] = set()
             prev_schema: str | None = None
             for m in self._history_entries(entry):
@@ -892,7 +925,9 @@ class TableStore:
                         "committed_at": m.get("committed_at"),
                         "version": m.get("version"),
                         "n_files": len(m.get("files", [])),
-                        "n_rows": sum(m.get("rows", {}).values()) or None,
+                        "n_rows": (
+                            sum(m["rows"].values()) if m.get("rows") else None
+                        ),
                         "product_seq": m.get("product_seq"),
                     }
                 )
@@ -1387,14 +1422,20 @@ class TableStore:
         import shutil
         import uuid
 
-        if int(batch_id) <= int(self._epoch_ledger().get(stream_id, -1)):
+        cur = self._backend.read(Path(self.root), EPOCHS)
+        ledger_body = cur[1] if cur else None
+        if int(batch_id) <= int(
+            self._ledger_streams(ledger_body).get(stream_id, -1)
+        ):
             # replay fast-path — but "already claimed" must also mean
             # "visible": if the claimed winner crashed between claim
             # and publish, roll its committed staging forward NOW (a
             # long-lived store handle never re-runs recover(), so a
             # False return here is this path's only chance to make the
-            # batch's rows appear before the stream moves on)
-            self._complete_claimed_epoch(stream_id)
+            # batch's rows appear before the stream moves on). The
+            # just-read ledger body rides along (replays are the hot
+            # path during streaming recovery — one read, not two).
+            self._complete_claimed_epoch(stream_id, ledger_body)
             return False
         txn = (
             Path(self.root)
@@ -1446,14 +1487,19 @@ class TableStore:
             self._publish_epoch(txn, manifest)
         return True
 
-    def _complete_claimed_epoch(self, stream_id: str) -> None:
+    def _complete_claimed_epoch(
+        self, stream_id: str, ledger_body: dict | None = None
+    ) -> None:
         """Roll forward the stream's CLAIMED txn if its staging is
         still on disk with a committed MANIFEST — the crashed-between-
         claim-and-publish window. Idempotent (publish skips moved
         files, manifest extends dedupe), safe to race with the live
-        winner's own publish."""
-        cur = self._backend.read(Path(self.root), EPOCHS)
-        owner = ((cur[1] if cur else {}).get("txns", {}) or {}).get(stream_id)
+        winner's own publish. Callers that just read the ledger pass
+        its body along to save a round-trip."""
+        if ledger_body is None:
+            cur = self._backend.read(Path(self.root), EPOCHS)
+            ledger_body = cur[1] if cur else {}
+        owner = (ledger_body.get("txns", {}) or {}).get(stream_id)
         if not owner:
             return
         txn = Path(self.root) / "_staging" / owner
@@ -1655,14 +1701,42 @@ class TableStore:
                     continue
                 for part in p.glob(f"{PARTITION_COL}=*"):
                     if prune_history:
+                        # an entry is the AUTHORITATIVE snapshot until
+                        # its successor's commit, so E_i is prunable
+                        # only when the NEXT entry is itself older than
+                        # the window (pruning by E_i's own timestamp
+                        # would delete the snapshot that was current
+                        # moments ago and corrupt read_at / read_changes
+                        # baselines). A tombstone records how far the
+                        # journal was truncated so time-travel/CDF/
+                        # restore refuse clearly instead of silently
+                        # resolving to nothing.
                         hist = sorted((part / "_history").glob("*.json"))
-                        for hf in hist[:-1]:     # never the latest
+                        entries = []
+                        for hf in hist:
                             try:
-                                m = json.loads(hf.read_text())
+                                entries.append(
+                                    (hf, json.loads(hf.read_text()))
+                                )
                             except (OSError, json.JSONDecodeError):
+                                entries.append((hf, None))
+                        pruned_to = None
+                        for (hf, m), (_, nxt) in zip(entries, entries[1:]):
+                            if nxt is None:
                                 continue
-                            if m.get("committed_at", 0) <= cutoff:
+                            if nxt.get("committed_at", 0) <= cutoff:
                                 hf.unlink(missing_ok=True)
+                                pruned_to = nxt.get("committed_at", 0)
+                            else:
+                                break
+                        if pruned_to is not None:
+                            tomb = part / "_history" / "_pruned_until"
+                            prev = (
+                                float(tomb.read_text())
+                                if tomb.exists()
+                                else 0.0
+                            )
+                            tomb.write_text(str(max(prev, pruned_to)))
                     manifest = self._manifest(part)
                     if manifest is None:
                         continue

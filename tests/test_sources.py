@@ -1477,12 +1477,29 @@ def test_history_api_and_retention(spark, tmp_path):
     assert hist[0]["n_files"] >= 1 and hist[0]["partition"] == f"IndicatorThemeId={pid}"
     assert all(h["n_rows"] is not None for h in hist)
 
+    # SUCCESSOR criterion (review r7 #3): with a generous window,
+    # nothing prunes — an old entry stays authoritative until its
+    # successor ages out, so recent-window time travel keeps working
+    store.vacuum("IndicatorValues", older_than_seconds=3600.0, prune_history=True)
+    assert len(store.history("IndicatorValues")) == len(hist)
+    assert store.read_at("IndicatorValues", t_mid).count() == 2
+
     # prune everything outside a zero-second window: only the latest
     # journal entry per partition survives, current reads are intact
     store.vacuum("IndicatorValues", older_than_seconds=0.0, prune_history=True)
     hist2 = store.history("IndicatorValues")
     assert len(hist2) == 1
     assert store.read("IndicatorValues").count() == 2
-    # time travel to a pruned snapshot now resolves to nothing older
-    # than the retained entry — the documented retention contract
-    assert store.read_at("IndicatorValues", t_mid) is None
+    # time travel / restore / CDF into the pruned region now REFUSE
+    # loudly (a tombstone records the truncation) instead of silently
+    # resolving to nothing — the review-pinned retention contract
+    import pytest
+
+    with pytest.raises(ValueError, match="outside vacuum retention"):
+        store.read_at("IndicatorValues", t_mid)
+    with pytest.raises(ValueError, match="outside vacuum retention"):
+        store.restore("IndicatorValues", t_mid)
+    with pytest.raises(ValueError, match="outside vacuum retention"):
+        store.read_changes("IndicatorValues", 0.0)
+    # current-window operations are unaffected
+    assert store.read_at("IndicatorValues", time.time()).count() == 2
