@@ -65,6 +65,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "column, so filtered reads skip non-covering files)",
     )
     p.add_argument(
+        "--prune-history",
+        action="store_true",
+        help="with --vacuum: also truncate the commit journal to the "
+        "retention window (successor-timestamp criterion; read_at/"
+        "read_changes below the truncation point refuse loudly)",
+    )
+    p.add_argument(
         "--fsck",
         action="store_true",
         help="audit the store (missing / superseded / unknown / "
@@ -83,6 +90,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         p.error("--compact-sort requires --compact")
     if args.repair and not args.fsck:
         p.error("--repair requires --fsck")
+    if args.prune_history and args.vacuum is None:
+        p.error("--prune-history requires --vacuum")
     if args.vacuum is not None or args.compact or args.fsck:
         if args.insert or args.prodid or has_range:
             p.error("--vacuum/--compact/--fsck run alone")
@@ -123,7 +132,10 @@ def main(argv: list[str] | None = None) -> int:
             n = store.compact(sort_by=sort_by)
             print(f"compact: rewrote {n} fragmented partitions")
         if args.vacuum is not None:
-            removed = store.vacuum(older_than_seconds=args.vacuum * 3600)
+            removed = store.vacuum(
+                older_than_seconds=args.vacuum * 3600,
+                prune_history=args.prune_history,
+            )
             print(f"vacuum: removed {removed} superseded files")
         if args.fsck:
             import json as _json

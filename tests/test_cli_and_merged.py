@@ -223,3 +223,14 @@ def test_cli_fsck_and_multi_sort_flags():
         parse_args(["--repair"])
     with pytest.raises(SystemExit):
         parse_args(["--fsck", "--prodid", "35100177"])
+
+
+def test_cli_prune_history_flag():
+    import pytest
+
+    from geo_explorer_etl_spark.cli import parse_args
+
+    a = parse_args(["--vacuum", "24", "--prune-history"])
+    assert a.vacuum == 24.0 and a.prune_history
+    with pytest.raises(SystemExit):
+        parse_args(["--prune-history"])
