@@ -279,6 +279,9 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[float]]:
         if content[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
         marker = content[pos + 1]
+        if marker == 0xFF:                      # T.81 B.1.1.2 fill byte
+            pos += 1
+            continue
         if marker == 0xD9:                      # EOI
             break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

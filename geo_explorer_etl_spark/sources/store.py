@@ -303,12 +303,42 @@ def _bloom_decode(bloom: dict) -> tuple[bytes, int, int] | None:
     return bits, m, k
 
 
-def _bloom_test(bits: bytes, m: int, k: int, val) -> bool:
+def _bloom_probe_keys(val) -> list[str]:
+    """Candidate hash keys for a PREDICATE value. Temporal values get
+    BOTH granularities — a `date` probe also tests its midnight
+    timestamp key and a naive-midnight `datetime` also tests its date
+    key — because the stored keys' shape follows the COLUMN type
+    (date column -> 'YYYY-MM-DD', timestamp column ->
+    'YYYY-MM-DDT00:00:00') while Spark's re-applied filter casts
+    across (date literal == midnight instant). Testing both keeps the
+    file whenever the cast semantics could match a row; files with no
+    matching instant under either shape still prune (sound — the same
+    mixed-granularity hazard the zone maps handle by shape, solved
+    here by probe expansion since equality admits it)."""
+    import datetime
+
     key = _bloom_key(val)
     if key is None:
+        return []
+    keys = [key]
+    if isinstance(val, datetime.datetime):
+        if val.tzinfo is None and val.time() == datetime.time(0):
+            keys.append(val.date().isoformat())
+    elif isinstance(val, datetime.date):
+        keys.append(val.isoformat() + "T00:00:00")
+    return keys
+
+
+def _bloom_test(bits: bytes, m: int, k: int, val) -> bool:
+    keys = _bloom_probe_keys(val)
+    if not keys:
         return True
-    return all(
-        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_positions(key, k, m)
+    return any(
+        all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in _bloom_positions(key, k, m)
+        )
+        for key in keys
     )
 
 
@@ -331,6 +361,7 @@ def _build_blooms(path: Path, cols: list[str], max_bits: int = BLOOM_MAX_BITS) -
     except Exception:
         return {}
     out: dict[str, dict] = {}
+    cap = max_bits // 10  # ~10 bits/key
     for c in want:
         keys: set[str] | None = set()
         for v in table.column(c).to_pylist():
@@ -341,10 +372,14 @@ def _build_blooms(path: Path, cols: list[str], max_bits: int = BLOOM_MAX_BITS) -
                 keys = None
                 break
             keys.add(kk)
-        if not keys:  # unhashable type, or all-null column
+            if len(keys) > cap:
+                # too many distinct values: bail INSIDE the sweep so a
+                # 10M-distinct id column never materializes its whole
+                # key set on the driver just to be thrown away
+                keys = None
+                break
+        if not keys:  # unhashable type, all-null, or over-cardinality
             continue
-        if len(keys) * 10 > max_bits:
-            continue  # too many distinct values: bloom would be useless
         m = max(64, 1 << (len(keys) * 10 - 1).bit_length())
         m = min(m, max_bits)
         bits = bytearray(m // 8)
@@ -617,14 +652,46 @@ class TableStore:
     def _append_history(part_dir: Path, body: dict) -> None:
         """Append-only version journal for time travel (read_at): one
         tiny immutable JSON per commit, named so lexicographic order =
-        commit order — object-store-safe (unique keys, no renames)."""
+        commit order. Written via tmp+rename so a crash mid-write
+        leaves no torn entry — `_history_entries` raises loudly on
+        corruption (it's an audit substrate), so every writer must be
+        crash-atomic. (On an object store the rename becomes a plain
+        single-key PUT, which is atomic there.)"""
         import uuid
 
         hist = part_dir / "_history"
         hist.mkdir(exist_ok=True)
-        (
-            hist / f"{body['committed_at']:020.6f}-{uuid.uuid4().hex[:8]}.json"
-        ).write_text(json.dumps(body))
+        name = f"{body['committed_at']:020.6f}-{uuid.uuid4().hex[:8]}.json"
+        tmp = hist / f"_tmp-{name}"
+        tmp.write_text(json.dumps(body))
+        tmp.rename(hist / name)
+
+    def journal_pending_floor(self, table: str) -> float | None:
+        """Earliest ``committed_at`` among CURRENT manifests whose
+        journal entry has not landed yet (the writer sits between the
+        manifest CAS and the journal append), or None when every
+        current commit is journaled. Change-feed consumers clamp their
+        upper bound below this so a cursor can never advance past a
+        commit the journal doesn't show yet — the HARD bound the
+        wall-clock watermark lag cannot provide under stalls."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return None
+        floor: float | None = None
+        for entry in sorted(p.iterdir()):
+            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                continue
+            m = self._manifest(entry)
+            if m is None:
+                continue
+            ts = m.get("committed_at")
+            if ts is None:
+                continue
+            if not any(
+                e.get("committed_at") == ts for e in self._history_entries(entry)
+            ):
+                floor = ts if floor is None else min(floor, ts)
+        return floor
 
     def exists(self, table: str) -> bool:
         return Path(self._path(table)).exists()
@@ -1223,16 +1290,19 @@ class TableStore:
             txn = Path(self.root) / "_staging" / f"txn_{product_id}_{seq}_{uuid.uuid4().hex[:8]}"
             txn.mkdir(parents=True)
             # sentinel: spare this manifest-less dir from a concurrent
-            # recover() while the (unlocked under CAS) staging writes run
-            (txn / "_INFLIGHT").write_text("")
+            # recover() while the (unlocked under CAS) staging writes
+            # run; heartbeat so long stagings aren't mistaken for crashes
+            sentinel = txn / "_INFLIGHT"
+            sentinel.write_text("")
             schemas: dict[str, str] = {}
-            for table, df in frames.items():
-                if PARTITION_COL in df.columns:
-                    df = df.drop(PARTITION_COL)
-                # payload files exclude the partition column, exactly like
-                # a partitioned write's IndicatorThemeId={pid} directory
-                df.write.parquet(str(txn / table))
-                schemas[table] = df.schema.json()
+            with self._inflight_keepalive(sentinel):
+                for table, df in frames.items():
+                    if PARTITION_COL in df.columns:
+                        df = df.drop(PARTITION_COL)
+                    # payload files exclude the partition column, exactly
+                    # like a partitioned write's IndicatorThemeId={pid} dir
+                    df.write.parquet(str(txn / table))
+                    schemas[table] = df.schema.json()
             manifest = {
                 "product_id": product_id,
                 "seq": seq,
@@ -1446,12 +1516,15 @@ class TableStore:
         # sentinel: this manifest-less staging dir is live (being
         # written OUTSIDE the lock) — a concurrent recover() must not
         # roll it back unless the sentinel has gone stale (crashed
-        # writer), see recover()'s grace window
-        (txn / "_INFLIGHT").write_text("")
-        w = df.write
-        if PARTITION_COL in df.columns:
-            w = w.partitionBy(PARTITION_COL)
-        w.parquet(str(txn / table))
+        # writer, see recover()'s grace window); heartbeat it so a
+        # LONG batch write is never mistaken for a crash
+        sentinel = txn / "_INFLIGHT"
+        sentinel.write_text("")
+        with self._inflight_keepalive(sentinel):
+            w = df.write
+            if PARTITION_COL in df.columns:
+                w = w.partitionBy(PARTITION_COL)
+            w.parquet(str(txn / table))
         payload_schema = (
             df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
         )
@@ -1592,6 +1665,34 @@ class TableStore:
         shutil.rmtree(txn, ignore_errors=True)  # racer may have cleaned up
 
     INFLIGHT_GRACE_SECONDS = 3600.0
+
+    @contextmanager
+    def _inflight_keepalive(self, sentinel: Path):
+        """Heartbeat the ``_INFLIGHT`` sentinel while an unlocked
+        staging write runs: recover()'s staleness test distinguishes
+        crashed from slow only if a LIVE writer keeps the mtime fresh —
+        a batch write longer than the grace window is exactly the
+        100 TB case, and without the heartbeat a concurrent recover()
+        would destroy the live txn mid-write."""
+        import os
+        import threading
+
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(self.INFLIGHT_GRACE_SECONDS / 4):
+                try:
+                    os.utime(sentinel)
+                except OSError:
+                    return  # txn dir gone: nothing left to protect
+
+        t = threading.Thread(target=beat, daemon=True)
+        t.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            t.join(timeout=5)
 
     def recover(self) -> None:
         """Complete (roll forward) any committed-but-unpublished
@@ -1846,24 +1947,31 @@ class TableStore:
                     rewritten = set(n for n in names if (part / n).exists())
 
                     def swap(prior, part=part, new_names=new_names,
-                             rewritten=rewritten, schema_json=schema_json,
-                             manifest=manifest):
-                        keep = [
-                            n
-                            for n in (prior or manifest)["files"]
-                            if n not in rewritten
-                        ]
+                             rewritten=rewritten, schema_json=schema_json):
+                        """Rewrite-conflict resolution (the Iceberg
+                        rule): a concurrent APPEND's files survive
+                        (they're in prior but not in the rewritten
+                        set), but if any rewritten source file is no
+                        longer live — a concurrent REPLACE superseded
+                        it — or the manifest was dropped to listing
+                        mode, the compaction ABORTS: committing the
+                        rewrite would resurrect superseded rows. The
+                        orphaned compact-* files age out via fsck
+                        repair's unknown-leftover GC."""
+                        if prior is None or not rewritten <= set(prior["files"]):
+                            return None
+                        keep = [n for n in prior["files"] if n not in rewritten]
                         return self._build_manifest_body(
                             part,
                             sorted(new_names) + keep,
-                            prior_stats=(prior or {}).get("stats"),
+                            prior_stats=prior.get("stats"),
                             schema_json=schema_json,
-                            prior_rows=(prior or {}).get("rows"),
-                            product_seq=(prior or manifest).get("product_seq"),
+                            prior_rows=prior.get("rows"),
+                            product_seq=prior.get("product_seq"),
                         )
 
-                    self._update_manifest(part, swap)  # snapshot point
-                    compacted += 1
+                    if self._update_manifest(part, swap) is not None:
+                        compacted += 1               # snapshot point
         return compacted
 
     def merge_rows(self, table: str, df: DataFrame, key_cols: list[str]) -> None:

@@ -194,17 +194,39 @@ class ChangeFeedReader:
     property that makes subscribing to a 100 TB table feasible.
     """
 
-    def __init__(self, store, table: str, cursor_name: str):
+    def __init__(
+        self, store, table: str, cursor_name: str, start_at: float | None = None
+    ):
+        """``start_at`` initializes a BRAND-NEW cursor (ignored once
+        one exists): a fresh subscriber on a mature store passes
+        ``time.time()`` to begin from now — without it the first poll
+        replays since the epoch, which a store that ever ran
+        ``vacuum(prune_history=True)`` (or vacuumed superseded files)
+        rightly refuses."""
         from pathlib import Path
 
         self.store = store
         self.table = table
         self._dir = Path(store.root) / "_cursors"
         self._key = f"{cursor_name}.json"
+        if start_at is not None and self.store._backend.read(
+            self._dir, self._key
+        ) is None:
+            self.seek(start_at)
 
     def position(self) -> float:
         cur = self.store._backend.read(self._dir, self._key)
         return float(cur[1].get("ts", 0.0)) if cur else 0.0
+
+    def seek(self, ts: float) -> None:
+        """Force the durable cursor to ``ts`` (initialize a new
+        subscriber, or deliberately rewind/skip — rewinding re-delivers
+        windows, so pair with an idempotent apply)."""
+        from geo_explorer_etl_spark.sources.commit import cas_update
+
+        cas_update(
+            self.store._backend, self._dir, self._key, lambda prior: {"ts": ts}
+        )
 
     #: Watermark lag (seconds) subtracted from "now" when no explicit
     #: ``until`` is given: a commit's ``committed_at`` is stamped a
@@ -230,6 +252,17 @@ class ChangeFeedReader:
         since = self.position()
         if until is None:
             until = time.time() - self.WATERMARK_LAG_SECONDS
+        # HARD bound, not just the heuristic lag: if any partition's
+        # CURRENT manifest has no journal entry yet (the writer is
+        # between the manifest CAS and the journal append — a window
+        # the wall-clock lag cannot bound under stalls), clamp the
+        # poll below that commit so the cursor can never advance past
+        # it. Missing INTERMEDIATE entries are benign (the pairwise
+        # diff absorbs them into the successor's net delta); only the
+        # latest commit's pending entry is hazardous.
+        pending = self.store.journal_pending_floor(self.table)
+        if pending is not None:
+            until = min(until, pending - 1e-6)
         if until <= since:
             return None
         changes = self.store.read_changes(self.table, since, until)

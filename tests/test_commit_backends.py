@@ -455,3 +455,112 @@ def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path):
     report = store.fsck("IndicatorValues")
     assert not report.get("IndicatorValues", {}).get("missing")
     assert store.count_rows("IndicatorValues") == len(model)
+
+
+def test_compact_aborts_when_rewrite_superseded(spark, tmp_path):
+    """Review r7 #4: a compaction whose source files were superseded by
+    a concurrent replace must ABORT its manifest swap (committing it
+    would resurrect the old rows next to the replacement). Simulated
+    deterministically: the replace lands between compact's read and
+    its swap via a backend write hook."""
+    root = str(tmp_path / "store")
+    pid = 31
+    store = TableStore(spark, root, backend="cas")
+
+    def frame(tag, n=50):
+        return spark.range(n).select(
+            F.col("id"), F.lit(tag).alias("v")
+        ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+
+    store.replace_product_all(pid, {"IndicatorValues": frame("old").repartition(4)})
+    racer = TableStore(spark, root, backend="cas")
+    real_write = store._backend.write
+    fired = {"done": False}
+
+    def write_with_replace(d, key, body, expected):
+        if not fired["done"] and key == "_committed.json" and "compact-" in str(
+            body.get("files", [])
+        ):
+            fired["done"] = True
+            racer.replace_product_all(pid, {"IndicatorValues": frame("new", 7)})
+        return real_write(d, key, body, expected)
+
+    store._backend.write = write_with_replace
+    try:
+        n = store.compact("IndicatorValues", target_file_bytes=1 << 30)
+    finally:
+        store._backend.write = real_write
+    assert fired["done"]
+    assert n == 0                                  # aborted, not committed
+    out = TableStore(spark, root, backend="cas").read("IndicatorValues")
+    assert out.count() == 7                        # replacement only
+    assert {r["v"] for r in out.select("v").distinct().collect()} == {"new"}
+
+
+def test_bloom_temporal_probe_keeps_midnight_rows(spark, tmp_path):
+    """Review r7 #4: a date probe against a bloom-indexed TIMESTAMP
+    column must not prune the file holding the matching midnight rows
+    (probe keys expand across granularities, like the zone maps'
+    shape rule)."""
+    import datetime
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, bloom_cols={"IndicatorValues": ["ts"]})
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 15, 0, 0, 0)),
+         (2, datetime.datetime(2024, 1, 16, 12, 0, 0))],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    store.replace_product_all(33, {"IndicatorValues": df})
+    got = store.read("IndicatorValues", [("ts", "==", datetime.date(2024, 1, 15))])
+    assert [r["id"] for r in got.collect()] == [1]
+    # converse: midnight datetime probe against a DATE column
+    store2 = TableStore(
+        spark, str(tmp_path / "s2"), bloom_cols={"IndicatorValues": ["d"]}
+    )
+    df2 = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 15))], "id long, d date"
+    ).coalesce(1)
+    store2.replace_product_all(34, {"IndicatorValues": df2})
+    got2 = store2.read(
+        "IndicatorValues", [("d", "==", datetime.datetime(2024, 1, 15))]
+    )
+    assert [r["id"] for r in got2.collect()] == [1]
+
+
+def test_new_change_feed_subscriber_starts_at_now(spark, tmp_path):
+    """Review r7 #4: a fresh subscriber on a mature (journal-pruned)
+    store attaches with start_at and polls cleanly from there instead
+    of failing forever on the pruned epoch window."""
+    import time
+
+    from geo_explorer_etl_spark.streaming.incremental import ChangeFeedReader
+
+    root = str(tmp_path / "store")
+    pid = 35
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "a")])})
+    store.merge_rows("IndicatorValues", frame([(2, "b")]), ["k"])
+    store.vacuum("IndicatorValues", older_than_seconds=0.0, prune_history=True)
+
+    # without start_at: the epoch window is pruned -> loud refusal
+    import pytest
+
+    naive = ChangeFeedReader(store, "IndicatorValues", "late_naive")
+    with pytest.raises(ValueError, match="outside vacuum retention"):
+        naive.poll(until=time.time())
+
+    # with start_at: attaches at now, sees only subsequent commits
+    late = ChangeFeedReader(
+        store, "IndicatorValues", "late_sub", start_at=time.time()
+    )
+    assert late.poll(until=time.time()) is None
+    store.append("IndicatorValues", frame([(3, "c")]))
+    seen = late.poll(until=time.time())
+    assert sorted(r["k"] for r in seen.collect()) == [3]
