@@ -687,6 +687,10 @@ class TableStore:
             ts = m.get("committed_at")
             if ts is None:
                 continue
+            if not (entry / "_history").exists():
+                # journal-less legacy partition: read_changes skips it
+                # entirely, so it must not clamp the feed forever
+                continue
             if not any(
                 e.get("committed_at") == ts for e in self._history_entries(entry)
             ):
