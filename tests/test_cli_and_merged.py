@@ -234,3 +234,33 @@ def test_cli_prune_history_flag():
     assert a.vacuum == 24.0 and a.prune_history
     with pytest.raises(SystemExit):
         parse_args(["--prune-history"])
+
+
+def test_cli_maintenance_ops_end_to_end(spark, tmp_path, capsys):
+    """main() wiring for the standalone maintenance ops: --fsck audits
+    (clean store prints 'fsck: clean'), --fsck --repair runs, and
+    --vacuum --prune-history truncates the journal — all against a
+    real store root, no WDS/network involved."""
+    from geo_explorer_etl_spark import cli
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "wh")
+    store = TableStore(spark, root)
+    df = spark.createDataFrame([(1, "a")], "id long, v string").withColumn(
+        PARTITION_COL, F.lit(11110001).cast("long")
+    )
+    store.replace_product_all(11110001, {"IndicatorValues": df})
+    store.merge_rows("IndicatorValues", df, ["id"])
+
+    assert cli.main(["--fsck", "--warehouse", root]) == 0
+    out = capsys.readouterr().out
+    assert "superseded" in out or "fsck: clean" in out
+
+    assert cli.main(["--fsck", "--repair", "--warehouse", root]) == 0
+    assert (
+        cli.main(["--vacuum", "0", "--prune-history", "--warehouse", root]) == 0
+    )
+    assert "vacuum: removed" in capsys.readouterr().out
+    assert len(store.history("IndicatorValues")) == 1
+    assert cli.main(["--fsck", "--warehouse", root]) == 0
+    assert "fsck: clean" in capsys.readouterr().out
