@@ -927,3 +927,110 @@ def train_centroids(
         return [[float(v) for v in row] for row in c]
     finally:
         s.unpersist()
+
+
+# -- int8 scalar quantization (memory/IO lever for the ANN stack) ------------
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    ``q_i = round(127 * v_i / amax)``, carried with ``scale = amax/127``
+    — a 4× cut of the bytes every ANN scan reads and ships, the
+    standard serving-layout lever for embedding corpora at 100 TB
+    (FAISS SQ8). The quantized column is ``array<tinyint>``; cosine is
+    SCALE-INVARIANT, so approximate scores need only the int8 dots and
+    per-vector int8 norms (no dequantization in the hot loop). All
+    JVM-side expressions; a one-time pass at ingest, not a hot path.
+    Zero vectors keep scale 0 and an all-zero code (score 0 downstream,
+    same as the exact path's 0/0-guarded cosine)."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    qvec = F.transform(
+        v,
+        lambda x: F.when(
+            F.col("_scale") > 0, F.round(x / F.col("_scale"), 0)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return (
+        emb.withColumn("_scale", scale)
+        .withColumn("qvec", qvec)
+        .withColumnRenamed("_scale", "scale")
+    )
+
+
+def cosine_topk_quantized(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Two-stage ANN over the int8 layout: (1) approximate cosine from
+    int8 dot products — an Arrow-batched ``(batch × dim) @ (dim,)``
+    int32 matmul over the QUANTIZED codes, reading a quarter of the
+    bytes the float scan reads — keeps the top ``rerank`` (default 4k)
+    candidates; (2) exact float cosine re-scores only those and takes
+    the true top-k. With ``rerank >= corpus`` the result equals the
+    brute-force ``cosine_topk`` exactly (the rerank stage IS that
+    computation); smaller rerank trades recall for stage-1 bandwidth —
+    the recall gate pins ≥0.9 at 4k on the synthetic corpus. Output
+    schema matches ``cosine_topk``."""
+    rerank = 4 * k if rerank is None else rerank
+    quant = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    qrow = quant.filter(F.col(id_col) == query_vec_id).select("qvec").first()
+    if qrow is None:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} {emb.schema[id_col].dataType.simpleString()}, "
+                f"{label_col} string, cosine double"
+        )
+    qcode = [int(x) for x in qrow["qvec"]]
+
+    def approx(batches):
+        import numpy as np
+        import pandas as pd
+
+        qv = np.array(qcode, dtype=np.int32)
+        qn = max(float(np.sqrt((qv * qv).sum())), 1e-300)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(r, dtype=np.int32) for r in pdf["qvec"]]
+            )
+            dots = X @ qv
+            norms = np.maximum(np.sqrt((X * X).sum(axis=1)), 1e-300)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_approx": dots / (norms * qn),
+                }
+            )
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    cands = (
+        quant.filter(F.col(id_col) != query_vec_id)
+        .select(id_col, "qvec")
+        .mapInPandas(approx, schema=f"{id_col} {id_type}, _approx double")
+        .orderBy(F.col("_approx").desc(), F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    # exact rerank: join the float vectors back for ONLY the candidates
+    exact = emb.join(F.broadcast(cands), id_col)
+    q = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(_as_double(F.col(vec_col)).alias("qv"))
+    )
+    sims = exact.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine(_as_double(F.col(vec_col)), F.col("qv")), 6).alias("cosine"),
+    )
+    return sims.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

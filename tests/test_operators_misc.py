@@ -360,3 +360,46 @@ def test_build_training_corpus_composition(spark):
     assert used <= budget
     if len(capped_ids) < len(ids):  # maximality: the next doc overflows
         assert used + ntok[ids[len(capped_ids)]] > budget
+
+
+def test_int8_quantized_ann_recall_and_exactness(spark):
+    """int8 scalar quantization (the 4x serving-layout lever): with
+    rerank >= corpus the two-stage search EQUALS brute force exactly
+    (stage 2 is that computation); at the default 4k rerank recall@10
+    must stay >= 0.9 on the synthetic corpus; quantized codes bound
+    the per-element error by scale/2 and are scale-invariant for
+    cosine."""
+    from geo_explorer_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+    from geo_explorer_etl_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    n = emb.count()
+
+    exact = cosine_topk(emb, query_vec_id=0, k=10).collect()
+    full = cosine_topk_quantized(emb, query_vec_id=0, k=10, rerank=n).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+    approx = cosine_topk_quantized(emb, query_vec_id=0, k=10).collect()
+    exact_ids = {r["vec_id"] for r in exact}
+    hit = len(exact_ids & {r["vec_id"] for r in approx}) / len(exact_ids)
+    assert hit >= 0.9
+    # surviving candidates carry EXACT cosines (stage 2 rescored them)
+    exact_by_id = {r["vec_id"]: r["cosine"] for r in exact}
+    for r in approx:
+        if r["vec_id"] in exact_by_id:
+            assert r["cosine"] == exact_by_id[r["vec_id"]]
+
+    # quantization error bound: |v_i - q_i*scale| <= scale/2 (+fp slack)
+    row = quantize_embeddings(emb).filter(F.col("vec_id") == 0).first()
+    scale, vec, q = row["scale"], row["embedding"], row["qvec"]
+    assert all(
+        abs(float(v) - int(c) * scale) <= scale / 2 + 1e-9
+        for v, c in zip(vec, q)
+    )
+    assert all(-127 <= int(c) <= 127 for c in q)
