@@ -805,6 +805,26 @@ def test_jpeg_progressive_decode_matches_baseline(spark):
     )
     assert decode_jpeg(prog2)[2] == decode_jpeg(base2)[2]
 
+    # -- spectral-selection SPLIT: two AC scans over disjoint bands ----
+    # final coeffs: DC 32, AC(k=1) = +1, AC(k=2) = -2
+    base3 = _jpeg_progressive_fixture(
+        1, False,
+        [([1], 0, 63, 0, 0,
+          "110" + "100000" + "10" + "1" + "110" + "01" + "0")],
+        sof_marker=0xC0,
+    )
+    prog3 = _jpeg_progressive_fixture(
+        1, False,
+        [
+            ([1], 0, 0, 0, 0, "110" + "100000"),   # DC scan
+            # band [1,1]: (r0,s1) value +1 — band exhausts, no EOB
+            ([1], 1, 1, 0, 0, "10" + "1"),
+            # band [2,63]: (r0,s2) value -2, then EOB
+            ([1], 2, 63, 0, 0, "110" + "01" + "0"),
+        ],
+    )
+    assert decode_jpeg(prog3)[2] == decode_jpeg(base3)[2]
+
 
 def test_jpeg_progressive_color_and_eobrun(spark):
     """Interleaved progressive DC scan over a 4:2:0 color frame + one
