@@ -356,7 +356,8 @@ def test_replay_completes_claimed_but_unpublished_batch(spark, tmp_path):
     assert not txn.exists()
 
 
-def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path):
+@pytest.mark.parametrize("base_backend", ["localfs", "cas"])
+def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path, base_backend):
     """Protocol soak: every conditional write randomly loses its first
     attempt to a simulated racer (the backend bumps the version
     underneath before delegating), so EVERY retry loop in the store —
@@ -368,7 +369,7 @@ def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path):
     reports no missing files and count_rows agrees."""
     import random
 
-    from geo_explorer_etl_spark.sources.commit import CASBackend, CommitBackend
+    from geo_explorer_etl_spark.sources.commit import CommitBackend, make_backend
     from geo_explorer_etl_spark.sources.store import TableStore
 
     class Flaky(CommitBackend):
@@ -395,7 +396,7 @@ def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path):
             return self.inner.write(d, key, body, expected)
 
     store = TableStore(
-        spark, str(tmp_path / "store"), backend=Flaky(CASBackend(), seed=7)
+        spark, str(tmp_path / "store"), backend=Flaky(make_backend(base_backend), seed=7)
     )
     pid = 6
     rng = random.Random(42)
