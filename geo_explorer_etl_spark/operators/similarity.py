@@ -939,28 +939,26 @@ def quantize_embeddings(
     ``q_i = round(127 * v_i / amax)``, carried with ``scale = amax/127``
     — a 4× cut of the bytes every ANN scan reads and ships, the
     standard serving-layout lever for embedding corpora at 100 TB
-    (FAISS SQ8). The quantized column is ``array<tinyint>``; cosine is
-    SCALE-INVARIANT, so approximate scores need only the int8 dots and
-    per-vector int8 norms (no dequantization in the hot loop). All
-    JVM-side expressions; a one-time pass at ingest, not a hot path.
-    Zero vectors keep scale 0 and an all-zero code (score 0 downstream,
-    same as the exact path's 0/0-guarded cosine)."""
+    (FAISS SQ8). Run ONCE at ingest and PERSIST the result (e.g. a
+    TableStore table); ``cosine_topk_quantized`` then scans only the
+    ``qvec`` codes. The quantized column is ``array<tinyint>``; cosine
+    is SCALE-INVARIANT, so approximate scores need only the int8 dots
+    and per-vector int8 norms (no dequantization in the hot loop).
+    All JVM-side expressions. Zero/null vectors keep scale 0 / null
+    codes (filtered from the approximate stage downstream)."""
     v = _as_double(F.col(vec_col))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    out = emb.withColumn("scale", scale)
     qvec = F.transform(
         v,
         lambda x: F.when(
-            F.col("_scale") > 0, F.round(x / F.col("_scale"), 0)
+            F.col("scale") > 0, F.round(x / F.col("scale"), 0)
         )
         .otherwise(F.lit(0.0))
         .cast("tinyint"),
     )
-    return (
-        emb.withColumn("_scale", scale)
-        .withColumn("qvec", qvec)
-        .withColumnRenamed("_scale", "scale")
-    )
+    return out.withColumn("qvec", qvec)
 
 
 def cosine_topk_quantized(
@@ -968,27 +966,38 @@ def cosine_topk_quantized(
     query_vec_id: int,
     k: int = 10,
     rerank: int | None = None,
+    quantized: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
     """Two-stage ANN over the int8 layout: (1) approximate cosine from
     int8 dot products — an Arrow-batched ``(batch × dim) @ (dim,)``
-    int32 matmul over the QUANTIZED codes, reading a quarter of the
-    bytes the float scan reads — keeps the top ``rerank`` (default 4k)
-    candidates; (2) exact float cosine re-scores only those and takes
-    the true top-k. With ``rerank >= corpus`` the result equals the
-    brute-force ``cosine_topk`` exactly (the rerank stage IS that
-    computation); smaller rerank trades recall for stage-1 bandwidth —
-    the recall gate pins ≥0.9 at 4k on the synthetic corpus. Output
-    schema matches ``cosine_topk``."""
+    int32 matmul over the QUANTIZED codes — keeps the top ``rerank``
+    (default 4k) candidates; (2) the exact ``cosine_topk`` re-scores
+    ONLY those (delegated, so rounding / tie-break / schema / null
+    semantics are inherited from the brute-force operator by
+    construction). Pass ``quantized`` — the PERSISTED output of
+    ``quantize_embeddings`` — so stage 1 reads a quarter of the float
+    bytes; without it the codes are derived inline from ``emb``
+    (convenience for tests/small corpora: correct, but the bandwidth
+    saving only materializes with the persisted layout). With
+    ``rerank >= corpus`` the result equals ``cosine_topk`` exactly;
+    smaller rerank trades recall for stage-1 bandwidth — the recall
+    gate pins ≥0.9 at 4k on the synthetic corpus. A missing or
+    null-vector query falls through to the exact operator (same
+    degenerate semantics)."""
     rerank = 4 * k if rerank is None else rerank
-    quant = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    quant = (
+        quantized
+        if quantized is not None
+        else quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    )
     qrow = quant.filter(F.col(id_col) == query_vec_id).select("qvec").first()
-    if qrow is None:
-        return emb.sparkSession.createDataFrame(
-            [], f"{id_col} {emb.schema[id_col].dataType.simpleString()}, "
-                f"{label_col} string, cosine double"
+    if qrow is None or qrow["qvec"] is None:
+        return cosine_topk(
+            emb, query_vec_id, k, id_col=id_col, vec_col=vec_col,
+            label_col=label_col,
         )
     qcode = [int(x) for x in qrow["qvec"]]
 
@@ -997,7 +1006,7 @@ def cosine_topk_quantized(
         import pandas as pd
 
         qv = np.array(qcode, dtype=np.int32)
-        qn = max(float(np.sqrt((qv * qv).sum())), 1e-300)
+        qn = float(np.sqrt((qv * qv).sum()))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1005,32 +1014,27 @@ def cosine_topk_quantized(
                 [np.asarray(r, dtype=np.int32) for r in pdf["qvec"]]
             )
             dots = X @ qv
-            norms = np.maximum(np.sqrt((X * X).sum(axis=1)), 1e-300)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "_approx": dots / (norms * qn),
-                }
-            )
+            norms = np.sqrt((X * X).sum(axis=1))
+            # guard the PRODUCT: flooring the factors separately still
+            # underflows to 0 for zero×zero and desc-sorts NaN first
+            denom = np.maximum(norms * qn, 1e-300)
+            yield pd.DataFrame({id_col: pdf[id_col], "_approx": dots / denom})
 
     id_type = emb.schema[id_col].dataType.simpleString()
     cands = (
-        quant.filter(F.col(id_col) != query_vec_id)
+        quant.filter(
+            (F.col(id_col) != query_vec_id) & F.col("qvec").isNotNull()
+        )
         .select(id_col, "qvec")
         .mapInPandas(approx, schema=f"{id_col} {id_type}, _approx double")
         .orderBy(F.col("_approx").desc(), F.col(id_col))
         .limit(rerank)
         .select(id_col)
     )
-    # exact rerank: join the float vectors back for ONLY the candidates
-    exact = emb.join(F.broadcast(cands), id_col)
-    q = (
+    subset = emb.join(F.broadcast(cands), id_col).unionByName(
         emb.filter(F.col(id_col) == query_vec_id)
-        .select(_as_double(F.col(vec_col)).alias("qv"))
     )
-    sims = exact.crossJoin(F.broadcast(q)).select(
-        F.col(id_col),
-        F.col(label_col),
-        F.round(cosine(_as_double(F.col(vec_col)), F.col("qv")), 6).alias("cosine"),
+    return cosine_topk(
+        subset, query_vec_id, k, id_col=id_col, vec_col=vec_col,
+        label_col=label_col,
     )
-    return sims.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

@@ -375,17 +375,23 @@ def test_int8_quantized_ann_recall_and_exactness(spark):
         quantize_embeddings,
     )
     from geo_explorer_etl_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
 
-    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"]
     n = emb.count()
+    serving = quantize_embeddings(emb).localCheckpoint()  # the persisted layout
 
     exact = cosine_topk(emb, query_vec_id=0, k=10).collect()
-    full = cosine_topk_quantized(emb, query_vec_id=0, k=10, rerank=n).collect()
+    full = cosine_topk_quantized(
+        emb, query_vec_id=0, k=10, rerank=n, quantized=serving
+    ).collect()
     assert [(r["vec_id"], r["cosine"]) for r in full] == [
         (r["vec_id"], r["cosine"]) for r in exact
     ]
 
-    approx = cosine_topk_quantized(emb, query_vec_id=0, k=10).collect()
+    approx = cosine_topk_quantized(
+        emb, query_vec_id=0, k=10, quantized=serving
+    ).collect()
     exact_ids = {r["vec_id"] for r in exact}
     hit = len(exact_ids & {r["vec_id"] for r in approx}) / len(exact_ids)
     assert hit >= 0.9
@@ -403,3 +409,21 @@ def test_int8_quantized_ann_recall_and_exactness(spark):
         for v, c in zip(vec, q)
     )
     assert all(-127 <= int(c) <= 127 for c in q)
+
+    # degenerate inputs inherit the exact operator's semantics: a
+    # missing query id returns empty with cosine_topk's schema; a
+    # null-vector corpus row never crashes the int8 stage
+    from pyspark.sql import functions as _F
+
+    dirty = emb.unionByName(
+        emb.limit(1).select(
+            _F.lit(10**9).alias("vec_id"),
+            _F.lit(None).cast(emb.schema["embedding"].dataType).alias("embedding"),
+            _F.lit(-1).cast(emb.schema["label"].dataType).alias("label"),
+        ).select(*emb.columns)
+    )
+    got = cosine_topk_quantized(dirty, query_vec_id=0, k=10).collect()
+    assert len(got) == 10 and all(r["vec_id"] != 10**9 for r in got)
+    empty = cosine_topk_quantized(emb, query_vec_id=10**9, k=10)
+    assert empty.count() == 0
+    assert empty.columns == cosine_topk(emb, query_vec_id=10**9, k=10).columns
