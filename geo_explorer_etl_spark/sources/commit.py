@@ -62,7 +62,20 @@ class CommitBackend(ABC):
     """Versioned read / conditional-write of small JSON control blobs
     (partition manifests, the epoch ledger), plus an optional
     store-wide writer lock. ``key`` is the blob's logical name within
-    directory ``d`` (e.g. ``_committed.json``)."""
+    directory ``d`` (e.g. ``_committed.json``).
+
+    ``format_name`` identifies the ON-DISK LAYOUT this backend reads
+    and writes (``"localfs"``: blob at ``d/key``; ``"cas"``: versioned
+    log under ``d/_cas/key/``). The store records it in a root-level
+    format tag on first open and refuses a later open under a backend
+    with a DIFFERENT layout — without the tag, a localfs store opened
+    as cas (or vice versa) reads no manifests at all, silently
+    degrades every partition to listing mode, and the next commit
+    resurrects superseded files. ``None`` (wrappers, test doubles)
+    opts out of tagging; delegating wrappers should forward their
+    inner backend's value."""
+
+    format_name: str | None = None
 
     @abstractmethod
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
@@ -98,6 +111,8 @@ class LocalFSBackend(CommitBackend):
     writer lock (``lock()``), so a publisher already holding the store
     lock never re-enters the same flock (no self-deadlock), and
     lock-ordering is always store-lock → blob-lock."""
+
+    format_name = "localfs"
 
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         f = d / key
@@ -163,6 +178,8 @@ class CASBackend(CommitBackend):
     way Delta checkpoints do. A reader that LISTs between two commits
     simply resolves the then-current version — immutability makes the
     read atomic without coordination."""
+
+    format_name = "cas"
 
     KEEP_COMMITS = 64  # retained commit files per blob after pruning
 

@@ -166,7 +166,7 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
             # the zone-map branch, property-pinned)
             decoded = _bloom_decode(blooms[col])  # once per file, not per member
             if decoded is not None and not any(
-                _bloom_test(*decoded, v) for v in val
+                _bloom_test(*decoded, v, blooms[col].get("shape")) for v in val
             ):
                 return False
         s = (stats or {}).get(col)
@@ -235,6 +235,40 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
 
 BLOOM_K = 7              # hash functions (~1% FPR at 10 bits/key)
 BLOOM_MAX_BITS = 1 << 20  # 128 KiB per column per file, tops
+
+
+def _bloom_shape(v) -> str | None:
+    """Value-shape class a bloom key belongs to. Blooms only prune
+    when the PROBE value's shape matches the STORED column's shape
+    (recorded at build time) — the bloom-side mirror of
+    ``_stat_comparable``'s keep-on-mismatch rule. Without it, a
+    NUMERIC probe against a STRING column holding non-canonical
+    numeric text ('05', ' 5') hashes to a different key than the
+    stored value and wrongly prunes a file whose rows Spark's
+    re-applied cast filter (string→number) would match. 'date' and
+    'datetime' are mutually compatible: equality probes expand across
+    the granularities (see ``_bloom_probe_keys``), so the cast
+    semantics stay covered."""
+    import datetime
+
+    if isinstance(v, (bool, int, float)):
+        return "num"
+    if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (str, bytes)):
+        return "str"
+    return None
+
+
+def _bloom_shapes_compatible(probe: str | None, stored: str | None) -> bool:
+    """None on either side (exotic probe type, or a LEGACY bloom
+    written before shapes were recorded) means unknown — keep the
+    file, never prune on it."""
+    if probe is None or stored is None:
+        return False
+    return probe == stored or {probe, stored} <= {"date", "datetime"}
 
 
 def _bloom_key(v) -> str | None:
@@ -314,22 +348,30 @@ def _bloom_probe_keys(val) -> list[str]:
     file whenever the cast semantics could match a row; files with no
     matching instant under either shape still prune (sound — the same
     mixed-granularity hazard the zone maps handle by shape, solved
-    here by probe expansion since equality admits it)."""
+    here by probe expansion since equality admits it). Tz-AWARE
+    probes normalize to naive UTC FIRST (the same rule as
+    ``_norm_stat`` — the session timezone is pinned UTC), so a
+    UTC-midnight aware instant gets the same date-granularity
+    expansion a naive midnight does."""
     import datetime
 
+    if isinstance(val, datetime.datetime) and val.tzinfo is not None:
+        val = val.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     key = _bloom_key(val)
     if key is None:
         return []
     keys = [key]
     if isinstance(val, datetime.datetime):
-        if val.tzinfo is None and val.time() == datetime.time(0):
+        if val.time() == datetime.time(0):
             keys.append(val.date().isoformat())
     elif isinstance(val, datetime.date):
         keys.append(val.isoformat() + "T00:00:00")
     return keys
 
 
-def _bloom_test(bits: bytes, m: int, k: int, val) -> bool:
+def _bloom_test(bits: bytes, m: int, k: int, val, shape: str | None = None) -> bool:
+    if not _bloom_shapes_compatible(_bloom_shape(val), shape):
+        return True  # shape mismatch or legacy bloom: keep the file
     keys = _bloom_probe_keys(val)
     if not keys:
         return True
@@ -364,9 +406,17 @@ def _build_blooms(path: Path, cols: list[str], max_bits: int = BLOOM_MAX_BITS) -
     cap = max_bits // 10  # ~10 bits/key
     for c in want:
         keys: set[str] | None = set()
+        shape: str | None = None
         for v in table.column(c).to_pylist():
             if v is None:
                 continue
+            s = _bloom_shape(v)
+            if s is None or (shape is not None and s != shape):
+                # unshapeable or mixed-shape column: no sound probe
+                # rule exists — skip the bloom (file always kept)
+                keys = None
+                break
+            shape = s
             kk = _bloom_key(v)
             if kk is None:
                 keys = None
@@ -390,6 +440,7 @@ def _build_blooms(path: Path, cols: list[str], max_bits: int = BLOOM_MAX_BITS) -
             "m": m,
             "k": BLOOM_K,
             "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+            "shape": shape,
         }
     return out
 
@@ -397,11 +448,12 @@ def _build_blooms(path: Path, cols: list[str], max_bits: int = BLOOM_MAX_BITS) -
 def _bloom_may_contain(bloom: dict, val) -> bool:
     """False only when every hash position is clear — a PROOF the
     value was absent from the file at commit. Unknown/undecodable
-    values keep the file."""
+    values, and probes whose value shape doesn't match the stored
+    column's, keep the file."""
     decoded = _bloom_decode(bloom)
     if decoded is None:
         return True
-    return _bloom_test(*decoded, val)
+    return _bloom_test(*decoded, val, bloom.get("shape"))
 
 
 def _merge_schemas(a, b):
@@ -575,6 +627,9 @@ class TableStore:
         self.root = root
         self._backend = make_backend(backend)
         self.bloom_cols = dict(bloom_cols or {})
+        # fail fast on a backend/layout mismatch BEFORE recover() can
+        # act on (or miss) the other layout's control blobs
+        self._verify_format_tag()
         # dynamic mode: overwrite only the partitions present in the
         # incoming frame — this IS the product-replace primitive
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -589,6 +644,90 @@ class TableStore:
 
     def _path(self, table: str) -> str:
         return f"{self.root}/{table}"
+
+    FORMAT_TAG = "_format.json"
+
+    def _verify_format_tag(self) -> None:
+        """Persist the commit backend's layout name at the store root
+        on first open; FAIL FAST when a later open configures a
+        backend with a different layout. Without this, opening a
+        localfs-formatted store with backend='cas' (or vice versa)
+        reads no manifests at all — every partition silently degrades
+        to listing mode, and the next epoch-append's first-manifest
+        path marks all on-disk files live, RESURRECTING superseded
+        rows. Pre-tag legacy roots are probed for one commit artifact
+        (bounded listing, first signal wins) before being tagged.
+        Backends with ``format_name=None`` (wrappers, test doubles)
+        opt out entirely."""
+        import os
+        import uuid
+
+        configured = self._backend.format_name
+        if configured is None:
+            return
+        root = Path(self.root)
+        tag = root / self.FORMAT_TAG
+
+        def read_tag() -> str | None:
+            try:
+                return json.loads(tag.read_text()).get("backend")
+            except (OSError, json.JSONDecodeError):
+                return None
+
+        recorded = read_tag()
+        if recorded is None:
+            detected = self._detect_backend_layout(root)
+            if detected is None or detected == configured:
+                # first open (or legacy layout matching the config):
+                # record via put-if-absent so racing first opens with
+                # DIFFERENT configs admit exactly one winner — the
+                # loser re-reads and fails the comparison below
+                root.mkdir(parents=True, exist_ok=True)
+                tmp = root / f".{self.FORMAT_TAG}.tmp-{uuid.uuid4().hex}"
+                tmp.write_text(json.dumps({"backend": configured}))
+                try:
+                    os.link(tmp, tag)
+                except FileExistsError:
+                    pass
+                finally:
+                    tmp.unlink(missing_ok=True)
+            recorded = read_tag() or detected
+        if recorded is not None and recorded != configured:
+            raise ValueError(
+                f"store at {self.root} is formatted for commit backend "
+                f"{recorded!r} but was opened with {configured!r} — its "
+                "manifests would be invisible (partitions degrade to "
+                "listing mode and superseded files resurrect); open it "
+                f"with backend={recorded!r}"
+            )
+
+    @staticmethod
+    def _detect_backend_layout(root: Path) -> str | None:
+        """Best-effort layout probe for PRE-TAG roots: find one commit
+        artifact and report which backend wrote it. Driver-side
+        listing bounded by tables × partitions, short-circuiting at
+        the first signal; None when the root carries no commit
+        artifacts at all (fresh or pure-listing legacy store)."""
+        if not root.exists():
+            return None
+        if (root / "_cas").exists() or (root / "_pseq" / "_cas").exists():
+            return "cas"
+        if (root / EPOCHS).exists():
+            return "localfs"
+        pseq = root / "_pseq"
+        if pseq.exists() and any(pseq.glob("*.json")):
+            return "localfs"
+        for table_dir in sorted(root.iterdir()):
+            if not table_dir.is_dir() or table_dir.name.startswith("_"):
+                continue
+            for part in sorted(table_dir.iterdir()):
+                if not part.is_dir():
+                    continue
+                if (part / "_cas").exists():
+                    return "cas"
+                if (part / COMMITTED).exists():
+                    return "localfs"
+        return None
 
     def _exclusive_lock(self):
         """Writer mutual exclusion, delegated to the commit backend:
@@ -666,14 +805,36 @@ class TableStore:
         tmp.write_text(json.dumps(body))
         tmp.rename(hist / name)
 
-    def journal_pending_floor(self, table: str) -> float | None:
+    #: How long an unjournaled CURRENT manifest is presumed to belong
+    #: to a live writer mid-gap (between the manifest CAS and the
+    #: journal append — milliseconds in practice). Older than this =
+    #: the writer crashed in the gap; the missing journal entry is
+    #: rolled FORWARD from the manifest body, because no recovery path
+    #: would otherwise ever append it and the change feed would stay
+    #: clamped below that commit until an unrelated new commit lands.
+    JOURNAL_REPAIR_GRACE_SECONDS = 60.0
+
+    def journal_pending_floor(self, table: str, repair: bool = True) -> float | None:
         """Earliest ``committed_at`` among CURRENT manifests whose
         journal entry has not landed yet (the writer sits between the
         manifest CAS and the journal append), or None when every
         current commit is journaled. Change-feed consumers clamp their
         upper bound below this so a cursor can never advance past a
         commit the journal doesn't show yet — the HARD bound the
-        wall-clock watermark lag cannot provide under stalls."""
+        wall-clock watermark lag cannot provide under stalls.
+
+        ``repair`` (default on) self-heals the CRASHED-writer case: a
+        current manifest still unjournaled after
+        ``JOURNAL_REPAIR_GRACE_SECONDS`` gets its journal entry
+        appended here from the manifest body itself — the entry a live
+        writer would have written next (same content, journal names
+        sort by ``committed_at`` so ordering is preserved). Racing the
+        not-actually-dead writer at worst duplicates the entry, which
+        every journal consumer tolerates (read_at resolves the same
+        body; read_changes' pairwise file diff of identical lists is
+        empty). Without this, the feed stalls indefinitely."""
+        import time
+
         p = Path(self._path(table))
         if not p.exists():
             return None
@@ -694,6 +855,9 @@ class TableStore:
             if not any(
                 e.get("committed_at") == ts for e in self._history_entries(entry)
             ):
+                if repair and time.time() - ts > self.JOURNAL_REPAIR_GRACE_SECONDS:
+                    self._append_history(entry, m)
+                    continue
                 floor = ts if floor is None else min(floor, ts)
         return floor
 
@@ -1816,7 +1980,24 @@ class TableStore:
                         # journal was truncated so time-travel/CDF/
                         # restore refuse clearly instead of silently
                         # resolving to nothing.
-                        hist = sorted((part / "_history").glob("*.json"))
+                        # same listing rule as _history_entries: names
+                        # starting with '_' are NOT journal entries. A
+                        # crashed _append_history leftover (_tmp-*.json
+                        # sorts AFTER every real entry) must never act
+                        # as an entry's "successor" — that would let
+                        # the partition's genuine latest entry be
+                        # unlinked, breaking the keep-latest invariant
+                        # read_at/read_changes baselines rely on. Stale
+                        # tmp leftovers are GC'd here instead.
+                        hist = []
+                        for hf in sorted((part / "_history").glob("*.json")):
+                            if hf.name.startswith("_"):
+                                if hf.name.startswith("_tmp-") and (
+                                    hf.stat().st_mtime <= cutoff
+                                ):
+                                    hf.unlink(missing_ok=True)
+                                continue
+                            hist.append(hf)
                         entries = []
                         for hf in hist:
                             try:

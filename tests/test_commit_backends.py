@@ -565,3 +565,166 @@ def test_new_change_feed_subscriber_starts_at_now(spark, tmp_path):
     store.append("IndicatorValues", frame([(3, "c")]))
     seen = late.poll(until=time.time())
     assert sorted(r["k"] for r in seen.collect()) == [3]
+
+
+def test_bloom_shape_mismatch_never_prunes(spark, tmp_path):
+    """ADVICE r7 (medium): a NUMERIC probe against a bloom-indexed
+    STRING column holding non-canonical numeric text ('05', ' 5')
+    hashes to a different key than the stored values, but Spark's
+    re-applied cast filter matches those rows — the bloom must keep
+    the file (shape mismatch), not prune it."""
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, bloom_cols={"IndicatorValues": ["code"]})
+    df = spark.createDataFrame(
+        [(1, "05"), (2, " 5"), (3, "9")], "id long, code string"
+    ).coalesce(1)
+    store.replace_product_all(41, {"IndicatorValues": df})
+    got = store.read("IndicatorValues", [("code", "==", 5)])
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+    # in-set form takes the same keep-on-mismatch path
+    got_in = store.read("IndicatorValues", [("code", "in", [5])])
+    assert sorted(r["id"] for r in got_in.collect()) == [1, 2]
+    # same-shape probes still prune: a string probe for an absent key
+    # drops the file at the listing
+    assert store.live_files("IndicatorValues", [("code", "==", "nope")]) == []
+
+
+def test_bloom_tz_aware_midnight_probe_keeps_file(spark, tmp_path):
+    """ADVICE r7 (medium), second half: a tz-AWARE UTC-midnight
+    datetime probe against a bloom-indexed DATE column must get the
+    same date-granularity key expansion a naive midnight gets —
+    pruning the file would drop rows Spark's date→timestamp cast
+    filter matches."""
+    import datetime
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, bloom_cols={"IndicatorValues": ["d"]})
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 15))], "id long, d date"
+    ).coalesce(1)
+    store.replace_product_all(42, {"IndicatorValues": df})
+    aware = datetime.datetime(2024, 1, 15, tzinfo=datetime.timezone.utc)
+    assert len(store.live_files("IndicatorValues", [("d", "==", aware)])) == 1
+    got = store.read("IndicatorValues", [("d", "==", aware)])
+    assert [r["id"] for r in got.collect()] == [1]
+
+
+def test_vacuum_prune_history_ignores_tmp_leftovers(spark, tmp_path):
+    """ADVICE r7 (low): a crashed _append_history leaves a
+    _tmp-*.json that sorts AFTER every real journal entry; the
+    prune-history listing must not treat it as the latest entry's
+    'successor' (which would unlink the genuine latest entry and
+    break read_at/read_changes baselines). Stale tmp files are GC'd."""
+    import json as _json
+    import os
+    import time
+
+    root = str(tmp_path / "store")
+    pid = 43
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "a")])})
+    time.sleep(0.02)
+    store.append("IndicatorValues", frame([(2, "b")]))
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    hist = part / "_history"
+    entries_before = sorted(
+        h.name for h in hist.glob("*.json") if not h.name.startswith("_")
+    )
+    assert len(entries_before) == 2
+    latest = entries_before[-1]
+    # crashed-writer leftover: valid JSON, old committed_at, name sorts last
+    tmp = hist / "_tmp-zzzzzzzzzzzzzzzzzzzz.json"
+    tmp.write_text(_json.dumps({"committed_at": 1.0, "files": []}))
+    old = time.time() - 10
+    os.utime(tmp, (old, old))
+
+    store.vacuum("IndicatorValues", older_than_seconds=0.0, prune_history=True)
+    after = sorted(h.name for h in hist.glob("*.json"))
+    assert latest in after            # keep-latest invariant holds
+    assert not any(n.startswith("_tmp-") for n in after)  # stale tmp GC'd
+    # the latest snapshot is still materializable
+    assert store.read_at("IndicatorValues", time.time()).count() == 2
+
+
+def test_format_tag_blocks_backend_mismatch(spark, tmp_path):
+    """ADVICE r7 (low): opening a store with the WRONG commit backend
+    must fail fast instead of silently reading zero manifests
+    (listing-mode degradation that resurrects superseded rows) — both
+    via the recorded tag and, for pre-tag legacy roots, via layout
+    detection."""
+    root = str(tmp_path / "store")
+    pid = 44
+    store = TableStore(spark, root, backend="localfs")
+    df = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(pid).cast("long")
+    )
+    store.replace_product_all(pid, {"IndicatorValues": df})
+
+    with pytest.raises(ValueError, match="formatted for commit backend 'localfs'"):
+        TableStore(spark, root, backend="cas")
+    # same backend reopens fine
+    assert TableStore(spark, root, backend="localfs").count_rows("IndicatorValues") == 1
+
+    # legacy root (no tag): detection still refuses the mismatch and
+    # the matching open retro-tags it
+    (Path(root) / TableStore.FORMAT_TAG).unlink()
+    with pytest.raises(ValueError, match="formatted for commit backend 'localfs'"):
+        TableStore(spark, root, backend="cas")
+    TableStore(spark, root, backend="localfs")
+    assert (Path(root) / TableStore.FORMAT_TAG).exists()
+
+    # wrapper backends (format_name=None) opt out entirely
+    class Wrapper(make_backend("localfs").__class__):
+        format_name = None
+
+    TableStore(spark, root, backend=Wrapper())
+
+
+def test_pending_journal_rolls_forward_after_grace(spark, tmp_path):
+    """ADVICE r7 (low): a writer crashing between the manifest CAS and
+    the journal append pins journal_pending_floor at that commit
+    forever (no recovery path appends the entry). After the grace
+    window the floor itself must roll the entry forward from the
+    current manifest body, unclamping the change feed."""
+    import time
+
+    from geo_explorer_etl_spark.streaming.incremental import ChangeFeedReader
+
+    root = str(tmp_path / "store")
+    pid = 45
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    reader = ChangeFeedReader(store, "IndicatorValues", "stall_probe")
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "a")])})
+    assert reader.poll(until=time.time()) is not None
+
+    # simulate the crash: commit lands, journal entry does not
+    store.append("IndicatorValues", frame([(2, "b")]))
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    latest = sorted(
+        h for h in (part / "_history").glob("*.json") if not h.name.startswith("_")
+    )[-1]
+    latest.unlink()
+
+    ts = store._manifest(part)["committed_at"]
+    # inside the grace window: presumed live writer -> floor clamps
+    assert store.journal_pending_floor("IndicatorValues") == ts
+    assert reader.poll(until=time.time()) is None  # feed stalled (clamped)
+
+    # past the grace window: entry rolled forward, floor clears,
+    # the feed delivers the stranded commit
+    store.JOURNAL_REPAIR_GRACE_SECONDS = 0.0
+    assert store.journal_pending_floor("IndicatorValues") is None
+    seen = reader.poll(until=time.time())
+    assert sorted(r["k"] for r in seen.filter(F.col("_change_type") == "insert").collect()) == [2]
