@@ -109,7 +109,13 @@ def _parquet_file_stats(path: Path) -> tuple[dict[str, list], int] | None:
     (unknown -> never pruned). Parquet's truncated string stats are
     safe here: a truncated min is a prefix (<= the true min), a
     truncated max is prefix+1 (>= the true max), so the bounds stay
-    conservative."""
+    conservative.
+
+    Also records per-column NULL COUNTS (reserved key ``__nulls__``)
+    for columns whose every row group reports one: min/max exclude
+    nulls, so proving a predicate true for ALL rows of a file
+    (``_file_all_match`` — delete_where's drop-without-rewrite fast
+    path) additionally needs proof the column holds no nulls."""
     try:
         import pyarrow.parquet as pq
 
@@ -118,14 +124,25 @@ def _parquet_file_stats(path: Path) -> tuple[dict[str, list], int] | None:
         return None
     out: dict[str, list] = {}
     bad: set[str] = set()
+    nulls: dict[str, int] = {}
+    null_bad: set[str] = set()
     for rg in range(md.num_row_groups):
         row = md.row_group(rg)
         for ci in range(row.num_columns):
             col = row.column(ci)
             name = col.path_in_schema
-            if "." in name or name in bad:  # nested leaf: not top-level-pruneable
+            if "." in name:  # nested leaf: not top-level-pruneable
                 continue
             st = col.statistics
+            if name not in null_bad:
+                nc = st.null_count if st is not None else None
+                if nc is None:
+                    null_bad.add(name)
+                    nulls.pop(name, None)
+                else:
+                    nulls[name] = nulls.get(name, 0) + int(nc)
+            if name in bad:
+                continue
             has = st is not None and st.has_min_max
             mn = _norm_stat(st.min) if has else None
             mx = _norm_stat(st.max) if has else None
@@ -142,6 +159,8 @@ def _parquet_file_stats(path: Path) -> tuple[dict[str, list], int] | None:
                 out[name] = [min(prev_mn, mn), max(prev_mx, mx)]
             else:
                 out[name] = [mn, mx]
+    if nulls:
+        out["__nulls__"] = nulls  # type: ignore[assignment]
     return out, md.num_rows
 
 
@@ -170,7 +189,7 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
             ):
                 return False
         s = (stats or {}).get(col)
-        if not s or col == "__bloom__":
+        if not s or col in ("__bloom__", "__nulls__"):
             continue
         mn, mx = s
         if op == "in":
@@ -216,6 +235,68 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
         if op == "<=" and mn > v:
             return False
         if op == "<" and mn >= v:
+            return False
+    return True
+
+
+def _file_all_match(stats: dict[str, list] | None, where) -> bool:
+    """True only when the zone maps PROVE every row of the file
+    matches every predicate — the drop-without-rewrite fast path for
+    ``delete_where`` (Delta's file-level delete). The proof needs (a)
+    bounds fully inside the predicate's accepting range AND (b) a
+    recorded zero null count for the column (min/max exclude nulls,
+    and a null row does NOT match a null-rejecting predicate, so it
+    must be KEPT — dropping the file would delete it). Anything
+    unknown — missing stats, missing null counts, shape mismatch —
+    returns False (rewrite instead: never wrong, only slower)."""
+    if not stats:
+        return False
+    nulls = stats.get("__nulls__") or {}
+    for col, op, val in where:
+        if op not in ("==", "!=", ">=", ">", "<=", "<", "between", "in"):
+            return False
+        s = stats.get(col)
+        if not s or col in ("__bloom__", "__nulls__"):
+            return False
+        if nulls.get(col) != 0:
+            return False  # unknown or nonzero null count
+        mn, mx = s
+        if op == "in":
+            members = [_normalize_bound(v) for v in val]
+            if not members or any(
+                v is None or not _stat_comparable(mn, v) for v in members
+            ):
+                return False
+            if not (mn == mx and mn in members):
+                return False
+            continue
+        if op == "between":
+            lo, hi = _normalize_bound(val[0]), _normalize_bound(val[1])
+            if (
+                lo is None
+                or hi is None
+                or not _stat_comparable(lo, hi)
+                or not _stat_comparable(mn, lo)
+                or not _stat_comparable(mx, hi)
+            ):
+                return False
+            if not (lo <= mn and mx <= hi):
+                return False
+            continue
+        v = _normalize_bound(val)
+        if v is None or not _stat_comparable(mn, v):
+            return False
+        if op == "==" and not (mn == mx == v):
+            return False
+        if op == "!=" and not (v < mn or v > mx):
+            return False
+        if op == ">=" and not mn >= v:
+            return False
+        if op == ">" and not mn > v:
+            return False
+        if op == "<=" and not mx <= v:
+            return False
+        if op == "<" and not mx < v:
             return False
     return True
 
@@ -2159,28 +2240,67 @@ class TableStore:
                         compacted += 1               # snapshot point
         return compacted
 
+    #: Max distinct incoming values PER KEY COLUMN collected to the
+    #: driver for candidate-file selection. Above it the merge falls
+    #: back to the whole-partition rewrite — at that key cardinality
+    #: most files are candidates anyway, and an unbounded collect
+    #: would be the driver-side anti-pattern.
+    MERGE_KEYSET_CAP = 100_000
+
     def merge_rows(self, table: str, df: DataFrame, key_cols: list[str]) -> None:
         """MERGE (upsert-by-key) — the table-format operation between
         append and full replace: incoming rows REPLACE current rows
         with equal ``key_cols`` and APPEND otherwise, per product
-        partition, atomically. Composition, not new machinery: the
-        merged state (current ⟕-anti incoming ∪ incoming) is published
-        through ``replace_product_all``'s write-ahead txn, so readers
-        get the same snapshot isolation and crash recovery as any
-        publish — the staging write materializes from the OLD snapshot
-        before the manifest swap, so a concurrent reader never sees a
-        half-merged partition. Schema evolution applies: an incoming
-        frame with new columns unions in (old rows null-fill).
+        partition, atomically.
 
-        Cost shape at 100 TB: one partition's live rows re-written per
-        merged product (the replace unit) — same bound as the
-        reference's delete-then-insert, minus the cross-table cascade.
-        """
+        FILE-GRANULARITY COPY-ON-WRITE (the Delta/Iceberg MERGE
+        shape): the incoming key sets probe each live file's manifest
+        zone maps and blooms (``_file_may_match`` with per-column
+        ``in`` predicates — the same machinery predicate reads use),
+        and only files that MAY contain a matched key are rewritten
+        (anti-join out the matched keys, union the incoming rows);
+        every other file is carried into the new manifest BY
+        REFERENCE. At 100 TB this is the difference between a 0.1%
+        upsert rewriting one file and rewriting the whole product
+        partition — against a clustered layout (``compact(sort_by=
+        key)``) the zone maps bound the rewrite to the files covering
+        the touched key range; against a hash-scattered layout,
+        declared ``bloom_cols`` do. Readers keep snapshot isolation:
+        new files land under unique names BEFORE the atomic manifest
+        swap (a crash leaves orphans for fsck's GC, never a torn
+        state), and the swap ABORTS if a concurrent replace
+        superseded any rewritten source file (committing would
+        resurrect superseded rows — the same rewrite-conflict rule as
+        ``compact``); the merge then retries against the new
+        snapshot. Schema evolution applies: an incoming frame with
+        new columns unions into the declared schema (old rows
+        null-fill), and a same-name type conflict raises BEFORE
+        anything is written.
+
+        Partitions without a manifest (legacy/listing mode) and
+        incoming key sets over ``MERGE_KEYSET_CAP`` fall back to the
+        whole-partition rewrite through ``replace_product_all``'s
+        write-ahead txn — the reference's delete-then-insert bound
+        (scdb.py:32–72), kept as the conservative path."""
         if PARTITION_COL not in df.columns:
             raise ValueError(f"merge_rows needs {PARTITION_COL} on the incoming frame")
         pids = [r[0] for r in df.select(PARTITION_COL).distinct().collect()]
         for pid in pids:
             incoming = df.filter(F.col(PARTITION_COL) == pid)
+            for attempt in range(5):
+                done = self._merge_rows_file_level(table, incoming, key_cols, pid)
+                if done is not None:
+                    break
+                # swap aborted: a concurrent replace moved the
+                # snapshot under us — recompute against it
+            else:
+                raise CommitConflict(
+                    f"merge_rows({table!r}, product {pid}): rewrite "
+                    "superseded by concurrent replaces on every attempt"
+                )
+            if done:
+                continue
+            # fallback: whole-partition rewrite via the cross-table txn
             current = self.read_product_slice(table, pid)
             if current is None:
                 merged = incoming
@@ -2189,6 +2309,285 @@ class TableStore:
                 remaining = current.join(keys, key_cols, "left_anti")
                 merged = remaining.unionByName(incoming, allowMissingColumns=True)
             self.replace_product_all(pid, {table: merged})
+
+    def _merge_rows_file_level(
+        self, table: str, incoming: DataFrame, key_cols: list[str], pid
+    ) -> bool | None:
+        """One product partition's file-granularity merge. Returns
+        True (merged), False (not applicable here — caller takes the
+        whole-partition fallback), or None (manifest swap aborted
+        under a concurrent replace — caller retries)."""
+        import uuid
+
+        part = Path(self._path(table)) / f"{PARTITION_COL}={pid}"
+        manifest = self._manifest(part)
+        if manifest is None or not manifest["files"]:
+            return False  # listing-mode or empty partition: fallback
+        # distinct incoming values per key column, driver-bounded.
+        # Null keys are excluded from the PROBE only: a current row
+        # can't anti-join-match a null key (SQL equality), so null-key
+        # incoming rows are pure appends and prune nothing.
+        probe_vals: dict[str, list] = {}
+        for c in key_cols:
+            rows = (
+                incoming.select(c)
+                .filter(F.col(c).isNotNull())
+                .distinct()
+                .limit(self.MERGE_KEYSET_CAP + 1)
+                .collect()
+            )
+            if len(rows) > self.MERGE_KEYSET_CAP:
+                return False  # key set too wide: fallback
+            probe_vals[c] = [r[0] for r in rows]
+        where = [(c, "in", vs) for c, vs in probe_vals.items() if vs]
+        stats = manifest.get("stats", {})
+        if any(not vs for vs in probe_vals.values()):
+            # some key column is all-null incoming: no current row can
+            # match — pure append, no candidates
+            candidates: list[str] = []
+        else:
+            candidates = [
+                n for n in manifest["files"] if _file_may_match(stats.get(n), where)
+            ]
+        payload = incoming.drop(PARTITION_COL)
+        # validate schema evolution BEFORE writing anything; legacy
+        # manifests (no declared schema) get one live file's footer
+        # schema as the prior — the same upgrade rule as append()
+        schema_json = manifest.get("schema")
+        prior_schema_t = (
+            _schema_from_json(schema_json)
+            if schema_json
+            else self.spark.read.parquet(str(part / manifest["files"][0])).schema
+        )
+        new_schema_json = _merge_schemas(prior_schema_t, payload.schema).json()
+        if candidates:
+            cur = self.spark.read.schema(prior_schema_t).parquet(
+                *[str(part / n) for n in candidates]
+            )
+            keys = payload.select(*key_cols).distinct()
+            remaining = cur.join(keys, key_cols, "left_anti")
+            merged = remaining.unionByName(payload, allowMissingColumns=True)
+            # keep the file count stable: the rewrite replaces
+            # len(candidates) files, so it writes about that many
+            merged = merged.coalesce(max(1, len(candidates)))
+        else:
+            merged = payload.coalesce(1)
+        staging = part / f"_merge_{uuid.uuid4().hex}"
+        merged.write.parquet(str(staging))
+        new_names: list[str] = []
+        part.mkdir(parents=True, exist_ok=True)
+        for f in sorted(staging.glob("*.parquet")):
+            name = f"merge-{uuid.uuid4().hex}.parquet"
+            f.rename(part / name)
+            new_names.append(name)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        rewritten = set(candidates)
+        with self._exclusive_lock():
+
+            def swap(prior):
+                """Rewrite-conflict rule (same as compact): a
+                concurrent APPEND's files survive by reference; if any
+                rewritten source is no longer live — a concurrent
+                replace superseded it — the swap aborts rather than
+                resurrect superseded rows. Orphaned merge-* files age
+                out via fsck repair's unknown-leftover GC."""
+                if prior is None or not rewritten <= set(prior["files"]):
+                    return None
+                keep = [n for n in prior["files"] if n not in rewritten]
+                prior_schema = prior.get("schema")
+                if prior_schema and prior_schema != schema_json:
+                    # schema moved under us (concurrent evolve):
+                    # re-merge against the CURRENT declared schema
+                    declared = _merge_schemas(
+                        _schema_from_json(prior_schema), payload.schema
+                    ).json()
+                else:
+                    declared = new_schema_json
+                return self._build_manifest_body(
+                    part,
+                    sorted(new_names) + keep,
+                    prior_stats=prior.get("stats"),
+                    schema_json=declared,
+                    prior_rows=prior.get("rows"),
+                    product_seq=prior.get("product_seq"),
+                )
+
+            committed = self._update_manifest(part, swap)
+        if committed is None:
+            for n in new_names:  # this attempt's files are orphans
+                (part / n).unlink(missing_ok=True)
+            return None
+        return True
+
+    def delete_where(self, table: str, where) -> int:
+        """Row-level DELETE ... WHERE (the reference's IN-subquery
+        deletes, scdb.py:38–49, generalized below product grain —
+        completing the DML surface next to append / merge / replace).
+        ``where`` is the same predicate list ``read`` takes; returns
+        the number of rows deleted.
+
+        File-granularity copy-on-write, same machinery as the merge:
+        per manifest partition, the zone maps + blooms classify each
+        live file as (a) PROVABLY UNTOUCHED (``_file_may_match`` is
+        False — carried by reference, never read), (b) PROVABLY
+        ALL-MATCHED (``_file_all_match``: bounds inside the predicate
+        range AND a recorded zero null count — dropped from the
+        manifest WITHOUT being read, the Delta file-level delete), or
+        (c) rewritten minus the matching rows. Predicates naming the
+        partition column prune whole partitions at the listing. The
+        atomic manifest swap gives readers the usual snapshot
+        isolation; the change feed sees the dropped/rewritten files
+        as deletes plus the surviving-row inserts, so ``apply_changes``
+        reproduces the post-delete snapshot exactly (pytest-pinned).
+        A swap aborts (and retries) if a concurrent replace superseded
+        a source file, exactly like merge/compact.
+
+        Listing-mode partitions have no manifest indirection, so the
+        rewrite there couldn't be atomic for readers — they raise
+        (run under manifest control, or use replace/delete_product).
+
+        At 100 TB: candidate selection is driver-side metadata; the
+        scan and rewrite cost is proportional to the files that MAY
+        hold matching rows, not to the table."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return 0
+        deleted = 0
+        for entry in sorted(p.iterdir()):
+            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                continue
+            raw = entry.name.split("=", 1)[1]
+            try:
+                pv: float | str = int(raw)
+            except ValueError:
+                pv = raw
+            part_stats = {PARTITION_COL: [pv, pv], "__nulls__": {PARTITION_COL: 0}}
+            if not _file_may_match(part_stats, where):
+                continue  # partition provably untouched
+            manifest = self._manifest(entry)
+            if manifest is None:
+                if any(entry.glob("*.parquet")):
+                    raise ValueError(
+                        f"delete_where({table!r}): partition {entry.name} is in "
+                        "listing mode (no manifest) — a rewrite there cannot be "
+                        "atomic for readers; replace the product or bring the "
+                        "partition under manifest control first"
+                    )
+                continue
+            for attempt in range(5):
+                n, done = self._delete_where_partition(
+                    entry, manifest, where, part_stats, pv
+                )
+                if done:
+                    deleted += n
+                    break
+                manifest = self._manifest(entry)
+                if manifest is None:
+                    break  # partition dropped mid-delete: nothing to do
+            else:
+                raise CommitConflict(
+                    f"delete_where({table!r}, {entry.name}): rewrite superseded "
+                    "by concurrent replaces on every attempt"
+                )
+        return deleted
+
+    def _delete_where_partition(
+        self, part: Path, manifest: dict, where, part_stats: dict, pv
+    ) -> tuple[int, bool]:
+        """One partition's delete pass. Returns (rows_deleted, done);
+        done=False means the manifest swap aborted under a concurrent
+        replace and the caller should retry against the new snapshot."""
+        import uuid
+
+        stats = manifest.get("stats", {})
+        rows_known = manifest.get("rows", {})
+        # classify: predicates are evaluated against the file stats
+        # UNIONED with the partition-dir value (payload files don't
+        # carry the partition column; the dir value proves it, null-free)
+        drop_whole: list[str] = []
+        rewrite: list[str] = []
+        for n in manifest["files"]:
+            fs = dict(stats.get(n) or {})
+            fs_nulls = dict(fs.get("__nulls__") or {})
+            fs_nulls[PARTITION_COL] = 0
+            fs[PARTITION_COL] = [pv, pv]
+            fs["__nulls__"] = fs_nulls
+            if not _file_may_match(fs, where):
+                continue  # provably untouched
+            if _file_all_match(fs, where):
+                drop_whole.append(n)
+            else:
+                rewrite.append(n)
+        if not drop_whole and not rewrite:
+            return 0, True
+        schema_json = manifest.get("schema")
+        new_names: list[str] = []
+        kept_rows = 0
+        before_rows = 0
+        if rewrite:
+            reader = self.spark.read
+            if schema_json:
+                reader = reader.schema(_schema_from_json(schema_json))
+            paths = [str(part / n) for n in rewrite]
+            cur = reader.parquet(*paths).withColumn(
+                PARTITION_COL, F.lit(pv)
+            )
+            # DELETE keeps every row whose predicate is not TRUE — a
+            # NULL predicate (null in a predicate column) KEEPS the
+            # row, so the negation must null-coalesce to false first
+            kept = cur.filter(
+                ~F.coalesce(_where_expr(where), F.lit(False))
+            ).drop(PARTITION_COL)
+            missing = [n for n in rewrite if n not in rows_known]
+            if missing:
+                before_rows = self.spark.read.parquet(
+                    *[str(part / n) for n in rewrite]
+                ).count()
+            else:
+                before_rows = sum(int(rows_known[n]) for n in rewrite)
+            staging = part / f"_delete_{uuid.uuid4().hex}"
+            kept.coalesce(max(1, len(rewrite))).write.parquet(str(staging))
+            import shutil
+
+            for f in sorted(staging.glob("*.parquet")):
+                name = f"delete-{uuid.uuid4().hex}.parquet"
+                f.rename(part / name)
+                new_names.append(name)
+            shutil.rmtree(staging, ignore_errors=True)
+        removed = set(drop_whole) | set(rewrite)
+        with self._exclusive_lock():
+
+            def swap(prior):
+                if prior is None or not removed <= set(prior["files"]):
+                    return None  # superseded: abort, caller retries
+                keep = [n for n in prior["files"] if n not in removed]
+                return self._build_manifest_body(
+                    part,
+                    sorted(new_names) + keep,
+                    prior_stats=prior.get("stats"),
+                    schema_json=prior.get("schema"),
+                    prior_rows=prior.get("rows"),
+                    product_seq=prior.get("product_seq"),
+                )
+
+            committed = self._update_manifest(part, swap)
+        if committed is None:
+            for n in new_names:
+                (part / n).unlink(missing_ok=True)
+            return 0, False
+        # deleted = dropped files' rows + (rewritten before - kept after),
+        # all from manifest metadata (footer counts) where available
+        drop_rows = 0
+        for n in drop_whole:
+            if n in rows_known:
+                drop_rows += int(rows_known[n])
+            else:
+                drop_rows += self.spark.read.parquet(str(part / n)).count()
+        new_rows = committed.get("rows", {})
+        kept_rows = sum(int(new_rows.get(n, 0)) for n in new_names)
+        return drop_rows + (before_rows - kept_rows), True
 
     def fsck(
         self,

@@ -422,7 +422,9 @@ def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path, base_ba
     model = {0: "init"}
     next_k = 1
     for step in range(14):
-        op = rng.choice(["append", "merge", "replace", "epoch", "compact", "vacuum"])
+        op = rng.choice(
+            ["append", "merge", "replace", "epoch", "compact", "vacuum", "delete"]
+        )
         if op == "append":
             rows = [(next_k + i, f"a{step}") for i in range(2)]
             store.append("IndicatorValues", frame(rows))
@@ -449,6 +451,11 @@ def test_commit_protocol_chaos_under_injected_conflicts(spark, tmp_path, base_ba
             epoch += 1
         elif op == "compact":
             store.compact("IndicatorValues", target_file_bytes=1 << 30)
+        elif op == "delete":
+            if model:
+                cut = rng.choice(sorted(model))
+                store.delete_where("IndicatorValues", [("k", ">=", cut)])
+                model = {k: v for k, v in model.items() if k < cut}
         else:
             store.vacuum("IndicatorValues", older_than_seconds=0.0)
         check()

@@ -1503,3 +1503,346 @@ def test_history_api_and_retention(spark, tmp_path):
         store.read_changes("IndicatorValues", 0.0)
     # current-window operations are unaffected
     assert store.read_at("IndicatorValues", time.time()).count() == 2
+
+
+def test_merge_rows_rewrites_only_candidate_files(spark, tmp_path):
+    """VERDICT r7 directive #1: file-granularity MERGE. An upsert
+    whose keys live in 1 of N files must rewrite EXACTLY that file —
+    the other N-1 are carried into the new manifest BY REFERENCE
+    (manifest diff asserted) — and the merged rows must equal the
+    whole-partition merge semantics."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    import re
+
+    root = str(tmp_path / "store")
+    pid = 61
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    # four appends -> four files with DISJOINT key ranges (tight zone
+    # maps: [0..9], [10..19], [20..29], [30..39])
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(10)]).coalesce(1)}
+    )
+    for lo in (10, 20, 30):
+        store.append(
+            "IndicatorValues",
+            frame([(i, "a") for i in range(lo, lo + 10)]).coalesce(1),
+        )
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    before = store._manifest(part)
+    assert len(before["files"]) == 4
+
+    # upsert keys 12 & 15: both live in the [10..19] file only
+    store.merge_rows("IndicatorValues", frame([(12, "UP"), (15, "UP")]), ["k"])
+    after = store._manifest(part)
+    kept = set(before["files"]) & set(after["files"])
+    rewritten = set(before["files"]) - set(after["files"])
+    added = set(after["files"]) - set(before["files"])
+    assert len(rewritten) == 1, f"expected 1 rewritten file, got {rewritten}"
+    assert len(kept) == 3                      # carried by reference
+    assert all(re.match(r"merge-[0-9a-f]+\.parquet", n) for n in added)
+
+    out = store.read("IndicatorValues")
+    got = {(r["k"], r["v"]) for r in out.select("k", "v").collect()}
+    want = {(i, "a") for i in range(40) if i not in (12, 15)} | {(12, "UP"), (15, "UP")}
+    assert got == want
+    assert store.count_rows("IndicatorValues") == 40
+
+    # pure INSERT keys (outside every file's range): zero rewrites
+    before2 = store._manifest(part)
+    store.merge_rows("IndicatorValues", frame([(100, "new")]), ["k"])
+    after2 = store._manifest(part)
+    assert set(before2["files"]) <= set(after2["files"])
+    assert len(set(after2["files"]) - set(before2["files"])) == 1
+    assert store.count_rows("IndicatorValues") == 41
+
+
+def test_merge_rows_file_level_matches_full_merge_semantics(spark, tmp_path):
+    """Differential: the file-level merge must produce exactly the
+    rows the whole-partition path produces — including schema
+    evolution (incoming carries a NEW column; old rows null-fill) and
+    null-key incoming rows (pure appends, never matched)."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    root = str(tmp_path / "store")
+    pid = 62
+    store = TableStore(spark, root)
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+    store.replace_product_all(pid, {"IndicatorValues": base.coalesce(1)})
+    store.append(
+        "IndicatorValues",
+        spark.createDataFrame([(10, "x")], "k long, v string")
+        .withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+        .coalesce(1),
+    )
+
+    incoming = spark.createDataFrame(
+        [(2, "B2", 7.5), (None, "nullkey", 1.0), (20, "ins", 2.0)],
+        "k long, v string, w double",
+    ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+    store.merge_rows("IndicatorValues", incoming, ["k"])
+
+    out = store.read("IndicatorValues").select("k", "v", "w").collect()
+    got = {(r["k"], r["v"], r["w"]) for r in out}
+    assert got == {
+        (1, "a", None),
+        (2, "B2", 7.5),
+        (3, "c", None),
+        (10, "x", None),
+        (None, "nullkey", 1.0),
+        (20, "ins", 2.0),
+    }
+
+
+def test_merge_rows_wide_keyset_falls_back_to_partition_rewrite(spark, tmp_path):
+    """Over MERGE_KEYSET_CAP distinct keys the merge takes the
+    whole-partition path (no unbounded driver collect) and still
+    lands the right rows."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    root = str(tmp_path / "store")
+    pid = 63
+    store = TableStore(spark, root)
+    store.MERGE_KEYSET_CAP = 5  # force the fallback cheaply
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(10)]).coalesce(1)}
+    )
+    store.merge_rows(
+        "IndicatorValues", frame([(i, "up") for i in range(8)]), ["k"]
+    )
+    got = {(r["k"], r["v"]) for r in store.read("IndicatorValues").select("k", "v").collect()}
+    assert got == {(i, "up") for i in range(8)} | {(8, "a"), (9, "a")}
+
+
+def test_merge_rows_bloom_candidates_on_hash_scattered_layout(spark, tmp_path):
+    """On a hash-scattered layout (zone maps span everything) the
+    candidate selection falls through to the per-file BLOOMS: a
+    single-key upsert rewrites only the file(s) whose bloom may
+    contain the key."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    root = str(tmp_path / "store")
+    pid = 64
+    store = TableStore(spark, root, bloom_cols={"IndicatorValues": ["k"]})
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    # interleaved ranges: every file's [min,max] spans ~the whole key
+    # space, so zone maps alone can't discriminate
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(0, 100, 4)]).coalesce(1)}
+    )
+    for off in (1, 2, 3):
+        store.append(
+            "IndicatorValues",
+            frame([(i, "a") for i in range(off, 100, 4)]).coalesce(1),
+        )
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    before = store._manifest(part)
+    assert len(before["files"]) == 4
+
+    store.merge_rows("IndicatorValues", frame([(42, "UP")]), ["k"])  # 42 % 4 == 2
+    after = store._manifest(part)
+    rewritten = set(before["files"]) - set(after["files"])
+    assert len(rewritten) == 1            # bloom isolated the holder
+    got = {(r["k"], r["v"]) for r in store.read("IndicatorValues").select("k", "v").collect()}
+    assert (42, "UP") in got and len(got) == 100
+
+
+def test_merge_rows_swap_aborts_and_retries_under_concurrent_replace(spark, tmp_path):
+    """Rewrite-conflict rule: a replace landing between the merge's
+    candidate read and its manifest swap supersedes the rewritten
+    sources — the first swap must ABORT (resurrecting the old rows
+    would be wrong) and the retry must merge against the NEW
+    snapshot."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    root = str(tmp_path / "store")
+    pid = 65
+    store = TableStore(spark, root, backend="cas")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "old"), (2, "old")])})
+
+    racer = TableStore(spark, root, backend="cas")
+    fired = {"done": False}
+    real_manifest = store._manifest
+
+    def hijack(part_dir):
+        m = real_manifest(part_dir)
+        if not fired["done"] and part_dir.name == f"{PARTITION_COL}={pid}":
+            # after the merge snapshots its candidates, land a replace
+            fired["done"] = True
+            racer.replace_product_all(
+                pid, {"IndicatorValues": frame([(1, "replaced"), (3, "replaced")])}
+            )
+        return m
+
+    store._manifest = hijack
+    try:
+        store.merge_rows("IndicatorValues", frame([(1, "merged")]), ["k"])
+    finally:
+        store._manifest = real_manifest
+
+    got = {(r["k"], r["v"]) for r in store.read("IndicatorValues").select("k", "v").collect()}
+    # the merge applied ON TOP of the replace: key 2 (pre-replace) gone
+    assert got == {(1, "merged"), (3, "replaced")}
+
+
+def test_delete_where_file_granular(spark, tmp_path):
+    """VERDICT r7 directive #4: predicate-scoped row-level delete.
+    Classification per file: provably-untouched files carried BY
+    REFERENCE (never read), provably-all-matched files DROPPED without
+    a read, overlapping files rewritten minus matching rows — and the
+    result equals filter-and-replace."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 71
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    # three files with disjoint ranges: [0..9], [10..19], [20..29]
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(10)]).coalesce(1)}
+    )
+    for lo in (10, 20):
+        store.append(
+            "IndicatorValues",
+            frame([(i, "a") for i in range(lo, lo + 10)]).coalesce(1),
+        )
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    before = store._manifest(part)
+    assert len(before["files"]) == 3
+
+    # delete k in [10, 24]: file 2 ([10..19]) provably ALL-matched ->
+    # dropped without rewrite; file 3 ([20..29]) overlaps -> rewritten;
+    # file 1 ([0..9]) untouched -> carried by reference
+    n = store.delete_where("IndicatorValues", [("k", "between", (10, 24))])
+    assert n == 15
+    after = store._manifest(part)
+    kept = set(before["files"]) & set(after["files"])
+    added = set(after["files"]) - set(before["files"])
+    assert len(kept) == 1                                  # [0..9] by reference
+    assert len(added) == 1 and all(x.startswith("delete-") for x in added)
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == list(range(10)) + list(range(25, 30))
+    assert store.count_rows("IndicatorValues") == 15
+
+    # no-match predicate: zero work, manifest untouched
+    before2 = store._manifest(part)
+    assert store.delete_where("IndicatorValues", [("k", ">=", 1000)]) == 0
+    assert store._manifest(part)["files"] == before2["files"]
+    assert store._manifest(part)["version"] == before2["version"]
+
+
+def test_delete_where_null_rows_survive(spark, tmp_path):
+    """DELETE WHERE pred keeps rows whose predicate is NULL (SQL
+    three-valued logic) — both in the rewrite filter and in the
+    all-match fast path (a file with nulls in the predicate column
+    must never be dropped wholesale)."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 72
+    store = TableStore(spark, root)
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 5.0)], "id long, x double"
+    ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+    store.replace_product_all(pid, {"IndicatorValues": df.coalesce(1)})
+
+    # the single file's non-null x stats are [5,5] == the probe, but
+    # the null row must survive: all-match may NOT fire
+    n = store.delete_where("IndicatorValues", [("x", "==", 5.0)])
+    assert n == 2
+    got = [(r["id"], r["x"]) for r in store.read("IndicatorValues").collect()]
+    assert got == [(2, None)]
+
+
+def test_delete_where_partition_predicate_prunes_and_cdf_applies(spark, tmp_path):
+    """Partition-column predicates prune whole partitions at the
+    listing; the change feed sees the delete as file-level deltas that
+    apply_changes replays into exactly the post-delete snapshot."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        apply_changes,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+
+    def frame(pid, rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(73, {"IndicatorValues": frame(73, [(1, "a"), (2, "b")])})
+    store.replace_product_all(74, {"IndicatorValues": frame(74, [(3, "c"), (4, "d")])})
+    t0 = time.time()
+    base = store.read("IndicatorValues").select("k", "v", PARTITION_COL).localCheckpoint()
+
+    # only product 74's partition is touched (73's is pruned at the dir)
+    n = store.delete_where(
+        "IndicatorValues",
+        [(PARTITION_COL, "==", 74), ("k", "==", 3)],
+    )
+    assert n == 1
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == [1, 2, 4]
+
+    changes = store.read_changes("IndicatorValues", since=t0)
+    replayed = apply_changes(base, changes.select("k", "v", PARTITION_COL, "_change_type", "_committed_at"))
+    want = {(r["k"], r["v"]) for r in store.read("IndicatorValues").select("k", "v").collect()}
+    assert {(r["k"], r["v"]) for r in replayed.collect()} == want
+
+
+def test_delete_where_listing_mode_refuses(spark, tmp_path):
+    """A listing-mode partition (no manifest) has no snapshot
+    indirection — delete_where must refuse loudly, not rewrite in
+    place under readers."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    df = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(75).cast("long")
+    )
+    store.replace_product("IndicatorValues", df, 75)  # legacy: drops manifest
+    with _pytest.raises(ValueError, match="listing mode"):
+        store.delete_where("IndicatorValues", [("k", "==", 1)])
