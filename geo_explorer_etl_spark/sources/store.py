@@ -2006,6 +2006,35 @@ class TableStore:
                 else:
                     self._publish(txn, manifest)
 
+    #: Age floor for files referenced by NOTHING (not live, not in any
+    #: history entry, not in a staged txn manifest) — the only files
+    #: that can be a mid-flight publish's renamed-but-not-yet-swapped
+    #: data when the staging scan raced the txn's commit point. On the
+    #: lock-free CAS backend the store lock is a no-op, so this grace
+    #: (not the lock) is what makes vacuum(0) safe against a publish
+    #: that starts after the scan. Superseded files (in journal
+    #: history) are never mid-flight and GC at the cutoff exactly.
+    VACUUM_UNKNOWN_GRACE_SECONDS = 300.0
+
+    def _staged_txn_files(self) -> set[str]:
+        """File names referenced by any in-flight staged transaction's
+        committed MANIFEST — a publish moves exactly these (uuid-unique
+        names) into live partition dirs BEFORE its manifest swap lists
+        them, so GC must not touch them. Torn/missing manifests (txn
+        not yet committed: no file has moved) contribute nothing."""
+        protected: set[str] = set()
+        staging = Path(self.root) / "_staging"
+        if not staging.exists():
+            return protected
+        for txn in staging.iterdir():
+            try:
+                m = json.loads((txn / "MANIFEST.json").read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            for names in (m.get("files") or {}).values():
+                protected.update(names)
+        return protected
+
     def vacuum(
         self,
         table: str | None = None,
@@ -2017,10 +2046,21 @@ class TableStore:
         committed manifest and older than the retention window. Run
         out-of-band (the analog of a table format's VACUUM) once no
         reader still holds a plan over the superseded snapshot.
-        Returns the number of files removed. Takes the store lock: a
-        publish mid-flight has moved files into the partition dir that
-        its manifest swap has not yet listed — unlocked GC would eat
-        them.
+        Returns the number of files removed. Takes the store lock; on
+        the POSIX backend that serializes against publishes outright.
+
+        MAINTENANCE-vs-WRITER SAFETY ON THE LOCK-FREE (CAS) BACKEND:
+        the lock is a no-op there, and a publish mid-flight has moved
+        files into the partition dir that its manifest swap has not
+        yet listed — unguarded GC would eat them. Two guards close
+        that window without a lock: (1) every file named by a staged
+        txn's committed MANIFEST is skipped (the commit point precedes
+        the first rename, so a mid-publish txn is always listable);
+        (2) files referenced by NOTHING — not live, not journal
+        history, not a staged txn (possible only when the staging
+        scan raced a txn's commit) — get an age floor of
+        ``VACUUM_UNKNOWN_GRACE_SECONDS`` on top of the caller's
+        window, mirroring fsck-repair's unknown-leftover gate.
 
         RETENTION CONTRACT (pytest-pinned): an in-flight reader whose
         plan resolved a superseded manifest keeps scanning the old
@@ -2045,6 +2085,7 @@ class TableStore:
         removed = 0
         tables = [table] if table else PRODUCT_TABLES
         with self._exclusive_lock():
+            protected = self._staged_txn_files()
             for t in tables:
                 p = Path(self._path(t))
                 if not p.exists():
@@ -2108,10 +2149,24 @@ class TableStore:
                     if manifest is None:
                         continue
                     live = set(manifest["files"])
+                    historical: set[str] | None = None  # lazy: journal reads
                     for f in part.glob("*.parquet"):
-                        if f.name not in live and f.stat().st_mtime <= cutoff:
-                            f.unlink()
-                            removed += 1
+                        if f.name in live or f.name in protected:
+                            continue
+                        if f.stat().st_mtime > cutoff:
+                            continue
+                        if historical is None:
+                            historical = set()
+                            for m in self._history_entries(part):
+                                historical |= set(m.get("files", []))
+                        if (
+                            f.name not in historical
+                            and time.time() - f.stat().st_mtime
+                            < self.VACUUM_UNKNOWN_GRACE_SECONDS
+                        ):
+                            continue  # possible mid-publish rename: keep
+                        f.unlink()
+                        removed += 1
         return removed
 
     def compact(

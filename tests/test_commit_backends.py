@@ -735,3 +735,55 @@ def test_pending_journal_rolls_forward_after_grace(spark, tmp_path):
     assert store.journal_pending_floor("IndicatorValues") is None
     seen = reader.poll(until=time.time())
     assert sorted(r["k"] for r in seen.filter(F.col("_change_type") == "insert").collect()) == [2]
+
+
+def test_vacuum_spares_midflight_publish_on_cas_backend(spark, tmp_path):
+    """VERDICT r7 directive #3: on the lock-free CAS backend the store
+    lock is a no-op, so a vacuum(0) running in a publish's
+    rename→manifest-swap window must not unlink the just-renamed (not
+    yet manifested) data files. The staged txn's committed MANIFEST
+    names them — the GC skips those names."""
+    root = str(tmp_path / "store")
+    pid = 46
+    store = TableStore(spark, root, backend="cas")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "v1"), (2, "v1")])})
+    # the concurrent maintenance handle opens BEFORE the publish (so
+    # its recover() can't be the thing that completes the txn)
+    other = TableStore(spark, root, backend="cas")
+
+    # second publish, paused between the file renames and the manifest
+    # swap: hijack _update_manifest to run a concurrent vacuum(0) from
+    # the other handle exactly in that window
+    raced = {"fired": False, "removed": None}
+    real_update = store._update_manifest
+
+    def pause_then_update(part_dir, update_fn):
+        if not raced["fired"] and part_dir.name == f"{PARTITION_COL}={pid}":
+            raced["fired"] = True
+            raced["removed"] = other.vacuum(
+                "IndicatorValues", older_than_seconds=0.0
+            )
+        return real_update(part_dir, update_fn)
+
+    store._update_manifest = pause_then_update
+    try:
+        store.replace_product_all(pid, {"IndicatorValues": frame([(3, "v2")])})
+    finally:
+        store._update_manifest = real_update
+
+    assert raced["fired"]
+    # the publish completed intact: replacement rows all present,
+    # nothing the txn had renamed was eaten
+    out = store.read("IndicatorValues")
+    assert {(r["k"], r["v"]) for r in out.select("k", "v").collect()} == {(3, "v2")}
+    report = store.fsck("IndicatorValues")
+    assert not report.get("IndicatorValues", {}).get("missing")
+    # superseded v1 files are NOT mid-flight: a later vacuum still
+    # GCs them at the cutoff exactly (retention contract intact)
+    assert store.vacuum("IndicatorValues", older_than_seconds=0.0) > 0
