@@ -216,6 +216,58 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucket_topk(emb, query_vec_id=0, k=10, n_planes=8)
 
 
+# Two-stage int8 quantized ANN under the FULL value-hash oracle
+# (VERDICT r7 directive #2): DuckDB rebuilds the SQ8 codes with the
+# exact same double expression chain as quantize_embeddings
+# (scale = amax/127.0, round(x/scale) — Spark's HALF_UP and DuckDB's
+# half-away-from-zero agree on doubles, and the int8 stage's dots /
+# norms are exact small integers in doubles, so the approximate scores
+# match bit-for-bit and the rerank-candidate CUT is identical), then
+# replays stage 1 (int8-dot candidate top-`rerank` with the same
+# deterministic tie-break) and stage 2 (exact cosine rerank — the same
+# formula the already-green ann_cosine_topk oracle uses, round-6
+# absorbing fold-order ulps).
+_ANN_QUANT_ORACLE = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+    c AS (SELECT vec_id,
+                 CASE WHEN amax > 0
+                      THEN list_transform(v, x -> round(x / (amax / 127.0)))
+                      ELSE list_transform(v, x -> 0.0) END AS q
+          FROM s),
+    qq AS (SELECT q AS qv, sqrt(list_dot_product(q, q)) AS qn
+           FROM c WHERE vec_id = 0),
+    approx AS (SELECT c.vec_id,
+                      list_dot_product(c.q, qq.qv)
+                        / greatest(sqrt(list_dot_product(c.q, c.q)) * qq.qn, 1e-300)
+                        AS a
+               FROM c, qq WHERE c.vec_id != 0),
+    cand AS (SELECT vec_id FROM approx ORDER BY a DESC, vec_id LIMIT 40),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.v, qv.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv))),
+                 6) AS cosine
+    FROM e JOIN cand USING (vec_id), qv
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=_ANN_QUANT_ORACLE,
+    tags="ext similarity ann quantized",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rerank=40 (the 4k default) genuinely exercises the approximate
+    int8 candidate stage — the oracle replays BOTH stages, so the
+    hash check pins the quantization and the candidate cut, not just
+    the final cosine math."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.cosine_topk_quantized(emb, query_vec_id=0, k=10, rerank=40)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
