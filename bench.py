@@ -53,6 +53,14 @@ HEADLINE = [
     # prune nothing; per-file blooms prune to the holding file(s)
     "store_point_bloom",
     "store_point_nobloom",
+    # MERGE twins: single-key upsert via the file-granularity
+    # copy-on-write path (1 file rewritten, rest by reference) vs the
+    # whole-partition rewrite fallback; CDF twins: one-commit
+    # incremental read vs the full-snapshot resync it replaces
+    "store_merge_narrow",
+    "store_merge_wide",
+    "store_cdf_read",
+    "store_cdf_full_resync",
 ]
 
 
@@ -76,6 +84,10 @@ def main() -> None:
         "store_scan_compacted",
         "store_point_bloom",
         "store_point_nobloom",
+        "store_merge_narrow",
+        "store_merge_wide",
+        "store_cdf_read",
+        "store_cdf_full_resync",
     ):
         queries[name] = getattr(store_bench, name)
 

@@ -775,18 +775,24 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'v1', o_orderkey, 'U', ROUND(o_totalprice * 2, 2)
     FROM orders WHERE o_orderkey % 100 < 10 OR o_orderkey % 100 >= 95
+    UNION ALL
+    SELECT 'v2', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
+    FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
     """,
-    tags="S11 I2 store merge time-travel",
+    tags="S11 I2 store merge delete time-travel",
 )
 def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TableStore lifecycle under the hard hash oracle: publish a
     base snapshot (replace_product_all's write-ahead txn), MERGE an
     upsert batch (updates double the price and flip the status;
-    brand-new keys insert), then read BOTH the as-of-publish snapshot
-    (read_at time travel) and the current state — DuckDB recomputes
-    the expected post-merge and as-of tables from the same ``orders``
-    slices, so a torn merge, a leaked pre-merge row, or a wrong
-    time-travel resolution all break the value hash."""
+    brand-new keys insert — round 8: the file-granularity
+    copy-on-write path), then DELETE_WHERE the upserted rows back out
+    (round 8: predicate-scoped row-level delete), reading the as-of
+    snapshots of all three versions — v0/v1 via read_at time travel,
+    v2 current. DuckDB recomputes each expected table from the same
+    ``orders`` slices, so a torn merge, a leaked pre-merge row, a
+    wrong time-travel resolution, or a delete that dropped/kept the
+    wrong rows all break the value hash."""
     import tempfile
     import time
 
@@ -809,6 +815,8 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.replace_product_all(1, {"IndicatorValues": base})
     t0 = time.time()
     store.merge_rows("IndicatorValues", upsert, ["o_orderkey"])
+    t1 = time.time()
+    store.delete_where("IndicatorValues", [("o_orderstatus", "==", "U")])
 
     def tagged(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
@@ -818,8 +826,10 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
         )
 
-    return tagged(store.read_at("IndicatorValues", t0), "v0").unionByName(
-        tagged(store.read("IndicatorValues"), "v1")
+    return (
+        tagged(store.read_at("IndicatorValues", t0), "v0")
+        .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
+        .unionByName(tagged(store.read("IndicatorValues"), "v2"))
     )
 
 

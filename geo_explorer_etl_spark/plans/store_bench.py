@@ -62,6 +62,16 @@ def _bloom_roots(spark: SparkSession) -> tuple[str, str]:
     return f"{wh}/bench_store_bloom", f"{wh}/bench_store_nobloom"
 
 
+def _merge_roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_merge_narrow", f"{wh}/bench_store_merge_wide"
+
+
+def _cdf_root(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_cdf"
+
+
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """One-time layout setup, untimed: publish events into a
     fragmented store (range-disjoint small files with zone maps) and a
@@ -95,9 +105,95 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
 
     probe = ev.select("event_id").orderBy("event_id").limit(1).first()["event_id"]
     mid = ev.approxQuantile("event_id", [0.5], 0.01)[0]
+    probe_id = int(mid if mid is not None else probe)
     Path(f"{bloom_root}/_probe.json").write_text(
-        _json.dumps({"probe": int(mid if mid is not None else probe)})
+        _json.dumps({"probe": probe_id})
     )
+    # MERGE twins (VERDICT r7 directive #5): the same rows
+    # range-partitioned by event_id so a single-key upsert's candidate
+    # selection can isolate ONE file; the narrow store exercises the
+    # file-granularity path, the wide store is forced onto the
+    # whole-partition fallback (the pre-round-8 cost shape)
+    byid = ev.repartitionByRange(N_FILES, "event_id")
+    narrow_root, wide_root = _merge_roots(spark)
+    for root in (narrow_root, wide_root):
+        TableStore(spark, root).replace_product_all(PID, {TABLE: byid})
+    Path(f"{narrow_root}/_probe.json").write_text(_json.dumps({"probe": probe_id}))
+    # CDF twin store: one publish, a timestamp, one narrow merge — the
+    # timed read replays exactly that one-commit window (constant work,
+    # and the timed queries never mutate this store)
+    import time as _time
+
+    cdf_root = _cdf_root(spark)
+    store = TableStore(spark, cdf_root)
+    store.replace_product_all(PID, {TABLE: byid})
+    _time.sleep(0.05)
+    t0 = _time.time()
+    store.merge_rows(TABLE, _merge_frame(spark, probe_id, -1.0), ["event_id"])
+    Path(f"{cdf_root}/_probe.json").write_text(
+        _json.dumps({"probe": probe_id, "since": t0})
+    )
+
+
+def _merge_frame(spark: SparkSession, key: int, value: float) -> DataFrame:
+    return spark.createDataFrame(
+        [(key, value)], "event_id long, value double"
+    ).withColumn("IndicatorThemeId", F.lit(PID).cast("long"))
+
+
+def _merge_probe(spark: SparkSession) -> int:
+    import json as _json
+    from pathlib import Path
+
+    narrow_root, _ = _merge_roots(spark)
+    return int(_json.loads(Path(f"{narrow_root}/_probe.json").read_text())["probe"])
+
+
+def store_merge_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-GRANULARITY MERGE: a single-key upsert whose candidate
+    selection (zone maps over the event_id-ranged layout) isolates one
+    file — that file is rewritten, the other ~199 are carried into the
+    new manifest by reference. The timed work includes the merge
+    itself; the returned read just proves the row landed."""
+    narrow_root, _ = _merge_roots(spark)
+    store = TableStore(spark, narrow_root)
+    key = _merge_probe(spark)
+    store.merge_rows(TABLE, _merge_frame(spark, key, 1.0), ["event_id"])
+    return _agg(store.read(TABLE, where=[("event_id", "==", key)]))
+
+
+def store_merge_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same single-key upsert forced onto the WHOLE-PARTITION
+    rewrite (keyset cap 0 routes to the pre-round-8 fallback): every
+    live row is read, anti-joined, and rewritten through the replace
+    txn — the cost the file-granularity path exists to avoid."""
+    _, wide_root = _merge_roots(spark)
+    store = TableStore(spark, wide_root)
+    store.MERGE_KEYSET_CAP = 0  # instance override: force the fallback
+    key = _merge_probe(spark)
+    store.merge_rows(TABLE, _merge_frame(spark, key, 1.0), ["event_id"])
+    return _agg(store.read(TABLE, where=[("event_id", "==", key)]))
+
+
+def store_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumer: read_changes over a one-merge window —
+    cost proportional to the CHANGED files (two: the rewritten source
+    and its replacement), never table size."""
+    import json as _json
+    from pathlib import Path
+
+    root = _cdf_root(spark)
+    meta = _json.loads(Path(f"{root}/_probe.json").read_text())
+    store = TableStore(spark, root)
+    ch = store.read_changes(TABLE, since=float(meta["since"]))
+    return ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def store_cdf_full_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the same consumer pays WITHOUT the change feed: a full
+    snapshot re-read of the table to find what changed."""
+    root = _cdf_root(spark)
+    return _agg(TableStore(spark, root).read(TABLE))
 
 
 def _point_probe(spark: SparkSession) -> int:

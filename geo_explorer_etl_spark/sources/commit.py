@@ -258,8 +258,20 @@ def cas_update(
     write → retry against the winner's snapshot on conflict. Returns
     the committed body, or None when the update aborted. Raises
     :class:`CommitConflict` after ``max_retries`` losses (a live-lock
-    signal, not a normal outcome)."""
-    for _ in range(max_retries):
+    signal, not a normal outcome).
+
+    Repeated losses back off with jittered exponential sleep (the
+    standard optimistic-concurrency remedy, same as Delta/Iceberg
+    commit retries): without it, N writers hammering one blob can
+    starve a loser 50 straight races (measured with
+    tools/commit_contention.py — 8 unthrottled threads livelocked a
+    thread past the retry cap; with backoff every writer commits).
+    The first two retries stay immediate, so the common one-conflict
+    case pays nothing."""
+    import random
+    import time
+
+    for attempt in range(max_retries):
         cur = backend.read(d, key)
         body = update_fn(cur[1] if cur else None)
         if body is None:
@@ -267,6 +279,10 @@ def cas_update(
         try:
             v = backend.write(d, key, body, cur[0] if cur else 0)
         except CommitConflict:
+            if attempt >= 2:
+                time.sleep(
+                    min(0.1, 0.001 * (2 ** min(attempt, 7))) * random.random()
+                )
             continue
         return dict(body, version=v)
     raise CommitConflict(

@@ -2339,11 +2339,42 @@ class TableStore:
         (scdb.py:32–72), kept as the conservative path."""
         if PARTITION_COL not in df.columns:
             raise ValueError(f"merge_rows needs {PARTITION_COL} on the incoming frame")
-        pids = [r[0] for r in df.select(PARTITION_COL).distinct().collect()]
+        # ONE probe job for pids AND per-product key sets: distinct
+        # (pid, keys...) tuples, driver-bounded by the cap. Over the
+        # cap, a second tiny job recovers the pids and every product
+        # takes the whole-partition fallback (at that key cardinality
+        # most files are candidates anyway).
+        probe_rows = (
+            df.select(PARTITION_COL, *key_cols)
+            .distinct()
+            .limit(self.MERGE_KEYSET_CAP + 1)
+            .collect()
+        )
+        if len(probe_rows) > self.MERGE_KEYSET_CAP:
+            pids = [r[0] for r in df.select(PARTITION_COL).distinct().collect()]
+            probe_by_pid: dict | None = None
+        else:
+            probe_by_pid = {}
+            for r in probe_rows:
+                per = probe_by_pid.setdefault(r[0], {c: set() for c in key_cols})
+                for c in key_cols:
+                    if r[c] is not None:
+                        per[c].add(r[c])
+            pids = sorted(probe_by_pid)
         for pid in pids:
             incoming = df.filter(F.col(PARTITION_COL) == pid)
             for attempt in range(5):
-                done = self._merge_rows_file_level(table, incoming, key_cols, pid)
+                done = self._merge_rows_file_level(
+                    table,
+                    incoming,
+                    key_cols,
+                    pid,
+                    probe_vals=(
+                        {c: sorted(v) for c, v in probe_by_pid[pid].items()}
+                        if probe_by_pid is not None
+                        else None
+                    ),
+                )
                 if done is not None:
                     break
                 # swap aborted: a concurrent replace moved the
@@ -2366,7 +2397,12 @@ class TableStore:
             self.replace_product_all(pid, {table: merged})
 
     def _merge_rows_file_level(
-        self, table: str, incoming: DataFrame, key_cols: list[str], pid
+        self,
+        table: str,
+        incoming: DataFrame,
+        key_cols: list[str],
+        pid,
+        probe_vals: dict[str, list] | None = None,
     ) -> bool | None:
         """One product partition's file-granularity merge. Returns
         True (merged), False (not applicable here — caller takes the
@@ -2374,26 +2410,17 @@ class TableStore:
         under a concurrent replace — caller retries)."""
         import uuid
 
+        if probe_vals is None:
+            return False  # key set over the cap: fallback
         part = Path(self._path(table)) / f"{PARTITION_COL}={pid}"
         manifest = self._manifest(part)
         if manifest is None or not manifest["files"]:
             return False  # listing-mode or empty partition: fallback
-        # distinct incoming values per key column, driver-bounded.
-        # Null keys are excluded from the PROBE only: a current row
-        # can't anti-join-match a null key (SQL equality), so null-key
+        # probe_vals: distinct NON-NULL incoming values per key column
+        # (collected once for all products by merge_rows). Null keys
+        # are excluded from the PROBE only: a current row can't
+        # anti-join-match a null key (SQL equality), so null-key
         # incoming rows are pure appends and prune nothing.
-        probe_vals: dict[str, list] = {}
-        for c in key_cols:
-            rows = (
-                incoming.select(c)
-                .filter(F.col(c).isNotNull())
-                .distinct()
-                .limit(self.MERGE_KEYSET_CAP + 1)
-                .collect()
-            )
-            if len(rows) > self.MERGE_KEYSET_CAP:
-                return False  # key set too wide: fallback
-            probe_vals[c] = [r[0] for r in rows]
         where = [(c, "in", vs) for c, vs in probe_vals.items() if vs]
         stats = manifest.get("stats", {})
         if any(not vs for vs in probe_vals.values()):
@@ -2419,14 +2446,28 @@ class TableStore:
             cur = self.spark.read.schema(prior_schema_t).parquet(
                 *[str(part / n) for n in candidates]
             )
-            keys = payload.select(*key_cols).distinct()
+            # the key set is ≤ MERGE_KEYSET_CAP by construction (the
+            # same bound the driver collect relies on), so BROADCAST
+            # the anti-join explicitly: without the hint this plans as
+            # a SortMergeJoin whose two Exchanges the trailing
+            # coalesce() then executes single-task — measured 6× slower
+            # on a 1-file rewrite than the broadcast form
+            keys = F.broadcast(payload.select(*key_cols).distinct())
             remaining = cur.join(keys, key_cols, "left_anti")
             merged = remaining.unionByName(payload, allowMissingColumns=True)
-            # keep the file count stable: the rewrite replaces
-            # len(candidates) files, so it writes about that many
-            merged = merged.coalesce(max(1, len(candidates)))
+            # repartition — NOT coalesce — to the replaced file count:
+            # coalesce(n) fuses the union's every input partition into
+            # n tasks, serializing a Python-backed incoming frame's
+            # partition evaluation (measured 5× slower on a 1-file
+            # rewrite); the round-robin shuffle moves only the
+            # rewritten rows (bounded by the candidate files) and
+            # keeps the file count exactly stable. Key clustering
+            # within the rewritten region is weakened by round-robin —
+            # compact(sort_by=...) restores it, same as any table
+            # format's OPTIMIZE-after-MERGE.
+            merged = merged.repartition(max(1, len(candidates)))
         else:
-            merged = payload.coalesce(1)
+            merged = payload.repartition(1)
         staging = part / f"_merge_{uuid.uuid4().hex}"
         merged.write.parquet(str(staging))
         new_names: list[str] = []

@@ -860,3 +860,71 @@ def test_jpeg_progressive_color_and_eobrun(spark):
     got = decode_jpeg(prog)
     assert got[0:2] == base[0:2]
     assert got[2] == base[2]
+
+
+def test_synced_serving_copy_prunes_point_reads_by_bloom(spark, tmp_path):
+    """VERDICT r7 directive #6: the serving-copy mirror declares
+    bloom_cols, so the blooms are harvested at every sync publish and
+    point serving gets file-level skipping end-to-end — on a
+    hash-scattered layout where zone maps prune nothing."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        apply_changes,
+    )
+    from geo_explorer_etl_spark.streaming.incremental import ChangeFeedReader
+
+    primary = TableStore(spark, str(tmp_path / "primary"))
+    mirror = TableStore(
+        spark,
+        str(tmp_path / "mirror"),
+        backend="cas",
+        bloom_cols={"IndicatorValues": ["k"]},
+    )
+    pid = 5
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    reader = ChangeFeedReader(primary, "IndicatorValues", "bloom_sync")
+
+    def sync(changes):
+        cur = mirror.read("IndicatorValues")
+        base = (
+            cur.select("k", "v", PARTITION_COL)
+            if cur is not None
+            else changes.limit(0).select("k", "v", PARTITION_COL)
+        )
+        new_state = apply_changes(base, changes)
+        # serving layout: hash-scattered files (the point-lookup shape
+        # zone maps can't prune) — blooms are the only skipping lever
+        mirror.replace_product_all(
+            pid, {"IndicatorValues": new_state.repartition(4, "k")}
+        )
+
+    primary.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, f"v{i}") for i in range(40)])}
+    )
+    assert reader.poll(sync, until=time.time()) is not None
+
+    all_files = mirror.live_files("IndicatorValues")
+    assert len(all_files) == 4
+    pruned = mirror.live_files("IndicatorValues", [("k", "==", 7)])
+    assert 0 < len(pruned) < len(all_files)      # bloom skipped files
+    got = mirror.read("IndicatorValues", [("k", "==", 7)]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(7, "v7")]
+
+    # an incremental follow-up sync keeps the blooms fresh: a NEW key
+    # appended on the primary is bloom-locatable on the mirror
+    primary.append("IndicatorValues", frame([(100, "new")]))
+    assert reader.poll(sync, until=time.time()) is not None
+    pruned2 = mirror.live_files("IndicatorValues", [("k", "==", 100)])
+    assert 0 < len(pruned2) < len(mirror.live_files("IndicatorValues"))
+    got2 = mirror.read("IndicatorValues", [("k", "==", 100)]).collect()
+    assert [(r["k"], r["v"]) for r in got2] == [(100, "new")]
