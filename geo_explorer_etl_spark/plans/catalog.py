@@ -924,13 +924,6 @@ def l1_l4_lookup_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for ann_quantized_topk under the driver's 50-entry window. The
 # operator itself needs no code: it IS orderBy().limit().
 # ---------------------------------------------------------------------------
-def o4_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")["orders"]
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
-        .select("o_orderkey", "o_totalprice")
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -1422,7 +1422,23 @@ class TableStore:
         rows: dict[str, int] = {}
         for n in names:
             if prior_stats and n in prior_stats:
-                stats[n] = prior_stats[n]
+                entry = prior_stats[n]
+                blooms = entry.get("__bloom__") or {}
+                if bloom_cols and any("shape" not in b for b in blooms.values()):
+                    # bloom persisted before shapes were recorded: the
+                    # probe-side keep-on-unknown rule disables it, so
+                    # re-harvest ONCE here (one projected read) and the
+                    # healed entry carries forward ever after — without
+                    # this, a pre-shape store loses all bloom skipping
+                    # permanently (stats carry forward verbatim and
+                    # fsck only heals files with NO stats entry)
+                    entry = dict(entry)
+                    fresh = _build_blooms(part_dir / n, bloom_cols)
+                    if fresh:
+                        entry["__bloom__"] = fresh
+                    else:
+                        entry.pop("__bloom__", None)
+                stats[n] = entry
                 if prior_rows and n in prior_rows:
                     rows[n] = prior_rows[n]
                 continue
@@ -2091,6 +2107,17 @@ class TableStore:
                 if not p.exists():
                     continue
                 for part in p.glob(f"{PARTITION_COL}=*"):
+                    # the GC's "referenced by history" test must see
+                    # the journal as it was BEFORE this call's own
+                    # pruning: a file superseded by a just-pruned entry
+                    # is retention-expired SUPERSEDED data (GC at the
+                    # cutoff), not a possible mid-publish unknown (the
+                    # grace floor would wrongly spare it)
+                    historical: set[str] | None = None
+                    if prune_history:
+                        historical = set()
+                        for m in self._history_entries(part):
+                            historical |= set(m.get("files", []))
                     if prune_history:
                         # an entry is the AUTHORITATIVE snapshot until
                         # its successor's commit, so E_i is prunable
@@ -2114,8 +2141,16 @@ class TableStore:
                         hist = []
                         for hf in sorted((part / "_history").glob("*.json")):
                             if hf.name.startswith("_"):
+                                # GC only STALE tmp leftovers: a LIVE
+                                # writer sits between write_text and
+                                # rename for milliseconds, and no lock
+                                # covers the journal append on the CAS
+                                # backend — the same grace floor the
+                                # data-file GC applies to possible
+                                # mid-publish files protects it here
                                 if hf.name.startswith("_tmp-") and (
-                                    hf.stat().st_mtime <= cutoff
+                                    time.time() - hf.stat().st_mtime
+                                    > self.VACUUM_UNKNOWN_GRACE_SECONDS
                                 ):
                                     hf.unlink(missing_ok=True)
                                 continue
@@ -2149,7 +2184,6 @@ class TableStore:
                     if manifest is None:
                         continue
                     live = set(manifest["files"])
-                    historical: set[str] | None = None  # lazy: journal reads
                     for f in part.glob("*.parquet"):
                         if f.name in live or f.name in protected:
                             continue
@@ -2360,7 +2394,15 @@ class TableStore:
                 for c in key_cols:
                     if r[c] is not None:
                         per[c].add(r[c])
-            pids = sorted(probe_by_pid)
+            pids = sorted(probe_by_pid, key=lambda p: (p is None, p))
+        if any(p is None for p in pids):
+            # a null product id belongs to no partition: equality can
+            # never route it (filter == NULL matches nothing), so the
+            # rows would silently vanish — refuse loudly instead
+            raise ValueError(
+                f"merge_rows({table!r}): incoming frame has NULL "
+                f"{PARTITION_COL} rows — every row must carry a product id"
+            )
         for pid in pids:
             incoming = df.filter(F.col(PARTITION_COL) == pid)
             for attempt in range(5):
@@ -2480,17 +2522,30 @@ class TableStore:
 
         shutil.rmtree(staging, ignore_errors=True)
         rewritten = set(candidates)
+        snapshot_files = set(manifest["files"])
         with self._exclusive_lock():
 
             def swap(prior):
-                """Rewrite-conflict rule (same as compact): a
-                concurrent APPEND's files survive by reference; if any
-                rewritten source is no longer live — a concurrent
-                replace superseded it — the swap aborts rather than
-                resurrect superseded rows. Orphaned merge-* files age
-                out via fsck repair's unknown-leftover GC."""
+                """Rewrite-conflict rules (compact's plus Iceberg's
+                MERGE validation): if any rewritten source is no
+                longer live — a concurrent replace superseded it — the
+                swap aborts rather than resurrect superseded rows; and
+                a concurrent APPEND's files survive by reference ONLY
+                when their stats/blooms prove they hold none of the
+                incoming keys — otherwise the upsert postcondition
+                (one row per key) could break, so the swap aborts and
+                the retry recomputes candidates against the new
+                snapshot, anti-joining the appended rows too. Orphaned
+                merge-* files age out via fsck repair's GC."""
                 if prior is None or not rewritten <= set(prior["files"]):
                     return None
+                if where:
+                    prior_stats = prior.get("stats", {})
+                    for n in prior["files"]:
+                        if n not in snapshot_files and _file_may_match(
+                            prior_stats.get(n), where
+                        ):
+                            return None  # key-overlapping concurrent append
                 keep = [n for n in prior["files"] if n not in rewritten]
                 prior_schema = prior.get("schema")
                 if prior_schema and prior_schema != schema_json:

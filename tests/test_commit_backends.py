@@ -645,16 +645,21 @@ def test_vacuum_prune_history_ignores_tmp_leftovers(spark, tmp_path):
     )
     assert len(entries_before) == 2
     latest = entries_before[-1]
-    # crashed-writer leftover: valid JSON, old committed_at, name sorts last
+    # crashed-writer leftover: valid JSON, old committed_at, name sorts
+    # last; STALE past the unknown-grace floor (a younger tmp may be a
+    # live writer mid-append and must survive — checked below)
     tmp = hist / "_tmp-zzzzzzzzzzzzzzzzzzzz.json"
     tmp.write_text(_json.dumps({"committed_at": 1.0, "files": []}))
-    old = time.time() - 10
+    old = time.time() - store.VACUUM_UNKNOWN_GRACE_SECONDS - 60
     os.utime(tmp, (old, old))
+    fresh = hist / "_tmp-yyyyyyyyyyyyyyyyyyyy.json"
+    fresh.write_text(_json.dumps({"committed_at": 1.0, "files": []}))
 
     store.vacuum("IndicatorValues", older_than_seconds=0.0, prune_history=True)
     after = sorted(h.name for h in hist.glob("*.json"))
     assert latest in after            # keep-latest invariant holds
-    assert not any(n.startswith("_tmp-") for n in after)  # stale tmp GC'd
+    assert not tmp.exists()           # stale tmp GC'd
+    assert fresh.exists()             # possible LIVE writer: spared
     # the latest snapshot is still materializable
     assert store.read_at("IndicatorValues", time.time()).count() == 2
 

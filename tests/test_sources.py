@@ -1846,3 +1846,119 @@ def test_delete_where_listing_mode_refuses(spark, tmp_path):
     store.replace_product("IndicatorValues", df, 75)  # legacy: drops manifest
     with _pytest.raises(ValueError, match="listing mode"):
         store.delete_where("IndicatorValues", [("k", "==", 1)])
+
+
+def test_merge_rows_aborts_on_key_overlapping_concurrent_append(spark, tmp_path):
+    """Review r8 #2 (Iceberg MERGE validation): an append landing a
+    MERGED key between the merge's candidate read and its swap must
+    abort the swap — carrying the appended file by reference would
+    leave two rows for one key. The retry recomputes against the new
+    snapshot and anti-joins the appended row too."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 66
+    store = TableStore(spark, root, backend="cas")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "old"), (2, "old")])})
+
+    racer = TableStore(spark, root, backend="cas")
+    fired = {"done": False}
+    real_manifest = store._manifest
+
+    def hijack(part_dir):
+        m = real_manifest(part_dir)
+        if not fired["done"] and part_dir.name == f"{PARTITION_COL}={pid}":
+            fired["done"] = True
+            racer.append("IndicatorValues", frame([(1, "raced-append")]))
+        return m
+
+    store._manifest = hijack
+    try:
+        store.merge_rows("IndicatorValues", frame([(1, "merged")]), ["k"])
+    finally:
+        store._manifest = real_manifest
+
+    assert fired["done"]
+    out = store.read("IndicatorValues").select("k", "v").collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r["v"])
+    assert by_k[1] == ["merged"], by_k  # exactly ONE row for the merged key
+    assert by_k[2] == ["old"]
+
+
+def test_merge_rows_rejects_null_partition_id(spark, tmp_path):
+    """Review r8 #4: a NULL product id routes to no partition —
+    equality filters silently drop those rows — so merge_rows must
+    refuse loudly instead of crashing on sorted() or losing rows."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(1, "a", 9), (2, "b", None)],
+        "k long, v string, IndicatorThemeId long",
+    )
+    with _pytest.raises(ValueError, match="NULL IndicatorThemeId"):
+        store.merge_rows("IndicatorValues", df, ["k"])
+
+
+def test_legacy_shapeless_blooms_reharvest_on_next_commit(spark, tmp_path):
+    """Review r8 #3: blooms persisted before shapes were recorded are
+    disabled by the keep-on-unknown probe rule; the next commit that
+    carries the file forward must re-harvest them (once), restoring
+    point-read skipping for pre-shape stores."""
+    import json as _json
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import (
+        COMMITTED,
+        PARTITION_COL,
+        TableStore,
+    )
+
+    root = str(tmp_path / "store")
+    pid = 67
+    store = TableStore(spark, root, bloom_cols={"IndicatorValues": ["k"]})
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(0, 40, 4)]).coalesce(1)}
+    )
+    store.append(
+        "IndicatorValues", frame([(i, "a") for i in range(1, 40, 4)]).coalesce(1)
+    )
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+
+    # simulate a pre-shape store: strip the shape keys in place
+    mf = part / COMMITTED
+    body = _json.loads(mf.read_text())
+    for entry in body["stats"].values():
+        for bloom in (entry.get("__bloom__") or {}).values():
+            bloom.pop("shape", None)
+    mf.write_text(_json.dumps(body))
+    store2 = TableStore(spark, root, bloom_cols={"IndicatorValues": ["k"]})
+    # shapeless blooms: disabled (conservative) -> no skipping
+    assert len(store2.live_files("IndicatorValues", [("k", "==", 4)])) == 2
+
+    # the next commit heals the carried-forward files' blooms
+    store2.append(
+        "IndicatorValues", frame([(i, "a") for i in range(2, 40, 4)]).coalesce(1)
+    )
+    healed = store2._manifest(part)
+    assert all(
+        "shape" in b
+        for entry in healed["stats"].values()
+        for b in (entry.get("__bloom__") or {}).values()
+    )
+    # skipping is back: k==4 lives only in the first file
+    assert len(store2.live_files("IndicatorValues", [("k", "==", 4)])) == 1
