@@ -116,6 +116,14 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     # whole-partition fallback (the pre-round-8 cost shape)
     byid = ev.repartitionByRange(N_FILES, "event_id")
     narrow_root, wide_root = _merge_roots(spark)
+    # the merge/CDF twins MUTATE their stores per timed iteration; wipe
+    # and rebuild so every bench invocation times the same layout
+    # (otherwise journals, superseded files, and carried stats grow
+    # across runs in a persisted warehouse — systematic drift, not noise)
+    import shutil as _shutil
+
+    for root in (narrow_root, wide_root, _cdf_root(spark)):
+        _shutil.rmtree(root, ignore_errors=True)
     for root in (narrow_root, wide_root):
         TableStore(spark, root).replace_product_all(PID, {TABLE: byid})
     Path(f"{narrow_root}/_probe.json").write_text(_json.dumps({"probe": probe_id}))

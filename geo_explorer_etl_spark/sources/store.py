@@ -762,16 +762,25 @@ class TableStore:
                 # first open (or legacy layout matching the config):
                 # record via put-if-absent so racing first opens with
                 # DIFFERENT configs admit exactly one winner — the
-                # loser re-reads and fails the comparison below
-                root.mkdir(parents=True, exist_ok=True)
+                # loser re-reads and fails the comparison below. A
+                # read-only root (replica mount) or a filesystem
+                # without hardlinks simply stays untagged: the layout
+                # DETECTION above still enforces the mismatch check,
+                # and opening must not require write permission.
                 tmp = root / f".{self.FORMAT_TAG}.tmp-{uuid.uuid4().hex}"
-                tmp.write_text(json.dumps({"backend": configured}))
                 try:
+                    root.mkdir(parents=True, exist_ok=True)
+                    tmp.write_text(json.dumps({"backend": configured}))
                     os.link(tmp, tag)
                 except FileExistsError:
                     pass
+                except OSError:
+                    pass
                 finally:
-                    tmp.unlink(missing_ok=True)
+                    try:
+                        tmp.unlink(missing_ok=True)
+                    except OSError:
+                        pass  # read-only mount: nothing was written
             recorded = read_tag() or detected
         if recorded is not None and recorded != configured:
             raise ValueError(
@@ -937,8 +946,14 @@ class TableStore:
                 e.get("committed_at") == ts for e in self._history_entries(entry)
             ):
                 if repair and time.time() - ts > self.JOURNAL_REPAIR_GRACE_SECONDS:
-                    self._append_history(entry, m)
-                    continue
+                    try:
+                        self._append_history(entry, m)
+                        continue
+                    except OSError:
+                        # read-only consumer (replica mount, low-priv
+                        # account): can't self-heal — keep clamping,
+                        # which is exactly the pre-repair behavior
+                        pass
                 floor = ts if floor is None else min(floor, ts)
         return floor
 
@@ -2029,7 +2044,8 @@ class TableStore:
     #: lock-free CAS backend the store lock is a no-op, so this grace
     #: (not the lock) is what makes vacuum(0) safe against a publish
     #: that starts after the scan. Superseded files (in journal
-    #: history) are never mid-flight and GC at the cutoff exactly.
+    #: history) are never mid-flight and GC on the supersede-time
+    #: retention gate instead (see vacuum's `recent` set).
     VACUUM_UNKNOWN_GRACE_SECONDS = 300.0
 
     def _staged_txn_files(self) -> set[str]:
@@ -2081,11 +2097,15 @@ class TableStore:
         RETENTION CONTRACT (pytest-pinned): an in-flight reader whose
         plan resolved a superseded manifest keeps scanning the old
         files, so ``older_than_seconds`` must exceed the longest
-        reader's runtime — files younger than the window survive and
-        the reader completes. ``older_than_seconds=0`` is only safe
-        when no reader holds a superseded snapshot; after it runs, a
-        stale plan points at deleted files and fails on next execution
-        (the same contract as Delta/Iceberg VACUUM retention).
+        reader's runtime. The window gates on SUPERSEDE time, not the
+        file's write mtime: a file is deletable only once every
+        journal snapshot that listed it has been superseded for longer
+        than the window (a file written hours ago but replaced a
+        second ago is inside every current reader's snapshot and
+        survives). ``older_than_seconds=0`` is only safe when no
+        reader holds a superseded snapshot; after it runs, a stale
+        plan points at deleted files and fails on next execution (the
+        same contract as Delta/Iceberg VACUUM retention).
 
         ``prune_history=True`` additionally drops journal entries
         older than the same window (always keeping each partition's
@@ -2107,17 +2127,32 @@ class TableStore:
                 if not p.exists():
                     continue
                 for part in p.glob(f"{PARTITION_COL}=*"):
-                    # the GC's "referenced by history" test must see
-                    # the journal as it was BEFORE this call's own
-                    # pruning: a file superseded by a just-pruned entry
-                    # is retention-expired SUPERSEDED data (GC at the
-                    # cutoff), not a possible mid-publish unknown (the
-                    # grace floor would wrongly spare it)
-                    historical: set[str] | None = None
-                    if prune_history:
-                        historical = set()
-                        for m in self._history_entries(part):
-                            historical |= set(m.get("files", []))
+                    # ONE journal read per partition, taken BEFORE this
+                    # call's own pruning, drives both GC classifications:
+                    # - historical: referenced by ANY entry (vs unknown)
+                    # - recent: referenced by an entry that was still
+                    #   the CURRENT snapshot at some instant inside the
+                    #   retention window (an entry is authoritative from
+                    #   its commit until its successor's commit, so its
+                    #   files stay protected until the SUCCESSOR ages
+                    #   past the cutoff). Retention must gate on this
+                    #   SUPERSEDE time, not the file's write mtime: a
+                    #   file written hours ago but superseded a second
+                    #   ago is still inside every in-flight reader's
+                    #   snapshot window.
+                    bodies = list(self._history_entries(part))
+                    historical: set[str] = set()
+                    recent: set[str] = set()
+                    for m, nxt in zip(bodies, bodies[1:] + [None]):
+                        files = set(m.get("files", []))
+                        historical |= files
+                        end = (
+                            nxt.get("committed_at", 0)
+                            if nxt is not None
+                            else float("inf")
+                        )
+                        if end > cutoff:
+                            recent |= files
                     if prune_history:
                         # an entry is the AUTHORITATIVE snapshot until
                         # its successor's commit, so E_i is prunable
@@ -2148,10 +2183,14 @@ class TableStore:
                                 # backend — the same grace floor the
                                 # data-file GC applies to possible
                                 # mid-publish files protects it here
-                                if hf.name.startswith("_tmp-") and (
-                                    time.time() - hf.stat().st_mtime
-                                    > self.VACUUM_UNKNOWN_GRACE_SECONDS
-                                ):
+                                try:
+                                    stale = (
+                                        time.time() - hf.stat().st_mtime
+                                        > self.VACUUM_UNKNOWN_GRACE_SECONDS
+                                    )
+                                except FileNotFoundError:
+                                    continue  # live writer just renamed it
+                                if hf.name.startswith("_tmp-") and stale:
                                     hf.unlink(missing_ok=True)
                                 continue
                             hist.append(hf)
@@ -2185,23 +2224,64 @@ class TableStore:
                         continue
                     live = set(manifest["files"])
                     for f in part.glob("*.parquet"):
-                        if f.name in live or f.name in protected:
-                            continue
-                        if f.stat().st_mtime > cutoff:
-                            continue
-                        if historical is None:
-                            historical = set()
-                            for m in self._history_entries(part):
-                                historical |= set(m.get("files", []))
                         if (
-                            f.name not in historical
-                            and time.time() - f.stat().st_mtime
-                            < self.VACUUM_UNKNOWN_GRACE_SECONDS
+                            f.name in live
+                            or f.name in protected
+                            or f.name in recent
+                        ):
+                            continue
+                        try:
+                            age = time.time() - f.stat().st_mtime
+                        except FileNotFoundError:
+                            continue  # concurrent GC won the race
+                        if f.name in historical:
+                            # superseded outside the window (not in
+                            # `recent`): the supersede-time gate above
+                            # is the retention check — unlink
+                            pass
+                        elif (
+                            age < self.VACUUM_UNKNOWN_GRACE_SECONDS
+                            or age < older_than_seconds
                         ):
                             continue  # possible mid-publish rename: keep
-                        f.unlink()
-                        removed += 1
+                        try:
+                            f.unlink()
+                            removed += 1
+                        except FileNotFoundError:
+                            pass
+                    # stale per-partition staging leftovers from crashed
+                    # merge/delete/compact rewrites (data written but
+                    # never renamed in): no manifest references them and
+                    # the top-level *.parquet GC never descends, so
+                    # without this they accumulate forever. Tree-max
+                    # mtime + the grace floor spares a LIVE rewrite
+                    # (its write keeps touching files).
+                    for pat in ("_merge_*", "_delete_*", "_compact_*"):
+                        for d in part.glob(pat):
+                            self._gc_stale_staging(d)
         return removed
+
+    def _gc_stale_staging(self, d: Path) -> None:
+        """Remove a crashed rewrite's in-partition staging dir once its
+        newest mtime (dir or any contained file) has aged past the
+        grace window — a live writer's ongoing Spark write keeps the
+        tree fresh, so only genuinely dead staging is reclaimed."""
+        import shutil
+        import time
+
+        if not d.is_dir():
+            return
+        try:
+            newest = d.stat().st_mtime
+            for f in d.rglob("*"):
+                try:
+                    newest = max(newest, f.stat().st_mtime)
+                except FileNotFoundError:
+                    return  # being actively mutated: not stale
+        except FileNotFoundError:
+            return
+        if time.time() - newest > self.VACUUM_UNKNOWN_GRACE_SECONDS:
+            shutil.rmtree(d, ignore_errors=True)
 
     def compact(
         self,
@@ -2329,11 +2409,14 @@ class TableStore:
                         compacted += 1               # snapshot point
         return compacted
 
-    #: Max distinct incoming values PER KEY COLUMN collected to the
-    #: driver for candidate-file selection. Above it the merge falls
-    #: back to the whole-partition rewrite — at that key cardinality
-    #: most files are candidates anyway, and an unbounded collect
-    #: would be the driver-side anti-pattern.
+    #: Max distinct values collected to the driver for candidate-file
+    #: selection — applied FIRST to the combined (pid, key...) tuple
+    #: probe (one job covering every product), and when that overflows
+    #: (e.g. many products with small per-product key sets), again PER
+    #: KEY COLUMN PER PRODUCT. Only a product whose own per-column set
+    #: exceeds the cap falls back to the whole-partition rewrite — at
+    #: that cardinality most files are candidates anyway, and an
+    #: unbounded collect would be the driver-side anti-pattern.
     MERGE_KEYSET_CAP = 100_000
 
     def merge_rows(self, table: str, df: DataFrame, key_cols: list[str]) -> None:
@@ -2452,12 +2535,26 @@ class TableStore:
         under a concurrent replace — caller retries)."""
         import uuid
 
-        if probe_vals is None:
-            return False  # key set over the cap: fallback
         part = Path(self._path(table)) / f"{PARTITION_COL}={pid}"
         manifest = self._manifest(part)
         if manifest is None or not manifest["files"]:
             return False  # listing-mode or empty partition: fallback
+        if probe_vals is None:
+            # the combined all-products probe overflowed: re-probe THIS
+            # product per key column (len(key_cols) small jobs) — only
+            # a genuinely wide per-product key set forces the fallback
+            probe_vals = {}
+            for c in key_cols:
+                rows = (
+                    incoming.select(c)
+                    .filter(F.col(c).isNotNull())
+                    .distinct()
+                    .limit(self.MERGE_KEYSET_CAP + 1)
+                    .collect()
+                )
+                if len(rows) > self.MERGE_KEYSET_CAP:
+                    return False  # key set too wide: fallback
+                probe_vals[c] = [r[0] for r in rows]
         # probe_vals: distinct NON-NULL incoming values per key column
         # (collected once for all products by merge_rows). Null keys
         # are excluded from the PROBE only: a current row can't
@@ -2692,12 +2789,11 @@ class TableStore:
                 ~F.coalesce(_where_expr(where), F.lit(False))
             ).drop(PARTITION_COL)
             missing = [n for n in rewrite if n not in rows_known]
-            if missing:
-                before_rows = self.spark.read.parquet(
-                    *[str(part / n) for n in rewrite]
+            before_rows = sum(int(rows_known[n]) for n in rewrite if n in rows_known)
+            if missing:  # count ONLY the metadata-less files
+                before_rows += self.spark.read.parquet(
+                    *[str(part / n) for n in missing]
                 ).count()
-            else:
-                before_rows = sum(int(rows_known[n]) for n in rewrite)
             staging = part / f"_delete_{uuid.uuid4().hex}"
             kept.coalesce(max(1, len(rewrite))).write.parquet(str(staging))
             import shutil

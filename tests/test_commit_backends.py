@@ -792,3 +792,74 @@ def test_vacuum_spares_midflight_publish_on_cas_backend(spark, tmp_path):
     # superseded v1 files are NOT mid-flight: a later vacuum still
     # GCs them at the cutoff exactly (retention contract intact)
     assert store.vacuum("IndicatorValues", older_than_seconds=0.0) > 0
+
+
+def test_vacuum_retention_gates_on_supersede_time_not_mtime(spark, tmp_path):
+    """Review r8 wave-2 #1: a file WRITTEN hours ago but superseded a
+    second ago is inside every in-flight reader's snapshot window —
+    vacuum(W) must keep it until the SUPERSEDING commit is W old, not
+    until the file's write mtime is. (The old mtime gate deleted it
+    immediately.)"""
+    import os
+    import time
+
+    root = str(tmp_path / "store")
+    pid = 47
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "v1")])})
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    v1_files = set(store._manifest(part)["files"])
+    # age the v1 data files far past any retention window
+    old = time.time() - 7200
+    for n in v1_files:
+        os.utime(part / n, (old, old))
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(2, "v2")])})
+    # superseded ONE moment ago: an hour-long retention window must
+    # spare the old files regardless of their ancient write mtime
+    assert store.vacuum("IndicatorValues", older_than_seconds=3600.0) == 0
+    assert all((part / n).exists() for n in v1_files)
+    # and read_at still materializes the pre-replace snapshot
+    assert store.read_at("IndicatorValues", time.time() - 0.0001) is not None
+
+    # outside the window (supersede time aged past it): GC proceeds
+    assert store.vacuum("IndicatorValues", older_than_seconds=0.0) >= len(v1_files)
+    assert not any((part / n).exists() for n in v1_files)
+
+
+def test_vacuum_gcs_stale_rewrite_staging_dirs(spark, tmp_path):
+    """Review r8 wave-2 #4: a crashed merge/delete/compact leaves a
+    _merge_*/_delete_*/_compact_* staging dir full of data nothing
+    references; vacuum reclaims it once stale, spares a fresh one
+    (possible live writer)."""
+    import os
+    import time
+
+    root = str(tmp_path / "store")
+    pid = 48
+    store = TableStore(spark, root)
+    df = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(pid).cast("long")
+    )
+    store.replace_product_all(pid, {"IndicatorValues": df})
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+
+    stale = part / "_merge_deadbeef"
+    stale.mkdir()
+    (stale / "part-0.parquet").write_bytes(b"x")
+    old = time.time() - store.VACUUM_UNKNOWN_GRACE_SECONDS - 60
+    for p in (stale, stale / "part-0.parquet"):
+        os.utime(p, (old, old))
+    fresh = part / "_delete_cafebabe"
+    fresh.mkdir()
+    (fresh / "part-0.parquet").write_bytes(b"y")
+
+    store.vacuum("IndicatorValues", older_than_seconds=0.0)
+    assert not stale.exists()
+    assert fresh.exists()
