@@ -989,7 +989,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql_scripts TOP(1000)): the standalone ``o4_ordered_limit`` entry
     was folded in here (round 8) so the registry stays inside the
     driver's 50-entry window — ties at equal revenue break by
-    l_orderkey, making the cut deterministic on both engines."""
+    l_orderkey, making the cut deterministic on both engines.
+
+    BENCH COMPARABILITY (ADVICE r8, low): the fold changed the
+    measured work — rounds ≤7 timed this entry WITHOUT the trailing
+    ORDER BY/LIMIT, so round-over-round q3 comparisons are only valid
+    within r8+; BENCH_r08 onward carry the new shape."""
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
     c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].filter(F.col("o_orderdate") < "1998-03-15")

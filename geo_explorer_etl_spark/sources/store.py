@@ -261,6 +261,17 @@ def _file_all_match(stats: dict[str, list] | None, where) -> bool:
         if nulls.get(col) != 0:
             return False  # unknown or nonzero null count
         mn, mx = s
+        if isinstance(mn, float) or isinstance(mx, float):
+            # float-statted column: parquet min/max IGNORE NaN (a file
+            # holding [5.0, NaN, 5.0] reports min=max=5.0, null_count
+            # 0), so the bounds can never PROVE every row matches — a
+            # NaN row matches no ordinary predicate under Spark
+            # semantics (NaN == only NaN, sorts above all values) and
+            # must be KEPT. Iceberg guards this exact case with
+            # nan_value_counts; parquet footers carry none, so the
+            # fast path is restricted to int/string/temporal-statted
+            # columns (ADVICE r8, high).
+            return False
         if op == "in":
             members = [_normalize_bound(v) for v in val]
             if not members or any(
@@ -2456,13 +2467,20 @@ class TableStore:
         (scdb.py:32–72), kept as the conservative path."""
         if PARTITION_COL not in df.columns:
             raise ValueError(f"merge_rows needs {PARTITION_COL} on the incoming frame")
+        # PARTITION_COL in key_cols is legal (the reference keys some
+        # upserts on the product id) but constant within each per-pid
+        # slice — the file-level path works on the REMAINING key
+        # columns (ADVICE r8: selecting it from the PARTITION_COL-less
+        # payload raised). An empty remainder means "replace the whole
+        # product", which IS the whole-partition fallback.
+        eff_keys = [c for c in key_cols if c != PARTITION_COL]
         # ONE probe job for pids AND per-product key sets: distinct
         # (pid, keys...) tuples, driver-bounded by the cap. Over the
         # cap, a second tiny job recovers the pids and every product
         # takes the whole-partition fallback (at that key cardinality
         # most files are candidates anyway).
         probe_rows = (
-            df.select(PARTITION_COL, *key_cols)
+            df.select(PARTITION_COL, *eff_keys)
             .distinct()
             .limit(self.MERGE_KEYSET_CAP + 1)
             .collect()
@@ -2473,8 +2491,8 @@ class TableStore:
         else:
             probe_by_pid = {}
             for r in probe_rows:
-                per = probe_by_pid.setdefault(r[0], {c: set() for c in key_cols})
-                for c in key_cols:
+                per = probe_by_pid.setdefault(r[0], {c: set() for c in eff_keys})
+                for c in eff_keys:
                     if r[c] is not None:
                         per[c].add(r[c])
             pids = sorted(probe_by_pid, key=lambda p: (p is None, p))
@@ -2489,10 +2507,13 @@ class TableStore:
         for pid in pids:
             incoming = df.filter(F.col(PARTITION_COL) == pid)
             for attempt in range(5):
+                if not eff_keys:
+                    done = False  # key = product id alone: full replace
+                    break
                 done = self._merge_rows_file_level(
                     table,
                     incoming,
-                    key_cols,
+                    eff_keys,
                     pid,
                     probe_vals=(
                         {c: sorted(v) for c, v in probe_by_pid[pid].items()}
@@ -2594,19 +2615,25 @@ class TableStore:
             keys = F.broadcast(payload.select(*key_cols).distinct())
             remaining = cur.join(keys, key_cols, "left_anti")
             merged = remaining.unionByName(payload, allowMissingColumns=True)
-            # repartition — NOT coalesce — to the replaced file count:
-            # coalesce(n) fuses the union's every input partition into
-            # n tasks, serializing a Python-backed incoming frame's
-            # partition evaluation (measured 5× slower on a 1-file
-            # rewrite); the round-robin shuffle moves only the
-            # rewritten rows (bounded by the candidate files) and
-            # keeps the file count exactly stable. Key clustering
-            # within the rewritten region is weakened by round-robin —
-            # compact(sort_by=...) restores it, same as any table
-            # format's OPTIMIZE-after-MERGE.
-            merged = merged.repartition(max(1, len(candidates)))
+            # RANGE-cluster the rewrite on the merge keys (VERDICT r8
+            # directive #3): round-robin repartition kept the file
+            # count stable but scattered every key range across every
+            # rewritten file, so REPEATED merges eroded the zone-map
+            # locality that candidate selection depends on — each
+            # merge made the next one rewrite more files. Range
+            # partitioning + an in-partition sort keeps each rewritten
+            # file covering a narrow key range (tight zone maps), so
+            # MERGE is self-sustaining without a manual
+            # compact(sort_by=...). Still a real shuffle (not
+            # coalesce — which serialized the Python-backed incoming
+            # frame, measured 5× slower on a 1-file rewrite); the
+            # extra range-sampling pass is bounded by the candidate
+            # files plus the incoming batch.
+            merged = merged.repartitionByRange(
+                max(1, len(candidates)), *key_cols
+            ).sortWithinPartitions(*key_cols)
         else:
-            merged = payload.repartition(1)
+            merged = payload.repartition(1).sortWithinPartitions(*key_cols)
         staging = part / f"_merge_{uuid.uuid4().hex}"
         merged.write.parquet(str(staging))
         new_names: list[str] = []
@@ -2833,7 +2860,17 @@ class TableStore:
             else:
                 drop_rows += self.spark.read.parquet(str(part / n)).count()
         new_rows = committed.get("rows", {})
-        kept_rows = sum(int(new_rows.get(n, 0)) for n in new_names)
+        # a rewritten output file whose footer stats couldn't be read
+        # has no rows entry — COUNT it (one scan over exactly those
+        # files) instead of defaulting to 0, which would inflate the
+        # reported deleted count (ADVICE r8, low); missing rewrite
+        # SOURCES are already counted the same way above
+        missing_new = [n for n in new_names if n not in new_rows]
+        kept_rows = sum(int(new_rows[n]) for n in new_names if n in new_rows)
+        if missing_new:
+            kept_rows += self.spark.read.parquet(
+                *[str(part / n) for n in missing_new]
+            ).count()
         return drop_rows + (before_rows - kept_rows), True
 
     def fsck(

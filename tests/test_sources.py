@@ -1962,3 +1962,122 @@ def test_legacy_shapeless_blooms_reharvest_on_next_commit(spark, tmp_path):
     )
     # skipping is back: k==4 lives only in the first file
     assert len(store2.live_files("IndicatorValues", [("k", "==", 4)])) == 1
+
+
+def test_delete_where_nan_rows_survive_all_match_fast_path(spark, tmp_path):
+    """ADVICE r9 (high): parquet min/max stats IGNORE NaN — a file
+    holding [5.0, NaN, 5.0] reports min=max=5.0 with zero nulls, so
+    the drop-without-read fast path would silently delete the NaN row
+    (which matches no ordinary predicate under Spark semantics). The
+    fast path must refuse float-statted columns and take the rewrite,
+    which keeps the NaN row."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        _file_all_match,
+    )
+
+    # unit pin: float bounds never prove all-match, int bounds still do
+    assert not _file_all_match(
+        {"x": [5.0, 5.0], "__nulls__": {"x": 0}}, [("x", "==", 5.0)]
+    )
+    assert _file_all_match({"k": [5, 5], "__nulls__": {"k": 0}}, [("k", "==", 5)])
+
+    root = str(tmp_path / "store")
+    pid = 76
+    store = TableStore(spark, root)
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 5.0)], "id long, x double"
+    ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+    store.replace_product_all(pid, {"IndicatorValues": df.coalesce(1)})
+
+    n = store.delete_where("IndicatorValues", [("x", "==", 5.0)])
+    assert n == 2
+    got = [(r["id"], str(r["x"])) for r in store.read("IndicatorValues").collect()]
+    assert got == [(2, "nan")]
+
+
+def test_merge_rows_with_partition_col_in_key_cols(spark, tmp_path):
+    """ADVICE r9 (low): PARTITION_COL inside key_cols previously blew
+    up the file-level path (the payload drops it before selecting the
+    keys). It is constant per partition, so the file-level merge keys
+    on the remainder; key = the product id ALONE means whole-product
+    replace."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 77
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(pid, {"IndicatorValues": frame([(1, "a"), (2, "b")])})
+    # composite key including the partition col: plain upsert semantics
+    store.merge_rows(
+        "IndicatorValues", frame([(2, "B"), (3, "c")]), [PARTITION_COL, "k"]
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in store.read("IndicatorValues").collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+    # key = the partition col alone: the incoming slice replaces the
+    # whole product's rows (every current row shares the key)
+    store.merge_rows("IndicatorValues", frame([(9, "z")]), [PARTITION_COL])
+    got = sorted(
+        (r["k"], r["v"]) for r in store.read("IndicatorValues").collect()
+    )
+    assert got == [(9, "z")]
+
+
+def test_repeated_merges_preserve_zone_map_clustering(spark, tmp_path):
+    """VERDICT r9 directive #3: the file-granular merge rewrite used
+    to round-robin the rewritten rows, so a merge touching 2+ files
+    mixed their key ranges and every zone map widened to the union —
+    repeated merges degraded point-read pruning monotonically. The
+    rewrite now range-clusters on the merge keys, so after N repeated
+    merges a point read still prunes to ONE file and the file count
+    stays stable."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 78
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    # four range-clustered files: [0..24] [25..49] [50..74] [75..99]
+    store.replace_product_all(
+        pid,
+        {"IndicatorValues": frame([(i, "base") for i in range(25)]).coalesce(1)},
+    )
+    for lo in (25, 50, 75):
+        store.append(
+            "IndicatorValues",
+            frame([(i, "base") for i in range(lo, lo + 25)]).coalesce(1),
+        )
+    assert len(store.live_files("IndicatorValues")) == 4
+
+    # five repeated merges, each touching TWO files (k=10 and k=60)
+    for i in range(5):
+        store.merge_rows(
+            "IndicatorValues", frame([(10, f"m{i}"), (60, f"m{i}")]), ["k"]
+        )
+        # file count never grows: the rewrite replaces exactly the
+        # candidate files
+        assert len(store.live_files("IndicatorValues")) == 4, f"merge {i}"
+
+    # zone maps stayed tight: a point read prunes to ONE file
+    assert len(store.live_files("IndicatorValues", [("k", "==", 10)])) == 1
+    assert len(store.live_files("IndicatorValues", [("k", "==", 90)])) == 1
+    got = sorted((r["k"], r["v"]) for r in store.read("IndicatorValues").collect())
+    want = sorted(
+        [(k, "m4") if k in (10, 60) else (k, "base") for k in range(100)]
+    )
+    assert got == want
