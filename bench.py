@@ -61,6 +61,13 @@ HEADLINE = [
     "store_merge_wide",
     "store_cdf_read",
     "store_cdf_full_resync",
+    # DELETE twins: a narrow zone-map-bounded band delete, plus the
+    # same scattered ~250-id delete under copy-on-write (every touched
+    # file rewritten) vs deletion vectors (position sidecars only) —
+    # each timed run deletes a fresh disjoint id slice
+    "store_delete_narrow",
+    "store_delete_scattered_cow",
+    "store_delete_scattered_dv",
 ]
 
 
@@ -88,6 +95,9 @@ def main() -> None:
         "store_merge_wide",
         "store_cdf_read",
         "store_cdf_full_resync",
+        "store_delete_narrow",
+        "store_delete_scattered_cow",
+        "store_delete_scattered_dv",
     ):
         queries[name] = getattr(store_bench, name)
 

@@ -778,8 +778,11 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'v2', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
     FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
+    UNION ALL
+    SELECT 'v2cdf', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
+    FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
     """,
-    tags="S11 I2 store merge delete time-travel",
+    tags="S11 I2 store merge delete time-travel CDF",
 )
 def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TableStore lifecycle under the hard hash oracle: publish a
@@ -787,16 +790,22 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert batch (updates double the price and flip the status;
     brand-new keys insert — round 8: the file-granularity
     copy-on-write path), then DELETE_WHERE the upserted rows back out
-    (round 8: predicate-scoped row-level delete), reading the as-of
-    snapshots of all three versions — v0/v1 via read_at time travel,
-    v2 current. DuckDB recomputes each expected table from the same
-    ``orders`` slices, so a torn merge, a leaked pre-merge row, a
-    wrong time-travel resolution, or a delete that dropped/kept the
-    wrong rows all break the value hash."""
+    (round 8: predicate-scoped row-level delete; round 9: the sparse
+    per-file matches take the DELETION-VECTOR merge-on-read path),
+    reading the as-of snapshots of all three versions — v0/v1 via
+    read_at time travel, v2 current — PLUS (round 9, VERDICT
+    directive #2) ``v2cdf``: the v2 snapshot RECONSTRUCTED by
+    replaying the change data feed over the v0 snapshot with
+    ``apply_changes``. DuckDB recomputes each expected table from the
+    same ``orders`` slices (v2cdf must equal v2 row-for-row), so a
+    torn merge, a leaked pre-merge row, a wrong time-travel
+    resolution, a delete that dropped/kept the wrong rows, or a
+    change feed that mis-slices any commit's deltas (file-level OR
+    deletion-vector positions) all break the value hash."""
     import tempfile
     import time
 
-    from geo_explorer_etl_spark.sources.store import TableStore
+    from geo_explorer_etl_spark.sources.store import TableStore, apply_changes
 
     o = _t(spark, sf_dir, "orders")["orders"]
     key = F.col("o_orderkey") % 100
@@ -826,10 +835,21 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
         )
 
+    # CDF reconstruction: v0 + every post-t0 delta (merge's file-level
+    # deltas AND the delete's deletion-vector position slices) must
+    # reproduce the current snapshot exactly
+    payload = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    v2cdf = apply_changes(
+        store.read_at("IndicatorValues", t0).select(*payload),
+        store.read_changes("IndicatorValues", since=t0).select(
+            *payload, "_change_type", "_committed_at"
+        ),
+    )
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
         .unionByName(tagged(store.read("IndicatorValues"), "v2"))
+        .unionByName(tagged(v2cdf, "v2cdf"))
     )
 
 

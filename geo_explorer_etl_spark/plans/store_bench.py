@@ -50,6 +50,7 @@ _DAY_HI = datetime.datetime(2024, 1, 15, 23, 59, 59, 999999)
 
 
 N_HASH_FILES = 64  # bloom twins: hash-scattered files (zone maps useless)
+N_DEL_FILES = 8    # delete twins: big-file layout (the 128 MB-file shape at scale)
 
 
 def _roots(spark: SparkSession) -> tuple[str, str]:
@@ -70,6 +71,15 @@ def _merge_roots(spark: SparkSession) -> tuple[str, str]:
 def _cdf_root(spark: SparkSession) -> str:
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     return f"{wh}/bench_store_cdf"
+
+
+def _delete_roots(spark: SparkSession) -> tuple[str, str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return (
+        f"{wh}/bench_store_del_narrow",
+        f"{wh}/bench_store_del_cow",
+        f"{wh}/bench_store_del_dv",
+    )
 
 
 def prepare(spark: SparkSession, sf_dir: str) -> None:
@@ -141,6 +151,52 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     Path(f"{cdf_root}/_probe.json").write_text(
         _json.dumps({"probe": probe_id, "since": t0})
     )
+    # DELETE twins (VERDICT r9 directive #5). Each timed invocation
+    # deletes a FRESH disjoint id slice (run-indexed — repeated runs
+    # never degenerate into no-op deletes):
+    # - narrow: a contiguous id band on the 200-file ranged layout
+    #   that zone maps bound to ~1 file;
+    # - scattered/cow vs scattered/dv: ~250 random ids spanning the
+    #   whole id range over N_DEL_FILES BIG files — the cluster-scale
+    #   shape (a production file is ~128 MB; matched rows are a
+    #   vanishing fraction of each file). COW must rewrite every
+    #   touched file — ~the whole table; deletion vectors write
+    #   per-file position sidecars (kilobytes), zero data files. On a
+    #   MANY-tiny-files layout the contrast inverts locally (rewrite
+    #   ≈ scan cost and consolidation shrinks the table), which is an
+    #   sf0.1 artifact, not the 100 TB story — the big-file twin IS
+    #   the honest one.
+    del_narrow_root, del_cow_root, del_dv_root = _delete_roots(spark)
+    byid_big = ev.repartitionByRange(N_DEL_FILES, "event_id")
+    for root, layout in (
+        (del_narrow_root, byid),
+        (del_cow_root, byid_big),
+        (del_dv_root, byid_big),
+    ):
+        _shutil.rmtree(root, ignore_errors=True)
+        TableStore(spark, root).replace_product_all(PID, {TABLE: layout})
+    dids = sorted(
+        r[0]
+        for r in ev.select("event_id")
+        .distinct()
+        .sample(0.05, seed=7)
+        .limit(4800)
+        .collect()
+    )
+    # interleaved slices: every set spans the whole id range (maximally
+    # scattered), sets are disjoint
+    sets = [[int(x) for x in dids[i::16][:250]] for i in range(16)]
+    qs = ev.approxQuantile(
+        "event_id", [0.30 + 0.004 * i for i in range(17)], 0.001
+    )
+    bands = [
+        [int(qs[i]), max(int(qs[i]) + 1, int(qs[i + 1]) - 1)]
+        for i in range(16)
+    ]
+    for root in (del_narrow_root, del_cow_root, del_dv_root):
+        Path(f"{root}/_probe.json").write_text(
+            _json.dumps({"sets": sets, "bands": bands})
+        )
 
 
 def _merge_frame(spark: SparkSession, key: int, value: float) -> DataFrame:
@@ -202,6 +258,64 @@ def store_cdf_full_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot re-read of the table to find what changed."""
     root = _cdf_root(spark)
     return _agg(TableStore(spark, root).read(TABLE))
+
+
+def _delete_meta(root: str) -> dict:
+    import json as _json
+    from pathlib import Path
+
+    return _json.loads(Path(f"{root}/_probe.json").read_text())
+
+
+def _next_run_idx(root: str) -> int:
+    """Per-store invocation counter (driver-side; the bench is
+    serial): selects which precomputed disjoint id slice this run
+    deletes, so every timed pass does the same amount of REAL work
+    instead of re-deleting already-deleted rows."""
+    import json as _json
+    from pathlib import Path
+
+    p = Path(root) / "_runidx.json"
+    i = int(_json.loads(p.read_text())["i"]) if p.exists() else 0
+    p.write_text(_json.dumps({"i": i + 1}))
+    return i
+
+
+def store_delete_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete over a CONTIGUOUS id band on the range-
+    clustered layout: zone maps bound the work to ~1 file (dropped or
+    rewritten); the other ~199 are carried by reference."""
+    root = _delete_roots(spark)[0]
+    store = TableStore(spark, root)
+    meta = _delete_meta(root)
+    lo, hi = meta["bands"][_next_run_idx(root) % len(meta["bands"])]
+    store.delete_where(TABLE, [("event_id", "between", (lo, hi))])
+    return _agg(store.read(TABLE, where=[("event_id", "between", (lo, hi))]))
+
+
+def store_delete_scattered_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A scattered ~250-id delete under COPY-ON-WRITE: the ids hit
+    most of the 200 files, and every touched file is rewritten — the
+    pre-deletion-vector cost shape, kept as the measured fallback."""
+    root = _delete_roots(spark)[1]
+    store = TableStore(spark, root)
+    meta = _delete_meta(root)
+    ids = meta["sets"][_next_run_idx(root) % len(meta["sets"])]
+    store.delete_where(TABLE, [("event_id", "in", ids)], mode="cow")
+    return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
+
+
+def store_delete_scattered_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME scattered delete workload under DELETION VECTORS:
+    per-file position sidecars (kilobytes) instead of rewriting every
+    touched file — at 100 TB the write cost is the mask size, not the
+    partition size."""
+    root = _delete_roots(spark)[2]
+    store = TableStore(spark, root)
+    meta = _delete_meta(root)
+    ids = meta["sets"][_next_run_idx(root) % len(meta["sets"])]
+    store.delete_where(TABLE, [("event_id", "in", ids)], mode="dv")
+    return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
 
 
 def _point_probe(spark: SparkSession) -> int:

