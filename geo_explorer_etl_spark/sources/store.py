@@ -588,6 +588,77 @@ def _decode_dv(data: bytes):
     return np.frombuffer(data[len(DV_MAGIC):], dtype="<u8")
 
 
+# -- column mapping (rename / drop schema evolution) -------------------------
+# A column's PHYSICAL name — what the parquet files carry — is fixed
+# at first write and never changes; RENAME and DROP are metadata-only
+# manifest updates (Delta's column-mapping design). The manifest's
+# declared schema holds the LOGICAL names users see, plus
+# ``colmap: {logical: physical}`` for every non-identity mapping and
+# ``dropped_physical: [...]`` for physical names retired by a drop
+# (a re-added same-name logical column must get a FRESH physical name
+# — resolving it to the dropped files' old bytes would resurrect
+# unrelated data under a new meaning). Reads scan under the PHYSICAL
+# schema and rename to logical; writes translate logical → physical;
+# old snapshots read_at with the names THEY declared (each journal
+# body carries its own schema + colmap). Zone maps, blooms, and stats
+# are keyed by physical name throughout — predicates translate at the
+# pruning boundary.
+
+
+def _to_physical_schema(schema, colmap: dict):
+    from pyspark.sql import types as T
+
+    if not colmap:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(colmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _rename_all(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename via ONE simultaneous projection. ``withColumnsRenamed``
+    validates each target against the current frame, so a chain like
+    {k: v, v: v2} trips COLUMN_ALREADY_EXISTS on the transient
+    collision even though the end state is unambiguous — a single
+    select of aliases has no intermediate states."""
+    if not any(c in mapping for c in df.columns):
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _rename_to_logical(df: DataFrame, colmap: dict) -> DataFrame:
+    return _rename_all(df, {v: k for k, v in colmap.items() if v != k})
+
+
+def _rename_to_physical(df: DataFrame, colmap: dict) -> DataFrame:
+    return _rename_all(df, {k: v for k, v in colmap.items() if v != k})
+
+
+def _where_physical(where, colmap: dict):
+    """Translate a predicate list's LOGICAL column names to the
+    physical names the manifest stats/blooms are keyed by."""
+    if not where or not colmap:
+        return where
+    return [(colmap.get(c, c), op, v) for c, op, v in where]
+
+
+def _fresh_physical(logical: str, taken) -> str:
+    """Physical name for a NEW logical column whose name collides with
+    a retired physical name (re-add after drop): suffixed with a
+    uuid fragment so old files' bytes can never resolve to it."""
+    import uuid
+
+    cand = f"{logical}__r{uuid.uuid4().hex[:8]}"
+    while cand in taken:
+        cand = f"{logical}__r{uuid.uuid4().hex[:8]}"
+    return cand
+
+
 def _merge_schemas(a, b):
     """Union of two payload schemas for schema evolution: fields by
     name, ``a``'s order first, new fields appended; same-name fields
@@ -1201,15 +1272,21 @@ class TableStore:
         p = Path(self._path(table))
         if not p.exists():
             return None
-        schema = self._declared_schema(p)
+        schema = self._declared_schema(p)  # LOGICAL union
+        colmap, _ = self._table_colmap(p)
         reader = self.spark.read.option("basePath", str(p))
         if schema is not None:
             # declared union schema: pre-evolution files surface new
             # columns as nulls, subset-appended files surface missing
-            # ones — without a mergeSchema scan of every footer
-            reader = reader.schema(schema)
+            # ones — without a mergeSchema scan of every footer. The
+            # SCAN runs under the PHYSICAL names (what the files
+            # carry); logical names come back via the rename below.
+            reader = reader.schema(_to_physical_schema(schema, colmap))
         dv_sel: list = []
-        files = self._live_files(p, where, dv_out=dv_sel)
+        # stats/blooms are keyed by physical name: translate the
+        # predicate for PRUNING only (the re-applied filter below
+        # runs on the logical frame)
+        files = self._live_files(p, _where_physical(where, colmap), dv_out=dv_sel)
         if not files:
             if where:
                 # every file pruned, but the TABLE may have data: return
@@ -1217,7 +1294,9 @@ class TableStore:
                 # not None — None means "no data at all"
                 all_files = self._live_files(p)
                 if all_files:
-                    return reader.parquet(all_files[0]).filter(F.lit(False))
+                    return _rename_to_logical(
+                        reader.parquet(all_files[0]), colmap
+                    ).filter(F.lit(False))
             return None
         if dv_sel:
             # merge-on-read: drop the deletion-vectored row positions
@@ -1240,6 +1319,7 @@ class TableStore:
                 df = reader.parquet(*plain).unionByName(df)
         else:
             df = reader.parquet(*files)
+        df = _rename_to_logical(df, colmap)
         if where:
             df = df.filter(_where_expr(where))
         return df
@@ -1257,9 +1337,13 @@ class TableStore:
         p = Path(self._path(table))
         if not p.exists():
             return None
-        files: list[str] = []
-        schemas = []
-        dv_sel: list = []
+        # partitions group by their snapshot's (schema, column-mapping)
+        # era: each group scans under ITS physical schema and renames
+        # to the logical names THAT snapshot declared — so a read_at
+        # before a rename surfaces the old name, after it the new
+        # (normally one group; eras only mix for an as_of taken
+        # mid-admin-op across partitions)
+        groups: dict[tuple, dict] = {}
         for entry in sorted(p.iterdir()):
             if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                 continue
@@ -1276,36 +1360,49 @@ class TableStore:
                         f"journal ({entry.name}) — outside vacuum retention"
                     )
                 continue
-            files += [str(entry / n) for n in best["files"]]
+            colmap = best.get("colmap") or {}
+            key = (best.get("schema"), tuple(sorted(colmap.items())))
+            g = groups.setdefault(key, {"files": [], "dv": [], "colmap": colmap})
+            g["files"] += [str(entry / n) for n in best["files"]]
             for n, e in (best.get("dv") or {}).items():
-                dv_sel.append((entry, n, e))
-            if best.get("schema"):
-                schemas.append(_schema_from_json(best["schema"]))
-        if not files:
+                g["dv"].append((entry, n, e))
+        if not any(g["files"] for g in groups.values()):
             return None
-        reader = self.spark.read.option("basePath", str(p))
-        if schemas:
-            import functools
-
-            reader = reader.schema(functools.reduce(_merge_schemas, schemas))
-        if dv_sel:
-            # the snapshot's deletion vectors are part of the snapshot:
-            # time travel applies exactly the masks that were live then
-            # (split scan — same rule as read(): unmasked files skip
-            # the metadata extraction and the join)
-            masked_paths = {str(e / n) for e, n, _ in dv_sel}
-            plain = [f for f in files if f not in masked_paths]
-            probe = self._dv_probe(
-                [(e.name, n, self._dv_positions(e, ent)) for e, n, ent in dv_sel]
+        out: DataFrame | None = None
+        for (schema_json, _), g in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            if not g["files"]:
+                continue
+            reader = self.spark.read.option("basePath", str(p))
+            if schema_json:
+                reader = reader.schema(
+                    _to_physical_schema(_schema_from_json(schema_json), g["colmap"])
+                )
+            dv_sel = g["dv"]
+            if dv_sel:
+                # the snapshot's deletion vectors are part of the
+                # snapshot: time travel applies exactly the masks that
+                # were live then (split scan — same rule as read():
+                # unmasked files skip the metadata join)
+                masked_paths = {str(e / n) for e, n, _ in dv_sel}
+                plain = [f for f in g["files"] if f not in masked_paths]
+                probe = self._dv_probe(
+                    [
+                        (e.name, n, self._dv_positions(e, ent))
+                        for e, n, ent in dv_sel
+                    ]
+                )
+                df = self._apply_dv_mask(
+                    reader.parquet(*sorted(masked_paths)), probe, "exclude"
+                )
+                if plain:
+                    df = reader.parquet(*plain).unionByName(df)
+            else:
+                df = reader.parquet(*g["files"])
+            df = _rename_to_logical(df, g["colmap"])
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
             )
-            df = self._apply_dv_mask(
-                reader.parquet(*sorted(masked_paths)), probe, "exclude"
-            )
-            if plain:
-                df = reader.parquet(*plain).unionByName(df)
-        else:
-            df = reader.parquet(*files)
-        return df
+        return out
 
     def restore(self, table: str, as_of: float) -> int:
         """RESTORE (rollback): make the ``as_of`` snapshot current
@@ -1346,6 +1443,9 @@ class TableStore:
                 if (
                     target_files == current["files"]
                     and target_dv == (current.get("dv") or {})
+                    and (best or {}).get("schema") == current.get("schema")
+                    and ((best or {}).get("colmap") or {})
+                    == (current.get("colmap") or {})
                 ):
                     continue
                 for n in target_files:
@@ -1369,6 +1469,8 @@ class TableStore:
                     prior_rows=(best or {}).get("rows"),
                     product_seq=(best or {}).get("product_seq"),
                     dv=target_dv,
+                    colmap=(best or {}).get("colmap"),
+                    dropped_physical=(best or {}).get("dropped_physical"),
                 )
                 changed += 1
         return changed
@@ -1426,12 +1528,15 @@ class TableStore:
             prev: set[str] = set()
             prev_schema: str | None = None
             prev_dv: dict = {}
+            prev_colmap: dict = {}
             for m in self._history_entries(entry):
                 ts = m.get("committed_at", 0)
                 cur, cur_schema = set(m["files"]), m.get("schema")
                 cur_dv = m.get("dv") or {}
+                cur_colmap = m.get("colmap") or {}
                 if ts <= since:
-                    prev, prev_schema, prev_dv = cur, cur_schema, cur_dv
+                    prev, prev_schema = cur, cur_schema
+                    prev_dv, prev_colmap = cur_dv, cur_colmap
                     continue
                 if ts > until:
                     break
@@ -1440,13 +1545,17 @@ class TableStore:
                     mask = (
                         ("exclude", self._dv_positions(entry, e)) if e else None
                     )
-                    slices.append((str(entry / n), "insert", ts, cur_schema, mask))
+                    slices.append(
+                        (str(entry / n), "insert", ts, cur_schema, cur_colmap, mask)
+                    )
                 for n in sorted(prev - cur):
                     e = prev_dv.get(n)
                     mask = (
                         ("exclude", self._dv_positions(entry, e)) if e else None
                     )
-                    slices.append((str(entry / n), "delete", ts, prev_schema, mask))
+                    slices.append(
+                        (str(entry / n), "delete", ts, prev_schema, prev_colmap, mask)
+                    )
                 for n in sorted(cur & prev):
                     pe, ce = prev_dv.get(n), cur_dv.get(n)
                     if (pe or {}).get("sidecar") == (ce or {}).get("sidecar"):
@@ -1457,13 +1566,16 @@ class TableStore:
                     shrink = np.setdiff1d(pp, cp)
                     if len(grow):
                         slices.append(
-                            (str(entry / n), "delete", ts, cur_schema, ("only", grow))
+                            (str(entry / n), "delete", ts, cur_schema, cur_colmap,
+                             ("only", grow))
                         )
                     if len(shrink):  # restore of a pre-delete snapshot
                         slices.append(
-                            (str(entry / n), "insert", ts, cur_schema, ("only", shrink))
+                            (str(entry / n), "insert", ts, cur_schema, cur_colmap,
+                             ("only", shrink))
                         )
-                prev, prev_schema, prev_dv = cur, cur_schema, cur_dv
+                prev, prev_schema = cur, cur_schema
+                prev_dv, prev_colmap = cur_dv, cur_colmap
         if not slices:
             return None
         missing = [f for f, *_ in slices if not Path(f).exists()]
@@ -1472,34 +1584,41 @@ class TableStore:
                 f"read_changes({table!r}, since={since}): change file vacuumed: "
                 f"{missing[0]} — the requested window is outside vacuum retention"
             )
-        import functools
-
-        schemas = [
-            _schema_from_json(s) for _, _, _, s, _ in slices if s is not None
-        ]
-        union_schema = (
-            functools.reduce(_merge_schemas, schemas) if schemas else None
-        )
+        # each (kind, commit) group reads under ITS commit's declared
+        # schema mapped through ITS column mapping, then surfaces the
+        # logical names — renamed columns keep their data across the
+        # feed (the final unionByName aligns groups; a window SPANNING
+        # a rename surfaces both logical names with nulls on the far
+        # side, so long-lived consumers should re-baseline after admin
+        # ops — the Delta column-mapping CDF caveat)
         out: DataFrame | None = None
-        by_commit: dict[tuple[str, float, str | None], list[tuple[str, tuple | None]]] = {}
-        for f, kind, ts, _, mask in slices:
+        by_commit: dict[tuple, dict] = {}
+        for f, kind, ts, schema_json, cmap, mask in slices:
             mode = mask[0] if mask else None
-            by_commit.setdefault((kind, ts, mode), []).append((f, mask))
-        for (kind, ts, mode), items in sorted(
+            g = by_commit.setdefault(
+                (kind, ts, mode), {"items": [], "schema": schema_json, "colmap": cmap}
+            )
+            g["items"].append((f, mask))
+        for (kind, ts, mode), g in sorted(
             by_commit.items(), key=lambda kv: (kv[0][1], kv[0][0], str(kv[0][2]))
         ):
             reader = self.spark.read.option("basePath", str(p))
-            if union_schema is not None:
-                reader = reader.schema(union_schema)
-            frame = reader.parquet(*[f for f, _ in items])
+            if g["schema"] is not None:
+                reader = reader.schema(
+                    _to_physical_schema(
+                        _schema_from_json(g["schema"]), g["colmap"]
+                    )
+                )
+            frame = reader.parquet(*[f for f, _ in g["items"]])
             if mode is not None:
                 probe = self._dv_probe(
                     [
                         (Path(f).parent.name, Path(f).name, mask[1])
-                        for f, mask in items
+                        for f, mask in g["items"]
                     ]
                 )
                 frame = self._apply_dv_mask(frame, probe, mode)
+            frame = _rename_to_logical(frame, g["colmap"])
             part = (
                 frame
                 .withColumn("_change_type", F.lit(kind))
@@ -1577,6 +1696,30 @@ class TableStore:
             total += self.spark.read.parquet(*unknown).count()
         return total
 
+    def _table_colmap(self, table_dir: Path) -> tuple[dict, set]:
+        """Union logical→physical column mapping (plus retired
+        physical names) across the table's manifest partitions —
+        rename/drop apply table-wide under the store lock, so the
+        per-partition maps agree; a genuine divergence (torn admin op
+        against a crashed process) fails loudly rather than silently
+        reading one partition's column as another's."""
+        colmap: dict = {}
+        dropped: set = set()
+        for part in sorted(table_dir.glob(f"{PARTITION_COL}=*")):
+            m = self._manifest(part)
+            if not m:
+                continue
+            for k, v in (m.get("colmap") or {}).items():
+                if colmap.get(k, v) != v:
+                    raise ValueError(
+                        f"inconsistent column mapping across partitions of "
+                        f"{table_dir.name}: {k!r} -> {colmap[k]!r} vs {v!r} "
+                        "(torn rename — re-run rename_column to converge)"
+                    )
+                colmap[k] = v
+            dropped |= set(m.get("dropped_physical") or [])
+        return colmap, dropped
+
     def _declared_schema(self, table_dir: Path):
         """Merged declared payload schema across the table's manifest
         partitions, or None for fully-legacy layouts (plain inference).
@@ -1629,6 +1772,25 @@ class TableStore:
         written."""
         p = Path(self._path(table))
         payload_schema = df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
+        # column mapping: the frame arrives with LOGICAL names; files
+        # are written under the PHYSICAL names. A new logical column
+        # whose name collides with a RETIRED physical name (re-add
+        # after drop) — or with another column's physical name (append
+        # of 'a' after rename a->b) — gets a fresh physical name, so
+        # old files' bytes can never resolve to the new column.
+        colmap, dropped = self._table_colmap(p) if p.exists() else ({}, set())
+        if colmap or dropped:
+            taken = set(colmap.values()) | dropped | {
+                f.name for f in payload_schema.fields
+            }
+            for f in payload_schema.fields:
+                if f.name not in colmap and (
+                    f.name in dropped or f.name in set(colmap.values())
+                ):
+                    fresh = _fresh_physical(f.name, taken)
+                    taken.add(fresh)
+                    colmap[f.name] = fresh
+            df = _rename_to_physical(df, colmap)
         before: dict[Path, set[str]] = {}
         prior_schemas: dict[Path, object] = {}
         if p.exists():
@@ -1690,6 +1852,8 @@ class TableStore:
                     prior_rows=prior_m.get("rows"),
                     product_seq=prior_m.get("product_seq"),
                     dv=prior_m.get("dv"),
+                    colmap={**(prior_m.get("colmap") or {}), **colmap},
+                    dropped_physical=prior_m.get("dropped_physical"),
                 )
 
             self._update_manifest(part, extend)
@@ -1703,6 +1867,8 @@ class TableStore:
         prior_rows: dict | None = None,
         product_seq: int | None = None,
         dv: dict | None = None,
+        colmap: dict | None = None,
+        dropped_physical: list | None = None,
     ) -> dict:
         """Assemble a manifest body (the snapshot content), carrying
         per-file zone maps, per-file row counts, per-file blooms for
@@ -1760,6 +1926,13 @@ class TableStore:
             kept_dv = {n: e for n, e in dv.items() if n in set(names)}
             if kept_dv:
                 manifest["dv"] = kept_dv
+        if colmap:
+            # identity entries add nothing: drop them at every commit
+            nonid = {k: v for k, v in colmap.items() if k != v}
+            if nonid:
+                manifest["colmap"] = nonid
+        if dropped_physical:
+            manifest["dropped_physical"] = sorted(set(dropped_physical))
         if schema_json is not None:
             manifest["schema"] = schema_json
         if product_seq is not None:
@@ -1775,6 +1948,8 @@ class TableStore:
         prior_rows: dict | None = None,
         product_seq: int | None = None,
         dv: dict | None = None,
+        colmap: dict | None = None,
+        dropped_physical: list | None = None,
     ) -> None:
         """REPLACE-semantics manifest publish: the new file list
         supersedes whatever is current (restore — paths whose outcome
@@ -1784,7 +1959,7 @@ class TableStore:
             part_dir,
             lambda prior: self._build_manifest_body(
                 part_dir, names, prior_stats, schema_json, prior_rows, product_seq,
-                dv=dv,
+                dv=dv, colmap=colmap, dropped_physical=dropped_physical,
             ),
         )
 
@@ -2077,6 +2252,27 @@ class TableStore:
             # path during streaming recovery — one read, not two).
             self._complete_claimed_epoch(stream_id, ledger_body)
             return False
+        payload_schema = (
+            df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
+        )
+        # column mapping: same logical→physical translation as append()
+        # (the batch arrives logical; files carry physical names)
+        table_dir = Path(self._path(table))
+        ep_colmap, ep_dropped = (
+            self._table_colmap(table_dir) if table_dir.exists() else ({}, set())
+        )
+        if ep_colmap or ep_dropped:
+            taken = set(ep_colmap.values()) | ep_dropped | {
+                f.name for f in payload_schema.fields
+            }
+            for f in payload_schema.fields:
+                if f.name not in ep_colmap and (
+                    f.name in ep_dropped or f.name in set(ep_colmap.values())
+                ):
+                    fresh = _fresh_physical(f.name, taken)
+                    taken.add(fresh)
+                    ep_colmap[f.name] = fresh
+            df = _rename_to_physical(df, ep_colmap)
         txn = (
             Path(self.root)
             / "_staging"
@@ -2095,9 +2291,6 @@ class TableStore:
             if PARTITION_COL in df.columns:
                 w = w.partitionBy(PARTITION_COL)
             w.parquet(str(txn / table))
-        payload_schema = (
-            df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
-        )
         files: dict[str, list[str]] = {}
         tdir = txn / table
         parts = sorted(d.name for d in tdir.glob(f"{PARTITION_COL}=*"))
@@ -2114,8 +2307,12 @@ class TableStore:
             "batch_id": int(batch_id),
             "table": table,
             "files": files,
+            # declared schema stays LOGICAL; the mapping that was used
+            # to write the staged files rides along for the extends
             "schema": payload_schema.json(),
         }
+        if ep_colmap:
+            manifest["colmap"] = {k: v for k, v in ep_colmap.items() if k != v}
         tmp = txn / "MANIFEST.json.tmp"
         tmp.write_text(json.dumps(manifest))
         tmp.rename(txn / "MANIFEST.json")              # commit-ready
@@ -2219,6 +2416,11 @@ class TableStore:
                         prior_rows=prior.get("rows"),
                         product_seq=prior.get("product_seq"),
                         dv=prior.get("dv"),
+                        colmap={
+                            **(prior.get("colmap") or {}),
+                            **(manifest.get("colmap") or {}),
+                        },
+                        dropped_physical=prior.get("dropped_physical"),
                     )
                 existing = sorted(
                     f.name for f in target.glob("*.parquet") if f.name not in names
@@ -2228,7 +2430,8 @@ class TableStore:
                     legacy = self.spark.read.parquet(str(target / existing[0])).schema
                     declared = _merge_schemas(legacy, declared)
                 return self._build_manifest_body(
-                    target, existing + names, schema_json=declared.json()
+                    target, existing + names, schema_json=declared.json(),
+                    colmap=manifest.get("colmap"),
                 )
 
             self._update_manifest(target, epoch_extend)
@@ -2675,29 +2878,42 @@ class TableStore:
                     target_n = max(1, math.ceil(total / target_file_bytes))
                     if len(paths) <= target_n and not sort_cols and not dv_map:
                         continue
+
                     staging = part / f"_compact_{uuid.uuid4().hex}"
                     # read under the DECLARED schema when the partition
-                    # has evolved: a plain read would sample one file's
+                    # has evolved — mapped to the PHYSICAL column names
+                    # (a logical-name scan over renamed columns would
+                    # read them as null and the rewrite would DESTROY
+                    # the data): a plain read would sample one file's
                     # schema and silently drop columns the other files
-                    # carry — the rewrite must materialize the union
+                    # carry — the rewrite must materialize the union.
+                    # The rewrite keeps physical names (colmap carries).
                     reader = self.spark.read
                     schema_json = manifest.get("schema")
+                    part_colmap = manifest.get("colmap") or {}
                     if schema_json:
-                        reader = reader.schema(_schema_from_json(schema_json))
+                        reader = reader.schema(
+                            _to_physical_schema(
+                                _schema_from_json(schema_json), part_colmap
+                            )
+                        )
                     df = reader.parquet(*[str(f) for f in paths])
                     # merge-on-read masks are materialized by the
                     # rewrite: read only the LIVE rows, and the new
                     # files carry no deletion vectors
                     df = self._mask_live(df, part, dv_map)
-                    if len(sort_cols) > 1:
-                        zkey = _zorder_key(df, sort_cols)
+                    # callers cluster by LOGICAL names; the frame holds
+                    # physical columns
+                    sort_phys = [part_colmap.get(c, c) for c in sort_cols]
+                    if len(sort_phys) > 1:
+                        zkey = _zorder_key(df, sort_phys)
                         df = df.withColumn("__z", zkey).repartitionByRange(
                             target_n, F.col("__z")
                         ).sortWithinPartitions("__z").drop("__z")
-                    elif sort_cols:
+                    elif sort_phys:
                         df = df.repartitionByRange(
-                            target_n, F.col(sort_cols[0])
-                        ).sortWithinPartitions(sort_cols[0])
+                            target_n, F.col(sort_phys[0])
+                        ).sortWithinPartitions(sort_phys[0])
                     else:
                         df = df.repartition(target_n)
                     df.write.parquet(str(staging))
@@ -2741,6 +2957,8 @@ class TableStore:
                             prior_rows=prior.get("rows"),
                             product_seq=prior.get("product_seq"),
                             dv=prior_dv,
+                            colmap=prior.get("colmap"),
+                            dropped_physical=prior.get("dropped_physical"),
                         )
 
                     if self._update_manifest(part, swap) is not None:
@@ -2907,8 +3125,11 @@ class TableStore:
         # (collected once for all products by merge_rows). Null keys
         # are excluded from the PROBE only: a current row can't
         # anti-join-match a null key (SQL equality), so null-key
-        # incoming rows are pure appends and prune nothing.
-        where = [(c, "in", vs) for c, vs in probe_vals.items() if vs]
+        # incoming rows are pure appends and prune nothing. Stats are
+        # keyed by PHYSICAL column names — translate for the probe.
+        colmap = dict(manifest.get("colmap") or {})
+        dropped = set(manifest.get("dropped_physical") or [])
+        where = [(colmap.get(c, c), "in", vs) for c, vs in probe_vals.items() if vs]
         stats = manifest.get("stats", {})
         if any(not vs for vs in probe_vals.values()):
             # some key column is all-null incoming: no current row can
@@ -2919,6 +3140,18 @@ class TableStore:
                 n for n in manifest["files"] if _file_may_match(stats.get(n), where)
             ]
         payload = incoming.drop(PARTITION_COL)
+        # new payload columns colliding with a retired physical name
+        # (or another column's physical) get fresh physical names —
+        # the same re-add-after-drop rule as append()
+        if colmap or dropped:
+            taken = set(colmap.values()) | dropped | set(payload.columns)
+            for f in payload.schema.fields:
+                if f.name not in colmap and (
+                    f.name in dropped or f.name in set(colmap.values())
+                ):
+                    fresh = _fresh_physical(f.name, taken)
+                    taken.add(fresh)
+                    colmap[f.name] = fresh
         # validate schema evolution BEFORE writing anything; legacy
         # manifests (no declared schema) get one live file's footer
         # schema as the prior — the same upgrade rule as append()
@@ -2931,15 +3164,19 @@ class TableStore:
         new_schema_json = _merge_schemas(prior_schema_t, payload.schema).json()
         snapshot_dv = manifest.get("dv") or {}
         if candidates:
-            cur = self.spark.read.schema(prior_schema_t).parquet(
-                *[str(part / n) for n in candidates]
-            )
+            # scan under PHYSICAL names, mask the deletion vectors on
+            # the raw scan (the join keys ride _metadata, name-blind),
+            # then surface the LOGICAL names for the anti-join
+            cur = self.spark.read.schema(
+                _to_physical_schema(prior_schema_t, colmap)
+            ).parquet(*[str(part / n) for n in candidates])
             # merge-on-read: rows a deletion vector already masked are
             # NOT current rows — rewriting them back in would resurrect
             # deleted data (the rewritten files then carry no DV)
             cur = self._mask_live(
                 cur, part, {n: snapshot_dv[n] for n in candidates if n in snapshot_dv}
             )
+            cur = _rename_to_logical(cur, colmap)
             # the key set is ≤ MERGE_KEYSET_CAP by construction (the
             # same bound the driver collect relies on), so BROADCAST
             # the anti-join explicitly: without the hint this plans as
@@ -2969,7 +3206,8 @@ class TableStore:
         else:
             merged = payload.repartition(1).sortWithinPartitions(*key_cols)
         staging = part / f"_merge_{uuid.uuid4().hex}"
-        merged.write.parquet(str(staging))
+        # files carry PHYSICAL column names
+        _rename_to_physical(merged, colmap).write.parquet(str(staging))
         new_names: list[str] = []
         part.mkdir(parents=True, exist_ok=True)
         for f in sorted(staging.glob("*.parquet")):
@@ -3031,6 +3269,8 @@ class TableStore:
                     prior_rows=prior.get("rows"),
                     product_seq=prior.get("product_seq"),
                     dv=prior_dv,
+                    colmap={**(prior.get("colmap") or {}), **colmap},
+                    dropped_physical=prior.get("dropped_physical"),
                 )
 
             committed = self._update_manifest(part, swap)
@@ -3182,6 +3422,11 @@ class TableStore:
         stats = manifest.get("stats", {})
         rows_known = manifest.get("rows", {})
         dv_entries = manifest.get("dv") or {}
+        # stats, blooms, and the files themselves are keyed by the
+        # PHYSICAL column names: the caller's logical predicate
+        # translates once here and drives classification, the scan,
+        # and the rewrite (which keeps physical names)
+        where = _where_physical(where, manifest.get("colmap") or {})
         # classify: predicates are evaluated against the file stats
         # UNIONED with the partition-dir value (payload files don't
         # carry the partition column; the dir value proves it, null-free)
@@ -3207,7 +3452,11 @@ class TableStore:
         schema_json = manifest.get("schema")
         reader = self.spark.read
         if schema_json:
-            reader = reader.schema(_schema_from_json(schema_json))
+            reader = reader.schema(
+                _to_physical_schema(
+                    _schema_from_json(schema_json), manifest.get("colmap") or {}
+                )
+            )
         pred = F.coalesce(_where_expr(where), F.lit(False))
 
         def keyed_live(subset: list[str]) -> DataFrame:
@@ -3358,6 +3607,8 @@ class TableStore:
                     prior_rows=prior.get("rows"),
                     product_seq=prior.get("product_seq"),
                     dv=new_dv,
+                    colmap=prior.get("colmap"),
+                    dropped_physical=prior.get("dropped_physical"),
                 )
 
             committed = self._update_manifest(part, swap)
@@ -3490,6 +3741,8 @@ class TableStore:
                                     prior_rows=prior.get("rows"),
                                     product_seq=prior.get("product_seq"),
                                     dv=prior.get("dv"),
+                                    colmap=prior.get("colmap"),
+                                    dropped_physical=prior.get("dropped_physical"),
                                 )
 
                             self._update_manifest(part, heal)
@@ -3521,6 +3774,156 @@ class TableStore:
             if entry:
                 report[t] = entry
         return report
+
+    # -- column rename / drop (metadata-only schema evolution) -------------
+    # VERDICT r9 directive #4: `_merge_schemas` was additive-only — a
+    # rename was drop+add, silently losing the column's history. These
+    # two ops complete the evolution surface without touching a single
+    # data file (see the column-mapping section above).
+
+    def _admin_schema_update(self, table: str, update_fn) -> int:
+        """Shared frame for rename/drop: per manifest partition, CAS
+        the manifest through ``update_fn(prior, part)`` under the
+        store lock (a torn multi-partition op is converged by
+        re-running — `_table_colmap` detects genuine divergence).
+        Listing-mode partitions have no manifest to carry the mapping
+        and raise, same rule as delete_where."""
+        p = Path(self._path(table))
+        if not p.exists():
+            raise ValueError(f"no such table {table!r}")
+        if any(e.suffix == ".parquet" for e in p.iterdir()):
+            raise ValueError(
+                f"{table!r} holds bare (unpartitioned, listing-mode) files — "
+                "no manifest can carry a column mapping; publish through the "
+                "manifest protocol first"
+            )
+        changed = 0
+        with self._exclusive_lock():
+            for part in sorted(p.glob(f"{PARTITION_COL}=*")):
+                manifest = self._manifest(part)
+                if manifest is None:
+                    if any(part.glob("*.parquet")):
+                        raise ValueError(
+                            f"partition {part.name} of {table!r} is in listing "
+                            "mode (no manifest) — bring it under manifest "
+                            "control before renaming/dropping columns"
+                        )
+                    continue
+                if self._update_manifest(
+                    part, lambda prior, part=part: update_fn(prior, part)
+                ) is not None:
+                    changed += 1
+        return changed
+
+    def _declared_or_footer_schema(self, part: Path, prior: dict):
+        if prior.get("schema"):
+            return _schema_from_json(prior["schema"])
+        if prior["files"]:
+            # legacy manifest: the footer schema (identity mapping) is
+            # the declared schema it never wrote down
+            return self.spark.read.parquet(str(part / prior["files"][0])).schema
+        return None
+
+    def rename_column(self, table: str, old: str, new: str) -> int:
+        """RENAME COLUMN — metadata-only (the Delta column-mapping
+        move): no data file is rewritten; the declared schema adopts
+        the new LOGICAL name and ``colmap`` records the unchanged
+        PHYSICAL name, so every existing file's bytes keep resolving
+        to the column. Current reads surface the new name; ``read_at``
+        before this commit surfaces the old (each journal body carries
+        its own schema + mapping); type conflicts on later appends
+        still raise (the logical merge is unchanged). Returns the
+        number of partitions updated."""
+        from pyspark.sql import types as T
+
+        if PARTITION_COL in (old, new):
+            raise ValueError(f"cannot rename the partition column {PARTITION_COL!r}")
+        if old == new:
+            return 0
+
+        def upd(prior, part):
+            if prior is None:
+                return None
+            schema = self._declared_or_footer_schema(part, prior)
+            if schema is None:
+                return None
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                return None  # subset partition: nothing to rename
+            if new in names:
+                raise ValueError(
+                    f"rename_column({table!r}): {new!r} already exists"
+                )
+            colmap = dict(prior.get("colmap") or {})
+            phys = colmap.pop(old, old)
+            if phys != new:
+                colmap[new] = phys
+            fields = [
+                T.StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+            return self._build_manifest_body(
+                part,
+                prior["files"],
+                prior_stats=prior.get("stats"),
+                schema_json=T.StructType(fields).json(),
+                prior_rows=prior.get("rows"),
+                product_seq=prior.get("product_seq"),
+                dv=prior.get("dv"),
+                colmap=colmap,
+                dropped_physical=prior.get("dropped_physical"),
+            )
+
+        return self._admin_schema_update(table, upd)
+
+    def drop_column(self, table: str, col: str) -> int:
+        """DROP COLUMN — metadata-only: the field leaves the declared
+        schema and its PHYSICAL name is retired into
+        ``dropped_physical`` (old files keep the bytes, no read ever
+        projects them; pre-drop snapshots still read_at with the
+        column). A LATER column re-added under the same logical name
+        gets a FRESH physical name, so the dropped files' bytes can
+        never resurrect under the new meaning — and a re-add with a
+        DIFFERENT type is therefore legal, exactly the case the
+        additive-only merge used to reject. Returns partitions
+        updated."""
+        from pyspark.sql import types as T
+
+        if col == PARTITION_COL:
+            raise ValueError(f"cannot drop the partition column {PARTITION_COL!r}")
+
+        def upd(prior, part):
+            if prior is None:
+                return None
+            schema = self._declared_or_footer_schema(part, prior)
+            if schema is None:
+                return None
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                return None
+            if len(names) == 1:
+                raise ValueError(
+                    f"drop_column({table!r}): {col!r} is the only column"
+                )
+            colmap = dict(prior.get("colmap") or {})
+            phys = colmap.pop(col, col)
+            dropped = set(prior.get("dropped_physical") or []) | {phys}
+            fields = [f for f in schema.fields if f.name != col]
+            return self._build_manifest_body(
+                part,
+                prior["files"],
+                prior_stats=prior.get("stats"),
+                schema_json=T.StructType(fields).json(),
+                prior_rows=prior.get("rows"),
+                product_seq=prior.get("product_seq"),
+                dv=prior.get("dv"),
+                colmap=colmap,
+                dropped_physical=sorted(dropped),
+            )
+
+        return self._admin_schema_update(table, upd)
 
     def delete_product(self, product_id: int) -> None:
         """Cascading delete across all product tables (reference

@@ -2341,3 +2341,186 @@ def test_dv_sidecar_vacuum_fsck_and_missing_raises(spark, tmp_path):
     )
     with _pytest.raises(FileNotFoundError, match="deletion-vector sidecar"):
         store.read("IndicatorValues").collect()
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """VERDICT r9 directive #4 'done' pin: rename is metadata-only
+    (zero files rewritten), the current read surfaces the NEW name
+    with the old data, read_at BEFORE the rename surfaces the OLD
+    name, a later append uses the new name, type conflicts still
+    raise, predicate pruning works through the mapping, and fsck is
+    green on the renamed store."""
+    import time
+
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 90
+    store = TableStore(spark, root)
+
+    def frame(rows, schema="k long, v string"):
+        return spark.createDataFrame(rows, schema).withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(1, "a"), (2, "b")]).coalesce(1)}
+    )
+    store.append("IndicatorValues", frame([(30, "c"), (31, "d")]).coalesce(1))
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    files_before = set(store._manifest(part)["files"])
+    t0 = time.time()
+
+    assert store.rename_column("IndicatorValues", "v", "label") == 1
+    assert set(store._manifest(part)["files"]) == files_before  # no rewrite
+    cur = store.read("IndicatorValues")
+    assert "label" in cur.columns and "v" not in cur.columns
+    assert sorted((r["k"], r["label"]) for r in cur.collect()) == [
+        (1, "a"), (2, "b"), (30, "c"), (31, "d")
+    ]
+    old = store.read_at("IndicatorValues", t0)
+    assert "v" in old.columns and "label" not in old.columns
+    assert sorted((r["k"], r["v"]) for r in old.collect()) == [
+        (1, "a"), (2, "b"), (30, "c"), (31, "d")
+    ]
+
+    # append with the NEW name lands; old files surface it via mapping
+    store.append(
+        "IndicatorValues", frame([(40, "e")], "k long, label string").coalesce(1)
+    )
+    assert sorted(
+        (r["k"], r["label"]) for r in store.read("IndicatorValues").collect()
+    ) == [(1, "a"), (2, "b"), (30, "c"), (31, "d"), (40, "e")]
+
+    # type conflict on the renamed column still raises
+    with _pytest.raises(ValueError, match="type conflict"):
+        store.append(
+            "IndicatorValues", frame([(50, 5)], "k long, label long").coalesce(1)
+        )
+
+    # zone maps prune through the mapping: predicate on the NEW name
+    assert len(store.live_files("IndicatorValues", [("k", "==", 1)])) == 1
+
+    # fsck green
+    assert store.fsck("IndicatorValues") == {}
+
+    # merge after rename: upsert keyed on k, payload uses new name
+    store.merge_rows(
+        "IndicatorValues",
+        frame([(2, "B!")], "k long, label string"),
+        ["k"],
+    )
+    assert sorted(
+        (r["k"], r["label"]) for r in store.read("IndicatorValues").collect()
+    ) == [(1, "a"), (2, "B!"), (30, "c"), (31, "d"), (40, "e")]
+
+    # compact after rename must PRESERVE the renamed column's data
+    # (it scans under the physical schema)
+    assert store.compact("IndicatorValues") >= 1
+    assert sorted(
+        (r["k"], r["label"]) for r in store.read("IndicatorValues").collect()
+    ) == [(1, "a"), (2, "B!"), (30, "c"), (31, "d"), (40, "e")]
+    # post-compact fsck: superseded-awaiting-vacuum is healthy; what
+    # matters is zero missing/unknown on the renamed store
+    report = store.fsck("IndicatorValues").get("IndicatorValues", {})
+    assert report.get("missing", []) == []
+    assert report.get("unknown", []) == []
+
+
+def test_drop_column_and_readd_with_different_type(spark, tmp_path):
+    """Drop retires the PHYSICAL name; a re-added same-name column
+    (even with a DIFFERENT type — the case the additive-only merge
+    rejected) gets a fresh physical name, so old files' bytes never
+    resurrect: pre-drop rows read the new column as null, and
+    read_at before the drop still shows the old column."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 91
+    store = TableStore(spark, root)
+
+    def frame(rows, schema):
+        return spark.createDataFrame(rows, schema).withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid,
+        {"IndicatorValues": frame([(1, "x"), (2, "y")], "k long, tag string").coalesce(1)},
+    )
+    t0 = time.time()
+    assert store.drop_column("IndicatorValues", "tag") == 1
+    cur = store.read("IndicatorValues")
+    assert cur.columns == ["k", PARTITION_COL]
+    old = store.read_at("IndicatorValues", t0)
+    assert sorted((r["k"], r["tag"]) for r in old.collect()) == [(1, "x"), (2, "y")]
+
+    # re-add 'tag' as a LONG: fresh physical name — old string bytes
+    # must NOT resolve to it
+    store.append(
+        "IndicatorValues", frame([(3, 7)], "k long, tag long").coalesce(1)
+    )
+    got = sorted(
+        (r["k"], r["tag"]) for r in store.read("IndicatorValues").collect()
+    )
+    assert got == [(1, None), (2, None), (3, 7)]
+    assert dict(store.read("IndicatorValues").dtypes)["tag"] == "bigint"
+    assert store.fsck("IndicatorValues") == {}
+
+    # dropping the only remaining payload column is refused
+    store2 = TableStore(spark, str(tmp_path / "s2"))
+    store2.replace_product_all(
+        1,
+        {"IndicatorValues": spark.createDataFrame([(1,)], "k long").withColumn(
+            PARTITION_COL, F.lit(1).cast("long")
+        )},
+    )
+    with _pytest.raises(ValueError, match="only column"):
+        store2.drop_column("IndicatorValues", "k")
+
+
+def test_chained_renames_and_cdf_after_rename(spark, tmp_path):
+    """Chained renames resolve through the mapping (v->w->v2 keeps
+    one physical name), renaming onto a name that equals ANOTHER
+    column's physical name stays unambiguous, and post-rename commits
+    flow through the change feed under the NEW logical name."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 92
+    store = TableStore(spark, root)
+
+    def frame(rows, schema="k long, v string"):
+        return spark.createDataFrame(rows, schema).withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(1, "a")]).coalesce(1)}
+    )
+    store.rename_column("IndicatorValues", "v", "w")
+    store.rename_column("IndicatorValues", "w", "v2")
+    assert sorted(
+        (r["k"], r["v2"]) for r in store.read("IndicatorValues").collect()
+    ) == [(1, "a")]
+    # rename k -> v: the new logical name equals v2's PHYSICAL name
+    # ('v'); reads must keep the two apart
+    store.rename_column("IndicatorValues", "k", "v")
+    cur = store.read("IndicatorValues")
+    assert sorted(cur.columns[:2]) == ["v", "v2"]
+    assert [(r["v"], r["v2"]) for r in cur.collect()] == [(1, "a")]
+
+    # post-rename append flows through the CDF under the new names
+    t0 = time.time()
+    store.append(
+        "IndicatorValues", frame([(9, "z")], "v long, v2 string").coalesce(1)
+    )
+    ch = store.read_changes("IndicatorValues", since=t0)
+    rows = [(r["v"], r["v2"], r["_change_type"]) for r in ch.collect()]
+    assert rows == [(9, "z", "insert")]
