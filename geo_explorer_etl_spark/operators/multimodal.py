@@ -659,6 +659,151 @@ def _progressive_finish(frame, qt, store):
     return _assemble_planes(frame, planes)
 
 
+# -- MP3: frame-HEADER walk (metadata without PCM decode) --------------------
+# A corpus pipeline filters audio on METADATA (duration, bitrate,
+# sample rate, channels) long before anything decodes PCM — and MPEG
+# audio frame headers carry all of it in 4 bytes per frame. Walking
+# the headers needs no codec: sync on the 11-bit pattern, read the
+# (version, layer, bitrate, samplerate, padding) fields, hop exactly
+# one frame length, repeat. PCM decode still raises honestly (the
+# huffman/synthesis stages ARE a codec); this parser is the real,
+# spec-correct subset a 100 TB media triage actually runs.
+
+_MP3_BITRATES = {  # kbps per bitrate index 1..14; 0=free, 15=bad
+    # (version_group, layer): MPEG1 vs MPEG2/2.5 use different tables
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_SAMPLERATES = {  # by version bits
+    3: [44100, 48000, 32000],   # MPEG1
+    2: [22050, 24000, 16000],   # MPEG2
+    0: [11025, 12000, 8000],    # MPEG2.5
+}
+
+
+def _mp3_frame_header(b: bytes, pos: int):
+    """Parse one frame header at ``pos``; returns (frame_bytes,
+    samples_per_frame, bitrate_kbps, sample_rate, channels) or None
+    when the 4 bytes aren't a valid header."""
+    if pos + 4 > len(b):
+        return None
+    h0, h1, h2, h3 = b[pos : pos + 4]
+    if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+        return None
+    vbits = (h1 >> 3) & 3
+    layer_bits = (h1 >> 1) & 3
+    if vbits == 1 or layer_bits == 0:
+        return None  # reserved
+    layer = 4 - layer_bits  # 3->I, 2->II, 1->III
+    vgroup = 1 if vbits == 3 else 2
+    br_idx = (h2 >> 4) & 0xF
+    sr_idx = (h2 >> 2) & 3
+    padding = (h2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-form/bad bitrate or reserved samplerate
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx]
+    sample_rate = _MP3_SAMPLERATES[vbits][sr_idx]
+    channels = 1 if ((h3 >> 6) & 3) == 3 else 2
+    if layer == 1:
+        frame_bytes = (12 * bitrate * 1000 // sample_rate + padding) * 4
+        spf = 384
+    else:
+        spf = 576 if (vgroup == 2 and layer == 3) else 1152
+        frame_bytes = spf // 8 * bitrate * 1000 // sample_rate + padding
+    if frame_bytes <= 4:
+        return None
+    version_name = {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[vbits]
+    layer_name = {1: "LI", 2: "LII", 3: "LIII"}[layer]
+    return frame_bytes, spf, bitrate, sample_rate, channels, f"{version_name}-{layer_name}"
+
+
+def parse_mp3(content: bytes) -> dict:
+    """Walk every MPEG-audio frame header: returns ``{n_frames,
+    duration_ms, bitrate_kbps (byte-weighted average — correct for
+    VBR), sample_rate, channels, version_layer}``. Skips a leading
+    ID3v2 tag by its syncsafe size; resyncs across garbage between
+    frames (the spec's error-recovery rule); raises
+    ``NotImplementedError`` when no valid frame exists (not an MPEG
+    audio stream)."""
+    b = content or b""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = 0
+        for x in b[6:10]:  # syncsafe: 7 bits per byte
+            size = (size << 7) | (x & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    total_bytes = 0
+    sample_rate = None
+    channels = None
+    vl = None
+    while pos + 4 <= len(b):
+        parsed = _mp3_frame_header(b, pos)
+        if parsed is None:
+            if n_frames == 0:
+                pos += 1  # resync hunt for the first frame
+                continue
+            break  # trailing garbage / tag after the last frame
+        frame_bytes, spf, bitrate, sr, ch, version_layer = parsed
+        if pos + frame_bytes > len(b):
+            break  # truncated final frame: not counted
+        n_frames += 1
+        total_samples += spf
+        total_bytes += frame_bytes
+        sample_rate = sr
+        channels = ch
+        vl = version_layer
+        pos += frame_bytes
+    if n_frames == 0 or sample_rate is None:
+        raise NotImplementedError("not an MPEG audio (MP3) stream")
+    duration_s = total_samples / sample_rate
+    return {
+        "n_frames": n_frames,
+        "duration_ms": int(round(duration_s * 1000)),
+        "bitrate_kbps": int(round(total_bytes * 8 / duration_s / 1000)),
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "version_layer": vl,
+    }
+
+
+MP3_METADATA_SCHEMA = (
+    "media_id long, n_frames long, duration_ms long, bitrate_kbps long, "
+    "sample_rate long, channels long, version_layer string, error string"
+)
+
+
+def mp3_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the media table: one row
+    per blob with the frame-walk fields, or ``error`` set for non-MP3
+    content (triage keeps going; nothing throws mid-batch). Row-local,
+    zero shuffle — the same 100 TB shape as extract_features."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rec = {"media_id": row["media_id"], "error": None}
+                try:
+                    rec.update(parse_mp3(row["content"]))
+                except NotImplementedError as e:
+                    rec.update(
+                        n_frames=None, duration_ms=None, bitrate_kbps=None,
+                        sample_rate=None, channels=None, version_layer=None,
+                    )
+                    rec["error"] = str(e)
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, MP3_METADATA_SCHEMA
+    )
+
+
 def _signal_features(samples: list[float], dim: int) -> list[float]:
     """Fixed-dim feature: mean absolute level per equal-width chunk —
     deterministic, shape-compatible with the similarity operators."""

@@ -1504,81 +1504,10 @@ class TableStore:
         p = Path(self._path(table))
         if not p.exists():
             return None
-        # (path, change_type, committed_at, schema_json, mask) per
-        # changed file — ``mask`` is None (whole file), ("exclude",
-        # positions) (the file's deletion vector at that snapshot:
-        # masked rows were never live and must not appear in the
-        # delta), or ("only", positions) (a DELETION-VECTOR delta on
-        # an unchanged file: the commit masked — or, via restore,
-        # unmasked — exactly those row positions, so the delta is the
-        # rows AT those positions)
-        import numpy as np
-
-        empty = np.array([], dtype="<u8")
-        slices: list[tuple[str, str, float, str | None, tuple | None]] = []
-        for entry in sorted(p.iterdir()):
-            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
-                continue
-            if self._pruned_until(entry) > since:
-                raise ValueError(
-                    f"read_changes({table!r}, since={since}): baseline pruned "
-                    f"from the journal ({entry.name}) — the requested window "
-                    "is outside vacuum retention"
-                )
-            prev: set[str] = set()
-            prev_schema: str | None = None
-            prev_dv: dict = {}
-            prev_colmap: dict = {}
-            for m in self._history_entries(entry):
-                ts = m.get("committed_at", 0)
-                cur, cur_schema = set(m["files"]), m.get("schema")
-                cur_dv = m.get("dv") or {}
-                cur_colmap = m.get("colmap") or {}
-                if ts <= since:
-                    prev, prev_schema = cur, cur_schema
-                    prev_dv, prev_colmap = cur_dv, cur_colmap
-                    continue
-                if ts > until:
-                    break
-                for n in sorted(cur - prev):
-                    e = cur_dv.get(n)
-                    mask = (
-                        ("exclude", self._dv_positions(entry, e)) if e else None
-                    )
-                    slices.append(
-                        (str(entry / n), "insert", ts, cur_schema, cur_colmap, mask)
-                    )
-                for n in sorted(prev - cur):
-                    e = prev_dv.get(n)
-                    mask = (
-                        ("exclude", self._dv_positions(entry, e)) if e else None
-                    )
-                    slices.append(
-                        (str(entry / n), "delete", ts, prev_schema, prev_colmap, mask)
-                    )
-                for n in sorted(cur & prev):
-                    pe, ce = prev_dv.get(n), cur_dv.get(n)
-                    if (pe or {}).get("sidecar") == (ce or {}).get("sidecar"):
-                        continue
-                    pp = self._dv_positions(entry, pe) if pe else empty
-                    cp = self._dv_positions(entry, ce) if ce else empty
-                    grow = np.setdiff1d(cp, pp)
-                    shrink = np.setdiff1d(pp, cp)
-                    if len(grow):
-                        slices.append(
-                            (str(entry / n), "delete", ts, cur_schema, cur_colmap,
-                             ("only", grow))
-                        )
-                    if len(shrink):  # restore of a pre-delete snapshot
-                        slices.append(
-                            (str(entry / n), "insert", ts, cur_schema, cur_colmap,
-                             ("only", shrink))
-                        )
-                prev, prev_schema = cur, cur_schema
-                prev_dv, prev_colmap = cur_dv, cur_colmap
+        slices = self._change_slices(table, since, until)
         if not slices:
             return None
-        missing = [f for f, *_ in slices if not Path(f).exists()]
+        missing = [s["path"] for s in slices if not Path(s["path"]).exists()]
         if missing:
             raise FileNotFoundError(
                 f"read_changes({table!r}, since={since}): change file vacuumed: "
@@ -1593,12 +1522,13 @@ class TableStore:
         # ops — the Delta column-mapping CDF caveat)
         out: DataFrame | None = None
         by_commit: dict[tuple, dict] = {}
-        for f, kind, ts, schema_json, cmap, mask in slices:
-            mode = mask[0] if mask else None
+        for s in slices:
+            mode = s["mask"][0] if s["mask"] else None
             g = by_commit.setdefault(
-                (kind, ts, mode), {"items": [], "schema": schema_json, "colmap": cmap}
+                (s["kind"], s["ts"], mode),
+                {"items": [], "schema": s["schema"], "colmap": s["colmap"]},
             )
-            g["items"].append((f, mask))
+            g["items"].append((s["path"], s["mask"]))
         for (kind, ts, mode), g in sorted(
             by_commit.items(), key=lambda kv: (kv[0][1], kv[0][0], str(kv[0][2]))
         ):
@@ -1628,6 +1558,96 @@ class TableStore:
                 part, allowMissingColumns=True
             )
         return out
+
+    def _change_slices(self, table: str, since: float, until: float) -> list[dict]:
+        """The change feed's SLICE PLAN, Spark-free (driver-side JSON +
+        sidecar reads only — also consumed by the Python data source
+        wrapper, whose executors materialize the slices via pyarrow).
+        One dict per changed file per commit:
+        ``{path, kind, ts, schema, colmap, mask}`` where ``mask`` is
+        None (whole file), ``("exclude", positions)`` (the file's
+        deletion vector at that snapshot: masked rows were never live
+        and must not appear in the delta), or ``("only", positions)``
+        (a DELETION-VECTOR delta on an unchanged file: the commit
+        masked — or, via restore, unmasked — exactly those row
+        positions, so the delta is the rows AT those positions).
+        Positions are plain int lists (picklable across executors)."""
+        import numpy as np
+
+        p = Path(self._path(table))
+        empty = np.array([], dtype="<u8")
+        slices: list[dict] = []
+        if not p.exists():
+            return slices
+        for entry in sorted(p.iterdir()):
+            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                continue
+            if self._pruned_until(entry) > since:
+                raise ValueError(
+                    f"read_changes({table!r}, since={since}): baseline pruned "
+                    f"from the journal ({entry.name}) — the requested window "
+                    "is outside vacuum retention"
+                )
+            prev: set[str] = set()
+            prev_schema: str | None = None
+            prev_dv: dict = {}
+            prev_colmap: dict = {}
+            for m in self._history_entries(entry):
+                ts = m.get("committed_at", 0)
+                cur, cur_schema = set(m["files"]), m.get("schema")
+                cur_dv = m.get("dv") or {}
+                cur_colmap = m.get("colmap") or {}
+                if ts <= since:
+                    prev, prev_schema = cur, cur_schema
+                    prev_dv, prev_colmap = cur_dv, cur_colmap
+                    continue
+                if ts > until:
+                    break
+                def add(name, kind, schema, cmap, mask):
+                    slices.append(
+                        {
+                            "path": str(entry / name),
+                            "kind": kind,
+                            "ts": ts,
+                            "schema": schema,
+                            "colmap": cmap,
+                            "mask": mask,
+                        }
+                    )
+
+                for n in sorted(cur - prev):
+                    e = cur_dv.get(n)
+                    mask = (
+                        ("exclude", [int(x) for x in self._dv_positions(entry, e)])
+                        if e
+                        else None
+                    )
+                    add(n, "insert", cur_schema, cur_colmap, mask)
+                for n in sorted(prev - cur):
+                    e = prev_dv.get(n)
+                    mask = (
+                        ("exclude", [int(x) for x in self._dv_positions(entry, e)])
+                        if e
+                        else None
+                    )
+                    add(n, "delete", prev_schema, prev_colmap, mask)
+                for n in sorted(cur & prev):
+                    pe, ce = prev_dv.get(n), cur_dv.get(n)
+                    if (pe or {}).get("sidecar") == (ce or {}).get("sidecar"):
+                        continue
+                    pp = self._dv_positions(entry, pe) if pe else empty
+                    cp = self._dv_positions(entry, ce) if ce else empty
+                    grow = np.setdiff1d(cp, pp)
+                    shrink = np.setdiff1d(pp, cp)
+                    if len(grow):
+                        add(n, "delete", cur_schema, cur_colmap,
+                            ("only", [int(x) for x in grow]))
+                    if len(shrink):  # restore of a pre-delete snapshot
+                        add(n, "insert", cur_schema, cur_colmap,
+                            ("only", [int(x) for x in shrink]))
+                prev, prev_schema = cur, cur_schema
+                prev_dv, prev_colmap = cur_dv, cur_colmap
+        return slices
 
     def history(self, table: str) -> list[dict]:
         """DESCRIBE HISTORY analog: every commit of the table, newest
@@ -3981,6 +4001,54 @@ class TableStore:
         return (
             df.filter(F.col(PARTITION_COL) == product_id).limit(1).count() > 0
         )
+
+
+class StoreMeta:
+    """SPARK-FREE manifest / journal / deletion-vector metadata access
+    over a store root — the same commit-backend reads ``TableStore``
+    uses, minus the SparkSession. Exists for code that runs where no
+    session is available (or allowed): the Python data source wrapper
+    (``streaming/cdf_source.py``) plans its change windows on the
+    driver and materializes file slices on EXECUTORS via pyarrow, and
+    ops tooling can audit a root without paying a JVM. Methods are
+    borrowed from ``TableStore`` directly — every one of them is
+    plain-Python by construction (JSON + sidecar reads), so the two
+    classes can never drift apart."""
+
+    def __init__(self, root: str, backend: str | CommitBackend = "localfs"):
+        self.root = root
+        self._backend = make_backend(backend)
+
+    _path = TableStore._path
+    exists = TableStore.exists
+    _manifest = TableStore._manifest
+    # re-wrap: a borrowed @staticmethod resolves to a plain function,
+    # which would rebind as an instance method here and eat `self`
+    _history_entries = staticmethod(TableStore._history_entries)
+    _pruned_until = staticmethod(TableStore._pruned_until)
+    _append_history = staticmethod(TableStore._append_history)
+    JOURNAL_REPAIR_GRACE_SECONDS = TableStore.JOURNAL_REPAIR_GRACE_SECONDS
+    journal_pending_floor = TableStore.journal_pending_floor
+    _dv_positions = TableStore._dv_positions
+    _change_slices = TableStore._change_slices
+
+    def table_logical_schema(self, table: str):
+        """Merged declared LOGICAL payload schema across the table's
+        manifest partitions — what ``TableStore.read`` would surface,
+        derived without a session (manifest JSON only; listing-mode
+        partitions contribute nothing and raise downstream if they
+        were the only source of truth)."""
+        import functools
+
+        p = Path(self._path(table))
+        declared = []
+        if not p.exists():
+            return None
+        for part in sorted(p.glob(f"{PARTITION_COL}=*")):
+            m = self._manifest(part)
+            if m and m.get("schema"):
+                declared.append(_schema_from_json(m["schema"]))
+        return functools.reduce(_merge_schemas, declared) if declared else None
 
 
 def apply_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
