@@ -826,12 +826,19 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.merge_rows("IndicatorValues", upsert, ["o_orderkey"])
     t1 = time.time()
     store.delete_where("IndicatorValues", [("o_orderstatus", "==", "U")])
+    # round 9: RENAME COLUMN under the same hash oracle — metadata-only
+    # column mapping; v2 reads back through the mapping (physical name
+    # unchanged in every file) while v0/v1 time-travel with the name
+    # THEY declared. A mapping bug (wrong physical resolution, nulled
+    # column, era mix-up) breaks the value hash.
+    store.rename_column("IndicatorValues", "o_orderstatus", "status")
 
     def tagged(df: DataFrame, tag: str) -> DataFrame:
+        col = "status" if "status" in df.columns else "o_orderstatus"
         return df.select(
             F.lit(tag).alias("snap"),
             "o_orderkey",
-            "o_orderstatus",
+            F.col(col).alias("o_orderstatus"),
             F.round("o_totalprice", 2).alias("totalprice"),
         )
 

@@ -1124,11 +1124,14 @@ class TableStore:
 
     def live_files(self, table: str, where=None) -> list[str]:
         """The exact file list a ``read(table, where)`` would scan —
-        the listing probe tests and ops tooling use to verify skipping."""
+        the listing probe tests and ops tooling use to verify skipping.
+        Predicates arrive in LOGICAL names, exactly as ``read`` takes
+        them; stats/blooms are probed under the physical mapping."""
         p = Path(self._path(table))
         if not p.exists():
             return []
-        return self._live_files(p, where)
+        colmap, _ = self._table_colmap(p)
+        return self._live_files(p, _where_physical(where, colmap))
 
     # -- deletion-vector plumbing ------------------------------------------
     def _write_dv_sidecar(self, part_dir: Path, positions) -> tuple[str, int]:
@@ -1900,7 +1903,14 @@ class TableStore:
         read per new file). A file whose stats can't be read simply
         gets no entry (kept by every predicate-bearing read, scanned
         by metadata-only counts — conservative, never wrong)."""
-        bloom_cols = self.bloom_cols.get(part_dir.parent.name, [])
+        # bloom_cols are configured in LOGICAL names; files (and the
+        # stats/bloom keys probed by reads) carry PHYSICAL names —
+        # translate, or a renamed key column silently loses its bloom
+        # on every later harvest
+        bloom_cols = [
+            (colmap or {}).get(c, c)
+            for c in self.bloom_cols.get(part_dir.parent.name, [])
+        ]
         stats: dict[str, dict] = {}
         rows: dict[str, int] = {}
         for n in names:

@@ -2524,3 +2524,43 @@ def test_chained_renames_and_cdf_after_rename(spark, tmp_path):
     ch = store.read_changes("IndicatorValues", since=t0)
     rows = [(r["v"], r["v2"], r["_change_type"]) for r in ch.collect()]
     assert rows == [(9, "z", "insert")]
+
+
+def test_bloom_skipping_survives_column_rename(spark, tmp_path):
+    """bloom_cols are configured in LOGICAL names; harvest and probe
+    are keyed PHYSICAL — a rename must neither disable existing
+    blooms nor stop new files' harvests."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 93
+    store = TableStore(spark, root, bloom_cols={"IndicatorValues": ["k"]})
+
+    def frame(rows, schema="k long, v string"):
+        return spark.createDataFrame(rows, schema).withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    # hash-scattered: k % 2 per file, so zone maps can't prune points
+    store.replace_product_all(
+        pid,
+        {"IndicatorValues": frame([(i, "a") for i in range(0, 40, 2)]).coalesce(1)},
+    )
+    store.append(
+        "IndicatorValues", frame([(i, "a") for i in range(1, 40, 2)]).coalesce(1)
+    )
+    assert len(store.live_files("IndicatorValues", [("k", "==", 4)])) == 1
+
+    store.rename_column("IndicatorValues", "k", "key")
+    # existing blooms keep pruning through the mapping
+    assert len(store.live_files("IndicatorValues", [("key", "==", 4)])) == 1
+    # files appended AFTER the rename harvest blooms under the
+    # physical name and prune too
+    store.append(
+        "IndicatorValues",
+        frame([(i, "b") for i in range(100, 140, 2)], "key long, v string").coalesce(1),
+    )
+    assert len(store.live_files("IndicatorValues", [("key", "==", 104)])) == 1
+    assert len(store.live_files("IndicatorValues", [("key", "==", 4)])) == 1
+    got = store.read("IndicatorValues", where=[("key", "==", 104)]).collect()
+    assert [(r["key"], r["v"]) for r in got] == [(104, "b")]
