@@ -745,10 +745,8 @@ def parse_mp3(content: bytes) -> dict:
     while pos + 4 <= len(b):
         parsed = _mp3_frame_header(b, pos)
         if parsed is None:
-            if n_frames == 0:
-                pos += 1  # resync hunt for the first frame
-                continue
-            break  # trailing garbage / tag after the last frame
+            pos += 1  # resync hunt — before the first frame AND across
+            continue  # mid-stream junk (dirty splices, embedded tags)
         frame_bytes, spf, bitrate, sr, ch, version_layer = parsed
         if pos + frame_bytes > len(b):
             break  # truncated final frame: not counted

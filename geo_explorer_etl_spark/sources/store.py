@@ -659,6 +659,32 @@ def _fresh_physical(logical: str, taken) -> str:
     return cand
 
 
+def _translate_payload(df: DataFrame, colmap: dict, dropped: set):
+    """The ONE write-side mapping rule, shared by every writer
+    (append, epoch append, merge, replace): the frame arrives with
+    LOGICAL names; files are written under PHYSICAL names. A new
+    logical column whose name collides with a RETIRED physical name
+    (re-add after drop — possibly with a different type) or with
+    another column's physical name (append of 'a' after rename a->b)
+    gets a fresh physical name, so old files' bytes can never resolve
+    to the new column. Returns ``(translated_df, colmap)`` where the
+    colmap includes any fresh assignments; identity when the table
+    has no mapping."""
+    colmap = dict(colmap)
+    if not colmap and not dropped:
+        return df, colmap
+    payload_fields = [f for f in df.schema.fields if f.name != PARTITION_COL]
+    taken = set(colmap.values()) | set(dropped) | {f.name for f in payload_fields}
+    for f in payload_fields:
+        if f.name not in colmap and (
+            f.name in dropped or f.name in set(colmap.values())
+        ):
+            fresh = _fresh_physical(f.name, taken)
+            taken.add(fresh)
+            colmap[f.name] = fresh
+    return _rename_to_physical(df, colmap), colmap
+
+
 def _merge_schemas(a, b):
     """Union of two payload schemas for schema evolution: fields by
     name, ``a``'s order first, new fields appended; same-name fields
@@ -1165,9 +1191,12 @@ class TableStore:
 
     def _dv_probe(self, triples) -> DataFrame:
         """(partition_dir_name, file_name, position) probe frame for
-        the mask join. Driver-side by construction: DV size is capped
-        at write time (DV_MAX_* below), so the probe is dimension-
-        sized and broadcastable. Built from a pandas frame so the
+        the mask join. Driver-side by construction: the write path
+        caps each file's mask (DV_MAX_POSITIONS_PER_FILE) AND each
+        partition's total live mask (DV_PARTITION_MASK_CAP — over
+        budget, dense masks demote to rewrite), so a read's probe is
+        bounded by cap × touched partitions, broadcastable at any
+        table size. Built from a pandas frame so the
         Arrow path plans it as a JVM ``LocalTableScan`` — a
         tuple-list ``createDataFrame`` plans as a Python-RDD scan
         (``Scan ExistingRDD``) whose broadcast spins Python workers
@@ -1239,6 +1268,26 @@ class TableStore:
         )
         return out.select(*cols)
 
+    def _scan_with_dv(self, reader, files: list[str], dv_sel: list) -> DataFrame:
+        """Scan ``files`` with any deletion vectors applied — the ONE
+        split-scan rule shared by read() and read_at(): only the
+        masked files' rows pay the metadata extraction and the
+        broadcast anti-join; a table with one masked file must not tax
+        every other file's rows."""
+        if not dv_sel:
+            return reader.parquet(*files)
+        masked_paths = {str(e / n) for e, n, _ in dv_sel}
+        plain = [f for f in files if f not in masked_paths]
+        probe = self._dv_probe(
+            [(e.name, n, self._dv_positions(e, ent)) for e, n, ent in dv_sel]
+        )
+        df = self._apply_dv_mask(
+            reader.parquet(*sorted(masked_paths)), probe, "exclude"
+        )
+        if plain:
+            df = reader.parquet(*plain).unionByName(df)
+        return df
+
     def _mask_live(self, df: DataFrame, part_dir: Path, dv: dict) -> DataFrame:
         """Apply a partition's live deletion vectors to a scan of its
         files (no-op for an empty map)."""
@@ -1275,8 +1324,11 @@ class TableStore:
         p = Path(self._path(table))
         if not p.exists():
             return None
-        schema = self._declared_schema(p)  # LOGICAL union
-        colmap, _ = self._table_colmap(p)
+        # ONE manifest read per partition feeds the declared schema,
+        # the column mapping, the pruned file list, and the DV
+        # selection (the naive composition re-parsed every manifest
+        # JSON three times per read — review r9 finding)
+        schema, colmap, files, dv_sel = self._read_plan(p, where)
         reader = self.spark.read.option("basePath", str(p))
         if schema is not None:
             # declared union schema: pre-evolution files surface new
@@ -1285,11 +1337,6 @@ class TableStore:
             # SCAN runs under the PHYSICAL names (what the files
             # carry); logical names come back via the rename below.
             reader = reader.schema(_to_physical_schema(schema, colmap))
-        dv_sel: list = []
-        # stats/blooms are keyed by physical name: translate the
-        # predicate for PRUNING only (the re-applied filter below
-        # runs on the logical frame)
-        files = self._live_files(p, _where_physical(where, colmap), dv_out=dv_sel)
         if not files:
             if where:
                 # every file pruned, but the TABLE may have data: return
@@ -1301,31 +1348,82 @@ class TableStore:
                         reader.parquet(all_files[0]), colmap
                     ).filter(F.lit(False))
             return None
-        if dv_sel:
-            # merge-on-read: drop the deletion-vectored row positions
-            # (broadcast anti-join on the scan's file/row metadata).
-            # The scan SPLITS so only the masked files' rows pay the
-            # metadata extraction and the join — a table with one
-            # masked file must not tax every other file's rows
-            masked_paths = {str(e / n) for e, n, _ in dv_sel}
-            plain = [f for f in files if f not in masked_paths]
-            probe = self._dv_probe(
-                [
-                    (e.name, n, self._dv_positions(e, ent))
-                    for e, n, ent in dv_sel
-                ]
-            )
-            df = self._apply_dv_mask(
-                reader.parquet(*sorted(masked_paths)), probe, "exclude"
-            )
-            if plain:
-                df = reader.parquet(*plain).unionByName(df)
-        else:
-            df = reader.parquet(*files)
-        df = _rename_to_logical(df, colmap)
+        df = _rename_to_logical(self._scan_with_dv(reader, files, dv_sel), colmap)
         if where:
             df = df.filter(_where_expr(where))
         return df
+
+    def _read_plan(self, p: Path, where) -> tuple:
+        """One pass over the table's partitions: returns ``(logical
+        schema | None, colmap, pruned file list, dv selection)`` with
+        every partition's manifest read exactly ONCE. The caller's
+        predicate arrives in logical names and is translated to the
+        physical stats/bloom keys after the mapping is known — the
+        partition-dir check only ever names PARTITION_COL, which is
+        never remapped, so pruning with the translated predicate
+        against the already-read manifest bodies is equivalent to the
+        old three-pass composition."""
+        import functools
+
+        entries: list[tuple[Path, dict | None]] = []
+        bare: list[Path] = []
+        for entry in sorted(p.iterdir()):
+            if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
+                entries.append((entry, self._manifest(entry)))
+            elif entry.suffix == ".parquet":
+                bare.append(entry)
+        colmap: dict = {}
+        declared: list = []
+        probes: list[Path] = []
+        for entry, m in entries:
+            if m is None:
+                fs = sorted(entry.glob("*.parquet"))
+                if fs:
+                    probes.append(fs[0])
+                continue
+            for k, v in (m.get("colmap") or {}).items():
+                if colmap.get(k, v) != v:
+                    raise ValueError(
+                        f"inconsistent column mapping across partitions of "
+                        f"{p.name}: {k!r} -> {colmap[k]!r} vs {v!r} "
+                        "(torn rename — re-run rename_column to converge)"
+                    )
+                colmap[k] = v
+            if m.get("schema"):
+                declared.append(_schema_from_json(m["schema"]))
+            elif m["files"]:
+                probes.append(entry / m["files"][0])
+        probes.extend(bare)
+        schema = None
+        if declared:
+            for f in probes:
+                declared.append(self.spark.read.parquet(str(f)).schema)
+            schema = functools.reduce(_merge_schemas, declared)
+        pwhere = _where_physical(where, colmap)
+        files: list[str] = []
+        dv_sel: list = []
+        for entry, m in entries:
+            if pwhere:
+                raw = entry.name.split("=", 1)[1]
+                try:
+                    pv: float | str = int(raw)
+                except ValueError:
+                    pv = raw
+                if not _file_may_match({PARTITION_COL: [pv, pv]}, pwhere):
+                    continue
+            if m is not None:
+                stats = m.get("stats", {})
+                dv_entries = m.get("dv") or {}
+                for n in m["files"]:
+                    if pwhere and not _file_may_match(stats.get(n), pwhere):
+                        continue
+                    files.append(str(entry / n))
+                    if n in dv_entries:
+                        dv_sel.append((entry, n, dv_entries[n]))
+            else:
+                files += sorted(str(f) for f in entry.glob("*.parquet"))
+        files += [str(f) for f in bare]
+        return schema, colmap, files, dv_sel
 
     def read_at(self, table: str, as_of: float) -> DataFrame | None:
         """TIME TRAVEL (TIMESTAMP AS OF): the table as of wall-clock
@@ -1380,28 +1478,12 @@ class TableStore:
                 reader = reader.schema(
                     _to_physical_schema(_schema_from_json(schema_json), g["colmap"])
                 )
-            dv_sel = g["dv"]
-            if dv_sel:
-                # the snapshot's deletion vectors are part of the
-                # snapshot: time travel applies exactly the masks that
-                # were live then (split scan — same rule as read():
-                # unmasked files skip the metadata join)
-                masked_paths = {str(e / n) for e, n, _ in dv_sel}
-                plain = [f for f in g["files"] if f not in masked_paths]
-                probe = self._dv_probe(
-                    [
-                        (e.name, n, self._dv_positions(e, ent))
-                        for e, n, ent in dv_sel
-                    ]
-                )
-                df = self._apply_dv_mask(
-                    reader.parquet(*sorted(masked_paths)), probe, "exclude"
-                )
-                if plain:
-                    df = reader.parquet(*plain).unionByName(df)
-            else:
-                df = reader.parquet(*g["files"])
-            df = _rename_to_logical(df, g["colmap"])
+            # the snapshot's deletion vectors are part of the snapshot:
+            # time travel applies exactly the masks that were live then
+            # (shared split-scan rule — see _scan_with_dv)
+            df = _rename_to_logical(
+                self._scan_with_dv(reader, g["files"], g["dv"]), g["colmap"]
+            )
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True
             )
@@ -1795,25 +1877,9 @@ class TableStore:
         written."""
         p = Path(self._path(table))
         payload_schema = df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
-        # column mapping: the frame arrives with LOGICAL names; files
-        # are written under the PHYSICAL names. A new logical column
-        # whose name collides with a RETIRED physical name (re-add
-        # after drop) — or with another column's physical name (append
-        # of 'a' after rename a->b) — gets a fresh physical name, so
-        # old files' bytes can never resolve to the new column.
+        # column mapping: one shared write-side rule (_translate_payload)
         colmap, dropped = self._table_colmap(p) if p.exists() else ({}, set())
-        if colmap or dropped:
-            taken = set(colmap.values()) | dropped | {
-                f.name for f in payload_schema.fields
-            }
-            for f in payload_schema.fields:
-                if f.name not in colmap and (
-                    f.name in dropped or f.name in set(colmap.values())
-                ):
-                    fresh = _fresh_physical(f.name, taken)
-                    taken.add(fresh)
-                    colmap[f.name] = fresh
-            df = _rename_to_physical(df, colmap)
+        df, colmap = _translate_payload(df, colmap, dropped)
         before: dict[Path, set[str]] = {}
         prior_schemas: dict[Path, object] = {}
         if p.exists():
@@ -2003,6 +2069,19 @@ class TableStore:
         the transactional publish); any manifest left from a previous
         transactional publish is dropped so the freshly-written files
         are live under listing mode."""
+        p = Path(self._path(table))
+        if p.exists():
+            cmap, dropped = self._table_colmap(p)
+            if cmap or dropped:
+                # this legacy path drops the partition to LISTING mode —
+                # no manifest, so nothing could carry the table's column
+                # mapping and the renamed columns would silently null
+                raise ValueError(
+                    f"replace_product({table!r}): table carries a column "
+                    "mapping (rename/drop history) — the manifest-less "
+                    "legacy replace cannot preserve it; use "
+                    "replace_product_all"
+                )
         if PARTITION_COL not in df.columns:
             df = df.withColumn(PARTITION_COL, F.lit(product_id).cast("long"))
         (
@@ -2070,14 +2149,33 @@ class TableStore:
             sentinel = txn / "_INFLIGHT"
             sentinel.write_text("")
             schemas: dict[str, str] = {}
+            colmaps: dict[str, dict] = {}
+            droppeds: dict[str, list] = {}
             with self._inflight_keepalive(sentinel):
                 for table, df in frames.items():
                     if PARTITION_COL in df.columns:
                         df = df.drop(PARTITION_COL)
+                    # the frame arrives LOGICAL; the TABLE-level column
+                    # mapping must survive a single-partition replace
+                    # (other partitions' files still resolve through
+                    # it — writing this partition's files under the
+                    # logical names while the union colmap maps them
+                    # elsewhere would silently null the renamed column
+                    # here), so the shared write-side rule applies and
+                    # the mapping rides the txn manifest into the swap
+                    tdir = Path(self._path(table))
+                    cmap, dropped = (
+                        self._table_colmap(tdir) if tdir.exists() else ({}, set())
+                    )
+                    schemas[table] = df.schema.json()  # LOGICAL
+                    df, cmap = _translate_payload(df, cmap, dropped)
+                    if cmap:
+                        colmaps[table] = {k: v for k, v in cmap.items() if k != v}
+                    if dropped:
+                        droppeds[table] = sorted(dropped)
                     # payload files exclude the partition column, exactly
                     # like a partitioned write's IndicatorThemeId={pid} dir
                     df.write.parquet(str(txn / table))
-                    schemas[table] = df.schema.json()
             manifest = {
                 "product_id": product_id,
                 "seq": seq,
@@ -2091,8 +2189,11 @@ class TableStore:
                 },
                 # declared payload schema per table: a replace RESETS the
                 # partition's schema to the new frames' (old files are
-                # superseded, so no union with history)
+                # superseded, so no union with history) — but the
+                # table-level column mapping and retired names carry
                 "schemas": schemas,
+                "colmaps": colmaps,
+                "droppeds": droppeds,
             }
             tmp = txn / "MANIFEST.json.tmp"
             tmp.write_text(json.dumps(manifest))
@@ -2156,6 +2257,8 @@ class TableStore:
                     names,
                     schema_json=manifest.get("schemas", {}).get(table),
                     product_seq=seq,
+                    colmap=manifest.get("colmaps", {}).get(table),
+                    dropped_physical=manifest.get("droppeds", {}).get(table),
                 )
 
             self._update_manifest(target, swap)    # snapshot point
@@ -2285,24 +2388,13 @@ class TableStore:
         payload_schema = (
             df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
         )
-        # column mapping: same logical→physical translation as append()
+        # column mapping: same shared write-side rule as append()
         # (the batch arrives logical; files carry physical names)
         table_dir = Path(self._path(table))
         ep_colmap, ep_dropped = (
             self._table_colmap(table_dir) if table_dir.exists() else ({}, set())
         )
-        if ep_colmap or ep_dropped:
-            taken = set(ep_colmap.values()) | ep_dropped | {
-                f.name for f in payload_schema.fields
-            }
-            for f in payload_schema.fields:
-                if f.name not in ep_colmap and (
-                    f.name in ep_dropped or f.name in set(ep_colmap.values())
-                ):
-                    fresh = _fresh_physical(f.name, taken)
-                    taken.add(fresh)
-                    ep_colmap[f.name] = fresh
-            df = _rename_to_physical(df, ep_colmap)
+        df, ep_colmap = _translate_payload(df, ep_colmap, ep_dropped)
         txn = (
             Path(self.root)
             / "_staging"
@@ -3170,18 +3262,10 @@ class TableStore:
                 n for n in manifest["files"] if _file_may_match(stats.get(n), where)
             ]
         payload = incoming.drop(PARTITION_COL)
-        # new payload columns colliding with a retired physical name
-        # (or another column's physical) get fresh physical names —
-        # the same re-add-after-drop rule as append()
-        if colmap or dropped:
-            taken = set(colmap.values()) | dropped | set(payload.columns)
-            for f in payload.schema.fields:
-                if f.name not in colmap and (
-                    f.name in dropped or f.name in set(colmap.values())
-                ):
-                    fresh = _fresh_physical(f.name, taken)
-                    taken.add(fresh)
-                    colmap[f.name] = fresh
+        # fresh-physical assignments for new payload columns: the same
+        # shared write-side rule as append() — here only the MAPPING is
+        # needed now (the merged frame renames to physical at write)
+        _, colmap = _translate_payload(payload, colmap, dropped)
         # validate schema evolution BEFORE writing anything; legacy
         # manifests (no declared schema) get one live file's footer
         # schema as the prior — the same upgrade rule as append()
@@ -3322,6 +3406,15 @@ class TableStore:
     DV_MAX_FRACTION = 0.5
     DV_MAX_POSITIONS_PER_FILE = 1 << 20
     DV_MAX_TOTAL_POSITIONS = 4 << 20
+    #: Budget for a PARTITION'S TOTAL LIVE MASK (existing + new
+    #: positions across all files): the read-side probe is a
+    #: driver-held broadcast of every live mask a query touches, so
+    #: per-file and per-call caps alone would let repeated scattered
+    #: deletes accrete unbounded read-side state (review r9 finding).
+    #: Over budget, the densest masks demote to rewrite — a rewrite
+    #: CLEARS its file's mask, so heavy deleters self-heal toward
+    #: compact layouts instead of growing the probe forever.
+    DV_PARTITION_MASK_CAP = 4 << 20
     #: Matched positions up to this many PER FILE ride back inline in
     #: the counting aggregate (sorted, sliced — bounded driver rows),
     #: so the sparse-scattered delete pays ONE candidate scan total;
@@ -3572,6 +3665,30 @@ class TableStore:
             dv_files.remove(worst)
             rewrite.append(worst)
             total_pos -= match_cnt[worst] + int(
+                dv_entries.get(worst, {}).get("count", 0)
+            )
+        # partition-wide live-mask budget (see DV_PARTITION_MASK_CAP):
+        # untouched files' existing masks + this call's new masks
+        touched_now = (
+            set(drop_whole) | set(scanned_drop) | set(rewrite) | set(dv_files)
+        )
+        live_mask = sum(
+            int(e.get("count", 0))
+            for n, e in dv_entries.items()
+            if n not in touched_now
+        ) + sum(
+            match_cnt[n] + int(dv_entries.get(n, {}).get("count", 0))
+            for n in dv_files
+        )
+        while dv_files and live_mask > self.DV_PARTITION_MASK_CAP:
+            worst = max(
+                dv_files,
+                key=lambda n: match_cnt[n]
+                + int(dv_entries.get(n, {}).get("count", 0)),
+            )
+            dv_files.remove(worst)
+            rewrite.append(worst)  # the rewrite clears worst's mask too
+            live_mask -= match_cnt[worst] + int(
                 dv_entries.get(worst, {}).get("count", 0)
             )
         # materialize the deletion vectors: matched positions unioned
@@ -4041,6 +4158,7 @@ class StoreMeta:
     journal_pending_floor = TableStore.journal_pending_floor
     _dv_positions = TableStore._dv_positions
     _change_slices = TableStore._change_slices
+    _table_colmap = TableStore._table_colmap
 
     def table_logical_schema(self, table: str):
         """Merged declared LOGICAL payload schema across the table's

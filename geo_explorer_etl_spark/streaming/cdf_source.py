@@ -129,6 +129,14 @@ class StoreCDFStreamReader(DataSourceStreamReader):
                     "checkpointed window is outside vacuum retention"
                 )
         out_json = self._schema.json()
+        # a STREAMING source has ONE fixed schema — the CURRENT logical
+        # names — so every era's slice renames its (stable) physical
+        # column names through the CURRENT table mapping, not its own
+        # era's: a commit made before a rename must stream the renamed
+        # column's data under the new name, exactly where the fixed
+        # schema expects it (the batch read_changes keeps era names
+        # and unions — a luxury a fixed-schema source doesn't have)
+        current_colmap, _ = meta._table_colmap(Path(meta._path(self._table)))
         parts = []
         for s in slices:
             raw = Path(s["path"]).parent.name.split("=", 1)
@@ -142,7 +150,7 @@ class StoreCDFStreamReader(DataSourceStreamReader):
                     kind=s["kind"],
                     ts=float(s["ts"]),
                     schema_json=s["schema"],
-                    colmap=dict(s["colmap"] or {}),
+                    colmap=dict(current_colmap),
                     mask=s["mask"],
                     partition_value=pv,
                     out_schema_json=out_json,

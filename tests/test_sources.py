@@ -2564,3 +2564,88 @@ def test_bloom_skipping_survives_column_rename(spark, tmp_path):
     assert len(store.live_files("IndicatorValues", [("key", "==", 4)])) == 1
     got = store.read("IndicatorValues", where=[("key", "==", 104)]).collect()
     assert [(r["key"], r["v"]) for r in got] == [(104, "b")]
+
+
+def test_replace_after_rename_preserves_column_mapping(spark, tmp_path):
+    """Review r9 #1: replace_product_all on a renamed table previously
+    wrote the staged files under LOGICAL names with no colmap in the
+    published manifest — on a multi-partition table the union mapping
+    then resolved the replaced partition's column to the wrong
+    physical name and every value read back NULL. The replace now
+    rides the shared write-side translation and carries the mapping."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+
+    def frame(pid, rows, schema="k long, v string"):
+        return spark.createDataFrame(rows, schema).withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(1, {"IndicatorValues": frame(1, [(1, "a")])})
+    store.replace_product_all(2, {"IndicatorValues": frame(2, [(2, "b")])})
+    store.rename_column("IndicatorValues", "v", "label")
+
+    # replace product 2 with the NEW logical name
+    store.replace_product_all(
+        2, {"IndicatorValues": frame(2, [(20, "B2")], "k long, label string")}
+    )
+    got = sorted(
+        (r["k"], r["label"]) for r in store.read("IndicatorValues").collect()
+    )
+    assert got == [(1, "a"), (20, "B2")]  # no silent nulls anywhere
+
+    # the whole-partition merge fallback routes through the same txn:
+    # key = the partition col alone forces it
+    store.merge_rows(
+        "IndicatorValues",
+        frame(1, [(10, "A2")], "k long, label string"),
+        [PARTITION_COL],
+    )
+    got = sorted(
+        (r["k"], r["label"]) for r in store.read("IndicatorValues").collect()
+    )
+    assert got == [(10, "A2"), (20, "B2")]
+
+    # the legacy manifest-less replace cannot carry a mapping: refuses
+    with _pytest.raises(ValueError, match="column mapping"):
+        store.replace_product("IndicatorValues", frame(1, [(9, "z")], "k long, label string"), 1)
+
+
+def test_dv_partition_mask_budget_demotes_to_rewrite(spark, tmp_path):
+    """Review r9 #4: per-file and per-call caps alone let repeated
+    scattered deletes accrete an unbounded read-side mask. The
+    partition-wide budget demotes the densest masks to REWRITE (which
+    clears them), keeping the partition's total live mask bounded."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 95
+    store = TableStore(spark, root)
+    store.DV_PARTITION_MASK_CAP = 6  # tiny budget for the test
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(0, 100, 4)]).coalesce(1)}
+    )
+    for r in (1, 2, 3):
+        store.append(
+            "IndicatorValues", frame([(i, "a") for i in range(r, 100, 4)]).coalesce(1)
+        )
+    part = __import__("pathlib").Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    deleted = set()
+    for wave in range(4):  # 4 waves x 4 scattered keys = 16 > budget 6
+        keys = [16 * wave + r for r in (0, 1, 2, 3)]
+        n = store.delete_where("IndicatorValues", [("k", "in", keys)], mode="dv")
+        assert n == 4
+        deleted |= set(keys)
+        m = store._manifest(part)
+        live_mask = sum(e["count"] for e in (m.get("dv") or {}).values())
+        assert live_mask <= 6, f"wave {wave}: mask {live_mask} over budget"
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == sorted(set(range(100)) - deleted)

@@ -1078,3 +1078,68 @@ def test_mp3_metadata_operator(spark):
     assert out[2]["duration_ms"] is None
     assert "MPEG" in out[2]["error"]
     assert "Exchange" not in mp3_metadata(media)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_store_cdf_source_streams_pre_rename_commits_under_current_name(
+    spark, tmp_path
+):
+    """Review r9 #2: a streaming source has ONE fixed schema — the
+    CURRENT logical names — so commits made BEFORE a rename_column
+    must stream the renamed column's data under the new name (the
+    physical name in the files is stable), not as nulls."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    from geo_explorer_etl_spark.streaming.cdf_source import (
+        StoreChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(StoreChangeFeedDataSource)
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    df0 = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(3).cast("long")
+    )
+    store.replace_product_all(3, {"IndicatorValues": df0})
+    t0 = time.time()
+    store.append(
+        "IndicatorValues",
+        spark.createDataFrame([(2, "b")], "k long, v string").withColumn(
+            PARTITION_COL, F.lit(3).cast("long")
+        ),
+    )
+    store.rename_column("IndicatorValues", "v", "label")
+    time.sleep(0.05)
+
+    rows: list = []
+    q = (
+        spark.readStream.format("store_cdf")
+        .option("path", root)
+        .option("table", "IndicatorValues")
+        .option("start_at", t0)
+        .option("watermark_lag", 0.0)
+        .load()
+        .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [(r["k"], r["label"], r["_change_type"]) for r in rows] == [
+        (2, "b", "insert")
+    ]
+
+
+def test_mp3_resyncs_across_midstream_junk():
+    """Review r9 #3: the walk must RESYNC across mid-stream garbage
+    (dirty splices, embedded tag chunks), not stop at the first bad
+    hop — a triage filtering on duration would otherwise silently
+    see a fraction of the file."""
+    from geo_explorer_etl_spark.operators.multimodal import parse_mp3
+
+    frames_a = b"".join(_mp3_frame(9) for _ in range(10))
+    junk = b"\x00\x01\x02garbage-without-sync" * 7
+    frames_b = b"".join(_mp3_frame(9) for _ in range(15))
+    meta = parse_mp3(frames_a + junk + frames_b)
+    assert meta["n_frames"] == 25
+    assert meta["duration_ms"] == round(25 * 1152 / 44100 * 1000)
