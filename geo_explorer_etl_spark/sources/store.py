@@ -610,10 +610,26 @@ def _to_physical_schema(schema, colmap: dict):
 
     if not colmap:
         return schema
+    phys = [colmap.get(f.name, f.name) for f in schema.fields]
+    if len(set(phys)) != len(phys):
+        # the loud torn-rename detector: a rename that crashed between
+        # partitions leaves one partition's schema holding the OLD name
+        # while another's colmap maps the NEW name onto the same
+        # physical column — the merged logical schema then maps two
+        # fields onto one physical name. Without this check the scan
+        # dies in an opaque duplicate-column AnalysisException (or
+        # worse, silently misreads); re-running the rename converges
+        # (done partitions no-op, missed ones apply).
+        dupes = sorted({n for n in phys if phys.count(n) > 1})
+        raise ValueError(
+            f"column mapping resolves two logical columns onto the same "
+            f"physical name(s) {dupes} — torn rename_column across "
+            "partitions; re-run the rename to converge"
+        )
     return T.StructType(
         [
-            T.StructField(colmap.get(f.name, f.name), f.dataType, f.nullable)
-            for f in schema.fields
+            T.StructField(p, f.dataType, f.nullable)
+            for p, f in zip(phys, schema.fields)
         ]
     )
 
@@ -657,6 +673,28 @@ def _fresh_physical(logical: str, taken) -> str:
     while cand in taken:
         cand = f"{logical}__r{uuid.uuid4().hex[:8]}"
     return cand
+
+
+def _union_colmap(manifests, ctx: str) -> tuple[dict, set]:
+    """Union (colmap, dropped_physical) across manifest bodies; a
+    VALUE conflict for one logical name is a genuine divergence and
+    fails loudly (the missing-mapping tear is caught downstream by
+    ``_to_physical_schema``'s duplicate-physical check)."""
+    colmap: dict = {}
+    dropped: set = set()
+    for m in manifests:
+        if not m:
+            continue
+        for k, v in (m.get("colmap") or {}).items():
+            if colmap.get(k, v) != v:
+                raise ValueError(
+                    f"inconsistent column mapping across partitions of "
+                    f"{ctx}: {k!r} -> {colmap[k]!r} vs {v!r} "
+                    "(torn rename — re-run rename_column to converge)"
+                )
+            colmap[k] = v
+        dropped |= set(m.get("dropped_physical") or [])
+    return colmap, dropped
 
 
 def _translate_payload(df: DataFrame, colmap: dict, dropped: set):
@@ -1132,21 +1170,34 @@ class TableStore:
                         pv = raw
                     if not _file_may_match({PARTITION_COL: [pv, pv]}, where):
                         continue
-                manifest = self._manifest(entry)
-                if manifest is not None:
-                    stats = manifest.get("stats", {})
-                    dv_entries = manifest.get("dv") or {}
-                    for n in manifest["files"]:
-                        if where and not _file_may_match(stats.get(n), where):
-                            continue
-                        files.append(str(entry / n))
-                        if dv_out is not None and n in dv_entries:
-                            dv_out.append((entry, n, dv_entries[n]))
-                else:
-                    files += sorted(str(f) for f in entry.glob("*.parquet"))
+                self._prune_partition_files(
+                    entry, self._manifest(entry), where, files, dv_out
+                )
             elif entry.suffix == ".parquet":
                 files.append(str(entry))
         return files
+
+    @staticmethod
+    def _prune_partition_files(
+        entry: Path, manifest: dict | None, where, files: list, dv_out: list | None
+    ) -> None:
+        """THE per-partition file-skipping rule, shared by
+        ``_live_files`` (the probe surface) and ``_read_plan`` (the
+        read path) so the two can never disagree about what a
+        predicate prunes: manifest partitions prune per file through
+        zone maps/blooms and report deletion-vector entries;
+        listing-mode partitions contribute every file."""
+        if manifest is not None:
+            stats = manifest.get("stats", {})
+            dv_entries = manifest.get("dv") or {}
+            for n in manifest["files"]:
+                if where and not _file_may_match(stats.get(n), where):
+                    continue
+                files.append(str(entry / n))
+                if dv_out is not None and n in dv_entries:
+                    dv_out.append((entry, n, dv_entries[n]))
+        else:
+            files += sorted(str(f) for f in entry.glob("*.parquet"))
 
     def live_files(self, table: str, where=None) -> list[str]:
         """The exact file list a ``read(table, where)`` would scan —
@@ -1372,7 +1423,7 @@ class TableStore:
                 entries.append((entry, self._manifest(entry)))
             elif entry.suffix == ".parquet":
                 bare.append(entry)
-        colmap: dict = {}
+        colmap, _ = _union_colmap((m for _, m in entries), p.name)
         declared: list = []
         probes: list[Path] = []
         for entry, m in entries:
@@ -1381,14 +1432,6 @@ class TableStore:
                 if fs:
                     probes.append(fs[0])
                 continue
-            for k, v in (m.get("colmap") or {}).items():
-                if colmap.get(k, v) != v:
-                    raise ValueError(
-                        f"inconsistent column mapping across partitions of "
-                        f"{p.name}: {k!r} -> {colmap[k]!r} vs {v!r} "
-                        "(torn rename — re-run rename_column to converge)"
-                    )
-                colmap[k] = v
             if m.get("schema"):
                 declared.append(_schema_from_json(m["schema"]))
             elif m["files"]:
@@ -1411,17 +1454,7 @@ class TableStore:
                     pv = raw
                 if not _file_may_match({PARTITION_COL: [pv, pv]}, pwhere):
                     continue
-            if m is not None:
-                stats = m.get("stats", {})
-                dv_entries = m.get("dv") or {}
-                for n in m["files"]:
-                    if pwhere and not _file_may_match(stats.get(n), pwhere):
-                        continue
-                    files.append(str(entry / n))
-                    if n in dv_entries:
-                        dv_sel.append((entry, n, dv_entries[n]))
-            else:
-                files += sorted(str(f) for f in entry.glob("*.parquet"))
+            self._prune_partition_files(entry, m, pwhere, files, dv_sel)
         files += [str(f) for f in bare]
         return schema, colmap, files, dv_sel
 
@@ -1808,53 +1841,13 @@ class TableStore:
         per-partition maps agree; a genuine divergence (torn admin op
         against a crashed process) fails loudly rather than silently
         reading one partition's column as another's."""
-        colmap: dict = {}
-        dropped: set = set()
-        for part in sorted(table_dir.glob(f"{PARTITION_COL}=*")):
-            m = self._manifest(part)
-            if not m:
-                continue
-            for k, v in (m.get("colmap") or {}).items():
-                if colmap.get(k, v) != v:
-                    raise ValueError(
-                        f"inconsistent column mapping across partitions of "
-                        f"{table_dir.name}: {k!r} -> {colmap[k]!r} vs {v!r} "
-                        "(torn rename — re-run rename_column to converge)"
-                    )
-                colmap[k] = v
-            dropped |= set(m.get("dropped_physical") or [])
-        return colmap, dropped
-
-    def _declared_schema(self, table_dir: Path):
-        """Merged declared payload schema across the table's manifest
-        partitions, or None for fully-legacy layouts (plain inference).
-        Partitions without a declared schema contribute one live file's
-        footer schema (driver cost bounded by PARTITION count, not file
-        count — intra-partition evolution only happens through manifest
-        commits, so one file per legacy partition is representative)."""
-        import functools
-
-        declared = []
-        probes: list[Path] = []
-        for entry in sorted(table_dir.iterdir()):
-            if entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}="):
-                manifest = self._manifest(entry)
-                if manifest is not None:
-                    if manifest.get("schema"):
-                        declared.append(_schema_from_json(manifest["schema"]))
-                    elif manifest["files"]:
-                        probes.append(entry / manifest["files"][0])
-                else:
-                    fs = sorted(entry.glob("*.parquet"))
-                    if fs:
-                        probes.append(fs[0])
-            elif entry.suffix == ".parquet":
-                probes.append(entry)
-        if not declared:
-            return None  # legacy store: schema inference, as always
-        for f in probes:
-            declared.append(self.spark.read.parquet(str(f)).schema)
-        return functools.reduce(_merge_schemas, declared)
+        return _union_colmap(
+            (
+                self._manifest(part)
+                for part in sorted(table_dir.glob(f"{PARTITION_COL}=*"))
+            ),
+            table_dir.name,
+        )
 
     # -- S10: append sink --------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
@@ -1877,30 +1870,36 @@ class TableStore:
         written."""
         p = Path(self._path(table))
         payload_schema = df.drop(PARTITION_COL).schema if PARTITION_COL in df.columns else df.schema
+        # ONE manifest read per partition feeds the colmap union AND
+        # the prior-schema validation below (the composition through
+        # _table_colmap parsed every manifest twice — review r9 wave 2)
+        manifests: dict[Path, dict] = {}
+        if p.exists():
+            for part in sorted(p.glob(f"{PARTITION_COL}=*")):
+                m = self._manifest(part)
+                if m is not None:
+                    manifests[part] = m
+        colmap, dropped = _union_colmap(manifests.values(), p.name)
         # column mapping: one shared write-side rule (_translate_payload)
-        colmap, dropped = self._table_colmap(p) if p.exists() else ({}, set())
         df, colmap = _translate_payload(df, colmap, dropped)
         before: dict[Path, set[str]] = {}
         prior_schemas: dict[Path, object] = {}
-        if p.exists():
-            for part in p.glob(f"{PARTITION_COL}=*"):
-                manifest = self._manifest(part)
-                if manifest is not None:
-                    before[part] = {f.name for f in part.glob("*.parquet")}
-                    if manifest.get("schema"):
-                        prior = _schema_from_json(manifest["schema"])
-                    elif manifest["files"]:
-                        # legacy manifest: derive the partition schema
-                        # from one live file's footer
-                        prior = self.spark.read.parquet(
-                            str(part / manifest["files"][0])
-                        ).schema
-                    else:
-                        prior = None
-                    # validate type compatibility BEFORE writing
-                    prior_schemas[part] = (
-                        _merge_schemas(prior, payload_schema) if prior else payload_schema
-                    )
+        for part, manifest in manifests.items():
+            before[part] = {f.name for f in part.glob("*.parquet")}
+            if manifest.get("schema"):
+                prior = _schema_from_json(manifest["schema"])
+            elif manifest["files"]:
+                # legacy manifest: derive the partition schema
+                # from one live file's footer
+                prior = self.spark.read.parquet(
+                    str(part / manifest["files"][0])
+                ).schema
+            else:
+                prior = None
+            # validate type compatibility BEFORE writing
+            prior_schemas[part] = (
+                _merge_schemas(prior, payload_schema) if prior else payload_schema
+            )
         w = df.write.mode("append")
         if PARTITION_COL in df.columns:
             w = w.partitionBy(PARTITION_COL)
@@ -1946,6 +1945,29 @@ class TableStore:
                 )
 
             self._update_manifest(part, extend)
+        if colmap or dropped:
+            # a column-mapped table must not grow LISTING-MODE
+            # partitions: this append's files carry PHYSICAL names,
+            # and with no manifest to hold the mapping the read-side
+            # footer probe would merge the physical name into the
+            # logical schema as a second column mapping onto the same
+            # physical field (duplicate-column failure — review r9
+            # wave-2 #1). First-manifest every partition this append
+            # created; rename_column guarantees a mapped table had no
+            # file-bearing listing partitions before, so everything on
+            # disk here is this append's.
+            for part in p.glob(f"{PARTITION_COL}=*"):
+                if part in before or self._manifest(part) is not None:
+                    continue
+                names = sorted(f.name for f in part.glob("*.parquet"))
+                if names:
+                    self._write_committed(
+                        part,
+                        names,
+                        schema_json=payload_schema.json(),
+                        colmap=colmap,
+                        dropped_physical=sorted(dropped),
+                    )
 
     def _build_manifest_body(
         self,
@@ -3603,34 +3625,66 @@ class TableStore:
                 )
             return k
 
-        # ONE counting scan over the candidates: matched and live rows
-        # per file drive the per-file decision (drop / DV / rewrite),
-        # and sparse files' matched POSITIONS ride back inline so the
-        # common scattered-delete case never scans the candidates twice
+        # LIVE counts come from manifest metadata (footer rows minus
+        # the recorded mask size) — only files without a row count pay
+        # a count scan. MATCHED counts + capped inline positions come
+        # from ONE scan aggregated over MATCHED ROWS ONLY, with the
+        # position list capped by a window row-number BEFORE the
+        # collect: the previous form buffered EVERY matched position
+        # per file in one executor aggregation state before slicing
+        # (a half-matched 100M-row file = collect_list OOM; review r9
+        # wave 2) — the row-number sort spills to disk, and the
+        # when(rn<=cap) keeps each aggregation buffer at most
+        # DV_INLINE_POSITIONS entries. mode='cow' never materializes
+        # positions at all.
         live_cnt: dict[str, int] = {}
         match_cnt: dict[str, int] = {}
         inline_pos: dict[str, list[int]] = {}
-        if candidates:
-            for r in (
-                keyed_live(candidates)
-                .groupBy("__dv_name")
-                .agg(
-                    F.count(F.lit(1)).alias("live"),
-                    F.sum(pred.cast("long")).alias("matched"),
-                    F.slice(
-                        F.sort_array(
-                            F.collect_list(F.when(pred, F.col("__dv_pos")))
-                        ),
-                        1,
-                        self.DV_INLINE_POSITIONS + 1,
-                    ).alias("pos"),
+        for n in candidates:
+            if n in rows_known:
+                live_cnt[n] = int(rows_known[n]) - int(
+                    dv_entries.get(n, {}).get("count", 0)
                 )
+        unknown_rows = [n for n in candidates if n not in live_cnt]
+        if unknown_rows:
+            for r in (
+                keyed_live(unknown_rows)
+                .groupBy("__dv_name")
+                .agg(F.count(F.lit(1)).alias("live"))
                 .collect()
             ):
+                live_cnt[r["__dv_name"]] = int(r["live"])
+        if candidates:
+            from pyspark.sql.window import Window
+
+            matched = keyed_live(candidates).filter(pred)
+            if mode == "cow":
+                agg = matched.groupBy("__dv_name").agg(
+                    F.count(F.lit(1)).alias("m")
+                )
+            else:
+                rn = F.row_number().over(
+                    Window.partitionBy("__dv_name").orderBy("__dv_pos")
+                )
+                agg = (
+                    matched.withColumn("__rn", rn)
+                    .groupBy("__dv_name")
+                    .agg(
+                        F.count(F.lit(1)).alias("m"),
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__rn") <= self.DV_INLINE_POSITIONS,
+                                    F.col("__dv_pos"),
+                                )
+                            )
+                        ).alias("pos"),
+                    )
+                )
+            for r in agg.collect():
                 n = r["__dv_name"]
-                live_cnt[n] = int(r["live"])
-                match_cnt[n] = int(r["matched"] or 0)
-                if 0 < match_cnt[n] <= self.DV_INLINE_POSITIONS:
+                match_cnt[n] = int(r["m"])
+                if mode != "cow" and 0 < match_cnt[n] <= self.DV_INLINE_POSITIONS:
                     inline_pos[n] = [int(x) for x in r["pos"]]
         scanned_drop: list[str] = []
         dv_files: list[str] = []

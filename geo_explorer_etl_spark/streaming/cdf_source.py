@@ -137,6 +137,25 @@ class StoreCDFStreamReader(DataSourceStreamReader):
         # schema expects it (the batch read_changes keeps era names
         # and unions — a luxury a fixed-schema source doesn't have)
         current_colmap, _ = meta._table_colmap(Path(meta._path(self._table)))
+        # schema-drift guard (review r9 wave 2): the output schema was
+        # captured at query start; a column RENAMED or DROPPED since
+        # then would silently stream as all-NULL through the fixed
+        # schema — fail loudly and ask for a restart instead. Columns
+        # purely ADDED since start keep streaming (they just don't
+        # surface until a restart adopts the wider schema).
+        current_names = {
+            f.name for f in cdf_output_schema(meta, self._table).fields
+        }
+        stale = sorted(
+            f.name for f in self._schema.fields if f.name not in current_names
+        )
+        if stale:
+            raise ValueError(
+                f"store_cdf: column(s) {stale} were renamed or dropped "
+                "while the stream was running — the fixed source schema "
+                "would stream them as NULL; restart the query to adopt "
+                "the new table schema"
+            )
         parts = []
         for s in slices:
             raw = Path(s["path"]).parent.name.split("=", 1)

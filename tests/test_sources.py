@@ -2649,3 +2649,75 @@ def test_dv_partition_mask_budget_demotes_to_rewrite(spark, tmp_path):
         assert live_mask <= 6, f"wave {wave}: mask {live_mask} over budget"
     got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
     assert got == sorted(set(range(100)) - deleted)
+
+
+def test_append_new_partition_on_mapped_table_gets_manifest(spark, tmp_path):
+    """Review r9 wave-2 #1: an append that CREATES a partition on a
+    column-mapped table must first-manifest it — the files carry
+    physical names, and a manifest-less listing partition would feed
+    the physical name back into the union schema as a second column
+    (duplicate-physical failure on every table read)."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+
+    def frame(pid, rows, schema="k long, v string"):
+        return spark.createDataFrame(rows, schema).withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(1, {"IndicatorValues": frame(1, [(1, "a")])})
+    store.rename_column("IndicatorValues", "v", "label")
+    # append for a BRAND-NEW product id, using the current name
+    store.append(
+        "IndicatorValues", frame(2, [(2, "b")], "k long, label string")
+    )
+    part2 = (
+        __import__("pathlib").Path(root)
+        / "IndicatorValues"
+        / f"{PARTITION_COL}=2"
+    )
+    m = store._manifest(part2)
+    assert m is not None, "new partition must come under manifest control"
+    assert m.get("colmap") == {"label": "v"}
+    got = sorted(
+        (r["k"], r["label"]) for r in store.read("IndicatorValues").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_delete_dv_positions_beyond_inline_cap_use_second_pass(spark, tmp_path):
+    """Review r9 wave-2 #3: the counting scan caps its inline position
+    collect (bounded executor aggregation buffers); masks larger than
+    the cap materialize through the targeted second pass — same
+    result, pinned by lowering the cap below the matched count."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    root = str(tmp_path / "store")
+    pid = 96
+    store = TableStore(spark, root)
+    store.DV_INLINE_POSITIONS = 4  # force the second pass
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    store.replace_product_all(
+        pid, {"IndicatorValues": frame([(i, "a") for i in range(40)]).coalesce(1)}
+    )
+    # 12 matched rows in one file: > inline cap 4, fraction 0.3 <= 0.5
+    keys = list(range(0, 36, 3))
+    n = store.delete_where("IndicatorValues", [("k", "in", keys)], mode="dv")
+    assert n == 12
+    part = (
+        __import__("pathlib").Path(root)
+        / "IndicatorValues"
+        / f"{PARTITION_COL}={pid}"
+    )
+    m = store._manifest(part)
+    (entry,) = m["dv"].values()
+    assert entry["count"] == 12
+    got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
+    assert got == sorted(set(range(40)) - set(keys))

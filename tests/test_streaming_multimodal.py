@@ -1143,3 +1143,87 @@ def test_mp3_resyncs_across_midstream_junk():
     meta = parse_mp3(frames_a + junk + frames_b)
     assert meta["n_frames"] == 25
     assert meta["duration_ms"] == round(25 * 1152 / 44100 * 1000)
+
+
+def test_store_cdf_source_fails_loudly_on_midstream_rename(spark, tmp_path):
+    """Review r9 wave-2 #2: a rename landing while the stream runs
+    would silently NULL the renamed column through the fixed source
+    schema — the next batch must fail loudly asking for a restart."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+    from geo_explorer_etl_spark.streaming.cdf_source import (
+        StoreChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(StoreChangeFeedDataSource)
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    df0 = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(4).cast("long")
+    )
+    store.replace_product_all(4, {"IndicatorValues": df0})
+    t0 = time.time()
+    store.append(
+        "IndicatorValues",
+        spark.createDataFrame([(2, "b")], "k long, v string").withColumn(
+            PARTITION_COL, F.lit(4).cast("long")
+        ),
+    )
+    time.sleep(0.05)
+
+    def run():
+        rows: list = []
+        q = (
+            spark.readStream.format("store_cdf")
+            .option("path", root)
+            .option("table", "IndicatorValues")
+            .option("start_at", t0)
+            .option("watermark_lag", 0.0)
+            .load()
+            .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    assert [(r["k"], r["v"]) for r in run()] == [(2, "b")]
+    t_rename = time.time()
+    store.rename_column("IndicatorValues", "v", "label")
+    store.append(
+        "IndicatorValues",
+        spark.createDataFrame([(3, "c")], "k long, label string").withColumn(
+            PARTITION_COL, F.lit(4).cast("long")
+        ),
+    )
+    time.sleep(0.05)
+
+    # a LIVE reader (schema captured before the rename) must refuse on
+    # its next batch rather than stream the renamed column as NULL —
+    # exercised on the reader directly, since a query RESTART
+    # re-derives the schema and legitimately adopts the new name
+    from geo_explorer_etl_spark.sources.store import StoreMeta
+    from geo_explorer_etl_spark.streaming.cdf_source import (
+        StoreCDFStreamReader,
+        cdf_output_schema,
+    )
+
+    stale_schema = cdf_output_schema(StoreMeta(root), "IndicatorValues")
+    from pyspark.sql import types as T
+
+    old_fields = [
+        T.StructField("v" if f.name == "label" else f.name, f.dataType, True)
+        for f in stale_schema.fields
+    ]
+    live_reader = StoreCDFStreamReader(
+        T.StructType(old_fields),
+        {"path": root, "table": "IndicatorValues", "watermark_lag": "0.0"},
+    )
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        live_reader.partitions({"ts": t_rename}, {"ts": time.time()})
+
+    # ... while a RESTARTED query (fresh schema) adopts the new name
+    rows2 = run()
+    assert [(r["k"], r["label"]) for r in rows2] == [(3, "c")]
