@@ -784,10 +784,13 @@ def mp3_metadata(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                rec = {"media_id": row["media_id"], "error": None}
+            # zip over the two columns directly: iterrows() boxes a
+            # pandas Series per row (dtype conversion per cell) — a
+            # constant-factor tax on a corpus-wide triage scan
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rec = {"media_id": media_id, "error": None}
                 try:
-                    rec.update(parse_mp3(row["content"]))
+                    rec.update(parse_mp3(content))
                 except NotImplementedError as e:
                     rec.update(
                         n_frames=None, duration_ms=None, bitrate_kbps=None,

@@ -52,7 +52,16 @@ def _norm_stat(v):
 
     if isinstance(v, bool):
         return int(v)
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        # a NaN bound/probe is incomparable BY VALUE: every ordered
+        # comparison against it is False, which reads as "provably
+        # misses" in set-membership loops and would wrongly prune
+        # files whose NaN rows Spark's semantics DO match (NaN equals
+        # NaN and sorts above everything) — None = never prune on it
+        return None if math.isnan(v) else v
+    if isinstance(v, int):
         return v
     if isinstance(v, str):
         return v
@@ -224,13 +233,21 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
         v = _normalize_bound(val)
         if v is None or not _stat_comparable(mn, v):
             continue
+        # FLOAT-statted columns: parquet min/max IGNORE NaN, and under
+        # Spark semantics NaN sorts ABOVE every value and equals NaN —
+        # so the recorded MAX cannot disprove predicates whose
+        # acceptance region contains NaN ('>', '>=', '!='): a file
+        # holding [5.0, NaN] reports max=5.0 yet its NaN row matches
+        # k > 100. Ops whose acceptance region EXCLUDES NaN
+        # ('==', '<', '<=', 'between', 'in') still prune soundly.
+        nan_possible = isinstance(mn, float) or isinstance(mx, float)
         if op == "==" and (v < mn or v > mx):
             return False
-        if op == "!=" and mn == mx == v:
+        if op == "!=" and mn == mx == v and not nan_possible:
             return False  # single-valued file: every row equals v
-        if op == ">=" and mx < v:
+        if op == ">=" and mx < v and not nan_possible:
             return False
-        if op == ">" and mx <= v:
+        if op == ">" and mx <= v and not nan_possible:
             return False
         if op == "<=" and mn > v:
             return False
@@ -3604,19 +3621,28 @@ class TableStore:
             )
         pred = F.coalesce(_where_expr(where), F.lit(False))
 
+        # decode each existing sidecar ONCE for the whole partition
+        # pass: keyed_live can back up to three jobs (unknown-rows
+        # count, matched aggregate, second-pass positions) plus the
+        # mask-union below — per-call re-reads tripled the sidecar
+        # decode cost near the mask cap (review r9 wave 3)
+        dv_pos_cache: dict = {}
+
+        def dv_positions_cached(n: str):
+            if n not in dv_pos_cache:
+                dv_pos_cache[n] = self._dv_positions(part, dv_entries[n])
+            return dv_pos_cache[n]
+
         def keyed_live(subset: list[str]) -> DataFrame:
             """Scan exactly ``subset`` with (file, position) keys and
             any EXISTING deletion vectors applied — every downstream
             job reads only the files it needs."""
             cur = reader.parquet(*[str(part / n) for n in subset])
             k = self._with_dv_keys(cur).withColumn(PARTITION_COL, F.lit(pv))
-            sub_dv = {n: dv_entries[n] for n in subset if n in dv_entries}
-            if sub_dv:
+            masked = [n for n in subset if n in dv_entries]
+            if masked:
                 probe = self._dv_probe(
-                    [
-                        (part.name, n, self._dv_positions(part, e))
-                        for n, e in sub_dv.items()
-                    ]
+                    [(part.name, n, dv_positions_cached(n)) for n in masked]
                 )
                 k = k.join(
                     F.broadcast(probe),
@@ -3765,7 +3791,7 @@ class TableStore:
                 positions = by_file[n]
                 if n in dv_entries:
                     positions = positions + [
-                        int(x) for x in self._dv_positions(part, dv_entries[n])
+                        int(x) for x in dv_positions_cached(n)
                     ]
                 name, count = self._write_dv_sidecar(part, positions)
                 dv_updates[n] = {"sidecar": name, "count": count}
@@ -4199,8 +4225,17 @@ class StoreMeta:
     def __init__(self, root: str, backend: str | CommitBackend = "localfs"):
         self.root = root
         self._backend = make_backend(backend)
+        # the same fail-fast layout check TableStore runs: opening a
+        # CAS-formatted store with the default localfs backend reads
+        # NO manifests at all — an ops audit would report "no changes"
+        # and a store_cdf stream would silently emit nothing while its
+        # checkpoint advances (review r9 wave 3)
+        self._verify_format_tag()
 
     _path = TableStore._path
+    FORMAT_TAG = TableStore.FORMAT_TAG
+    _verify_format_tag = TableStore._verify_format_tag
+    _detect_backend_layout = staticmethod(TableStore._detect_backend_layout)
     exists = TableStore.exists
     _manifest = TableStore._manifest
     # re-wrap: a borrowed @staticmethod resolves to a plain function,
@@ -4214,23 +4249,33 @@ class StoreMeta:
     _change_slices = TableStore._change_slices
     _table_colmap = TableStore._table_colmap
 
-    def table_logical_schema(self, table: str):
-        """Merged declared LOGICAL payload schema across the table's
-        manifest partitions — what ``TableStore.read`` would surface,
-        derived without a session (manifest JSON only; listing-mode
-        partitions contribute nothing and raise downstream if they
-        were the only source of truth)."""
+    def table_schema_colmap(self, table: str) -> tuple:
+        """ONE manifest pass returning the merged declared LOGICAL
+        payload schema AND the union column mapping — what
+        ``TableStore.read`` would surface, derived without a session
+        (manifest JSON only). The streaming source calls this once
+        per microbatch; splitting it into schema and colmap sweeps
+        would re-parse every manifest twice (review r9 wave 3)."""
         import functools
 
         p = Path(self._path(table))
         declared = []
+        bodies = []
         if not p.exists():
-            return None
+            return None, {}
         for part in sorted(p.glob(f"{PARTITION_COL}=*")):
             m = self._manifest(part)
-            if m and m.get("schema"):
+            if not m:
+                continue
+            bodies.append(m)
+            if m.get("schema"):
                 declared.append(_schema_from_json(m["schema"]))
-        return functools.reduce(_merge_schemas, declared) if declared else None
+        colmap, _ = _union_colmap(bodies, p.name)
+        schema = functools.reduce(_merge_schemas, declared) if declared else None
+        return schema, colmap
+
+    def table_logical_schema(self, table: str):
+        return self.table_schema_colmap(table)[0]
 
 
 def apply_changes(base: DataFrame, changes: DataFrame) -> DataFrame:

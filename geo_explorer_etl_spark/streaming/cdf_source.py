@@ -80,7 +80,6 @@ class CDFSlicePartition(InputPartition):
     path: str
     kind: str
     ts: float
-    schema_json: str | None
     colmap: dict
     mask: tuple | None
     partition_value: int | None
@@ -136,7 +135,10 @@ class StoreCDFStreamReader(DataSourceStreamReader):
         # column's data under the new name, exactly where the fixed
         # schema expects it (the batch read_changes keeps era names
         # and unions — a luxury a fixed-schema source doesn't have)
-        current_colmap, _ = meta._table_colmap(Path(meta._path(self._table)))
+        # ONE manifest pass feeds both the current mapping and the
+        # schema-drift guard (review r9 wave 3 — partitions() was
+        # sweeping the manifest set three times per microbatch)
+        current_schema, current_colmap = meta.table_schema_colmap(self._table)
         # schema-drift guard (review r9 wave 2): the output schema was
         # captured at query start; a column RENAMED or DROPPED since
         # then would silently stream as all-NULL through the fixed
@@ -144,8 +146,8 @@ class StoreCDFStreamReader(DataSourceStreamReader):
         # purely ADDED since start keep streaming (they just don't
         # surface until a restart adopts the wider schema).
         current_names = {
-            f.name for f in cdf_output_schema(meta, self._table).fields
-        }
+            f.name for f in (current_schema.fields if current_schema else [])
+        } | {PARTITION_COL, CHANGE_TYPE_COL, COMMITTED_AT_COL}
         stale = sorted(
             f.name for f in self._schema.fields if f.name not in current_names
         )
@@ -168,7 +170,10 @@ class StoreCDFStreamReader(DataSourceStreamReader):
                     path=s["path"],
                     kind=s["kind"],
                     ts=float(s["ts"]),
-                    schema_json=s["schema"],
+                    # the CURRENT mapping, not the slice's era (fixed
+                    # source schema — physical names are stable); the
+                    # era schema is deliberately NOT shipped: read()
+                    # aligns to out_schema_json alone
                     colmap=dict(current_colmap),
                     mask=s["mask"],
                     partition_value=pv,

@@ -2721,3 +2721,71 @@ def test_delete_dv_positions_beyond_inline_cap_use_second_pass(spark, tmp_path):
     assert entry["count"] == 12
     got = sorted(r["k"] for r in store.read("IndicatorValues").collect())
     assert got == sorted(set(range(40)) - set(keys))
+
+
+def test_zone_maps_keep_nan_rows_for_gt_ge_ne_predicates(spark, tmp_path):
+    """Review r9 wave-3 #1: parquet stats ignore NaN, and under Spark
+    semantics NaN sorts ABOVE every value and equals NaN — so the
+    recorded max cannot disprove '>', '>=', '!=' on float columns. A
+    [5.0, NaN] file reporting max=5.0 must stay in the scan for
+    k > 100 (its NaN row matches), and delete_where(k > 100) must
+    delete that row, not classify the file 'provably untouched'."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        _file_may_match,
+    )
+
+    # unit pins: float stats never prune the NaN-inclusive ops ...
+    fs = {"x": [1.0, 5.0], "__nulls__": {"x": 0}}
+    assert _file_may_match(fs, [("x", ">", 100.0)])
+    assert _file_may_match(fs, [("x", ">=", 100.0)])
+    assert _file_may_match({"x": [5.0, 5.0], "__nulls__": {"x": 0}}, [("x", "!=", 5.0)])
+    # ... but NaN-exclusive ops still do, and int stats are unaffected
+    assert not _file_may_match(fs, [("x", "<", 0.5)])
+    assert not _file_may_match(fs, [("x", "==", 100.0)])
+    assert not _file_may_match(fs, [("x", "between", (100.0, 200.0))])
+    assert not _file_may_match({"k": [1, 5], "__nulls__": {"k": 0}}, [("k", ">", 100)])
+    # a NaN probe value never prunes (it equals NaN rows stats can't see)
+    assert _file_may_match(fs, [("x", "==", float("nan"))])
+    assert _file_may_match(fs, [("x", "in", (float("nan"),))])
+
+    root = str(tmp_path / "store")
+    pid = 97
+    store = TableStore(spark, root)
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan"))], "id long, x double"
+    ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+    store.replace_product_all(pid, {"IndicatorValues": df.coalesce(1)})
+
+    got = store.read("IndicatorValues", where=[("x", ">", 100.0)]).collect()
+    assert [r["id"] for r in got] == [2]  # the NaN row matches k > 100
+    n = store.delete_where("IndicatorValues", [("x", ">", 100.0)])
+    assert n == 1
+    left = [(r["id"], str(r["x"])) for r in store.read("IndicatorValues").collect()]
+    assert left == [(1, "5.0")]
+
+
+def test_store_meta_verifies_format_tag(spark, tmp_path):
+    """Review r9 wave-3 #2: StoreMeta (the Spark-free front door the
+    streaming source uses) must fail fast on a backend/layout
+    mismatch like TableStore does — a CAS store opened with the
+    default localfs backend reads no manifests and a stream would
+    silently emit nothing forever."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        StoreMeta,
+        TableStore,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root, backend="cas")
+    df = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    store.replace_product_all(1, {"IndicatorValues": df})
+    with _pytest.raises(ValueError, match="formatted for commit backend"):
+        StoreMeta(root)  # default localfs vs the cas layout
+    assert StoreMeta(root, backend="cas").table_logical_schema(
+        "IndicatorValues"
+    ) is not None
