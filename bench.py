@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "flagship_primary_query",
     "q1_pricing_summary",
+    # since round 8, q3 ends in ORDER BY revenue DESC LIMIT 100 (the
+    # folded O4 pin) — timings are not comparable with BENCH_r{<=7}
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "j8_anti_composite_key",
