@@ -267,18 +267,26 @@ def _delete_meta(root: str) -> dict:
     return _json.loads(Path(f"{root}/_probe.json").read_text())
 
 
-def _next_run_idx(root: str) -> int:
+def _peek_run_idx(root: str) -> int:
     """Per-store invocation counter (driver-side; the bench is
     serial): selects which precomputed disjoint id slice this run
     deletes, so every timed pass does the same amount of REAL work
-    instead of re-deleting already-deleted rows."""
+    instead of re-deleting already-deleted rows. The increment is
+    persisted by ``_commit_run_idx`` only AFTER the delete completes,
+    so an aborted/crashed run re-uses (re-deletes) its slice instead
+    of permanently burning one of the 16 (ADVICE r9)."""
     import json as _json
     from pathlib import Path
 
     p = Path(root) / "_runidx.json"
-    i = int(_json.loads(p.read_text())["i"]) if p.exists() else 0
-    p.write_text(_json.dumps({"i": i + 1}))
-    return i
+    return int(_json.loads(p.read_text())["i"]) if p.exists() else 0
+
+
+def _commit_run_idx(root: str, i: int) -> None:
+    import json as _json
+    from pathlib import Path
+
+    (Path(root) / "_runidx.json").write_text(_json.dumps({"i": i + 1}))
 
 
 def store_delete_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,8 +296,10 @@ def store_delete_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _delete_roots(spark)[0]
     store = TableStore(spark, root)
     meta = _delete_meta(root)
-    lo, hi = meta["bands"][_next_run_idx(root) % len(meta["bands"])]
+    i = _peek_run_idx(root)
+    lo, hi = meta["bands"][i % len(meta["bands"])]
     store.delete_where(TABLE, [("event_id", "between", (lo, hi))])
+    _commit_run_idx(root, i)
     return _agg(store.read(TABLE, where=[("event_id", "between", (lo, hi))]))
 
 
@@ -300,8 +310,10 @@ def store_delete_scattered_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _delete_roots(spark)[1]
     store = TableStore(spark, root)
     meta = _delete_meta(root)
-    ids = meta["sets"][_next_run_idx(root) % len(meta["sets"])]
+    i = _peek_run_idx(root)
+    ids = meta["sets"][i % len(meta["sets"])]
     store.delete_where(TABLE, [("event_id", "in", ids)], mode="cow")
+    _commit_run_idx(root, i)
     return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
 
 
@@ -313,8 +325,10 @@ def store_delete_scattered_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _delete_roots(spark)[2]
     store = TableStore(spark, root)
     meta = _delete_meta(root)
-    ids = meta["sets"][_next_run_idx(root) % len(meta["sets"])]
+    i = _peek_run_idx(root)
+    ids = meta["sets"][i % len(meta["sets"])]
     store.delete_where(TABLE, [("event_id", "in", ids)], mode="dv")
+    _commit_run_idx(root, i)
     return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
 
 

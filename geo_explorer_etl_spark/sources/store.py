@@ -1314,7 +1314,18 @@ class TableStore:
         within a table — file names are uuid-suffixed per write job,
         and equal names can only recur across DIFFERENT partition
         dirs (one partitioned write lands the same part-file name in
-        several partitions), which the dir segment disambiguates."""
+        several partitions), which the dir segment disambiguates.
+
+        A payload column named like one of the three join keys would be
+        silently overwritten here and then "restored" corrupted by the
+        post-join ``select(*cols)`` on every masked read — refuse
+        loudly instead (ADVICE r9)."""
+        clash = {"__dv_part", "__dv_name", "__dv_pos"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"reserved column name(s) {sorted(clash)} collide with the "
+                "deletion-vector join keys — rename the payload column(s)"
+            )
         segs = F.split(F.col("_metadata.file_path"), "/")
         return (
             df.withColumn("__dv_part", F.element_at(segs, -2))
@@ -1353,7 +1364,15 @@ class TableStore:
             reader.parquet(*sorted(masked_paths)), probe, "exclude"
         )
         if plain:
-            df = reader.parquet(*plain).unionByName(df)
+            # allowMissingColumns: when the manifest carries no declared
+            # schema (legacy) the two halves are independently inferred,
+            # so heterogeneous file schemas must align by name with
+            # null-fill — the same rule read_at/read_changes use
+            # (ADVICE r9). With a declared schema both sides are
+            # identical and this is a no-op.
+            df = reader.parquet(*plain).unionByName(
+                df, allowMissingColumns=True
+            )
         return df
 
     def _mask_live(self, df: DataFrame, part_dir: Path, dv: dict) -> DataFrame:
@@ -1659,12 +1678,27 @@ class TableStore:
         by_commit: dict[tuple, dict] = {}
         for s in slices:
             mode = s["mask"][0] if s["mask"] else None
+            # the COLUMN MAPPING is part of the group key: a
+            # multi-partition commit (replace_product_all) lands several
+            # partitions under ONE committed_at, and partitions with
+            # different mappings cannot share a scan (one rename applies
+            # per frame); the DECLARED SCHEMAS of a group's slices merge
+            # so no slice's column reads as absent under a narrower
+            # sibling schema (ADVICE r9)
+            cmap_key = tuple(sorted((s["colmap"] or {}).items()))
             g = by_commit.setdefault(
-                (s["kind"], s["ts"], mode),
+                (s["kind"], s["ts"], mode, cmap_key),
                 {"items": [], "schema": s["schema"], "colmap": s["colmap"]},
             )
+            if s["schema"] and g["schema"] and s["schema"] != g["schema"]:
+                g["schema"] = _merge_schemas(
+                    _schema_from_json(g["schema"]),
+                    _schema_from_json(s["schema"]),
+                ).json()
+            elif s["schema"] and not g["schema"]:
+                g["schema"] = s["schema"]
             g["items"].append((s["path"], s["mask"]))
-        for (kind, ts, mode), g in sorted(
+        for (kind, ts, mode, _cmap), g in sorted(
             by_commit.items(), key=lambda kv: (kv[0][1], kv[0][0], str(kv[0][2]))
         ):
             reader = self.spark.read.option("basePath", str(p))

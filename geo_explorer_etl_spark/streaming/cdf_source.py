@@ -195,9 +195,19 @@ class StoreCDFStreamReader(DataSourceStreamReader):
         if partition.mask is not None:
             mode, positions = partition.mask
             sel = np.zeros(tbl.num_rows, dtype=bool)
-            pos = np.asarray(
-                [p for p in positions if p < tbl.num_rows], dtype="int64"
-            )
+            pos = np.asarray(positions, dtype="int64")
+            # a position beyond the file is CORRUPTION (a sidecar
+            # associated with the wrong/truncated file): silently
+            # dropping it would, for an 'exclude' mask, resurrect a
+            # deleted row in the feed — the failure mode _dv_positions
+            # refuses to paper over. Raise, naming the slice (ADVICE r9).
+            bad = pos[(pos < 0) | (pos >= tbl.num_rows)]
+            if len(bad):
+                raise ValueError(
+                    f"store_cdf: deletion-vector position {int(bad[0])} out "
+                    f"of range for {partition.path} ({tbl.num_rows} rows) — "
+                    "mask/file mismatch; run fsck"
+                )
             sel[pos] = True
             if mode == "exclude":
                 sel = ~sel

@@ -2789,3 +2789,92 @@ def test_store_meta_verifies_format_tag(spark, tmp_path):
     assert StoreMeta(root, backend="cas").table_logical_schema(
         "IndicatorValues"
     ) is not None
+
+
+def test_dv_reserved_column_names_raise(spark, tmp_path):
+    """ADVICE r9: a payload column named like one of the deletion-
+    vector join keys (__dv_part/__dv_name/__dv_pos) would be silently
+    overwritten by file-path metadata on every masked read and then
+    "restored" corrupted — the store refuses it loudly instead."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(20)], "k long, __dv_pos long"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df})
+    with _pytest.raises(ValueError, match="reserved column name"):
+        store.delete_where("IndicatorValues", [("k", "==", 3)], mode="dv")
+
+
+def test_scan_with_dv_legacy_heterogeneous_schemas(spark, tmp_path):
+    """ADVICE r9: in a LEGACY partition (no declared schema) the
+    masked and plain file subsets are independently inferred — the
+    union must align by name with null-fill, not raise, when the
+    files are heterogeneous."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    f1 = spark.createDataFrame(
+        [(k, "a") for k in range(10)], "k long, a string"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    f2 = spark.createDataFrame(
+        [(k, 1.5) for k in range(100, 110)], "k long, b double"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": f1.coalesce(1)})
+    store.append("IndicatorValues", f2.coalesce(1))
+    part = (
+        __import__("pathlib").Path(store._path("IndicatorValues"))
+        / f"{PARTITION_COL}=1"
+    )
+    # strip the declared schema: the legacy (pre-schema) manifest era
+    with store._exclusive_lock():
+        store._update_manifest(
+            part, lambda prior: {k: v for k, v in prior.items() if k != "schema"}
+        )
+    # mask one row of the FIRST file only (sparse -> deletion vector)
+    n = store.delete_where("IndicatorValues", [("k", "==", 3)], mode="dv")
+    assert n == 1
+    got = store.read("IndicatorValues")
+    assert {"k", "a", "b"} <= set(got.columns)
+    rows = {r["k"]: (r["a"], r["b"]) for r in got.collect()}
+    assert 3 not in rows and len(rows) == 19
+    assert rows[4] == ("a", None) and rows[105] == (None, 1.5)
+
+
+def test_read_changes_same_ts_partitions_merge_declared_schemas(spark, tmp_path):
+    """ADVICE r9: two partitions committing at an IDENTICAL
+    committed_at (a multi-partition publish) with different declared
+    schemas must not read one partition's file under the other's
+    narrower schema — the change feed merges the group's declared
+    schemas (and keys groups by column mapping)."""
+    import json as _json
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    fa = spark.createDataFrame([(1, "x")], "k long, a string").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    fb = spark.createDataFrame([(2, 9.5)], "k long, b double").withColumn(
+        PARTITION_COL, F.lit(2).cast("long")
+    )
+    store.replace_product_all(1, {"IndicatorValues": fa})
+    store.replace_product_all(2, {"IndicatorValues": fb})
+    # force the two commits onto ONE timestamp (what a cross-partition
+    # atomic publish produces): rewrite each journal body's committed_at
+    troot = Path(store._path("IndicatorValues"))
+    for pid in (1, 2):
+        hist = troot / f"{PARTITION_COL}={pid}" / "_history"
+        for h in sorted(hist.glob("*.json")):
+            if h.name.startswith("_"):
+                continue
+            body = _json.loads(h.read_text())
+            body["committed_at"] = 1_000_000.0
+            h.write_text(_json.dumps(body))
+    ch = store.read_changes("IndicatorValues", since=0.0, until=2_000_000.0)
+    assert {"k", "a", "b"} <= set(ch.columns)
+    rows = {r["k"]: (r["a"], r["b"], r["_change_type"]) for r in ch.collect()}
+    assert rows[1] == ("x", None, "insert")
+    assert rows[2] == (None, 9.5, "insert")

@@ -1227,3 +1227,45 @@ def test_store_cdf_source_fails_loudly_on_midstream_rename(spark, tmp_path):
     # ... while a RESTARTED query (fresh schema) adopts the new name
     rows2 = run()
     assert [(r["k"], r["label"]) for r in rows2] == [(3, "c")]
+
+
+def test_store_cdf_read_raises_on_out_of_range_mask(tmp_path):
+    """ADVICE r9 (medium): an executor-side mask position beyond the
+    file's row count is a sidecar/file mismatch — for an 'exclude'
+    mask silently dropping it would resurrect deleted rows in the
+    feed. The slice read must raise, naming the path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from geo_explorer_etl_spark.streaming.cdf_source import (
+        CDFSlicePartition,
+        StoreCDFStreamReader,
+    )
+
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], type=pa.int64())}), path)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("IndicatorThemeId", T.LongType()),
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_committed_at", T.DoubleType(), False),
+        ]
+    )
+    reader = StoreCDFStreamReader(schema, {"path": str(tmp_path)})
+    part = CDFSlicePartition(
+        path=path,
+        kind="delete",
+        ts=1.0,
+        colmap={},
+        mask=("exclude", [0, 7]),  # 7 >= 3 rows: corrupt association
+        partition_value=1,
+        out_schema_json=schema.json(),
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        list(reader.read(part))
+    # a well-formed mask on the same file still reads
+    part.mask = ("exclude", [0])
+    batches = list(reader.read(part))
+    assert sum(b.num_rows for b in batches) == 2
