@@ -70,6 +70,16 @@ HEADLINE = [
     "store_delete_narrow",
     "store_delete_scattered_cow",
     "store_delete_scattered_dv",
+    # UPDATE twins: the same scattered workload with rows TRANSFORMED
+    # in place — copy-on-write rewrite vs deletion-vector mask + one
+    # small transformed-rows file
+    "store_update_scattered_cow",
+    "store_update_scattered_dv",
+    # MERGE-scattered twins: the same scattered key set UPSERTED —
+    # copy-on-write candidate rewrites vs deletion-vector masks + one
+    # clustered insert file
+    "store_merge_scattered_cow",
+    "store_merge_scattered_dv",
 ]
 
 
@@ -100,6 +110,10 @@ def main() -> None:
         "store_delete_narrow",
         "store_delete_scattered_cow",
         "store_delete_scattered_dv",
+        "store_update_scattered_cow",
+        "store_update_scattered_dv",
+        "store_merge_scattered_cow",
+        "store_merge_scattered_dv",
     ):
         queries[name] = getattr(store_bench, name)
 

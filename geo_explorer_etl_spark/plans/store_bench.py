@@ -82,6 +82,16 @@ def _delete_roots(spark: SparkSession) -> tuple[str, str, str]:
     )
 
 
+def _update_roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_upd_cow", f"{wh}/bench_store_upd_dv"
+
+
+def _merge_scatter_roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_mrg_cow", f"{wh}/bench_store_mrg_dv"
+
+
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """One-time layout setup, untimed: publish events into a
     fragmented store (range-disjoint small files with zone maps) and a
@@ -194,6 +204,30 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
         for i in range(16)
     ]
     for root in (del_narrow_root, del_cow_root, del_dv_root):
+        Path(f"{root}/_probe.json").write_text(
+            _json.dumps({"sets": sets, "bands": bands})
+        )
+    # UPDATE twins (VERDICT r10 directive #1): the same big-file layout
+    # and disjoint scattered id slices, but the matched rows are
+    # TRANSFORMED in place (SET value = value + 1) instead of dropped —
+    # COW rewrites every touched file; the DV path writes per-file
+    # position sidecars masking the OLD rows plus ONE small file with
+    # the transformed rows.
+    upd_cow_root, upd_dv_root = _update_roots(spark)
+    for root in (upd_cow_root, upd_dv_root):
+        _shutil.rmtree(root, ignore_errors=True)
+        TableStore(spark, root).replace_product_all(PID, {TABLE: byid_big})
+        Path(f"{root}/_probe.json").write_text(
+            _json.dumps({"sets": sets, "bands": bands})
+        )
+    # MERGE-scattered twins (VERDICT r10 directive #2): a ~250-key
+    # scattered upsert on the big-file layout — COW rewrites every
+    # candidate file; the DV path masks the old row versions and lands
+    # the batch as one clustered insert file.
+    mrg_cow_root, mrg_dv_root = _merge_scatter_roots(spark)
+    for root in (mrg_cow_root, mrg_dv_root):
+        _shutil.rmtree(root, ignore_errors=True)
+        TableStore(spark, root).replace_product_all(PID, {TABLE: byid_big})
         Path(f"{root}/_probe.json").write_text(
             _json.dumps({"sets": sets, "bands": bands})
         )
@@ -328,6 +362,76 @@ def store_delete_scattered_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = _peek_run_idx(root)
     ids = meta["sets"][i % len(meta["sets"])]
     store.delete_where(TABLE, [("event_id", "in", ids)], mode="dv")
+    _commit_run_idx(root, i)
+    return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
+
+
+def store_update_scattered_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A scattered ~250-id UPDATE (SET value = value + 1) under
+    COPY-ON-WRITE: the ids hit most of the big files and every touched
+    file is rewritten — what update-as-read-transform-replace costs."""
+    root = _update_roots(spark)[0]
+    store = TableStore(spark, root)
+    meta = _delete_meta(root)
+    i = _peek_run_idx(root)
+    ids = meta["sets"][i % len(meta["sets"])]
+    store.update_where(
+        TABLE, {"value": "value + 1"}, [("event_id", "in", ids)], mode="cow"
+    )
+    _commit_run_idx(root, i)
+    return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
+
+
+def store_update_scattered_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME scattered update under DELETION VECTORS (merge-on-read
+    UPDATE): per-file sidecars mask the old row positions and one
+    small file carries the transformed rows — at 100 TB the write
+    cost is the mask plus the matched rows, not the table."""
+    root = _update_roots(spark)[1]
+    store = TableStore(spark, root)
+    meta = _delete_meta(root)
+    i = _peek_run_idx(root)
+    ids = meta["sets"][i % len(meta["sets"])]
+    store.update_where(
+        TABLE, {"value": "value + 1"}, [("event_id", "in", ids)], mode="dv"
+    )
+    _commit_run_idx(root, i)
+    return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
+
+
+def _scatter_upsert(spark: SparkSession, ids: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(k), -2.0) for k in ids], "event_id long, value double"
+    ).withColumn("IndicatorThemeId", F.lit(PID).cast("long"))
+
+
+def store_merge_scattered_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A scattered ~250-key upsert under COPY-ON-WRITE merge: the keys
+    hit every big file, so every candidate is anti-joined and
+    rewritten — the pre-r10 MERGE cost shape, kept as the measured
+    fallback."""
+    root = _merge_scatter_roots(spark)[0]
+    store = TableStore(spark, root)
+    meta = _delete_meta(root)
+    i = _peek_run_idx(root)
+    ids = meta["sets"][i % len(meta["sets"])]
+    store.merge_rows(TABLE, _scatter_upsert(spark, ids), ["event_id"], mode="cow")
+    _commit_run_idx(root, i)
+    return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
+
+
+def store_merge_scattered_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME scattered upsert under DELETION VECTORS: per-file
+    sidecars mask the superseded row versions and the batch lands as
+    ONE clustered insert file — zero candidate rewrites. At 100 TB
+    the write cost is the batch plus kilobytes of mask, not the
+    touched files."""
+    root = _merge_scatter_roots(spark)[1]
+    store = TableStore(spark, root)
+    meta = _delete_meta(root)
+    i = _peek_run_idx(root)
+    ids = meta["sets"][i % len(meta["sets"])]
+    store.merge_rows(TABLE, _scatter_upsert(spark, ids), ["event_id"], mode="dv")
     _commit_run_idx(root, i)
     return _agg(store.read(TABLE, where=[("event_id", "==", ids[0])]))
 

