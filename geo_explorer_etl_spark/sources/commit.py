@@ -80,7 +80,15 @@ class CommitBackend(ABC):
     @abstractmethod
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         """Current (version, body) of the blob, or None if never
-        committed. Versions start at 1."""
+        committed. Versions start at 1.
+
+        Returned bodies may be CACHED and SHARED across calls (both
+        backends memoize parsed JSON keyed by the blob's identity —
+        stat signature / immutable commit-file name — because a hot
+        serving path re-reads the same manifest on every query and the
+        parse dominated the driver-side plan cost). Callers must treat
+        them as READ-ONLY: every update_fn builds a new body (verified
+        across store.py), never mutates the prior in place."""
 
     @abstractmethod
     def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
@@ -114,12 +122,38 @@ class LocalFSBackend(CommitBackend):
 
     format_name = "localfs"
 
+    #: Parsed-manifest cache entries retained before a full reset (a
+    #: safety bound, not an LRU — a store's live blob count is tiny).
+    READ_CACHE_MAX = 4096
+
+    def __init__(self) -> None:
+        self._read_cache: dict[str, tuple[tuple, tuple[int, dict]]] = {}
+
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         f = d / key
-        if not f.exists():
-            return None
-        body = json.loads(f.read_text())
-        return int(body.get("version", 0)), body
+        # stat-signature memo: the atomic-rename publish always lands a
+        # NEW inode, so (mtime_ns, size, ino) equality proves the cached
+        # parse is the current snapshot — a read-heavy serving loop pays
+        # the JSON parse once per commit, not once per query
+        for _ in range(3):
+            try:
+                st = f.stat()
+            except OSError:
+                return None
+            sig = (st.st_mtime_ns, st.st_size, st.st_ino)
+            hit = self._read_cache.get(str(f))
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+            try:
+                body = json.loads(f.read_text())
+            except FileNotFoundError:
+                continue  # swapped away between stat and read: re-resolve
+            out = (int(body.get("version", 0)), body)
+            if len(self._read_cache) >= self.READ_CACHE_MAX:
+                self._read_cache.clear()
+            self._read_cache[str(f)] = (sig, out)
+            return out
+        raise OSError(f"{f}: kept vanishing between stat and read")
 
     def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
         import fcntl
@@ -187,6 +221,11 @@ class CASBackend(CommitBackend):
     def _log_dir(d: Path, key: str) -> Path:
         return d / "_cas" / key
 
+    READ_CACHE_MAX = 4096
+
+    def __init__(self) -> None:
+        self._read_cache: dict[str, tuple[int, dict]] = {}
+
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         log = self._log_dir(d, key)
         if not log.exists():
@@ -197,7 +236,17 @@ class CASBackend(CommitBackend):
                 latest = f
         if latest is None:
             return None
-        return int(latest.stem), json.loads(latest.read_text())
+        # commit files are immutable once linked in: the parsed body
+        # caches by exact path forever (the LIST above still runs —
+        # that's the freshness check; only the re-parse is saved)
+        hit = self._read_cache.get(str(latest))
+        if hit is not None:
+            return hit
+        out = (int(latest.stem), json.loads(latest.read_text()))
+        if len(self._read_cache) >= self.READ_CACHE_MAX:
+            self._read_cache.clear()
+        self._read_cache[str(latest)] = out
+        return out
 
     def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
         version = expected_version + 1
@@ -290,11 +339,20 @@ def cas_update(
     )
 
 
+_SHARED_BACKENDS: dict[str, CommitBackend] = {}
+
+
 def make_backend(backend: str | CommitBackend) -> CommitBackend:
     if isinstance(backend, CommitBackend):
         return backend
-    if backend == "localfs":
-        return LocalFSBackend()
-    if backend == "cas":
-        return CASBackend()
+    if backend in ("localfs", "cas"):
+        # one shared instance per kind: both are stateless apart from
+        # their read caches, and sharing lets a serving pattern that
+        # constructs a fresh TableStore per query keep its parsed
+        # manifests warm across handles
+        if backend not in _SHARED_BACKENDS:
+            _SHARED_BACKENDS[backend] = (
+                LocalFSBackend() if backend == "localfs" else CASBackend()
+            )
+        return _SHARED_BACKENDS[backend]
     raise ValueError(f"unknown commit backend {backend!r} (localfs|cas)")

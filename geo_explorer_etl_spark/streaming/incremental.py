@@ -175,6 +175,32 @@ def exactly_once_sink(
     )
 
 
+def merge_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    store,
+    table: str,
+    key_cols: list[str],
+    stream_id: str,
+):
+    """Exactly-once micro-batch MERGE (upsert-by-key) into a
+    TableStore: the epoch ledger skips a replayed batch outright, and
+    a crash between merge and record converges because re-upserting
+    the IDENTICAL batch is idempotent (same keys, same values). The
+    native ``format("store")`` sink cannot carry merge — its commit
+    hook runs in a session-less worker and MERGE needs joins against
+    the current snapshot — so merge pipelines compose here, where
+    foreachBatch has the driver session."""
+
+    def apply(df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) <= int(store._epoch_ledger().get(stream_id, -1)):
+            return  # replayed batch: already merged
+        store.merge_rows(table, df, key_cols)
+        store._record_epoch(stream_id, int(epoch_id))
+
+    return upsert_sink(stream_df, checkpoint_dir, apply)
+
+
 class ChangeFeedReader:
     """Incremental CHANGE-FEED consumer over a ``TableStore`` table —
     the availableNow-style source twin of ``read_changes`` (VERDICT r6

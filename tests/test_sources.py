@@ -3118,3 +3118,63 @@ def test_merge_rows_scattered_dv_writes_sidecars(spark, tmp_path):
     assert got == want
     assert (8, "U") in got and (200, "new") in got and len(got) == 101
     assert store.count_rows("IndicatorValues") == 101
+
+
+def test_type_widening_through_schema_evolution(spark, tmp_path):
+    """VERDICT r10 directive #5: safe promotions (int->long,
+    float->double) evolve the DECLARED schema to the wider type — old
+    files' narrow physical encodings upcast at scan time, old
+    snapshots time-travel with the type THEY declared, a narrower
+    late append still reads back under the widened type, unsafe
+    conversions still raise, and fsck stays green."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    f_narrow = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k long, v int, x float"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": f_narrow.coalesce(1)})
+    t0 = time.time()
+
+    f_wide = spark.createDataFrame(
+        [(3, 3_000_000_000, 3.25)], "k long, v long, x double"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.append("IndicatorValues", f_wide.coalesce(1))
+
+    cur = store.read("IndicatorValues")
+    types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    assert types["v"] == "bigint" and types["x"] == "double"
+    rows = {r["k"]: (r["v"], r["x"]) for r in cur.collect()}
+    assert rows[1] == (10, 1.5) and rows[3] == (3_000_000_000, 3.25)
+
+    # the pre-widening snapshot keeps ITS declared type
+    old = store.read_at("IndicatorValues", t0)
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    assert old_types["v"] == "int" and old_types["x"] == "float"
+    assert {r["k"] for r in old.collect()} == {1, 2}
+
+    # a NARROWER late append is legal (declared stays wide) ...
+    f_late = spark.createDataFrame(
+        [(4, 40, 4.5)], "k long, v int, x float"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.append("IndicatorValues", f_late.coalesce(1))
+    cur2 = store.read("IndicatorValues")
+    assert cur2.schema["v"].dataType.simpleString() == "bigint"
+    assert {r["k"]: r["v"] for r in cur2.collect()}[4] == 40
+
+    # ... an INCOMPARABLE conversion still raises
+    f_bad = spark.createDataFrame([(5, "oops")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    with _pytest.raises(ValueError, match="type conflict"):
+        store.append("IndicatorValues", f_bad)
+
+    # zone maps still prune across mixed-width files, and fsck is green
+    assert len(store.live_files("IndicatorValues", [("v", ">", 100)])) <= 2
+    report = store.fsck()
+    assert not report.get("missing") and not report.get("corrupt")
+    # predicate read returns the right rows across eras
+    got = {r["k"] for r in store.read("IndicatorValues", where=[("v", ">", 15)]).collect()}
+    assert got == {2, 3, 4}
