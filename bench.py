@@ -55,10 +55,15 @@ HEADLINE = [
     # prune nothing; per-file blooms prune to the holding file(s)
     "store_point_bloom",
     "store_point_nobloom",
-    # MERGE twins: single-key upsert via the file-granularity
-    # copy-on-write path (1 file rewritten, rest by reference) vs the
-    # whole-partition rewrite fallback; CDF twins: one-commit
-    # incremental read vs the full-snapshot resync it replaces
+    # MERGE twins: single-key upsert via the file-granularity path vs
+    # the whole-partition rewrite fallback; CDF twins: one-commit
+    # incremental read vs the full-snapshot resync it replaces.
+    # NOTE since round 10 merge_rows defaults to mode="auto", so the
+    # narrow upsert takes the DELETION-VECTOR path (mask + insert
+    # file, counting scan included) instead of the r8/r9 single-file
+    # rewrite — store_merge_narrow timings are not directly comparable
+    # with BENCH_r{<=9}; the rewrite shape is pinned by the
+    # mode="cow" pytest and the scattered cow/dv twin pair below.
     "store_merge_narrow",
     "store_merge_wide",
     "store_cdf_read",

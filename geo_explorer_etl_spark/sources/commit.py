@@ -224,7 +224,7 @@ class CASBackend(CommitBackend):
     READ_CACHE_MAX = 4096
 
     def __init__(self) -> None:
-        self._read_cache: dict[str, tuple[int, dict]] = {}
+        self._read_cache: dict[str, tuple[tuple, tuple[int, dict]]] = {}
 
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         log = self._log_dir(d, key)
@@ -236,16 +236,26 @@ class CASBackend(CommitBackend):
                 latest = f
         if latest is None:
             return None
-        # commit files are immutable once linked in: the parsed body
-        # caches by exact path forever (the LIST above still runs —
-        # that's the freshness check; only the re-parse is saved)
+        # commit files are immutable once linked in — but a PATH can be
+        # REUSED with different content after delete() (legacy
+        # replace_product drops the whole log and versioning restarts
+        # at 1), or after an out-of-band rmtree+recreate of the store
+        # root. Key the cache on the file's stat signature too, the
+        # same rule as the localfs backend: the put-if-absent link
+        # always creates a fresh inode, so signature equality proves
+        # the cached parse is this very commit (review r10).
+        try:
+            st = latest.stat()
+        except OSError:
+            return None  # pruned between LIST and stat: re-resolve next read
+        sig = (st.st_mtime_ns, st.st_size, st.st_ino)
         hit = self._read_cache.get(str(latest))
-        if hit is not None:
-            return hit
+        if hit is not None and hit[0] == sig:
+            return hit[1]
         out = (int(latest.stem), json.loads(latest.read_text()))
         if len(self._read_cache) >= self.READ_CACHE_MAX:
             self._read_cache.clear()
-        self._read_cache[str(latest)] = out
+        self._read_cache[str(latest)] = (sig, out)
         return out
 
     def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:

@@ -446,17 +446,44 @@ def _bloom_decode(bloom: dict) -> tuple[bytes, int, int] | None:
     return _bloom_decode_b64(b64, m, k)
 
 
-@_functools.lru_cache(maxsize=8192)
+#: Byte-bounded decode memo (NOT an entry-count lru: a bloom body can
+#: be 128 KiB, so 8192 count-bounded entries could pin ~GiB of driver
+#: RSS — review r10). Keys are the b64 strings themselves: with
+#: manifests cached by the commit backend these are REFERENCES to
+#: already-alive objects, so the cache's own footprint is the decoded
+#: bytes, capped below. Cleared wholesale on overflow (cheap; refill
+#: is one decode per live file).
+_BLOOM_DECODE_CACHE: dict = {}
+_BLOOM_DECODE_CACHE_MAX_BYTES = 128 << 20
+_BLOOM_DECODE_CACHE_BYTES = [0]
+_BLOOM_DECODE_LOCK = __import__("threading").Lock()
+
+
 def _bloom_decode_b64(b64: str, m: int, k: int) -> tuple[bytes, int, int] | None:
     import base64
 
+    key = (b64, m, k)
+    hit = _BLOOM_DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit[0]  # (value,) wrapper so a cached None is a hit too
     try:
         bits = base64.b64decode(b64)
     except Exception:
-        return None
-    if m <= 0 or len(bits) * 8 < m:  # truncated/corrupt body
-        return None
-    return bits, m, k
+        bits = None
+    out = None if bits is None or m <= 0 or len(bits) * 8 < m else (bits, m, k)
+    # size accounting counts the KEY STRING too: a failed decode still
+    # pins its (possibly 100 KiB+) b64 key, so corrupt-entry floods
+    # must also trip the cap; the under-lock re-check prevents a racing
+    # duplicate insert from double-counting (review r10 wave 2)
+    size = len(b64) + (len(bits) if bits is not None else 0)
+    with _BLOOM_DECODE_LOCK:
+        if key not in _BLOOM_DECODE_CACHE:
+            if _BLOOM_DECODE_CACHE_BYTES[0] + size > _BLOOM_DECODE_CACHE_MAX_BYTES:
+                _BLOOM_DECODE_CACHE.clear()
+                _BLOOM_DECODE_CACHE_BYTES[0] = 0
+            _BLOOM_DECODE_CACHE[key] = (out,)
+            _BLOOM_DECODE_CACHE_BYTES[0] += size
+    return out
 
 
 def _bloom_probe_keys(val) -> list[str]:
@@ -1318,9 +1345,15 @@ class TableStore:
 
     #: Decoded sidecar memo shared across TableStore handles (sidecars
     #: are immutable and uuid-named, so a path can never re-bind to
-    #: different bytes); bounded by total cached POSITIONS, not entries.
+    #: different bytes); bounded by total cached POSITIONS, not
+    #: entries. The lock guards the size-accounting sweep — DML
+    #: partition passes run from a driver thread pool, and an
+    #: unguarded ``sum`` over a dict other threads insert into raises
+    #: ``dictionary changed size during iteration`` (review r10).
     _DV_DECODE_CACHE: dict[str, object] = {}
     _DV_DECODE_CACHE_MAX_POSITIONS = 32 << 20
+    _DV_DECODE_CACHE_POSITIONS = [0]  # running total: O(1) cap checks
+    _DV_DECODE_CACHE_LOCK = __import__("threading").Lock()
 
     def _dv_positions(self, part_dir: Path, entry: dict):
         """Decode one DV entry's positions. A MISSING sidecar raises
@@ -1329,7 +1362,7 @@ class TableStore:
         paper over (fsck reports it as ``missing``)."""
         f = part_dir / entry["sidecar"]
         cache = TableStore._DV_DECODE_CACHE
-        hit = cache.get(str(f))
+        hit = cache.get(str(f))  # single dict read: atomic under the GIL
         if hit is not None:
             return hit
         try:
@@ -1341,10 +1374,17 @@ class TableStore:
                 "this as data loss)"
             ) from e
         pos = _decode_dv(data)
-        total = sum(len(v) for v in cache.values())
-        if total + len(pos) > TableStore._DV_DECODE_CACHE_MAX_POSITIONS:
-            cache.clear()
-        cache[str(f)] = pos
+        with TableStore._DV_DECODE_CACHE_LOCK:
+            if str(f) not in cache:  # racing duplicate: count once
+                counter = TableStore._DV_DECODE_CACHE_POSITIONS
+                if (
+                    counter[0] + len(pos)
+                    > TableStore._DV_DECODE_CACHE_MAX_POSITIONS
+                ):
+                    cache.clear()
+                    counter[0] = 0
+                cache[str(f)] = pos
+                counter[0] += len(pos)
         return pos
 
     def _dv_probe(self, triples) -> DataFrame:
@@ -3117,17 +3157,22 @@ class TableStore:
                         for d in part.glob(pat):
                             self._gc_stale_staging(d)
         # streaming-sink staging (root-level): a crashed query's staged
-        # task files are referenced by nothing once its attempt died —
-        # same tree-max-mtime grace rule as the rewrite staging dirs
+        # task files are referenced by nothing once its attempt died.
+        # Unlike the in-partition rewrite dirs there is no heartbeat
+        # here (each executor task writes once and exits), so the
+        # grace is the INFLIGHT window, not the 300 s unknown-file
+        # one — a micro-batch with straggler tasks must not lose its
+        # early-staged files to a concurrent vacuum (review r10).
         for d in (Path(self.root) / "_sink_staging").glob("*"):
-            self._gc_stale_staging(d)
+            self._gc_stale_staging(d, grace=self.INFLIGHT_GRACE_SECONDS)
         return removed
 
-    def _gc_stale_staging(self, d: Path) -> None:
+    def _gc_stale_staging(self, d: Path, grace: float | None = None) -> None:
         """Remove a crashed rewrite's in-partition staging dir once its
         newest mtime (dir or any contained file) has aged past the
         grace window — a live writer's ongoing Spark write keeps the
-        tree fresh, so only genuinely dead staging is reclaimed."""
+        tree fresh, so only genuinely dead staging is reclaimed.
+        Callers without a liveness signal pass a longer ``grace``."""
         import shutil
         import time
 
@@ -3142,7 +3187,9 @@ class TableStore:
                     return  # being actively mutated: not stale
         except FileNotFoundError:
             return
-        if time.time() - newest > self.VACUUM_UNKNOWN_GRACE_SECONDS:
+        if time.time() - newest > (
+            self.VACUUM_UNKNOWN_GRACE_SECONDS if grace is None else grace
+        ):
             shutil.rmtree(d, ignore_errors=True)
 
     def compact(
@@ -3599,18 +3646,17 @@ class TableStore:
             merged = merged.repartitionByRange(
                 max(1, len(rewrite)), *key_cols
             ).sortWithinPartitions(*key_cols)
-            staging = part / f"_merge_{uuid.uuid4().hex}"
-            # files carry PHYSICAL column names
+            # files carry PHYSICAL column names; the shared staged-write
+            # helper (its coalesce is a no-op on the already
+            # range-partitioned frame) keeps ONE copy of the
+            # crash-atomic rename protocol across merge/delete/update
             part.mkdir(parents=True, exist_ok=True)
-            _rename_to_physical(merged, colmap).write.parquet(str(staging))
-            new_names: list[str] = []
-            for f in sorted(staging.glob("*.parquet")):
-                name = f"merge-{uuid.uuid4().hex}.parquet"
-                f.rename(part / name)
-                new_names.append(name)
-            import shutil
-
-            shutil.rmtree(staging, ignore_errors=True)
+            new_names: list[str] = self._dml_write_files(
+                part,
+                _rename_to_physical(merged, colmap),
+                max(1, len(rewrite)),
+                "merge",
+            )
         finally:
             if matched is not None:
                 matched.unpersist()
@@ -4133,8 +4179,10 @@ class TableStore:
         # stats, blooms, and the files themselves are keyed by the
         # PHYSICAL column names: the caller's logical predicate
         # translates once here and drives classification, the scan,
-        # and the rewrite (which keeps physical names)
-        where = _where_physical(where, manifest.get("colmap") or {})
+        # and the rewrite (which keeps physical names). None/empty =
+        # every row matches (the same rule update_where uses — a bare
+        # ``DELETE FROM t``): stats-bearing files drop metadata-only.
+        where = _where_physical(where, manifest.get("colmap") or {}) or []
         # classify: predicates are evaluated against the file stats
         # UNIONED with the partition-dir value (payload files don't
         # carry the partition column; the dir value proves it, null-free)
@@ -4160,7 +4208,9 @@ class TableStore:
         _, keyed_live, dv_positions_cached, _dv = self._dml_scan_ctx(
             part, manifest, pv
         )
-        pred = F.coalesce(_where_expr(where), F.lit(False))
+        pred = (
+            F.coalesce(_where_expr(where), F.lit(False)) if where else F.lit(True)
+        )
 
         def matched_of(subset: list[str]) -> DataFrame:
             return keyed_live(subset).filter(pred)

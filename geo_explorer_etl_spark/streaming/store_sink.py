@@ -76,6 +76,9 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
         self._table = options.get("table", "IndicatorValues")
         self._backend = options.get("backend", "localfs")
         self._stream_id = options.get("stream_id", "store_sink")
+        self._bloom_cols = [
+            c for c in options.get("bloom_cols", "").split(",") if c
+        ]
 
     def _colmap(self) -> tuple[dict, set]:
         """The table's logical→physical column mapping, read
@@ -136,7 +139,23 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
                 sub = tbl.filter(
                     pc.equal(tbl.column(PARTITION_COL), pid)
                 ).drop_columns([PARTITION_COL])
-                files.append(stage(sub, int(pid)))
+                # keep the value's own type (the store accepts non-int
+                # partition values), but REFUSE values Spark's
+                # partitionBy would percent-escape in the dir name
+                # ('/', '=', '%', ':', ...): the store's readers parse
+                # dir names verbatim, so a raw f-string dir for such a
+                # value would silently split the partition across two
+                # spellings — or nest dirs on '/' (review r10)
+                if isinstance(pid, str) and any(
+                    c in '\x00/=%:#?*"\'\\{}[]^' or ord(c) < 0x20 or c == "\x7f"
+                    for c in pid
+                ):
+                    raise ValueError(
+                        f"store sink: partition value {pid!r} contains "
+                        "characters Spark would escape in a partition dir "
+                        "name — use an escape-free partition key"
+                    )
+                files.append(stage(sub, pid))
         else:
             files.append(stage(tbl, None))
         return StoreSinkCommitMessage(files=files)
@@ -158,6 +177,12 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
             if not staged:
                 return
             meta = StoreMeta(self._root, self._backend)
+            if self._bloom_cols:
+                # bloom_cols is a TableStore-construction concern, not
+                # persisted state — pass it through so streamed files
+                # get their per-file blooms at publish (without this
+                # they'd stay bloom-less until a compact rewrite)
+                meta.bloom_cols = {self._table: list(self._bloom_cols)}
             ledger = meta._epoch_ledger()
             if int(batchId) <= int(ledger.get(self._stream_id, -1)):
                 # replayed batch: already claimed — make sure a crashed
@@ -171,6 +196,15 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
             )
             # resolve the declared schema BEFORE the staged files move
             schema_json = self._payload_schema_json(staged)
+            # the _INFLIGHT sentinel marks this manifest-less txn as a
+            # LIVE assembly: without it a concurrent recover() (any
+            # fresh TableStore handle) rmtrees the dir mid-move and the
+            # batch's staged files are destroyed — the same window
+            # append_epoch covers (its assembly is a long Spark write,
+            # so it heartbeats; this one is a handful of renames, one
+            # sentinel write suffices under the 1 h grace)
+            txn.mkdir(parents=True)
+            (txn / "_INFLIGHT").write_text("")
             files: dict[str, list[str]] = {}
             for pid, path, _rows in staged:
                 part_name = "." if pid is None else f"{PARTITION_COL}={pid}"
@@ -247,7 +281,10 @@ class StoreSinkDataSource(DataSource):
 
     Options: ``path`` (store root, required), ``table`` (default
     IndicatorValues), ``backend`` (localfs|cas), ``stream_id`` (epoch
-    ledger key — one per logical pipeline; default ``store_sink``).
+    ledger key — one per logical pipeline; default ``store_sink``),
+    ``bloom_cols`` (comma-separated key columns to bloom-index per
+    published file — mirror the TableStore constructor's setting or
+    streamed files lose point-lookup skipping until compacted).
     Append semantics; the frame should carry the partition column
     (IndicatorThemeId) like any append. For merge-by-key pipelines
     use ``incremental.merge_sink`` (the commit hook here runs without

@@ -3178,3 +3178,42 @@ def test_type_widening_through_schema_evolution(spark, tmp_path):
     # predicate read returns the right rows across eras
     got = {r["k"] for r in store.read("IndicatorValues", where=[("v", ">", 15)]).collect()}
     assert got == {2, 3, 4}
+
+
+def test_delete_where_none_predicate_deletes_all(spark, tmp_path):
+    """Review r10: ``delete_where(t, None)`` (a bare DELETE FROM) must
+    delete every row — stats-bearing files drop metadata-only — not
+    crash on the missing predicate list."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(k, "a") for k in range(50)], "k long, v string"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df.coalesce(2)})
+    assert store.delete_where("IndicatorValues", None) == 50
+    assert store.read("IndicatorValues") is None
+    assert store.count_rows("IndicatorValues") == 0
+
+
+def test_cas_read_cache_survives_delete_and_path_reuse(spark, tmp_path):
+    """Review r10: the CAS backend's parsed-manifest cache keys on the
+    commit-file path, which can be REUSED with different content after
+    delete() restarts version numbering — the stat signature must
+    invalidate the stale entry (a served stale body would resurrect a
+    superseded file list)."""
+    import time
+
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.commit import CASBackend
+
+    b = CASBackend()
+    d = Path(str(tmp_path / "blob"))
+    b.write(d, "m", {"files": ["old.parquet"]}, 0)
+    assert b.read(d, "m")[1]["files"] == ["old.parquet"]   # cached
+    b.delete(d, "m")
+    assert b.read(d, "m") is None
+    time.sleep(0.01)  # distinct mtime_ns even on coarse clocks
+    b.write(d, "m", {"files": ["new.parquet"]}, 0)          # SAME path: 1.json
+    assert b.read(d, "m")[1]["files"] == ["new.parquet"]
