@@ -776,11 +776,17 @@ MP3_METADATA_SCHEMA = (
 )
 
 
-def mp3_metadata(media: DataFrame) -> DataFrame:
-    """Arrow-batched metadata extraction over the media table: one row
-    per blob with the frame-walk fields, or ``error`` set for non-MP3
-    content (triage keeps going; nothing throws mid-batch). Row-local,
+def _metadata_triage(
+    media: DataFrame, probes: list, fields: list[str], schema: str
+) -> DataFrame:
+    """ONE Arrow-batched errors-as-data triage shape shared by every
+    header-walk operator (review r10 wave 3 — mp3/stream previously
+    duplicated it): ``probes`` is an ordered ``[(kind, parser)]`` —
+    the first parser that accepts the blob wins, its dict merges into
+    the row (plus ``kind`` when the schema carries it); when every
+    probe refuses, ``error`` carries all their reasons. Row-local,
     zero shuffle — the same 100 TB shape as extract_features."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -789,19 +795,36 @@ def mp3_metadata(media: DataFrame) -> DataFrame:
             # constant-factor tax on a corpus-wide triage scan
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 rec = {"media_id": media_id, "error": None}
-                try:
-                    rec.update(parse_mp3(content))
-                except NotImplementedError as e:
-                    rec.update(
-                        n_frames=None, duration_ms=None, bitrate_kbps=None,
-                        sample_rate=None, channels=None, version_layer=None,
-                    )
-                    rec["error"] = str(e)
+                rec.update({f: None for f in fields})
+                reasons = []
+                for kind, parser in probes:
+                    try:
+                        rec.update(parser(content))
+                        if "kind" in fields:
+                            rec["kind"] = kind
+                        break
+                    except NotImplementedError as e:
+                        reasons.append(f"{kind}: {e}")
+                else:
+                    rec["error"] = "; ".join(reasons)
                 out.append(rec)
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "content").mapInPandas(
-        run, MP3_METADATA_SCHEMA
+    return media.select("media_id", "content").mapInPandas(run, schema)
+
+
+def mp3_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the media table: one row
+    per blob with the frame-walk fields, or ``error`` set for non-MP3
+    content (triage keeps going; nothing throws mid-batch)."""
+    return _metadata_triage(
+        media,
+        [("mp3", parse_mp3)],
+        [
+            "n_frames", "duration_ms", "bitrate_kbps", "sample_rate",
+            "channels", "version_layer",
+        ],
+        MP3_METADATA_SCHEMA,
     )
 
 
@@ -957,9 +980,24 @@ def parse_adts_aac(content: bytes) -> dict:
         blocks = (b[p + 6] & 0x03) + 1  # raw data blocks per frame
         return frame_len, prof_idx, sf_idx, ch_cfg, blocks
 
+    # ID3v2 tags legitimately precede ADTS audio; skip by syncsafe size
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = 0
+        for x in b[6:10]:
+            size = (size << 7) | (x & 0x7F)
+        pos = 10 + size
+    start = pos
+    # pre-first-frame hunt window (review r10 wave 3): an ffmpeg-style
+    # probe bound — a blob whose first valid frame sits >1 MiB deep is
+    # not an ADTS stream, and an unbounded per-byte Python hunt would
+    # dominate the triage of every large NON-AAC blob
+    hunt_limit = start + (1 << 20)
+    expected = None  # position where a continuation frame would start
     while pos + 7 <= len(b):
         parsed = header_at(pos)
         if parsed is None:
+            if n_frames == 0 and pos >= hunt_limit:
+                break
             pos += 1  # resync hunt (0xFFF syncword + layer == 00)
             continue
         frame_len, prof_idx, sf_idx, ch_cfg, blocks = parsed
@@ -968,18 +1006,19 @@ def parse_adts_aac(content: bytes) -> dict:
                 break  # truncated final frame: not counted
             pos += 1
             continue
-        # CHAINING check against pseudo-syncs (review r10: a single
-        # 0xFFF-looking word inside an arbitrary binary payload —
-        # e.g. H.264 entropy bytes — must not classify the blob as
-        # AAC): before the FIRST accepted frame, the next frame must
-        # start immediately after this one (another valid header or
-        # exact end-of-stream), the same ≥2-consecutive-syncs rule
-        # ffmpeg's probe uses
-        if n_frames == 0 and pos + frame_len != len(b) and header_at(
-            pos + frame_len
-        ) is None:
-            pos += 1
-            continue  # unchained pseudo-sync: keep hunting
+        # CHAINING check against pseudo-syncs (review r10 waves 2+3):
+        # a lone 0xFFF-looking word inside an arbitrary payload — an
+        # H.264 entropy stream, mid-file garbage — must never be
+        # counted as a frame. EVERY frame found by HUNTING (not at the
+        # expected continuation position) must be followed immediately
+        # by another valid header; the only unchained acceptance is
+        # the whole-blob single-frame file (starts at the stream
+        # start, ends exactly at EOF) — the ≥2-consecutive-syncs rule
+        # ffmpeg's probe uses, applied at every resync.
+        if pos != expected and header_at(pos + frame_len) is None:
+            if not (pos == start and pos + frame_len == len(b)):
+                pos += 1
+                continue  # unchained pseudo-sync: keep hunting
         n_frames += 1
         total_samples += 1024 * blocks
         total_bytes += frame_len
@@ -989,6 +1028,7 @@ def parse_adts_aac(content: bytes) -> dict:
         channels = {0: None, 7: 8}.get(ch_cfg, ch_cfg)
         profile = _ADTS_PROFILES[prof_idx]
         pos += frame_len
+        expected = pos
     if n_frames == 0 or sample_rate is None:
         raise NotImplementedError("not an ADTS (AAC) stream")
     duration_s = total_samples / sample_rate
@@ -1173,27 +1213,11 @@ _STREAM_FIELDS = [
 def stream_metadata(media: DataFrame) -> DataFrame:
     """Arrow-batched AAC/H.264 triage over the media table: each blob
     is probed as ADTS then Annex-B (one row per blob; ``kind`` names
-    the match, ``error`` carries the honest boundary for neither) —
-    row-local, zero shuffle, the same 100 TB shape as mp3_metadata."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                rec = {"media_id": media_id, "error": None}
-                rec.update({f: None for f in _STREAM_FIELDS})
-                try:
-                    try:
-                        rec.update(parse_adts_aac(content))
-                        rec["kind"] = "aac"
-                    except NotImplementedError:
-                        rec.update(parse_h264(content))
-                        rec["kind"] = "h264"
-                except NotImplementedError as e:
-                    rec["error"] = str(e)
-                out.append(rec)
-            yield pd.DataFrame(out)
-
-    return media.select("media_id", "content").mapInPandas(
-        run, STREAM_METADATA_SCHEMA
+    the match, ``error`` carries BOTH honest boundaries when neither
+    accepts) — the shared ``_metadata_triage`` shape."""
+    return _metadata_triage(
+        media,
+        [("aac", parse_adts_aac), ("h264", parse_h264)],
+        _STREAM_FIELDS,
+        STREAM_METADATA_SCHEMA,
     )

@@ -178,6 +178,7 @@ class LocalFSBackend(CommitBackend):
                 fcntl.flock(lf, fcntl.LOCK_UN)
 
     def delete(self, d: Path, key: str) -> None:
+        self._read_cache.pop(str(d / key), None)  # never serve a deleted body
         (d / key).unlink(missing_ok=True)
         # the .lock file is deliberately LEFT BEHIND: unlinking a path
         # another process may be flock()ing (or about to) hands the
@@ -296,6 +297,14 @@ class CASBackend(CommitBackend):
         import shutil
 
         log = self._log_dir(d, key)
+        # purge cached parses under this log FIRST: after the rmtree,
+        # version numbering restarts and the same commit paths are
+        # REUSED — a same-tick, same-size, recycled-inode rewrite
+        # could collide with the stat signature (review r10 wave 3),
+        # so the in-protocol delete path drops the entries outright
+        prefix = str(log) + "/"
+        for k in [k for k in self._read_cache if k.startswith(prefix)]:
+            self._read_cache.pop(k, None)
         if log.exists():
             shutil.rmtree(log, ignore_errors=True)
 

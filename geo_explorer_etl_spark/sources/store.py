@@ -797,6 +797,13 @@ _TYPE_WIDENING = {
     ("short", "long"),
     ("integer", "long"),
     ("float", "double"),
+    # integer→double is exact (|int32| < 2^53) and the parquet readers
+    # upcast it natively (verified); LONG→double stays EXCLUDED — it
+    # loses precision past 2^53 — as does byte/short→float (reader
+    # unsupported and float only holds 24 bits exactly)
+    ("byte", "double"),
+    ("short", "double"),
+    ("integer", "double"),
 }
 
 
@@ -853,6 +860,18 @@ def _schema_from_json(schema_json: str):
     from pyspark.sql import types as T
 
     return T.StructType.fromJson(json.loads(schema_json))
+
+
+def _check_dml_where(where, op: str) -> None:
+    """``None`` is the deliberate every-row spelling (a bare ``DELETE
+    FROM`` / ``UPDATE``); an EMPTY LIST is almost always a filtering
+    bug (``[p for p in preds if ...]`` that matched nothing) and must
+    not silently become a whole-table mutation (review r10 wave 3)."""
+    if where is not None and len(where) == 0:
+        raise ValueError(
+            f"{op}: empty predicate list — pass None explicitly to touch "
+            "every row, or a non-empty list of (col, op, value) tuples"
+        )
 
 
 def _where_expr(where):
@@ -4156,6 +4175,7 @@ class TableStore:
         mask size, not the table size."""
         if mode not in ("auto", "cow", "dv"):
             raise ValueError(f"delete_where mode {mode!r} not in auto|cow|dv")
+        _check_dml_where(where, "delete_where")
         work = self._dml_partition_work(table, where, "delete_where")
         return self._dml_run_partitions(
             table,
@@ -4322,6 +4342,7 @@ class TableStore:
                 f"update_where({table!r}): cannot SET {sorted(map(str, bad))} — "
                 f"targets must be payload column names (not {PARTITION_COL})"
             )
+        _check_dml_where(where, "update_where")
         work = self._dml_partition_work(table, where, "update_where")
         return self._dml_run_partitions(
             table,

@@ -60,6 +60,43 @@ from pyspark.sql.datasource import (
 SINK_STAGING = "_sink_staging"
 
 
+def _canonical_pid(pid):
+    """One canonical dir spelling per logical partition value. The
+    store's readers parse ``{PARTITION_COL}=<raw>`` dir names
+    VERBATIM, so any value whose f-string rendering differs from what
+    a batch append's ``partitionBy`` writes would silently split one
+    logical partition across two spellings (review r10 wave 3):
+
+    - integral floats canonicalize to int (a double-typed product-id
+      column after an upstream cast must land in ``=46100018``, not
+      ``=46100018.0``);
+    - bools, non-integral floats, empty strings, the literal
+      ``__HIVE_DEFAULT_PARTITION__`` (partitionBy's NULL spelling),
+      and strings containing characters Spark percent-escapes in
+      partition paths are refused loudly.
+    """
+    if isinstance(pid, bool):
+        raise ValueError("store sink: boolean partition values are not supported")
+    if isinstance(pid, float):
+        if not pid.is_integer():
+            raise ValueError(
+                f"store sink: non-integral partition value {pid!r} has no "
+                "canonical dir spelling — cast the partition column to long"
+            )
+        return int(pid)
+    if isinstance(pid, str):
+        if pid == "" or pid == "__HIVE_DEFAULT_PARTITION__" or any(
+            c in '\x00/=%:#?*"\'\\{}[]^' or ord(c) < 0x20 or c == "\x7f"
+            for c in pid
+        ):
+            raise ValueError(
+                f"store sink: partition value {pid!r} collides with or would "
+                "be escaped in Spark's partition dir naming — use an "
+                "escape-free, non-empty partition key"
+            )
+    return pid
+
+
 @dataclass
 class StoreSinkCommitMessage(WriterCommitMessage):
     """Per-task result: one staged file per partition value touched by
@@ -77,7 +114,7 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
         self._backend = options.get("backend", "localfs")
         self._stream_id = options.get("stream_id", "store_sink")
         self._bloom_cols = [
-            c for c in options.get("bloom_cols", "").split(",") if c
+            c.strip() for c in options.get("bloom_cols", "").split(",") if c.strip()
         ]
 
     def _colmap(self) -> tuple[dict, set]:
@@ -139,23 +176,7 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
                 sub = tbl.filter(
                     pc.equal(tbl.column(PARTITION_COL), pid)
                 ).drop_columns([PARTITION_COL])
-                # keep the value's own type (the store accepts non-int
-                # partition values), but REFUSE values Spark's
-                # partitionBy would percent-escape in the dir name
-                # ('/', '=', '%', ':', ...): the store's readers parse
-                # dir names verbatim, so a raw f-string dir for such a
-                # value would silently split the partition across two
-                # spellings — or nest dirs on '/' (review r10)
-                if isinstance(pid, str) and any(
-                    c in '\x00/=%:#?*"\'\\{}[]^' or ord(c) < 0x20 or c == "\x7f"
-                    for c in pid
-                ):
-                    raise ValueError(
-                        f"store sink: partition value {pid!r} contains "
-                        "characters Spark would escape in a partition dir "
-                        "name — use an escape-free partition key"
-                    )
-                files.append(stage(sub, pid))
+                files.append(stage(sub, _canonical_pid(pid)))
         else:
             files.append(stage(tbl, None))
         return StoreSinkCommitMessage(files=files)

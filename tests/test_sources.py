@@ -3170,6 +3170,29 @@ def test_type_widening_through_schema_evolution(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="type conflict"):
         store.append("IndicatorValues", f_bad)
+    # ... and so does the LOSSY long->double (exact only below 2^53)
+    f_lossy = spark.createDataFrame([(6, 1.5)], "k long, v double").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    with _pytest.raises(ValueError, match="type conflict"):
+        store.append("IndicatorValues", f_lossy)
+    # integer -> double IS exact and widens (second evolution of v)
+    store2 = TableStore(spark, str(tmp_path / "store2"))
+    store2.replace_product_all(
+        1,
+        {"IndicatorValues": spark.createDataFrame(
+            [(1, 10)], "k long, n int"
+        ).withColumn(PARTITION_COL, F.lit(1).cast("long"))},
+    )
+    store2.append(
+        "IndicatorValues",
+        spark.createDataFrame([(2, 2.5)], "k long, n double").withColumn(
+            PARTITION_COL, F.lit(1).cast("long")
+        ),
+    )
+    out2 = store2.read("IndicatorValues")
+    assert out2.schema["n"].dataType.simpleString() == "double"
+    assert {r["k"]: r["n"] for r in out2.collect()} == {1: 10.0, 2: 2.5}
 
     # zone maps still prune across mixed-width files, and fsck is green
     assert len(store.live_files("IndicatorValues", [("v", ">", 100)])) <= 2

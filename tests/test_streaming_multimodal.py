@@ -1542,3 +1542,43 @@ def test_adts_and_h264_header_walks_known_answers(spark):
     assert got[1]["kind"] == "aac" and got[1]["sample_rate"] == 44100
     assert got[2]["kind"] == "h264" and got[2]["width"] == 1920
     assert got[3]["kind"] is None and got[3]["error"] is not None
+
+
+def test_adts_pseudo_sync_at_eof_and_midstream_rejected():
+    """Review r10 wave 3: (a) a lone pseudo-sync whose frame_len lands
+    exactly at end-of-buffer must NOT classify an arbitrary blob as
+    AAC (only the whole-blob single-frame file is accepted unchained);
+    (b) after a real frame, a hunted pseudo-sync mid-garbage must also
+    chain before being counted."""
+    from geo_explorer_etl_spark.operators.multimodal import parse_adts_aac
+
+    # frame_len=12 pointing exactly at EOF, but preceded by garbage:
+    # not a whole-blob single frame -> rejected
+    tail = bytes([0xFF, 0xF1, 0x50, 0x80, 0x01, 0x9F, 0xFC]) + bytes(5)
+    with pytest.raises(NotImplementedError):
+        parse_adts_aac(b"\x00garbage\x00" + tail)
+    # the SAME frame as the whole blob IS a legitimate one-frame file
+    assert parse_adts_aac(tail)["n_frames"] == 1
+
+    # two real frames, then garbage containing one unchained pseudo-
+    # sync: the walk must count exactly the two real frames
+    real = _build_adts_frames(2)
+    junk = bytes(11) + bytes([0xFF, 0xF1, 0x50, 0x80, 0x02, 0x3F, 0xFC]) + bytes(60)
+    meta = parse_adts_aac(real + junk)
+    assert meta["n_frames"] == 2
+
+
+def test_store_sink_partition_value_canonicalization(tmp_path):
+    """Review r10 wave 3: integral floats canonicalize to the int dir
+    spelling; bools, non-integral floats, empty strings, the Hive NULL
+    sentinel, and escapable strings are refused loudly."""
+    from geo_explorer_etl_spark.streaming.store_sink import _canonical_pid
+
+    assert _canonical_pid(46100018.0) == 46100018
+    assert _canonical_pid(7) == 7
+    assert _canonical_pid("north") == "north"
+    import pytest as _p
+
+    for bad in (True, 4.5, "", "__HIVE_DEFAULT_PARTITION__", "US/East", "a:b"):
+        with _p.raises(ValueError):
+            _canonical_pid(bad)
