@@ -3240,3 +3240,36 @@ def test_cas_read_cache_survives_delete_and_path_reuse(spark, tmp_path):
     time.sleep(0.01)  # distinct mtime_ns even on coarse clocks
     b.write(d, "m", {"files": ["new.parquet"]}, 0)          # SAME path: 1.json
     assert b.read(d, "m")[1]["files"] == ["new.parquet"]
+
+
+def test_update_where_through_column_mapping(spark, tmp_path):
+    """update_where after a rename: the predicate and the SET target
+    both name the NEW logical column; stats classification translates
+    to the physical key, the scan surfaces logical names, and the
+    written files keep physical names (read back through the map)."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(k, k * 1.0) for k in range(40)], "k long, amount double"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df.coalesce(2)})
+    assert store.rename_column("IndicatorValues", "amount", "price") == 1
+    n = store.update_where(
+        "IndicatorValues",
+        {"price": "price * 10"},
+        [("price", "<", 3.0)],
+    )
+    assert n == 3
+    rows = {r["k"]: r["price"] for r in store.read("IndicatorValues").collect()}
+    assert rows[0] == 0.0 and rows[1] == 10.0 and rows[2] == 20.0 and rows[5] == 5.0
+    # physical file columns still carry the ORIGINAL physical name
+    part = Path(store._path("IndicatorValues")) / f"{PARTITION_COL}=1"
+    m = store._manifest(part)
+    upd = [f for f in m["files"] if f.startswith("update-")]
+    assert upd
+    import pyarrow.parquet as pq
+
+    assert "amount" in pq.ParquetFile(str(part / upd[0])).schema_arrow.names
