@@ -76,15 +76,12 @@ def main() -> None:
     queries = dict(all_queries())
     queries["bridge_join_bucketed"] = bucketed_bench.bridge_join_bucketed
     queries["bridge_join_plain"] = bucketed_bench.bridge_join_plain
-    for name in (
-        "store_read_pruned",
-        "store_read_full",
-        "store_scan_fragmented",
-        "store_scan_compacted",
-        "store_point_bloom",
-        "store_point_nobloom",
-    ):
-        queries[name] = getattr(store_bench, name)
+    # every store twin in the headline resolves from store_bench —
+    # one rule, so a twin added to bench.py can't silently KeyError
+    # here (review r10: the hand-kept list fell behind)
+    for name in HEADLINE:
+        if name not in queries and hasattr(store_bench, name):
+            queries[name] = getattr(store_bench, name)
 
     results: dict[str, dict[str, float]] = {}
     for sf_dir in SFS:
