@@ -787,6 +787,14 @@ def _metadata_triage(
     probe refuses, ``error`` carries all their reasons. Row-local,
     zero shuffle — the same 100 TB shape as extract_features."""
 
+    # the declared schema drives the row shape EXACTLY: a parser key
+    # outside `fields` is dropped here rather than appended to the
+    # dict, where it would ride as a phantom column whose survival
+    # depends on mapInPandas' positional truncation (review r10
+    # wave 4: parse_h264's `interlaced` was silently sliced off; a
+    # colliding insertion order would instead fail at runtime)
+    columns = ["media_id", *fields, "error"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -794,12 +802,13 @@ def _metadata_triage(
             # pandas Series per row (dtype conversion per cell) — a
             # constant-factor tax on a corpus-wide triage scan
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                rec = {"media_id": media_id, "error": None}
-                rec.update({f: None for f in fields})
+                rec = dict.fromkeys(columns)
+                rec["media_id"] = media_id
                 reasons = []
                 for kind, parser in probes:
                     try:
-                        rec.update(parser(content))
+                        parsed = parser(content)
+                        rec.update((k, parsed[k]) for k in parsed.keys() & rec.keys())
                         if "kind" in fields:
                             rec["kind"] = kind
                         break
@@ -808,7 +817,7 @@ def _metadata_triage(
                 else:
                     rec["error"] = "; ".join(reasons)
                 out.append(rec)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=columns)
 
     return media.select("media_id", "content").mapInPandas(run, schema)
 
@@ -1200,13 +1209,14 @@ def parse_h264(content: bytes) -> dict:
 STREAM_METADATA_SCHEMA = (
     "media_id long, kind string, n_frames long, duration_ms long, "
     "bitrate_kbps long, sample_rate long, channels long, profile string, "
-    "level string, width long, height long, n_nals long, n_idr long, "
-    "error string"
+    "level string, width long, height long, interlaced boolean, "
+    "n_nals long, n_idr long, error string"
 )
 
 _STREAM_FIELDS = [
     "kind", "n_frames", "duration_ms", "bitrate_kbps", "sample_rate",
-    "channels", "profile", "level", "width", "height", "n_nals", "n_idr",
+    "channels", "profile", "level", "width", "height", "interlaced",
+    "n_nals", "n_idr",
 ]
 
 

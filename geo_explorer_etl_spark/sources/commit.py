@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from abc import ABC, abstractmethod
 from contextlib import contextmanager
@@ -76,6 +77,57 @@ class CommitBackend(ABC):
     inner backend's value."""
 
     format_name: str | None = None
+
+    #: Bytes of SOURCE JSON retained by the parsed-manifest cache
+    #: before a wholesale reset. Byte-accounted, not count-bounded:
+    #: entries are whole manifest bodies (stats + blooms maps can be
+    #: MBs on a wide partition), so a count cap could pin GiBs of
+    #: driver RSS for stores no longer in use (review r10 wave 4 —
+    #: the same argument that made the bloom memo byte-accounted).
+    READ_CACHE_MAX_BYTES = 64 << 20
+
+    def __init__(self) -> None:
+        # Backends are process-shared singletons (make_backend) and
+        # the store runs concurrent readers/writers over one instance
+        # (DELETE_PARALLELISM pool, parallel tests), so every cache
+        # touch — including delete()'s prefix sweep — goes through
+        # this lock; a bare dict iteration races a concurrent insert
+        # into "dictionary changed size during iteration".
+        self._read_cache: dict[str, tuple[tuple, tuple[int, dict], int]] = {}
+        self._read_cache_bytes = 0
+        self._read_cache_lock = threading.Lock()
+
+    def _cache_get(self, path: str, sig: tuple) -> tuple[int, dict] | None:
+        with self._read_cache_lock:
+            hit = self._read_cache.get(path)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+        return None
+
+    def _cache_put(
+        self, path: str, sig: tuple, out: tuple[int, dict], cost: int
+    ) -> None:
+        with self._read_cache_lock:
+            old = self._read_cache.pop(path, None)
+            if old is not None:
+                self._read_cache_bytes -= old[2]
+            if self._read_cache_bytes + cost > self.READ_CACHE_MAX_BYTES:
+                self._read_cache.clear()
+                self._read_cache_bytes = 0
+            self._read_cache[path] = (sig, out, cost)
+            self._read_cache_bytes += cost
+
+    def _cache_drop(self, path: str) -> None:
+        with self._read_cache_lock:
+            old = self._read_cache.pop(path, None)
+            if old is not None:
+                self._read_cache_bytes -= old[2]
+
+    def _cache_drop_prefix(self, prefix: str) -> None:
+        with self._read_cache_lock:
+            for k in [k for k in self._read_cache if k.startswith(prefix)]:
+                self._read_cache_bytes -= self._read_cache[k][2]
+                del self._read_cache[k]
 
     @abstractmethod
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
@@ -122,13 +174,6 @@ class LocalFSBackend(CommitBackend):
 
     format_name = "localfs"
 
-    #: Parsed-manifest cache entries retained before a full reset (a
-    #: safety bound, not an LRU — a store's live blob count is tiny).
-    READ_CACHE_MAX = 4096
-
-    def __init__(self) -> None:
-        self._read_cache: dict[str, tuple[tuple, tuple[int, dict]]] = {}
-
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         f = d / key
         # stat-signature memo: the atomic-rename publish always lands a
@@ -141,17 +186,16 @@ class LocalFSBackend(CommitBackend):
             except OSError:
                 return None
             sig = (st.st_mtime_ns, st.st_size, st.st_ino)
-            hit = self._read_cache.get(str(f))
-            if hit is not None and hit[0] == sig:
-                return hit[1]
+            hit = self._cache_get(str(f), sig)
+            if hit is not None:
+                return hit
             try:
-                body = json.loads(f.read_text())
+                text = f.read_text()
             except FileNotFoundError:
                 continue  # swapped away between stat and read: re-resolve
+            body = json.loads(text)
             out = (int(body.get("version", 0)), body)
-            if len(self._read_cache) >= self.READ_CACHE_MAX:
-                self._read_cache.clear()
-            self._read_cache[str(f)] = (sig, out)
+            self._cache_put(str(f), sig, out, len(text))
             return out
         raise OSError(f"{f}: kept vanishing between stat and read")
 
@@ -178,7 +222,7 @@ class LocalFSBackend(CommitBackend):
                 fcntl.flock(lf, fcntl.LOCK_UN)
 
     def delete(self, d: Path, key: str) -> None:
-        self._read_cache.pop(str(d / key), None)  # never serve a deleted body
+        self._cache_drop(str(d / key))  # never serve a deleted body
         (d / key).unlink(missing_ok=True)
         # the .lock file is deliberately LEFT BEHIND: unlinking a path
         # another process may be flock()ing (or about to) hands the
@@ -222,11 +266,6 @@ class CASBackend(CommitBackend):
     def _log_dir(d: Path, key: str) -> Path:
         return d / "_cas" / key
 
-    READ_CACHE_MAX = 4096
-
-    def __init__(self) -> None:
-        self._read_cache: dict[str, tuple[tuple, tuple[int, dict]]] = {}
-
     def read(self, d: Path, key: str) -> tuple[int, dict] | None:
         log = self._log_dir(d, key)
         if not log.exists():
@@ -250,13 +289,12 @@ class CASBackend(CommitBackend):
         except OSError:
             return None  # pruned between LIST and stat: re-resolve next read
         sig = (st.st_mtime_ns, st.st_size, st.st_ino)
-        hit = self._read_cache.get(str(latest))
-        if hit is not None and hit[0] == sig:
-            return hit[1]
-        out = (int(latest.stem), json.loads(latest.read_text()))
-        if len(self._read_cache) >= self.READ_CACHE_MAX:
-            self._read_cache.clear()
-        self._read_cache[str(latest)] = (sig, out)
+        hit = self._cache_get(str(latest), sig)
+        if hit is not None:
+            return hit
+        text = latest.read_text()
+        out = (int(latest.stem), json.loads(text))
+        self._cache_put(str(latest), sig, out, len(text))
         return out
 
     def write(self, d: Path, key: str, body: dict, expected_version: int) -> int:
@@ -303,8 +341,7 @@ class CASBackend(CommitBackend):
         # could collide with the stat signature (review r10 wave 3),
         # so the in-protocol delete path drops the entries outright
         prefix = str(log) + "/"
-        for k in [k for k in self._read_cache if k.startswith(prefix)]:
-            self._read_cache.pop(k, None)
+        self._cache_drop_prefix(prefix)
         if log.exists():
             shutil.rmtree(log, ignore_errors=True)
 

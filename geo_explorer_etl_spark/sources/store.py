@@ -1035,9 +1035,13 @@ class TableStore:
         return f"{self.root}/{table}"
 
     FORMAT_TAG = "_format.json"
-    #: (root, backend) pairs whose format tag already verified this
-    #: process — the tag is immutable, so one check per pair suffices.
-    _FORMAT_TAG_VERIFIED: set[tuple[str, str]] = set()
+    #: (root, backend) → stat signature of the tag file at verification
+    #: time. The tag is immutable WHILE IT EXISTS, but the root can be
+    #: deleted and recreated under a different backend within one
+    #: process (review r10 wave 4) — the put-if-absent link always
+    #: lands a fresh inode, so signature equality is what proves the
+    #: memoized verification still describes THIS tag, not a namesake.
+    _FORMAT_TAG_VERIFIED: dict[tuple[str, str], tuple] = {}
 
     def _verify_format_tag(self) -> None:
         """Persist the commit backend's layout name at the store root
@@ -1066,11 +1070,21 @@ class TableStore:
         root = Path(self.root)
         tag = root / self.FORMAT_TAG
         memo_key = (str(root), configured)
-        if memo_key in TableStore._FORMAT_TAG_VERIFIED and tag.exists():
-            # one stat, not a read+parse: the tag is immutable while it
-            # exists; a vanished tag (ops surgery) falls through to the
-            # full probe-and-retag path below
-            return
+        memo_sig = TableStore._FORMAT_TAG_VERIFIED.get(memo_key)
+        if memo_sig is not None:
+            # one stat, not a read+parse — but compare the tag's stat
+            # signature against the one memoized at verification: a
+            # root rmtree'd and recreated under a DIFFERENT backend
+            # reuses the same path with a new inode, and an
+            # existence-only check would wave the stale verification
+            # through (superseded files resurrect). A vanished or
+            # replaced tag falls through to the full path below.
+            try:
+                st = tag.stat()
+                if (st.st_mtime_ns, st.st_size, st.st_ino) == memo_sig:
+                    return
+            except OSError:
+                pass
 
         def read_tag() -> str | None:
             try:
@@ -1113,7 +1127,18 @@ class TableStore:
                 "listing mode and superseded files resurrect); open it "
                 f"with backend={recorded!r}"
             )
-        TableStore._FORMAT_TAG_VERIFIED.add(memo_key)
+        try:
+            st = tag.stat()
+            TableStore._FORMAT_TAG_VERIFIED[memo_key] = (
+                st.st_mtime_ns,
+                st.st_size,
+                st.st_ino,
+            )
+        except OSError:
+            # untagged root (read-only mount): never memoize — the
+            # layout detection must re-run per open, since a recreated
+            # root could silently change layout without a tag to pin it
+            TableStore._FORMAT_TAG_VERIFIED.pop(memo_key, None)
 
     @staticmethod
     def _detect_backend_layout(root: Path) -> str | None:
@@ -4394,13 +4419,27 @@ class TableStore:
             return logical_live(subset).filter(pred)
 
         # validate SET targets against the live logical columns ONCE,
-        # and freeze each target's declared type for the cast
-        probe_cols = logical_live(candidates[:1])
-        payload_types = {
-            f.name: f.dataType
-            for f in probe_cols.schema.fields
-            if f.name not in ("__dv_part", "__dv_name", "__dv_pos", PARTITION_COL)
-        }
+        # and freeze each target's declared type for the cast. The
+        # declared manifest schema (already logical, already merged /
+        # widened) answers this with ZERO scans; only a legacy
+        # schema-less partition pays the probe frame — which, on a
+        # DV'd candidate, costs a driver-side createDataFrame plus a
+        # py4j reader round trip (review r10 wave 4: that is the same
+        # fixed tax this round removed from point reads)
+        if manifest.get("schema"):
+            payload_types = {
+                f.name: f.dataType
+                for f in _schema_from_json(manifest["schema"]).fields
+                if f.name != PARTITION_COL
+            }
+        else:
+            probe_cols = logical_live(candidates[:1])
+            payload_types = {
+                f.name: f.dataType
+                for f in probe_cols.schema.fields
+                if f.name
+                not in ("__dv_part", "__dv_name", "__dv_pos", PARTITION_COL)
+            }
         unknown = sorted(set(set_exprs) - set(payload_types))
         if unknown:
             raise ValueError(

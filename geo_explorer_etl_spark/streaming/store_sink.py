@@ -112,10 +112,37 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
         self._root = options["path"]
         self._table = options.get("table", "IndicatorValues")
         self._backend = options.get("backend", "localfs")
-        self._stream_id = options.get("stream_id", "store_sink")
+        self._stream_id = self._resolve_stream_id(options)
         self._bloom_cols = [
             c.strip() for c in options.get("bloom_cols", "").split(",") if c.strip()
         ]
+
+    @staticmethod
+    def _resolve_stream_id(options: dict) -> str:
+        """The epoch-ledger key MUST be unique per logical pipeline: a
+        shared constant default would make two independent queries
+        (each starting at batchId 0) share one high-water, so the
+        second query's batches 0..hw would lose the dedup check and be
+        dropped SILENTLY while its checkpoint advances (review r10
+        wave 4). When the caller gives no stream_id, derive one from
+        the checkpoint location — in Structured Streaming the
+        checkpoint IS the query's durable identity (same across
+        restarts, distinct across queries). No checkpoint in the
+        options → refuse loudly rather than guess."""
+        sid = options.get("stream_id")
+        if sid:
+            return sid
+        ck = options.get("checkpointlocation") or options.get("checkpointLocation")
+        if ck:
+            import hashlib
+
+            return "ck-" + hashlib.sha256(ck.encode()).hexdigest()[:16]
+        raise ValueError(
+            "store sink: set .option('stream_id', <unique pipeline name>) "
+            "(or a checkpointLocation to derive one from) — the epoch "
+            "ledger dedups on it, and a shared default would silently "
+            "drop another pipeline's batches"
+        )
 
     def _colmap(self) -> tuple[dict, set]:
         """The table's logical→physical column mapping, read
@@ -302,7 +329,9 @@ class StoreSinkDataSource(DataSource):
 
     Options: ``path`` (store root, required), ``table`` (default
     IndicatorValues), ``backend`` (localfs|cas), ``stream_id`` (epoch
-    ledger key — one per logical pipeline; default ``store_sink``),
+    ledger key — one per logical pipeline; defaults to a digest of
+    the checkpoint location, the query's durable identity; with
+    neither set the writer refuses rather than share a ledger key),
     ``bloom_cols`` (comma-separated key columns to bloom-index per
     published file — mirror the TableStore constructor's setting or
     streamed files lose point-lookup skipping until compacted).

@@ -698,6 +698,35 @@ def test_format_tag_blocks_backend_mismatch(spark, tmp_path):
     TableStore(spark, root, backend=Wrapper())
 
 
+def test_format_tag_memo_survives_root_recreation(spark, tmp_path):
+    """Review r10 wave 4: the process-lifetime verification memo must
+    not outlive the tag file's IDENTITY — a root deleted and recreated
+    under a DIFFERENT backend reuses the same path, and an
+    existence-only memo check would wave the stale verification
+    through (every partition degrades to listing mode)."""
+    import shutil
+
+    root = str(tmp_path / "store")
+    pid = 45
+    df = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        PARTITION_COL, F.lit(pid).cast("long")
+    )
+    TableStore(spark, root, backend="localfs").replace_product_all(
+        pid, {"IndicatorValues": df}
+    )
+    # memoized: a re-open is the fast path
+    TableStore(spark, root, backend="localfs")
+
+    shutil.rmtree(root)
+    cas = TableStore(spark, root, backend="cas")
+    cas.replace_product_all(pid, {"IndicatorValues": df})
+
+    # the stale (root, 'localfs') memo must NOT bless this open
+    with pytest.raises(ValueError, match="formatted for commit backend 'cas'"):
+        TableStore(spark, root, backend="localfs")
+    assert TableStore(spark, root, backend="cas").count_rows("IndicatorValues") == 1
+
+
 def test_pending_journal_rolls_forward_after_grace(spark, tmp_path):
     """ADVICE r7 (low): a writer crashing between the manifest CAS and
     the journal append pins journal_pending_floor at that commit
@@ -863,3 +892,75 @@ def test_vacuum_gcs_stale_rewrite_staging_dirs(spark, tmp_path):
     store.vacuum("IndicatorValues", older_than_seconds=0.0)
     assert not stale.exists()
     assert fresh.exists()
+
+
+def test_backend_read_cache_is_byte_bounded_and_thread_safe(tmp_path):
+    """Review r10 wave 4: the parsed-manifest caches hold whole bodies
+    (stats+blooms maps can be MBs), so the bound must be BYTES, not
+    entry count; and because backends are process-shared singletons
+    used concurrently, every cache touch — including delete()'s
+    prefix sweep — must be lock-guarded."""
+    import json as _json
+    import threading
+
+    from geo_explorer_etl_spark.sources.commit import CASBackend, LocalFSBackend
+
+    b = LocalFSBackend()
+    b.READ_CACHE_MAX_BYTES = 4096
+    big = {"files": ["f" * 100] * 10}  # ~1 KB of JSON each
+    for i in range(12):
+        d = tmp_path / f"p{i}"
+        d.mkdir()
+        (d / "m.json").write_text(_json.dumps(big))
+        assert b.read(d, "m.json") is not None
+    # accounted bytes never exceed the cap (wholesale reset on overflow)
+    assert b._read_cache_bytes <= 4096
+    assert 0 < len(b._read_cache) < 12
+
+    # concurrent CAS reads + deletes over one instance: the unlocked
+    # version died with "dictionary changed size during iteration"
+    cb = CASBackend()
+    for i in range(64):
+        d = tmp_path / f"c{i}"
+        cb.write(d, "m", {"v": i}, 0)
+        cb.read(d, "m")
+    errs = []
+
+    def deleter():
+        try:
+            for i in range(0, 64, 2):
+                cb.delete(tmp_path / f"c{i}", "m")
+        except Exception as e:  # pragma: no cover - the regression
+            errs.append(e)
+
+    def reader():
+        try:
+            for _ in range(20):
+                for i in range(1, 64, 2):
+                    cb.read(tmp_path / f"c{i}", "m")
+        except Exception as e:  # pragma: no cover - the regression
+            errs.append(e)
+
+    ts = [threading.Thread(target=f) for f in (deleter, reader, reader)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+
+
+def test_store_sink_stream_id_resolution():
+    """Review r10 wave 4: two pipelines sharing the old constant
+    default stream_id shared ONE epoch high-water — the younger
+    query's batches silently dropped. No stream_id now derives from
+    the checkpoint (the query's durable identity) or refuses."""
+    import pytest as _pytest
+
+    from geo_explorer_etl_spark.streaming.store_sink import StoreStreamWriter
+
+    resolve = StoreStreamWriter._resolve_stream_id
+    assert resolve({"stream_id": "pipe"}) == "pipe"
+    a = resolve({"checkpointlocation": "/ck/a"})
+    b = resolve({"checkpointlocation": "/ck/b"})
+    assert a.startswith("ck-") and a != b
+    assert a == resolve({"checkpointlocation": "/ck/a"})  # stable
+    with _pytest.raises(ValueError, match="stream_id"):
+        resolve({})

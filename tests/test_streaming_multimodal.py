@@ -1541,6 +1541,9 @@ def test_adts_and_h264_header_walks_known_answers(spark):
     got = {r["media_id"]: r for r in stream_metadata(media).collect()}
     assert got[1]["kind"] == "aac" and got[1]["sample_rate"] == 44100
     assert got[2]["kind"] == "h264" and got[2]["width"] == 1920
+    # the interlace flag must SURFACE through the triage schema, not
+    # be sliced off by positional truncation (review r10 wave 4)
+    assert got[2]["interlaced"] is False and got[1]["interlaced"] is None
     assert got[3]["kind"] is None and got[3]["error"] is not None
 
 
