@@ -27,6 +27,13 @@ from .commit import CommitBackend, CommitConflict, make_backend
 
 COMMITTED = "_committed.json"  # per-partition live-file manifest (hidden from Spark's own discovery by the leading underscore)
 EPOCHS = "_epochs.json"        # exactly-once streaming ledger (high-water batch id per stream)
+CONSTRAINTS = "_constraints.json"  # store-root blob: per-table NOT NULL / CHECK constraints
+
+
+class ConstraintViolation(ValueError):
+    """A write would publish rows that break a declared table
+    constraint — raised BEFORE the manifest swap, so the snapshot
+    readers resolve never contains the offending rows."""
 
 
 # -- file-level data skipping -----------------------------------------------
@@ -327,6 +334,102 @@ def _file_all_match(stats: dict[str, list] | None, where) -> bool:
         if op == "<" and not mx < v:
             return False
     return True
+
+
+# -- table constraints --------------------------------------------------------
+# NOT NULL / CHECK in the Delta-invariant shape: declared once per
+# table (store-root blob, versioned through the commit backend),
+# enforced on every VALUE-BEARING write path before its manifest swap.
+# Enforcement is FOOTER-FIRST — the same zone maps the write already
+# harvests prove most new files clean without reading a data page —
+# and only footer-inconclusive files pay a scan of the constrained
+# columns. The reference leans on its RDBMS DDL for exactly this
+# (scdb.py's NOT NULL key columns); a lake-format store must enforce
+# it itself or ingest quietly poisons every downstream query.
+
+
+def _neg_probes(pred):
+    """Zone-map probes for a CHECK predicate's NEGATION: the file is
+    provably violation-free iff ``_file_may_match`` prunes EVERY probe
+    (no non-null row can falsify the predicate, and null rows pass a
+    CHECK by SQL's not-FALSE rule; NaN soundness is _file_may_match's
+    existing nan_possible guard). ``None`` = not negatable by zone
+    maps (multi-member ``in``) — the caller scans."""
+    c, op, v = pred
+    flip = {"==": "!=", "!=": "==", ">=": "<", ">": "<=", "<=": ">", "<": ">="}
+    if op in flip:
+        return [(c, flip[op], v)]
+    if op == "between":
+        return [(c, "<", v[0]), (c, ">", v[1])]
+    if op == "in" and len(v) == 1:
+        return [(c, "!=", next(iter(v)))]
+    return None
+
+
+def _pa_pred_mask(tbl, names: set, pred, phys):
+    """One CHECK predicate evaluated over a pyarrow table with SPARK
+    SQL semantics: nulls propagate (3VL), and on float columns NaN
+    sorts ABOVE every value and equals NaN — pyarrow's IEEE kernels
+    call every NaN comparison false, so NaN rows are patched to
+    Spark's answer ('>', '>=', '!=' accept; the rest reject)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    c, op, v = pred
+    p = phys(c)
+    if p not in names:
+        return pa.nulls(tbl.num_rows, pa.bool_())  # absent = all-null column
+    col = tbl[p]
+    if op == "==":
+        res = pc.equal(col, v)
+    elif op == "!=":
+        res = pc.not_equal(col, v)
+    elif op == ">=":
+        res = pc.greater_equal(col, v)
+    elif op == ">":
+        res = pc.greater(col, v)
+    elif op == "<=":
+        res = pc.less_equal(col, v)
+    elif op == "<":
+        res = pc.less(col, v)
+    elif op == "between":
+        res = pc.and_kleene(
+            pc.greater_equal(col, v[0]), pc.less_equal(col, v[1])
+        )
+    elif op == "in":
+        res = pc.is_in(col, value_set=pa.array(list(v)))
+    else:  # pragma: no cover - add_constraint whitelists ops
+        raise ValueError(f"unsupported constraint op {op!r}")
+    if pa.types.is_floating(col.type):
+        nan = pc.fill_null(pc.is_nan(col), False)
+        res = pc.if_else(nan, pa.scalar(op in (">", ">=", "!=")), res)
+    return res
+
+
+def _pa_file_violates(path: Path, spec: dict, phys) -> bool:
+    """Spark-free scan fallback for one footer-inconclusive file: read
+    ONLY the constrained columns via pyarrow and test for a violating
+    row. Used where no SparkSession exists (the streaming sink's
+    commit worker); sessions take the Spark scan path instead."""
+    import functools
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(str(path))
+    names = set(pf.schema_arrow.names)
+    if spec["kind"] == "not_null":
+        needed = [phys(c) for c in spec["cols"]]
+        if any(p not in names for p in needed):
+            return True  # absent column = every row null
+        tbl = pf.read(columns=needed)
+        return any(tbl[p].null_count > 0 for p in needed)
+    cols = [phys(c) for c, _, _ in spec["preds"] if phys(c) in names]
+    tbl = pf.read(columns=sorted(set(cols)))
+    masks = [_pa_pred_mask(tbl, names, tuple(p), phys) for p in spec["preds"]]
+    acc = functools.reduce(pc.and_kleene, masks)
+    # violation iff the ANDed check is FALSE (null passes — SQL's rule)
+    return bool(pc.any(pc.invert(pc.fill_null(acc, True))).as_py())
 
 
 # -- per-file bloom filters --------------------------------------------------
@@ -2161,10 +2264,34 @@ class TableStore:
             prior_schemas[part] = (
                 _merge_schemas(prior, payload_schema) if prior else payload_schema
             )
+        root_before = (
+            {f.name for f in p.glob("*.parquet")} if p.exists() else set()
+        )
         w = df.write.mode("append")
         if PARTITION_COL in df.columns:
             w = w.partitionBy(PARTITION_COL)
         w.parquet(self._path(table))
+        # constraints verify BEFORE any manifest extends (manifest-
+        # controlled partitions never expose unverified files; brand-
+        # new listing-mode partitions share the append's own
+        # non-atomic visibility window). On violation every file this
+        # append wrote is unlinked — the table is exactly as before.
+        appended: list[Path] = []
+        for part in p.glob(f"{PARTITION_COL}=*"):
+            base = before.get(part, set())
+            appended += [
+                part / n
+                for n in {f.name for f in part.glob("*.parquet")} - base
+            ]
+        appended += [
+            p / n for n in {f.name for f in p.glob("*.parquet")} - root_before
+        ]
+        try:
+            self._enforce_constraints(table, appended, colmap)
+        except ConstraintViolation:
+            for f in appended:
+                f.unlink(missing_ok=True)
+            raise
         for part, old_names in before.items():
             new_names = {f.name for f in part.glob("*.parquet")} - old_names
             if not new_names:
@@ -2367,6 +2494,16 @@ class TableStore:
                 )
         if PARTITION_COL not in df.columns:
             df = df.withColumn(PARTITION_COL, F.lit(product_id).cast("long"))
+        # this path overwrites IN PLACE (no staging to discard), so
+        # constraints must gate the INPUT frame — one scan of the
+        # incoming data, before anything on disk is touched
+        for name, spec in self._table_constraints(table).items():
+            bad = df.filter(self._violation_expr(spec, df.columns)).limit(1).take(1)
+            if bad:
+                raise ConstraintViolation(
+                    f"{table}: constraint {name!r} violated by incoming "
+                    f"rows, e.g. {bad[0].asDict()}"
+                )
         (
             df.write.mode("overwrite")
             .partitionBy(PARTITION_COL)
@@ -2459,6 +2596,22 @@ class TableStore:
                     # payload files exclude the partition column, exactly
                     # like a partitioned write's IndicatorThemeId={pid} dir
                     df.write.parquet(str(txn / table))
+            # constraints verify against the STAGED files — before the
+            # MANIFEST commit point, so neither this publish nor a
+            # crash-recovery roll-forward can ever move violating rows
+            # live; the whole txn dir is discarded on violation
+            try:
+                for table in frames:
+                    self._enforce_constraints(
+                        table,
+                        sorted((txn / table).glob("*.parquet")),
+                        colmaps.get(table) or {},
+                    )
+            except ConstraintViolation:
+                import shutil
+
+                shutil.rmtree(txn, ignore_errors=True)
+                raise
             manifest = {
                 "product_id": product_id,
                 "seq": seq,
@@ -2718,6 +2871,21 @@ class TableStore:
         }
         if ep_colmap:
             manifest["colmap"] = {k: v for k, v in ep_colmap.items() if k != v}
+        # constraints gate the staged files BEFORE the claim: claiming
+        # first would wedge the (stream, batch) slot — the retry's
+        # replay path rolls the CLAIMED violating staging forward and
+        # re-raises forever, and a recovery at store open would hit
+        # the same wall. Pre-claim, a violation just discards this
+        # attempt; nothing is claimed, nothing published.
+        try:
+            staged = []
+            for part_name, names in files.items():
+                src = tdir if part_name == "." else tdir / part_name
+                staged += [src / n for n in names]
+            self._enforce_constraints(table, staged, ep_colmap)
+        except ConstraintViolation:
+            shutil.rmtree(txn, ignore_errors=True)
+            raise
         tmp = txn / "MANIFEST.json.tmp"
         tmp.write_text(json.dumps(manifest))
         tmp.rename(txn / "MANIFEST.json")              # commit-ready
@@ -3704,6 +3872,20 @@ class TableStore:
         finally:
             if matched is not None:
                 matched.unpersist()
+        # incoming rows can break declared constraints — enforce on
+        # this attempt's files before the swap, cleaning up like an
+        # abort on violation (delete's survivors never re-checked:
+        # every committed snapshot already conforms)
+        try:
+            self._enforce_constraints(
+                part.parent.name, [part / n for n in new_names], colmap
+            )
+        except ConstraintViolation:
+            for n in new_names:
+                (part / n).unlink(missing_ok=True)
+            for e in dv_updates.values():
+                (part / e["sidecar"]).unlink(missing_ok=True)
+            raise
         removed = set(rewrite) | set(full_drop)
         touched = removed | set(dv_updates)
         snapshot_files = set(manifest["files"])
@@ -4037,6 +4219,311 @@ class TableStore:
         shutil.rmtree(staging, ignore_errors=True)
         return names
 
+    # -- table constraints ----------------------------------------------------
+
+    def constraints(self, table: str) -> dict:
+        """Declared constraints for ``table``: {name: spec} where spec
+        is ``{"kind": "not_null", "cols": [...]}`` or ``{"kind":
+        "check", "preds": [[col, op, value], ...]}`` (the store's
+        predicate grammar, ANDed)."""
+        return dict(self._table_constraints(table))
+
+    def add_constraint(
+        self, table: str, name: str, *, not_null=None, check=None
+    ) -> None:
+        """Declare a NOT NULL or CHECK constraint (exactly one). The
+        CURRENT table data is validated first with one Spark scan —
+        like Delta's ADD CONSTRAINT, declaring a rule existing rows
+        already break is refused, so enforcement can trust that every
+        committed snapshot satisfies every declared constraint and
+        writes only ever need to examine their OWN new files.
+
+        ``check`` uses the store's predicate grammar — a list of
+        ``(col, op, value)`` ANDed, ops ``== != >= > <= < between in``
+        on LOGICAL column names — deliberately, not a free SQL string:
+        the same tuples drive the zone-map clean-proof at write time
+        and stay evaluable in the session-less streaming-sink commit
+        worker (pyarrow), so every write path enforces the same rule.
+        A row violates iff the ANDed predicate evaluates FALSE (SQL's
+        CHECK rule: null passes — combine with not_null to forbid
+        nulls). The partition column cannot be constrained (its values
+        never reach the payload files the probes read).
+
+        Enforcement covers every path that introduces NEW row values:
+        append, replace (both forms), epoch/streaming appends (incl.
+        the session-less sink), merge_rows, update_where. delete_where
+        and compact only carry existing values, which already conform.
+        ``restore`` deliberately bypasses: a pre-constraint snapshot
+        was valid under its own rules — re-validate or drop the
+        constraint after restoring across its add point."""
+        from .commit import cas_update
+
+        if (not_null is None) == (check is None):
+            raise ValueError("add_constraint: pass exactly one of not_null/check")
+        if not name or not isinstance(name, str):
+            raise ValueError("add_constraint: name must be a non-empty string")
+        if not_null is not None:
+            cols = list(not_null)
+            if not cols or any(not isinstance(c, str) for c in cols):
+                raise ValueError("add_constraint: not_null needs column names")
+            if PARTITION_COL in cols:
+                raise ValueError(
+                    f"add_constraint: {PARTITION_COL} is never null by "
+                    "construction and cannot be constrained"
+                )
+            spec = {"kind": "not_null", "cols": cols}
+        else:
+            preds = [tuple(p) for p in check]
+            if not preds:
+                raise ValueError("add_constraint: check needs at least one predicate")
+            _where_expr(preds)  # op whitelist + shape validation
+            if any(c == PARTITION_COL for c, _, _ in preds):
+                raise ValueError(
+                    f"add_constraint: constraints on {PARTITION_COL} are not "
+                    "supported (partition values live in dir names, not files)"
+                )
+            try:
+                json.dumps([list(p) for p in preds])
+            except TypeError as e:
+                raise ValueError(
+                    f"add_constraint: check values must be JSON-storable ({e})"
+                ) from None
+            spec = {"kind": "check", "preds": [list(p) for p in preds]}
+
+        # validate EXISTING data (one scan; absent table = nothing to check)
+        cur = self.read(table)
+        if cur is not None:
+            missing = sorted(
+                set(spec.get("cols") or [c for c, _, _ in spec.get("preds", [])])
+                - set(cur.columns)
+            )
+            if missing:
+                raise ValueError(
+                    f"add_constraint({table!r}): column(s) {missing} not in "
+                    f"table columns {sorted(set(cur.columns) - {PARTITION_COL})}"
+                )
+            bad = cur.filter(self._violation_expr(spec, cur.columns)).limit(1).take(1)
+            if bad:
+                raise ConstraintViolation(
+                    f"add_constraint({table!r}, {name!r}): existing data "
+                    f"violates it, e.g. {bad[0].asDict()}"
+                )
+
+        def put(prior):
+            body = dict(prior or {})
+            tables = {t: dict(v) for t, v in (body.get("tables") or {}).items()}
+            have = tables.setdefault(table, {})
+            if name in have:
+                raise ValueError(
+                    f"add_constraint({table!r}): constraint {name!r} already "
+                    "exists — drop_constraint it first"
+                )
+            have[name] = spec
+            body["tables"] = tables
+            return body
+
+        cas_update(self._backend, Path(self.root), CONSTRAINTS, put)
+
+    def drop_constraint(self, table: str, name: str) -> None:
+        from .commit import cas_update
+
+        def drop(prior):
+            body = dict(prior or {})
+            tables = {t: dict(v) for t, v in (body.get("tables") or {}).items()}
+            if name not in (tables.get(table) or {}):
+                raise ValueError(
+                    f"drop_constraint({table!r}): no constraint {name!r}"
+                )
+            del tables[table][name]
+            if not tables[table]:
+                del tables[table]
+            body["tables"] = tables
+            return body
+
+        cas_update(self._backend, Path(self.root), CONSTRAINTS, drop)
+
+    def _table_constraints(self, table: str) -> dict:
+        cur = self._backend.read(Path(self.root), CONSTRAINTS)
+        return ((cur[1] if cur else {}).get("tables") or {}).get(table) or {}
+
+    def _rename_in_constraints(self, table: str, old: str, new: str) -> None:
+        """Follow a column rename through every constraint spec that
+        names it (specs hold LOGICAL names, and rename_column changes
+        the logical name while the physical stays)."""
+        from .commit import cas_update
+
+        if not self._table_constraints(table):
+            return
+
+        def upd(prior):
+            body = dict(prior or {})
+            tables = {t: dict(v) for t, v in (body.get("tables") or {}).items()}
+            have = tables.get(table) or {}
+            changed = False
+            for name, spec in list(have.items()):
+                if spec["kind"] == "not_null" and old in spec["cols"]:
+                    have[name] = {
+                        "kind": "not_null",
+                        "cols": [new if c == old else c for c in spec["cols"]],
+                    }
+                    changed = True
+                elif spec["kind"] == "check" and any(
+                    c == old for c, _, _ in spec["preds"]
+                ):
+                    have[name] = {
+                        "kind": "check",
+                        "preds": [
+                            [new if c == old else c, op, v]
+                            for c, op, v in spec["preds"]
+                        ],
+                    }
+                    changed = True
+            if not changed:
+                return None  # abort: nothing references the column
+            body["tables"] = tables
+            return body
+
+        cas_update(self._backend, Path(self.root), CONSTRAINTS, upd)
+
+    @staticmethod
+    def _violation_expr(spec: dict, frame_cols) -> "F.Column":
+        """Spark violation predicate for one constraint over a LOGICAL
+        frame: not_null → any constrained column null (absent = all
+        null); check → the ANDed predicate IS FALSE (absent columns
+        contribute null, which propagates SQL's 3VL exactly)."""
+        import functools
+        import operator
+
+        if spec["kind"] == "not_null":
+            return functools.reduce(
+                operator.or_,
+                [
+                    F.col(c).isNull() if c in frame_cols else F.lit(True)
+                    for c in spec["cols"]
+                ],
+            )
+        # check: a predicate on an ABSENT column evaluates NULL — the
+        # same 3VL a null-valued column yields, so `a >= 0 AND b < 5`
+        # with `a` missing still flags rows where `b >= 5` (null AND
+        # false = FALSE) and passes the rest (null AND true = null)
+        exprs = [
+            _where_expr([(c, op, v)])
+            if c in frame_cols
+            else F.lit(None).cast("boolean")
+            for c, op, v in (tuple(p) for p in spec["preds"])
+        ]
+        check = functools.reduce(operator.and_, exprs)
+        return ~F.coalesce(check, F.lit(True))
+
+    def _enforce_constraints(self, table: str, files, colmap: dict) -> None:
+        """Verify this write's NEW files against the table's declared
+        constraints BEFORE their manifest swap — the caller unlinks
+        the files when this raises. Footer-first: the same per-file
+        zone maps / null counts the commit harvests prove most files
+        clean (``_neg_probes`` + ``_file_may_match``, NaN-sound);
+        only inconclusive (file, constraint) pairs pay a scan of the
+        constrained columns — Spark-side where a session exists, via
+        pyarrow in the session-less sink commit worker. Cost when no
+        constraints are declared: ONE cached backend read."""
+        cons = self._table_constraints(table)
+        if not cons or not files:
+            return
+        import pyarrow.parquet as pq
+
+        cmap = colmap or {}
+
+        def phys(c):
+            return cmap.get(c, c)
+
+        to_scan: list[tuple[Path, str, dict]] = []
+        for path in files:
+            path = Path(path)
+            probe = _parquet_file_stats(path)
+            stats = probe[0] if probe else {}
+            nulls = stats.get("__nulls__") or {}
+            try:
+                names = set(pq.ParquetFile(str(path)).schema_arrow.names)
+            except Exception:
+                names = None
+            for name, spec in cons.items():
+                if spec["kind"] == "not_null":
+                    for c in spec["cols"]:
+                        p = phys(c)
+                        if names is not None and p not in names:
+                            raise ConstraintViolation(
+                                f"{table}: NOT NULL constraint {name!r} — "
+                                f"file {path.name} has no column {c!r} "
+                                "(every row would be null)"
+                            )
+                        nc = nulls.get(p)
+                        if nc == 0:
+                            continue
+                        if isinstance(nc, int) and nc > 0:
+                            raise ConstraintViolation(
+                                f"{table}: NOT NULL constraint {name!r} — "
+                                f"file {path.name} holds {nc} null "
+                                f"row(s) in {c!r}"
+                            )
+                        to_scan.append(
+                            (path, name, {"kind": "not_null", "cols": [c]})
+                        )
+                else:
+                    conclusive = True
+                    for pred in spec["preds"]:
+                        c, op, v = pred
+                        if names is not None and phys(c) not in names:
+                            continue  # absent column: null rows pass CHECK
+                        negs = _neg_probes((c, op, v))
+                        if negs is None or any(
+                            _file_may_match(stats, [(phys(nc_), nop, nv)])
+                            for nc_, nop, nv in negs
+                        ):
+                            conclusive = False
+                            break
+                    if not conclusive:
+                        to_scan.append((path, name, spec))
+        if to_scan:
+            self._scan_constraint_violations(table, to_scan, cmap)
+
+    def _scan_constraint_violations(
+        self, table: str, to_scan: list, cmap: dict
+    ) -> None:
+        """Scan fallback for footer-inconclusive (file, constraint)
+        pairs. With a session: ONE distributed read per constraint
+        over just its inconclusive files (mergeSchema, physical→
+        logical rename), so a large append's check cost scales with
+        the files the zone maps could NOT clear, not the write size.
+        Session-less (StoreMeta in the sink's commit worker): pyarrow
+        per staged file — bounded by the micro-batch."""
+        spark = getattr(self, "spark", None)
+        if spark is None:
+            def phys(c):
+                return cmap.get(c, c)
+
+            for path, name, spec in to_scan:
+                if _pa_file_violates(Path(path), spec, phys):
+                    raise ConstraintViolation(
+                        f"{table}: constraint {name!r} violated by rows "
+                        f"in {Path(path).name}"
+                    )
+            return
+        by_cons: dict[tuple, list] = {}
+        for path, name, spec in to_scan:
+            by_cons.setdefault((name, json.dumps(spec, sort_keys=True)), []).append(
+                str(path)
+            )
+        for (name, spec_json), paths in by_cons.items():
+            spec = json.loads(spec_json)
+            df = _rename_to_logical(
+                spark.read.option("mergeSchema", "true").parquet(*paths), cmap
+            )
+            bad = df.filter(self._violation_expr(spec, df.columns)).limit(1).take(1)
+            if bad:
+                raise ConstraintViolation(
+                    f"{table}: constraint {name!r} violated, e.g. "
+                    f"{bad[0].asDict()}"
+                )
+
     def _dml_swap(
         self,
         part: Path,
@@ -4051,7 +4538,25 @@ class TableStore:
         snapshot) if any touched source file was superseded by a
         concurrent replace, or a concurrent delete moved a touched
         file's deletion vector; otherwise commit removed/new files and
-        the DV updates atomically."""
+        the DV updates atomically.
+
+        Declared constraints are enforced on this attempt's NEW files
+        first (update_where's transformed rows can break them; a
+        delete's survivor rewrite passes trivially since every
+        committed snapshot already conforms) — a violation cleans up
+        exactly like an abort, then raises instead of retrying."""
+        try:
+            self._enforce_constraints(
+                part.parent.name,
+                [part / n for n in new_names],
+                dict((self._manifest(part) or {}).get("colmap") or {}),
+            )
+        except ConstraintViolation:
+            for n in new_names:
+                (part / n).unlink(missing_ok=True)
+            for e in dv_updates.values():
+                (part / e["sidecar"]).unlink(missing_ok=True)
+            raise
         with self._exclusive_lock():
 
             def swap(prior):
@@ -4742,6 +5247,9 @@ class TableStore:
             raise ValueError(f"cannot rename the partition column {PARTITION_COL!r}")
         if old == new:
             return 0
+        # constraints are declared on LOGICAL names: follow the rename
+        # or enforcement would probe a name that no longer resolves
+        self._rename_in_constraints(table, old, new)
 
         def upd(prior, part):
             if prior is None:
@@ -4795,6 +5303,19 @@ class TableStore:
 
         if col == PARTITION_COL:
             raise ValueError(f"cannot drop the partition column {PARTITION_COL!r}")
+        holders = [
+            name
+            for name, spec in self._table_constraints(table).items()
+            if col in (spec.get("cols") or [c for c, _, _ in spec.get("preds", [])])
+        ]
+        if holders:
+            # Delta's rule: a constrained column cannot be dropped out
+            # from under its constraint — silently orphaning the spec
+            # would make every later write fail as "column absent"
+            raise ValueError(
+                f"drop_column({table!r}): {col!r} is referenced by "
+                f"constraint(s) {holders} — drop_constraint first"
+            )
 
         def upd(prior, part):
             if prior is None:
@@ -4940,6 +5461,15 @@ class StoreMeta:
     _record_epoch = TableStore._record_epoch
     _publish_epoch = TableStore._publish_epoch
     _complete_claimed_epoch = TableStore._complete_claimed_epoch
+    # constraint enforcement is footer-first and plain-Python; with no
+    # session the scan fallback goes through pyarrow, so the sink's
+    # commit worker enforces the same declared rules as every
+    # Spark-side write (getattr(self, 'spark', None) is the switch)
+    constraints = TableStore.constraints
+    _table_constraints = TableStore._table_constraints
+    _enforce_constraints = TableStore._enforce_constraints
+    _scan_constraint_violations = TableStore._scan_constraint_violations
+    _violation_expr = staticmethod(TableStore._violation_expr)
 
     def table_schema_colmap(self, table: str) -> tuple:
         """ONE manifest pass returning the merged declared LOGICAL

@@ -272,6 +272,25 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
             }
             if colmap:
                 manifest["colmap"] = {k: v for k, v in colmap.items() if k != v}
+            # declared table constraints gate the staged files BEFORE
+            # the claim (same order as append_epoch: claiming first
+            # would wedge the batch slot forever) — Spark-free via the
+            # footer probes + pyarrow scan fallback. The violation
+            # fails the streaming batch; the checkpoint does NOT
+            # advance, nothing publishes.
+            try:
+                meta._enforce_constraints(
+                    self._table,
+                    [
+                        txn / self._table / (p if p != "." else "") / n
+                        for p, ns in manifest["files"].items()
+                        for n in ns
+                    ],
+                    manifest.get("colmap") or {},
+                )
+            except Exception:
+                shutil.rmtree(txn, ignore_errors=True)
+                raise
             tmp = txn / "MANIFEST.json.tmp"
             tmp.write_text(json.dumps(manifest))
             tmp.rename(txn / "MANIFEST.json")          # commit-ready

@@ -3273,3 +3273,191 @@ def test_update_where_through_column_mapping(spark, tmp_path):
     import pyarrow.parquet as pq
 
     assert "amount" in pq.ParquetFile(str(part / upd[0])).schema_arrow.names
+
+
+# -- table constraints (NOT NULL / CHECK, Delta-invariant shape) -------------
+
+
+def test_constraints_lifecycle_and_add_time_validation(spark, tmp_path):
+    """add_constraint validates shape and EXISTING data; duplicates,
+    unknown columns, and partition-column targets are refused;
+    drop_constraint re-opens the gate."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        ConstraintViolation,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, float(i), "x" if i else None) for i in range(6)],
+        "k long, price double, v string",
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df})
+
+    # existing data has a null v -> NOT NULL refused at add time
+    with _pytest.raises(ConstraintViolation, match="existing data"):
+        store.add_constraint("IndicatorValues", "v_nn", not_null=["v"])
+    # unknown column / partition column / bad shape all refused
+    with _pytest.raises(ValueError, match="not in table columns"):
+        store.add_constraint("IndicatorValues", "x", not_null=["nope"])
+    with _pytest.raises(ValueError, match="never null by construction"):
+        store.add_constraint("IndicatorValues", "x", not_null=[PARTITION_COL])
+    with _pytest.raises(ValueError, match="exactly one"):
+        store.add_constraint("IndicatorValues", "x")
+    store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+    with _pytest.raises(ValueError, match="already exists"):
+        store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+    assert set(store.constraints("IndicatorValues")) == {"nonneg"}
+    store.drop_constraint("IndicatorValues", "nonneg")
+    assert store.constraints("IndicatorValues") == {}
+    with _pytest.raises(ValueError, match="no constraint"):
+        store.drop_constraint("IndicatorValues", "nonneg")
+
+
+def test_constraints_block_every_value_bearing_write(spark, tmp_path):
+    """Each write path that introduces new values refuses a violating
+    batch BEFORE its snapshot point: the table reads back exactly as
+    before, fsck stays clean, and no orphan attempt-files leak."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        ConstraintViolation,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, float(i), "x") for i in range(8)], "k long, price double, v string"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df.coalesce(2)})
+    store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+    store.add_constraint("IndicatorValues", "v_nn", not_null=["v"])
+
+    def snapshot():
+        return {
+            (r["k"], r["price"], r["v"])
+            for r in store.read("IndicatorValues").collect()
+        }
+
+    before = snapshot()
+
+    def bad_frame(rows, schema="k long, price double, v string"):
+        return spark.createDataFrame(rows, schema).withColumn(
+            PARTITION_COL, F.lit(1).cast("long")
+        )
+
+    # append: CHECK violation (scan-confirmed) and NOT NULL (footer-exact)
+    with _pytest.raises(ConstraintViolation, match="nonneg"):
+        store.append("IndicatorValues", bad_frame([(100, -1.0, "y")]))
+    with _pytest.raises(ConstraintViolation, match="v_nn"):
+        store.append("IndicatorValues", bad_frame([(100, 1.0, None)]))
+    # merge_rows (DV and COW paths share the hook)
+    with _pytest.raises(ConstraintViolation, match="nonneg"):
+        store.merge_rows("IndicatorValues", bad_frame([(3, -9.0, "y")]), ["k"])
+    # update_where: transformed rows break the check
+    with _pytest.raises(ConstraintViolation, match="nonneg"):
+        store.update_where(
+            "IndicatorValues", {"price": "price - 100"}, [("k", "<", 2)]
+        )
+    # replace txn: staged files discarded wholesale
+    with _pytest.raises(ConstraintViolation, match="nonneg"):
+        store.replace_product_all(
+            1, {"IndicatorValues": bad_frame([(0, -1.0, "y")])}
+        )
+    # epoch append: violation pre-claim, clean retry of the SAME batch wins
+    with _pytest.raises(ConstraintViolation, match="nonneg"):
+        store.append_epoch(
+            "s1", 0, "IndicatorValues", bad_frame([(200, -1.0, "y")])
+        )
+    assert snapshot() == before
+    assert store.append_epoch(
+        "s1", 0, "IndicatorValues", bad_frame([(200, 2.0, "y")])
+    ) is True
+    assert (200, 2.0, "y") in snapshot()
+
+    # nothing leaked: no orphan staging, fsck green
+    staging = Path(str(tmp_path / "store")) / "_staging"
+    assert not list(staging.iterdir()) if staging.exists() else True
+    rep = store.fsck("IndicatorValues").get("IndicatorValues", {})
+    assert rep.get("missing", []) == [] and rep.get("unknown", []) == []
+
+    # clean writes still pass every path
+    store.append("IndicatorValues", bad_frame([(300, 3.0, "z")]))
+    store.merge_rows("IndicatorValues", bad_frame([(3, 9.0, "y")]), ["k"])
+    assert store.update_where(
+        "IndicatorValues", {"price": "price + 1"}, [("k", "==", 300)]
+    ) == 1
+
+
+def test_constraints_follow_rename_and_block_drop(spark, tmp_path):
+    """Specs hold LOGICAL names: rename_column rewrites them (probes
+    keep resolving through the colmap), and drop_column refuses while
+    a constraint references the column."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        ConstraintViolation,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k long, price double"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df})
+    store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+
+    assert store.rename_column("IndicatorValues", "price", "cost") == 1
+    spec = store.constraints("IndicatorValues")["nonneg"]
+    assert spec["preds"] == [["cost", ">=", 0.0]]
+    # enforcement works under the NEW logical name (physical unchanged)
+    bad = spark.createDataFrame([(9, -1.0)], "k long, cost double").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    with _pytest.raises(ConstraintViolation, match="nonneg"):
+        store.append("IndicatorValues", bad)
+    with _pytest.raises(ValueError, match="referenced by constraint"):
+        store.drop_column("IndicatorValues", "cost")
+    store.drop_constraint("IndicatorValues", "nonneg")
+    assert store.drop_column("IndicatorValues", "cost") == 1
+
+
+def test_constraints_footer_first_skips_scans(spark, tmp_path, monkeypatch):
+    """The 100 TB property: a clean append whose zone maps PROVE the
+    check (and whose footers prove the null counts) publishes without
+    any fallback scan — only footer-inconclusive files pay one."""
+    from geo_explorer_etl_spark.sources import store as store_mod
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, float(i), "x") for i in range(8)], "k long, price double, v string"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df})
+    store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+    store.add_constraint("IndicatorValues", "v_nn", not_null=["v"])
+
+    calls = []
+    orig = TableStore._scan_constraint_violations
+
+    def counting(self, table, to_scan, cmap):
+        calls.append(list(to_scan))
+        return orig(self, table, to_scan, cmap)
+
+    monkeypatch.setattr(TableStore, "_scan_constraint_violations", counting)
+    ok = spark.createDataFrame(
+        [(100, 5.0, "y")], "k long, price double, v string"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.append("IndicatorValues", ok)
+    assert calls == []  # zone maps + null counts proved it clean
+
+    # NaN rows make the zone maps inconclusive for '>='-style checks
+    # (_file_may_match's nan_possible guard) -> exactly one scan, and
+    # under Spark semantics NaN >= 0 is TRUE so the append passes
+    nan_ok = spark.createDataFrame(
+        [(101, float("nan"), "y")], "k long, price double, v string"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.append("IndicatorValues", nan_ok)
+    assert len(calls) == 1
+    assert store.count_rows("IndicatorValues") == 10

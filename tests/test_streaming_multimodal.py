@@ -1585,3 +1585,61 @@ def test_store_sink_partition_value_canonicalization(tmp_path):
     for bad in (True, 4.5, "", "__HIVE_DEFAULT_PARTITION__", "US/East", "a:b"):
         with _p.raises(ValueError):
             _canonical_pid(bad)
+
+
+def test_store_sink_enforces_constraints_session_free(spark, tmp_path):
+    """Declared table constraints gate the sink's SESSION-LESS commit
+    worker (footer probes + pyarrow scan fallback): a violating batch
+    raises BEFORE the epoch claim — nothing publishes, the batch slot
+    stays free — and a clean retry of the same batchId lands."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        ConstraintViolation,
+        TableStore,
+    )
+    from geo_explorer_etl_spark.streaming.store_sink import (
+        StoreSinkCommitMessage,
+        StoreStreamWriter,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    seed = spark.createDataFrame(
+        [(1, 1.0)], "k long, price double"
+    ).withColumn(PARTITION_COL, F.lit(3).cast("long"))
+    store.replace_product_all(3, {"Sink": seed})
+    store.add_constraint("Sink", "nonneg", check=[("price", ">=", 0.0)])
+    store.add_constraint("Sink", "k_nn", not_null=["k"])
+
+    w = StoreStreamWriter(None, {"path": root, "table": "Sink", "stream_id": "p"})
+
+    def msg(price, k=77):
+        staging = Path(root) / "_sink_staging" / "p"
+        staging.mkdir(parents=True, exist_ok=True)
+        f = staging / f"task-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([k], type=pa.int64()),
+                    "price": pa.array([price], type=pa.float64()),
+                }
+            ),
+            str(f),
+        )
+        return StoreSinkCommitMessage(files=[(3, str(f), 1)])
+
+    with _pytest.raises(ConstraintViolation, match="nonneg"):
+        w.commit([msg(-5.0)], 0)
+    assert store.read("Sink").filter(F.col("k") == 77).count() == 0
+    # batch 0 was NOT claimed: the clean retry publishes
+    w.commit([msg(5.0)], 0)
+    assert store.read("Sink").filter(F.col("k") == 77).count() == 1
+    # no staging leaked from the refused attempt
+    assert not any((Path(root) / "_staging").iterdir())
