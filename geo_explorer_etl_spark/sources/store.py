@@ -118,7 +118,7 @@ def _stat_comparable(a, b) -> bool:
     return False
 
 
-def _parquet_file_stats(path: Path) -> tuple[dict[str, list], int] | None:
+def _parquet_file_stats(path: Path, pf=None) -> tuple[dict[str, list], int] | None:
     """Per-column [min, max] over all row groups of one parquet file,
     plus the file's exact row count — one footer read, no data pages.
     Columns whose stats are missing in ANY row group are omitted
@@ -135,7 +135,7 @@ def _parquet_file_stats(path: Path) -> tuple[dict[str, list], int] | None:
     try:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(str(path)).metadata
+        md = (pf if pf is not None else pq.ParquetFile(str(path))).metadata
     except Exception:
         return None
     out: dict[str, list] = {}
@@ -2246,10 +2246,8 @@ class TableStore:
         colmap, dropped = _union_colmap(manifests.values(), p.name)
         # column mapping: one shared write-side rule (_translate_payload)
         df, colmap = _translate_payload(df, colmap, dropped)
-        before: dict[Path, set[str]] = {}
         prior_schemas: dict[Path, object] = {}
         for part, manifest in manifests.items():
-            before[part] = {f.name for f in part.glob("*.parquet")}
             if manifest.get("schema"):
                 prior = _schema_from_json(manifest["schema"])
             elif manifest["files"]:
@@ -2264,36 +2262,61 @@ class TableStore:
             prior_schemas[part] = (
                 _merge_schemas(prior, payload_schema) if prior else payload_schema
             )
-        root_before = (
-            {f.name for f in p.glob("*.parquet")} if p.exists() else set()
-        )
-        w = df.write.mode("append")
-        if PARTITION_COL in df.columns:
-            w = w.partitionBy(PARTITION_COL)
-        w.parquet(self._path(table))
-        # constraints verify BEFORE any manifest extends (manifest-
-        # controlled partitions never expose unverified files; brand-
-        # new listing-mode partitions share the append's own
-        # non-atomic visibility window). On violation every file this
-        # append wrote is unlinked — the table is exactly as before.
-        appended: list[Path] = []
-        for part in p.glob(f"{PARTITION_COL}=*"):
-            base = before.get(part, set())
-            appended += [
-                part / n
-                for n in {f.name for f in part.glob("*.parquet")} - base
-            ]
-        appended += [
-            p / n for n in {f.name for f in p.glob("*.parquet")} - root_before
-        ]
+        # STAGE the write (manifest-less dir + fresh _INFLIGHT
+        # sentinel: recover() leaves it alone, a crash GCs after the
+        # grace), verify constraints on the staged files, then MOVE
+        # them live. Staging first fixes two flaws of the former
+        # live-dir diff (review r10 wave 5): a violation cleanup could
+        # only GUESS which live files were this append's — in a
+        # listing-mode partition the guess swept up pre-existing
+        # committed files, and under a concurrent append the OTHER
+        # writer's files — and the manifest extends now name exactly
+        # the files this append created, never a racer's.
+        import shutil
+        import uuid as _uuid
+
+        staging = Path(self.root) / "_staging" / f"append_{_uuid.uuid4().hex[:12]}"
+        data_dir = staging / "data"
+        staging.mkdir(parents=True)
+        sentinel = staging / "_INFLIGHT"
+        sentinel.write_text("")
+        new_by_part: dict[Path, list[str]] = {}
         try:
-            self._enforce_constraints(table, appended, colmap)
-        except ConstraintViolation:
-            for f in appended:
-                f.unlink(missing_ok=True)
-            raise
-        for part, old_names in before.items():
-            new_names = {f.name for f in part.glob("*.parquet")} - old_names
+            with self._inflight_keepalive(sentinel):
+                w = df.write
+                if PARTITION_COL in df.columns:
+                    w = w.partitionBy(PARTITION_COL)
+                w.parquet(str(data_dir))
+            staged: dict[str, list[str]] = {}  # part dir name ('.'=root)
+            for d in sorted(data_dir.glob(f"{PARTITION_COL}=*")):
+                staged[d.name] = sorted(f.name for f in d.glob("*.parquet"))
+            root_names = sorted(f.name for f in data_dir.glob("*.parquet"))
+            if root_names:
+                staged["."] = root_names
+            self._enforce_constraints(
+                table,
+                [
+                    (data_dir if pn == "." else data_dir / pn) / n
+                    for pn, ns in staged.items()
+                    for n in ns
+                ],
+                colmap,
+            )
+            # staged names are Spark task-UUID unique: a same-name
+            # collision with a concurrent append cannot happen
+            for pn, ns in staged.items():
+                target = p if pn == "." else p / pn
+                src_dir = data_dir if pn == "." else data_dir / pn
+                target.mkdir(parents=True, exist_ok=True)
+                for n in ns:
+                    (src_dir / n).rename(target / n)
+                new_by_part[target] = ns
+        finally:
+            # on success only empty dirs remain; on violation the
+            # staged files die here, live dirs untouched
+            shutil.rmtree(staging, ignore_errors=True)
+        for part in manifests:
+            new_names = new_by_part.get(part)
             if not new_names:
                 continue
 
@@ -2342,20 +2365,18 @@ class TableStore:
             # physical field (duplicate-column failure — review r9
             # wave-2 #1). First-manifest every partition this append
             # created; rename_column guarantees a mapped table had no
-            # file-bearing listing partitions before, so everything on
-            # disk here is this append's.
-            for part in p.glob(f"{PARTITION_COL}=*"):
-                if part in before or self._manifest(part) is not None:
+            # file-bearing listing partitions before, so the staged
+            # names ARE the partition's content.
+            for part, ns in new_by_part.items():
+                if part == p or part in manifests or self._manifest(part) is not None:
                     continue
-                names = sorted(f.name for f in part.glob("*.parquet"))
-                if names:
-                    self._write_committed(
-                        part,
-                        names,
-                        schema_json=payload_schema.json(),
-                        colmap=colmap,
-                        dropped_physical=sorted(dropped),
-                    )
+                self._write_committed(
+                    part,
+                    sorted(ns),
+                    schema_json=payload_schema.json(),
+                    colmap=colmap,
+                    dropped_physical=sorted(dropped),
+                )
 
     def _build_manifest_body(
         self,
@@ -4323,6 +4344,48 @@ class TableStore:
             return body
 
         cas_update(self._backend, Path(self.root), CONSTRAINTS, put)
+        # concurrent-write closure (review r10 wave 5): a writer that
+        # read the (then-empty) constraints BEFORE the publish above
+        # may commit its already-enforced files AFTER our first scan.
+        # Re-validate under the store lock — swaps that completed
+        # before this second scan are covered; on violation the
+        # constraint rolls back and the add fails loudly. The residual
+        # window (a write staged pre-publish, committed post-re-scan)
+        # is unreachable from this side without multi-blob atomicity;
+        # it is documented on verify_constraints(), the audit to run
+        # when adding constraints on a non-quiesced table.
+        with self._exclusive_lock():
+            cur = self.read(table)
+            bad = (
+                cur.filter(self._violation_expr(spec, cur.columns)).limit(1).take(1)
+                if cur is not None
+                else []
+            )
+        if bad:
+            self.drop_constraint(table, name)
+            raise ConstraintViolation(
+                f"add_constraint({table!r}, {name!r}): a concurrent write "
+                f"committed violating rows during the add, e.g. "
+                f"{bad[0].asDict()} — constraint rolled back"
+            )
+
+    def verify_constraints(self, table: str) -> dict:
+        """Audit the CURRENT table against every declared constraint:
+        {name: None | one violating row dict}. Write-path enforcement
+        guarantees each WRITE conforms to the constraints it READ; the
+        one unreachable edge is a write staged before an
+        add_constraint published and committed after its re-scan —
+        run this after adding constraints on a non-quiesced table (or
+        after a ``restore`` across an add point) to close it."""
+        cur = self.read(table)
+        out: dict = {}
+        for name, spec in self._table_constraints(table).items():
+            if cur is None:
+                out[name] = None
+                continue
+            bad = cur.filter(self._violation_expr(spec, cur.columns)).limit(1).take(1)
+            out[name] = bad[0].asDict() if bad else None
+        return out
 
     def drop_constraint(self, table: str, name: str) -> None:
         from .commit import cas_update
@@ -4438,13 +4501,16 @@ class TableStore:
         to_scan: list[tuple[Path, str, dict]] = []
         for path in files:
             path = Path(path)
-            probe = _parquet_file_stats(path)
+            # ONE footer open serves both the schema names and the
+            # stats harvest (review r10 wave 5: these were two)
+            try:
+                pf = pq.ParquetFile(str(path))
+                names = set(pf.schema_arrow.names)
+            except Exception:
+                pf, names = None, None
+            probe = _parquet_file_stats(path, pf=pf) if pf is not None else None
             stats = probe[0] if probe else {}
             nulls = stats.get("__nulls__") or {}
-            try:
-                names = set(pq.ParquetFile(str(path)).schema_arrow.names)
-            except Exception:
-                names = None
             for name, spec in cons.items():
                 if spec["kind"] == "not_null":
                     for c in spec["cols"]:
@@ -4532,6 +4598,7 @@ class TableStore:
         dv_entries: dict,
         dv_updates: dict,
         new_names: list[str],
+        verify_new: bool = True,
     ) -> bool:
         """The shared DML manifest swap: abort (False — caller deletes
         this attempt's files/sidecars and retries against the new
@@ -4541,22 +4608,26 @@ class TableStore:
         the DV updates atomically.
 
         Declared constraints are enforced on this attempt's NEW files
-        first (update_where's transformed rows can break them; a
-        delete's survivor rewrite passes trivially since every
-        committed snapshot already conforms) — a violation cleans up
-        exactly like an abort, then raises instead of retrying."""
-        try:
-            self._enforce_constraints(
-                part.parent.name,
-                [part / n for n in new_names],
-                dict((self._manifest(part) or {}).get("colmap") or {}),
-            )
-        except ConstraintViolation:
-            for n in new_names:
-                (part / n).unlink(missing_ok=True)
-            for e in dv_updates.values():
-                (part / e["sidecar"]).unlink(missing_ok=True)
-            raise
+        first when ``verify_new`` (update_where's transformed rows can
+        break them; delete_where passes ``False`` — its survivor
+        rewrites hold only already-committed values, and re-proving
+        them would pay a pointless scan whenever the zone maps are
+        inconclusive, e.g. multi-member ``in`` checks or float columns
+        — review r10 wave 5). A violation cleans up exactly like an
+        abort, then raises instead of retrying."""
+        if verify_new:
+            try:
+                self._enforce_constraints(
+                    part.parent.name,
+                    [part / n for n in new_names],
+                    dict((self._manifest(part) or {}).get("colmap") or {}),
+                )
+            except ConstraintViolation:
+                for n in new_names:
+                    (part / n).unlink(missing_ok=True)
+                for e in dv_updates.values():
+                    (part / e["sidecar"]).unlink(missing_ok=True)
+                raise
         with self._exclusive_lock():
 
             def swap(prior):
@@ -4802,7 +4873,10 @@ class TableStore:
             new_names = self._dml_write_files(part, kept, len(rewrite), "delete")
         removed = set(drop_whole) | set(scanned_drop) | set(rewrite)
         touched = removed | set(dv_updates)
-        if not self._dml_swap(part, removed, touched, dv_entries, dv_updates, new_names):
+        if not self._dml_swap(
+            part, removed, touched, dv_entries, dv_updates, new_names,
+            verify_new=False,  # survivors hold only committed values
+        ):
             return 0, False
         # deleted = stats-dropped files' LIVE rows (manifest metadata,
         # minus any mask) + every scanned candidate's matched count
@@ -5247,9 +5321,6 @@ class TableStore:
             raise ValueError(f"cannot rename the partition column {PARTITION_COL!r}")
         if old == new:
             return 0
-        # constraints are declared on LOGICAL names: follow the rename
-        # or enforcement would probe a name that no longer resolves
-        self._rename_in_constraints(table, old, new)
 
         def upd(prior, part):
             if prior is None:
@@ -5286,7 +5357,18 @@ class TableStore:
                 dropped_physical=prior.get("dropped_physical"),
             )
 
-        return self._admin_schema_update(table, upd)
+        n = self._admin_schema_update(table, upd)
+        if n:
+            # constraints are declared on LOGICAL names: follow a
+            # SUCCESSFUL rename only (rewriting first re-targeted the
+            # spec at an unrelated column whenever the rename then
+            # failed or matched nothing — review r10 wave 5). A crash
+            # in the window between the two commits leaves the spec on
+            # the old name, which fails writes LOUDLY ("no column")
+            # rather than silently enforcing the wrong column — heal
+            # with drop_constraint + add_constraint under the new name.
+            self._rename_in_constraints(table, old, new)
+        return n
 
     def drop_column(self, table: str, col: str) -> int:
         """DROP COLUMN — metadata-only: the field leaves the declared

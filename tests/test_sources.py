@@ -3461,3 +3461,94 @@ def test_constraints_footer_first_skips_scans(spark, tmp_path, monkeypatch):
     store.append("IndicatorValues", nan_ok)
     assert len(calls) == 1
     assert store.count_rows("IndicatorValues") == 10
+
+
+def test_append_violation_spares_preexisting_listing_files(spark, tmp_path):
+    """Review r10 wave 5: the violation cleanup must remove ONLY the
+    files this append staged — never pre-existing committed files in a
+    manifest-less (listing-mode) partition (the old live-dir diff
+    guessed, and the guess swept them up)."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        ConstraintViolation,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, 1.0)], "k long, price double")
+    # legacy path drops the partition to LISTING mode (no manifest)
+    store.replace_product("IndicatorValues", df, 7)
+    store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+    assert store.count_rows("IndicatorValues") == 1
+
+    bad = spark.createDataFrame([(2, -1.0)], "k long, price double").withColumn(
+        PARTITION_COL, F.lit(7).cast("long")
+    )
+    with _pytest.raises(ConstraintViolation):
+        store.append("IndicatorValues", bad)
+    # the pre-existing committed row SURVIVES
+    assert {r["k"] for r in store.read("IndicatorValues").collect()} == {1}
+    # and a clean append still lands in the listing partition
+    ok = spark.createDataFrame([(3, 3.0)], "k long, price double").withColumn(
+        PARTITION_COL, F.lit(7).cast("long")
+    )
+    store.append("IndicatorValues", ok)
+    assert {r["k"] for r in store.read("IndicatorValues").collect()} == {1, 3}
+
+
+def test_rename_failure_leaves_constraints_untouched(spark, tmp_path):
+    """Review r10 wave 5: the constraint spec follows only a
+    SUCCESSFUL rename — a refused rename (target exists) or a no-op
+    (source absent) must not re-target the spec at another column."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "k long, a double, b double"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df})
+    store.add_constraint("IndicatorValues", "a_nn", not_null=["a"])
+
+    with _pytest.raises(ValueError, match="already exists"):
+        store.rename_column("IndicatorValues", "a", "b")
+    assert store.constraints("IndicatorValues")["a_nn"]["cols"] == ["a"]
+    assert store.rename_column("IndicatorValues", "nope", "whatever") == 0
+    assert store.constraints("IndicatorValues")["a_nn"]["cols"] == ["a"]
+
+
+def test_delete_skips_constraint_reverification(spark, tmp_path, monkeypatch):
+    """Review r10 wave 5: delete_where's survivor rewrites hold only
+    committed values — with a zone-map-inconclusive CHECK declared
+    (multi-member `in`), the delete must not pay a re-verification
+    scan, while update_where still verifies its transformed rows."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(12)], "k long, status string"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df.coalesce(2)})
+    store.add_constraint(
+        "IndicatorValues", "status_dom", check=[("status", "in", ["a", "b", "c"])]
+    )
+
+    scans = []
+    orig = TableStore._scan_constraint_violations
+
+    def counting(self, table, to_scan, cmap):
+        scans.append(len(to_scan))
+        return orig(self, table, to_scan, cmap)
+
+    monkeypatch.setattr(TableStore, "_scan_constraint_violations", counting)
+    # a COW delete rewrites survivors — no verification scan
+    assert store.delete_where(
+        "IndicatorValues", [("k", "in", [0, 1, 2, 3])], mode="cow"
+    ) == 4
+    assert scans == []
+    # update still verifies (multi-member in => inconclusive => scan)
+    assert store.update_where(
+        "IndicatorValues", {"status": "'b'"}, [("k", "==", 5)]
+    ) == 1
+    assert len(scans) >= 1
+    # audit API agrees the table is conformant
+    assert store.verify_constraints("IndicatorValues") == {"status_dom": None}
