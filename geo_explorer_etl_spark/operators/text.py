@@ -80,6 +80,95 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: Tokens per packed training sequence (the GPT-style context window).
+PACK_WINDOW = 2048
+
+
+def pack_offsets(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    window: int = PACK_WINDOW,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Sequence packing for pretraining-data assembly, GPT-style
+    concat-then-chunk: documents ordered by ``id_col`` are treated as
+    one token stream sliced into fixed ``window``-token sequences, and
+    each document gets its global ``pack_offset`` (tokens before it),
+    ``pack_first`` and ``pack_last`` (the sequence ids its tokens land
+    in — a doc longer than the window spans several; boundary docs
+    split across two). Deterministic: a pure function of the id order
+    and the token counts.
+
+    The global running total is the textbook DISTRIBUTED PREFIX SUM,
+    never a single-partition global Window (the naive
+    ``Window.orderBy(id)`` plan funnels 100 TB through ONE task):
+
+    1. split the NUMERIC id domain into ``n_ranges`` contiguous
+       value-buckets from its [min, max] (one tiny aggregate —
+       deterministic by construction, unlike ``repartitionByRange``
+       whose sampled boundaries can move between the two passes);
+    2. ONE per-bucket total aggregate (``n_ranges`` rows, map-side
+       partial) → exclusive prefix bases on the driver;
+    3. bases broadcast back; within-bucket cumulative sum under a
+       PARTITIONED window — every bucket ranks in parallel.
+
+    Bucket boundaries never affect the result — base + within-bucket
+    sum telescopes to the same global cumsum wherever the cuts fall
+    (skewed id densities only skew WORK, never values)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = max(2, spark.sparkContext.defaultParallelism)
+    lo_hi = df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).first()
+    if lo_hi["lo"] is None:
+        return (
+            df.withColumn("pack_offset", F.lit(0).cast("long"))
+            .withColumn("pack_first", F.lit(0).cast("long"))
+            .withColumn("pack_last", F.lit(0).cast("long"))
+        )
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    span = max(1, (hi - lo + 1 + n_ranges - 1) // n_ranges)
+    bucket = F.floor((F.col(id_col) - F.lit(lo)) / F.lit(span)).cast("int")
+    parts = df.withColumn("__bkt", bucket)
+    totals = parts.groupBy("__bkt").agg(
+        F.sum(F.col(tokens_col)).alias("__t")
+    ).collect()
+    bases, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["__bkt"]):
+        bases.append((int(r["__bkt"]), acc))
+        acc += int(r["__t"] or 0)
+    base_df = F.broadcast(
+        spark.createDataFrame(bases or [(0, 0)], "__bkt int, __base long")
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = (
+        F.col("__base") + F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    ).cast("long")
+    return (
+        parts.join(base_df, "__bkt")
+        .withColumn("pack_offset", offset)
+        .withColumn(
+            "pack_first", F.floor(F.col("pack_offset") / window).cast("long")
+        )
+        .withColumn(
+            "pack_last",
+            F.floor(
+                (F.col("pack_offset") + F.greatest(F.col(tokens_col), F.lit(1)) - 1)
+                / window
+            ).cast("long"),
+        )
+        .drop("__bkt", "__base")
+    )
+
+
 def langid(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stopword-vote language ID (en/fr/de/es) with a deterministic
     argmax tiebreak (en > fr > de > es). A heuristic by construction —

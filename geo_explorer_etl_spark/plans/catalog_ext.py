@@ -303,17 +303,37 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_token_count_bpe",
     oracle="""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-             AS n_bpe_tokens,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
-    FROM documents
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                 AS n_bpe_tokens,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+        FROM documents),
+    o AS (
+        SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+               CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS pack_offset
+        FROM t)
+    SELECT doc_id, n_bpe_tokens, n_ws_tokens, pack_offset,
+           CAST(FLOOR(pack_offset / 2048.0) AS BIGINT) AS pack_first,
+           CAST(FLOOR((pack_offset + GREATEST(n_bpe_tokens, 1) - 1) / 2048.0) AS BIGINT)
+             AS pack_last
+    FROM o
     """,
-    tags="ext text tokens",
+    tags="ext text tokens packing",
 )
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + GPT-style sequence PACKING (concat-then-chunk):
+    each doc's global token offset and first/last 2048-token training
+    sequence. The oracle's single global window IS the semantics; the
+    Spark side computes the same cumsum as a distributed prefix sum
+    (value-bucketed bases + partitioned windows, text.pack_offsets) —
+    a single-partition global Window would serialize 100 TB through
+    one task (plan-pinned in tests)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return TX.token_counts(docs, text_col="text", id_col="doc_id")
+    counts = TX.token_counts(docs, text_col="text", id_col="doc_id")
+    return TX.pack_offsets(counts, tokens_col="n_bpe_tokens", id_col="doc_id")
 
 
 @register(

@@ -189,3 +189,35 @@ def test_range_join_plan_is_bucketized_equi_join(spark):
     plan = plan_of(out)
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_pack_offsets_distributed_prefix_sum(spark):
+    """Sequence packing must compute its global cumsum WITHOUT a
+    single-partition global Window: the plan pins no
+    `Exchange SinglePartition` (the naive Window.orderBy shape), and
+    the result equals a driver-side cumsum — identically for any
+    bucket count, since base + within-bucket rank telescopes."""
+    from geo_explorer_etl_spark.operators.text import pack_offsets
+
+    rows = [(i, (i * 7) % 50 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(8)
+
+    out = pack_offsets(df, "n", "doc_id", window=64, n_ranges=5)
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan, plan
+
+    got = {r["doc_id"]: r for r in out.collect()}
+    acc = 0
+    for i, n in rows:
+        assert got[i]["pack_offset"] == acc, i
+        assert got[i]["pack_first"] == acc // 64
+        assert got[i]["pack_last"] == (acc + max(n, 1) - 1) // 64
+        acc += n
+    # bucket-count independence
+    again = {
+        r["doc_id"]: r["pack_offset"]
+        for r in pack_offsets(df, "n", "doc_id", window=64, n_ranges=2).collect()
+    }
+    assert again == {k: v["pack_offset"] for k, v in got.items()}
+    # empty frame edge
+    assert pack_offsets(df.filter("doc_id < 0"), "n", "doc_id").count() == 0
