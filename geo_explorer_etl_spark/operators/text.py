@@ -20,6 +20,17 @@ STOPWORDS_ES = ["el", "la", "de", "y", "un", "en"]
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_RE = "[.,;:!?]"
 
+# PII patterns, deliberately restricted to syntax BOTH Java regex
+# (Spark) and RE2 (DuckDB) evaluate identically — character classes,
+# bounded quantifiers, \b/\d; no lookaround, no backreferences — so
+# the email/IP counts can sit under the cross-engine value hash.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# Phones stay OUT of the oracle: `[\d()\s.-]{7,}` exercises the one
+# place Java (leftmost-first backtracking) and RE2 (leftmost-longest)
+# can disagree on match extents; pytest pins it with known answers.
+PII_PHONE_RE = r"\+?\d[\d()\s.-]{7,}\d"
+
 
 def _ws_tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
@@ -37,12 +48,57 @@ def fingerprint_expr(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
+def dup_line_fraction_expr(text: Column) -> Column:
+    """Gopher-style repetition signal: the fraction of non-empty lines
+    that duplicate an earlier line (0.0 = all distinct). Row-local —
+    split, trim, drop empties, compare distinct count to count."""
+    # explicit single-arg lambda: F.trim's optional second parameter
+    # makes the HOF introspection treat it as a (element, index)
+    # callable, and the index silently becomes the trim-CHARACTER set
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)).cast("double") / n, 4
+        )
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII detection + redaction for corpus assembly (the CCNet/Dolma
+    pre-training hygiene pass): per-doc match counts for emails,
+    IPv4 addresses, and phone-shaped digit runs, plus the text with
+    each match replaced by a typed tag. Row-local regexes — zero
+    shuffle, scan-bound at 100 TB. Order matters: emails first (their
+    host part can contain IP-shaped dotted digits), then IPs, then
+    the greedy phone pattern over what remains."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
 def quality_scores(
-    df: DataFrame, text_col: str, id_col: str, with_fingerprint: bool = False
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    with_fingerprint: bool = False,
+    with_pii: bool = False,
 ) -> DataFrame:
     """Per-document quality features: token count, stopword ratio,
     distinct-token ratio, punctuation count — optionally plus the
-    order-insensitive content fingerprint (all row-local, one scan)."""
+    order-insensitive content fingerprint and the PII/repetition
+    hygiene signals (all row-local, one scan)."""
     text = F.col(text_col)
     toks = _ws_tokens(text)
     lt = F.lower(text)
@@ -65,6 +121,12 @@ def quality_scores(
     ]
     if with_fingerprint:
         cols.append(fingerprint_expr(text).alias("fingerprint"))
+    if with_pii:
+        cols += [
+            F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+            dup_line_fraction_expr(text).alias("dup_line_fraction"),
+        ]
     return df.select(*cols)
 
 

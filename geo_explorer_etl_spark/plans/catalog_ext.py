@@ -274,9 +274,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_scores",
     oracle="""
-    WITH t AS (SELECT doc_id, n_chars,
+    WITH t AS (SELECT doc_id, n_chars, text,
                       string_split_regex(trim(text), '\\s+') AS toks,
-                      lower(text) AS lt
+                      lower(text) AS lt,
+                      list_filter(list_transform(string_split(text, chr(10)),
+                                                 x -> trim(x)),
+                                  x -> x != '') AS lines
                FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -286,18 +289,30 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio,
            CAST(length(lt) - length(regexp_replace(lt, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
            md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(trim(lt), '\\s+'))), ' ')) AS fingerprint
+               string_split_regex(trim(lt), '\\s+'))), ' ')) AS fingerprint,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CASE WHEN len(lines) <= 0 THEN 0.0
+                ELSE ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+           END AS dup_line_fraction
     FROM t
     """,
-    tags="ext text quality fingerprint",
+    tags="ext text quality fingerprint pii repetition",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features plus the order-insensitive content fingerprint
-    (standalone ``text_fingerprint`` entry through round 2 — folded in
-    so the registry fits the driver's 50-entry window; both remain
-    row-local in one scan)."""
+    and the corpus-hygiene signals — PII counts (email/IPv4, patterns
+    restricted to Java-regex/RE2-identical syntax so they hash across
+    engines) and the Gopher-style duplicate-line fraction. All folds
+    of the one row-local scan (standalone entries would spend registry
+    slots the 50-cap doesn't have)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return TX.quality_scores(docs, text_col="text", id_col="doc_id", with_fingerprint=True)
+    return TX.quality_scores(
+        docs, text_col="text", id_col="doc_id",
+        with_fingerprint=True, with_pii=True,
+    )
 
 
 @register(

@@ -427,3 +427,61 @@ def test_int8_quantized_ann_recall_and_exactness(spark):
     empty = cosine_topk_quantized(emb, query_vec_id=10**9, k=10)
     assert empty.count() == 0
     assert empty.columns == cosine_topk(emb, query_vec_id=10**9, k=10).columns
+
+
+def test_pii_scrub_known_answers(spark):
+    """Email/IPv4/phone detection + typed-tag redaction, with the
+    known-answer strings that pin each pattern — including the phone
+    pattern that deliberately stays OUT of the cross-engine oracle
+    (Java leftmost-first vs RE2 leftmost-longest can disagree on its
+    greedy run)."""
+    from geo_explorer_etl_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+        (2, "server at 10.0.0.1 and backup 192.168.100.200 are up"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "mixed: c@d.io from 8.8.8.8 dial 555-867-5309 ok"),
+        (5, "nothing sensitive here"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df, "text", "doc_id").collect()}
+
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (2, 0, 0)
+    assert got[1]["redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert (got[2]["n_emails"], got[2]["n_ipv4"]) == (0, 2)
+    assert got[2]["redacted"] == "server at <IP> and backup <IP> are up"
+    assert got[3]["n_phones"] == 1
+    assert got[3]["redacted"] == "call <PHONE> now"
+    assert got[4]["n_emails"] == 1 and got[4]["n_ipv4"] == 1 and got[4]["n_phones"] == 1
+    assert got[4]["redacted"] == "mixed: <EMAIL> from <IP> dial <PHONE> ok"
+    assert (got[5]["n_emails"], got[5]["n_ipv4"], got[5]["n_phones"]) == (0, 0, 0)
+    assert got[5]["redacted"] == rows[4][1]
+    assert got[6]["redacted"] == ""
+
+
+def test_dup_line_fraction_and_quality_pii_fold(spark):
+    """Gopher-style duplicate-line fraction: trimmed, empty lines
+    dropped; 0.0 for all-distinct and for empty docs. The quality
+    fold surfaces it alongside the PII counts in the one scan."""
+    from geo_explorer_etl_spark.operators.text import quality_scores
+
+    rows = [
+        (1, "a\nb\na\n\n  a  ", 10),   # lines a,b,a,a -> 2 dup of 4
+        (2, "x\ny\nz", 5),             # all distinct
+        (3, "", 0),
+        (4, "mail me: a@b.co\n1.2.3.4\n1.2.3.4", 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    got = {
+        r["doc_id"]: r
+        for r in quality_scores(
+            df, "text", "doc_id", with_fingerprint=True, with_pii=True
+        ).collect()
+    }
+    assert got[1]["dup_line_fraction"] == 0.5
+    assert got[2]["dup_line_fraction"] == 0.0
+    assert got[3]["dup_line_fraction"] == 0.0
+    assert got[4]["n_emails"] == 1 and got[4]["n_ipv4"] == 2
+    assert got[4]["dup_line_fraction"] == round(1 - 2 / 3, 4)
