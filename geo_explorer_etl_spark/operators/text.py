@@ -72,18 +72,24 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     pre-training hygiene pass): per-doc match counts for emails,
     IPv4 addresses, and phone-shaped digit runs, plus the text with
     each match replaced by a typed tag. Row-local regexes — zero
-    shuffle, scan-bound at 100 TB. Order matters: emails first (their
-    host part can contain IP-shaped dotted digits), then IPs, then
-    the greedy phone pattern over what remains."""
+    shuffle, scan-bound at 100 TB.
+
+    Counts and tags come from the SAME sequential pass (review r10
+    wave 6 — counting each pattern on the raw text disagreed with the
+    tags: an IP is also a phone-shaped digit run, an email host can
+    be IP-shaped): emails count on the raw text, IPs on the
+    email-redacted text, phones on the IP-redacted text, so
+    ``n_emails + n_ipv4 + n_phones`` always equals the tag count in
+    ``redacted``."""
     text = F.col(text_col)
-    redacted = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
-    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
-    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
         F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
-        F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         redacted.alias("redacted"),
     )
 
@@ -122,9 +128,15 @@ def quality_scores(
     if with_fingerprint:
         cols.append(fingerprint_expr(text).alias("fingerprint"))
     if with_pii:
+        # same sequential-count rule as pii_scrub: IPs are counted on
+        # the email-redacted text so an IP-shaped email host never
+        # double-counts
         cols += [
             F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-            F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+            F.regexp_count(
+                F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+                F.lit(PII_IPV4_RE),
+            ).cast("long").alias("n_ipv4"),
             dup_line_fraction_expr(text).alias("dup_line_fraction"),
         ]
     return df.select(*cols)
@@ -177,15 +189,36 @@ def pack_offsets(
 
     Bucket boundaries never affect the result — base + within-bucket
     sum telescopes to the same global cumsum wherever the cuts fall
-    (skewed id densities only skew WORK, never values)."""
+    (skewed id densities only skew WORK, never values).
+
+    COST NOTE: the input frame is evaluated by THREE jobs (the id
+    domain/null-check aggregate, the per-bucket totals, and the output
+    itself) — deliberately uncached, because this function cannot know
+    the caller's memory budget and a hidden ``persist`` of a 100 TB
+    lineage is worse than a documented recompute. When the upstream
+    computation is expensive (e.g. per-doc tokenization), persist the
+    narrow ``(id, tokens)`` projection before calling and unpersist
+    after the action (review r10 wave 6)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
     if n_ranges is None:
         n_ranges = max(2, spark.sparkContext.defaultParallelism)
     lo_hi = df.agg(
-        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.col(id_col)).alias("n_id"),
     ).first()
+    if int(lo_hi["n_all"]) != int(lo_hi["n_id"]):
+        # a null id has no position in the pack order — bucketing
+        # would silently drop it through the inner base join and
+        # deflate every later offset (review r10 wave 6): refuse
+        raise ValueError(
+            f"pack_offsets: {int(lo_hi['n_all']) - int(lo_hi['n_id'])} "
+            f"null value(s) in id column {id_col!r} — packing needs a "
+            "total order; filter or assign ids first"
+        )
     if lo_hi["lo"] is None:
         return (
             df.withColumn("pack_offset", F.lit(0).cast("long"))

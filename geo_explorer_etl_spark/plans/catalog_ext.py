@@ -292,7 +292,9 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split_regex(trim(lt), '\\s+'))), ' ')) AS fingerprint,
            CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
            CASE WHEN len(lines) <= 0 THEN 0.0
                 ELSE ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)

@@ -2282,35 +2282,51 @@ class TableStore:
         sentinel.write_text("")
         new_by_part: dict[Path, list[str]] = {}
         try:
+            # the keepalive covers the WHOLE staged lifetime — write,
+            # constraint verify (which can scan), and the moves — not
+            # just the Spark write: a verify longer than the grace
+            # window is exactly the 100 TB case, and recover() rmtrees
+            # a stale-sentinel dir out from under it (review r10
+            # wave 6)
             with self._inflight_keepalive(sentinel):
                 w = df.write
                 if PARTITION_COL in df.columns:
                     w = w.partitionBy(PARTITION_COL)
                 w.parquet(str(data_dir))
-            staged: dict[str, list[str]] = {}  # part dir name ('.'=root)
-            for d in sorted(data_dir.glob(f"{PARTITION_COL}=*")):
-                staged[d.name] = sorted(f.name for f in d.glob("*.parquet"))
-            root_names = sorted(f.name for f in data_dir.glob("*.parquet"))
-            if root_names:
-                staged["."] = root_names
-            self._enforce_constraints(
-                table,
-                [
-                    (data_dir if pn == "." else data_dir / pn) / n
-                    for pn, ns in staged.items()
-                    for n in ns
-                ],
-                colmap,
-            )
-            # staged names are Spark task-UUID unique: a same-name
-            # collision with a concurrent append cannot happen
-            for pn, ns in staged.items():
-                target = p if pn == "." else p / pn
-                src_dir = data_dir if pn == "." else data_dir / pn
-                target.mkdir(parents=True, exist_ok=True)
-                for n in ns:
-                    (src_dir / n).rename(target / n)
-                new_by_part[target] = ns
+                staged: dict[str, list[str]] = {}  # part dir name ('.'=root)
+                for d in sorted(data_dir.glob(f"{PARTITION_COL}=*")):
+                    staged[d.name] = sorted(f.name for f in d.glob("*.parquet"))
+                root_names = sorted(f.name for f in data_dir.glob("*.parquet"))
+                if root_names:
+                    staged["."] = root_names
+                self._enforce_constraints(
+                    table,
+                    [
+                        (data_dir if pn == "." else data_dir / pn) / n
+                        for pn, ns in staged.items()
+                        for n in ns
+                    ],
+                    colmap,
+                )
+                # staged names are Spark task-UUID unique: a same-name
+                # collision with a concurrent append cannot happen. An
+                # I/O error mid-move rolls back the files ALREADY moved
+                # before re-raising — in a listing-mode partition they
+                # would otherwise stay live as a silent half-append.
+                moved: list[Path] = []
+                try:
+                    for pn, ns in staged.items():
+                        target = p if pn == "." else p / pn
+                        src_dir = data_dir if pn == "." else data_dir / pn
+                        target.mkdir(parents=True, exist_ok=True)
+                        for n in ns:
+                            (src_dir / n).rename(target / n)
+                            moved.append(target / n)
+                        new_by_part[target] = ns
+                except BaseException:
+                    for f in moved:
+                        f.unlink(missing_ok=True)
+                    raise
         finally:
             # on success only empty dirs remain; on violation the
             # staged files die here, live dirs untouched
@@ -4311,63 +4327,62 @@ class TableStore:
                 ) from None
             spec = {"kind": "check", "preds": [list(p) for p in preds]}
 
-        # validate EXISTING data (one scan; absent table = nothing to check)
-        cur = self.read(table)
-        if cur is not None:
-            missing = sorted(
-                set(spec.get("cols") or [c for c, _, _ in spec.get("preds", [])])
-                - set(cur.columns)
-            )
-            if missing:
-                raise ValueError(
-                    f"add_constraint({table!r}): column(s) {missing} not in "
-                    f"table columns {sorted(set(cur.columns) - {PARTITION_COL})}"
-                )
-            bad = cur.filter(self._violation_expr(spec, cur.columns)).limit(1).take(1)
-            if bad:
-                raise ConstraintViolation(
-                    f"add_constraint({table!r}, {name!r}): existing data "
-                    f"violates it, e.g. {bad[0].asDict()}"
-                )
-
-        def put(prior):
-            body = dict(prior or {})
-            tables = {t: dict(v) for t, v in (body.get("tables") or {}).items()}
-            have = tables.setdefault(table, {})
-            if name in have:
-                raise ValueError(
-                    f"add_constraint({table!r}): constraint {name!r} already "
-                    "exists — drop_constraint it first"
-                )
-            have[name] = spec
-            body["tables"] = tables
-            return body
-
-        cas_update(self._backend, Path(self.root), CONSTRAINTS, put)
-        # concurrent-write closure (review r10 wave 5): a writer that
-        # read the (then-empty) constraints BEFORE the publish above
-        # may commit its already-enforced files AFTER our first scan.
-        # Re-validate under the store lock — swaps that completed
-        # before this second scan are covered; on violation the
-        # constraint rolls back and the add fails loudly. The residual
-        # window (a write staged pre-publish, committed post-re-scan)
-        # is unreachable from this side without multi-blob atomicity;
-        # it is documented on verify_constraints(), the audit to run
-        # when adding constraints on a non-quiesced table.
+        # ONE validation scan, under the store writer lock, with the
+        # publish inside the same critical section (review r10 wave 6
+        # — the earlier unlocked-scan-then-locked-rescan shape paid
+        # two full scans and still held the lock for one of them):
+        # on the lock-based backend every manifest swap serializes
+        # against this section, so any write committed before the scan
+        # is covered and any write after it reads the published
+        # constraint. The residual window — a write that read the
+        # (then-empty) constraints, staged, and commits after this
+        # section under the LOCK-FREE CAS backend — is unreachable
+        # without multi-blob atomicity; verify_constraints() is the
+        # audit to run when adding constraints on a non-quiesced
+        # CAS-backed table.
         with self._exclusive_lock():
             cur = self.read(table)
-            bad = (
-                cur.filter(self._violation_expr(spec, cur.columns)).limit(1).take(1)
-                if cur is not None
-                else []
-            )
-        if bad:
-            self.drop_constraint(table, name)
-            raise ConstraintViolation(
-                f"add_constraint({table!r}, {name!r}): a concurrent write "
-                f"committed violating rows during the add, e.g. "
-                f"{bad[0].asDict()} — constraint rolled back"
-            )
+            if cur is not None:
+                missing = sorted(
+                    set(
+                        spec.get("cols")
+                        or [c for c, _, _ in spec.get("preds", [])]
+                    )
+                    - set(cur.columns)
+                )
+                if missing:
+                    raise ValueError(
+                        f"add_constraint({table!r}): column(s) {missing} not "
+                        f"in table columns "
+                        f"{sorted(set(cur.columns) - {PARTITION_COL})}"
+                    )
+                bad = (
+                    cur.filter(self._violation_expr(spec, cur.columns))
+                    .limit(1)
+                    .take(1)
+                )
+                if bad:
+                    raise ConstraintViolation(
+                        f"add_constraint({table!r}, {name!r}): existing data "
+                        f"violates it, e.g. {bad[0].asDict()}"
+                    )
+
+            def put(prior):
+                body = dict(prior or {})
+                tables = {
+                    t: dict(v) for t, v in (body.get("tables") or {}).items()
+                }
+                have = tables.setdefault(table, {})
+                if name in have:
+                    raise ValueError(
+                        f"add_constraint({table!r}): constraint {name!r} "
+                        "already exists — drop_constraint it first"
+                    )
+                have[name] = spec
+                body["tables"] = tables
+                return body
+
+            cas_update(self._backend, Path(self.root), CONSTRAINTS, put)
 
     def verify_constraints(self, table: str) -> dict:
         """Audit the CURRENT table against every declared constraint:
@@ -5130,7 +5145,13 @@ class TableStore:
         - ``unknown``    — on-disk files referenced by nothing (write
           leftovers from a crashed pre-manifest append; safe to GC);
         - ``stats_missing`` — live files without zone-map entries
-          (reads stay correct but skip nothing for them).
+          (reads stay correct but skip nothing for them);
+        - ``constraints_dangling`` — declared constraints referencing
+          a column absent from every partition's declared schema (the
+          residue of a rename/crash between the schema and constraint
+          commits: NOT NULL fails writes loudly, but a dangling CHECK
+          silently passes every row — this is where it surfaces; heal
+          with drop_constraint + add_constraint).
 
         Audit is driver-side listing + JSON/footer reads only — no
         Spark jobs. With ``repair=True`` the two safely-actionable
@@ -5236,14 +5257,36 @@ class TableStore:
                 else:
                     unknown += [f"{part.name}/{n}" for n in part_unknown]
                     stats_missing += [f"{part.name}/{n}" for n in part_stats_gap]
+            dangling: list[str] = []
+            cons = self._table_constraints(t)
+            if cons:
+                logical: set[str] = set()
+                any_schema = False
+                for part in sorted(p.glob(f"{PARTITION_COL}=*")):
+                    m = self._manifest(part)
+                    if m and m.get("schema"):
+                        any_schema = True
+                        logical |= {
+                            f.name for f in _schema_from_json(m["schema"]).fields
+                        }
+                if any_schema:
+                    for cname, spec in sorted(cons.items()):
+                        cols = spec.get("cols") or [
+                            c for c, _, _ in spec.get("preds", [])
+                        ]
+                        gone = sorted(set(cols) - logical)
+                        if gone:
+                            dangling.append(f"{cname}: {gone}")
             entry: dict = {}
-            if missing or superseded or unknown or stats_missing:
+            if missing or superseded or unknown or stats_missing or dangling:
                 entry = {
                     "missing": missing,
                     "superseded": superseded,
                     "unknown": unknown,
                     "stats_missing": stats_missing,
                 }
+                if dangling:
+                    entry["constraints_dangling"] = dangling
             if repair and (gc_files or stats_repaired):
                 entry = entry or {
                     "missing": missing,
@@ -5364,9 +5407,12 @@ class TableStore:
             # spec at an unrelated column whenever the rename then
             # failed or matched nothing — review r10 wave 5). A crash
             # in the window between the two commits leaves the spec on
-            # the old name, which fails writes LOUDLY ("no column")
-            # rather than silently enforcing the wrong column — heal
-            # with drop_constraint + add_constraint under the new name.
+            # the old name: NOT NULL then fails writes loudly ("no
+            # column"), but a CHECK on the absent column silently
+            # passes every row (null passes by SQL's rule) — fsck
+            # reports such dangling specs (constraints_dangling,
+            # review r10 wave 6); heal with drop_constraint +
+            # add_constraint under the new name.
             self._rename_in_constraints(table, old, new)
         return n
 
@@ -5437,6 +5483,35 @@ class TableStore:
         import shutil
 
         for table in PRODUCT_TABLES:
+            part_dir = Path(self._path(table)) / f"{PARTITION_COL}={product_id}"
+            if part_dir.exists():
+                shutil.rmtree(part_dir)
+
+    #: The theme/dimension subset the reference's PARTIAL delete
+    #: script touches (sql_scripts/delete_indicator_theme_product.sql)
+    #: — prep for re-running a product with the insert flag; the
+    #: remaining tables are overwritten by the append itself.
+    THEME_TABLES = ["IndicatorTheme", "Dimensions", "DimensionValues"]
+
+    def delete_theme_product(self, product_id: int) -> None:
+        """Partial cascading delete — theme and dimension tables ONLY
+        (reference sql_scripts/delete_indicator_theme_product.sql:
+        ``DELETE FROM DimensionValues WHERE DimensionId IN (SELECT …)``
+        then Dimensions, then IndicatorTheme), used before re-running
+        a product with the ``-i`` insert flag; data in the remaining
+        tables is overwritten by the append that follows.
+
+        The reference needs the DimensionId subquery because its
+        DimensionValues rows carry no product id; here every product
+        table is partitioned by {PARTITION_COL}, so the subquery
+        collapses to the same O(1) partition drop. The script's
+        other care — parent themes/subjects must survive because
+        other products still use them — holds by construction:
+        ancestor rows live under their OWN IndicatorThemeId
+        partitions, which this never touches."""
+        import shutil
+
+        for table in self.THEME_TABLES:
             part_dir = Path(self._path(table)) / f"{PARTITION_COL}={product_id}"
             if part_dir.exists():
                 shutil.rmtree(part_dir)

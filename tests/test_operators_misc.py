@@ -450,7 +450,10 @@ def test_pii_scrub_known_answers(spark):
 
     assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (2, 0, 0)
     assert got[1]["redacted"] == "contact <EMAIL> or <EMAIL> today"
-    assert (got[2]["n_emails"], got[2]["n_ipv4"]) == (0, 2)
+    # sequential counts (review r10 wave 6): a >=10-char IPv4 is also
+    # a phone-shaped digit run — counted on the IP-redacted text it
+    # must NOT register as a phone
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_phones"]) == (0, 2, 0)
     assert got[2]["redacted"] == "server at <IP> and backup <IP> are up"
     assert got[3]["n_phones"] == 1
     assert got[3]["redacted"] == "call <PHONE> now"

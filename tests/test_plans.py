@@ -221,3 +221,18 @@ def test_pack_offsets_distributed_prefix_sum(spark):
     assert again == {k: v["pack_offset"] for k, v in got.items()}
     # empty frame edge
     assert pack_offsets(df.filter("doc_id < 0"), "n", "doc_id").count() == 0
+
+
+def test_pack_offsets_refuses_null_ids(spark):
+    """Review r10 wave 6: a null id has no pack position — the bucket
+    join would silently drop the row and deflate every later offset,
+    so the tiny domain aggregate refuses loudly instead."""
+    import pytest
+
+    from geo_explorer_etl_spark.operators.text import pack_offsets
+
+    df = spark.createDataFrame(
+        [(1, 5), (None, 3), (2, 4)], "doc_id long, n long"
+    )
+    with pytest.raises(ValueError, match="null value"):
+        pack_offsets(df, "n", "doc_id").collect()

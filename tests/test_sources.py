@@ -3552,3 +3552,73 @@ def test_delete_skips_constraint_reverification(spark, tmp_path, monkeypatch):
     assert len(scans) >= 1
     # audit API agrees the table is conformant
     assert store.verify_constraints("IndicatorValues") == {"status_dom": None}
+
+
+def test_fsck_reports_dangling_constraints(spark, tmp_path):
+    """Review r10 wave 6: a constraint referencing a column absent
+    from every declared schema (the crash residue of an interrupted
+    rename) is SILENT for CHECK specs — fsck is where it surfaces."""
+    import json as _json
+
+    from geo_explorer_etl_spark.sources.store import CONSTRAINTS, TableStore
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, 1.0)], "k long, price double").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    store.replace_product_all(1, {"IndicatorValues": df})
+    store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+    assert "IndicatorValues" not in store.fsck("IndicatorValues") or (
+        not store.fsck("IndicatorValues")["IndicatorValues"].get(
+            "constraints_dangling"
+        )
+    )
+    # simulate the interrupted-rename residue: spec points at a name
+    # no declared schema carries
+    from geo_explorer_etl_spark.sources.commit import cas_update
+    from pathlib import Path
+
+    def retarget(prior):
+        body = dict(prior or {})
+        body["tables"]["IndicatorValues"]["nonneg"] = {
+            "kind": "check",
+            "preds": [["price_old", ">=", 0.0]],
+        }
+        return body
+
+    cas_update(store._backend, Path(str(tmp_path / "store")), CONSTRAINTS, retarget)
+    rep = store.fsck("IndicatorValues")["IndicatorValues"]
+    assert rep["constraints_dangling"] == ["nonneg: ['price_old']"]
+
+
+def test_delete_theme_product_partial_cascade(spark, tmp_path):
+    """Reference parity: delete_indicator_theme_product.sql removes a
+    product from the THEME/DIMENSION tables only (prep for an insert
+    rerun), sparing the value tables and every other product — here
+    the subquery-scoped deletes collapse to partition drops."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+
+    def frame(pid):
+        return spark.createDataFrame([(pid, "x")], "id long, v string").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+
+    for pid in (1, 2):
+        store.replace_product_all(
+            pid,
+            {
+                "IndicatorTheme": frame(pid),
+                "Dimensions": frame(pid),
+                "DimensionValues": frame(pid),
+                "IndicatorValues": frame(pid),
+            },
+        )
+    store.delete_theme_product(1)
+    for t in ("IndicatorTheme", "Dimensions", "DimensionValues"):
+        assert {r[PARTITION_COL] for r in store.read(t).collect()} == {2}, t
+    # value tables untouched for BOTH products (overwritten by the
+    # rerun's append, per the script's comment)
+    assert {r[PARTITION_COL] for r in store.read("IndicatorValues").collect()} == {1, 2}
