@@ -53,18 +53,40 @@ def inner_with_orphans(
     return matched, orphans
 
 
-def anti_new_rows(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+def anti_new_rows(
+    incoming: DataFrame,
+    existing: DataFrame,
+    keys: list[str],
+    broadcast_state: bool = True,
+) -> DataFrame:
     """J7/J8 — keep only rows whose key (simple or composite) is absent
     from the existing state (new ref-dates dfhandler.py:119–123; new
-    geo-levels dfhandler.py:169–173). Broadcast-anti: dimension state is
-    small relative to the incoming fact data."""
-    return incoming.join(F.broadcast(existing.select(*keys).distinct()), keys, "left_anti")
+    geo-levels dfhandler.py:169–173). The default broadcasts the
+    existing side — right for the reference's DIMENSION-sized state —
+    but a FACT-sized existing side must pass ``broadcast_state=False``:
+    forcing a broadcast there collects the whole distinct key set to
+    the driver, the one shape that cannot survive 100 TB (review r10 —
+    the fact-vs-fact bench twin carried the highest scale exponent for
+    exactly this reason). With the hint off, AQE picks shuffle-anti,
+    and still converts to broadcast at runtime when the built side
+    turns out small."""
+    state = existing.select(*keys).distinct()
+    if broadcast_state:
+        state = F.broadcast(state)
+    return incoming.join(state, keys, "left_anti")
 
 
-def semi_exists(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
+def semi_exists(
+    df: DataFrame, ids: DataFrame, key: str, broadcast_ids: bool = True
+) -> DataFrame:
     """J11 — 'product exists' membership (reference scdb.py:161–172
-    SELECT DISTINCT ... IN (...))."""
-    return df.join(F.broadcast(ids.select(key).distinct()), key, "left_semi")
+    SELECT DISTINCT ... IN (...)). Same sizing rule as
+    ``anti_new_rows``: broadcast by default (the reference probes a
+    product-id set), ``broadcast_ids=False`` for fact-sized id sets."""
+    key_ids = ids.select(key).distinct()
+    if broadcast_ids:
+        key_ids = F.broadcast(key_ids)
+    return df.join(key_ids, key, "left_semi")
 
 
 def member_cross_product(

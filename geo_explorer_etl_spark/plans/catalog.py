@@ -232,9 +232,13 @@ def j7_anti_new_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j8_anti_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     existing = li.filter(F.col("l_shipdate") < "1997-01-01")
-    return J.anti_new_rows(li, existing, ["l_orderkey", "l_linenumber"]).select(
-        "l_orderkey", "l_linenumber"
-    )
+    # fact-vs-fact: the existing side is ~86% of lineitem — force-
+    # broadcasting it was the highest-exponent shape in the scale
+    # sweep; shuffle-anti (AQE may still downgrade to broadcast when
+    # small) is the 100 TB plan
+    return J.anti_new_rows(
+        li, existing, ["l_orderkey", "l_linenumber"], broadcast_state=False
+    ).select("l_orderkey", "l_linenumber")
 
 
 @register(
@@ -248,7 +252,11 @@ def j8_anti_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j11_semi_product_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "orders", "customer")
     ids = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
-    return J.semi_exists(t["customer"], ids, "c_custkey").select("c_custkey", "c_name")
+    # the probing id set comes from the ORDERS fact table — fact-sized,
+    # so no broadcast hint (AQE downgrades at runtime if it shrinks)
+    return J.semi_exists(
+        t["customer"], ids, "c_custkey", broadcast_ids=False
+    ).select("c_custkey", "c_name")
 
 
 @register(

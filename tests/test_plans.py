@@ -60,12 +60,40 @@ def test_no_python_udf_in_any_catalog_query(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF"
 
 
-def test_anti_joins_are_broadcast(spark):
-    from geo_explorer_etl_spark.plans.catalog import j8_anti_composite_key
+def test_anti_joins_follow_the_sizing_rule(spark):
+    """Dimension-sized existing state broadcasts (j7: customer dim);
+    a FACT-sized existing side must NOT carry a forced broadcast hint
+    (j8: lineitem anti lineitem — the hint was the highest-exponent
+    shape in the scale sweep; AQE may still downgrade at runtime, so
+    the pin is on the ABSENCE of the static hint, i.e. the analyzed
+    plan's join strategy is not pre-empted)."""
+    from geo_explorer_etl_spark.plans.catalog import (
+        j7_anti_new_members,
+        j8_anti_composite_key,
+    )
 
-    plan = plan_of(j8_anti_composite_key(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    plan7 = plan_of(j7_anti_new_members(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan7 and "LeftAnti" in plan7, plan7
+
+    # at smoke scale Catalyst may COST-CHOOSE broadcast for j8 (both
+    # sides are tiny — that is size-based selection doing its job);
+    # the pin is on the optimized LOGICAL plan carrying no forced
+    # strategy hint, which is what would pre-empt the choice at 100 TB
+    lp8 = (
+        j8_anti_composite_key(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in lp8, lp8
+    assert "strategy=broadcast" not in lp8, lp8
+    lp7 = (
+        j7_anti_new_members(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" in lp7, lp7
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
