@@ -264,6 +264,53 @@ def pack_offsets(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 50000,
+) -> DataFrame:
+    """Corpus-statistics quality score — the CCNet-style LM-perplexity
+    proxy, with a unigram model ESTIMATED FROM THE CORPUS ITSELF
+    rather than an external KenLM: each document scores the mean log
+    probability of its tokens under the corpus' top-``vocab_size``
+    unigram distribution (out-of-vocab tokens get a deterministic
+    floor of ln(0.5 / total_tokens)). Near-zero scores mean stereotyped
+    common-token text; very negative means rare-token noise — both
+    tails are what a pretraining filter trims.
+
+    The one text operator here that is NOT row-local, by necessity:
+    the vocabulary is a global property. Shapes chosen for 100 TB —
+    token counting is the classic map-side-combined word count, the
+    top-K vocabulary resolves as TakeOrderedAndProject (never a global
+    sort), scoring joins the BROADCAST vocab (bounded by vocab_size),
+    and the per-doc mean is one keyed aggregation. Ties at the vocab
+    boundary break on the token string, so the model is deterministic."""
+    import math
+
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda x: x != F.lit("")
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    counts = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c")).first()[0]
+    if not total:
+        return df.select(F.col(id_col), F.lit(None).cast("double").alias("lm_logprob"))
+    vocab = (
+        counts.orderBy(F.col("__c").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .withColumn("__lp", F.log(F.col("__c") / F.lit(float(total))))
+        .select("__tok", "__lp")
+    )
+    oov = math.log(0.5 / total)
+    scored = exploded.join(F.broadcast(vocab), "__tok", "left").groupBy(
+        id_col
+    ).agg(F.round(F.avg(F.coalesce(F.col("__lp"), F.lit(oov))), 4).alias("lm_logprob"))
+    # empty/token-less docs keep a row with a null score
+    return df.select(F.col(id_col)).join(scored, id_col, "left")
+
+
 def langid(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stopword-vote language ID (en/fr/de/es) with a deterministic
     argmax tiebreak (en > fr > de > es). A heuristic by construction —

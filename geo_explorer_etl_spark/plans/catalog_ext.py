@@ -364,19 +364,39 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(toks, x -> x IN ('le','la','de','et','un','les'))) AS fr,
                len(list_filter(toks, x -> x IN ('der','die','das','und','ein','zu'))) AS de,
                len(list_filter(toks, x -> x IN ('el','la','de','y','un','en'))) AS es
-        FROM t)
-    SELECT doc_id,
-           CASE WHEN en >= fr AND en >= de AND en >= es THEN 'en'
-                WHEN fr >= de AND fr >= es THEN 'fr'
-                WHEN de >= es THEN 'de'
-                ELSE 'es' END AS lang_guess
-    FROM scores
+        FROM t),
+    lang AS (
+        SELECT doc_id,
+               CASE WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+                    WHEN fr >= de AND fr >= es THEN 'fr'
+                    WHEN de >= es THEN 'de'
+                    ELSE 'es' END AS lang_guess
+        FROM scores),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tok2 AS (SELECT doc_id, tok FROM tok WHERE tok != ''),
+    counts AS (SELECT tok, COUNT(*) AS c FROM tok2 GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS s FROM counts),
+    vocab AS (SELECT tok, ln(c / (SELECT s FROM tot)) AS lp
+              FROM counts ORDER BY c DESC, tok LIMIT 50000),
+    lm AS (SELECT t2.doc_id,
+                  ROUND(AVG(COALESCE(v.lp, ln(0.5 / (SELECT s FROM tot)))), 4)
+                    AS lm_logprob
+           FROM tok2 t2 LEFT JOIN vocab v USING (tok)
+           GROUP BY t2.doc_id)
+    SELECT lang.doc_id, lang.lang_guess, lm.lm_logprob
+    FROM lang LEFT JOIN lm USING (doc_id)
     """,
-    tags="ext text langid",
+    tags="ext text langid lm-score",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + the corpus-estimated unigram LM score (the
+    CCNet-style perplexity-proxy quality filter) — the lone text op
+    needing GLOBAL corpus statistics, folded here to keep the
+    registry at the 50-entry cap."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return TX.langid(docs, text_col="text", id_col="doc_id")
+    lang = TX.langid(docs, text_col="text", id_col="doc_id")
+    lm = TX.unigram_logprob(docs, text_col="text", id_col="doc_id")
+    return lang.join(lm, "doc_id", "left")
 
 
 # ---------------------------------------------------------------------------

@@ -488,3 +488,35 @@ def test_dup_line_fraction_and_quality_pii_fold(spark):
     assert got[3]["dup_line_fraction"] == 0.0
     assert got[4]["n_emails"] == 1 and got[4]["n_ipv4"] == 2
     assert got[4]["dup_line_fraction"] == round(1 - 2 / 3, 4)
+
+
+def test_unigram_logprob_known_answers(spark):
+    """Corpus-estimated unigram LM scoring: hand-checkable corpus,
+    OOV floor, empty-doc null, and the top-K plan property (vocab
+    resolves as TakeOrderedAndProject, never a global sort)."""
+    import math
+
+    from geo_explorer_etl_spark.operators.text import unigram_logprob
+
+    # corpus: 6 tokens total -> p(a)=3/6, p(b)=2/6, p(c)=1/6
+    rows = [(1, "a a b"), (2, "a b c"), (3, ""), (4, "zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # vocab_size=2 keeps {a, b}; c and zzz fall to the OOV floor.
+    # NOTE: zzz IS part of the corpus, so totals count it: 7 tokens.
+    got = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in unigram_logprob(df, "text", "doc_id", vocab_size=2).collect()
+    }
+    total = 7.0
+    lp = lambda c: math.log(c / total)
+    oov = math.log(0.5 / total)
+    assert got[1] == round((lp(3) + lp(3) + lp(2)) / 3, 4)
+    assert got[2] == round((lp(3) + lp(2) + oov) / 3, 4)
+    assert got[3] is None          # token-less doc keeps a null score
+    assert got[4] == round(oov, 4)
+
+    # plan property: the vocabulary is a TakeOrderedAndProject (top-K),
+    # not a global Sort feeding a Limit
+    plan = unigram_logprob(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
