@@ -1,9 +1,12 @@
 """Text-analysis operators for training-data pipelines: quality
-scoring, token counting, language ID, fingerprinting.
+scoring, token counting, language ID, fingerprinting, PII scrubbing,
+sequence packing, corpus-level LM scoring.
 
-All row-local column expressions (higher-order array functions) — they
-pipeline inside whole-stage codegen with zero shuffles, so throughput
-at 100 TB is scan-bound.
+Row-local column expressions (higher-order array functions) pipeline
+inside whole-stage codegen with zero shuffles, so throughput at 100 TB
+is scan-bound — EXCEPT the two operators whose semantics are global by
+nature and say so in their docstrings: ``pack_offsets`` (a distributed
+prefix sum) and ``unigram_logprob`` (corpus-statistics vocabulary).
 """
 
 from __future__ import annotations
@@ -269,6 +272,7 @@ def unigram_logprob(
     text_col: str,
     id_col: str,
     vocab_size: int = 50000,
+    restore_ids: bool = True,
 ) -> DataFrame:
     """Corpus-statistics quality score — the CCNet-style LM-perplexity
     proxy, with a unigram model ESTIMATED FROM THE CORPUS ITSELF
@@ -286,27 +290,39 @@ def unigram_logprob(
     sort), scoring joins the BROADCAST vocab (bounded by vocab_size),
     and the per-doc mean is one keyed aggregation. Ties at the vocab
     boundary break on the token string, so the model is deterministic."""
-    import math
-
     text = F.col(text_col)
     toks = F.filter(
         F.split(F.trim(F.lower(text)), r"\s+"), lambda x: x != F.lit("")
     )
     exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     counts = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
-    total = counts.agg(F.sum("__c")).first()[0]
-    if not total:
-        return df.select(F.col(id_col), F.lit(None).cast("double").alias("lm_logprob"))
+    # the corpus token total rides IN-PLAN as a broadcast 1-row cross
+    # join (review r10 wave 7): an eager `.first()` here both launched
+    # a full corpus job at PLAN-CONSTRUCTION time (an EXPLAIN of the
+    # folded query cost a corpus pass) and froze the total as a
+    # literal while counts stayed lazy — appended data could push
+    # c/total_stale above 1. In-plan, total and counts always describe
+    # the same snapshot, and the two aggregations over the identical
+    # counts subtree dedupe under ReuseExchange.
+    tot = counts.agg(F.sum("__c").cast("double").alias("__total"))
     vocab = (
         counts.orderBy(F.col("__c").desc(), F.col("__tok"))
         .limit(vocab_size)
-        .withColumn("__lp", F.log(F.col("__c") / F.lit(float(total))))
-        .select("__tok", "__lp")
+        .select("__tok", "__c")
     )
-    oov = math.log(0.5 / total)
-    scored = exploded.join(F.broadcast(vocab), "__tok", "left").groupBy(
-        id_col
-    ).agg(F.round(F.avg(F.coalesce(F.col("__lp"), F.lit(oov))), 4).alias("lm_logprob"))
+    lp = F.when(
+        F.col("__c").isNotNull(), F.log(F.col("__c") / F.col("__total"))
+    ).otherwise(F.log(F.lit(0.5) / F.col("__total")))
+    scored = (
+        exploded.join(F.broadcast(vocab), "__tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(lp), 4).alias("lm_logprob"))
+    )
+    if not restore_ids:
+        # caller already left-joins on the full id set — the wrapper
+        # scan of `df` below would be a pure extra corpus pass
+        return scored
     # empty/token-less docs keep a row with a null score
     return df.select(F.col(id_col)).join(scored, id_col, "left")
 

@@ -395,7 +395,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry at the 50-entry cap."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     lang = TX.langid(docs, text_col="text", id_col="doc_id")
-    lm = TX.unigram_logprob(docs, text_col="text", id_col="doc_id")
+    # lang already enumerates every doc_id; restore_ids=False skips the
+    # LM side's own id-restoring wrapper scan (review r10 wave 7)
+    lm = TX.unigram_logprob(
+        docs, text_col="text", id_col="doc_id", restore_ids=False
+    )
     return lang.join(lm, "doc_id", "left")
 
 

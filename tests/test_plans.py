@@ -95,6 +95,19 @@ def test_anti_joins_follow_the_sizing_rule(spark):
     )
     assert "strategy=broadcast" in lp7, lp7
 
+    # j11's id set comes from the ORDERS fact table — the other half
+    # of the sizing decision this rule ships; pin its hint absence too
+    from geo_explorer_etl_spark.plans.catalog import j11_semi_product_exists
+
+    lp11 = (
+        j11_semi_product_exists(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in lp11, lp11
+    assert "strategy=broadcast" not in lp11, lp11
+
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located join: two tables bucketed on the join key join with
