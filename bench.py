@@ -26,6 +26,10 @@ HEADLINE = [
     # folded O4 pin) — timings are not comparable with BENCH_r{<=7}
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    # since round 10 j8 runs WITHOUT the forced broadcast of its
+    # fact-sized existing side (shuffle-anti; AQE may still downgrade)
+    # — the scale-correct shape costs ~0.1-0.2 s absolute at sf0.1 vs
+    # BENCH_r{<=9}, and the sweep exponent dropped 0.32 -> 0.27
     "j8_anti_composite_key",
     "w1_sequential_ids",
     "o3_topk_per_group",
