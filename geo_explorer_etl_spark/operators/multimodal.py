@@ -996,23 +996,30 @@ def parse_adts_aac(content: bytes) -> dict:
             size = (size << 7) | (x & 0x7F)
         pos = 10 + size
     start = pos
-    # pre-first-frame hunt window (review r10 wave 3): an ffmpeg-style
-    # probe bound — a blob whose first valid frame sits >1 MiB deep is
-    # not an ADTS stream, and an unbounded per-byte Python hunt would
-    # dominate the triage of every large NON-AAC blob
-    hunt_limit = start + (1 << 20)
+    # TOTAL resync-hunt budget (review r10 waves 3+8): an ffmpeg-style
+    # probe bound — per-byte Python stepping is capped at 1 MiB over
+    # the WHOLE walk, not just before the first frame. Without the
+    # global cap, a blob with a valid ADTS prefix followed by hundreds
+    # of MB of non-ADTS payload pays an O(bytes) Python loop inside
+    # the executor triage (frame-to-frame jumps stay free — only
+    # garbage bytes draw the budget down).
+    hunt_budget = 1 << 20
     expected = None  # position where a continuation frame would start
     while pos + 7 <= len(b):
         parsed = header_at(pos)
         if parsed is None:
-            if n_frames == 0 and pos >= hunt_limit:
+            if hunt_budget <= 0:
                 break
+            hunt_budget -= 1
             pos += 1  # resync hunt (0xFFF syncword + layer == 00)
             continue
         frame_len, prof_idx, sf_idx, ch_cfg, blocks = parsed
         if pos + frame_len > len(b):
             if n_frames:
                 break  # truncated final frame: not counted
+            if hunt_budget <= 0:
+                break
+            hunt_budget -= 1
             pos += 1
             continue
         # CHAINING check against pseudo-syncs (review r10 waves 2+3):
@@ -1026,6 +1033,9 @@ def parse_adts_aac(content: bytes) -> dict:
         # ffmpeg's probe uses, applied at every resync.
         if pos != expected and header_at(pos + frame_len) is None:
             if not (pos == start and pos + frame_len == len(b)):
+                if hunt_budget <= 0:
+                    break
+                hunt_budget -= 1
                 pos += 1
                 continue  # unchained pseudo-sync: keep hunting
         n_frames += 1

@@ -70,6 +70,23 @@ def dup_line_fraction_expr(text: Column) -> Column:
     )
 
 
+def _pii_exprs(text: Column) -> dict[str, Column]:
+    """THE sequential PII pass, shared by ``pii_scrub`` and the
+    quality fold (review r10 wave 8 — two inline copies had already
+    drifted): counts and tags come from the same progressive
+    redaction, so ``n_emails + n_ipv4 + n_phones`` always equals the
+    tag count in ``redacted`` and an IP-shaped email host or
+    phone-shaped IP never double-counts."""
+    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long"),
+        "n_ipv4": F.regexp_count(after_email, F.lit(PII_IPV4_RE)).cast("long"),
+        "n_phones": F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long"),
+        "redacted": F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>"),
+    }
+
+
 def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """PII detection + redaction for corpus assembly (the CCNet/Dolma
     pre-training hygiene pass): per-doc match counts for emails,
@@ -84,16 +101,13 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     email-redacted text, phones on the IP-redacted text, so
     ``n_emails + n_ipv4 + n_phones`` always equals the tag count in
     ``redacted``."""
-    text = F.col(text_col)
-    after_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
-    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
-    redacted = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    e = _pii_exprs(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(after_email, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
-        F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        redacted.alias("redacted"),
+        e["n_emails"].alias("n_emails"),
+        e["n_ipv4"].alias("n_ipv4"),
+        e["n_phones"].alias("n_phones"),
+        e["redacted"].alias("redacted"),
     )
 
 
@@ -131,15 +145,10 @@ def quality_scores(
     if with_fingerprint:
         cols.append(fingerprint_expr(text).alias("fingerprint"))
     if with_pii:
-        # same sequential-count rule as pii_scrub: IPs are counted on
-        # the email-redacted text so an IP-shaped email host never
-        # double-counts
+        e = _pii_exprs(text)  # the ONE sequential-count rule
         cols += [
-            F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-            F.regexp_count(
-                F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
-                F.lit(PII_IPV4_RE),
-            ).cast("long").alias("n_ipv4"),
+            e["n_emails"].alias("n_emails"),
+            e["n_ipv4"].alias("n_ipv4"),
             dup_line_fraction_expr(text).alias("dup_line_fraction"),
         ]
     return df.select(*cols)

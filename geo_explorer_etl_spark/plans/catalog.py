@@ -905,7 +905,16 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     payload = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    streamed = spark.table(sink).select(
+    # the memory sink already holds the whole (bounded) delta set in
+    # driver memory — re-frame it and DROP the temp view so repeated
+    # bench invocations don't accrete one driver-held result table per
+    # run (review r10 wave 8); the returned plan must not reference
+    # the view lazily or the drop would break it
+    sink_df = spark.table(sink)
+    streamed_rows = sink_df.collect()
+    streamed_schema = sink_df.schema
+    spark.catalog.dropTempView(sink)
+    streamed = spark.createDataFrame(streamed_rows, streamed_schema).select(
         "o_orderkey",
         F.col("status").alias("o_orderstatus"),
         "o_totalprice",

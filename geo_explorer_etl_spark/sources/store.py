@@ -4320,10 +4320,16 @@ class TableStore:
                     "supported (partition values live in dir names, not files)"
                 )
             try:
-                json.dumps([list(p) for p in preds])
-            except TypeError as e:
+                # allow_nan=False: json.dumps would happily emit the
+                # RFC-invalid NaN/Infinity literals, and a NaN check
+                # constant splits the engines — Spark's NaN==NaN is
+                # true while the pyarrow sink path patches NaN rows by
+                # op alone (review r10 wave 8); refuse at declaration
+                json.dumps([list(p) for p in preds], allow_nan=False)
+            except (TypeError, ValueError) as e:
                 raise ValueError(
-                    f"add_constraint: check values must be JSON-storable ({e})"
+                    f"add_constraint: check values must be JSON-storable, "
+                    f"finite numbers or strings ({e})"
                 ) from None
             spec = {"kind": "check", "preds": [list(p) for p in preds]}
 

@@ -1643,3 +1643,50 @@ def test_store_sink_enforces_constraints_session_free(spark, tmp_path):
     assert store.read("Sink").filter(F.col("k") == 77).count() == 1
     # no staging leaked from the refused attempt
     assert not any((Path(root) / "_staging").iterdir())
+
+
+def test_adts_hunt_budget_is_global(spark):
+    """Review r10 wave 8: the 1 MiB per-byte resync budget applies to
+    the WHOLE walk — a valid ADTS prefix followed by a long non-ADTS
+    tail must not buy an O(blob) Python loop after the first frame."""
+    import time
+
+    from geo_explorer_etl_spark.operators.multimodal import parse_adts_aac
+
+    real = _build_adts_frames(2)
+    blob = real + bytes(3 << 20)  # 3 MiB of zeros: every step is a hunt
+    t0 = time.time()
+    meta = parse_adts_aac(blob)
+    took = time.time() - t0
+    assert meta["n_frames"] == 2
+    # the walk stops after ~1 MiB of hunting, never 3 MiB: wall-time is
+    # environment-dependent, so pin the BEHAVIOR via a bigger blob
+    # costing the same as a smaller one (both cap at the budget)
+    t1 = time.time()
+    meta2 = parse_adts_aac(real + bytes(12 << 20))
+    took_big = time.time() - t1
+    assert meta2["n_frames"] == 2
+    assert took_big < max(4 * took, took + 2.0)
+
+
+def test_add_constraint_refuses_nan_check_values(spark, tmp_path):
+    """Review r10 wave 8: a NaN check constant would split the engines
+    (Spark's NaN==NaN is true; the pyarrow sink path patches NaN rows
+    by op alone) and write RFC-invalid JSON — refused at declaration."""
+    import pytest as _pytest
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(1, 1.0)], "k long, price double").withColumn(
+        PARTITION_COL, F.lit(1).cast("long")
+    )
+    store.replace_product_all(1, {"IndicatorValues": df})
+    with _pytest.raises(ValueError, match="finite"):
+        store.add_constraint(
+            "IndicatorValues", "bad", check=[("price", "==", float("nan"))]
+        )
+    with _pytest.raises(ValueError, match="finite"):
+        store.add_constraint(
+            "IndicatorValues", "bad", check=[("price", "<", float("inf"))]
+        )
