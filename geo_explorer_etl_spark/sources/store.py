@@ -5522,6 +5522,81 @@ class TableStore:
             if part_dir.exists():
                 shutil.rmtree(part_dir)
 
+    def describe(self, table: str) -> dict | None:
+        """One-call ops summary of a table's CURRENT snapshot — the
+        ``DESCRIBE DETAIL`` analog, driver-side manifest/stat reads
+        only (no Spark job; borrowed by the Spark-free ``StoreMeta``
+        for audit tooling): partition/file/byte totals, the
+        metadata-only live row count (None when any file lacks a
+        recorded count or a partition is in listing mode —
+        ``count_rows`` then needs a scan), deletion-vector totals, the
+        merged declared schema, column mapping, retired physical
+        names, declared constraints, and history depth."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return None
+        out: dict = {
+            "partitions": 0,
+            "listing_partitions": 0,
+            "files": 0,
+            "bytes": 0,
+            "dv_files": 0,
+            "dv_positions": 0,
+            "history_entries": 0,
+        }
+        schema = None
+        colmap: dict = {}
+        dropped: set = set()
+        rows_known = 0
+        rows_complete = True
+        for part in sorted(p.glob(f"{PARTITION_COL}=*")):
+            m = self._manifest(part)
+            if m is None:
+                names = [f for f in part.glob("*.parquet")]
+                if names:
+                    out["listing_partitions"] += 1
+                    out["files"] += len(names)
+                    rows_complete = False
+                    for f in names:
+                        try:
+                            out["bytes"] += f.stat().st_size
+                        except OSError:
+                            pass
+                continue
+            out["partitions"] += 1
+            out["files"] += len(m["files"])
+            rows = m.get("rows") or {}
+            dv = m.get("dv") or {}
+            for n in m["files"]:
+                try:
+                    out["bytes"] += (part / n).stat().st_size
+                except OSError:
+                    pass
+                if n in rows:
+                    rows_known += int(rows[n]) - int(
+                        (dv.get(n) or {}).get("count", 0)
+                    )
+                else:
+                    rows_complete = False
+            out["dv_files"] += len(dv)
+            out["dv_positions"] += sum(int(e.get("count", 0)) for e in dv.values())
+            if m.get("schema"):
+                s = _schema_from_json(m["schema"])
+                schema = s if schema is None else _merge_schemas(schema, s)
+            colmap.update(m.get("colmap") or {})
+            dropped |= set(m.get("dropped_physical") or [])
+            out["history_entries"] += sum(1 for _ in self._history_entries(part))
+        out["rows"] = rows_known if rows_complete else None
+        out["schema"] = (
+            [f"{f.name} {f.dataType.simpleString()}" for f in schema.fields]
+            if schema is not None
+            else None
+        )
+        out["colmap"] = colmap
+        out["dropped_physical"] = sorted(dropped)
+        out["constraints"] = self._table_constraints(table)
+        return out
+
     # -- S9: scalar service queries ---------------------------------------
     def max_id(self, table: str, col: str, exclude_product: int | None = None) -> int:
         """A1 high-water mark. ``exclude_product`` mirrors the
@@ -5633,6 +5708,8 @@ class StoreMeta:
     _enforce_constraints = TableStore._enforce_constraints
     _scan_constraint_violations = TableStore._scan_constraint_violations
     _violation_expr = staticmethod(TableStore._violation_expr)
+    # DESCRIBE DETAIL for audit tooling: manifest + stat reads only
+    describe = TableStore.describe
 
     def table_schema_colmap(self, table: str) -> tuple:
         """ONE manifest pass returning the merged declared LOGICAL

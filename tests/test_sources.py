@@ -3622,3 +3622,36 @@ def test_delete_theme_product_partial_cascade(spark, tmp_path):
     # value tables untouched for BOTH products (overwritten by the
     # rerun's append, per the script's comment)
     assert {r[PARTITION_COL] for r in store.read("IndicatorValues").collect()} == {1, 2}
+
+
+def test_describe_detail_summary(spark, tmp_path):
+    """describe() — the DESCRIBE DETAIL analog: metadata-only totals
+    that stay honest through DML, rename, constraints, and DV masks;
+    identical from the Spark-free StoreMeta."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        StoreMeta,
+        TableStore,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    assert store.describe("IndicatorValues") is None
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, price double"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": df.coalesce(2)})
+    store.add_constraint("IndicatorValues", "nonneg", check=[("price", ">=", 0.0)])
+    assert store.delete_where("IndicatorValues", [("k", "in", [3, 17])], mode="dv") == 2
+    assert store.rename_column("IndicatorValues", "price", "cost") == 1
+
+    d = store.describe("IndicatorValues")
+    assert d["partitions"] == 1 and d["listing_partitions"] == 0
+    assert d["files"] == 2 and d["bytes"] > 0
+    assert d["rows"] == 38                 # metadata-only, DV-subtracted
+    assert d["dv_positions"] == 2 and d["dv_files"] >= 1
+    assert "cost double" in d["schema"] and d["colmap"] == {"cost": "price"}
+    assert set(d["constraints"]) == {"nonneg"}
+    assert d["history_entries"] >= 2
+    # the Spark-free twin reads the same manifests
+    assert StoreMeta(root).describe("IndicatorValues") == d
