@@ -905,16 +905,15 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     payload = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    # the memory sink already holds the whole (bounded) delta set in
-    # driver memory — re-frame it and DROP the temp view so repeated
-    # bench invocations don't accrete one driver-held result table per
-    # run (review r10 wave 8); the returned plan must not reference
-    # the view lazily or the drop would break it
-    sink_df = spark.table(sink)
-    streamed_rows = sink_df.collect()
-    streamed_schema = sink_df.schema
+    # DROP the per-run memory-sink view so repeated bench invocations
+    # don't accrete driver-held result tables (review r10 wave 8);
+    # localCheckpoint first detaches the plan from the view — one
+    # JVM-side materialization to executor storage, no row ever copied
+    # through Python (review r10 wave 9 replaced a collect/recreate
+    # round-trip that pickled the whole delta set twice)
+    streamed_src = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
-    streamed = spark.createDataFrame(streamed_rows, streamed_schema).select(
+    streamed = streamed_src.select(
         "o_orderkey",
         F.col("status").alias("o_orderstatus"),
         "o_totalprice",

@@ -5545,10 +5545,26 @@ class TableStore:
             "history_entries": 0,
         }
         schema = None
-        colmap: dict = {}
-        dropped: set = set()
         rows_known = 0
         rows_complete = True
+        # legacy bare root-level files (the layout count_rows and
+        # _live_files handle) — without this, an unpartitioned
+        # listing-mode table reported a confidently wrong zero
+        # (review r10 wave 9)
+        root_files = [
+            f
+            for f in p.iterdir()
+            if f.is_file() and f.suffix == ".parquet"
+        ]
+        if root_files:
+            out["listing_partitions"] += 1
+            out["files"] += len(root_files)
+            rows_complete = False
+            for f in root_files:
+                try:
+                    out["bytes"] += f.stat().st_size
+                except OSError:
+                    pass
         for part in sorted(p.glob(f"{PARTITION_COL}=*")):
             m = self._manifest(part)
             if m is None:
@@ -5583,17 +5599,34 @@ class TableStore:
             if m.get("schema"):
                 s = _schema_from_json(m["schema"])
                 schema = s if schema is None else _merge_schemas(schema, s)
-            colmap.update(m.get("colmap") or {})
-            dropped |= set(m.get("dropped_physical") or [])
-            out["history_entries"] += sum(1 for _ in self._history_entries(part))
+            # history depth = file count, no JSON parse (review r10
+            # wave 9: a long-lived table's summary must not be
+            # O(total journal bytes)); same name rules as
+            # _history_entries (underscore-prefixed = control files)
+            hist = part / "_history"
+            if hist.exists():
+                out["history_entries"] += sum(
+                    1
+                    for h in hist.glob("*.json")
+                    if not h.name.startswith("_")
+                )
         out["rows"] = rows_known if rows_complete else None
         out["schema"] = (
             [f"{f.name} {f.dataType.simpleString()}" for f in schema.fields]
             if schema is not None
             else None
         )
-        out["colmap"] = colmap
-        out["dropped_physical"] = sorted(dropped)
+        # the SAME union rule reads use — and an audit tool must
+        # SURFACE a torn rename, not last-partition-wins it away
+        # (review r10 wave 9)
+        try:
+            colmap, dropped = self._table_colmap(p)
+            out["colmap"] = colmap
+            out["dropped_physical"] = sorted(dropped)
+        except ValueError as e:
+            out["colmap"] = None
+            out["dropped_physical"] = None
+            out["colmap_error"] = str(e)
         out["constraints"] = self._table_constraints(table)
         return out
 

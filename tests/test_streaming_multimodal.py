@@ -1649,24 +1649,17 @@ def test_adts_hunt_budget_is_global(spark):
     """Review r10 wave 8: the 1 MiB per-byte resync budget applies to
     the WHOLE walk — a valid ADTS prefix followed by a long non-ADTS
     tail must not buy an O(blob) Python loop after the first frame."""
-    import time
-
     from geo_explorer_etl_spark.operators.multimodal import parse_adts_aac
 
     real = _build_adts_frames(2)
-    blob = real + bytes(3 << 20)  # 3 MiB of zeros: every step is a hunt
-    t0 = time.time()
-    meta = parse_adts_aac(blob)
-    took = time.time() - t0
-    assert meta["n_frames"] == 2
-    # the walk stops after ~1 MiB of hunting, never 3 MiB: wall-time is
-    # environment-dependent, so pin the BEHAVIOR via a bigger blob
-    # costing the same as a smaller one (both cap at the budget)
-    t1 = time.time()
-    meta2 = parse_adts_aac(real + bytes(12 << 20))
-    took_big = time.time() - t1
-    assert meta2["n_frames"] == 2
-    assert took_big < max(4 * took, took + 2.0)
+    # behavior pin, no wall-clock (review r10 wave 9): frames planted
+    # BEYOND the 1 MiB hunt budget must not be reached — the walk
+    # stops at the budget instead of stepping to them byte-by-byte —
+    # while the same frames within the budget ARE found
+    beyond = real + bytes((1 << 20) + 4096) + _build_adts_frames(2)
+    assert parse_adts_aac(beyond)["n_frames"] == 2
+    within = real + bytes(64 << 10) + _build_adts_frames(2)
+    assert parse_adts_aac(within)["n_frames"] == 4
 
 
 def test_add_constraint_refuses_nan_check_values(spark, tmp_path):
