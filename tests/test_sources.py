@@ -3655,3 +3655,36 @@ def test_describe_detail_summary(spark, tmp_path):
     assert d["history_entries"] >= 2
     # the Spark-free twin reads the same manifests
     assert StoreMeta(root).describe("IndicatorValues") == d
+
+
+def test_describe_surfaces_torn_colmap(spark, tmp_path):
+    """Review r10 wave 9: describe() is an AUDIT tool — a torn rename
+    (divergent per-partition colmaps) must surface as colmap_error,
+    not be silently last-partition-wins'd away."""
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    for pid in (1, 2):
+        df = spark.createDataFrame([(pid, 1.0)], "k long, price double").withColumn(
+            PARTITION_COL, F.lit(pid).cast("long")
+        )
+        store.replace_product_all(pid, {"IndicatorValues": df})
+    store.rename_column("IndicatorValues", "price", "cost")
+
+    # simulate the torn residue: rewind ONE partition's colmap
+    from pathlib import Path
+
+    part = Path(store._path("IndicatorValues")) / f"{PARTITION_COL}=2"
+
+    def diverge(prior):
+        # a VALUE conflict for one logical name — the divergence
+        # _union_colmap fails loudly on (the missing-mapping tear is
+        # caught downstream by the duplicate-physical check instead)
+        body = dict(prior)
+        body["colmap"] = {"cost": "something_else"}
+        return body
+
+    store._update_manifest(part, diverge)
+    d = store.describe("IndicatorValues")
+    assert d["colmap"] is None and "colmap_error" in d
+    assert "torn" in d["colmap_error"] or "inconsistent" in d["colmap_error"]
