@@ -820,7 +820,10 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or read post-update values into a SET expression), a delete that
     dropped/kept the wrong rows, or a change feed that mis-slices any
     commit's deltas (file-level OR deletion-vector positions) all
-    break the value hash."""
+    break the value hash. Round 11: the v2 leg is served through the
+    BATCH data source (``spark.read.format("store")``,
+    sources/store_source.py), putting its executor-side pyarrow
+    materialization under the same hash."""
     import tempfile
     import time
 
@@ -923,10 +926,24 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2cdf = apply_changes(
         store.read_at("IndicatorValues", t0).select(*payload), streamed
     )
+    # v2 is served THROUGH THE BATCH DATA SOURCE (round 11, VERDICT
+    # directive #1): spark.read.format("store") plans the snapshot
+    # driver-side on StoreMeta and materializes files with EXECUTOR
+    # pyarrow — deletion-vector masks from the update/delete, the
+    # renamed column through the mapping, schema alignment — so the
+    # query-time SQL serving path sits under this entry's value hash,
+    # not just a row-count check.
+    from geo_explorer_etl_spark.sources.store_source import (
+        register_store_source,
+        store_table,
+    )
+
+    register_store_source(spark)
+    v2_served = store_table(spark, store.root, "IndicatorValues")
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
-        .unionByName(tagged(store.read("IndicatorValues"), "v2"))
+        .unionByName(tagged(v2_served, "v2"))
         .unionByName(tagged(v2cdf, "v2cdf"))
     )
 

@@ -1786,8 +1786,11 @@ class TableStore:
         probes.extend(bare)
         schema = None
         if declared:
+            # _footer_schema goes through the session on TableStore and
+            # pyarrow on the Spark-free StoreMeta — the SAME plan logic
+            # serves read() and the batch data source (store_source.py)
             for f in probes:
-                declared.append(self.spark.read.parquet(str(f)).schema)
+                declared.append(self._footer_schema(f))
             schema = functools.reduce(_merge_schemas, declared)
         pwhere = _where_physical(where, colmap)
         files: list[str] = []
@@ -5743,6 +5746,28 @@ class StoreMeta:
     _violation_expr = staticmethod(TableStore._violation_expr)
     # DESCRIBE DETAIL for audit tooling: manifest + stat reads only
     describe = TableStore.describe
+    # the BATCH read plan (zone-map/bloom file pruning + DV selection
+    # + union colmap + declared/probed schema merge) is Spark-free now
+    # that _read_plan probes footers via _footer_schema — borrowed so
+    # the batch data source (store_source.py) plans driver-side with
+    # no session and can never disagree with TableStore.read about
+    # what a predicate prunes
+    _read_plan = TableStore._read_plan
+    _prune_partition_files = staticmethod(TableStore._prune_partition_files)
+    _live_files = TableStore._live_files
+    live_files = TableStore.live_files
+
+    def read_plan(self, table: str, where=None) -> tuple:
+        """``(logical schema | None, colmap, pruned files, dv_sel)``
+        for a snapshot read — the exact plan ``TableStore.read`` would
+        execute, resolved session-free at CALL time (the batch data
+        source calls this per query execution, which is what makes
+        SQL views over the store reflect DML without re-registration).
+        ``where`` arrives in logical names, like ``read``."""
+        p = Path(self._path(table))
+        if not p.exists():
+            return None, {}, [], []
+        return self._read_plan(p, where)
 
     def table_schema_colmap(self, table: str) -> tuple:
         """ONE manifest pass returning the merged declared LOGICAL

@@ -1,0 +1,412 @@
+"""The TableStore as a native Spark BATCH SOURCE
+(``spark.read.format("store")``) — VERDICT r10 directive #1.
+
+``TableStore.read`` resolves the manifest file list driver-side AT
+CALL TIME, so a temp view registered over its DataFrame pins that
+snapshot: run ``update_where`` / ``merge_rows`` / ``delete_where``
+afterwards and SQL silently serves pre-DML data until the view is
+re-registered — the one place the engine could return stale data with
+no error. This module closes that trap the way Delta does: a Python
+Data Source whose reader re-plans the snapshot at query time, plus a
+``store_table()`` helper / ``register_star_views`` front-end that
+guarantees the re-plan actually happens per query (see the caching
+note below).
+
+Execution shape (the 100 TB story, mirroring streaming/cdf_source.py):
+
+- ``partitions()`` runs DRIVER-side on ``StoreMeta`` (plain JSON +
+  sidecar reads, no session): the SAME ``_read_plan`` TableStore.read
+  uses — union column mapping, deletion-vector selection, and (opt-in)
+  zone-map + bloom file pruning — so the source can never disagree
+  with the DataFrame API about what a snapshot contains. One
+  InputPartition per live file; cost ∝ live files, not rows.
+- ``read()`` runs on EXECUTORS with pyarrow: read the file, apply the
+  deletion-vector mask, push surviving predicates into the pyarrow
+  scan for row-group skipping (only on un-masked files — a DV mask is
+  positional and must see the file's full row order), rename
+  physical→logical through the column mapping, align to the fixed
+  output schema (pre-evolution files surface added columns as nulls),
+  and yield Arrow RecordBatches.
+
+FRESHNESS AND THE SPARK 4.1 READ-INFO CACHE (behavior verified
+against the shipped ``PythonDataSourceV2`` bytecode and reproduced
+empirically): Spark caches a python source's planned partitions on
+the provider instance (``PythonDataSourceV2.readInfo``) and
+``getOrCreateReadInfo`` returns that cache unconditionally, while a
+``pushFilters`` round (which only runs when the query carries at
+least one translatable NULL-INTENT or comparison filter and
+``spark.sql.python.filterPushdown.enabled`` is true) re-plans and
+OVERWRITES it. Two consequences:
+
+1. A long-lived view serves the first query's snapshot to later
+   FILTERLESS queries (stale after DML), and
+2. if ``partitions()`` pruned by pushed filters, a filtered query's
+   pruned plan would be served to a later filterless query — silent
+   ROW LOSS (reproduced: 200-row table, theme=1 query, then count(*)
+   returns 100).
+
+This module's answer: ``partitions()`` is FILTER-INDEPENDENT by
+default (any cached plan is a complete, consistent snapshot — wrong
+rows are impossible), and ``store_table()`` bakes an always-true
+sentinel predicate ``_store_file IS NOT NULL`` into the returned
+DataFrame so every query through it carries a pushable filter and
+therefore re-plans — always fresh, race-free. ``_store_file`` is the
+source file's path (the ``_metadata.file_path`` analog), emitted only
+under ``metadata=true``; it is non-null by construction but declared
+nullable so Catalyst's constraint propagation cannot fold the
+sentinel away. Plan-level zone-map/bloom pruning via pushed filters
+remains available behind ``pushdown=true`` for single-statement /
+single-threaded use (fresh ``load()`` per query, or the sentinel
+wrapper): with a shared view and CONCURRENT queries the upstream
+cache slot is a shared mutable, so one query's pruned plan can be
+consumed by another — the default stays off.
+
+Reference parity: this is the serving-side analog of the reference's
+always-current SQL Server tables (dfhandler.py reads gis.* live); the
+engine's SQL front-end (plans/sql_views.py) registers its star views
+through ``store_table``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, StoreMeta
+
+#: File-provenance metadata column (option ``metadata=true``): the
+#: absolute path of the parquet file each row came from. Non-null by
+#: construction; declared nullable on purpose (see module docstring).
+FILE_COL = "_store_file"
+
+#: Filter classes translatable to the store's where-tuple grammar
+#: (store.py `read`: == >= > <= < between in). IsNull/IsNotNull,
+#: Not(...) and the String* matchers have no zone-map semantics here
+#: and simply stay Spark-side.
+_FILTER_OPS: dict[type, str] = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+#: Literal types the manifest zone maps compare reliably
+#: (store.py `_norm_stat` / `_stat_comparable`). Timestamps/decimals
+#: stay Spark-side rather than risk a lexicographic-vs-temporal
+#: mismatch against harvested footer stats.
+_LITERAL_TYPES = (int, float, str, bool)
+
+
+def _local_root(path: str) -> str:
+    """Catalog-qualified paths arrive scheme-prefixed
+    (``file:/tmp/...``); the store's commit backends take plain
+    filesystem paths. Strip only the local scheme — any other scheme
+    is passed through for the backend to reject loudly."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        return url2pathname(urlparse(path).path)
+    return path
+
+
+def _path_option(options) -> str:
+    """The store root from data source options. ``load()`` passes it
+    as ``path``; a catalog table path (CREATE TABLE ... USING store)
+    reaches the reader as a JSON array under ``paths``."""
+    if "path" in options:
+        return options["path"]
+    if "paths" in options:
+        import json
+
+        paths = json.loads(options["paths"])
+        if len(paths) == 1:
+            return paths[0]
+        raise ValueError(
+            f"store: expected exactly one root path, got {paths!r}"
+        )
+    raise ValueError(
+        "store: missing required option 'path' (the TableStore root); "
+        f"got options {sorted(options.keys())!r}"
+    )
+
+
+def _flag(options, key: str) -> bool:
+    return str(options.get(key, "false")).lower() == "true"
+
+
+def translate_filters(filters) -> list[tuple]:
+    """Spark pushdown Filters → store where-tuples, keeping only
+    conjuncts that prune SAFELY (top-level column, comparable literal).
+    Lossy by design: the caller re-applies every filter post-scan."""
+    out: list[tuple] = []
+    for f in filters:
+        op = _FILTER_OPS.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        col = f.attribute[0]
+        if col == FILE_COL:
+            continue  # provenance column exists only in the output
+        if op == "in":
+            vals = list(f.value)
+            if vals and all(isinstance(v, _LITERAL_TYPES) for v in vals):
+                out.append((col, "in", vals))
+        elif isinstance(f.value, _LITERAL_TYPES):
+            out.append((col, op, f.value))
+    return out
+
+
+@dataclass
+class StoreScanPartition(InputPartition):
+    """One live data file of the snapshot. Picklable by design (plain
+    strings/ints/lists) — it ships to executors."""
+
+    path: str
+    colmap: dict
+    mask: tuple | None  # DV positions to EXCLUDE, or None
+    partition_value: int | None
+    out_schema_json: str = field(default="")
+    where: tuple = field(default=())  # physical-name pyarrow row-group hints
+
+
+class StoreBatchReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._root = _local_root(_path_option(options))
+        self._table = options.get("table", "IndicatorValues")
+        self._backend = options.get("backend", "localfs")
+        self._pushdown = _flag(options, "pushdown")
+        self._where: list[tuple] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        if self._pushdown:
+            self._where = translate_filters(filters)
+        # ALL filters stay Spark-side: pruning is an I/O optimization,
+        # never a correctness dependency
+        yield from filters
+
+    def partitions(self):
+        from pathlib import Path
+
+        meta = StoreMeta(self._root, self._backend)
+        _, colmap, files, dv_sel = meta.read_plan(
+            self._table, self._where or None
+        )
+        # DV masks decode driver-side (sidecar reads memoized in
+        # StoreMeta._dv_positions) and ship as position tuples — the
+        # same bytes the sidecar holds, same shape cdf_source ships
+        masks: dict[str, tuple] = {}
+        for part_dir, name, entry in dv_sel:
+            masks[str(part_dir / name)] = tuple(
+                int(p) for p in meta._dv_positions(part_dir, entry)
+            )
+        out_json = self._schema.json()
+        pwhere = tuple(
+            (colmap.get(c, c), op, tuple(v) if isinstance(v, list) else v)
+            for (c, op, v) in self._where
+        )
+        parts = []
+        for f in files:
+            raw = Path(f).parent.name.split("=", 1)
+            try:
+                pv: int | None = int(raw[1]) if len(raw) == 2 else None
+            except (ValueError, IndexError):
+                pv = None
+            parts.append(
+                StoreScanPartition(
+                    path=f,
+                    colmap=dict(colmap),
+                    mask=masks.get(f),
+                    partition_value=pv,
+                    out_schema_json=out_json,
+                    where=pwhere,
+                )
+            )
+        return parts
+
+    def read(self, partition: StoreScanPartition):
+        """EXECUTOR-side file materialization: pyarrow read (+ row-group
+        predicate skipping when no DV mask re-indexes the file), DV
+        exclusion, physical→logical rename, alignment to the output
+        schema — Arrow RecordBatches end to end."""
+        import json
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pf = pq.ParquetFile(partition.path)
+        flt = None
+        if partition.mask is None and partition.where:
+            flt = _pa_filter(partition.where, pf.schema_arrow.names)
+        if flt is not None:
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(partition.path, format="parquet").to_table(
+                filter=flt
+            )
+        else:
+            tbl = pf.read()
+        if partition.mask is not None:
+            sel = np.ones(tbl.num_rows, dtype=bool)
+            pos = np.asarray(partition.mask, dtype="int64")
+            bad = pos[(pos < 0) | (pos >= tbl.num_rows)]
+            if len(bad):
+                # same refusal as cdf_source: a position beyond the
+                # file is sidecar/file corruption; dropping it would
+                # resurrect a deleted row
+                raise ValueError(
+                    f"store: deletion-vector position {int(bad[0])} out "
+                    f"of range for {partition.path} ({tbl.num_rows} rows)"
+                    " — mask/file mismatch; run fsck"
+                )
+            sel[pos] = False
+            tbl = tbl.filter(pa.array(sel))
+        inv = {v: k for k, v in (partition.colmap or {}).items()}
+        tbl = tbl.rename_columns([inv.get(c, c) for c in tbl.column_names])
+        target = to_arrow_schema(
+            T.StructType.fromJson(json.loads(partition.out_schema_json))
+        )
+        n = tbl.num_rows
+        arrays = []
+        for f in target:
+            if f.name == FILE_COL:
+                arrays.append(pa.array([partition.path] * n, type=f.type))
+            elif f.name == PARTITION_COL and f.name not in tbl.column_names:
+                arrays.append(pa.array([partition.partition_value] * n, type=f.type))
+            elif f.name in tbl.column_names:
+                arrays.append(tbl.column(f.name).combine_chunks().cast(f.type))
+            else:  # pre-evolution file: surface the column as nulls
+                arrays.append(pa.nulls(n, type=f.type))
+        yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
+
+
+def _pa_filter(where: tuple, names: list[str]):
+    """Physical where-tuples → a pyarrow dataset filter over the
+    columns this file actually has (pre-evolution files lack late
+    columns — a missing conjunct just loses its row-group skip; Spark
+    re-applies the predicate either way)."""
+    import pyarrow.compute as pc
+
+    expr = None
+    for col, op, val in where:
+        if col not in names or col == PARTITION_COL:
+            continue
+        fld = pc.field(col)
+        if op == "==":
+            e = fld == val
+        elif op == ">":
+            e = fld > val
+        elif op == ">=":
+            e = fld >= val
+        elif op == "<":
+            e = fld < val
+        elif op == "<=":
+            e = fld <= val
+        elif op == "in":
+            e = fld.isin(list(val))
+        else:  # pragma: no cover - translate_filters never emits others
+            continue
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+class StoreBatchDataSource(DataSource):
+    """``spark.read.format("store")`` over a TableStore root.
+
+    Options: ``path`` (store root, required), ``table`` (default
+    IndicatorValues), ``backend`` (localfs|cas), ``metadata``
+    (true → add the ``_store_file`` provenance column), ``pushdown``
+    (true → prune the file plan by pushed filters; see the module
+    docstring for when that is safe)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "store"
+
+    def schema(self) -> T.StructType:
+        meta = StoreMeta(
+            _local_root(_path_option(self.options)),
+            self.options.get("backend", "localfs"),
+        )
+        table = self.options.get("table", "IndicatorValues")
+        payload, _, files, _ = meta.read_plan(table)
+        if payload is None and files:
+            # listing-mode table (plain appends, no manifest): probe one
+            # footer, exactly what TableStore.read's schema inference
+            # sees; physical==logical here (column mapping needs a
+            # manifest). Later files missing columns surface as nulls
+            # through read()'s alignment.
+            from pathlib import Path
+
+            payload = meta._footer_schema(Path(files[0]))
+        if payload is None:
+            raise ValueError(
+                f"store: table {table!r} at {meta.root} has no data — "
+                "append or publish first"
+            )
+        fields = [T.StructField(f.name, f.dataType, True) for f in payload.fields]
+        names = {f.name for f in fields}
+        if PARTITION_COL not in names:
+            fields.append(T.StructField(PARTITION_COL, T.LongType(), True))
+        if _flag(self.options, "metadata") and FILE_COL not in names:
+            # nullable=True ON PURPOSE: a non-null declaration would let
+            # Catalyst fold the sentinel IsNotNull and kill the
+            # per-query re-plan (module docstring)
+            fields.append(T.StructField(FILE_COL, T.StringType(), True))
+        return T.StructType(fields)
+
+    def reader(self, schema: T.StructType) -> StoreBatchReader:
+        return StoreBatchReader(schema, self.options)
+
+
+def register_store_source(spark) -> None:
+    """Register the batch source and enable Spark's Python-source
+    filter pushdown (off by default in 4.1) so queries carrying
+    filters — including ``store_table``'s sentinel — re-plan the
+    snapshot instead of reusing the provider's cached read info."""
+    spark.dataSource.register(StoreBatchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def store_table(
+    spark,
+    root: str,
+    table: str,
+    backend: str = "localfs",
+    pushdown: bool = False,
+    keep_file_col: bool = False,
+):
+    """A query-time-fresh DataFrame over a store table: every action
+    re-resolves the manifest snapshot (the baked-in sentinel predicate
+    forces the pushFilters re-plan round — module docstring). This is
+    what ``register_star_views`` registers, so SQL over the store
+    reflects DML with no re-registration."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("store")
+        .option("path", root)
+        .option("table", table)
+        .option("backend", backend)
+        .option("metadata", "true")
+        .option("pushdown", "true" if pushdown else "false")
+        .load()
+        .filter(F.col(FILE_COL).isNotNull())
+    )
+    return df if keep_file_col else df.drop(FILE_COL)

@@ -1,0 +1,258 @@
+"""Batch data source over the TableStore (sources/store_source.py) —
+VERDICT r10 directive #1: query-time-resolved SQL views that reflect
+DML with NO re-registration, safe against the Spark 4.1 read-info
+cache (a filtered query's pruned plan must never poison a later
+filterless query), with opt-in plan-level file pruning."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+from geo_explorer_etl_spark.sources.store_source import (
+    FILE_COL,
+    StoreBatchReader,
+    register_store_source,
+    store_table,
+    translate_filters,
+)
+
+
+def _publish(spark, root, pids=(1, 2), n=100):
+    store = TableStore(spark, root)
+    for pid in pids:
+        df = (
+            spark.createDataFrame(
+                [(i + pid * 1000, float(i)) for i in range(n)],
+                "IndicatorValueId LONG, Value DOUBLE",
+            )
+            .withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+            .coalesce(1)
+        )
+        store.replace_product_all(pid, {"IndicatorValues": df})
+    return store
+
+
+def test_sql_view_fresh_after_dml_without_reregistration(spark, tmp_path):
+    """The r10 'done' pin: one registered view reflects delete_where,
+    update_where and merge_rows the moment they commit."""
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root)
+    register_store_source(spark)
+    store_table(spark, root, "IndicatorValues").createOrReplaceTempView("iv_fresh")
+
+    assert spark.sql("SELECT count(*) c FROM iv_fresh").collect()[0].c == 200
+
+    store.delete_where("IndicatorValues", [("IndicatorValueId", "<", 1050)])
+    assert spark.sql("SELECT count(*) c FROM iv_fresh").collect()[0].c == 150
+
+    store.update_where(
+        "IndicatorValues",
+        {"Value": "Value + 1000"},
+        [("IndicatorValueId", "==", 2060)],
+    )
+    [(v,)] = spark.sql(
+        "SELECT Value FROM iv_fresh WHERE IndicatorValueId = 2060"
+    ).collect()
+    assert v == 1060.0
+
+    batch = spark.createDataFrame(
+        [(1055, 777.0, 1), (9999, 1.0, 1)],
+        f"IndicatorValueId LONG, Value DOUBLE, {PARTITION_COL} LONG",
+    )
+    store.merge_rows("IndicatorValues", batch, ["IndicatorValueId"])
+    assert spark.sql("SELECT count(*) c FROM iv_fresh").collect()[0].c == 151
+    [(v,)] = spark.sql(
+        "SELECT Value FROM iv_fresh WHERE IndicatorValueId = 1055"
+    ).collect()
+    assert v == 777.0
+
+
+def test_filtered_query_never_poisons_filterless_query(spark, tmp_path):
+    """Upstream Spark 4.1 caches a python source's planned partitions
+    on the provider and a pushFilters round overwrites them; if
+    partitions() pruned by pushed filters, this sequence LOSES ROWS
+    (reproduced 200→100 during development). Pin the defense: default
+    partitions are filter-independent, so the filtered query's cached
+    plan is still the complete snapshot."""
+    root = str(tmp_path / "wh")
+    _publish(spark, root)
+    register_store_source(spark)
+    store_table(spark, root, "IndicatorValues").createOrReplaceTempView("iv_np")
+
+    assert spark.sql("SELECT count(*) c FROM iv_np").collect()[0].c == 200
+    assert (
+        spark.sql(
+            f"SELECT count(*) c FROM iv_np WHERE {PARTITION_COL} = 1"
+        ).collect()[0].c
+        == 100
+    )
+    # the regression: filterless AFTER filtered must still see all rows
+    assert spark.sql("SELECT count(*) c FROM iv_np").collect()[0].c == 200
+
+
+def test_source_matches_store_read_through_dv_rename_evolution(spark, tmp_path):
+    """Scattered delete (deletion vectors), rename_column (column
+    mapping), and a subset-schema append (evolution null-fill) — the
+    source's executor pyarrow path must reproduce TableStore.read
+    exactly."""
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1,), n=100)
+    # scattered delete -> DV sidecars, not rewrites
+    store.delete_where(
+        "IndicatorValues", [("IndicatorValueId", "in", (1003, 1041, 1077))]
+    )
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}=1"
+    assert store._manifest(part).get("dv"), "expected a DV sidecar delete"
+    store.rename_column("IndicatorValues", "Value", "Metric")
+    # evolution: append a frame WITHOUT the renamed column
+    store.append(
+        "IndicatorValues",
+        spark.createDataFrame(
+            [(5001, 1)], f"IndicatorValueId LONG, {PARTITION_COL} LONG"
+        ).withColumn("Extra", F.lit("x")),
+    )
+    register_store_source(spark)
+    via_source = store_table(spark, root, "IndicatorValues")
+    via_read = store.read("IndicatorValues")
+    assert sorted(via_source.columns) == sorted(via_read.columns)
+    cols = sorted(via_read.columns)
+    a = {tuple(r) for r in via_source.select(*cols).collect()}
+    b = {tuple(r) for r in via_read.select(*cols).collect()}
+    assert a == b
+    assert len(a) == 98
+
+
+def test_pushdown_prunes_file_plan_and_row_groups(spark, tmp_path):
+    """pushdown=true: pushed predicates reach partitions() and prune
+    the FILE list through manifest zone maps (plan-level assert on the
+    reader itself — deterministic, no JVM cache in the loop), and the
+    pruned read returns the same rows as the unpruned one."""
+    from pyspark.sql.datasource import EqualTo
+
+    root = str(tmp_path / "wh")
+    _publish(spark, root)  # two partitions, one file each
+    register_store_source(spark)
+    schema = (
+        spark.read.format("store")
+        .option("path", root)
+        .option("table", "IndicatorValues")
+        .load()
+        .schema
+    )
+    reader = StoreBatchReader(
+        schema,
+        {"path": root, "table": "IndicatorValues", "pushdown": "true"},
+    )
+    full = reader.partitions()
+    assert len(full) == 2
+    list(reader.pushFilters([EqualTo((PARTITION_COL,), 1)]))
+    pruned = reader.partitions()
+    assert len(pruned) == 1
+    assert f"{PARTITION_COL}=1" in pruned[0].path
+
+    pt = store_table(spark, root, "IndicatorValues", pushdown=True)
+    got = pt.filter(F.col(PARTITION_COL) == 1).count()
+    assert got == 100
+
+
+def test_translate_filters_keeps_only_safe_conjuncts():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNotNull,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    got = translate_filters(
+        [
+            EqualTo(("a",), 5),
+            GreaterThan(("b",), 1.5),
+            LessThanOrEqual(("c",), "x"),
+            In(("d",), (1, 2, 3)),
+            IsNotNull(("a",)),  # no zone-map semantics -> dropped
+            StringStartsWith(("c",), "ab"),  # dropped
+            EqualTo(("nested", "f"), 1),  # nested -> dropped
+            EqualTo((FILE_COL,), "p"),  # output-only column -> dropped
+        ]
+    )
+    assert got == [
+        ("a", "==", 5),
+        ("b", ">", 1.5),
+        ("c", "<=", "x"),
+        ("d", "in", [1, 2, 3]),
+    ]
+
+
+def test_sentinel_survives_optimizer_and_file_col_is_dropped(spark, tmp_path):
+    """The freshness contract rides on the sentinel IsNotNull filter
+    reaching the scan on EVERY query: pin that the optimized plan
+    keeps it (a non-null schema declaration would let Catalyst fold
+    it away silently), and that the payload surface stays clean."""
+    root = str(tmp_path / "wh")
+    _publish(spark, root, pids=(1,))
+    register_store_source(spark)
+    df = store_table(spark, root, "IndicatorValues")
+    assert FILE_COL not in df.columns
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert FILE_COL in plan, "sentinel filter folded away — views go stale"
+    kept = store_table(spark, root, "IndicatorValues", keep_file_col=True)
+    assert FILE_COL in kept.columns
+    paths = {r[0] for r in kept.select(FILE_COL).distinct().collect()}
+    assert all(p and p.endswith(".parquet") for p in paths)
+
+
+def test_register_star_views_is_query_time_fresh(spark, tmp_path):
+    """register_star_views (the SQL front-end) now serves through the
+    batch source: the registered view reflects an update_where with no
+    re-registration — the exact stale-view trap VERDICT r10 named."""
+    from geo_explorer_etl_spark.plans.sql_views import register_star_views
+
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1,))
+    registered = register_star_views(spark, store)
+    assert "IndicatorValues" in registered
+    before = spark.sql("SELECT count(*) c FROM IndicatorValues").collect()[0].c
+    assert before == 100
+    store.delete_where("IndicatorValues", [("IndicatorValueId", "<", 1010)])
+    after = spark.sql("SELECT count(*) c FROM IndicatorValues").collect()[0].c
+    assert after == 90
+    # snapshot=True keeps the old pin-at-registration semantics
+    registered = register_star_views(spark, store, snapshot=True)
+    store.delete_where("IndicatorValues", [("IndicatorValueId", "==", 1050)])
+    pinned = spark.sql("SELECT count(*) c FROM IndicatorValues").collect()[0].c
+    assert pinned == 90
+
+
+def test_source_errors_on_missing_table_and_missing_dv_positions(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1,))
+    register_store_source(spark)
+    with pytest.raises(Exception, match="no data"):
+        (
+            spark.read.format("store")
+            .option("path", root)
+            .option("table", "NoSuchTable")
+            .load()
+        )
+    # corrupt a DV sidecar's position range -> executor read must fail
+    # loudly, never resurrect deleted rows
+    store.delete_where("IndicatorValues", [("IndicatorValueId", "==", 1001)])
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}=1"
+    m = store._manifest(part)
+    (name, entry), = m["dv"].items()
+    sidecar = part / entry["sidecar"]
+    import struct
+
+    from geo_explorer_etl_spark.sources.store import DV_MAGIC
+
+    sidecar.write_bytes(DV_MAGIC + struct.pack("<q", 10**9))
+    TableStore._DV_DECODE_CACHE.clear()
+    TableStore._DV_DECODE_CACHE_POSITIONS[0] = 0
+    with pytest.raises(Exception, match="out of range|mask/file"):
+        store_table(spark, root, "IndicatorValues").count()
