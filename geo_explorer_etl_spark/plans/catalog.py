@@ -795,6 +795,16 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 0.5
                       ELSE o_totalprice END, 2)
     FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
+    UNION ALL
+    SELECT 'v3', o_orderkey, 'C2', ROUND(o_totalprice * 3, 2)
+    FROM orders WHERE o_orderkey % 100 >= 15 AND o_orderkey % 100 < 20
+    UNION ALL
+    SELECT 'v3', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
+    FROM orders WHERE o_orderkey % 100 >= 20 AND o_orderkey % 100 < 50
+      AND o_orderstatus <> 'P'
+    UNION ALL
+    SELECT 'v3', o_orderkey, 'N', CAST(1.0 AS DOUBLE)
+    FROM orders WHERE o_orderkey % 100 >= 95
     """,
     tags="S11 I2 store merge update delete time-travel CDF",
 )
@@ -820,10 +830,12 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or read post-update values into a SET expression), a delete that
     dropped/kept the wrong rows, or a change feed that mis-slices any
     commit's deltas (file-level OR deletion-vector positions) all
-    break the value hash. Round 11: the v2 leg is served through the
-    BATCH data source (``spark.read.format("store")``,
-    sources/store_source.py), putting its executor-side pyarrow
-    materialization under the same hash."""
+    break the value hash. Round 11 adds ``v3``: ONE op-typed CDC batch
+    through the clause-MERGE grammar (``merge_apply`` — matched
+    DELETE, matched UPDATE, NOT MATCHED INSERT, NOT MATCHED BY SOURCE
+    DELETE in one atomic swap), served through the BATCH data source
+    (``spark.read.format("store")``, sources/store_source.py) so both
+    new surfaces sit under the same hash."""
     import tempfile
     import time
 
@@ -939,12 +951,55 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_store_source(spark)
-    v2_served = store_table(spark, store.root, "IndicatorValues")
+    # v2 pins its snapshot the classic way — store.read resolves the
+    # manifest file list AT CALL TIME, so the frame stays v2 even
+    # after the clause-MERGE below commits v3 (snapshot isolation)
+    v2 = store.read("IndicatorValues")
+    # v3 (round 11, VERDICT directive #2): ONE op-typed CDC batch
+    # through the clause-MERGE grammar — matched DELETE (DV path),
+    # matched UPDATE-as-replace, NOT MATCHED INSERT, and NOT MATCHED
+    # BY SOURCE DELETE (every 'P+' row the batch doesn't mention),
+    # all under one atomic manifest swap per partition. DuckDB
+    # recomputes the expected v3 from the same orders slices, so a
+    # clause routed to the wrong rows, a torn multi-clause apply, or
+    # a by-source delete that leaked outside its predicate all break
+    # the value hash.
+    cdc = (
+        o.filter(((key >= 10) & (key < 20)) | (key >= 95))
+        .select(
+            "o_orderkey",
+            F.when(key < 15, "D").when(key < 20, "U").otherwise("I").alias("op"),
+            F.when(key < 20, F.lit("C2")).otherwise(F.lit("N")).alias("status"),
+            F.when((key >= 15) & (key < 20), F.col("o_totalprice") * 3)
+            .otherwise(F.lit(1.0))
+            .alias("o_totalprice"),
+        )
+        .withColumn("IndicatorThemeId", F.lit(1).cast("long"))
+    )
+    store.merge_apply(
+        "IndicatorValues",
+        cdc,
+        ["o_orderkey"],
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete"},
+            {"condition": "op = 'U'", "action": "update"},
+        ],
+        when_not_matched=[{"condition": "op = 'I'"}],
+        when_not_matched_by_source=[
+            {"condition": [("status", "==", "P+")], "action": "delete"}
+        ],
+    )
+    # v3 is served THROUGH the batch data source (query-time manifest
+    # resolution = the post-MERGE snapshot), putting store_source.py's
+    # executor pyarrow path — the fresh DV masks, the renamed column
+    # through the mapping, the evolved 'op' column — under the hash
+    v3_served = store_table(spark, store.root, "IndicatorValues")
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
-        .unionByName(tagged(v2_served, "v2"))
+        .unionByName(tagged(v2, "v2"))
         .unionByName(tagged(v2cdf, "v2cdf"))
+        .unionByName(tagged(v3_served, "v3"))
     )
 
 

@@ -3614,6 +3614,30 @@ class TableStore:
     MERGE_KEYSET_CAP = 100_000
 
     def merge_rows(
+        self,
+        table: str,
+        df: DataFrame,
+        key_cols: list[str],
+        mode: str = "auto",
+        when_matched: list[dict] | None = None,
+        when_not_matched: list[dict] | None = None,
+        when_not_matched_by_source: list[dict] | None = None,
+    ):
+        # clause kwargs route to the full MERGE grammar (merge_apply);
+        # the bare call keeps the original upsert-by-key semantics
+        if when_matched or when_not_matched or when_not_matched_by_source:
+            return self.merge_apply(
+                table,
+                df,
+                key_cols,
+                when_matched=when_matched,
+                when_not_matched=when_not_matched,
+                when_not_matched_by_source=when_not_matched_by_source,
+                mode=mode,
+            )
+        return self._merge_rows_upsert(table, df, key_cols, mode)
+
+    def _merge_rows_upsert(
         self, table: str, df: DataFrame, key_cols: list[str], mode: str = "auto"
     ) -> None:
         """MERGE (upsert-by-key) — the table-format operation between
@@ -4258,6 +4282,627 @@ class TableStore:
             names.append(name)
         shutil.rmtree(staging, ignore_errors=True)
         return names
+
+    # -- MERGE clause grammar ---------------------------------------------
+    # merge_rows is upsert-by-key only; merge_apply is the full
+    # conditional-clause MERGE (VERDICT r10 directive #2): one call,
+    # one atomic manifest swap per partition, applies an op-typed
+    # change batch — the standard CDC shape the reference hand-composes
+    # as delete-then-append plus manual UPDATEs (scdb.py:32–72 +
+    # sql_scripts/Housing - Manual Updates.sql).
+
+    @staticmethod
+    def _norm_merge_clauses(when_matched, when_not_matched, when_not_matched_by_source):
+        """Validate the clause grammar once, driver-side, before any
+        job runs. Clause dicts:
+
+        - when_matched: ``{"condition": <SQL str|Column over SOURCE
+          columns|None>, "action": "update"|"delete", "set": dict|None}``
+          — first match wins per source row; ``update`` with
+          ``set=None`` replaces the target row with the source row,
+          ``set={col: expr}`` applies update_where's pre-row SET rule
+          to the TARGET row (expressions see the row's OLD values);
+        - when_not_matched: same shape, action ``"insert"`` (full
+          source row), condition over SOURCE columns;
+        - when_not_matched_by_source: action ``"delete"``, condition a
+          store predicate list over TARGET columns (``read``'s
+          grammar) so zone maps can bound the pass — ``None`` means
+          every non-matched target row in the source's partitions.
+        """
+        wm, wnm, wbs = [], [], []
+        for c in when_matched or []:
+            a = c.get("action")
+            if a not in ("update", "delete"):
+                raise ValueError(f"when_matched action {a!r} not in update|delete")
+            if a == "delete" and c.get("set"):
+                raise ValueError("when_matched delete clause cannot carry 'set'")
+            wm.append(
+                {"condition": c.get("condition"), "action": a, "set": c.get("set")}
+            )
+        for c in when_not_matched or []:
+            if c.get("action", "insert") != "insert":
+                raise ValueError("when_not_matched supports action 'insert' only")
+            wnm.append({"condition": c.get("condition")})
+        for c in when_not_matched_by_source or []:
+            if c.get("action", "delete") != "delete":
+                raise ValueError(
+                    "when_not_matched_by_source supports action 'delete' only"
+                )
+            cond = c.get("condition")
+            if cond is not None:
+                _check_dml_where(cond, "merge_apply(when_not_matched_by_source)")
+            wbs.append({"condition": cond})
+        if not (wm or wnm or wbs):
+            raise ValueError("merge_apply needs at least one clause")
+        return wm, wnm, wbs
+
+    @staticmethod
+    def _clause_label(clauses: list[dict]):
+        """First-match-wins clause index over SOURCE rows: a single
+        CASE WHEN chain (clause conditions default to always-true;
+        NULL conditions count as false, the SQL rule)."""
+        from pyspark.sql import Column
+
+        expr = F.lit(None).cast("int")
+        chain = None
+        for i, c in enumerate(clauses):
+            cond = c["condition"]
+            if cond is None:
+                col = F.lit(True)
+            else:
+                col = cond if isinstance(cond, Column) else F.expr(str(cond))
+                col = F.coalesce(col, F.lit(False))
+            chain = (chain.when(col, i) if chain is not None else F.when(col, i))
+        return chain.otherwise(expr) if chain is not None else expr
+
+    def merge_apply(
+        self,
+        table: str,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: list[dict] | None = None,
+        when_not_matched: list[dict] | None = None,
+        when_not_matched_by_source: list[dict] | None = None,
+        mode: str = "auto",
+    ) -> dict:
+        """Conditional-clause MERGE (Delta's ``WHEN MATCHED [AND cond]
+        THEN UPDATE/DELETE / WHEN NOT MATCHED THEN INSERT / WHEN NOT
+        MATCHED BY SOURCE THEN DELETE``) applied atomically per product
+        partition — ONE manifest swap commits every clause's effect,
+        so a reader never sees a torn intermediate (the delete landed,
+        the insert not yet). Returns
+        ``{"updated": n, "deleted": n, "inserted": n,
+        "deleted_by_source": n}``.
+
+        Execution reuses the shared row-level DML machinery end to
+        end: zone maps + blooms classify candidate files against the
+        bounded source key set (and the by-source predicate), ONE scan
+        counts matched live rows per file, sparse files take DELETION
+        VECTORS and dense files copy-on-write (``mode`` = auto|cow|dv,
+        the delete_where/update_where policy), and every superseded
+        row's successor (replacing source rows, SET-transformed target
+        rows, inserts) lands range-clustered in fresh files before the
+        swap. A scattered matched-DELETE therefore writes only
+        kilobyte sidecars — the manifest-diff pytest pins it.
+
+        Scope rule (the 100 TB bound): ``when_not_matched_by_source``
+        deletes are evaluated ONLY inside partitions the source frame
+        touches — a CDC batch for product A can never scan (or delete
+        from) product B. Listing-mode partitions and key sets over
+        ``MERGE_KEYSET_CAP`` fall back to a whole-partition rewrite
+        through the write-ahead txn, the same conservative path as
+        ``merge_rows``. Multiple source rows matching one target key
+        raise (the ambiguous-MERGE error), except when all of them are
+        pure inserts."""
+        if mode not in ("auto", "cow", "dv"):
+            raise ValueError(f"merge_apply mode {mode!r} not in auto|cow|dv")
+        if PARTITION_COL not in source.columns:
+            raise ValueError(
+                f"merge_apply needs {PARTITION_COL} on the source frame"
+            )
+        wm, wnm, wbs = self._norm_merge_clauses(
+            when_matched, when_not_matched, when_not_matched_by_source
+        )
+        eff_keys = [c for c in key_cols if c != PARTITION_COL]
+        if not eff_keys:
+            raise ValueError(
+                "merge_apply needs at least one non-partition key column"
+            )
+        probe_rows = (
+            source.select(PARTITION_COL, *eff_keys)
+            .distinct()
+            .limit(self.MERGE_KEYSET_CAP + 1)
+            .collect()
+        )
+        overflow = len(probe_rows) > self.MERGE_KEYSET_CAP
+        if overflow:
+            pids = [r[0] for r in source.select(PARTITION_COL).distinct().collect()]
+            probe_by_pid: dict | None = None
+        else:
+            probe_by_pid = {}
+            for r in probe_rows:
+                per = probe_by_pid.setdefault(r[0], {c: set() for c in eff_keys})
+                for c in eff_keys:
+                    if r[c] is not None:
+                        per[c].add(r[c])
+            pids = sorted(probe_by_pid, key=lambda p: (p is None, p))
+        if any(p is None for p in pids):
+            raise ValueError(
+                f"merge_apply({table!r}): source frame has NULL "
+                f"{PARTITION_COL} rows — every row must carry a product id"
+            )
+        clash = {"__mc", "__nmc"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                f"merge_apply: reserved column name(s) {sorted(clash)} collide "
+                "with the clause-routing labels — rename the source column(s)"
+            )
+        totals = {"updated": 0, "deleted": 0, "inserted": 0, "deleted_by_source": 0}
+        from pyspark import StorageLevel
+
+        for pid in pids:
+            src = (
+                source.filter(F.col(PARTITION_COL) == pid)
+                .drop(PARTITION_COL)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                for attempt in range(5):
+                    if overflow:
+                        counts = False  # key set too wide for file-level
+                    else:
+                        counts = self._merge_apply_partition(
+                            table,
+                            src,
+                            eff_keys,
+                            wm,
+                            wnm,
+                            wbs,
+                            pid,
+                            {c: sorted(v) for c, v in probe_by_pid[pid].items()},
+                            mode,
+                        )
+                    if counts is not None and counts is not False:
+                        break
+                    if counts is False:
+                        counts = self._merge_apply_fallback(
+                            table, src, eff_keys, wm, wnm, wbs, pid
+                        )
+                        break
+                    # None: swap aborted under a concurrent replace —
+                    # recompute against the new snapshot
+                else:
+                    raise CommitConflict(
+                        f"merge_apply({table!r}, product {pid}): rewrite "
+                        "superseded by concurrent replaces on every attempt"
+                    )
+                for k in totals:
+                    totals[k] += counts.get(k, 0)
+            finally:
+                src.unpersist()
+        return totals
+
+    def _merge_apply_partition(
+        self,
+        table: str,
+        src: DataFrame,
+        key_cols: list[str],
+        wm: list[dict],
+        wnm: list[dict],
+        wbs: list[dict],
+        pid,
+        probe_vals: dict[str, list],
+        mode: str,
+    ):
+        """One partition's clause-MERGE under a single manifest swap.
+        Returns a counts dict (done), False (not applicable — caller
+        takes the whole-partition fallback), or None (swap aborted
+        under a concurrent writer — caller retries). Structure mirrors
+        ``_merge_rows_file_level``; the differences are the clause
+        routing (source rows label their first matching clause, target
+        rows inherit the label through a broadcast key map) and the
+        by-source delete leg (anti-join against the full source key
+        set, candidates bounded by the clause predicate's zone maps)."""
+        from pyspark.sql import Column
+
+        part = Path(self._path(table)) / f"{PARTITION_COL}={pid}"
+        manifest = self._manifest(part)
+        if manifest is None or not manifest["files"]:
+            return False
+        colmap = dict(manifest.get("colmap") or {})
+        dropped = set(manifest.get("dropped_physical") or [])
+        stats = manifest.get("stats", {})
+        snapshot_dv = manifest.get("dv") or {}
+        key_where = [
+            (colmap.get(c, c), "in", vs) for c, vs in probe_vals.items() if vs
+        ]
+        all_null_key = any(not vs for vs in probe_vals.values())
+        # candidate sets: files that MAY hold a source key (the
+        # matched legs) and files that MAY hold a by-source-delete row
+        cand_m: list[str] = []
+        if not all_null_key:
+            cand_m = [
+                n
+                for n in manifest["files"]
+                if _file_may_match(stats.get(n), key_where)
+            ]
+        cand_b: list[str] = []
+        bs_pred = None
+        if wbs:
+            preds = [
+                F.coalesce(_where_expr(c["condition"]), F.lit(False))
+                if c["condition"]
+                else F.lit(True)
+                for c in wbs
+            ]
+            bs_pred = preds[0]
+            for p_ in preds[1:]:
+                bs_pred = bs_pred | p_
+            for n in manifest["files"]:
+                fs = dict(stats.get(n) or {})
+                fs_nulls = dict(fs.get("__nulls__") or {})
+                fs_nulls[PARTITION_COL] = 0
+                fs[PARTITION_COL] = [pid, pid]
+                fs["__nulls__"] = fs_nulls
+                if any(
+                    c["condition"] is None
+                    or _file_may_match(fs, _where_physical(c["condition"], colmap))
+                    for c in wbs
+                ):
+                    cand_b.append(n)
+        candidates = sorted(set(cand_m) | set(cand_b))
+        payload = src
+        _, colmap = _translate_payload(payload, colmap, dropped)
+        schema_json = manifest.get("schema")
+        prior_schema_t = (
+            _schema_from_json(schema_json)
+            if schema_json
+            else self._footer_schema(part / manifest["files"][0])
+        )
+        # only clauses that ADD source columns to the table evolve the
+        # schema (replace/insert); SET-only grammars keep it unchanged
+        evolves = any(c["action"] == "update" and not c["set"] for c in wm) or bool(
+            wnm
+        )
+        new_schema_json = (
+            _merge_schemas(prior_schema_t, payload.schema).json()
+            if evolves
+            else (schema_json or prior_schema_t.json())
+        )
+        payload_types = {
+            f.name: f.dataType
+            for f in _schema_from_json(new_schema_json).fields
+            if f.name != PARTITION_COL
+        }
+        for c in wm:
+            if c["set"]:
+                unknown = sorted(set(c["set"]) - set(payload_types))
+                if unknown or PARTITION_COL in c["set"]:
+                    raise ValueError(
+                        f"merge_apply: SET column(s) {unknown or [PARTITION_COL]} "
+                        f"not payload columns of {table!r}"
+                    )
+        mc = self._clause_label(wm) if wm else F.lit(None).cast("int")
+        nmc = self._clause_label(wnm) if wnm else F.lit(None).cast("int")
+        src_l = src.withColumn("__mc", mc).withColumn("__nmc", nmc)
+        all_keys = F.broadcast(src.select(*key_cols).distinct())
+        _, keyed_live, dv_positions_cached, _dv = self._dml_scan_ctx(
+            part, manifest, pid
+        )
+
+        def logical_live(subset: list[str]) -> DataFrame:
+            return _rename_to_logical(keyed_live(subset), colmap)
+
+        # which source keys are PRESENT in the target (bounded by the
+        # probe cap, hence broadcastable); the ambiguity check below is
+        # the standard MERGE error — two source rows updating/deleting
+        # one target key have no defined winner
+        if cand_m:
+            present = F.broadcast(
+                logical_live(cand_m)
+                .join(all_keys, key_cols, "left_semi")
+                .select(*key_cols)
+                .distinct()
+            )
+            src_hit = src_l.join(present, key_cols, "left_semi")
+            if wm:
+                dup = (
+                    src_hit.filter(F.col("__mc").isNotNull())
+                    .groupBy(*key_cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"merge_apply({table!r}): multiple source rows match "
+                        f"target key {tuple(dup[0][c] for c in key_cols)} with "
+                        "update/delete clauses — MERGE is ambiguous"
+                    )
+            removal_map = F.broadcast(
+                src_hit.filter(F.col("__mc").isNotNull())
+                .select(*key_cols, "__mc")
+                .distinct()
+            )
+            src_unmatched = src_l.join(present, key_cols, "left_anti")
+        else:
+            removal_map = None
+            src_unmatched = src_l
+        # the removal set: matched targets labeled by clause, plus the
+        # by-source leg labeled -1 (its rows never carry a wm clause)
+        matched = None
+        legs = []
+        if removal_map is not None and wm:
+            legs.append(
+                logical_live(cand_m).join(removal_map, key_cols, "inner")
+            )
+        if wbs and cand_b:
+            legs.append(
+                logical_live(cand_b)
+                .filter(bs_pred)
+                .join(all_keys, key_cols, "left_anti")
+                .withColumn("__mc", F.lit(-1))
+            )
+        counts = {"updated": 0, "deleted": 0, "inserted": 0, "deleted_by_source": 0}
+        dv_updates: dict[str, dict] = {}
+        full_drop: list[str] = []
+        rewrite: list[str] = []
+        clause_cnt: dict[int, int] = {}
+        from pyspark import StorageLevel
+
+        if legs:
+            matched = legs[0]
+            for l_ in legs[1:]:
+                matched = matched.unionByName(l_, allowMissingColumns=True)
+            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if matched is not None:
+                live_cnt = self._dml_live_counts(
+                    keyed_live, candidates, manifest.get("rows", {}), snapshot_dv
+                )
+                match_cnt, inline_pos = self._dml_matched_counts(
+                    matched, want_positions=True
+                )
+                for r in matched.groupBy("__mc").count().collect():
+                    clause_cnt[int(r["__mc"])] = int(r["count"])
+                full_drop, dv_files, rewrite = self._dml_dv_split(
+                    candidates, match_cnt, live_cnt, snapshot_dv, mode,
+                    extra_removed=set(),
+                )
+                if dv_files:
+                    dv_updates = self._dml_materialize_dvs(
+                        part,
+                        lambda subset: matched.filter(
+                            F.col("__dv_name").isin(list(subset))
+                        ),
+                        dv_files,
+                        inline_pos,
+                        snapshot_dv,
+                        dv_positions_cached,
+                    )
+            # successors: every superseded row's replacement plus the
+            # not-matched inserts, range-clustered into fresh files
+            pieces = []
+            replace_idx = [
+                i for i, c in enumerate(wm) if c["action"] == "update" and not c["set"]
+            ]
+            if replace_idx and removal_map is not None:
+                pieces.append(
+                    src_hit.filter(F.col("__mc").isin(replace_idx)).drop(
+                        "__mc", "__nmc"
+                    )
+                )
+            if matched is not None:
+                for i, c in enumerate(wm):
+                    if c["action"] == "update" and c["set"]:
+                        t = matched.filter(F.col("__mc") == i).drop(
+                            "__dv_part", "__dv_name", "__dv_pos",
+                            PARTITION_COL, "__mc",
+                        )
+                        pieces.append(
+                            t.withColumns(
+                                {
+                                    col: (
+                                        e
+                                        if isinstance(e, Column)
+                                        else F.expr(str(e))
+                                    ).cast(payload_types[col])
+                                    for col, e in c["set"].items()
+                                }
+                            )
+                        )
+            if wnm:
+                ins = src_unmatched.filter(F.col("__nmc").isNotNull()).drop(
+                    "__mc", "__nmc"
+                )
+                pieces.append(ins)
+                counts["inserted"] = ins.count()
+            survivors = None
+            if rewrite:
+                survivors = logical_live(rewrite).join(
+                    matched.select("__dv_name", "__dv_pos"),
+                    ["__dv_name", "__dv_pos"],
+                    "left_anti",
+                ).drop("__dv_part", "__dv_name", "__dv_pos", PARTITION_COL)
+            merged = survivors
+            for p_ in pieces:
+                merged = (
+                    p_
+                    if merged is None
+                    else merged.unionByName(p_, allowMissingColumns=True)
+                )
+            new_names: list[str] = []
+            if merged is not None:
+                merged = merged.repartitionByRange(
+                    max(1, len(rewrite)), *key_cols
+                ).sortWithinPartitions(*key_cols)
+                part.mkdir(parents=True, exist_ok=True)
+                new_names = self._dml_write_files(
+                    part, _rename_to_physical(merged, colmap), max(1, len(rewrite)), "merge"
+                )
+        finally:
+            if matched is not None:
+                matched.unpersist()
+        for i, c in enumerate(wm):
+            n = clause_cnt.get(i, 0)
+            counts["updated" if c["action"] == "update" else "deleted"] += n
+        counts["deleted_by_source"] = clause_cnt.get(-1, 0)
+        try:
+            self._enforce_constraints(
+                part.parent.name, [part / n for n in new_names], colmap
+            )
+        except ConstraintViolation:
+            for n in new_names:
+                (part / n).unlink(missing_ok=True)
+            for e in dv_updates.values():
+                (part / e["sidecar"]).unlink(missing_ok=True)
+            raise
+        removed = set(rewrite) | set(full_drop)
+        touched = removed | set(dv_updates)
+        snapshot_files = set(manifest["files"])
+        with self._exclusive_lock():
+
+            def swap(prior):
+                # the merge swap rules (_merge_rows_file_level): abort
+                # if a touched source was superseded or its DV moved;
+                # a concurrent append survives by reference only when
+                # its stats prove it holds no source key AND no
+                # by-source candidate row
+                if prior is None or not touched <= set(prior["files"]):
+                    return None
+                prior_dv = prior.get("dv") or {}
+                for n in touched:
+                    if (prior_dv.get(n) or {}).get("sidecar") != (
+                        snapshot_dv.get(n) or {}
+                    ).get("sidecar"):
+                        return None
+                prior_stats = prior.get("stats", {})
+                for n in prior["files"]:
+                    if n in snapshot_files:
+                        continue
+                    if key_where and _file_may_match(prior_stats.get(n), key_where):
+                        return None
+                    if wbs:
+                        return None  # any unseen append may hold by-source rows
+                keep = [n for n in prior["files"] if n not in removed]
+                prior_schema = prior.get("schema")
+                if prior_schema and prior_schema != new_schema_json and evolves:
+                    declared = _merge_schemas(
+                        _schema_from_json(prior_schema), payload.schema
+                    ).json()
+                else:
+                    declared = new_schema_json if evolves else (prior_schema or new_schema_json)
+                new_dv = dict(prior_dv)
+                new_dv.update(dv_updates)
+                return self._build_manifest_body(
+                    part,
+                    sorted(new_names) + keep,
+                    prior_stats=prior.get("stats"),
+                    schema_json=declared,
+                    prior_rows=prior.get("rows"),
+                    product_seq=prior.get("product_seq"),
+                    dv=new_dv,
+                    colmap={**(prior.get("colmap") or {}), **colmap},
+                    dropped_physical=prior.get("dropped_physical"),
+                )
+
+            committed = self._update_manifest(part, swap)
+        if committed is None:
+            for n in new_names:
+                (part / n).unlink(missing_ok=True)
+            for e in dv_updates.values():
+                (part / e["sidecar"]).unlink(missing_ok=True)
+            return None
+        return counts
+
+    def _merge_apply_fallback(
+        self,
+        table: str,
+        src: DataFrame,
+        key_cols: list[str],
+        wm: list[dict],
+        wnm: list[dict],
+        wbs: list[dict],
+        pid,
+    ) -> dict:
+        """Whole-partition MERGE through the write-ahead txn — the
+        conservative path for listing-mode partitions and over-cap key
+        sets (the same fallback rule as ``merge_rows``). Computes the
+        final state with plain DataFrame ops and one atomic
+        ``replace_product_all``; counts come from dedicated count jobs
+        (the fallback is already the expensive path)."""
+        mc = self._clause_label(wm) if wm else F.lit(None).cast("int")
+        nmc = self._clause_label(wnm) if wnm else F.lit(None).cast("int")
+        src_l = src.withColumn("__mc", mc).withColumn("__nmc", nmc)
+        current = self.read_product_slice(table, pid)
+        counts = {"updated": 0, "deleted": 0, "inserted": 0, "deleted_by_source": 0}
+        if current is None:
+            out = src_l.filter(F.col("__nmc").isNotNull()).drop("__mc", "__nmc")
+            counts["inserted"] = out.count()
+            final = out.withColumn(PARTITION_COL, F.lit(pid))
+            self.replace_product_all(pid, {table: final})
+            return counts
+        current = current.drop(PARTITION_COL)
+        tkeys = current.select(*key_cols).distinct()
+        src_hit = src_l.join(tkeys, key_cols, "left_semi")
+        src_unmatched = src_l.join(tkeys, key_cols, "left_anti")
+        removal_map = src_hit.filter(F.col("__mc").isNotNull()).select(
+            *key_cols, "__mc"
+        ).distinct()
+        labeled = current.join(removal_map, key_cols, "left")
+        kept = labeled.filter(F.col("__mc").isNull()).drop("__mc")
+        if wbs:
+            preds = [
+                F.coalesce(_where_expr(c["condition"]), F.lit(False))
+                if c["condition"]
+                else F.lit(True)
+                for c in wbs
+            ]
+            bs_pred = preds[0]
+            for p_ in preds[1:]:
+                bs_pred = bs_pred | p_
+            skeys = src_l.select(*key_cols).distinct()
+            bs_doomed = kept.filter(bs_pred).join(skeys, key_cols, "left_anti")
+            counts["deleted_by_source"] = bs_doomed.count()
+            kept = kept.exceptAll(bs_doomed)
+        pieces = [kept]
+        for i, c in enumerate(wm):
+            hit = labeled.filter(F.col("__mc") == i).drop("__mc")
+            n = hit.count()
+            if c["action"] == "delete":
+                counts["deleted"] += n
+                continue
+            counts["updated"] += n
+            if c["set"]:
+                types = {f.name: f.dataType for f in current.schema.fields}
+                pieces.append(
+                    hit.withColumns(
+                        {
+                            col: (
+                                e if isinstance(e, Column) else F.expr(str(e))
+                            ).cast(types[col])
+                            for col, e in c["set"].items()
+                        }
+                    )
+                )
+            else:
+                pieces.append(
+                    src_hit.filter(F.col("__mc") == i).drop("__mc", "__nmc")
+                )
+        if wnm:
+            ins = src_unmatched.filter(F.col("__nmc").isNotNull()).drop(
+                "__mc", "__nmc"
+            )
+            counts["inserted"] = ins.count()
+            pieces.append(ins)
+        final = pieces[0]
+        for p_ in pieces[1:]:
+            final = final.unionByName(p_, allowMissingColumns=True)
+        self.replace_product_all(
+            pid, {table: final.withColumn(PARTITION_COL, F.lit(pid))}
+        )
+        return counts
 
     # -- table constraints ----------------------------------------------------
 

