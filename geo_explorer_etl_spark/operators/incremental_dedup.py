@@ -1,0 +1,257 @@
+"""Incremental corpus deduplication — VERDICT r10 directive #3.
+
+Every dedup operator in ``operators/dedup.py`` takes ONE frame; a
+training pipeline ingests daily and cannot re-run MinHash-LSH over the
+whole corpus per batch. This module persists the per-doc dedup state
+as TableStore tables at corpus build and dedups each NEW batch against
+that index in O(delta), not O(corpus):
+
+- ``DedupExactIndex``  — one row per exact-survivor document:
+  ``(content_hash, doc id)``, files range-clustered by content_hash so
+  a batch's hash probe (``where=[("content_hash","in", ...)]``)
+  zone-map-prunes to the few files covering the probed ranges;
+- ``DedupBandIndex``   — the LSH band keys of those documents:
+  ``(band_id, band_hash, doc id)``, files range-clustered by band_hash
+  for the same reason.
+
+``incremental_dedup(store, batch)``:
+
+1. EXACT: md5 the batch, anti-join hashes already in the index (a
+   pruned semi-probe of ``DedupExactIndex``), then keep min-id per
+   in-batch hash group — byte-identical semantics to
+   ``exact_dedup_groups`` over the union when ids are monotone with
+   ingest order (the standard pipeline invariant; documented below).
+2. NEAR-DUP: MinHash signatures + band keys for the exact survivors;
+   candidate edges = in-batch band self-join UNION batch-bands joined
+   against the PERSISTED index **restricted to the batch's own band
+   keys** (the pruned scan — never the full signature table);
+   connected components over that delta subgraph (bounded by the
+   batch, not the corpus); a component containing ANY corpus doc
+   drops all its new members, a components of only-new docs keeps its
+   min id.
+3. INDEX APPEND: the kept documents' hash and band rows append to the
+   two index tables (one atomic manifest extend each), range-clustered
+   so the NEXT batch's probes keep pruning.
+
+DETERMINISM CONTRACT: with ``id_col`` monotone across batches
+(earlier-ingested docs have smaller ids), batch-then-batch equals the
+all-at-once pipeline (exact dedup -> LSH -> components -> min-id
+representative) on the union — pytest-pinned. Without monotone ids the
+incremental result is still a valid dedup (first-ingested wins), it
+just differs from min-id-wins.
+
+At 100 TB: the batch is small; every corpus-sized structure is touched
+through zone-map-pruned file reads (the probe lists are bounded by
+``PROBE_CAP`` — beyond it the scan falls back to full, loudly). Index
+growth is one clustered file set per batch; ``store.compact`` with
+``sort_by`` restores clustering after many appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.operators import dedup as DD
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+EXACT_TABLE = "DedupExactIndex"
+BAND_TABLE = "DedupBandIndex"
+#: Driver-side bound on probe value lists (the same role as
+#: TableStore.MERGE_KEYSET_CAP): a batch whose hash/band-key set
+#: exceeds it probes with a FULL index scan instead — correct, logged
+#: by the returned report, never silent.
+PROBE_CAP = 100_000
+#: All index rows live in one reserved store partition.
+INDEX_PID = 0
+
+
+def _content_hash(text_col: str):
+    return F.md5(F.col(text_col))
+
+
+def _band_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc id, band_id, band_hash) rows — the SAME banding rule as
+    ``minhash_lsh_candidates`` (md5-seeded affine MinHash, band key =
+    concatenated signature values), so incremental candidates are
+    bit-identical to the batch operator's."""
+    rows_per_band = num_hashes // bands
+    sig = DD.minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col),
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def _append_clustered(
+    store: TableStore, table: str, df: DataFrame, cluster_col: str, n_files: int
+) -> None:
+    """Append index rows range-clustered on the probe column: each
+    written file covers a narrow value range, which is exactly what
+    makes the NEXT batch's ``in`` probe zone-map-prunable."""
+    out = (
+        df.repartitionByRange(max(1, n_files), cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .withColumn(PARTITION_COL, F.lit(INDEX_PID).cast("long"))
+    )
+    if store.exists(table):
+        store.append(table, out)
+    else:
+        # first batch: publish under manifest control so every later
+        # append extends atomically and zone maps exist from day one
+        store.replace_product_all(INDEX_PID, {table: out})
+
+
+def _pruned_index(
+    store: TableStore, table: str, col: str, values: list, report: dict
+) -> DataFrame | None:
+    """The persisted index restricted to the batch's own key values —
+    a zone-map-pruned file scan when the probe list fits PROBE_CAP,
+    a full scan (reported, never silent) beyond it."""
+    if not values:
+        return None  # empty batch: nothing can match
+    if len(values) <= PROBE_CAP:
+        report[f"{table}_probe"] = "pruned"
+        return store.read(table, where=[(col, "in", values)])
+    report[f"{table}_probe"] = "full_scan"
+    return store.read(table)
+
+
+def incremental_dedup(
+    store: TableStore,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    report: dict | None = None,
+) -> DataFrame:
+    """Dedup ``batch`` against everything previously ingested through
+    this function (and within itself), persist the survivors' index
+    rows, and return the kept batch rows (all original columns).
+
+    The returned frame is MATERIALIZED (the index append already ran,
+    and the decision must not re-evaluate against the post-append
+    index), so callers get a stable result frame.
+
+    ``report`` (optional dict) receives observability fields:
+    batch/kept counts and whether each index probe pruned or fell back
+    to a full scan."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rep: dict = report if report is not None else {}
+    hashed = batch.withColumn("_ch", _content_hash(text_col))
+    # -- exact leg ---------------------------------------------------------
+    batch_hashes = [
+        r[0]
+        for r in hashed.select("_ch").distinct().limit(PROBE_CAP + 1).collect()
+    ]
+    seen = (
+        _pruned_index(store, EXACT_TABLE, "content_hash", batch_hashes, rep)
+        if store.exists(EXACT_TABLE)
+        else None
+    )
+    fresh = hashed
+    if seen is not None:
+        seen_hashes = seen.select(F.col("content_hash").alias("_ch")).distinct()
+        if len(batch_hashes) <= PROBE_CAP:
+            # the pruned probe is bounded by the batch's own hash set
+            seen_hashes = F.broadcast(seen_hashes)
+        fresh = hashed.join(seen_hashes, "_ch", "left_anti")
+    # in-batch exact dedup: min id per content group (exact_dedup_groups
+    # semantics, kept inline to reuse the already-computed hash)
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("_ch").orderBy(F.col(id_col)))
+    survivors = fresh.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    survivors = survivors.localCheckpoint(eager=True)
+
+    # -- near-dup leg ------------------------------------------------------
+    bands_new = _band_rows(
+        survivors, text_col, id_col, n, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    band_keys = [
+        r[0]
+        for r in bands_new.select("band_hash").distinct().limit(PROBE_CAP + 1).collect()
+    ]
+    old_bands = (
+        _pruned_index(store, BAND_TABLE, "band_hash", band_keys, rep)
+        if store.exists(BAND_TABLE)
+        else None
+    )
+    new_a = bands_new.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    new_b = bands_new.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    edges = (
+        new_a.join(new_b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    if old_bands is not None:
+        corpus_edges = (
+            bands_new.join(
+                old_bands.select(
+                    F.col(id_col).alias("_old_id"), "band_id", "band_hash"
+                ),
+                ["band_id", "band_hash"],
+            )
+            # orient corpus edges old->new so the component label a new
+            # doc inherits is the OLD id (always smaller under the
+            # monotone-id contract) — any old contact dooms the new doc
+            .select(
+                F.col("_old_id").alias("doc_a"), F.col(id_col).alias("doc_b")
+            )
+        )
+        edges = edges.unionByName(corpus_edges)
+    edges = edges.distinct()
+    # the delta subgraph: new docs + directly-touched old ids only —
+    # bounded by the batch's band contacts, never the corpus
+    comp = DD.connected_components(edges, "doc_a", "doc_b")
+    new_ids = survivors.select(F.col(id_col).alias("node"))
+    labeled = new_ids.join(comp, "node", "left")
+    doomed_cond = F.col("component").isNotNull() & (
+        (F.col("component") != F.col("node"))
+    )
+    keep_ids = labeled.filter(~F.coalesce(doomed_cond, F.lit(False))).select(
+        F.col("node").alias(id_col)
+    )
+    kept = (
+        survivors.join(keep_ids, id_col, "left_semi")
+        .drop("_ch")
+        .localCheckpoint(eager=True)
+    )
+    rep["batch_rows"] = batch.count()
+    rep["kept_rows"] = kept.count()
+
+    # -- persist the survivors' index rows ---------------------------------
+    kept_hashes = (
+        survivors.join(keep_ids, id_col, "left_semi")
+        .select(F.col("_ch").alias("content_hash"), F.col(id_col))
+    )
+    kept_bands = bands_new.join(keep_ids, id_col, "left_semi")
+    n_files = max(1, min(8, rep["kept_rows"] // 50_000 + 1))
+    _append_clustered(store, EXACT_TABLE, kept_hashes, "content_hash", n_files)
+    _append_clustered(store, BAND_TABLE, kept_bands, "band_hash", n_files)
+    return kept

@@ -528,6 +528,34 @@ def stride_seed_vectors(
         .select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
         .collect()
     )
+    # the stride arithmetic assumes a near-dense 0..n id domain; over
+    # a sparse/clustered domain it silently yields far fewer than k
+    # seeds — degraded IVF cells with no warning (VERDICT r10). Fall
+    # back LOUDLY to rank-strided seeds: row_number over ascending id
+    # is dense by construction, still deterministic, and an external
+    # SQL oracle rebuilds it with the same integer arithmetic.
+    want = min(k, n)
+    if len(rows) < max(1, want // 2):
+        import warnings
+
+        warnings.warn(
+            f"stride_seed_vectors: id-strided probe found {len(rows)} of "
+            f"{want} seeds — sparse id domain; falling back to "
+            "rank-strided selection (ROW_NUMBER() OVER (ORDER BY id))",
+            stacklevel=2,
+        )
+        from pyspark.sql.window import Window
+
+        rn = F.row_number().over(Window.orderBy(F.col(id_col))) - 1
+        rows = (
+            emb.select(
+                F.col(id_col).alias("_id"),
+                _as_double(F.col(vec_col)).alias("_v"),
+                rn.alias("_rn"),
+            )
+            .filter((F.col("_rn") % step == 0) & (F.col("_rn") < want * step))
+            .collect()
+        )
     rows.sort(key=lambda r: r["_id"])
     return [[float(x) for x in r["_v"]] for r in rows]
 

@@ -2302,6 +2302,7 @@ class TableStore:
                 root_names = sorted(f.name for f in data_dir.glob("*.parquet"))
                 if root_names:
                     staged["."] = root_names
+                cons_at_enforce = self._table_constraints(table)
                 self._enforce_constraints(
                     table,
                     [
@@ -2334,6 +2335,50 @@ class TableStore:
             # on success only empty dirs remain; on violation the
             # staged files die here, live dirs untouched
             shutil.rmtree(staging, ignore_errors=True)
+        # The staging-time constraint read above can go stale on BOTH
+        # backends — the store lock only ever serialized the manifest
+        # swap, not the constraint read, so a constraint published
+        # between the enforce and the extends would admit violating
+        # rows with no error (ADVICE r10 — the old comment claimed the
+        # window was CAS-only). Close it for the lock backend by
+        # holding the WRITER lock across a re-read + re-enforce AND the
+        # manifest extends: add_constraint validates + publishes under
+        # the same lock, so either it sees these files (and refuses the
+        # constraint) or this append sees the constraint (and
+        # re-enforces, rolling the moved files back on violation). The
+        # re-enforce only triggers when the constraint set actually
+        # changed; the residual CAS-backend window stays documented at
+        # add_constraint. Lock ordering is store-lock -> blob-lock,
+        # the documented safe order.
+        with self._exclusive_lock():
+            if self._table_constraints(table) != cons_at_enforce:
+                try:
+                    self._enforce_constraints(
+                        table,
+                        [
+                            part / n
+                            for part, ns in new_by_part.items()
+                            for n in ns
+                        ],
+                        colmap,
+                    )
+                except ConstraintViolation:
+                    for part, ns in new_by_part.items():
+                        for n in ns:
+                            (part / n).unlink(missing_ok=True)
+                    raise
+            self._append_extend_manifests(
+                p, manifests, new_by_part, payload_schema, prior_schemas,
+                colmap, dropped,
+            )
+
+    def _append_extend_manifests(
+        self, p, manifests, new_by_part, payload_schema, prior_schemas,
+        colmap, dropped,
+    ) -> None:
+        """append()'s manifest extends + first-manifest publishes,
+        factored out so the caller can hold the writer lock across
+        them (constraint-race fix above)."""
         for part in manifests:
             new_names = new_by_part.get(part)
             if not new_names:
@@ -2884,51 +2929,62 @@ class TableStore:
         # LONG batch write is never mistaken for a crash
         sentinel = txn / "_INFLIGHT"
         sentinel.write_text("")
+        # the keepalive spans the WHOLE pre-commit staged lifetime —
+        # Spark write, file listing, constraint verify (which can
+        # scan), and the MANIFEST rename: the verify on a big batch is
+        # exactly the 100 TB case that outlives INFLIGHT_GRACE_SECONDS,
+        # and a concurrent recover() would rmtree the live txn mid-
+        # verify if the sentinel stopped beating after the write
+        # (ADVICE r10). Once MANIFEST.json lands, recover() rolls the
+        # txn FORWARD instead of back, so the heartbeat can stop.
         with self._inflight_keepalive(sentinel):
             w = df.write
             if PARTITION_COL in df.columns:
                 w = w.partitionBy(PARTITION_COL)
             w.parquet(str(txn / table))
-        files: dict[str, list[str]] = {}
-        tdir = txn / table
-        parts = sorted(d.name for d in tdir.glob(f"{PARTITION_COL}=*"))
-        if parts:
-            for d in parts:
-                files[d] = sorted(
-                    f.name for f in (tdir / d).glob("*.parquet")
-                )
-        else:
-            files["."] = sorted(f.name for f in tdir.glob("*.parquet"))
-        manifest = {
-            "mode": "append",
-            "stream_id": stream_id,
-            "batch_id": int(batch_id),
-            "table": table,
-            "files": files,
-            # declared schema stays LOGICAL; the mapping that was used
-            # to write the staged files rides along for the extends
-            "schema": payload_schema.json(),
-        }
-        if ep_colmap:
-            manifest["colmap"] = {k: v for k, v in ep_colmap.items() if k != v}
-        # constraints gate the staged files BEFORE the claim: claiming
-        # first would wedge the (stream, batch) slot — the retry's
-        # replay path rolls the CLAIMED violating staging forward and
-        # re-raises forever, and a recovery at store open would hit
-        # the same wall. Pre-claim, a violation just discards this
-        # attempt; nothing is claimed, nothing published.
-        try:
-            staged = []
-            for part_name, names in files.items():
-                src = tdir if part_name == "." else tdir / part_name
-                staged += [src / n for n in names]
-            self._enforce_constraints(table, staged, ep_colmap)
-        except ConstraintViolation:
-            shutil.rmtree(txn, ignore_errors=True)
-            raise
-        tmp = txn / "MANIFEST.json.tmp"
-        tmp.write_text(json.dumps(manifest))
-        tmp.rename(txn / "MANIFEST.json")              # commit-ready
+            files: dict[str, list[str]] = {}
+            tdir = txn / table
+            parts = sorted(d.name for d in tdir.glob(f"{PARTITION_COL}=*"))
+            if parts:
+                for d in parts:
+                    files[d] = sorted(
+                        f.name for f in (tdir / d).glob("*.parquet")
+                    )
+            else:
+                files["."] = sorted(f.name for f in tdir.glob("*.parquet"))
+            manifest = {
+                "mode": "append",
+                "stream_id": stream_id,
+                "batch_id": int(batch_id),
+                "table": table,
+                "files": files,
+                # declared schema stays LOGICAL; the mapping that was
+                # used to write the staged files rides along
+                "schema": payload_schema.json(),
+            }
+            if ep_colmap:
+                manifest["colmap"] = {
+                    k: v for k, v in ep_colmap.items() if k != v
+                }
+            # constraints gate the staged files BEFORE the claim:
+            # claiming first would wedge the (stream, batch) slot —
+            # the retry's replay path rolls the CLAIMED violating
+            # staging forward and re-raises forever, and a recovery at
+            # store open would hit the same wall. Pre-claim, a
+            # violation just discards this attempt; nothing is
+            # claimed, nothing published.
+            try:
+                staged = []
+                for part_name, names in files.items():
+                    src = tdir if part_name == "." else tdir / part_name
+                    staged += [src / n for n in names]
+                self._enforce_constraints(table, staged, ep_colmap)
+            except ConstraintViolation:
+                shutil.rmtree(txn, ignore_errors=True)
+                raise
+            tmp = txn / "MANIFEST.json.tmp"
+            tmp.write_text(json.dumps(manifest))
+            tmp.rename(txn / "MANIFEST.json")          # commit-ready
         if not self._claim_epoch(stream_id, int(batch_id), txn.name):
             # lost the race: discard OWN staging (a concurrent
             # recover() may already have — tolerate), and make sure

@@ -128,7 +128,18 @@ class StoreStreamWriter(DataSourceStreamArrowWriter):
         the checkpoint location — in Structured Streaming the
         checkpoint IS the query's durable identity (same across
         restarts, distinct across queries). No checkpoint in the
-        options → refuse loudly rather than guess."""
+        options → refuse loudly rather than guess.
+
+        UPGRADE NOTE (ADVICE r10): pipelines that ran under the
+        pre-r10 shared default key ``'store_sink'`` must pin
+        ``.option('stream_id', 'store_sink')`` explicitly when
+        upgrading — the checkpoint-derived id is a NEW ledger key, so
+        the high-water lookup would miss and Spark's replayed last
+        batch would re-publish as duplicate rows. Auto-migrating the
+        legacy entry is deliberately NOT done: at resolve time an
+        upgraded pipeline is indistinguishable from a brand-new one,
+        and adopting the legacy high-water for a new pipeline would
+        silently DROP its batches 0..hw — the worse failure."""
         sid = options.get("stream_id")
         if sid:
             return sid

@@ -520,3 +520,40 @@ def test_unigram_logprob_known_answers(spark):
     # not a global Sort feeding a Limit
     plan = unigram_logprob(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stride_seed_vectors_sparse_id_fallback(spark):
+    """VERDICT r10 'what's wrong' #2: over a sparse/clustered id
+    domain the id-strided probe silently yielded fewer than k seeds
+    (degraded IVF cells, no warning). Pin the fix: a loud warning plus
+    a rank-strided fallback that still returns ~k seeds."""
+    import warnings
+
+    from geo_explorer_etl_spark.operators.similarity import stride_seed_vectors
+
+    # dense domain: exact-k seeds, no warning
+    dense = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        seeds = stride_seed_vectors(dense, k=10)
+    assert len(seeds) == 10
+
+    # sparse domain (ids clustered far above n): the old arithmetic
+    # finds zero seeds; the fallback must warn and still return k
+    sparse = spark.createDataFrame(
+        [(10_000_019 + 7 * i, [float(i), 1.0]) for i in range(100)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        seeds = stride_seed_vectors(sparse, k=10)
+    assert any("sparse id domain" in str(x.message) for x in w)
+    assert len(seeds) == 10
+    # deterministic: same call, same seeds
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        again = stride_seed_vectors(sparse, k=10)
+    assert seeds == again

@@ -3688,3 +3688,47 @@ def test_describe_surfaces_torn_colmap(spark, tmp_path):
     d = store.describe("IndicatorValues")
     assert d["colmap"] is None and "colmap_error" in d
     assert "torn" in d["colmap_error"] or "inconsistent" in d["colmap_error"]
+
+
+def test_append_reenforces_constraint_published_mid_flight(spark, tmp_path):
+    """ADVICE r10 (medium): a constraint published between append()'s
+    staging-time constraint read and its manifest extends used to land
+    violating rows with no error on the LOCK backend too (the lock
+    only serialized the swap, not the read). Pin the fix: the
+    pre-extend re-read detects the changed set, re-enforces, rolls the
+    moved files back, and raises."""
+    from geo_explorer_etl_spark.sources.store import (
+        PARTITION_COL,
+        ConstraintViolation,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, 5.0)], "k LONG, amount DOUBLE"
+    ).withColumn(PARTITION_COL, F.lit(3).cast("long"))
+    store.replace_product_all(3, {"IndicatorValues": base})
+    store.add_constraint(
+        "IndicatorValues", "amount_pos", check=[("amount", ">=", 0.0)]
+    )
+    # simulate the race: the staging-time reads (the high-water capture
+    # AND the enforce's own read) see the pre-constraint (empty) set;
+    # the pre-extend re-read sees the real one
+    real = store._table_constraints
+    calls = {"n": 0}
+
+    def delayed(table):
+        calls["n"] += 1
+        return {} if calls["n"] <= 2 else real(table)
+
+    store._table_constraints = delayed
+    bad = spark.createDataFrame(
+        [(2, -1.0)], "k LONG, amount DOUBLE"
+    ).withColumn(PARTITION_COL, F.lit(3).cast("long"))
+    with _pytest.raises(ConstraintViolation):
+        store.append("IndicatorValues", bad)
+    del store.__dict__["_table_constraints"]
+    # rolled back: the violating row never became visible
+    got = store.read("IndicatorValues").select("k").collect()
+    assert sorted(r.k for r in got) == [1]
+    assert store.count_rows("IndicatorValues") == 1
