@@ -89,6 +89,10 @@ HEADLINE = [
     # clustered insert file
     "store_merge_scattered_cow",
     "store_merge_scattered_dv",
+    # AUTO-COMPACTION twins: a scattered-DML soak (every file masked)
+    # vs the auto_compact-healed mirror — read cost recovered
+    "store_scan_soaked",
+    "store_scan_autocompacted",
 ]
 
 
@@ -123,6 +127,8 @@ def main() -> None:
         "store_update_scattered_dv",
         "store_merge_scattered_cow",
         "store_merge_scattered_dv",
+        "store_scan_soaked",
+        "store_scan_autocompacted",
     ):
         queries[name] = getattr(store_bench, name)
 

@@ -92,6 +92,11 @@ def _merge_scatter_roots(spark: SparkSession) -> tuple[str, str]:
     return f"{wh}/bench_store_mrg_cow", f"{wh}/bench_store_mrg_dv"
 
 
+def _soak_roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_soaked", f"{wh}/bench_store_healed"
+
+
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """One-time layout setup, untimed: publish events into a
     fragmented store (range-disjoint small files with zone maps) and a
@@ -231,6 +236,24 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
         Path(f"{root}/_probe.json").write_text(
             _json.dumps({"sets": sets, "bands": bands})
         )
+    # AUTO-COMPACTION twins (VERDICT r10 stretch): the same ranged
+    # layout SOAKED with scattered deletion-vector DML — every file
+    # ends up masked, so every read pays the broadcast position probe
+    # over the accreted sidecars — vs the identical soak HEALED by the
+    # auto_compact policy (masks materialized away, fragments
+    # rewritten) + vacuum. The timed pair is the read-cost recovery.
+    soak_root, healed_root = _soak_roots(spark)
+    soak_sets = [[int(x) for x in dids[i::16][250:450]] for i in range(8)]
+    for root, heal in ((soak_root, False), (healed_root, True)):
+        _shutil.rmtree(root, ignore_errors=True)
+        st = TableStore(spark, root)
+        st.replace_product_all(PID, {TABLE: ev.repartitionByRange(N_FILES, "ts")})
+        for ids in soak_sets:
+            if ids:  # tiny SFs can under-fill the sampled id pool
+                st.delete_where(TABLE, [("event_id", "in", tuple(ids))], mode="dv")
+        if heal:
+            st.auto_compact(TABLE)
+            st.vacuum(TABLE)
 
 
 def _merge_frame(spark: SparkSession, key: int, value: float) -> DataFrame:
@@ -493,3 +516,18 @@ def store_scan_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 def store_scan_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, compact_root = _roots(spark)
     return _agg(TableStore(spark, compact_root).read(TABLE))
+
+
+def store_scan_soaked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table aggregate over the scattered-DML soak: every file
+    carries a deletion-vector mask, so the scan pays the position
+    probe per file — the read-cost debt auto_compact exists to clear."""
+    soak_root, _ = _soak_roots(spark)
+    return _agg(TableStore(spark, soak_root).read(TABLE))
+
+
+def store_scan_autocompacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same soak after auto_compact + vacuum: masks materialized,
+    fragments rewritten — the recovered read cost."""
+    _, healed_root = _soak_roots(spark)
+    return _agg(TableStore(spark, healed_root).read(TABLE))

@@ -3505,6 +3505,7 @@ class TableStore:
         table: str | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: str | list[str] | None = None,
+        partitions: list[str] | None = None,
     ) -> int:
         """Rewrite fragmented manifest-bearing partitions into
         ~``target_file_bytes`` files (the Delta/Iceberg OPTIMIZE
@@ -3557,6 +3558,11 @@ class TableStore:
                 if not p.exists():
                     continue
                 for part in p.glob(f"{PARTITION_COL}=*"):
+                    # ``partitions`` (dir names) scopes the rewrite —
+                    # auto_compact passes exactly the policy-breaching
+                    # subset so healthy partitions are never rewritten
+                    if partitions is not None and part.name not in partitions:
+                        continue
                     manifest = self._manifest(part)
                     if manifest is None:
                         continue
@@ -4338,6 +4344,80 @@ class TableStore:
             names.append(name)
         shutil.rmtree(staging, ignore_errors=True)
         return names
+
+    #: auto_compact policy defaults. A partition is compacted when ANY
+    #: trigger fires; all three are manifest-metadata reads only.
+    AUTO_COMPACT_MIN_FILES = 8           # never bother below this
+    AUTO_COMPACT_FRAGMENT_FACTOR = 2.0   # live files > factor × ideal
+    AUTO_COMPACT_DV_FRACTION = 0.2       # masked positions / known rows
+    AUTO_COMPACT_DV_SIDECARS = 16        # distinct masked files
+
+    def auto_compact(
+        self,
+        table: str | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: str | list[str] | None = None,
+    ) -> dict:
+        """Policy-driven OPTIMIZE (VERDICT r10 stretch): inspect every
+        manifest (driver-side metadata only — no Spark job for healthy
+        tables) and ``compact`` exactly the partitions whose
+        maintenance debt breaches policy:
+
+        - FRAGMENTATION — live file count ≥ AUTO_COMPACT_MIN_FILES and
+          more than AUTO_COMPACT_FRAGMENT_FACTOR × the ideal count for
+          ``target_file_bytes`` (every append extends the manifest, so
+          hot partitions fragment; a scan pays per-file task-scheduling
+          and footer reads);
+        - DELETION-VECTOR BURDEN — masked positions exceed
+          AUTO_COMPACT_DV_FRACTION of the partition's known rows, or
+          AUTO_COMPACT_DV_SIDECARS files carry masks (every masked read
+          pays the broadcast position probe; compaction materializes
+          the masks away — Delta's PURGE);
+
+        so a scattered-DML soak self-heals instead of degrading reads
+        forever, and calling this on a healthy store is a metadata
+        no-op. Returns ``{table: {"breached": [part names],
+        "compacted": n}}`` for observability. Run ``vacuum`` afterwards
+        to reclaim the superseded files under the retention contract."""
+        import math
+
+        report: dict = {}
+        for t in [table] if table else PRODUCT_TABLES:
+            p = Path(self._path(t))
+            if not p.exists():
+                continue
+            breached: list[str] = []
+            for part in sorted(p.glob(f"{PARTITION_COL}=*")):
+                m = self._manifest(part)
+                if m is None:
+                    continue
+                names = m["files"]
+                dv = m.get("dv") or {}
+                rows = m.get("rows") or {}
+                n_files = len(names)
+                frag = False
+                if n_files >= self.AUTO_COMPACT_MIN_FILES:
+                    total = 0
+                    for n in names:
+                        try:
+                            total += (part / n).stat().st_size
+                        except OSError:
+                            pass
+                    ideal = max(1, math.ceil(total / target_file_bytes))
+                    frag = n_files > self.AUTO_COMPACT_FRAGMENT_FACTOR * ideal
+                masked = sum(int(e.get("count", 0)) for e in dv.values())
+                known = sum(int(rows[n]) for n in names if n in rows)
+                dv_heavy = len(dv) >= self.AUTO_COMPACT_DV_SIDECARS or (
+                    known > 0 and masked > self.AUTO_COMPACT_DV_FRACTION * known
+                )
+                if frag or dv_heavy:
+                    breached.append(part.name)
+            if breached:
+                n = self.compact(
+                    t, target_file_bytes, sort_by, partitions=breached
+                )
+                report[t] = {"breached": breached, "compacted": n}
+        return report
 
     def adopt_manifests(self, table: str) -> int:
         """Bring a LISTING-MODE table under manifest control: every

@@ -3732,3 +3732,55 @@ def test_append_reenforces_constraint_published_mid_flight(spark, tmp_path):
     got = store.read("IndicatorValues").select("k").collect()
     assert sorted(r.k for r in got) == [1]
     assert store.count_rows("IndicatorValues") == 1
+
+
+def test_auto_compact_policy_triggers_and_scoping(spark, tmp_path):
+    """auto_compact (VERDICT r10 stretch): a fragmented partition and a
+    DV-burdened partition breach policy and get compacted; a healthy
+    partition in the same table is left untouched (the partitions
+    filter scopes the rewrite); a healthy store is a metadata no-op."""
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def frame(pid, keys):
+        return spark.createDataFrame(
+            [(k, float(k)) for k in keys], "k LONG, v DOUBLE"
+        ).withColumn(PARTITION_COL, F.lit(pid).cast("long"))
+
+    # pid 1: FRAGMENTED — one publish + many appends => 10 small files
+    store.replace_product_all(1, {"IndicatorValues": frame(1, range(10)).coalesce(1)})
+    for i in range(1, 10):
+        store.append("IndicatorValues", frame(1, range(10 * i, 10 * i + 10)).coalesce(1))
+    # pid 2: DV-BURDENED — scattered deletes mask > 20% of known rows
+    store.replace_product_all(2, {"IndicatorValues": frame(2, range(1000, 1100)).coalesce(2)})
+    store.delete_where(
+        "IndicatorValues",
+        [(PARTITION_COL, "==", 2), ("k", "in", tuple(range(1000, 1030)))],
+        mode="dv",
+    )
+    # pid 3: HEALTHY — one compact file, no masks
+    store.replace_product_all(3, {"IndicatorValues": frame(3, range(5)).coalesce(1)})
+
+    base = Path(store.root) / "IndicatorValues"
+    m3_before = store._manifest(base / f"{PARTITION_COL}=3")
+    rep = store.auto_compact("IndicatorValues")
+    breached = rep["IndicatorValues"]["breached"]
+    assert f"{PARTITION_COL}=1" in breached
+    assert f"{PARTITION_COL}=2" in breached
+    assert f"{PARTITION_COL}=3" not in breached
+    assert rep["IndicatorValues"]["compacted"] == 2
+    # healed: pid 1 back to ~1 file, pid 2's masks materialized away
+    m1 = store._manifest(base / f"{PARTITION_COL}=1")
+    m2 = store._manifest(base / f"{PARTITION_COL}=2")
+    assert len(m1["files"]) == 1 and not m1.get("dv")
+    assert not m2.get("dv")
+    # pid 3 untouched (same manifest version — never rewritten)
+    m3_after = store._manifest(base / f"{PARTITION_COL}=3")
+    assert m3_after["files"] == m3_before["files"]
+    # rows intact
+    assert store.count_rows("IndicatorValues") == 100 + 70 + 5
+    # second call: healthy store, metadata no-op
+    assert store.auto_compact("IndicatorValues") == {}
