@@ -4529,6 +4529,7 @@ class TableStore:
         when_not_matched: list[dict] | None = None,
         when_not_matched_by_source: list[dict] | None = None,
         mode: str = "auto",
+        drop_cols: list[str] | None = None,
     ) -> dict:
         """Conditional-clause MERGE (Delta's ``WHEN MATCHED [AND cond]
         THEN UPDATE/DELETE / WHEN NOT MATCHED THEN INSERT / WHEN NOT
@@ -4549,6 +4550,11 @@ class TableStore:
         rows, inserts) lands range-clustered in fresh files before the
         swap. A scattered matched-DELETE therefore writes only
         kilobyte sidecars — the manifest-diff pytest pins it.
+
+        ``drop_cols`` names ROUTING-ONLY source columns (a CDC op
+        column, CDF metadata): clause conditions may reference them,
+        but they are dropped from every successor/insert row and never
+        evolve the target schema.
 
         Scope rule (the 100 TB bound): ``when_not_matched_by_source``
         deletes are evaluated ONLY inside partitions the source frame
@@ -4596,6 +4602,12 @@ class TableStore:
                 f"merge_apply({table!r}): source frame has NULL "
                 f"{PARTITION_COL} rows — every row must carry a product id"
             )
+        drop_cols = list(drop_cols or [])
+        bad_drop = set(drop_cols) & set(key_cols)
+        if bad_drop:
+            raise ValueError(
+                f"merge_apply: drop_cols {sorted(bad_drop)} overlap key_cols"
+            )
         clash = {"__mc", "__nmc"} & set(source.columns)
         if clash:
             raise ValueError(
@@ -4626,12 +4638,13 @@ class TableStore:
                             pid,
                             {c: sorted(v) for c, v in probe_by_pid[pid].items()},
                             mode,
+                            drop_cols,
                         )
                     if counts is not None and counts is not False:
                         break
                     if counts is False:
                         counts = self._merge_apply_fallback(
-                            table, src, eff_keys, wm, wnm, wbs, pid
+                            table, src, eff_keys, wm, wnm, wbs, pid, drop_cols
                         )
                         break
                     # None: swap aborted under a concurrent replace —
@@ -4658,6 +4671,7 @@ class TableStore:
         pid,
         probe_vals: dict[str, list],
         mode: str,
+        drop_cols: list[str] | None = None,
     ):
         """One partition's clause-MERGE under a single manifest swap.
         Returns a counts dict (done), False (not applicable — caller
@@ -4716,7 +4730,8 @@ class TableStore:
                 ):
                     cand_b.append(n)
         candidates = sorted(set(cand_m) | set(cand_b))
-        payload = src
+        drops = list(drop_cols or [])
+        payload = src.drop(*drops) if drops else src
         _, colmap = _translate_payload(payload, colmap, dropped)
         schema_json = manifest.get("schema")
         prior_schema_t = (
@@ -4855,7 +4870,7 @@ class TableStore:
             if replace_idx and removal_map is not None:
                 pieces.append(
                     src_hit.filter(F.col("__mc").isin(replace_idx)).drop(
-                        "__mc", "__nmc"
+                        "__mc", "__nmc", *drops
                     )
                 )
             if matched is not None:
@@ -4879,7 +4894,7 @@ class TableStore:
                         )
             if wnm:
                 ins = src_unmatched.filter(F.col("__nmc").isNotNull()).drop(
-                    "__mc", "__nmc"
+                    "__mc", "__nmc", *drops
                 )
                 pieces.append(ins)
                 counts["inserted"] = ins.count()
@@ -4990,6 +5005,7 @@ class TableStore:
         wnm: list[dict],
         wbs: list[dict],
         pid,
+        drop_cols: list[str] | None = None,
     ) -> dict:
         """Whole-partition MERGE through the write-ahead txn — the
         conservative path for listing-mode partitions and over-cap key
@@ -4997,13 +5013,18 @@ class TableStore:
         final state with plain DataFrame ops and one atomic
         ``replace_product_all``; counts come from dedicated count jobs
         (the fallback is already the expensive path)."""
+        from pyspark.sql import Column
+
+        drops = list(drop_cols or [])
         mc = self._clause_label(wm) if wm else F.lit(None).cast("int")
         nmc = self._clause_label(wnm) if wnm else F.lit(None).cast("int")
         src_l = src.withColumn("__mc", mc).withColumn("__nmc", nmc)
         current = self.read_product_slice(table, pid)
         counts = {"updated": 0, "deleted": 0, "inserted": 0, "deleted_by_source": 0}
         if current is None:
-            out = src_l.filter(F.col("__nmc").isNotNull()).drop("__mc", "__nmc")
+            out = src_l.filter(F.col("__nmc").isNotNull()).drop(
+                "__mc", "__nmc", *drops
+            )
             counts["inserted"] = out.count()
             final = out.withColumn(PARTITION_COL, F.lit(pid))
             self.replace_product_all(pid, {table: final})
@@ -5053,11 +5074,13 @@ class TableStore:
                 )
             else:
                 pieces.append(
-                    src_hit.filter(F.col("__mc") == i).drop("__mc", "__nmc")
+                    src_hit.filter(F.col("__mc") == i).drop(
+                        "__mc", "__nmc", *drops
+                    )
                 )
         if wnm:
             ins = src_unmatched.filter(F.col("__nmc").isNotNull()).drop(
-                "__mc", "__nmc"
+                "__mc", "__nmc", *drops
             )
             counts["inserted"] = ins.count()
             pieces.append(ins)

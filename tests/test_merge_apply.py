@@ -255,7 +255,10 @@ def test_fallback_whole_partition_matches_file_level(spark, tmp_path):
     clauses = dict(
         when_matched=[
             {"condition": "op = 'D'", "action": "delete"},
-            {"condition": "op = 'U'", "action": "update"},
+            # one SET-expression clause so the fallback's pre-row
+            # transform path (and its Column handling) is exercised
+            {"condition": "op = 'U'", "action": "update",
+             "set": {"amount": "amount + 0.5"}},
         ],
         when_not_matched=[{"condition": "op = 'I'"}],
         when_not_matched_by_source=[
