@@ -245,13 +245,18 @@ def incremental_dedup(
     rep["batch_rows"] = batch.count()
     rep["kept_rows"] = kept.count()
 
-    # -- persist the survivors' index rows ---------------------------------
-    kept_hashes = (
-        survivors.join(keep_ids, id_col, "left_semi")
-        .select(F.col("_ch").alias("content_hash"), F.col(id_col))
+    # -- persist the index rows ---------------------------------------------
+    # ALL exact-survivors are indexed, kept AND near-dup-dropped: a
+    # later doc can connect to the corpus TRANSITIVELY through a
+    # dropped near-dup (all-at-once components see that path, so the
+    # incremental index must too — indexing only kept docs would keep
+    # such a doc and break the batch-equals-all-at-once contract).
+    # Exact-dropped docs need no rows: their signature is identical to
+    # their surviving twin's.
+    surv_hashes = survivors.select(
+        F.col("_ch").alias("content_hash"), F.col(id_col)
     )
-    kept_bands = bands_new.join(keep_ids, id_col, "left_semi")
     n_files = max(1, min(8, rep["kept_rows"] // 50_000 + 1))
-    _append_clustered(store, EXACT_TABLE, kept_hashes, "content_hash", n_files)
-    _append_clustered(store, BAND_TABLE, kept_bands, "band_hash", n_files)
+    _append_clustered(store, EXACT_TABLE, surv_hashes, "content_hash", n_files)
+    _append_clustered(store, BAND_TABLE, bands_new, "band_hash", n_files)
     return kept

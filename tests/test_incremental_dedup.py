@@ -135,3 +135,33 @@ def test_report_and_empty_and_first_batch(spark, tmp_path):
     assert store._manifest(
         __import__("pathlib").Path(store.root) / EXACT_TABLE / f"IndicatorThemeId={INDEX_PID}"
     )
+
+
+def test_transitive_drop_through_a_dropped_near_dup(spark, tmp_path):
+    """The index must hold ALL exact-survivors, kept AND dropped: a
+    batch-2 doc whose only corpus contact is a batch-1 near-dup that
+    was itself DROPPED still belongs to the corpus cluster and must
+    drop (all-at-once components see that path). Texts pinned so the
+    real banding yields exactly the edges (A,B) and (B,C) — verified
+    against minhash_lsh_candidates below, so the pin cannot rot
+    silently."""
+    words = [f"w{i}" for i in range(24)]
+    xt = [f"x{i}" for i in range(4)]
+    A = " ".join(words)
+    B = " ".join(words + xt)          # near-dup of A -> dropped
+    C = " ".join(words[6:] + xt)      # near-dup of B, NOT of A
+    pairs = sorted(
+        tuple(r)
+        for r in DD.minhash_lsh_candidates(
+            _docs(spark, [(1, A), (2, B), (3, C)]), "text", "doc_id"
+        ).collect()
+    )
+    assert pairs == [(1, 2), (2, 3)], "banding moved — re-pin the texts"
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    kept1 = incremental_dedup(store, _docs(spark, [(1, A), (2, B)]))
+    assert sorted(r.doc_id for r in kept1.select("doc_id").collect()) == [1]
+    kept2 = incremental_dedup(store, _docs(spark, [(11, C)]))
+    assert kept2.count() == 0  # C drops THROUGH the dropped B
+    # and the all-at-once union agrees
+    assert _all_at_once_keep(spark, [(1, A), (2, B), (11, C)]) == [1]
