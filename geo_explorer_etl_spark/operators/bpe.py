@@ -180,3 +180,39 @@ def bpe_encode_counts(
             yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(encode, out_fields)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a merges table as the standard one-merge-per-line text
+    format (rank = line order — the GPT-2 ``merges.txt`` layout), so a
+    vocabulary trained once is reusable across sessions and engines.
+    Written atomically (tmp + rename): a crash never leaves a torn
+    vocab that would silently tokenize differently."""
+    import os
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("#version: geo_explorer_etl_spark bpe\n")
+        for a, b in merges:
+            fh.write(f"{a} {b}\n")
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a merges table written by ``save_merges`` (or any
+    merges.txt-shaped file: optional #-comment header, one
+    space-separated pair per line)."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"load_merges({path!r}): malformed line {line!r} — "
+                    "expected exactly one space-separated pair"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges

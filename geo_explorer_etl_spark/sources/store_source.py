@@ -65,6 +65,14 @@ Reference parity: this is the serving-side analog of the reference's
 always-current SQL Server tables (dfhandler.py reads gis.* live); the
 engine's SQL front-end (plans/sql_views.py) registers its star views
 through ``store_table``.
+
+KNOWN LIMITATION — catalog tables: ``CREATE TABLE t USING store
+OPTIONS (...)`` resolves the schema at creation, but Spark 4.1 does
+not hand the stored OPTIONS back to a python source's reader on later
+reads (they arrive empty; only ``path`` survives, as a ``paths`` JSON
+array), so catalog tables fail loudly at first query rather than
+misbehave. Use ``store_table(...).createOrReplaceTempView(...)`` /
+``register_star_views`` — the supported SQL surface.
 """
 
 from __future__ import annotations

@@ -111,3 +111,16 @@ def test_pack_offsets_over_real_bpe_counts(spark):
         assert by_id[i].pack_first == run // 64
         assert by_id[i].pack_last == (run + lens[i] - 1) // 64
         run += lens[i]
+
+
+def test_save_load_merges_roundtrip(tmp_path):
+    from geo_explorer_etl_spark.operators.bpe import load_merges, save_merges
+
+    m = [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o")]
+    p = str(tmp_path / "merges.txt")
+    save_merges(m, p)
+    assert load_merges(p) == m
+    # header comments tolerated, malformed lines refused
+    (tmp_path / "bad.txt").write_text("#c\na b c\n")
+    with pytest.raises(ValueError, match="malformed"):
+        load_merges(str(tmp_path / "bad.txt"))
