@@ -37,10 +37,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Pre-tokenizer: the same word/number/punct split the regex counter
-#: uses (operators/text.py BPE_TOKEN_RE) — merges never cross it, the
-#: GPT-2 rule.
-PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+from geo_explorer_etl_spark.operators.text import BPE_TOKEN_RE
+
+#: Pre-tokenizer: THE SAME word/number/punct split the regex counter
+#: uses — imported, not re-declared, so the approximate and real
+#: counts can never diverge on the split rule (review r11); merges
+#: never cross pre-token boundaries, the GPT-2 rule.
+PRETOKEN_RE = BPE_TOKEN_RE
 #: End-of-word marker (Sennrich): lets the vocab distinguish "est" in
 #: "estimate" from the suffix "est</w>" in "lowest".
 EOW = "</w>"
@@ -135,17 +138,25 @@ def bpe_encode_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     with_tokens: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document REAL BPE token counts (optionally the token string
     array) via one Arrow-batched ``mapInPandas``. The merges table
     rides the task closure; a per-batch word→len memo collapses the
     per-word cost to a dict hit for repeated words (Zipf makes that
-    the common case)."""
+    the common case). ``carry_cols`` pass through unchanged — callers
+    attach Spark-computed columns (token_counts' whitespace count)
+    WITHOUT a second corpus scan and a re-join (review r11)."""
     import re
 
+    carry = list(carry_cols or [])
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     pretoken = re.compile(PRETOKEN_RE)
-    out_fields = f"{id_col} LONG, n_bpe_tokens LONG"
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.select(*carry).schema.fields
+    )
+    out_fields = f"{id_col} LONG, n_bpe_tokens LONG" + carry_schema
     if with_tokens:
         out_fields += ", bpe_tokens ARRAY<STRING>"
 
@@ -163,23 +174,26 @@ def bpe_encode_counts(
         for pdf in batches:
             counts = []
             toks_out = []
-            for text in pdf[text_col].astype(str):
+            for text in pdf[text_col]:
                 n = 0
                 toks: list[str] = []
-                for w in pretoken.findall(text):
-                    t = word_tokens(w)
-                    n += len(t)
-                    if with_tokens:
-                        toks.extend(t)
+                if text is not None:
+                    for w in pretoken.findall(str(text)):
+                        t = word_tokens(w)
+                        n += len(t)
+                        if with_tokens:
+                            toks.extend(t)
                 counts.append(n)
                 if with_tokens:
                     toks_out.append(toks)
             out = {id_col: pdf[id_col], "n_bpe_tokens": counts}
+            for c in carry:
+                out[c] = pdf[c]
             if with_tokens:
                 out["bpe_tokens"] = toks_out
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(encode, out_fields)
+    return df.select(id_col, text_col, *carry).mapInPandas(encode, out_fields)
 
 
 def save_merges(merges: list[tuple[str, str]], path: str) -> None:
@@ -204,9 +218,14 @@ def load_merges(path: str) -> list[tuple[str, str]]:
     space-separated pair per line)."""
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as fh:
-        for line in fh:
+        for i, line in enumerate(fh):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            # ONLY the first-line '#version' header is a comment (the
+            # GPT-2 merges.txt convention): '#' is a legitimate merge
+            # token — skipping every '#'-prefixed line silently
+            # dropped merges learned from code/markdown corpora and
+            # the reloaded vocab tokenized differently (review r11)
+            if not line or (i == 0 and line.startswith("#version")):
                 continue
             parts = line.split(" ")
             if len(parts) != 2:

@@ -185,6 +185,40 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_keys(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """THE banding rule: signature frame (h0..h{n-1} columns) →
+    ``(id, band_id, band_hash)`` rows, band key = the band's signature
+    values joined as a string — engine-reproducible (a Spark-side
+    F.hash() would be cheaper per byte but un-oracle-able). ONE
+    definition shared by ``minhash_lsh_candidates`` and the
+    incremental dedup index (operators/incremental_dedup.py), whose
+    persisted band keys must stay bit-identical to the batch
+    operator's across releases."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col),
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -220,29 +254,8 @@ def minhash_lsh_candidates(
       over-full buckets may still hide real near-dups worth a
       recall floor; pick drop when they are known boilerplate.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    # band key = the band's signature values joined as a string —
-    # engine-reproducible (a Spark-side F.hash() here would be cheaper
-    # per byte but would make the candidate set un-oracle-able)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col), F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
-    )
+    banded = band_keys(sig, id_col, num_hashes, bands)
     join_keys = ["band_id", "band_hash"]
     if max_bucket_size is not None:
         from pyspark.sql.window import Window

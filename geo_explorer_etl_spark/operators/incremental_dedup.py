@@ -67,38 +67,22 @@ INDEX_PID = 0
 
 
 def _content_hash(text_col: str):
-    return F.md5(F.col(text_col))
+    """md5 of the text, with NULL text mapped to a sentinel so the
+    exact anti-join can MATCH across batches (SQL equality never
+    matches NULL = NULL — one null-text doc per batch would survive,
+    while the all-at-once groupBy keeps exactly one; review r11). The
+    sentinel cannot collide with a real digest (md5 is hex)."""
+    return F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
 
 
 def _band_rows(
     df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(doc id, band_id, band_hash) rows — the SAME banding rule as
-    ``minhash_lsh_candidates`` (md5-seeded affine MinHash, band key =
-    concatenated signature values), so incremental candidates are
-    bit-identical to the batch operator's."""
-    rows_per_band = num_hashes // bands
+    """(doc id, band_id, band_hash) rows through dedup.band_keys — ONE
+    shared banding definition, so the persisted index and the batch
+    operator can never desynchronize (review r11)."""
     sig = DD.minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col),
-        F.col("bb.band_id").alias("band_id"),
-        F.col("bb.band_hash").alias("band_hash"),
-    )
+    return DD.band_keys(sig, id_col, num_hashes, bands)
 
 
 def _append_clustered(

@@ -182,11 +182,19 @@ def token_counts(
             )
         from geo_explorer_etl_spark.operators.bpe import bpe_encode_counts
 
-        real = bpe_encode_counts(df, merges, text_col=text_col, id_col=id_col)
-        ws = df.select(
-            F.col(id_col), F.size(_ws_tokens(text)).cast("long").alias("n_ws_tokens")
+        # the whitespace count is computed Spark-side on the SAME scan
+        # and carried through the one mapInPandas — no second corpus
+        # read, no re-join on doc id (review r11)
+        with_ws = df.withColumn(
+            "n_ws_tokens", F.size(_ws_tokens(text)).cast("long")
         )
-        return real.join(ws, id_col)
+        return bpe_encode_counts(
+            with_ws,
+            merges,
+            text_col=text_col,
+            id_col=id_col,
+            carry_cols=["n_ws_tokens"],
+        )
     if method != "regex":
         raise ValueError(f"token_counts method {method!r} not in regex|bpe_vocab")
     return df.select(

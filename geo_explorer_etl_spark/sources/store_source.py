@@ -211,9 +211,31 @@ class StoreBatchReader(DataSourceReader):
         from pathlib import Path
 
         meta = StoreMeta(self._root, self._backend)
-        _, colmap, files, dv_sel = meta.read_plan(
+        payload, colmap, files, dv_sel = meta.read_plan(
             self._table, self._where or None
         )
+        # schema-drift guard (the cdf_source rule): the output schema
+        # was captured at load(); a column RENAMED or DROPPED since
+        # then is no longer produced under its old logical name and
+        # read()'s alignment would serve it as ALL NULLS — silent
+        # wrong data, the failure class this source exists to remove.
+        # Fail loudly and ask for a re-registration instead. Columns
+        # purely ADDED since load() simply don't surface until then.
+        current = {f.name for f in (payload.fields if payload else [])} | {
+            PARTITION_COL,
+            FILE_COL,
+        }
+        if payload is not None:
+            stale = sorted(
+                f.name for f in self._schema.fields if f.name not in current
+            )
+            if stale:
+                raise ValueError(
+                    f"store: column(s) {stale} were renamed or dropped "
+                    "after this DataFrame/view was created — re-register "
+                    "the view (store_table/register_star_views) to adopt "
+                    "the current table schema"
+                )
         # DV masks decode driver-side (sidecar reads memoized in
         # StoreMeta._dv_positions) and ship as position tuples — the
         # same bytes the sidecar holds, same shape cdf_source ships

@@ -107,14 +107,29 @@ def replicate_stream(
     table: str,
     key_cols: list[str],
     checkpoint_dir: str,
-    stream_id: str = "replicate",
+    stream_id: str | None = None,
     source_backend: str = "localfs",
     start_at: float = 0.0,
     watermark_lag: float = 0.0,
 ):
     """Start (availableNow) the replication query: every committed
     change window on the source lands on the target exactly once.
-    Returns the StreamingQuery; call ``awaitTermination()`` to drain."""
+    Returns the StreamingQuery; call ``awaitTermination()`` to drain.
+
+    ``stream_id`` defaults to a digest of ``checkpoint_dir`` — the
+    query's durable identity — NOT a shared constant: two replication
+    pipelines into one target store sharing one ledger key would let
+    the second pipeline's batches 0..high-water be dropped SILENTLY
+    while its checkpoint advances (the store_sink.py rule, review
+    r11). Pass an explicit id only to resume a pipeline whose
+    checkpoint moved."""
+    if not stream_id:
+        import hashlib
+
+        stream_id = (
+            "replicate-"
+            + hashlib.sha256(str(checkpoint_dir).encode()).hexdigest()[:16]
+        )
     spark.dataSource.register(StoreChangeFeedDataSource)
     feed = (
         spark.readStream.format("store_cdf")

@@ -116,11 +116,30 @@ def test_pack_offsets_over_real_bpe_counts(spark):
 def test_save_load_merges_roundtrip(tmp_path):
     from geo_explorer_etl_spark.operators.bpe import load_merges, save_merges
 
-    m = [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o")]
+    # '#' is a legitimate merge token (code/markdown corpora): only the
+    # first-line '#version' header is a comment — a blanket '#' rule
+    # silently dropped such merges and the reloaded vocab tokenized
+    # differently (review r11)
+    m = [("e", "s"), ("es", "t"), ("est", EOW), ("#", EOW), ("#", "#")]
     p = str(tmp_path / "merges.txt")
     save_merges(m, p)
     assert load_merges(p) == m
-    # header comments tolerated, malformed lines refused
-    (tmp_path / "bad.txt").write_text("#c\na b c\n")
+    # malformed lines refused
+    (tmp_path / "bad.txt").write_text("#version: x\na b c\n")
     with pytest.raises(ValueError, match="malformed"):
         load_merges(str(tmp_path / "bad.txt"))
+
+
+def test_token_counts_bpe_single_pass_no_join(spark):
+    """The ws count rides the one mapInPandas scan — no second corpus
+    read, no re-join on doc id (review r11): the plan carries no join
+    and exactly one scan of the input."""
+    merges = train_bpe(_classic_corpus(spark), num_merges=5)
+    docs = spark.createDataFrame(
+        [(1, "low lower")], "doc_id LONG, text STRING"
+    )
+    df = TX.token_counts(docs, "text", "doc_id", method="bpe_vocab", merges=merges)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    got = df.collect()[0]
+    assert (got.n_bpe_tokens, got.n_ws_tokens) == (6, 2)

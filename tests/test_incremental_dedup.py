@@ -165,3 +165,16 @@ def test_transitive_drop_through_a_dropped_near_dup(spark, tmp_path):
     assert kept2.count() == 0  # C drops THROUGH the dropped B
     # and the all-at-once union agrees
     assert _all_at_once_keep(spark, [(1, A), (2, B), (11, C)]) == [1]
+
+
+def test_null_text_dedupes_across_batches(spark, tmp_path):
+    """NULL text must dedupe like any exact group (review r11): SQL
+    equality never matches NULL = NULL, so without the sentinel hash
+    one null-text doc per batch survived while all-at-once keeps one."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([(1, None), (2, "real text here")], "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame([(11, None), (12, None)], "doc_id LONG, text STRING")
+    k1 = sorted(r.doc_id for r in incremental_dedup(store, b1).select("doc_id").collect())
+    k2 = sorted(r.doc_id for r in incremental_dedup(store, b2).select("doc_id").collect())
+    assert k1 == [1, 2]
+    assert k2 == []  # both null-text docs match batch 1's null doc

@@ -109,3 +109,30 @@ def test_apply_change_batch_is_idempotent(spark, tmp_path):
     first = _rows(dst)
     apply_change_batch(dst, "IndicatorValues", batch, ["k"])
     assert _rows(dst) == first == [(1, 100.0), (9, 9.0)]
+
+
+def test_two_pipelines_one_target_do_not_share_a_ledger_key(spark, tmp_path):
+    """Review r11: a shared constant stream_id would let the second
+    pipeline's batches 0..high-water be dropped silently (its fresh
+    checkpoint restarts epoch ids at 0). The default id derives from
+    the checkpoint, so two pipelines into one target both deliver."""
+    src_a = TableStore(spark, str(tmp_path / "src_a"))
+    src_b = TableStore(spark, str(tmp_path / "src_b"))
+    dst = TableStore(spark, str(tmp_path / "dst"))
+    src_a.replace_product_all(
+        PID, {"IndicatorValues": _frame(spark, [(1, 1.0)])}
+    )
+    src_b.replace_product_all(
+        PID, {"Indicators": _frame(spark, [(7, 7.0)])}
+    )
+    q = replicate_stream(
+        spark, src_a.root, dst, "IndicatorValues", ["k"], str(tmp_path / "ck_a")
+    )
+    q.awaitTermination()
+    q = replicate_stream(
+        spark, src_b.root, dst, "Indicators", ["k"], str(tmp_path / "ck_b")
+    )
+    q.awaitTermination()
+    assert dst.read("IndicatorValues").count() == 1
+    got = dst.read("Indicators")
+    assert got is not None and got.count() == 1  # NOT silently dropped

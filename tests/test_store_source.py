@@ -256,3 +256,20 @@ def test_source_errors_on_missing_table_and_missing_dv_positions(spark, tmp_path
     TableStore._DV_DECODE_CACHE_POSITIONS[0] = 0
     with pytest.raises(Exception, match="out of range|mask/file"):
         store_table(spark, root, "IndicatorValues").count()
+
+
+def test_stale_view_after_rename_raises_instead_of_nulls(spark, tmp_path):
+    """Review r11: a view created before rename_column must FAIL
+    loudly, not serve the renamed column as all-NULLs through the
+    evolution null-fill path (the cdf_source schema-drift rule)."""
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1,))
+    register_store_source(spark)
+    store_table(spark, root, "IndicatorValues").createOrReplaceTempView("iv_old")
+    assert spark.sql("SELECT sum(Value) s FROM iv_old").collect()[0].s is not None
+    store.rename_column("IndicatorValues", "Value", "Metric")
+    with pytest.raises(Exception, match="renamed or dropped"):
+        spark.sql("SELECT sum(Value) s FROM iv_old").collect()
+    # a fresh registration adopts the new schema and serves real data
+    store_table(spark, root, "IndicatorValues").createOrReplaceTempView("iv_new")
+    assert spark.sql("SELECT sum(Metric) s FROM iv_new").collect()[0].s is not None
