@@ -341,3 +341,67 @@ def test_clause_validation_errors(spark, tmp_path):
             "IndicatorValues", src, ["k"],
             when_matched=[{"action": "update", "set": {"nope": "1"}}],
         )
+
+
+def test_merge_apply_swap_aborts_and_retries_under_concurrent_replace(
+    spark, tmp_path
+):
+    """The clause MERGE inherits the rewrite-conflict rule: a replace
+    landing between the candidate read and the manifest swap
+    supersedes the touched sources — the first swap must ABORT (its
+    staged files unlinked) and the retry recomputes every clause
+    against the NEW snapshot."""
+    store = TableStore(spark, str(tmp_path / "wh"), backend="cas")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k LONG, v STRING").withColumn(
+            PARTITION_COL, F.lit(PID).cast("long")
+        )
+
+    store.replace_product_all(
+        PID, {"IndicatorValues": frame([(1, "old"), (2, "old"), (3, "old")])}
+    )
+    racer = TableStore(spark, store.root, backend="cas")
+    fired = {"done": False}
+    real_manifest = store._manifest
+
+    def hijack(part_dir):
+        m = real_manifest(part_dir)
+        if not fired["done"] and part_dir.name == f"{PARTITION_COL}={PID}":
+            fired["done"] = True
+            racer.replace_product_all(
+                PID,
+                {"IndicatorValues": frame([(1, "replaced"), (4, "replaced")])},
+            )
+        return m
+
+    src = spark.createDataFrame(
+        [(1, "D", None), (9, "I", "new")], "k LONG, op STRING, v STRING"
+    ).withColumn(PARTITION_COL, F.lit(PID).cast("long"))
+    store._manifest = hijack
+    try:
+        counts = store.merge_apply(
+            "IndicatorValues",
+            src,
+            ["k"],
+            when_matched=[{"condition": "op = 'D'", "action": "delete"}],
+            when_not_matched=[{"condition": "op = 'I'"}],
+            drop_cols=["op"],
+        )
+    finally:
+        store._manifest = real_manifest
+    assert counts == {"updated": 0, "deleted": 1, "inserted": 1, "deleted_by_source": 0}
+    got = {
+        (r.k, r.v)
+        for r in store.read("IndicatorValues").select("k", "v").collect()
+    }
+    # applied ON TOP of the replace: 1 deleted, 4 kept, 9 inserted,
+    # pre-replace keys 2/3 gone with the superseded snapshot
+    assert got == {(4, "replaced"), (9, "new")}
+    # drop_cols honored even through the retry
+    assert "op" not in store.read("IndicatorValues").columns
+    # no orphaned staged files from the aborted attempt left in the
+    # manifest (fsck-clean: the attempt unlinked its merge-* files)
+    part = __import__("pathlib").Path(store.root) / "IndicatorValues" / f"{PARTITION_COL}={PID}"
+    m = store._manifest(part)
+    assert all((part / n).exists() for n in m["files"])
