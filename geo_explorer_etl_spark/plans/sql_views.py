@@ -27,7 +27,10 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def register_star_views(
-    spark: SparkSession, store: TableStore, snapshot: bool = False
+    spark: SparkSession,
+    store: TableStore,
+    snapshot: bool = False,
+    snapshot_at: float | None = None,
 ) -> list[str]:
     """Every existing store table becomes a temp view named like the
     reference's ``gis.*`` tables. Returns the registered names.
@@ -37,9 +40,20 @@ def register_star_views(
     ``update_where``/``merge_rows``/``delete_where`` the moment they
     commit, with NO re-registration (VERDICT r10 directive #1 closed;
     the pre-r11 behavior silently pinned the registration-time
-    snapshot). Pass ``snapshot=True`` for the old semantics — a
-    consistent frozen view of the store as of this call (the
-    time-travel analog of ``read_at(now)``)."""
+    snapshot).
+
+    CROSS-TABLE consistency: query-time views resolve each TABLE's
+    snapshot independently at its own scan-planning moment, so a join
+    racing a ``replace_product_all`` (which swaps tables sequentially
+    inside its txn) can observe product X already-new in one table and
+    still-old in another — the same exposure ``store.read`` per table
+    always had. Consumers that need one consistent cross-table point
+    pass ``snapshot_at`` (epoch seconds): every view pins to
+    ``read_at(t)``, and the txn protocol guarantees a timestamp
+    between two publishes resolves all-old or all-new per product.
+    ``snapshot=True`` is the shorthand for "as of now"."""
+    import time
+
     from geo_explorer_etl_spark.sources.commit import CASBackend
     from geo_explorer_etl_spark.sources.store import PRODUCT_TABLES
     from geo_explorer_etl_spark.sources.store_source import (
@@ -47,16 +61,21 @@ def register_star_views(
         store_table,
     )
 
-    if not snapshot:
+    if snapshot and snapshot_at is None:
+        snapshot_at = time.time()
+    if snapshot_at is None:
         register_store_source(spark)
     backend = "cas" if isinstance(store._backend, CASBackend) else "localfs"
     registered = []
     for t in PRODUCT_TABLES:
-        df = store.read(t)  # existence + schema probe (cheap, driver-side)
+        if snapshot_at is not None:
+            df = store.read_at(t, snapshot_at)
+        else:
+            df = store.read(t)  # existence + schema probe (driver-side)
+            if df is not None:
+                df = store_table(spark, store.root, t, backend=backend)
         if df is None:
             continue
-        if not snapshot:
-            df = store_table(spark, store.root, t, backend=backend)
         df.createOrReplaceTempView(t)
         registered.append(t)
     return registered

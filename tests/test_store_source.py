@@ -273,3 +273,47 @@ def test_stale_view_after_rename_raises_instead_of_nulls(spark, tmp_path):
     # a fresh registration adopts the new schema and serves real data
     store_table(spark, root, "IndicatorValues").createOrReplaceTempView("iv_new")
     assert spark.sql("SELECT sum(Metric) s FROM iv_new").collect()[0].s is not None
+
+
+def test_register_star_views_snapshot_at_is_cross_table_consistent(spark, tmp_path):
+    """snapshot_at pins EVERY view to one timestamp through read_at,
+    so a cross-table join can never observe a product torn across a
+    replace_product_all that committed after the pin."""
+    import time
+
+    root = str(tmp_path / "wh")
+    store = TableStore(spark, root)
+    v1 = spark.createDataFrame(
+        [(1, 10.0)], "IndicatorValueId LONG, Value DOUBLE"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    i1 = spark.createDataFrame(
+        [(1, "old")], "IndicatorId LONG, Name STRING"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.replace_product_all(1, {"IndicatorValues": v1, "Indicators": i1})
+    time.sleep(0.05)
+    t_pin = time.time()
+    time.sleep(0.05)
+    # a full product replace AFTER the pin
+    store.replace_product_all(
+        1,
+        {
+            "IndicatorValues": v1.withColumn("Value", F.lit(99.0)),
+            "Indicators": i1.withColumn("Name", F.lit("new")),
+        },
+    )
+    from geo_explorer_etl_spark.plans.sql_views import register_star_views
+
+    registered = register_star_views(spark, store, snapshot_at=t_pin)
+    assert {"IndicatorValues", "Indicators"} <= set(registered)
+    row = spark.sql(
+        "SELECT v.Value, i.Name FROM IndicatorValues v "
+        "JOIN Indicators i ON v.IndicatorValueId = i.IndicatorId"
+    ).collect()[0]
+    assert (row.Value, row.Name) == (10.0, "old")  # all-old, never torn
+    # and the default (query-time) registration sees the new state
+    register_star_views(spark, store)
+    row = spark.sql(
+        "SELECT v.Value, i.Name FROM IndicatorValues v "
+        "JOIN Indicators i ON v.IndicatorValueId = i.IndicatorId"
+    ).collect()[0]
+    assert (row.Value, row.Name) == (99.0, "new")
