@@ -209,3 +209,118 @@ def export_shards(
         "rows": desc.get("rows"),
         "files": desc.get("files"),
     }
+
+
+def ingest_corpus_batch(
+    store,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+    min_distinct_ratio: float = 0.0,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    token_budget: int | None = None,
+    budget_bucket_width: int = 100_000,
+    corpus_table: str = "Corpus",
+    report: dict | None = None,
+) -> DataFrame:
+    """The INCREMENTAL twin of ``build_training_corpus`` — the daily
+    ingest a production pipeline actually runs, in O(batch):
+
+    1. GATES — the same language/quality filters (one scan of the
+       batch; corpus-independent by construction);
+    2. DEDUP — ``incremental_dedup`` against the persisted exact-hash
+       and LSH-band indexes (new-vs-corpus AND new-vs-new);
+    3. BUDGET — the deterministic ascending-id token-budget prefix,
+       carried ACROSS batches through a CAS-versioned running total at
+       the store root, so N ingests equal one global prefix over the
+       union (ids monotone with ingest order, the module contract).
+       Dedup-surviving docs are indexed BEFORE the budget gate: a
+       budget-rejected doc still dedups future near-copies, exactly as
+       the all-at-once pipeline would;
+    4. APPEND — survivors land in ``corpus_table`` through the store
+       commit path (manifest-adopted: zone maps, counts, ACID DML,
+       time travel), id-clustered so downstream ``export_shards`` and
+       range reads stay zone-map-tight.
+
+    Returns the batch's accepted rows (materialized). With monotone
+    ids, the corpus table after N ingests equals
+    ``build_training_corpus`` over the concatenation — pytest-pinned.
+    """
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        incremental_dedup,
+    )
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL
+
+    rep: dict = report if report is not None else {}
+    lang = TX.langid(batch, text_col=text_col, id_col=id_col)
+    kept = batch.join(
+        lang.filter(F.col("lang_guess").isin(*languages)).select(id_col), id_col
+    )
+    q = TX.quality_scores(kept, text_col=text_col, id_col=id_col)
+    good = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    ).select(id_col)
+    kept = kept.join(good, id_col)
+    kept = incremental_dedup(
+        store,
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        report=rep,
+    )
+    if token_budget is not None:
+        from pathlib import Path
+
+        from geo_explorer_etl_spark.sources.commit import cas_update
+
+        key = f"_corpus_budget_{corpus_table}.json"
+        cur = store._backend.read(Path(store.root), key)
+        consumed = int((cur[1] if cur else {}).get("tokens", 0))
+        remaining = max(0, token_budget - consumed)
+        kept = _prefix_under_budget(
+            kept, text_col, id_col, remaining, budget_bucket_width
+        )
+        kept = kept.localCheckpoint(eager=True)
+        new_tokens = (
+            kept.select(
+                F.sum(
+                    F.size(
+                        F.regexp_extract_all(
+                            F.col(text_col), F.lit(BPE_TOKEN_RE), 0
+                        )
+                    ).cast("long")
+                ).alias("t")
+            ).collect()[0]["t"]
+            or 0
+        )
+        cas_update(
+            store._backend,
+            Path(store.root),
+            key,
+            lambda prior: {"tokens": int((prior or {}).get("tokens", 0)) + int(new_tokens)},
+        )
+        rep["budget_tokens_consumed"] = consumed + int(new_tokens)
+    rep["accepted_rows"] = kept.count()
+    if rep["accepted_rows"]:
+        out = (
+            kept.withColumn(PARTITION_COL, F.lit(0).cast("long"))
+            .repartitionByRange(
+                max(1, rep["accepted_rows"] // 500_000 + 1), id_col
+            )
+            .sortWithinPartitions(id_col)
+        )
+        store.append(corpus_table, out)
+        store.adopt_manifests(corpus_table)
+    return kept

@@ -178,3 +178,62 @@ def test_null_text_dedupes_across_batches(spark, tmp_path):
     k2 = sorted(r.doc_id for r in incremental_dedup(store, b2).select("doc_id").collect())
     assert k1 == [1, 2]
     assert k2 == []  # both null-text docs match batch 1's null doc
+
+
+def _ingest_docs(spark, rows):
+    # the documents-table shape: quality_scores reads n_chars
+    return spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+
+
+def test_ingest_corpus_batch_equals_build_training_corpus(spark, tmp_path):
+    """The end-to-end incremental pipeline: N gated+deduped+budgeted
+    ingests equal ONE build_training_corpus over the concatenation
+    (monotone ids) — including the cross-batch token-budget prefix
+    carried through the CAS running total."""
+    from geo_explorer_etl_spark.operators.corpus import (
+        build_training_corpus,
+        ingest_corpus_batch,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    t2 = "an entirely different document about spark partitioning and shuffle costs"
+    rows = [
+        (1, t1),
+        (2, t1 + " extra"),                   # near-dup of 1
+        (3, t2),
+        (4, t2),                              # exact dup of 3
+        (5, "zz"),                            # fails min_tokens gate
+        (11, t1),                             # cross-batch exact dup
+        (12, "a fresh and rather long document about watermark semantics in the engine"),
+        (13, "another genuinely novel text that should consume the remaining budget here"),
+        (21, "late arrival that must be rejected by the exhausted token budget rule"),
+    ]
+    batches = [rows[:5], rows[5:8], rows[8:]]
+    budget = 40  # tokens: enough for 1, 3, 12 — 13 crosses the line
+    store = TableStore(spark, str(tmp_path / "wh"))
+    accepted = []
+    for b in batches:
+        kept = ingest_corpus_batch(
+            store,
+            _ingest_docs(spark, b),
+            min_tokens=5,
+            token_budget=budget,
+        )
+        accepted += [r.doc_id for r in kept.select("doc_id").collect()]
+    expected = sorted(
+        r.doc_id
+        for r in build_training_corpus(
+            _ingest_docs(spark, rows),
+            min_tokens=5,
+            token_budget=budget,
+        ).select("doc_id").collect()
+    )
+    assert sorted(accepted) == expected
+    # the corpus TABLE holds exactly the accepted union, readable back
+    corpus = store.read("Corpus")
+    assert sorted(r.doc_id for r in corpus.select("doc_id").collect()) == expected
+    # and it is a real manifest-bearing store table (DML-ready)
+    assert store.describe("Corpus")["rows"] == len(expected)
