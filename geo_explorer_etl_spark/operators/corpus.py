@@ -57,19 +57,10 @@ def build_training_corpus(
     survive every gate, deterministically — same input, same survivor
     set, independent of partitioning (min-id representatives, id-ordered
     budget prefix)."""
-    lang = TX.langid(docs, text_col=text_col, id_col=id_col)
-    kept = docs.join(
-        lang.filter(F.col("lang_guess").isin(*languages)).select(id_col), id_col
+    kept = _apply_gates(
+        docs, text_col, id_col, languages,
+        min_tokens, max_tokens, min_stopword_ratio, min_distinct_ratio,
     )
-
-    q = TX.quality_scores(kept, text_col=text_col, id_col=id_col)
-    good = q.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("stopword_ratio") >= min_stopword_ratio)
-        & (F.col("distinct_ratio") >= min_distinct_ratio)
-    ).select(id_col)
-    kept = kept.join(good, id_col)
 
     # exact dedup: the canonical (min-id) doc of each content group
     canon = DD.exact_dedup_groups(kept, text_col=text_col, id_col=id_col).select(
@@ -91,13 +82,41 @@ def build_training_corpus(
     return kept
 
 
+def _apply_gates(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    languages: tuple[str, ...],
+    min_tokens: int,
+    max_tokens: int,
+    min_stopword_ratio: float,
+    min_distinct_ratio: float,
+) -> DataFrame:
+    """THE language/quality gate stage, shared by the batch builder
+    and ``ingest_corpus_batch`` — the ingest/batch equivalence
+    contract depends on one definition (review r11)."""
+    lang = TX.langid(docs, text_col=text_col, id_col=id_col)
+    kept = docs.join(
+        lang.filter(F.col("lang_guess").isin(*languages)).select(id_col), id_col
+    )
+    q = TX.quality_scores(kept, text_col=text_col, id_col=id_col)
+    good = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    ).select(id_col)
+    return kept.join(good, id_col)
+
+
 def _prefix_under_budget(
     docs: DataFrame,
     text_col: str,
     id_col: str,
     token_budget: int,
     bucket_width: int,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Keep the longest ascending-id prefix whose cumulative BPE token
     count stays within ``token_budget`` — deterministic subset
     selection under a cap.
@@ -135,7 +154,13 @@ def _prefix_under_budget(
         .filter(F.col("_cum") <= token_budget)
         .select(id_col)
     )
-    return docs.join(cum, id_col)
+    out = docs.join(cum, id_col)
+    # `running` is the INPUT's total token count — callers carrying a
+    # cross-batch budget need it (the global prefix's cumsum includes
+    # REJECTED docs' tokens: once a doc overflows, the budget is
+    # exhausted permanently), and the bucket totals already paid for
+    # it (review r11 — no second tokenization scan)
+    return (out, int(running)) if return_total else out
 
 
 def corpus_report(docs: DataFrame, stages: dict[str, DataFrame]) -> dict[str, int]:
@@ -232,95 +257,146 @@ def ingest_corpus_batch(
     """The INCREMENTAL twin of ``build_training_corpus`` — the daily
     ingest a production pipeline actually runs, in O(batch):
 
-    1. GATES — the same language/quality filters (one scan of the
-       batch; corpus-independent by construction);
-    2. DEDUP — ``incremental_dedup`` against the persisted exact-hash
-       and LSH-band indexes (new-vs-corpus AND new-vs-new);
+    1. GATES — the shared ``_apply_gates`` stage (one batch scan);
+    2. DEDUP DECISION — ``dedup_decide`` against the persisted indexes
+       (new-vs-corpus AND new-vs-new), WITHOUT persisting yet;
     3. BUDGET — the deterministic ascending-id token-budget prefix,
        carried ACROSS batches through a CAS-versioned running total at
-       the store root, so N ingests equal one global prefix over the
-       union (ids monotone with ingest order, the module contract).
-       Dedup-surviving docs are indexed BEFORE the budget gate: a
-       budget-rejected doc still dedups future near-copies, exactly as
-       the all-at-once pipeline would;
-    4. APPEND — survivors land in ``corpus_table`` through the store
-       commit path (manifest-adopted: zone maps, counts, ACID DML,
-       time travel), id-clustered so downstream ``export_shards`` and
-       range reads stay zone-map-tight.
+       the store root. The carry counts ALL dedup-survivor tokens,
+       accepted or rejected — the global prefix's cumulative sum does
+       too, so once a doc overflows the budget it is exhausted
+       permanently, exactly like ``build_training_corpus`` over the
+       union (review r11). Admission runs inside the conditional-write
+       loop: a concurrent ingest that moved the counter forces a
+       recompute against the new remaining budget, so two racers can
+       never jointly overspend.
+    4. WRITES, crash-ordered for convergence (review r11): corpus
+       append FIRST (guarded by an anti-join against ids already in
+       the corpus, so a retry after a partial run never duplicates),
+       THEN the dedup-index rows, with the budget marker recording the
+       batch digest so a retry neither double-charges tokens nor
+       re-admits against a self-charged counter. A crash at any point
+       leaves a state from which re-running the SAME batch converges
+       to the committed outcome; only a crash BETWEEN the two index
+       appends narrows future near-dup recall for this batch's docs
+       (each append is itself atomic).
 
     Returns the batch's accepted rows (materialized). With monotone
     ids, the corpus table after N ingests equals
     ``build_training_corpus`` over the concatenation — pytest-pinned.
     """
+    from pathlib import Path
+
     from geo_explorer_etl_spark.operators.incremental_dedup import (
-        incremental_dedup,
+        dedup_decide,
+        dedup_persist,
     )
+    from geo_explorer_etl_spark.sources.commit import CommitConflict
     from geo_explorer_etl_spark.sources.store import PARTITION_COL
 
     rep: dict = report if report is not None else {}
-    lang = TX.langid(batch, text_col=text_col, id_col=id_col)
-    kept = batch.join(
-        lang.filter(F.col("lang_guess").isin(*languages)).select(id_col), id_col
+    gated = _apply_gates(
+        batch, text_col, id_col, languages,
+        min_tokens, max_tokens, min_stopword_ratio, min_distinct_ratio,
     )
-    q = TX.quality_scores(kept, text_col=text_col, id_col=id_col)
-    good = q.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("stopword_ratio") >= min_stopword_ratio)
-        & (F.col("distinct_ratio") >= min_distinct_ratio)
-    ).select(id_col)
-    kept = kept.join(good, id_col)
-    kept = incremental_dedup(
-        store,
-        kept,
-        text_col=text_col,
-        id_col=id_col,
-        n=shingle_n,
-        num_hashes=num_hashes,
-        bands=bands,
-        report=rep,
+    kept, surv_hashes, bands_new, rep = dedup_decide(
+        store, gated, text_col, id_col, shingle_n, num_hashes, bands, rep
     )
     if token_budget is not None:
-        from pathlib import Path
-
-        from geo_explorer_etl_spark.sources.commit import cas_update
-
-        key = f"_corpus_budget_{corpus_table}.json"
-        cur = store._backend.read(Path(store.root), key)
-        consumed = int((cur[1] if cur else {}).get("tokens", 0))
-        remaining = max(0, token_budget - consumed)
-        kept = _prefix_under_budget(
-            kept, text_col, id_col, remaining, budget_bucket_width
+        kept = _budget_admit(
+            store, corpus_table, kept, text_col, id_col,
+            token_budget, budget_bucket_width, rep,
         )
-        kept = kept.localCheckpoint(eager=True)
-        new_tokens = (
-            kept.select(
-                F.sum(
-                    F.size(
-                        F.regexp_extract_all(
-                            F.col(text_col), F.lit(BPE_TOKEN_RE), 0
-                        )
-                    ).cast("long")
-                ).alias("t")
-            ).collect()[0]["t"]
-            or 0
-        )
-        cas_update(
-            store._backend,
-            Path(store.root),
-            key,
-            lambda prior: {"tokens": int((prior or {}).get("tokens", 0)) + int(new_tokens)},
-        )
-        rep["budget_tokens_consumed"] = consumed + int(new_tokens)
     rep["accepted_rows"] = kept.count()
     if rep["accepted_rows"]:
-        out = (
-            kept.withColumn(PARTITION_COL, F.lit(0).cast("long"))
-            .repartitionByRange(
-                max(1, rep["accepted_rows"] // 500_000 + 1), id_col
+        out = kept.withColumn(PARTITION_COL, F.lit(0).cast("long"))
+        existing = None
+        if store.exists(corpus_table):
+            span = kept.select(
+                F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+            ).collect()[0]
+            # retry-dedup guard, bounded by the batch's id span: the
+            # corpus is id-clustered, so the zone maps prune this probe
+            # to the files covering [lo, hi] — with monotone ids that
+            # is the table's high tail, never a corpus scan
+            existing = store.read(
+                corpus_table,
+                where=[(id_col, "between", (span["lo"], span["hi"]))],
             )
-            .sortWithinPartitions(id_col)
-        )
+        if existing is not None:
+            out = out.join(
+                existing.select(id_col).distinct(), id_col, "left_anti"
+            )
+        out = out.repartitionByRange(
+            max(1, rep["accepted_rows"] // 500_000 + 1), id_col
+        ).sortWithinPartitions(id_col)
         store.append(corpus_table, out)
         store.adopt_manifests(corpus_table)
+    # index rows LAST: a crash before this point leaves the indexes
+    # untouched, so the retry's dedup decision is identical and the
+    # corpus anti-join absorbs any partial append
+    dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
     return kept
+
+
+def _budget_admit(
+    store, corpus_table: str, kept: DataFrame, text_col: str, id_col: str,
+    token_budget: int, bucket_width: int, rep: dict,
+) -> DataFrame:
+    """Cross-batch budget admission under optimistic concurrency: read
+    the counter version, compute the prefix against the remaining
+    budget, publish the charge conditionally — a concurrent ingest
+    that won the version forces a recompute (review r11: a plain
+    read-then-CAS admitted against stale 'remaining' and two racers
+    jointly overspent). The blob records the last batch's digest and
+    charge so an immediate RETRY of the same batch re-admits against
+    the pre-charge base instead of double-charging."""
+    import hashlib
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.commit import CommitConflict
+
+    key = f"_corpus_budget_{corpus_table}.json"
+    # batch digest: the survivor id span + count identifies a retry
+    # (ids are unique and monotone by contract)
+    stats = kept.select(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    digest = hashlib.sha256(
+        f"{stats['lo']}|{stats['hi']}|{stats['n']}".encode()
+    ).hexdigest()[:16]
+    root = Path(store.root)
+    while True:
+        cur = store._backend.read(root, key)
+        version = cur[0] if cur else 0
+        body = dict(cur[1]) if cur else {}
+        consumed = int(body.get("tokens", 0))
+        if body.get("last_digest") == digest:
+            # retry of the very batch that last charged: admit against
+            # the PRE-charge base and skip the write (idempotent)
+            base = consumed - int(body.get("last_tokens", 0))
+            remaining = max(0, token_budget - base)
+            admitted, _total = _prefix_under_budget(
+                kept, text_col, id_col, remaining, bucket_width,
+                return_total=True,
+            )
+            rep["budget_tokens_consumed"] = consumed
+            return admitted.localCheckpoint(eager=True)
+        remaining = max(0, token_budget - consumed)
+        admitted, batch_total = _prefix_under_budget(
+            kept, text_col, id_col, remaining, bucket_width,
+            return_total=True,
+        )
+        admitted = admitted.localCheckpoint(eager=True)
+        new_body = {
+            "tokens": consumed + batch_total,
+            "last_digest": digest,
+            "last_tokens": batch_total,
+        }
+        try:
+            store._backend.write(root, key, new_body, expected_version=version)
+            rep["budget_tokens_consumed"] = consumed + batch_total
+            return admitted
+        except CommitConflict:
+            continue  # a concurrent ingest moved the counter: recompute

@@ -139,7 +139,34 @@ def incremental_dedup(
 
     ``report`` (optional dict) receives observability fields:
     batch/kept counts and whether each index probe pruned or fell back
-    to a full scan."""
+    to a full scan.
+
+    Composition note: this is ``dedup_decide`` + ``dedup_persist``.
+    Orchestrators that need crash-safe ordering around OTHER writes
+    (``ingest_corpus_batch`` appends the corpus BEFORE the index so a
+    retry converges instead of losing the batch) call the two phases
+    directly."""
+    kept, surv_hashes, bands_new, rep = dedup_decide(
+        store, batch, text_col, id_col, n, num_hashes, bands, report
+    )
+    dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
+    return kept
+
+
+def dedup_decide(
+    store: TableStore,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    report: dict | None = None,
+):
+    """The DECISION phase: returns ``(kept, surv_hashes, bands_new,
+    report)`` without touching the persisted indexes — kept and the
+    index frames are materialized (localCheckpoint), so they stay
+    stable however the caller orders its writes."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rep: dict = report if report is not None else {}
@@ -228,8 +255,6 @@ def incremental_dedup(
     )
     rep["batch_rows"] = batch.count()
     rep["kept_rows"] = kept.count()
-
-    # -- persist the index rows ---------------------------------------------
     # ALL exact-survivors are indexed, kept AND near-dup-dropped: a
     # later doc can connect to the corpus TRANSITIVELY through a
     # dropped near-dup (all-at-once components see that path, so the
@@ -239,8 +264,18 @@ def incremental_dedup(
     # their surviving twin's.
     surv_hashes = survivors.select(
         F.col("_ch").alias("content_hash"), F.col(id_col)
-    )
-    n_files = max(1, min(8, rep["kept_rows"] // 50_000 + 1))
+    ).localCheckpoint(eager=True)
+    return kept, surv_hashes, bands_new, rep
+
+
+def dedup_persist(
+    store: TableStore,
+    surv_hashes: DataFrame,
+    bands_new: DataFrame,
+    n_rows_hint: int = 0,
+) -> None:
+    """The PERSISTENCE phase: append the decision's index rows
+    (range-clustered, one atomic manifest extend per table)."""
+    n_files = max(1, min(8, int(n_rows_hint) // 50_000 + 1))
     _append_clustered(store, EXACT_TABLE, surv_hashes, "content_hash", n_files)
     _append_clustered(store, BAND_TABLE, bands_new, "band_hash", n_files)
-    return kept

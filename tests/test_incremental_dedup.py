@@ -237,3 +237,87 @@ def test_ingest_corpus_batch_equals_build_training_corpus(spark, tmp_path):
     assert sorted(r.doc_id for r in corpus.select("doc_id").collect()) == expected
     # and it is a real manifest-bearing store table (DML-ready)
     assert store.describe("Corpus")["rows"] == len(expected)
+
+
+def test_budget_counts_rejected_tokens_like_the_global_prefix(spark, tmp_path):
+    """Review r11: the cross-batch carry must count ALL dedup-survivor
+    tokens, accepted or rejected — the global prefix's cumulative sum
+    does, so once a doc overflows the budget is exhausted permanently.
+    A later small doc must NOT slip in through the leftover gap."""
+    from geo_explorer_etl_spark.operators.corpus import (
+        build_training_corpus,
+        ingest_corpus_batch,
+    )
+
+    big = "word " * 37 + "tail"          # 38 tokens
+    over = "other words " * 5            # 10 tokens -> cum 48 > 40
+    tiny = "just two more little ones"   # 5 tokens, would fit the gap
+    rows = [(1, big), (2, over), (11, tiny)]
+    store = TableStore(spark, str(tmp_path / "wh"))
+    accepted = []
+    for b in (rows[:2], rows[2:]):
+        kept = ingest_corpus_batch(
+            store, _ingest_docs(spark, b), min_tokens=3, token_budget=40
+        )
+        accepted += [r.doc_id for r in kept.select("doc_id").collect()]
+    expected = sorted(
+        r.doc_id
+        for r in build_training_corpus(
+            _ingest_docs(spark, rows), min_tokens=3, token_budget=40
+        ).select("doc_id").collect()
+    )
+    assert sorted(accepted) == expected == [1]  # 2 overflows, 11 stays out
+
+
+def test_ingest_retry_after_partial_run_converges(spark, tmp_path):
+    """Review r11 crash ordering: a run that died AFTER the corpus
+    append but BEFORE the index persist must converge when the same
+    batch is re-ingested — no duplicate corpus rows, no double budget
+    charge, indexes completed."""
+    from geo_explorer_etl_spark.operators.corpus import (
+        _apply_gates,
+        _budget_admit,
+        ingest_corpus_batch,
+    )
+    from geo_explorer_etl_spark.operators.incremental_dedup import dedup_decide
+    from geo_explorer_etl_spark.sources.store import PARTITION_COL
+
+    rows = [(1, "a genuinely long document about engines " * 2),
+            (2, "a second long document concerning shuffles " * 2)]
+    batch = _ingest_docs(spark, rows)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # --- simulate the crashed run: gates -> decide -> budget -> corpus
+    # append, then DIE before dedup_persist
+    gated = _apply_gates(batch, "text", "doc_id", ("en",), 3, 100_000, 0.0, 0.0)
+    kept, _sh, _bn, rep = dedup_decide(store, gated, "text", "doc_id")
+    kept = _budget_admit(store, "Corpus", kept, "text", "doc_id", 1000, 100_000, rep)
+    store.append(
+        "Corpus", kept.withColumn(PARTITION_COL, F.lit(0).cast("long"))
+    )
+    store.adopt_manifests("Corpus")
+    charged = store._backend.read(
+        __import__("pathlib").Path(store.root), "_corpus_budget_Corpus.json"
+    )[1]["tokens"]
+    # --- the retry: full ingest of the SAME batch
+    rep2: dict = {}
+    ingest_corpus_batch(
+        store, batch, min_tokens=3, token_budget=1000, report=rep2
+    )
+    # converged: corpus holds each doc once, budget charged once
+    corpus = store.read("Corpus")
+    assert sorted(r.doc_id for r in corpus.select("doc_id").collect()) == [1, 2]
+    body = store._backend.read(
+        __import__("pathlib").Path(store.root), "_corpus_budget_Corpus.json"
+    )[1]
+    assert body["tokens"] == charged  # no double charge
+    assert rep2["budget_tokens_consumed"] == charged
+    # indexes completed: a re-ingest of a copy now dedups against them
+    rep3: dict = {}
+    kept3 = ingest_corpus_batch(
+        store,
+        _ingest_docs(spark, [(21, rows[0][1])]),
+        min_tokens=3,
+        token_budget=1000,
+        report=rep3,
+    )
+    assert kept3.count() == 0
