@@ -70,6 +70,26 @@ def register_star_views(
     for t in PRODUCT_TABLES:
         if snapshot_at is not None:
             df = store.read_at(t, snapshot_at)
+            # read_at resolves MANIFEST history only; a table with
+            # listing-mode partitions (plain appends never adopted)
+            # would silently lose those rows — fall back to the
+            # pin-at-registration read for that table and say so
+            # (review r11). adopt_manifests(t) upgrades the table so
+            # the true time-travel pin applies next time.
+            desc = store.describe(t)
+            if desc and desc.get("listing_partitions"):
+                import warnings
+
+                warnings.warn(
+                    f"register_star_views: table {t!r} has "
+                    f"{desc['listing_partitions']} listing-mode "
+                    "partition(s) that cannot time-travel — its view "
+                    "pins the CURRENT snapshot instead of "
+                    f"snapshot_at; run store.adopt_manifests({t!r}) "
+                    "to make the pin exact",
+                    stacklevel=2,
+                )
+                df = store.read(t)
         else:
             df = store.read(t)  # existence + schema probe (driver-side)
             if df is not None:

@@ -317,3 +317,36 @@ def test_register_star_views_snapshot_at_is_cross_table_consistent(spark, tmp_pa
         "JOIN Indicators i ON v.IndicatorValueId = i.IndicatorId"
     ).collect()[0]
     assert (row.Value, row.Name) == (99.0, "new")
+
+
+def test_snapshot_views_warn_and_include_listing_mode_tables(spark, tmp_path):
+    """Review r11: read_at resolves manifest history only — a table
+    with listing-mode partitions must not silently lose rows from a
+    snapshot-pinned view; it falls back to the current read with a
+    warning naming adopt_manifests."""
+    import warnings
+
+    from geo_explorer_etl_spark.plans.sql_views import register_star_views
+
+    root = str(tmp_path / "wh")
+    store = TableStore(spark, root)
+    # plain append on a fresh table = listing mode (no manifest)
+    store.append(
+        "Indicators",
+        spark.createDataFrame(
+            [(1, "x")], "IndicatorId LONG, Name STRING"
+        ).withColumn(PARTITION_COL, F.lit(1).cast("long")),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        registered = register_star_views(spark, store, snapshot=True)
+    assert "Indicators" in registered
+    assert any("listing-mode" in str(x.message) for x in w)
+    assert spark.sql("SELECT count(*) c FROM Indicators").collect()[0].c == 1
+    # adopted -> the exact pin applies, no warning
+    store.adopt_manifests("Indicators")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        register_star_views(spark, store, snapshot=True)
+    assert not any("listing-mode" in str(x.message) for x in w)
+    assert spark.sql("SELECT count(*) c FROM Indicators").collect()[0].c == 1
