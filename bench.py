@@ -34,6 +34,11 @@ HEADLINE = [
     "w1_sequential_ids",
     "o3_topk_per_group",
     "dedup_exact",
+    # NOTE since round 11 dedup_minhash_lsh carries a SECOND leg under
+    # the same hash — the incremental new-batch-vs-corpus probe through
+    # a persisted band index (signatures computed for both halves, a
+    # store round-trip included) — so its timings are not directly
+    # comparable with BENCH_r{<=10}.
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine_bucketed",

@@ -112,17 +112,73 @@ def _minhash_coeff_values_sql(num_hashes: int = 16) -> str:
         SELECT doc_id, seed // 4 AS band_id,
                string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_hash
         FROM sig GROUP BY doc_id, seed // 4)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    SELECT 'batch' AS leg, a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    UNION
+    -- the INCREMENTAL leg (round 11): new-batch-vs-corpus candidates
+    -- through the persisted band index equal the union's pairs whose
+    -- larger id falls in the new half (ids monotone with ingest)
+    SELECT 'incr', a.doc_id, b.doc_id
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    WHERE b.doc_id >= (SELECT MAX(doc_id) // 2 FROM documents)
     """,
-    tags="ext dedup minhash lsh",
+    tags="ext dedup minhash lsh incremental",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return DD.minhash_lsh_candidates(
-        docs, text_col="text", id_col="doc_id", n=3, num_hashes=16, bands=4
+    """Banded-LSH candidates, two legs under ONE hash: the batch
+    operator over all documents, and (round 11, VERDICT directive #3)
+    the INCREMENTAL path — the corpus half's band keys persisted as a
+    range-clustered TableStore index, the new half probing it through
+    zone-map file pruning plus an in-batch self-join. The incremental
+    candidate set provably equals the union's pairs whose larger id is
+    new (monotone ids), which is exactly what DuckDB recomputes — a
+    drifted band key, a mis-pruned index probe, or a lost corpus edge
+    all break the value hash."""
+    import tempfile
+
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        BAND_TABLE,
+        _append_clustered,
+        _band_rows,
     )
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    batch = DD.minhash_lsh_candidates(
+        docs, text_col="text", id_col="doc_id", n=3, num_hashes=16, bands=4
+    ).select(F.lit("batch").alias("leg"), "doc_a", "doc_b")
+
+    split = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    old_half = docs.filter(F.col("doc_id") < split)
+    new_half = docs.filter(F.col("doc_id") >= split)
+    store = TableStore(spark, tempfile.mkdtemp(prefix="lsh_incr_"))
+    _append_clustered(
+        store, BAND_TABLE,
+        _band_rows(old_half, "text", "doc_id", 3, 16, 4), "band_hash", 4,
+    )
+    bands_new = _band_rows(new_half, "text", "doc_id", 3, 16, 4).localCheckpoint(
+        eager=True
+    )
+    keys = [r[0] for r in bands_new.select("band_hash").distinct().collect()]
+    old_bands = store.read(BAND_TABLE, where=[("band_hash", "in", keys)])
+    new_a = bands_new.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    new_b = bands_new.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    incr = new_a.join(new_b, ["band_id", "band_hash"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    ).select("doc_a", "doc_b")
+    if old_bands is not None:
+        incr = incr.unionByName(
+            bands_new.join(
+                old_bands.select(
+                    F.col("doc_id").alias("_old"), "band_id", "band_hash"
+                ),
+                ["band_id", "band_hash"],
+            ).select(F.col("_old").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    incr = incr.distinct().select(F.lit("incr").alias("leg"), "doc_a", "doc_b")
+    return batch.unionByName(incr)
 
 
 @register(
