@@ -136,12 +136,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new (monotone ids), which is exactly what DuckDB recomputes — a
     drifted band key, a mis-pruned index probe, or a lost corpus edge
     all break the value hash."""
+    import shutil
     import tempfile
 
     from geo_explorer_etl_spark.operators.incremental_dedup import (
         BAND_TABLE,
+        PROBE_CAP,
         _append_clustered,
         _band_rows,
+        _pruned_index,
     )
     from geo_explorer_etl_spark.sources.store import TableStore
 
@@ -150,34 +153,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="text", id_col="doc_id", n=3, num_hashes=16, bands=4
     ).select(F.lit("batch").alias("leg"), "doc_a", "doc_b")
 
-    split = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:  # empty corpus: the batch leg is the whole answer
+        return batch
+    split = max_id // 2
     old_half = docs.filter(F.col("doc_id") < split)
     new_half = docs.filter(F.col("doc_id") >= split)
-    store = TableStore(spark, tempfile.mkdtemp(prefix="lsh_incr_"))
-    _append_clustered(
-        store, BAND_TABLE,
-        _band_rows(old_half, "text", "doc_id", 3, 16, 4), "band_hash", 4,
-    )
-    bands_new = _band_rows(new_half, "text", "doc_id", 3, 16, 4).localCheckpoint(
-        eager=True
-    )
-    keys = [r[0] for r in bands_new.select("band_hash").distinct().collect()]
-    old_bands = store.read(BAND_TABLE, where=[("band_hash", "in", keys)])
-    new_a = bands_new.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
-    new_b = bands_new.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
-    incr = new_a.join(new_b, ["band_id", "band_hash"]).filter(
-        F.col("doc_a") < F.col("doc_b")
-    ).select("doc_a", "doc_b")
-    if old_bands is not None:
-        incr = incr.unionByName(
-            bands_new.join(
-                old_bands.select(
-                    F.col("doc_id").alias("_old"), "band_id", "band_hash"
-                ),
-                ["band_id", "band_hash"],
-            ).select(F.col("_old").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    root = tempfile.mkdtemp(prefix="lsh_incr_")
+    try:
+        store = TableStore(spark, root)
+        _append_clustered(
+            store, BAND_TABLE,
+            _band_rows(old_half, "text", "doc_id", 3, 16, 4), "band_hash", 4,
         )
-    incr = incr.distinct().select(F.lit("incr").alias("leg"), "doc_a", "doc_b")
+        bands_new = _band_rows(new_half, "text", "doc_id", 3, 16, 4).localCheckpoint(
+            eager=True
+        )
+        # the SAME capped probe rule as incremental_dedup (review r11:
+        # an unbounded collect + isin would blow the driver at scale)
+        keys = [
+            r[0]
+            for r in bands_new.select("band_hash")
+            .distinct()
+            .limit(PROBE_CAP + 1)
+            .collect()
+        ]
+        old_bands = _pruned_index(store, BAND_TABLE, "band_hash", keys, {})
+        new_a = bands_new.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+        new_b = bands_new.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+        incr = new_a.join(new_b, ["band_id", "band_hash"]).filter(
+            F.col("doc_a") < F.col("doc_b")
+        ).select("doc_a", "doc_b")
+        if old_bands is not None:
+            incr = incr.unionByName(
+                bands_new.join(
+                    old_bands.select(
+                        F.col("doc_id").alias("_old"), "band_id", "band_hash"
+                    ),
+                    ["band_id", "band_hash"],
+                ).select(F.col("_old").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+            )
+        incr = (
+            incr.distinct()
+            .select(F.lit("incr").alias("leg"), "doc_a", "doc_b")
+            # materialize BEFORE the temp index is deleted below — the
+            # bench re-invokes this entry several times per run and an
+            # undeleted index leaked half the corpus per call (review r11)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return batch.unionByName(incr)
 
 

@@ -66,20 +66,21 @@ def register_star_views(
     if snapshot_at is None:
         register_store_source(spark)
     backend = "cas" if isinstance(store._backend, CASBackend) else "localfs"
+    import warnings
+
     registered = []
     for t in PRODUCT_TABLES:
         if snapshot_at is not None:
-            df = store.read_at(t, snapshot_at)
             # read_at resolves MANIFEST history only; a table with
             # listing-mode partitions (plain appends never adopted)
-            # would silently lose those rows — fall back to the
-            # pin-at-registration read for that table and say so
-            # (review r11). adopt_manifests(t) upgrades the table so
-            # the true time-travel pin applies next time.
+            # would silently lose those rows — check describe() FIRST
+            # (cheap metadata; also avoids building a read_at plan just
+            # to discard it) and fall back to the pin-at-registration
+            # read for that table, saying so (review r11).
+            # adopt_manifests(t) upgrades the table so the true
+            # time-travel pin applies next time.
             desc = store.describe(t)
             if desc and desc.get("listing_partitions"):
-                import warnings
-
                 warnings.warn(
                     f"register_star_views: table {t!r} has "
                     f"{desc['listing_partitions']} listing-mode "
@@ -90,6 +91,8 @@ def register_star_views(
                     stacklevel=2,
                 )
                 df = store.read(t)
+            else:
+                df = store.read_at(t, snapshot_at)
         else:
             df = store.read(t)  # existence + schema probe (driver-side)
             if df is not None:

@@ -1828,6 +1828,7 @@ class TableStore:
         # (normally one group; eras only mix for an as_of taken
         # mid-admin-op across partitions)
         groups: dict[tuple, dict] = {}
+        skipped_listing = []
         for entry in sorted(p.iterdir()):
             if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                 continue
@@ -1843,6 +1844,15 @@ class TableStore:
                         f"read_at({table!r}, {as_of}): snapshot pruned from the "
                         f"journal ({entry.name}) — outside vacuum retention"
                     )
+                # a LISTING-MODE partition (plain appends, no manifest
+                # history) has no snapshots to resolve: its rows are
+                # silently absent from every read_at — warn ONCE per
+                # call so no caller mistakes that for "the data did not
+                # exist yet" (review r11; adopt_manifests upgrades it)
+                if self._manifest(entry) is None and any(
+                    entry.glob("*.parquet")
+                ):
+                    skipped_listing.append(entry.name)
                 continue
             colmap = best.get("colmap") or {}
             key = (best.get("schema"), tuple(sorted(colmap.items())))
@@ -1850,6 +1860,16 @@ class TableStore:
             g["files"] += [str(entry / n) for n in best["files"]]
             for n, e in (best.get("dv") or {}).items():
                 g["dv"].append((entry, n, e))
+        if skipped_listing:
+            import warnings
+
+            warnings.warn(
+                f"read_at({table!r}): listing-mode partition(s) "
+                f"{skipped_listing} hold files but no manifest history — "
+                "their rows are absent from the snapshot; run "
+                f"adopt_manifests({table!r}) to make them time-travelable",
+                stacklevel=2,
+            )
         if not any(g["files"] for g in groups.values()):
             return None
         out: DataFrame | None = None
