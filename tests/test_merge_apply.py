@@ -405,3 +405,69 @@ def test_merge_apply_swap_aborts_and_retries_under_concurrent_replace(
     part = __import__("pathlib").Path(store.root) / "IndicatorValues" / f"{PARTITION_COL}={PID}"
     m = store._manifest(part)
     assert all((part / n).exists() for n in m["files"])
+
+
+def test_merge_apply_randomized_differential_vs_model(spark, tmp_path):
+    """Seeded property differential: random op batches (clause-routed
+    deletes, replaces, SET-updates, inserts, by-source deletes) applied
+    via merge_apply must equal a driver-side dict model of the
+    semantics. Fixed seed — deterministic gate, broad coverage."""
+    import random
+
+    rng = random.Random(11)
+    store = _store(spark, tmp_path, n_files=3, n=30)
+    # driver-side model of the table: k -> (status, amount)
+    model = {k: ("live", float(k)) for k in range(30)}
+    next_id = 1000
+    for round_no in range(4):
+        ops = []
+        keys = rng.sample(sorted(model) + [next_id + i for i in range(5)], 8)
+        for k in keys:
+            ops.append((k, rng.choice(["D", "R", "S", "I"]),
+                        f"s{round_no}", float(rng.randint(0, 99))))
+        next_id += 5
+        src = _src(spark, [(k, op, st, am) for k, op, st, am in ops])
+        bs_cut = float(rng.randint(0, 120))
+        counts = store.merge_apply(
+            "IndicatorValues",
+            src,
+            ["k"],
+            when_matched=[
+                {"condition": "op = 'D'", "action": "delete"},
+                {"condition": "op = 'R'", "action": "update"},
+                {"condition": "op = 'S'", "action": "update",
+                 "set": {"amount": "amount + 1000"}},
+            ],
+            when_not_matched=[{"condition": "op IN ('R', 'I')"}],
+            when_not_matched_by_source=[
+                {"condition": [("amount", ">=", bs_cut)], "action": "delete"}
+            ],
+            drop_cols=["op"],
+        )
+        # drive the model with the same semantics
+        src_keys = {k for k, *_ in ops}
+        exp = {"updated": 0, "deleted": 0, "inserted": 0, "deleted_by_source": 0}
+        for k, op, st, am in ops:
+            if k in model:
+                if op == "D":
+                    del model[k]; exp["deleted"] += 1
+                elif op == "R":
+                    model[k] = (st, am); exp["updated"] += 1
+                elif op == "S":
+                    model[k] = (model[k][0], model[k][1] + 1000)
+                    exp["updated"] += 1
+                # op == 'I' on a matched key: no clause fires -> no-op
+            else:
+                if op in ("R", "I"):
+                    model[k] = (st, am); exp["inserted"] += 1
+        for k in list(model):
+            if k not in src_keys and model[k][1] >= bs_cut:
+                del model[k]; exp["deleted_by_source"] += 1
+        assert counts == exp, f"round {round_no}: {counts} != {exp}"
+        got = {
+            r.k: (r.status, r.amount)
+            for r in store.read("IndicatorValues")
+            .select("k", "status", "amount")
+            .collect()
+        }
+        assert got == model, f"round {round_no}"
