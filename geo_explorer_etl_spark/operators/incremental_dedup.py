@@ -107,14 +107,19 @@ def _append_clustered(
 def _pruned_index(
     store: TableStore, table: str, col: str, values: list, report: dict
 ) -> DataFrame | None:
-    """The persisted index restricted to the batch's own key values —
-    a zone-map-pruned file scan when the probe list fits PROBE_CAP,
-    a full scan (reported, never silent) beyond it."""
+    """The persisted index restricted to the batch's own key FILES —
+    a zone-map-pruned scan when the probe list fits PROBE_CAP, a full
+    scan (reported, never silent) beyond it. PRUNE-ONLY on purpose:
+    the returned frame is a superset (whole pruned files) and every
+    caller's next step is an equi/anti-join on the probed column,
+    which enforces exact membership for free — while the row-filter
+    expression a 10k-literal isin() would build costs seconds of
+    driver time per probe (measured; review r11)."""
     if not values:
         return None  # empty batch: nothing can match
     if len(values) <= PROBE_CAP:
         report[f"{table}_probe"] = "pruned"
-        return store.read(table, where=[(col, "in", values)])
+        return store.read(table, where=[(col, "in", values)], prune_only=True)
     report[f"{table}_probe"] = "full_scan"
     return store.read(table)
 

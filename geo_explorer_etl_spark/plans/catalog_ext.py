@@ -149,26 +149,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_explorer_etl_spark.sources.store import TableStore
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    batch = DD.minhash_lsh_candidates(
-        docs, text_col="text", id_col="doc_id", n=3, num_hashes=16, bands=4
-    ).select(F.lit("batch").alias("leg"), "doc_a", "doc_b")
+    # ONE signature pass feeds BOTH legs (the signatures are the
+    # dominant cost — review r11: recomputing them per half tripled
+    # the entry's bench time); band_keys is the same shared banding
+    # rule minhash_lsh_candidates uses, so the batch leg below is
+    # bit-identical to the plain operator
+    sig = DD.minhash_signatures(
+        docs, text_col="text", id_col="doc_id", n=3, num_hashes=16
+    ).persist()
+    banded = DD.band_keys(sig, "doc_id", 16, 4)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    batch = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .select(F.lit("batch").alias("leg"), "doc_a", "doc_b")
+    )
 
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     if max_id is None:  # empty corpus: the batch leg is the whole answer
-        return batch
+        sig.unpersist()
+        return batch.localCheckpoint(eager=True)
     split = max_id // 2
-    old_half = docs.filter(F.col("doc_id") < split)
-    new_half = docs.filter(F.col("doc_id") >= split)
     root = tempfile.mkdtemp(prefix="lsh_incr_")
     try:
         store = TableStore(spark, root)
         _append_clustered(
             store, BAND_TABLE,
-            _band_rows(old_half, "text", "doc_id", 3, 16, 4), "band_hash", 4,
+            banded.filter(F.col("doc_id") < split), "band_hash", 4,
         )
-        bands_new = _band_rows(new_half, "text", "doc_id", 3, 16, 4).localCheckpoint(
-            eager=True
-        )
+        bands_new = banded.filter(F.col("doc_id") >= split)
         # the SAME capped probe rule as incremental_dedup (review r11:
         # an unbounded collect + isin would blow the driver at scale)
         keys = [
@@ -193,9 +205,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ["band_id", "band_hash"],
                 ).select(F.col("_old").alias("doc_a"), F.col("doc_id").alias("doc_b"))
             )
-        incr = (
-            incr.distinct()
-            .select(F.lit("incr").alias("leg"), "doc_a", "doc_b")
+        out = (
+            batch.unionByName(
+                incr.distinct().select(
+                    F.lit("incr").alias("leg"), "doc_a", "doc_b"
+                )
+            )
             # materialize BEFORE the temp index is deleted below — the
             # bench re-invokes this entry several times per run and an
             # undeleted index leaked half the corpus per call (review r11)
@@ -203,7 +218,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return batch.unionByName(incr)
+        sig.unpersist()
+    return out
+
+
+def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH twin: the plain batch LSH operator alone — the shape every
+    BENCH_r<=10 timed under the name dedup_minhash_lsh, kept separately
+    so round-over-round timings stay comparable (the registered entry
+    now carries the incremental leg too)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.minhash_lsh_candidates(
+        docs, text_col="text", id_col="doc_id", n=3, num_hashes=16, bands=4
+    )
 
 
 @register(

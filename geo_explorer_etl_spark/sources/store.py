@@ -1699,7 +1699,7 @@ class TableStore:
             return df.filter(flt)
         return self._apply_dv_mask(df, self._dv_probe(triples), "exclude")
 
-    def read(self, table: str, where=None) -> DataFrame | None:
+    def read(self, table: str, where=None, prune_only: bool = False) -> DataFrame | None:
         """None when the table has no data yet (including the
         every-partition-deleted state). Reads resolve through the
         committed manifests — the explicit file list (with basePath so
@@ -1718,7 +1718,16 @@ class TableStore:
         without opening files that provably hold no matching row. At
         100 TB this is the difference between scanning a product's
         whole history and touching only the files covering one RefDate
-        range."""
+        range.
+
+        ``prune_only=True`` keeps the FILE-LIST pruning but skips the
+        final row filter, returning the pruned files' full contents (a
+        SUPERSET of the predicate's rows). For huge ``in`` probes the
+        row filter is the expensive part — a 10k-literal isin() costs
+        seconds of py4j marshaling + Catalyst work — and callers whose
+        next step is an equi/anti-JOIN on the same column (the
+        incremental-dedup index probes) get exact results from the
+        join itself, so the filter would be pure overhead."""
         p = Path(self._path(table))
         if not p.exists():
             return None
@@ -1747,7 +1756,7 @@ class TableStore:
                     ).filter(F.lit(False))
             return None
         df = _rename_to_logical(self._scan_with_dv(reader, files, dv_sel), colmap)
-        if where:
+        if where and not prune_only:
             df = df.filter(_where_expr(where))
         return df
 
