@@ -945,10 +945,7 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # renamed column through the mapping, schema alignment — so the
     # query-time SQL serving path sits under this entry's value hash,
     # not just a row-count check.
-    from geo_explorer_etl_spark.sources.store_source import (
-        register_store_source,
-        store_table,
-    )
+    from geo_explorer_etl_spark.sources.store_source import register_store_source
 
     register_store_source(spark)
     # v2 pins its snapshot the classic way — store.read resolves the
@@ -992,8 +989,18 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v3 is served THROUGH the batch data source (query-time manifest
     # resolution = the post-MERGE snapshot), putting store_source.py's
     # executor pyarrow path — the fresh DV masks, the renamed column
-    # through the mapping, the evolved 'op' column — under the hash
-    v3_served = store_table(spark, store.root, "IndicatorValues")
+    # through the mapping, the evolved 'op' column — under the hash.
+    # Round 12 (VERDICT r11 next #1): served via the PRUNED catalog
+    # path — create_catalog_table with pushdown=true (options ride the
+    # schema field metadata; fresh provider per statement makes the
+    # pruning concurrency-safe) — so the catalog serving path, not
+    # just the temp-view one, sits under the DuckDB value hash.
+    from geo_explorer_etl_spark.sources.store_source import create_catalog_table
+
+    v3_cat = create_catalog_table(
+        spark, "mtt_v3_served", store.root, "IndicatorValues", replace=True
+    )
+    v3_served = spark.table(v3_cat)
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
