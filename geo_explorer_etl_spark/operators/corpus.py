@@ -52,14 +52,19 @@ def build_training_corpus(
     bands: int = 4,
     token_budget: int | None = None,
     budget_bucket_width: int = 100_000,
+    eval_df: DataFrame | None = None,
+    decon_ngram: int = 13,
 ) -> DataFrame:
     """The cleaned corpus: original document rows (all columns) that
     survive every gate, deterministically — same input, same survivor
     set, independent of partitioning (min-id representatives, id-ordered
-    budget prefix)."""
+    budget prefix). ``eval_df`` switches on the decontamination gate
+    (docs sharing a ``decon_ngram``-gram with the eval suite drop —
+    ``_apply_gates`` docstring for ordering)."""
     kept = _apply_gates(
         docs, text_col, id_col, languages,
         min_tokens, max_tokens, min_stopword_ratio, min_distinct_ratio,
+        eval_df=eval_df, decon_ngram=decon_ngram,
     )
 
     # exact dedup: the canonical (min-id) doc of each content group
@@ -91,10 +96,19 @@ def _apply_gates(
     max_tokens: int,
     min_stopword_ratio: float,
     min_distinct_ratio: float,
+    eval_df: DataFrame | None = None,
+    decon_ngram: int = 13,
 ) -> DataFrame:
     """THE language/quality gate stage, shared by the batch builder
     and ``ingest_corpus_batch`` — the ingest/batch equivalence
-    contract depends on one definition (review r11)."""
+    contract depends on one definition (review r11). ``eval_df``
+    (r12, VERDICT r11 next #3) adds the DECONTAMINATION gate: any doc
+    sharing a ``decon_ngram``-gram with the eval suite is dropped —
+    it runs AFTER the cheap row-local gates (fewer docs to shingle)
+    and BEFORE dedup (a contaminated doc must not be the kept
+    representative of a clean duplicate group). A doc that IS
+    row-identical to a clean doc still survives through its clean
+    twin; near-dup grouping likewise prefers clean survivors."""
     lang = TX.langid(docs, text_col=text_col, id_col=id_col)
     kept = docs.join(
         lang.filter(F.col("lang_guess").isin(*languages)).select(id_col), id_col
@@ -106,7 +120,13 @@ def _apply_gates(
         & (F.col("stopword_ratio") >= min_stopword_ratio)
         & (F.col("distinct_ratio") >= min_distinct_ratio)
     ).select(id_col)
-    return kept.join(good, id_col)
+    kept = kept.join(good, id_col)
+    if eval_df is not None:
+        flagged = DD.decontaminate(
+            kept, eval_df, n=decon_ngram, text_col=text_col, id_col=id_col
+        ).select(id_col)
+        kept = kept.join(flagged, id_col, "left_anti")
+    return kept
 
 
 def _prefix_under_budget(
@@ -253,6 +273,8 @@ def ingest_corpus_batch(
     budget_bucket_width: int = 100_000,
     corpus_table: str = "Corpus",
     report: dict | None = None,
+    eval_df: DataFrame | None = None,
+    decon_ngram: int = 13,
 ) -> DataFrame:
     """The INCREMENTAL twin of ``build_training_corpus`` — the daily
     ingest a production pipeline actually runs, in O(batch):
@@ -298,6 +320,7 @@ def ingest_corpus_batch(
     gated = _apply_gates(
         batch, text_col, id_col, languages,
         min_tokens, max_tokens, min_stopword_ratio, min_distinct_ratio,
+        eval_df=eval_df, decon_ngram=decon_ngram,
     )
     kept, surv_hashes, bands_new, rep = dedup_decide(
         store, gated, text_col, id_col, shingle_n, num_hashes, bands, rep

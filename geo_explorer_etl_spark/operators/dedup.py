@@ -88,6 +88,59 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination report (VERDICT r11 next #3): the
+    GPT-3/Dolma n-gram rule — a training document is CONTAMINATED if
+    it shares at least one word ``n``-gram (default 13) with any
+    document of the benchmark/eval suite. Returns one row per flagged
+    document: ``(id_col, decon_overlap, decon_eval_hits,
+    decon_sample)`` — distinct shared shingles, distinct eval docs
+    hit, and the lexicographically-first offending shingle (a
+    deterministic span sample for audit). Callers drop flagged docs
+    with a left-anti join (``build_training_corpus(eval_df=...)``
+    wires that gate in).
+
+    Scale shape: eval suites are benchmark-sized (thousands of docs →
+    ~1e6 distinct shingles), so the eval side reduces to DISTINCT
+    shingles and BROADCASTS — the corpus side's (doc × shingle)
+    explosion joins map-side, no shuffle of fact data. For an
+    oversized eval set pass ``broadcast_eval=False``: the equi-join
+    keys on the high-cardinality shingle string, a well-distributed
+    hash shuffle (the ngram_jaccard_pairs argument). Tokenization is
+    ``_shingles``' rule (lower + whitespace split), shared with every
+    other shingle operator so one definition governs."""
+    ev = shingle_df(
+        eval_docs.select(
+            F.col(eval_id_col or id_col).alias("_eval_id"),
+            F.col(eval_text_col or text_col).alias("_eval_text"),
+        ),
+        "_eval_text",
+        "_eval_id",
+        n,
+    ).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        shingle_df(docs, text_col, id_col, n)
+        .join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("decon_overlap"),
+            F.countDistinct("_eval_id").alias("decon_eval_hits"),
+            F.min("shingle").alias("decon_sample"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.1
 ) -> DataFrame:

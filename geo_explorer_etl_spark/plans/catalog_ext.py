@@ -388,8 +388,34 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_filter(list_transform(string_split(text, chr(10)),
                                                  x -> trim(x)),
                                   x -> x != '') AS lines
-               FROM documents)
-    SELECT doc_id,
+               FROM documents),
+    -- decontamination leg (r12): eval suite = a 200-char span of every
+    -- 101st doc; any doc sharing an 8-gram with a span is contaminated
+    dtoks AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS dt
+              FROM documents),
+    dsh AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(dt) - 6),
+                       i -> dt[i] || ' ' || dt[i+1] || ' ' || dt[i+2] || ' ' ||
+                            dt[i+3] || ' ' || dt[i+4] || ' ' || dt[i+5] || ' ' ||
+                            dt[i+6] || ' ' || dt[i+7]))) AS shingle
+            FROM dtoks WHERE len(dt) >= 8),
+    etoks AS (SELECT doc_id AS eval_id,
+                     string_split_regex(trim(lower(substr(text, 50, 200))), '\\s+') AS et
+              FROM documents WHERE doc_id % 101 = 0),
+    esh AS (SELECT DISTINCT eval_id,
+                   unnest(list_distinct(list_transform(range(1, len(et) - 6),
+                       i -> et[i] || ' ' || et[i+1] || ' ' || et[i+2] || ' ' ||
+                            et[i+3] || ' ' || et[i+4] || ' ' || et[i+5] || ' ' ||
+                            et[i+6] || ' ' || et[i+7]))) AS shingle
+            FROM etoks WHERE len(et) >= 8),
+    decon AS (SELECT d.doc_id,
+                     COUNT(DISTINCT d.shingle) AS decon_overlap,
+                     COUNT(DISTINCT e.eval_id) AS decon_eval_hits,
+                     MIN(d.shingle) AS decon_sample
+              FROM dsh d JOIN esh e ON d.shingle = e.shingle
+              GROUP BY d.doc_id)
+    SELECT t.doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars_meta,
            ROUND(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in')))
@@ -406,10 +432,13 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
            CASE WHEN len(lines) <= 0 THEN 0.0
                 ELSE ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
-           END AS dup_line_fraction
-    FROM t
+           END AS dup_line_fraction,
+           CAST(COALESCE(dc.decon_overlap, 0) AS BIGINT) AS decon_overlap,
+           CAST(COALESCE(dc.decon_eval_hits, 0) AS BIGINT) AS decon_eval_hits,
+           dc.decon_sample
+    FROM t LEFT JOIN decon dc ON t.doc_id = dc.doc_id
     """,
-    tags="ext text quality fingerprint pii repetition",
+    tags="ext text quality fingerprint pii repetition decontamination",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features plus the order-insensitive content fingerprint
@@ -417,11 +446,33 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to Java-regex/RE2-identical syntax so they hash across
     engines) and the Gopher-style duplicate-line fraction. All folds
     of the one row-local scan (standalone entries would spend registry
-    slots the 50-cap doesn't have)."""
+    slots the 50-cap doesn't have).
+
+    Round 12 (VERDICT r11 next #3) folds the DECONTAMINATION report
+    under the same hash: the eval suite is derived in-query (a
+    200-char span of every 101st document — the planted-contamination
+    shape), and ``dedup.decontaminate`` flags every doc sharing an
+    8-gram with it. DuckDB rebuilds the shingle-membership join
+    exactly, so a tokenization drift, a lost shingle, or a wrong
+    overlap count breaks the value hash."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return TX.quality_scores(
+    q = TX.quality_scores(
         docs, text_col="text", id_col="doc_id",
         with_fingerprint=True, with_pii=True,
+    )
+    ev = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 50, 200).alias("etext"),
+    )
+    decon = DD.decontaminate(
+        docs, ev, n=8, text_col="text", id_col="doc_id",
+        eval_text_col="etext", eval_id_col="eval_id",
+    )
+    return q.join(decon, "doc_id", "left").select(
+        q["*"],
+        F.coalesce("decon_overlap", F.lit(0)).cast("long").alias("decon_overlap"),
+        F.coalesce("decon_eval_hits", F.lit(0)).cast("long").alias("decon_eval_hits"),
+        "decon_sample",
     )
 
 

@@ -557,3 +557,80 @@ def test_stride_seed_vectors_sparse_id_fallback(spark):
         warnings.simplefilter("ignore")
         again = stride_seed_vectors(sparse, k=10)
     assert seeds == again
+
+
+def test_decontaminate_flags_ngram_overlap_exactly(spark):
+    """The Dolma/GPT-3 rule with teeth: a planted doc sharing a full
+    13-gram with the eval suite is flagged with the right counts; a
+    doc sharing only a 12-gram (n-1) is NOT; tokenization is
+    case/whitespace-insensitive like every other shingle operator."""
+    from geo_explorer_etl_spark.operators.dedup import decontaminate
+
+    span = " ".join(f"w{i}" for i in range(13))  # the contaminated span
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix text {span} suffix text"),          # full 13-gram
+            (2, "PREFIX TEXT " + span.upper()),               # case variant
+            (3, " ".join(f"w{i}" for i in range(12)) + " zz"),  # only 12-gram
+            (4, "entirely unrelated document body here"),
+            (5, None),                                        # NULL text
+        ],
+        "doc_id LONG, text STRING",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"question: {span} ?"), (101, "another eval item")],
+        "eval_id LONG, etext STRING",
+    )
+    got = {
+        r.doc_id: (r.decon_overlap, r.decon_eval_hits)
+        for r in decontaminate(
+            docs, eval_df, n=13, eval_text_col="etext", eval_id_col="eval_id"
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1)}
+
+
+def test_decontaminate_counts_multiple_spans_and_eval_hits(spark):
+    """Overlap counts are DISTINCT shingles and DISTINCT eval docs —
+    a doc hit by two eval items reports both."""
+    from geo_explorer_etl_spark.operators.dedup import decontaminate
+
+    a = " ".join(f"a{i}" for i in range(13))
+    b = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, f"{a} bridge {b}")], "doc_id LONG, text STRING"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, a), (101, b), (102, a)], "doc_id LONG, text STRING"
+    )
+    [r] = decontaminate(docs, eval_df, n=13).collect()
+    assert r.decon_overlap == 2          # the two distinct 13-grams
+    assert r.decon_eval_hits == 3        # all three eval docs hit
+    assert r.decon_sample == a           # lexicographic min, deterministic
+
+
+def test_corpus_decontamination_gate_drops_planted_doc(spark):
+    """build_training_corpus(eval_df=...): the contaminated doc is
+    gone from the corpus, its clean near-identical twin survives, and
+    without eval_df the contaminated doc would have survived (the gate
+    is the only difference)."""
+    from geo_explorer_etl_spark.operators.corpus import build_training_corpus
+
+    span = " ".join(f"s{i}" for i in range(13))
+    base = "the a of and to in common words flow through this body "
+    docs = spark.createDataFrame(
+        [
+            (1, base + span),                 # contaminated
+            (2, base + "completely clean tail of words"),
+            (3, base + "another clean document body"),
+        ],
+        "doc_id LONG, text STRING",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    eval_df = spark.createDataFrame([(9, span)], "doc_id LONG, text STRING")
+    kw = dict(languages=("en",), min_tokens=1, near_dup=False)
+    with_gate = {
+        r.doc_id for r in build_training_corpus(docs, eval_df=eval_df, **kw).collect()
+    }
+    without_gate = {r.doc_id for r in build_training_corpus(docs, **kw).collect()}
+    assert with_gate == {2, 3}
+    assert without_gate == {1, 2, 3}
