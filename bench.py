@@ -118,6 +118,9 @@ def main() -> None:
     queries["bridge_join_plain"] = bucketed_bench.bridge_join_plain
     # comparable operator shape for the minhash row (see BENCH list note)
     queries["dedup_minhash_lsh"] = catalog_ext.dedup_minhash_batch_only
+    # same rule for the quality row (r12 folded the decontamination
+    # leg under the registered entry's hash)
+    queries["text_quality_scores"] = catalog_ext.text_quality_scores_plain
     for name in (
         "store_read_pruned",
         "store_read_full",

@@ -476,6 +476,19 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_scores_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH twin: the row-local quality scan alone — the shape every
+    BENCH_r<=11 timed under the name text_quality_scores, kept
+    separately so round-over-round timings stay comparable (the
+    registered entry now carries the decontamination leg too — the
+    dedup_minhash_batch_only rule)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return TX.quality_scores(
+        docs, text_col="text", id_col="doc_id",
+        with_fingerprint=True, with_pii=True,
+    )
+
+
 @register(
     "text_token_count_bpe",
     oracle="""
@@ -805,6 +818,7 @@ _ANN_IVF_ORACLE = f"""
                    row_number() OVER (ORDER BY list_dot_product(q.qv, c.v) DESC, c.c) AS rn
             FROM cents c, q)
         WHERE rn <= {_ANN_IVF_NPROBE})
+    , topk AS (
     SELECT a.vec_id, a.label,
            ROUND(list_dot_product(a.v, q.qv)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
@@ -812,24 +826,61 @@ _ANN_IVF_ORACLE = f"""
     FROM assigned a, q
     WHERE a.c IN (SELECT c FROM qcells) AND a.vec_id <> 0
     ORDER BY cosine DESC, a.vec_id
-    LIMIT 10
+    LIMIT 10)
+    SELECT 'mem' AS leg, * FROM topk
+    UNION ALL
+    SELECT 'index', * FROM topk
 """
 
 
 @register(
     "ann_ivf_topk",
     oracle=_ANN_IVF_ORACLE,
-    tags="ext similarity ivf",
+    tags="ext similarity ivf index",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k ANN with deterministic strided seeds (see the dedup
     twin above): every vector indexed to its nearest cell, the query
-    probes its 2 closest cells, exact cosine top-10 within them."""
+    probes its 2 closest cells, exact cosine top-10 within them.
+
+    Round 12 (VERDICT r11 next #4) adds a second leg under the same
+    hash: the identical query served from the PERSISTED AnnIvfIndex
+    (operators/ann_index.py) — build with the same centroids, probe
+    the store through zone-map pruning, exact cosine inside. The
+    oracle demands the two legs be row-identical, so any drift in the
+    store round-trip (array columns, cell clustering, the prune-only
+    probe, assignment tie-breaks) breaks the value hash."""
+    import shutil
+    import tempfile
+
+    from geo_explorer_etl_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    from geo_explorer_etl_spark.sources.store import TableStore
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     cents = SIM.stride_seed_vectors(emb, k=_ANN_IVF_K)
-    return SIM.ivf_topk(
+    mem = SIM.ivf_topk(
         emb, query_vec_id=0, k=10, nprobe=_ANN_IVF_NPROBE, centroids=cents
-    )
+    ).select(F.lit("mem").alias("leg"), "*")
+    root = tempfile.mkdtemp(prefix="ann_idx_")
+    try:
+        store = TableStore(spark, root)
+        build_ann_index(store, emb, centroids=cents)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        idx = ann_index_topk(
+            store, qvec, k=10, nprobe=_ANN_IVF_NPROBE, exclude_id=0
+        ).select(F.lit("index").alias("leg"), "*")
+        # materialize BEFORE the temp index is deleted (the
+        # dedup_minhash_lsh rule — bench re-invokes entries)
+        out = mem.unionByName(idx).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

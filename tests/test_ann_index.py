@@ -1,0 +1,157 @@
+"""Persisted incremental IVF ANN index (operators/ann_index.py) —
+VERDICT r11 next #4: batch-then-batch equals full rebuild bit-for-bit,
+the served top-k equals the in-memory operator exactly (plus recall
+gates vs brute force), and the cell probe is zone-map file-pruned."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.operators.ann_index import (
+    CENTROID_TABLE,
+    INDEX_PID,
+    INDEX_TABLE,
+    ann_index_topk,
+    append_ann_index,
+    build_ann_index,
+    load_centroids,
+)
+from geo_explorer_etl_spark.operators.similarity import cosine_topk
+from geo_explorer_etl_spark.session import load_tables
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _emb(spark, sf="/root/testdata/sf0.01"):
+    return load_tables(spark, sf, "embeddings")["embeddings"]
+
+
+def test_incremental_index_equals_full_rebuild_on_union(spark, tmp_path):
+    """With the SAME frozen centroids, building from three appends
+    must produce the exact (vec_id, cell) assignment set a one-shot
+    build over the union produces — the incremental path is the same
+    answer, not an approximation."""
+    emb = _emb(spark).persist()
+    cut1, cut2 = 150, 300
+    store_i = TableStore(spark, str(tmp_path / "incr"))
+    build_ann_index(store_i, emb.filter(F.col("vec_id") < cut1), n_centroids=8)
+    cents = load_centroids(store_i)
+    append_ann_index(
+        store_i, emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2))
+    )
+    append_ann_index(store_i, emb.filter(F.col("vec_id") >= cut2))
+
+    store_f = TableStore(spark, str(tmp_path / "full"))
+    build_ann_index(store_f, emb, centroids=cents)
+
+    ai = {
+        (r.vec_id, r.cell)
+        for r in store_i.read(INDEX_TABLE).select("vec_id", "cell").collect()
+    }
+    af = {
+        (r.vec_id, r.cell)
+        for r in store_f.read(INDEX_TABLE).select("vec_id", "cell").collect()
+    }
+    assert ai == af and len(ai) == emb.count()
+    # centroid tables identical too (frozen across appends)
+    assert load_centroids(store_f) == cents
+    emb.unpersist()
+
+
+def test_index_topk_equals_in_memory_ivf_and_recall_gates(spark, tmp_path):
+    """Two pins on the persisted serving path, averaged over several
+    query points:
+
+    1. EXACTNESS — ``ann_index_topk`` returns the IDENTICAL ranked
+       list ``similarity.ivf_topk`` computes in memory with the same
+       centroids (the store round-trip — array columns, clustering,
+       prune-only probe — changes nothing); this is strictly stronger
+       than any recall bar for the serving machinery itself.
+    2. RECALL vs brute force — ≥0.9 at nprobe=6, with a 0.45 sanity
+       floor at nprobe=2 (the testdata's cosine neighbourhoods
+       straddle its 10 label clusters, so deeper probes are what buys
+       recall here — measured 0.5 / 0.975 at nprobe 2 / 6, and the
+       IN-MEMORY operator sees the identical ceiling, which pin #1
+       proves)."""
+    emb = _emb(spark).persist()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # K = the data's true cluster count (labels 0..9 in the testdata)
+    build_ann_index(store, emb, n_centroids=10)
+    from geo_explorer_etl_spark.operators.similarity import ivf_topk
+
+    cents = load_centroids(store)
+    k, qids = 10, (3, 77, 201, 344)
+    hits = {2: 0, 6: 0}
+    for qid in qids:
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        truth = {r.vec_id for r in cosine_topk(emb, qid, k=k).collect()}
+        for nprobe in (2, 6):
+            got = [
+                (r.vec_id, r.cosine)
+                for r in ann_index_topk(
+                    store, qvec, k=k, nprobe=nprobe, exclude_id=qid
+                ).collect()
+            ]
+            hits[nprobe] += len(truth & {v for v, _ in got})
+            if nprobe == 2:
+                mem = [
+                    (r.vec_id, r.cosine)
+                    for r in ivf_topk(
+                        emb, qid, k=k, nprobe=2, centroids=cents
+                    ).collect()
+                ]
+                assert got == mem, f"q{qid}: index != in-memory"
+    total = k * len(qids)
+    assert hits[2] / total >= 0.45, f"recall@nprobe=2 {hits[2] / total}"
+    assert hits[6] / total >= 0.9, f"recall@nprobe=6 {hits[6] / total}"
+    emb.unpersist()
+
+
+def test_index_probe_is_zone_map_file_pruned(spark, tmp_path):
+    """The file-skip pin: a 2-cell probe opens FEWER files than the
+    index holds (appends are range-clustered on cell), and the probed
+    read still returns exactly the probed cells' rows."""
+    emb = _emb(spark)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    build_ann_index(store, emb.filter(F.col("vec_id") < 250), n_centroids=8, n_files=4)
+    append_ann_index(store, emb.filter(F.col("vec_id") >= 250), n_files=4)
+    all_files = store.live_files(INDEX_TABLE)
+    assert len(all_files) >= 6
+    probed = store.live_files(INDEX_TABLE, where=[("cell", "in", [0, 1])])
+    assert len(probed) < len(all_files)
+    # prune-only read + plan filter returns exactly the probed cells
+    got = (
+        store.read(INDEX_TABLE, where=[("cell", "in", [0, 1])], prune_only=True)
+        .filter(F.col("cell").isin([0, 1]))
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert {r.cell for r in got} <= {0, 1}
+
+
+def test_build_is_atomic_and_rebuild_replaces(spark, tmp_path):
+    """Centroids + assignments publish in ONE txn (manifest present
+    for both tables in the reserved partition); a rebuild REPLACES the
+    old index rather than accreting into it."""
+    emb = _emb(spark)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    build_ann_index(store, emb, n_centroids=4)
+    n1 = store.read(INDEX_TABLE).count()
+    for t in (CENTROID_TABLE, INDEX_TABLE):
+        assert store._manifest(
+            Path(store.root) / t / f"{PARTITION_COL}={INDEX_PID}"
+        ), t
+    build_ann_index(store, emb, n_centroids=8)
+    assert store.read(INDEX_TABLE).count() == n1  # replaced, not doubled
+    assert len(load_centroids(store)) == 8
+    rep: dict = {}
+    append_ann_index(store, emb.limit(0), report=rep)
+    assert rep["batch_rows"] == 0  # empty batch: no append, no error
+    with pytest.raises(ValueError, match="empty embedding frame"):
+        build_ann_index(store, emb.limit(0))
