@@ -54,13 +54,19 @@ def build_training_corpus(
     budget_bucket_width: int = 100_000,
     eval_df: DataFrame | None = None,
     decon_ngram: int = 13,
+    domain_weights: dict[str, float] | None = None,
+    domain_col: str = "source",
 ) -> DataFrame:
     """The cleaned corpus: original document rows (all columns) that
     survive every gate, deterministically — same input, same survivor
     set, independent of partitioning (min-id representatives, id-ordered
     budget prefix). ``eval_df`` switches on the decontamination gate
     (docs sharing a ``decon_ngram``-gram with the eval suite drop —
-    ``_apply_gates`` docstring for ordering)."""
+    ``_apply_gates`` docstring for ordering). ``domain_weights``
+    (VERDICT r11 next #5) splits ``token_budget`` into per-domain
+    budgets (``mixture_budgets``' deterministic rounding) and keeps
+    each domain's own ascending-id prefix — the 30%-code/5%-wiki
+    corpus-composition recipe; domains outside the mixture drop."""
     kept = _apply_gates(
         docs, text_col, id_col, languages,
         min_tokens, max_tokens, min_stopword_ratio, min_distinct_ratio,
@@ -80,7 +86,18 @@ def build_training_corpus(
         )
         kept = DD.keep_representatives(kept, pairs, id_col=id_col)
 
-    if token_budget is not None:
+    if domain_weights is not None:
+        if token_budget is None:
+            raise ValueError(
+                "build_training_corpus: domain_weights needs token_budget "
+                "(weights are fractions OF the total budget)"
+            )
+        kept = _prefix_under_budget_by_domain(
+            kept, text_col, id_col, domain_col,
+            mixture_budgets(token_budget, domain_weights),
+            budget_bucket_width,
+        )
+    elif token_budget is not None:
         kept = _prefix_under_budget(
             kept, text_col, id_col, token_budget, budget_bucket_width
         )
@@ -183,6 +200,88 @@ def _prefix_under_budget(
     return (out, int(running)) if return_total else out
 
 
+def mixture_budgets(token_budget: int, weights: dict[str, float]) -> dict[str, int]:
+    """Per-domain token budgets from mixture weights (VERDICT r11 next
+    #5): ``{"code": 0.3, "web": 0.65, "wiki": 0.05}`` × total budget,
+    rounded DETERMINISTICALLY by largest remainder (ties by domain
+    name) so the per-domain integers sum exactly to
+    ``floor(token_budget × sum(weights))`` — no token silently lost or
+    invented by floor-ing each domain independently."""
+    if not weights:
+        raise ValueError("mixture_budgets: empty weights")
+    bad = {d: w for d, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"mixture_budgets: negative weight(s) {bad}")
+    total_w = sum(weights.values())
+    if total_w > 1.0 + 1e-9:
+        raise ValueError(
+            f"mixture_budgets: weights sum to {total_w:.6f} > 1 — a "
+            "mixture cannot admit more than the total budget"
+        )
+    raw = {d: token_budget * w for d, w in weights.items()}
+    out = {d: int(raw[d]) for d in weights}
+    leftover = int(token_budget * total_w + 1e-9) - sum(out.values())
+    by_remainder = sorted(
+        weights, key=lambda d: (-(raw[d] - out[d]), d)
+    )
+    for d in by_remainder[:leftover]:
+        out[d] += 1
+    return out
+
+
+def _prefix_under_budget_by_domain(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_col: str,
+    budgets: dict[str, int],
+    bucket_width: int,
+    return_totals: bool = False,
+):
+    """The two-level budget prefix (``_prefix_under_budget``) run PER
+    DOMAIN: each domain keeps its own longest ascending-id prefix
+    within its own budget. Same scale shape — per-(domain, bucket)
+    totals are the only driver data (#domains × #buckets rows), the
+    within-bucket window now partitions by (domain, bucket). Docs
+    whose domain carries no weight are dropped (weight zero). NULL
+    domains are dropped too — a doc outside every declared mixture
+    component cannot be admitted against any budget."""
+    domains = sorted(budgets)
+    toks = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("_dom"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("_ntok"),
+        (F.col(id_col) / bucket_width).cast("long").alias("_bucket"),
+    ).filter(F.col(domain_col).isin(domains))
+    bucket_totals = (
+        toks.groupBy("_dom", "_bucket").agg(F.sum("_ntok").alias("_btot")).collect()
+    )
+    offsets: list[tuple] = []
+    totals: dict[str, int] = {d: 0 for d in domains}
+    for r in sorted(bucket_totals, key=lambda r: (r["_dom"], r["_bucket"])):
+        offsets.append((r["_dom"], r["_bucket"], totals[r["_dom"]]))
+        totals[r["_dom"]] += r["_btot"]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [("", -1, 0)], "_dom string, _bucket long, _offset long"
+    )
+    bud_df = spark.createDataFrame(
+        [(d, budgets[d]) for d in domains], "_dom string, _dbudget long"
+    )
+    w = Window.partitionBy("_dom", "_bucket").orderBy(id_col)
+    cum = (
+        toks.join(F.broadcast(off_df), ["_dom", "_bucket"])
+        .join(F.broadcast(bud_df), "_dom")
+        .withColumn("_cum", F.sum("_ntok").over(w) + F.col("_offset"))
+        .filter(F.col("_cum") <= F.col("_dbudget"))
+        .select(id_col)
+    )
+    out = docs.join(cum, id_col)
+    return (out, {d: int(n) for d, n in totals.items()}) if return_totals else out
+
+
 def corpus_report(docs: DataFrame, stages: dict[str, DataFrame]) -> dict[str, int]:
     """Eager per-stage survivor counts for observability — separate
     from the builder so the composed plan itself stays lazy."""
@@ -275,6 +374,8 @@ def ingest_corpus_batch(
     report: dict | None = None,
     eval_df: DataFrame | None = None,
     decon_ngram: int = 13,
+    domain_weights: dict[str, float] | None = None,
+    domain_col: str = "source",
 ) -> DataFrame:
     """The INCREMENTAL twin of ``build_training_corpus`` — the daily
     ingest a production pipeline actually runs, in O(batch):
@@ -325,10 +426,20 @@ def ingest_corpus_batch(
     kept, surv_hashes, bands_new, rep = dedup_decide(
         store, gated, text_col, id_col, shingle_n, num_hashes, bands, rep
     )
+    if domain_weights is not None and token_budget is None:
+        raise ValueError(
+            "ingest_corpus_batch: domain_weights needs token_budget"
+        )
     if token_budget is not None:
         kept = _budget_admit(
             store, corpus_table, kept, text_col, id_col,
             token_budget, budget_bucket_width, rep,
+            domain_budgets=(
+                mixture_budgets(token_budget, domain_weights)
+                if domain_weights is not None
+                else None
+            ),
+            domain_col=domain_col,
         )
     rep["accepted_rows"] = kept.count()
     if rep["accepted_rows"]:
@@ -365,6 +476,7 @@ def ingest_corpus_batch(
 def _budget_admit(
     store, corpus_table: str, kept: DataFrame, text_col: str, id_col: str,
     token_budget: int, bucket_width: int, rep: dict,
+    domain_budgets: dict[str, int] | None = None, domain_col: str = "source",
 ) -> DataFrame:
     """Cross-batch budget admission under optimistic concurrency: read
     the counter version, compute the prefix against the remaining
@@ -373,7 +485,12 @@ def _budget_admit(
     read-then-CAS admitted against stale 'remaining' and two racers
     jointly overspent). The blob records the last batch's digest and
     charge so an immediate RETRY of the same batch re-admits against
-    the pre-charge base instead of double-charging."""
+    the pre-charge base instead of double-charging.
+
+    With ``domain_budgets`` (r12, mixture sampling) the counter holds
+    one running total PER DOMAIN under the same CAS version — one
+    conditional write still commits the whole batch's charge
+    atomically, so racers can't jointly overspend any single domain."""
     import hashlib
     from pathlib import Path
 
@@ -390,36 +507,75 @@ def _budget_admit(
         f"{stats['lo']}|{stats['hi']}|{stats['n']}".encode()
     ).hexdigest()[:16]
     root = Path(store.root)
+
+    def admit(remaining, want_totals):
+        if domain_budgets is None:
+            return _prefix_under_budget(
+                kept, text_col, id_col, remaining, bucket_width,
+                return_total=want_totals,
+            )
+        return _prefix_under_budget_by_domain(
+            kept, text_col, id_col, domain_col, remaining, bucket_width,
+            return_totals=want_totals,
+        )
+
     while True:
         cur = store._backend.read(root, key)
         version = cur[0] if cur else 0
         body = dict(cur[1]) if cur else {}
-        consumed = int(body.get("tokens", 0))
+        if domain_budgets is None:
+            consumed = int(body.get("tokens", 0))
+            last = int(body.get("last_tokens", 0))
+        else:
+            consumed = {
+                d: int(n) for d, n in (body.get("domain_tokens") or {}).items()
+            }
+            last = {
+                d: int(n)
+                for d, n in (body.get("last_domain_tokens") or {}).items()
+            }
         if body.get("last_digest") == digest:
             # retry of the very batch that last charged: admit against
             # the PRE-charge base and skip the write (idempotent)
-            base = consumed - int(body.get("last_tokens", 0))
-            remaining = max(0, token_budget - base)
-            admitted, _total = _prefix_under_budget(
-                kept, text_col, id_col, remaining, bucket_width,
-                return_total=True,
-            )
+            if domain_budgets is None:
+                remaining = max(0, token_budget - (consumed - last))
+            else:
+                remaining = {
+                    d: max(0, b - (consumed.get(d, 0) - last.get(d, 0)))
+                    for d, b in domain_budgets.items()
+                }
+            admitted, _ = admit(remaining, True)
             rep["budget_tokens_consumed"] = consumed
             return admitted.localCheckpoint(eager=True)
-        remaining = max(0, token_budget - consumed)
-        admitted, batch_total = _prefix_under_budget(
-            kept, text_col, id_col, remaining, bucket_width,
-            return_total=True,
-        )
+        if domain_budgets is None:
+            remaining = max(0, token_budget - consumed)
+        else:
+            remaining = {
+                d: max(0, b - consumed.get(d, 0))
+                for d, b in domain_budgets.items()
+            }
+        admitted, batch_total = admit(remaining, True)
         admitted = admitted.localCheckpoint(eager=True)
-        new_body = {
-            "tokens": consumed + batch_total,
-            "last_digest": digest,
-            "last_tokens": batch_total,
-        }
+        if domain_budgets is None:
+            new_consumed = consumed + batch_total
+            new_body = {
+                "tokens": new_consumed,
+                "last_digest": digest,
+                "last_tokens": batch_total,
+            }
+        else:
+            new_consumed = {
+                d: consumed.get(d, 0) + batch_total.get(d, 0)
+                for d in set(consumed) | set(batch_total)
+            }
+            new_body = {
+                "domain_tokens": new_consumed,
+                "last_digest": digest,
+                "last_domain_tokens": batch_total,
+            }
         try:
             store._backend.write(root, key, new_body, expected_version=version)
-            rep["budget_tokens_consumed"] = consumed + batch_total
+            rep["budget_tokens_consumed"] = new_consumed
             return admitted
         except CommitConflict:
             continue  # a concurrent ingest moved the counter: recompute

@@ -489,28 +489,46 @@ def text_quality_scores_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Mixture leg of text_token_count_bpe (r12, VERDICT r11 next #5): a
+#: fixed recipe over the testdata's sources, budgets derived once
+#: here so the Spark side and the injected oracle literals can never
+#: drift.
+_MIX_BUDGET = 3000
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _mix_budget_values_sql() -> str:
+    from geo_explorer_etl_spark.operators.corpus import mixture_budgets
+
+    b = mixture_budgets(_MIX_BUDGET, _MIX_WEIGHTS)
+    rows = ", ".join(f"('{d}', {n})" for d, n in sorted(b.items()))
+    return f"(SELECT * FROM (VALUES {rows}) AS mb(source, dbudget))"
+
+
 @register(
     "text_token_count_bpe",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
                  AS n_bpe_tokens,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
         FROM documents),
     o AS (
-        SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+        SELECT doc_id, source, n_bpe_tokens, n_ws_tokens,
                CAST(COALESCE(SUM(n_bpe_tokens) OVER (
                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS BIGINT) AS pack_offset
+               ), 0) AS BIGINT) AS pack_offset,
+               SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS dom_cum
         FROM t)
-    SELECT doc_id, n_bpe_tokens, n_ws_tokens, pack_offset,
-           CAST(FLOOR(pack_offset / 2048.0) AS BIGINT) AS pack_first,
-           CAST(FLOOR((pack_offset + GREATEST(n_bpe_tokens, 1) - 1) / 2048.0) AS BIGINT)
-             AS pack_last
-    FROM o
+    SELECT o.doc_id, o.n_bpe_tokens, o.n_ws_tokens, o.pack_offset,
+           CAST(FLOOR(o.pack_offset / 2048.0) AS BIGINT) AS pack_first,
+           CAST(FLOOR((o.pack_offset + GREATEST(o.n_bpe_tokens, 1) - 1) / 2048.0) AS BIGINT)
+             AS pack_last,
+           COALESCE(o.dom_cum <= mb.dbudget, FALSE) AS mix_admitted
+    FROM o LEFT JOIN {_mix_budget_values_sql()} mb ON o.source = mb.source
     """,
-    tags="ext text tokens packing",
+    tags="ext text tokens packing mixture",
 )
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + GPT-style sequence PACKING (concat-then-chunk):
@@ -519,10 +537,31 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side computes the same cumsum as a distributed prefix sum
     (value-bucketed bases + partitioned windows, text.pack_offsets) —
     a single-partition global Window would serialize 100 TB through
-    one task (plan-pinned in tests)."""
+    one task (plan-pinned in tests).
+
+    Round 12 folds DOMAIN-MIXTURE admission under the same hash:
+    ``mix_admitted`` marks each doc's membership in a fixed
+    50/30/20 recipe over three sources (``mixture_budgets``'
+    deterministic rounding; per-domain ascending-id prefixes via the
+    same two-level prefix sum, corpus._prefix_under_budget_by_domain).
+    DuckDB recomputes the per-domain windows against the injected
+    budget literals, so a drifted rounding rule, a domain bleed, or a
+    broken per-domain cumsum breaks the value hash."""
+    from geo_explorer_etl_spark.operators.corpus import (
+        _prefix_under_budget_by_domain,
+        mixture_budgets,
+    )
+
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     counts = TX.token_counts(docs, text_col="text", id_col="doc_id")
-    return TX.pack_offsets(counts, tokens_col="n_bpe_tokens", id_col="doc_id")
+    packed = TX.pack_offsets(counts, tokens_col="n_bpe_tokens", id_col="doc_id")
+    admitted = _prefix_under_budget_by_domain(
+        docs, "text", "doc_id", "source",
+        mixture_budgets(_MIX_BUDGET, _MIX_WEIGHTS), bucket_width=100,
+    ).select("doc_id", F.lit(True).alias("mix_admitted"))
+    return packed.join(admitted, "doc_id", "left").withColumn(
+        "mix_admitted", F.coalesce("mix_admitted", F.lit(False))
+    )
 
 
 @register(
