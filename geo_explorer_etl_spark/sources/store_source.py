@@ -401,8 +401,85 @@ def _pa_filter(where: tuple, names: list[str]):
     return expr
 
 
+class StoreBatchWriter:
+    """Batch WRITE path (r12, VERDICT r11 next #6 stretch):
+    ``INSERT INTO`` a store catalog table / ``df.write.format("store")
+    .mode("append")`` lands through the SAME staged-files → txn →
+    constraint-gate → manifest-extend publish the streaming sink uses
+    (store_sink.StoreStreamWriter) — one implementation of the
+    commit protocol, two protocols in front of it.
+
+    Built lazily (the class body imports the sink module) so the read
+    path never pays the import. The one-shot ledger key
+    (``sqlwrite-<uuid>``) makes the epoch claim always-fresh — batch
+    writes have no replay semantics — and is PRUNED from the ledger
+    after publish so ad-hoc INSERTs don't grow it one key per
+    statement (a crash between publish and prune leaves one stale
+    key: harmless, unique, never consulted again)."""
+
+    def __new__(cls, schema: T.StructType, options: dict, overwrite: bool):
+        import uuid
+
+        from pyspark.sql.datasource import DataSourceArrowWriter
+
+        from geo_explorer_etl_spark.streaming.store_sink import StoreStreamWriter
+
+        if overwrite:
+            raise ValueError(
+                "store: INSERT OVERWRITE / mode('overwrite') is not "
+                "supported — the store's replace semantics are "
+                "per-product transactions (replace_product_all / "
+                "delete_where + append), not whole-table truncation"
+            )
+
+        class _Writer(StoreStreamWriter, DataSourceArrowWriter):
+            def commit(self, messages):  # batch protocol: no batchId
+                StoreStreamWriter.commit(self, messages, 0)
+                self._prune_oneshot_ledger()
+
+            def abort(self, messages):
+                StoreStreamWriter.abort(self, messages, 0)
+
+            def _prune_oneshot_ledger(self):
+                from pathlib import Path
+
+                from geo_explorer_etl_spark.sources.commit import cas_update
+                from geo_explorer_etl_spark.sources.store import StoreMeta
+
+                sid = self._stream_id
+                meta = StoreMeta(self._root, self._backend)
+
+                def drop(prior):
+                    if not prior:
+                        return None
+                    streams = dict(prior.get("streams", {}) if "streams" in prior else {
+                        k: v for k, v in prior.items() if k != "txns"
+                    })
+                    txns = dict(prior.get("txns", {}))
+                    if sid not in streams and sid not in txns:
+                        return None
+                    streams.pop(sid, None)
+                    txns.pop(sid, None)
+                    return {"streams": streams, "txns": txns}
+
+                from geo_explorer_etl_spark.sources.store import EPOCHS
+
+                cas_update(meta._backend, Path(meta.root), EPOCHS, drop)
+
+        if "path" not in options and "paths" not in options:
+            # INSERT INTO a catalog table: Spark 4.1 hands the writer
+            # empty options — the schema field metadata is the channel
+            # (same rule as the reader)
+            options = _schema_options(schema) or options
+        opts = dict(options)
+        opts["path"] = _local_root(_path_option(opts))
+        opts["stream_id"] = f"sqlwrite-{uuid.uuid4().hex[:16]}"
+        return _Writer(schema, opts)
+
+
 class StoreBatchDataSource(DataSource):
-    """``spark.read.format("store")`` over a TableStore root.
+    """``spark.read.format("store")`` over a TableStore root, plus the
+    batch WRITE path (append only — module/StoreBatchWriter notes).
 
     Options: ``path`` (store root, required), ``table`` (default
     IndicatorValues), ``backend`` (localfs|cas), ``metadata``
@@ -413,6 +490,9 @@ class StoreBatchDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "store"
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return StoreBatchWriter(schema, self.options, overwrite)
 
     def schema(self) -> T.StructType:
         meta = StoreMeta(

@@ -507,3 +507,104 @@ def test_catalog_table_stale_after_rename_raises(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS cat_stale")
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITE path (r12, VERDICT r11 next #6 stretch): INSERT INTO a
+# store catalog table / df.write.format("store") through the sink's
+# staged-files → constraint-gate → manifest-extend commit protocol.
+# ---------------------------------------------------------------------------
+
+
+def test_sql_insert_lands_through_commit_path_and_is_query_visible(
+    spark, tmp_path
+):
+    """INSERT INTO a catalog table: rows land under manifest control
+    (store.read sees them, the partition manifest references them),
+    are visible to the NEXT SQL statement with no re-registration, and
+    the one-shot ledger key is pruned after publish."""
+    import json
+
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1,), n=3)
+    _cat(spark, root, "cat_w")
+    try:
+        spark.sql(
+            f"INSERT INTO cat_w (IndicatorValueId, Value, {PARTITION_COL}) "
+            "VALUES (9001, 1.5, 1), (9002, 2.5, 2)"
+        )
+        got = {
+            (r.IndicatorValueId, r.Value)
+            for r in spark.sql(
+                "SELECT IndicatorValueId, Value FROM cat_w "
+                "WHERE IndicatorValueId >= 9000"
+            ).collect()
+        }
+        assert got == {(9001, 1.5), (9002, 2.5)}
+        # through the DataFrame API too (same snapshot machinery)
+        assert store.read("IndicatorValues").count() == 5
+        # pid=2 was CREATED by the insert, under manifest control
+        m = store._manifest(
+            Path(root) / "IndicatorValues" / f"{PARTITION_COL}=2"
+        )
+        assert m and len(m["files"]) == 1
+        # one-shot ledger key pruned (no per-INSERT ledger growth)
+        led = json.loads((Path(root) / "_epochs.json").read_text())
+        assert not {
+            k for k in led.get("streams", {}) if k.startswith("sqlwrite-")
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_w")
+
+
+def test_sql_insert_constraint_violation_blocks_with_snapshot_intact(
+    spark, tmp_path
+):
+    """A constraint-violating INSERT fails LOUDLY and publishes
+    nothing: the table's row set and the partition manifest are
+    byte-identical before and after the attempt."""
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1,), n=3)
+    store.add_constraint("IndicatorValues", "v_nn", not_null=["Value"])
+    _cat(spark, root, "cat_cv")
+    part = Path(root) / "IndicatorValues" / f"{PARTITION_COL}=1"
+    before_manifest = store._backend.read(part, "MANIFEST.json")
+    try:
+        with pytest.raises(Exception, match="v_nn|constraint|null"):
+            spark.sql(
+                f"INSERT INTO cat_cv (IndicatorValueId, Value, {PARTITION_COL}) "
+                "VALUES (9001, NULL, 1)"
+            )
+        assert store._backend.read(part, "MANIFEST.json") == before_manifest
+        assert spark.sql("SELECT count(*) c FROM cat_cv").collect()[0].c == 3
+        # no orphaned staged files left behind by the failed attempt
+        assert not list((Path(root) / "_staging").glob("etxn_sqlwrite*"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_cv")
+
+
+def test_dataframe_write_append_and_overwrite_refused(spark, tmp_path):
+    """df.write.format('store').mode('append') appends through the
+    same path; mode('overwrite') is refused loudly (the store's
+    replace semantics are per-product transactions)."""
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1,), n=3)
+    register_store_source(spark)
+    batch = spark.createDataFrame(
+        [(8001, 7.0, 1)], f"IndicatorValueId LONG, Value DOUBLE, {PARTITION_COL} LONG"
+    )
+    (
+        batch.write.format("store")
+        .option("path", root)
+        .option("table", "IndicatorValues")
+        .mode("append")
+        .save()
+    )
+    assert store.read("IndicatorValues").count() == 4
+    with pytest.raises(Exception, match="not supported"):
+        (
+            batch.write.format("store")
+            .option("path", root)
+            .mode("overwrite")
+            .save()
+        )
