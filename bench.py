@@ -98,6 +98,10 @@ HEADLINE = [
     # vs the auto_compact-healed mirror — read cost recovered
     "store_scan_soaked",
     "store_scan_autocompacted",
+    # SQL serving twins (r12): the pruned catalog-table path vs the
+    # complete-snapshot temp-view path for the same narrow-band query
+    "store_sql_pruned",
+    "store_sql_unpruned",
 ]
 
 
@@ -141,6 +145,8 @@ def main() -> None:
         "store_merge_scattered_dv",
         "store_scan_soaked",
         "store_scan_autocompacted",
+        "store_sql_pruned",
+        "store_sql_unpruned",
     ):
         queries[name] = getattr(store_bench, name)
 

@@ -31,6 +31,7 @@ def register_star_views(
     store: TableStore,
     snapshot: bool = False,
     snapshot_at: float | None = None,
+    catalog: bool = False,
 ) -> list[str]:
     """Every existing store table becomes a temp view named like the
     reference's ``gis.*`` tables. Returns the registered names.
@@ -51,15 +52,35 @@ def register_star_views(
     pass ``snapshot_at`` (epoch seconds): every view pins to
     ``read_at(t)``, and the txn protocol guarantees a timestamp
     between two publishes resolves all-old or all-new per product.
-    ``snapshot=True`` is the shorthand for "as of now"."""
+    ``snapshot=True`` is the shorthand for "as of now".
+
+    ``catalog=True`` (r12, VERDICT r11 next #1) registers CATALOG
+    TABLES through ``create_catalog_table`` instead of temp views:
+    the pruned SQL path — filtered queries open only the files whose
+    zone maps may match, per-statement freshness with no sentinel,
+    concurrency-safe by construction (fresh provider per statement),
+    and ``INSERT INTO`` works. The trade: the schema is captured at
+    registration (re-register after a rename/drop — queries raise the
+    stale-schema error rather than misbehave; temp views adopt the
+    current schema the same way, so this is not a regression), and
+    the names land in the session catalog rather than the temp-view
+    namespace. Mutually exclusive with ``snapshot_at`` (a catalog
+    table is query-time fresh by design — pin with snapshot views)."""
     import time
 
     from geo_explorer_etl_spark.sources.commit import CASBackend
     from geo_explorer_etl_spark.sources.store import PRODUCT_TABLES
     from geo_explorer_etl_spark.sources.store_source import (
+        create_catalog_table,
         register_store_source,
         store_table,
     )
+
+    if catalog and (snapshot or snapshot_at is not None):
+        raise ValueError(
+            "register_star_views: catalog=True registers query-time-"
+            "fresh tables — use snapshot views for a pinned read"
+        )
 
     if snapshot and snapshot_at is None:
         snapshot_at = time.time()
@@ -96,6 +117,12 @@ def register_star_views(
         else:
             df = store.read(t)  # existence + schema probe (driver-side)
             if df is not None:
+                if catalog:
+                    create_catalog_table(
+                        spark, t, store.root, t, backend=backend, replace=True
+                    )
+                    registered.append(t)
+                    continue
                 df = store_table(spark, store.root, t, backend=backend)
         if df is None:
             continue

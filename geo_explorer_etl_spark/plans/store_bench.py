@@ -97,6 +97,11 @@ def _soak_roots(spark: SparkSession) -> tuple[str, str]:
     return f"{wh}/bench_store_soaked", f"{wh}/bench_store_healed"
 
 
+def _sql_root(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_sql"
+
+
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """One-time layout setup, untimed: publish events into a
     fragmented store (range-disjoint small files with zone maps) and a
@@ -254,6 +259,61 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
         if heal:
             st.auto_compact(TABLE)
             st.vacuum(TABLE)
+    # SQL serving twins (r12, VERDICT r11 next #1): the same narrow
+    # id-band aggregate through the PRUNED catalog-table path
+    # (create_catalog_table, pushdown on — fresh provider per
+    # statement makes it safe) vs the shared temp-view path (the
+    # filter-independent default: complete snapshot, every file
+    # planned). The delta is the file-level I/O the catalog path
+    # recovers for SQL-first users.
+    from geo_explorer_etl_spark.sources.store_source import (
+        create_catalog_table,
+        store_table,
+    )
+
+    sql_root = _sql_root(spark)
+    _shutil.rmtree(sql_root, ignore_errors=True)
+    TableStore(spark, sql_root).replace_product_all(PID, {TABLE: byid})
+    spark.sql("DROP TABLE IF EXISTS bench_store_sql_cat")
+    create_catalog_table(spark, "bench_store_sql_cat", sql_root, TABLE)
+    store_table(spark, sql_root, TABLE).createOrReplaceTempView(
+        "bench_store_sql_view"
+    )
+    Path(f"{sql_root}/_probe.json").write_text(
+        _json.dumps({"band": bands[0]})
+    )
+
+
+def _sql_band(spark: SparkSession) -> tuple[int, int]:
+    import json as _json
+    from pathlib import Path
+
+    band = _json.loads(
+        (Path(_sql_root(spark)) / "_probe.json").read_text()
+    )["band"]
+    return int(band[0]), int(band[1])
+
+
+def store_sql_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow id-band aggregate through the pruned catalog path: the
+    pushed BETWEEN reaches partitions() and the zone maps drop every
+    file outside the band before Spark plans the scan."""
+    lo, hi = _sql_band(spark)
+    return spark.sql(
+        "SELECT count(*) AS n, round(sum(value), 2) AS total "
+        f"FROM bench_store_sql_cat WHERE event_id BETWEEN {lo} AND {hi}"
+    )
+
+
+def store_sql_unpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identical aggregate through the shared temp-view path —
+    complete-snapshot planning (every live file listed, scheduled,
+    footer-read), the documented safe default for shared views."""
+    lo, hi = _sql_band(spark)
+    return spark.sql(
+        "SELECT count(*) AS n, round(sum(value), 2) AS total "
+        f"FROM bench_store_sql_view WHERE event_id BETWEEN {lo} AND {hi}"
+    )
 
 
 def _merge_frame(spark: SparkSession, key: int, value: float) -> DataFrame:

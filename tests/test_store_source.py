@@ -608,3 +608,40 @@ def test_dataframe_write_append_and_overwrite_refused(spark, tmp_path):
             .mode("overwrite")
             .save()
         )
+
+
+def test_register_star_views_catalog_mode_pruned_and_fresh(spark, tmp_path):
+    """register_star_views(catalog=True): the views land as catalog
+    tables (the pruned SQL path), reflect DML per statement, accept
+    INSERT INTO, and refuse the snapshot combination."""
+    from geo_explorer_etl_spark.plans.sql_views import register_star_views
+
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root, pids=(1, 2))
+    # temp views resolve BEFORE catalog tables: clear any same-name
+    # view earlier tests registered in this shared session
+    spark.catalog.dropTempView("IndicatorValues")
+    try:
+        registered = register_star_views(spark, store, catalog=True)
+        assert "IndicatorValues" in registered
+        assert (
+            spark.sql("SELECT count(*) c FROM IndicatorValues").collect()[0].c
+            == 200
+        )
+        store.delete_where("IndicatorValues", [("IndicatorValueId", "<", 1010)])
+        assert (
+            spark.sql("SELECT count(*) c FROM IndicatorValues").collect()[0].c
+            == 190
+        )
+        spark.sql(
+            f"INSERT INTO IndicatorValues (IndicatorValueId, Value, {PARTITION_COL}) "
+            "VALUES (7777, 1.0, 1)"
+        )
+        assert (
+            spark.sql("SELECT count(*) c FROM IndicatorValues").collect()[0].c
+            == 191
+        )
+        with pytest.raises(ValueError, match="snapshot"):
+            register_star_views(spark, store, catalog=True, snapshot=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS IndicatorValues")
