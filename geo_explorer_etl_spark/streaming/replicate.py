@@ -156,3 +156,53 @@ def replicate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replicate_store(
+    spark: SparkSession,
+    source_root: str,
+    target: TableStore,
+    key_cols: dict[str, list[str]],
+    checkpoint_root: str,
+    tables: list[str] | None = None,
+    source_backend: str = "localfs",
+    start_at: float = 0.0,
+) -> dict[str, int]:
+    """Whole-store replication convenience: one ``replicate_stream``
+    per source table that exists, each with its OWN checkpoint subdir
+    (→ its own derived ledger key — per-table pipelines never share a
+    high-water, the store_sink rule). Drains every query
+    (availableNow) and returns ``{table: batches_applied}``.
+
+    ``key_cols`` maps table → merge keys; tables without an entry are
+    SKIPPED with a report value of -1 rather than guessed (a wrong
+    key silently merges rows together — worse than asking). Re-run
+    with the same ``checkpoint_root`` to pull only new changes:
+    per-table offsets resume, cost ∝ changed files since last drain.
+    Tables replicate INDEPENDENTLY (per-table exactly-once, no
+    cross-table transaction): a consumer needing one consistent
+    cross-table point reads the TARGET with ``snapshot_at`` after the
+    drain, exactly like any store reader."""
+    import hashlib
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.sources.store import PRODUCT_TABLES
+
+    report: dict[str, int] = {}
+    src = TableStore(spark, source_root, backend=source_backend)
+    for t in tables if tables is not None else PRODUCT_TABLES:
+        if not src.exists(t):
+            continue
+        if t not in key_cols:
+            report[t] = -1
+            continue
+        ck = str(Path(checkpoint_root) / t)
+        sid = "replicate-" + hashlib.sha256(ck.encode()).hexdigest()[:16]
+        before = int(target._epoch_ledger().get(sid, -1))
+        replicate_stream(
+            spark, source_root, target, t, key_cols[t],
+            checkpoint_dir=ck, source_backend=source_backend,
+            start_at=start_at,
+        ).awaitTermination()
+        report[t] = int(target._epoch_ledger().get(sid, -1)) - before
+    return report

@@ -136,3 +136,42 @@ def test_two_pipelines_one_target_do_not_share_a_ledger_key(spark, tmp_path):
     assert dst.read("IndicatorValues").count() == 1
     got = dst.read("Indicators")
     assert got is not None and got.count() == 1  # NOT silently dropped
+
+
+def test_replicate_store_whole_store_convenience(spark, tmp_path):
+    """replicate_store (r12): every existing source table with a key
+    mapping replicates in one call; tables without keys are skipped
+    with -1 (never guessed); a second drain after more DML pulls only
+    the new changes (per-table checkpoints resume)."""
+    from geo_explorer_etl_spark.streaming.replicate import replicate_store
+
+    src = TableStore(spark, str(tmp_path / "src"))
+    dst = TableStore(spark, str(tmp_path / "dst"))
+    src.replace_product_all(
+        PID,
+        {
+            "IndicatorValues": _frame(spark, [(1, 1.0), (2, 2.0)]),
+            "Indicators": _frame(spark, [(7, 7.0)]),
+            "RelatedCharts": _frame(spark, [(9, 9.0)]),  # no key mapping
+        },
+    )
+    ck = str(tmp_path / "ck")
+    keys = {"IndicatorValues": ["k"], "Indicators": ["k"]}
+    rep = replicate_store(spark, src.root, dst, keys, ck)
+    assert rep["RelatedCharts"] == -1
+    assert rep["IndicatorValues"] >= 1 and rep["Indicators"] >= 1
+    assert _rows(dst) == [(1, 1.0), (2, 2.0)]
+    assert sorted(
+        map(tuple, dst.read("Indicators").select(*COLS).collect())
+    ) == [(7, 7.0)]
+    assert dst.read("RelatedCharts") is None  # skipped, not guessed
+
+    # incremental second drain: one table changes, resume pulls it
+    src.update_where("IndicatorValues", {"v": "v + 10"}, [("k", "==", 1)])
+    rep2 = replicate_store(spark, src.root, dst, keys, ck)
+    assert _rows(dst) == [(1, 11.0), (2, 2.0)]
+    # the unchanged table's drain applied no new data batches beyond
+    # the (possibly empty) windows the feed emitted — replica intact
+    assert sorted(
+        map(tuple, dst.read("Indicators").select(*COLS).collect())
+    ) == [(7, 7.0)]
