@@ -63,6 +63,7 @@ from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
 
 CENTROID_TABLE = "AnnCentroids"
 INDEX_TABLE = "AnnIvfIndex"
+PQ_TABLE = "AnnPqCodebooks"
 #: All index rows live in one reserved store partition (the
 #: incremental_dedup rule — the partition column is routing-only here).
 INDEX_PID = 0
@@ -107,6 +108,103 @@ def load_centroids(store: TableStore) -> list[list[float]]:
     return [list(map(float, r["centroid"])) for r in sorted(rows, key=lambda r: r["cell"])]
 
 
+# -- product quantization (IVF-PQ, the FAISS composition) --------------------
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 2000,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (m × k × dim/m), trained on the
+    same seeded hash-drawn sample rule as ``train_centroids`` — driver
+    data bounded by the sample, the codebooks themselves m·k·(dim/m) =
+    k·dim doubles. Deterministic: seeded sample, farthest-first init
+    per subspace, fixed iterations."""
+    import numpy as np
+
+    n = emb.count()
+    if n == 0:
+        raise ValueError("train_pq_codebooks: empty embedding frame")
+    mod = max(1, n // sample_limit)
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(mod)) == F.lit(0))
+        .select("_v")
+        .collect()
+    )
+    x = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        # farthest-first init (the train_centroids rule, per subspace)
+        kk = min(k, len(xs))
+        chosen = [0]
+        d = ((xs - xs[0]) ** 2).sum(axis=1)
+        for _ in range(1, kk):
+            nxt = int(np.argmax(d))
+            chosen.append(nxt)
+            d = np.minimum(d, ((xs - xs[nxt]) ** 2).sum(axis=1))
+        c = xs[chosen].copy()
+        for _ in range(iters):
+            dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for ci in range(len(c)):
+                members = xs[assign == ci]
+                if len(members):
+                    c[ci] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def _pq_encode(df: DataFrame, books: list[list[list[float]]], vec_col: str) -> DataFrame:
+    """Add ``pq_code`` (binary, one uint8 per subspace): per-subspace
+    argmin-L2 against the codebooks — an Arrow-batched distance matmul,
+    all input columns carried through (the ``_assign_cells`` shape).
+    Ties break to the lowest code index (argmin), deterministic."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+
+    def encode(batches):
+        import numpy as np
+
+        bs = [np.array(b, dtype=np.float64) for b in books]
+        sub = bs[0].shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(x), len(bs)), dtype=np.uint8)
+            for j, cb in enumerate(bs):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            out = pdf.copy()
+            out["pq_code"] = [c.tobytes() for c in codes]
+            yield out
+
+    return df.mapInPandas(encode, schema=f"{fields}, pq_code binary")
+
+
+def load_pq_codebooks(store: TableStore) -> list[list[list[float]]] | None:
+    """The m × k × sub codebook tensor, driver-side; None when the
+    index was built without PQ."""
+    if not store.exists(PQ_TABLE):
+        return None
+    rows = store.read(PQ_TABLE).select("m", "code", "centroid").collect()
+    by_m: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_m.setdefault(r["m"], {})[r["code"]] = list(map(float, r["centroid"]))
+    return [
+        [by_m[j][c] for c in sorted(by_m[j])] for j in sorted(by_m)
+    ]
+
+
 def build_ann_index(
     store: TableStore,
     emb: DataFrame,
@@ -115,13 +213,22 @@ def build_ann_index(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     n_files: int = 4,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+    pq_codebooks: list[list[list[float]]] | None = None,
     report: dict | None = None,
 ) -> dict:
     """(Re)build the persisted IVF index from scratch: train (or
     adopt) centroids, assign every vector, publish BOTH tables in one
     atomic cross-table txn — a crash leaves the prior index intact,
     never a centroid/assignment mismatch. K defaults to ~√n (the
-    similarity.py IVF rule). Returns the report dict."""
+    similarity.py IVF rule). Returns the report dict.
+
+    ``pq_m`` switches on IVF-PQ (the FAISS composition): per-subspace
+    codebooks train alongside the cells, every row additionally
+    carries an m-byte ``pq_code``, and the codebook table joins the
+    same atomic txn. At 100 TB the PQ scoring pass then reads m bytes
+    per vector instead of 4·dim (``ann_index_topk(pq_refine=...)``)."""
     rep: dict = report if report is not None else {}
     n = emb.count()
     rep["n_vectors"] = n
@@ -137,10 +244,24 @@ def build_ann_index(
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell INT, centroid ARRAY<DOUBLE>"
     ).withColumn(PARTITION_COL, F.lit(INDEX_PID).cast("long"))
-    assigned = _cluster_by_cell(_assign_cells(emb, centroids, vec_col), n_files)
-    store.replace_product_all(
-        INDEX_PID, {CENTROID_TABLE: cdf, INDEX_TABLE: assigned}
-    )
+    rows = _assign_cells(emb, centroids, vec_col)
+    tables = {CENTROID_TABLE: cdf, INDEX_TABLE: None}
+    if pq_m is not None or pq_codebooks is not None:
+        books = pq_codebooks if pq_codebooks is not None else train_pq_codebooks(
+            emb, m=pq_m, k=pq_k, vec_col=vec_col, id_col=id_col
+        )
+        rep["pq_m"], rep["pq_k"] = len(books), len(books[0])
+        rows = _pq_encode(rows, books, vec_col)
+        tables[PQ_TABLE] = spark.createDataFrame(
+            [
+                (j, c, cw)
+                for j, book in enumerate(books)
+                for c, cw in enumerate(book)
+            ],
+            "m INT, code INT, centroid ARRAY<DOUBLE>",
+        ).withColumn(PARTITION_COL, F.lit(INDEX_PID).cast("long"))
+    tables[INDEX_TABLE] = _cluster_by_cell(rows, n_files)
+    store.replace_product_all(INDEX_PID, tables)
     return rep
 
 
@@ -159,6 +280,11 @@ def append_ann_index(
     rep: dict = report if report is not None else {}
     cents = load_centroids(store)
     assigned = _assign_cells(batch, cents, vec_col)
+    books = load_pq_codebooks(store)
+    if books is not None:
+        # the index carries PQ codes: encode the batch against the
+        # FROZEN codebooks (same rule as the frozen cells)
+        assigned = _pq_encode(assigned, books, vec_col)
     counts = assigned.groupBy("cell").count().collect()  # ≤ K rows
     total = sum(r["count"] for r in counts)
     rep["batch_rows"] = total
@@ -193,30 +319,101 @@ def ann_index_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     exclude_id=None,
+    pq_refine: int | None = None,
     report: dict | None = None,
 ) -> DataFrame:
     """Top-k by exact cosine inside the query's ``nprobe`` cells,
     served from the PERSISTED index: the ``cell IN`` probe reads only
     the zone-map-selected files (prune-only — the plan's own cell
     filter enforces exact membership, the incremental_dedup rule).
-    Same output shape as ``similarity.ivf_topk``."""
+    Same output shape as ``similarity.ivf_topk``.
+
+    ``pq_refine`` (needs a ``pq_m`` build) switches the scoring pass
+    to ASYMMETRIC-DISTANCE over the m-byte PQ codes: the probed scan
+    reads ONLY (id, cell, pq_code) — column pruning drops the raw
+    vectors, a 4·dim/m I/O reduction — keeps the ``k × pq_refine``
+    best by the LUT-summed approximate dot, and re-ranks just those
+    by exact cosine (one id-bounded fetch). The final top-k equals
+    the exact top-k whenever it survives the ADC cut — the recall
+    pytest gates it."""
     rep: dict = report if report is not None else {}
     cents = load_centroids(store)
-    cells = query_cells(cents, [float(x) for x in query_vec], nprobe)
+    qv = [float(x) for x in query_vec]
+    cells = query_cells(cents, qv, nprobe)
     rep["probed_cells"] = cells
+    qarr = F.array(*[F.lit(x) for x in qv])
+
+    def exact_topk(cands, kk):
+        return (
+            cands.select(
+                F.col(id_col),
+                F.col(label_col),
+                F.round(cosine(_as_double(F.col(vec_col)), qarr), 6).alias(
+                    "cosine"
+                ),
+            )
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(kk)
+        )
+
+    if pq_refine is None:
+        cands = store.read(
+            INDEX_TABLE, where=[("cell", "in", cells)], prune_only=True
+        ).filter(F.col("cell").isin(cells))
+        if exclude_id is not None:
+            cands = cands.filter(F.col(id_col) != exclude_id)
+        return exact_topk(cands, k)
+
+    books = load_pq_codebooks(store)
+    if books is None:
+        raise ValueError(
+            "ann_index_topk: pq_refine set but the index was built "
+            "without pq_m — rebuild with build_ann_index(pq_m=...)"
+        )
+    import numpy as np
+
+    # ADC lookup table: dot(query_sub, codeword) per (subspace, code)
+    # — m × k doubles, driver-side, shipped in the UDF closure
+    sub = len(books[0][0])
+    lut = [
+        [
+            float(np.dot(qv[j * sub : (j + 1) * sub], cw))
+            for cw in book
+        ]
+        for j, book in enumerate(books)
+    ]
+
+    def adc(batches):
+        import numpy as np
+        import pandas as pd
+
+        tbl = np.array(lut, dtype=np.float64)  # m × k
+        m = tbl.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_adc": tbl[np.arange(m)[None, :], codes].sum(axis=1),
+                }
+            )
+
     idx = store.read(
         INDEX_TABLE, where=[("cell", "in", cells)], prune_only=True
-    )
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
-    cands = idx.filter(F.col("cell").isin(cells))
+    ).filter(F.col("cell").isin(cells))
     if exclude_id is not None:
-        cands = cands.filter(F.col(id_col) != exclude_id)
-    return (
-        cands.select(
-            F.col(id_col),
-            F.col(label_col),
-            F.round(cosine(_as_double(F.col(vec_col)), qarr), 6).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    id_type = dict(zip(idx.schema.names, idx.schema))[id_col].dataType.simpleString()
+    shortlist = (
+        idx.select(id_col, "pq_code")  # column-pruned scan: no vectors
+        .mapInPandas(adc, schema=f"{id_col} {id_type}, _adc double")
+        .orderBy(F.col("_adc").desc(), F.col(id_col))
+        .limit(int(k) * int(pq_refine))
+        .select(id_col)
     )
+    refine = idx.join(F.broadcast(shortlist), id_col)
+    return exact_topk(refine, k)

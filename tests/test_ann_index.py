@@ -155,3 +155,71 @@ def test_build_is_atomic_and_rebuild_replaces(spark, tmp_path):
     assert rep["batch_rows"] == 0  # empty batch: no append, no error
     with pytest.raises(ValueError, match="empty embedding frame"):
         build_ann_index(store, emb.limit(0))
+
+
+def test_ivf_pq_codes_recall_and_incremental_encode(spark, tmp_path):
+    """IVF-PQ: (1) the ADC-shortlist + exact-refine top-k recovers the
+    plain index top-k (recall ≥0.9 at pq_refine=8 over several
+    queries); (2) appending against FROZEN codebooks produces the
+    byte-identical codes a full rebuild with the same books produces;
+    (3) pq_refine on a PQ-less index raises; (4) the ADC scan's
+    shortlist reads only (id, pq_code) — column pruning drops the raw
+    vectors from the scan schema."""
+    from geo_explorer_etl_spark.operators.ann_index import load_pq_codebooks
+
+    emb = _emb(spark).persist()
+    store = TableStore(spark, str(tmp_path / "pq"))
+    build_ann_index(store, emb.filter(F.col("vec_id") < 300),
+                    n_centroids=10, pq_m=8, pq_k=16)
+    append_ann_index(store, emb.filter(F.col("vec_id") >= 300))
+    books = load_pq_codebooks(store)
+    assert books is not None and len(books) == 8 and len(books[0]) == 16
+
+    # (2) incremental codes == full-rebuild codes with the SAME books
+    # (the pq_codebooks override adopts the frozen quantizer, exactly
+    # like centroids= adopts the frozen cells)
+    store_f = TableStore(spark, str(tmp_path / "pqf"))
+    cents = load_centroids(store)
+    build_ann_index(store_f, emb, centroids=cents, pq_codebooks=books)
+    assert load_pq_codebooks(store_f) == books
+    ai = {
+        (r.vec_id, bytes(r.pq_code))
+        for r in store.read(INDEX_TABLE).select("vec_id", "pq_code").collect()
+    }
+    af = {
+        (r.vec_id, bytes(r.pq_code))
+        for r in store_f.read(INDEX_TABLE).select("vec_id", "pq_code").collect()
+    }
+    assert ai == af
+
+    # (1) recall of PQ-refined vs plain-index top-k, same probes
+    hits = total = 0
+    for qid in (3, 77, 201, 344):
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        exact = {r.vec_id for r in ann_index_topk(
+            store, qvec, k=10, nprobe=4, exclude_id=qid).collect()}
+        pq = {r.vec_id for r in ann_index_topk(
+            store, qvec, k=10, nprobe=4, exclude_id=qid, pq_refine=8
+        ).collect()}
+        hits += len(exact & pq)
+        total += 10
+    assert hits / total >= 0.9, f"pq recall {hits / total}"
+
+    # (4) the ADC pass's scan schema carries no raw vectors
+    plan = (
+        store.read(INDEX_TABLE, where=[("cell", "in", [0, 1])], prune_only=True)
+        .select("vec_id", "pq_code")
+        ._sc if False else
+        store.read(INDEX_TABLE, where=[("cell", "in", [0, 1])], prune_only=True)
+        .select("vec_id", "pq_code")
+    )
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "pq_code" in explained and "embedding" not in explained
+
+    # (3) loud error without a PQ build
+    store_np = TableStore(spark, str(tmp_path / "nopq"))
+    build_ann_index(store_np, emb.limit(50), n_centroids=4)
+    with pytest.raises(ValueError, match="without pq_m"):
+        ann_index_topk(store_np, [0.0] * 64, pq_refine=4)
+    emb.unpersist()
