@@ -1,0 +1,605 @@
+"""Incrementally-maintained MATERIALIZED AGGREGATES over a TableStore
+table — the continuous-aggregate / OPTIMIZE-refresh analog (Timescale
+continuous aggregates, Materialize/DBSP delta maintenance), built from
+pieces this engine already has: the change feed supplies row-level
+deltas, ``merge_apply`` lands per-group upserts atomically, and a CAS
+control blob carries the refresh high-water with write-ahead intent.
+
+Why not just re-run the GROUP BY? At 100 TB the base table's daily
+churn is a few thousand changed files; a full re-aggregation reads
+every file every time, while ``refresh_matview`` reads ONLY
+
+- the change-feed window (cost ∝ changed files — read_changes),
+- the matview rows of the touched groups (partition-pruned: groups
+  hash to ``n_partitions`` store partitions, the probe reads just the
+  partitions the delta touches), and
+- for MIN/MAX groups that saw a delete, the base rows of exactly
+  those groups (an absolute re-aggregate bounded by a group-key join
+  — the classic non-invertible-aggregate recompute, same tradeoff as
+  Materialize's reduction on retractions).
+
+Maintenance algebra, per group:
+
+- COUNT(*) / COUNT(col) / SUM / AVG are INVERTIBLE: the window nets to
+  ``sum(sign)``, ``sum(sign·[col IS NOT NULL])``, ``sum(sign·col)``
+  (sign = +1 insert / −1 delete), applied to the stored values. SQL
+  NULL semantics survive exactly: each SUM/AVG keeps a hidden non-null
+  count, and the stored value returns to NULL when it hits zero.
+- MIN/MAX are invertible on INSERTS ONLY (``least``/``greatest`` with
+  the window's insert-side extreme); a group with any delete in the
+  window is re-aggregated absolutely from the base snapshot. A view
+  with no MIN/MAX never touches the base table at all.
+- A group whose row count reaches zero is DELETED from the view.
+
+Crash safety / exactly-once: refresh first CAS-publishes the window
+``[hw, until]`` as PENDING intent in the registry blob, applies it,
+then CAS-advances ``hw = until``. Every stored row carries the
+``_mv_hw`` of the refresh that last wrote it, and the source-frame
+computation SKIPS additive groups whose stored ``_mv_hw`` already
+equals the pending ``until`` — so a crash between per-partition merge
+swaps re-applies the SAME window and converges: already-swapped
+partitions are no-ops (their values are skipped or replaced with the
+identical absolutes), unswapped ones apply old+delta. A racing
+refresher loses the pending CAS and raises rather than double-netting
+one window. The recovery path (``pending`` found set) completes the
+recorded window BEFORE opening a new one — never a merged, wider
+window, which would double-count the already-applied prefix.
+
+Reference parity: the reference has no materialized-view surface —
+this extends the engine's table-format capabilities (SURVEY §6
+extension lane, same as the dedup/ANN index tables).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, functions as F
+
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+#: Store-root control blob: {name: {table, group_cols, aggs,
+#: n_partitions, hw, pending}} — CAS-updated like the epoch ledger.
+MATVIEWS = "_matviews.json"
+MV_PREFIX = "MatView_"
+#: Refresh high-water stamped on every stored row (idempotent re-apply).
+MV_HW = "_mv_hw"
+#: Hidden live-row count per group (group death detection).
+MV_CNT = "__cnt"
+AGG_OPS = ("count", "sum", "avg", "min", "max")
+_OP_COL = "_mv_op"  # routing-only merge column, dropped from the table
+
+
+def mv_table(name: str) -> str:
+    return MV_PREFIX + name
+
+
+def _nn(out: str) -> str:
+    return f"__nn_{out}"  # hidden non-null count (sum/avg NULL semantics)
+
+
+def _avs(out: str) -> str:
+    return f"__avs_{out}"  # hidden raw sum behind an avg
+
+
+def _views(body: dict | None) -> dict:
+    # entries nest under "views" — the backend stamps bookkeeping keys
+    # (e.g. "version") on the blob root, the epoch-ledger rule
+    return dict((body or {}).get("views", {}))
+
+
+def _registry(store: TableStore) -> dict:
+    cur = store._backend.read(Path(store.root), MATVIEWS)
+    return _views(cur[1] if cur else None)
+
+
+def _cas_registry(store: TableStore, update_fn):
+    """CAS over the views map: ``update_fn(views_dict)`` returns the
+    new views dict (or None to abort)."""
+    from geo_explorer_etl_spark.sources.commit import cas_update
+
+    def wrap(prior):
+        new = update_fn(_views(prior))
+        return None if new is None else {"views": new}
+
+    return cas_update(store._backend, Path(store.root), MATVIEWS, wrap)
+
+
+def _last_commit(store: TableStore, table: str) -> float | None:
+    hist = store.history(table)
+    ts = [h["committed_at"] for h in hist if h["committed_at"] is not None]
+    return max(ts) if ts else None
+
+
+def _check_aggs(aggs: dict, group_cols: list[str]) -> dict:
+    """Validate + normalize the agg spec ``{out: (op, col)}``; COUNT
+    may take ``None`` (count(*)). Output names must be distinct from
+    group/hidden/routing columns — they become the view's schema."""
+    if not aggs:
+        raise ValueError("matview: empty aggs")
+    norm: dict[str, tuple[str, str | None]] = {}
+    reserved = set(group_cols) | {MV_CNT, MV_HW, PARTITION_COL, _OP_COL}
+    for out, spec in aggs.items():
+        op, col = (spec, None) if isinstance(spec, str) else tuple(spec)
+        if op not in AGG_OPS:
+            raise ValueError(f"matview: agg op {op!r} not in {AGG_OPS}")
+        if col is None and op != "count":
+            raise ValueError(f"matview: {op} needs a column ({out!r})")
+        if out in reserved or out.startswith("__"):
+            raise ValueError(f"matview: output name {out!r} is reserved")
+        norm[out] = (op, col)
+    return norm
+
+
+def _abs_exprs(aggs: dict) -> list:
+    """Absolute aggregation expressions (create / min-max recompute):
+    the stored value IS the SQL aggregate, hidden columns alongside."""
+    exprs = [F.count(F.lit(1)).cast("long").alias(MV_CNT)]
+    for out, (op, col) in aggs.items():
+        if op == "count":
+            src = F.count(F.lit(1)) if col is None else F.count(F.col(col))
+            exprs.append(src.cast("long").alias(out))
+        elif op == "sum":
+            exprs.append(F.sum(col).alias(out))
+            exprs.append(F.count(F.col(col)).cast("long").alias(_nn(out)))
+        elif op == "avg":
+            exprs.append(F.avg(col).alias(out))
+            exprs.append(F.sum(col).alias(_avs(out)))
+            exprs.append(F.count(F.col(col)).cast("long").alias(_nn(out)))
+        elif op == "min":
+            exprs.append(F.min(col).alias(out))
+        else:
+            exprs.append(F.max(col).alias(out))
+    return exprs
+
+
+def _delta_exprs(aggs: dict, has_minmax: bool) -> list:
+    """Netted window aggregates over change-feed rows (+1 insert /
+    −1 delete) — the invertible-aggregate algebra."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    exprs = [F.sum(sign).cast("long").alias("_d" + MV_CNT)]
+    for out, (op, col) in aggs.items():
+        if op == "count":
+            present = (
+                F.lit(1) if col is None
+                else F.when(F.col(col).isNotNull(), 1).otherwise(0)
+            )
+            exprs.append(F.sum(sign * present).cast("long").alias("_d_" + out))
+        elif op in ("sum", "avg"):
+            exprs.append(
+                F.sum(sign * F.coalesce(F.col(col), F.lit(0))).alias("_d_" + out)
+            )
+            exprs.append(
+                F.sum(sign * F.when(F.col(col).isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("_dnn_" + out)
+            )
+        elif op == "min":
+            exprs.append(
+                F.min(F.when(F.col("_change_type") == "insert", F.col(col)))
+                .alias("_dins_" + out)
+            )
+        else:
+            exprs.append(
+                F.max(F.when(F.col("_change_type") == "insert", F.col(col)))
+                .alias("_dins_" + out)
+            )
+    if has_minmax:
+        exprs.append(
+            F.max(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
+            .alias("_has_del")
+        )
+    return exprs
+
+
+def _storage_cols(group_cols: list[str], aggs: dict) -> list[str]:
+    """The view table's column order (group keys, outputs, hidden,
+    watermark) — both the create write and every merge source select
+    exactly this, so replace-row merges can never reorder schema."""
+    cols = list(group_cols)
+    for out, (op, _) in aggs.items():
+        cols.append(out)
+        if op == "sum":
+            cols.append(_nn(out))
+        elif op == "avg":
+            cols += [_avs(out), _nn(out)]
+    cols += [MV_CNT, MV_HW]
+    return cols
+
+
+def _with_pid(df: DataFrame, group_cols: list[str], n_partitions: int) -> DataFrame:
+    return df.withColumn(
+        PARTITION_COL,
+        F.pmod(F.xxhash64(*group_cols), F.lit(int(n_partitions))).cast("long"),
+    )
+
+
+def _refuse_null_keys(df: DataFrame, group_cols: list[str], ctx: str) -> None:
+    """NULL group keys cannot round-trip a key-equality MERGE (SQL
+    NULL never equals NULL) — refuse loudly up front rather than let a
+    NULL group duplicate on every refresh."""
+    cond = None
+    for c in group_cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else (cond | n)
+    if df.filter(cond).limit(1).count():
+        raise ValueError(
+            f"{ctx}: NULL in group column(s) {group_cols} — materialized "
+            "views need non-null group keys (filter or coalesce upstream)"
+        )
+
+
+def create_matview(
+    store: TableStore,
+    name: str,
+    table: str,
+    group_cols: list[str],
+    aggs: dict,
+    n_partitions: int = 8,
+    replace: bool = False,
+) -> dict:
+    """Materialize ``SELECT group_cols, aggs FROM table GROUP BY
+    group_cols`` as the store table ``MatView_<name>``, pinned to the
+    base table's latest commit, and register it for incremental
+    ``refresh_matview``. ``aggs`` maps output name → ``(op, col)``
+    with op in count|sum|avg|min|max (count takes ``None`` for
+    count(*)). Groups hash to ``n_partitions`` store partitions so a
+    refresh merges (and a probe reads) only partitions holding touched
+    groups. Listing-mode base partitions are invisible to the pinned
+    snapshot and the change feed — adopt_manifests them first.
+
+    Returns ``{"hw": ts, "groups": n}``. Crash note: data lands before
+    the registry entry, so a crash in between leaves an unregistered
+    ``MatView_`` table — re-run with ``replace=True``."""
+    aggs = _check_aggs(aggs, list(group_cols))
+    if not group_cols:
+        raise ValueError("create_matview: empty group_cols")
+    existing = _registry(store).get(name)
+    if existing is not None and not replace:
+        raise ValueError(
+            f"create_matview: {name!r} exists (over {existing['table']!r}) — "
+            "pass replace=True to rebuild"
+        )
+    hw = _last_commit(store, table)
+    if hw is None:
+        raise ValueError(
+            f"create_matview: base table {table!r} has no committed "
+            "(manifest-covered) data"
+        )
+    base = store.read_at(table, hw)
+    if base is None:
+        raise ValueError(f"create_matview: base table {table!r} is empty")
+    _refuse_null_keys(base.select(*group_cols), group_cols, "create_matview")
+    mv = (
+        base.groupBy(*group_cols)
+        .agg(*_abs_exprs(aggs))
+        .withColumn(MV_HW, F.lit(float(hw)))
+        .select(*_storage_cols(list(group_cols), aggs))
+    )
+    t = mv_table(name)
+    if replace:
+        _drop_mv_table(store, t)
+    elif store.exists(t):
+        raise ValueError(
+            f"create_matview: orphan table {t!r} exists without a registry "
+            "entry (crashed create) — pass replace=True to adopt"
+        )
+    store.append(t, _with_pid(mv, list(group_cols), n_partitions))
+    # first write lands listing-mode: adopt immediately so refresh's
+    # merge_apply / partition-pruned probes have manifests from day one
+    store.adopt_manifests(t)
+    n_groups = store.count_rows(t)
+
+    def upsert(prior):
+        reg = dict(prior or {})
+        reg[name] = {
+            "table": table,
+            "group_cols": list(group_cols),
+            "aggs": {out: [op, col] for out, (op, col) in aggs.items()},
+            "n_partitions": int(n_partitions),
+            "hw": float(hw),
+            "pending": None,
+        }
+        return reg
+
+    _cas_registry(store, upsert)
+    return {"hw": float(hw), "groups": int(n_groups)}
+
+
+def _drop_mv_table(store: TableStore, t: str) -> None:
+    import shutil
+
+    p = Path(store._path(t))
+    if p.exists():
+        with store._exclusive_lock():
+            shutil.rmtree(p)
+
+
+def read_matview(store: TableStore, name: str) -> DataFrame:
+    """The view's user-facing frame: group keys + declared outputs
+    (hidden maintenance columns dropped). Reading between a crash and
+    its recovery refresh can surface a PER-PARTITION torn point — some
+    partitions post-window, others pre; run ``refresh_matview`` to
+    converge (it completes the pending window first)."""
+    ent = _registry(store).get(name)
+    if ent is None:
+        raise KeyError(f"read_matview: no materialized view {name!r}")
+    df = store.read(mv_table(name))
+    if df is None:
+        # every group deleted: the store's every-partition-deleted
+        # state — same contract as store.read
+        return None
+    return df.select(*ent["group_cols"], *ent["aggs"])
+
+
+def drop_matview(store: TableStore, name: str) -> None:
+    def remove(prior):
+        reg = dict(prior or {})
+        if name not in reg:
+            return None
+        del reg[name]
+        return reg
+
+    _cas_registry(store, remove)
+    _drop_mv_table(store, mv_table(name))
+
+
+def list_matviews(store: TableStore) -> dict:
+    return _registry(store)
+
+
+def refresh_matview(
+    store: TableStore, name: str, until: float | None = None
+) -> dict:
+    """Advance the view to the base table's latest commit (or
+    ``until``) by applying the change-feed window — cost ∝ changed
+    files + touched groups, never base-table size (module docstring
+    for the algebra and the crash contract). Returns a report:
+    ``{"windows": [...], "groups_touched": n, "groups_recomputed": n,
+    "noop": bool}``."""
+    ent = _registry(store).get(name)
+    if ent is None:
+        raise KeyError(f"refresh_matview: no materialized view {name!r}")
+    report: dict = {"windows": [], "groups_touched": 0, "groups_recomputed": 0}
+    # recovery: a recorded pending window completes FIRST, exactly as
+    # recorded — never widened into the new window (double-counting)
+    if ent.get("pending") is not None:
+        w = _apply_window(store, name, ent, float(ent["hw"]), float(ent["pending"]))
+        report["windows"].append(w)
+        report["groups_touched"] += w["groups_touched"]
+        report["groups_recomputed"] += w["groups_recomputed"]
+        ent = _advance_hw(store, name, float(ent["hw"]), float(ent["pending"]))
+    hw = float(ent["hw"])
+    new_hw = _last_commit(store, ent["table"]) if until is None else float(until)
+    if new_hw is None or new_hw <= hw:
+        report["noop"] = not report["windows"]
+        return report
+    ent = _claim_pending(store, name, hw, new_hw)
+    w = _apply_window(store, name, ent, hw, new_hw)
+    report["windows"].append(w)
+    report["groups_touched"] += w["groups_touched"]
+    report["groups_recomputed"] += w["groups_recomputed"]
+    _advance_hw(store, name, hw, new_hw)
+    report["noop"] = False
+    return report
+
+
+def _claim_pending(store: TableStore, name: str, hw: float, new_hw: float) -> dict:
+    """Write-ahead intent: CAS ``pending = new_hw`` iff the entry is
+    still (hw, no pending) — exactly one refresher owns a window."""
+    out: dict = {}
+
+    def claim(prior):
+        reg = dict(prior or {})
+        ent = reg.get(name)
+        if ent is None or float(ent["hw"]) != hw or ent.get("pending") is not None:
+            return None
+        ent = dict(ent)
+        ent["pending"] = float(new_hw)
+        reg[name] = ent
+        out.update(ent)
+        return reg
+
+    if _cas_registry(store, claim) is None:
+        raise RuntimeError(
+            f"refresh_matview({name!r}): lost the refresh claim — a "
+            "concurrent refresher advanced the view (re-run to continue)"
+        )
+    return out
+
+
+def _advance_hw(store: TableStore, name: str, hw: float, new_hw: float) -> dict:
+    out: dict = {}
+
+    def advance(prior):
+        reg = dict(prior or {})
+        ent = dict(reg[name])
+        if float(ent["hw"]) != hw:
+            return None  # someone else completed it — converged either way
+        ent["hw"] = float(new_hw)
+        ent["pending"] = None
+        reg[name] = ent
+        out.update(ent)
+        return reg
+
+    body = _cas_registry(store, advance)
+    return out if body is not None else _registry(store)[name]
+
+
+def _apply_window(
+    store: TableStore, name: str, ent: dict, since: float, until: float
+) -> dict:
+    """Compute and merge one window's group-state changes. Absolute
+    values land through replace-row merges, so re-applying the same
+    window converges (module docstring)."""
+    table, t = ent["table"], mv_table(name)
+    group_cols = list(ent["group_cols"])
+    aggs = {out: tuple(spec) for out, spec in ent["aggs"].items()}
+    has_minmax = any(op in ("min", "max") for op, _ in aggs.values())
+    w: dict = {"window": [since, until], "groups_touched": 0, "groups_recomputed": 0}
+    delta = store.read_changes(table, since=since, until=until)
+    if delta is None:
+        return w
+    _refuse_null_keys(delta.select(*group_cols), group_cols, "refresh_matview")
+    delta_g = _with_pid(
+        delta.groupBy(*group_cols).agg(*_delta_exprs(aggs, has_minmax)),
+        group_cols,
+        int(ent["n_partitions"]),
+    ).persist()
+    try:
+        w["groups_touched"] = delta_g.count()
+        if not w["groups_touched"]:
+            return w
+        pids = [
+            r[0] for r in delta_g.select(PARTITION_COL).distinct().collect()
+        ]  # ≤ n_partitions values, bounded by construction
+        old = (
+            store.read(t, where=[(PARTITION_COL, "in", pids)], prune_only=True)
+            if store.exists(t)
+            else None
+        )
+        storage = _storage_cols(group_cols, aggs)
+
+        if has_minmax:
+            additive_g = delta_g.filter(F.col("_has_del") == 0)
+            recompute_keys = delta_g.filter(F.col("_has_del") == 1).select(
+                *group_cols, PARTITION_COL
+            )
+        else:
+            additive_g = delta_g
+            recompute_keys = None
+
+        add_rows = _additive_rows(additive_g, old, group_cols, aggs, until, storage)
+        src = add_rows
+        if recompute_keys is not None:
+            rec_rows = _recompute_rows(
+                store, table, recompute_keys, group_cols, aggs, until, storage
+            )
+            w["groups_recomputed"] = recompute_keys.count()
+            src = add_rows.unionByName(rec_rows)
+
+        if old is None:
+            # first data into an empty view: every surviving row is an
+            # insert — plain clustered append, no merge machinery
+            live = src.filter(F.col(_OP_COL) != "del").drop(_OP_COL)
+            if live.limit(1).count():
+                store.append(t, live)
+                store.adopt_manifests(t)
+            return w
+        rep = store.merge_apply(
+            t,
+            src,
+            key_cols=group_cols,
+            when_matched=[
+                {"condition": f"{_OP_COL} = 'del'", "action": "delete"},
+                {"action": "update"},  # replace-row: absolute new state
+            ],
+            when_not_matched=[{"condition": f"{_OP_COL} <> 'del'"}],
+            drop_cols=[_OP_COL],
+        )
+        w["merge"] = rep
+        return w
+    finally:
+        delta_g.unpersist()
+
+
+def _additive_rows(
+    delta_g: DataFrame,
+    old: DataFrame | None,
+    group_cols: list[str],
+    aggs: dict,
+    until: float,
+    storage: list[str],
+) -> DataFrame:
+    """Absolute next-state for invertible groups: stored ⊕ window
+    net. Groups whose stored ``_mv_hw`` already carries this window
+    are SKIPPED (crash re-apply) — their state is already next-state."""
+    if old is not None:
+        o = old.select(
+            *[F.col(c).alias(f"_o_{c}") if c not in group_cols else F.col(c)
+              for c in storage]
+        )
+        j = delta_g.join(o, group_cols, "left")
+        applied = F.col(f"_o_{MV_HW}") >= F.lit(float(until))
+        j = j.filter(~F.coalesce(applied, F.lit(False)))
+    else:
+        j = delta_g
+        for c in storage:
+            if c not in group_cols:
+                j = j.withColumn(f"_o_{c}", F.lit(None))
+
+    def old_col(c, zero=False):
+        col = F.col(f"_o_{c}")
+        return F.coalesce(col, F.lit(0)) if zero else col
+
+    cnt_new = old_col(MV_CNT, zero=True) + F.col("_d" + MV_CNT)
+    cols = {MV_CNT: cnt_new.cast("long"), MV_HW: F.lit(float(until))}
+    for out, (op, _col) in aggs.items():
+        if op == "count":
+            cols[out] = (old_col(out, zero=True) + F.col("_d_" + out)).cast("long")
+        elif op in ("sum", "avg"):
+            nn = (old_col(_nn(out), zero=True) + F.col("_dnn_" + out)).cast("long")
+            raw_prev = _avs(out) if op == "avg" else out
+            raw = old_col(raw_prev, zero=True) + F.col("_d_" + out)
+            cols[_nn(out)] = nn
+            if op == "avg":
+                cols[_avs(out)] = F.when(nn > 0, raw)
+                cols[out] = F.when(nn > 0, raw / nn)
+            else:
+                cols[out] = F.when(nn > 0, raw)
+        else:
+            # insert-only extreme: least/greatest skip NULLs, so an
+            # all-null window leaves the stored extreme untouched
+            fn = F.least if op == "min" else F.greatest
+            cols[out] = fn(old_col(out), F.col("_dins_" + out))
+    out_df = j.select(
+        *group_cols,
+        *[cols[c].alias(c) for c in storage if c not in group_cols],
+        F.col(PARTITION_COL),
+        F.when(cnt_new <= 0, F.lit("del")).otherwise(F.lit("up")).alias(_OP_COL),
+    )
+    return out_df
+
+
+def _recompute_rows(
+    store: TableStore,
+    table: str,
+    keys: DataFrame,
+    group_cols: list[str],
+    aggs: dict,
+    until: float,
+    storage: list[str],
+) -> DataFrame:
+    """Absolute re-aggregate for min/max groups that saw a delete:
+    base rows bounded to exactly those groups by a key join (cluster
+    the base on the group column — compact(sort_by=...) — to make
+    this file-prunable too). A group with no surviving base rows is a
+    delete."""
+    base = store.read_at(table, until)
+    if base is None:
+        abs_g = None
+    else:
+        abs_g = (
+            base.join(keys.select(*group_cols), group_cols)
+            .groupBy(*group_cols)
+            .agg(*_abs_exprs(aggs))
+        )
+    k = keys
+    if abs_g is not None:
+        j = k.join(abs_g, group_cols, "left")
+    else:
+        j = k
+        for c in storage:
+            if c not in group_cols:
+                j = j.withColumn(c, F.lit(None))
+    alive = F.coalesce(F.col(MV_CNT), F.lit(0)) > 0
+    return j.select(
+        *group_cols,
+        *[
+            (F.lit(float(until)) if c == MV_HW else F.col(c)).alias(c)
+            for c in storage
+            if c not in group_cols
+        ],
+        F.col(PARTITION_COL),
+        F.when(alive, F.lit("up")).otherwise(F.lit("del")).alias(_OP_COL),
+    )

@@ -1,0 +1,249 @@
+"""Incrementally-maintained materialized aggregates
+(operators/matview.py): refresh-over-change-feed equals a full
+re-aggregation through every DML shape, crash re-apply converges, the
+registry claim serializes refreshers, and a refresh commits only the
+store partitions holding touched groups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.operators import matview as MV
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+BASE = "MvBase"
+AGGS = {
+    "n": ("count", None),
+    "n_v": ("count", "v"),
+    "sum_v": ("sum", "v"),
+    "avg_v": ("avg", "v"),
+    "min_v": ("min", "v"),
+    "max_v": ("max", "v"),
+}
+ADDITIVE_AGGS = {k: v for k, v in AGGS.items() if v[0] not in ("min", "max")}
+
+
+def _rows_df(spark, rows):
+    """(id, grp, v) rows — v nullable; everything lands in product 1
+    unless the row carries its own pid."""
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, v LONG")
+    return df.withColumn(PARTITION_COL, F.lit(1).cast("long"))
+
+
+def _store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "wh"))
+
+
+def _seed(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.append(
+        BASE,
+        _rows_df(
+            spark,
+            [
+                (1, "a", 10),
+                (2, "a", 3),
+                (3, "a", None),
+                (4, "b", 7),
+                (5, "b", 7),
+                (6, "c", None),  # all-null group: SUM/AVG/MIN/MAX NULL
+                (7, "d", 100),
+            ],
+        ),
+    )
+    store.adopt_manifests(BASE)  # matviews need a manifest-covered base
+    return store
+
+
+def _expected(store, group_cols=("grp",)):
+    """The ground truth: a fresh GROUP BY over the base's CURRENT
+    snapshot, exactly what the view must equal after refresh."""
+    base = store.read(BASE)
+    if base is None:
+        return []
+    rows = (
+        base.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_v"),
+            F.sum("v").alias("sum_v"),
+            F.avg("v").alias("avg_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    )
+    return sorted(tuple(r) for r in rows)
+
+
+def _view(store, name="mv", aggs=AGGS):
+    df = MV.read_matview(store, name)
+    if df is None:
+        return []
+    return sorted(tuple(r) for r in df.select("grp", *aggs).collect())
+
+
+def test_create_equals_groupby(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    rep = MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    assert rep["groups"] == 4
+    assert _view(store) == _expected(store)
+    # all-null group surfaces SQL NULL aggregates, count(*) still 1
+    c = {r[0]: r for r in _view(store)}
+    assert c["c"][1:] == (1, 0, None, None, None, None)
+
+
+def test_refresh_after_append(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    store.append(
+        BASE,
+        _rows_df(spark, [(8, "a", 1), (9, "e", 5), (10, "c", 4)]),
+    )
+    rep = MV.refresh_matview(store, "mv")
+    assert not rep["noop"]
+    assert rep["groups_touched"] == 3
+    # appends never trigger the min/max base recompute
+    assert rep["groups_recomputed"] == 0
+    assert _view(store) == _expected(store)
+    # second refresh with nothing new is a registry-only no-op
+    assert MV.refresh_matview(store, "mv")["noop"] is True
+
+
+def test_refresh_after_delete_and_update(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    # delete the current max of 'a' and update the min of 'b': both
+    # group extremes move DOWNWARD/UPWARD only via base recompute
+    store.delete_where(BASE, [("id", "==", 1)])
+    store.update_where(BASE, {"v": F.lit(99)}, [("id", "==", 4)])
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 2  # both saw deletes (update = del+ins)
+    assert _view(store) == _expected(store)
+
+
+def test_group_death_and_rebirth(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    store.delete_where(BASE, [("grp", "==", "d")])
+    MV.refresh_matview(store, "mv")
+    assert [r[0] for r in _view(store)] == ["a", "b", "c"]
+    store.append(BASE, _rows_df(spark, [(20, "d", 55)]))
+    MV.refresh_matview(store, "mv")
+    got = {r[0]: r for r in _view(store)}
+    assert got["d"][1:] == (1, 1, 55, 55.0, 55, 55)
+    assert _view(store) == _expected(store)
+
+
+def test_sum_null_transitions_additive(spark, tmp_path):
+    """A sum/avg-only view exercises the INVERTIBLE delete path (no
+    min/max → never touches the base table): the hidden non-null count
+    drives the NULL↔value transitions exactly."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], ADDITIVE_AGGS, n_partitions=4)
+    store.append(BASE, _rows_df(spark, [(30, "c", 6)]))
+    MV.refresh_matview(store, "mv")
+    got = {r[0]: r for r in _view(store, aggs=ADDITIVE_AGGS)}
+    assert got["c"][1:] == (2, 1, 6, 6.0)
+    store.delete_where(BASE, [("id", "==", 30)])
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 0  # invertible even under delete
+    got = {r[0]: r for r in _view(store, aggs=ADDITIVE_AGGS)}
+    assert got["c"][1:] == (1, 0, None, None)
+
+
+def test_crash_reapply_converges(spark, tmp_path):
+    """Apply a claimed window WITHOUT advancing the high-water (the
+    crash point), then refresh: recovery re-applies the SAME window
+    and the view still equals the ground truth — per-group ``_mv_hw``
+    skips make the re-apply idempotent."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    store.delete_where(BASE, [("id", "==", 1)])
+    store.append(BASE, _rows_df(spark, [(40, "e", 4), (41, "a", 2)]))
+    ent = MV.list_matviews(store)["mv"]
+    hw_new = MV._last_commit(store, BASE)
+    ent = MV._claim_pending(store, "mv", float(ent["hw"]), float(hw_new))
+    MV._apply_window(store, "mv", ent, float(ent["hw"]), float(hw_new))
+    # crash here: hw not advanced, pending still recorded
+    reg = MV.list_matviews(store)["mv"]
+    assert reg["pending"] == pytest.approx(hw_new)
+    rep = MV.refresh_matview(store, "mv")  # recovery completes the window
+    assert rep["windows"] and rep["windows"][0]["window"][1] == pytest.approx(hw_new)
+    assert MV.list_matviews(store)["mv"]["pending"] is None
+    assert _view(store) == _expected(store)
+
+
+def test_refresh_claim_is_exclusive(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS)
+    store.append(BASE, _rows_df(spark, [(50, "a", 1)]))
+    ent = MV.list_matviews(store)["mv"]
+    hw_new = MV._last_commit(store, BASE)
+    MV._claim_pending(store, "mv", float(ent["hw"]), float(hw_new))
+    with pytest.raises(RuntimeError, match="lost the refresh claim"):
+        MV._claim_pending(store, "mv", float(ent["hw"]), float(hw_new))
+
+
+def test_null_group_key_refused(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.append(BASE, _rows_df(spark, [(1, None, 5), (2, "a", 1)]))
+    store.adopt_manifests(BASE)
+    with pytest.raises(ValueError, match="NULL in group column"):
+        MV.create_matview(store, "mv", BASE, ["grp"], AGGS)
+    store2 = _seed(spark, tmp_path / "ok")
+    MV.create_matview(store2, "mv", BASE, ["grp"], AGGS)
+    store2.append(BASE, _rows_df(spark, [(60, None, 5)]))
+    with pytest.raises(ValueError, match="NULL in group column"):
+        MV.refresh_matview(store2, "mv")
+
+
+def test_refresh_commits_only_touched_partitions(spark, tmp_path):
+    """The 100 TB shape: a one-group delta merges into ONE of the
+    view's store partitions — the untouched partitions' manifests
+    don't move."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    t = MV.mv_table("mv")
+
+    def versions():
+        out = {}
+        for h in store.history(t):
+            cur = out.setdefault(h["partition"], h["version"])
+            out[h["partition"]] = max(cur, h["version"])
+        return out
+
+    before = versions()
+    store.append(BASE, _rows_df(spark, [(70, "a", 8)]))
+    MV.refresh_matview(store, "mv")
+    after = versions()
+    moved = [p for p in after if after[p] != before.get(p)]
+    assert len(moved) == 1
+    assert _view(store) == _expected(store)
+
+
+def test_registry_lifecycle(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS)
+    with pytest.raises(ValueError, match="exists"):
+        MV.create_matview(store, "mv", BASE, ["grp"], AGGS)
+    MV.create_matview(store, "mv", BASE, ["grp"], ADDITIVE_AGGS, replace=True)
+    assert set(MV.list_matviews(store)["mv"]["aggs"]) == set(ADDITIVE_AGGS)
+    MV.drop_matview(store, "mv")
+    assert MV.list_matviews(store) == {}
+    assert not store.exists(MV.mv_table("mv"))
+    with pytest.raises(KeyError):
+        MV.read_matview(store, "mv")
+
+
+def test_bad_specs_refused(spark, tmp_path):
+    store = _seed(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in"):
+        MV.create_matview(store, "mv", BASE, ["grp"], {"x": ("median", "v")})
+    with pytest.raises(ValueError, match="needs a column"):
+        MV.create_matview(store, "mv", BASE, ["grp"], {"x": ("sum", None)})
+    with pytest.raises(ValueError, match="reserved"):
+        MV.create_matview(store, "mv", BASE, ["grp"], {"grp": ("count", None)})
+    with pytest.raises(ValueError, match="no committed"):
+        MV.create_matview(store, "mv", "NoSuch", ["grp"], AGGS)
