@@ -102,6 +102,12 @@ HEADLINE = [
     # complete-snapshot temp-view path for the same narrow-band query
     "store_sql_pruned",
     "store_sql_unpruned",
+    # MATVIEW twins (r12): the same 1k-row ingest advancing a
+    # materialized aggregate incrementally (change-feed window +
+    # touched-partition merge) vs the full re-aggregation + view
+    # rewrite a pipeline without incremental maintenance re-pays
+    "store_matview_refresh",
+    "store_matview_rebuild",
 ]
 
 
@@ -147,6 +153,8 @@ def main() -> None:
         "store_scan_autocompacted",
         "store_sql_pruned",
         "store_sql_unpruned",
+        "store_matview_refresh",
+        "store_matview_rebuild",
     ):
         queries[name] = getattr(store_bench, name)
 

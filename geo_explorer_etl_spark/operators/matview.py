@@ -26,24 +26,32 @@ Maintenance algebra, per group:
   NULL semantics survive exactly: each SUM/AVG keeps a hidden non-null
   count, and the stored value returns to NULL when it hits zero.
 - MIN/MAX are invertible on INSERTS ONLY (``least``/``greatest`` with
-  the window's insert-side extreme); a group with any delete in the
-  window is re-aggregated absolutely from the base snapshot. A view
-  with no MIN/MAX never touches the base table at all.
+  the window's insert-side extreme); APPROX_DISTINCT likewise — it
+  stores the HLL sketch (Spark's datasketches HllSketch) beside the
+  estimate and UNIONS it with the insert window's sketch, the
+  mergeable-sketch property that makes HLL the scale-correct distinct
+  count. A group with any delete in the window re-aggregates
+  absolutely from the base snapshot (sketches don't retract). A view
+  with none of these never touches the base table at all.
 - A group whose row count reaches zero is DELETED from the view.
 
 Crash safety / exactly-once: refresh first CAS-publishes the window
 ``[hw, until]`` as PENDING intent in the registry blob, applies it,
 then CAS-advances ``hw = until``. Every stored row carries the
-``_mv_hw`` of the refresh that last wrote it, and the source-frame
-computation SKIPS additive groups whose stored ``_mv_hw`` already
-equals the pending ``until`` — so a crash between per-partition merge
-swaps re-applies the SAME window and converges: already-swapped
-partitions are no-ops (their values are skipped or replaced with the
-identical absolutes), unswapped ones apply old+delta. A racing
-refresher loses the pending CAS and raises rather than double-netting
-one window. The recovery path (``pending`` found set) completes the
-recorded window BEFORE opening a new one — never a merged, wider
-window, which would double-count the already-applied prefix.
+``_mv_hw`` of the refresh that last wrote it, and BOTH source
+branches SKIP groups whose stored ``_mv_hw`` already carries the
+window's ``until`` — so a crash between per-partition merge swaps
+re-applies the SAME window and converges: already-swapped partitions
+are no-ops, unswapped ones apply old+delta (or the absolute
+re-aggregate), and a STALE window re-applied after newer windows
+landed touches nothing (pytest pins it). A racing refresher loses the
+pending CAS and raises rather than double-netting one window; the
+whole refresh additionally runs under a per-view writer lock (flock
+under localfs — kernel-released on crash; a no-op under CAS, where
+the claim + fence carry the serialization). The recovery path
+(``pending`` found set) completes the recorded window BEFORE opening
+a new one — never a merged, wider window, which would double-count
+the already-applied prefix.
 
 Reference parity: the reference has no materialized-view surface —
 this extends the engine's table-format capabilities (SURVEY §6
@@ -66,7 +74,7 @@ MV_PREFIX = "MatView_"
 MV_HW = "_mv_hw"
 #: Hidden live-row count per group (group death detection).
 MV_CNT = "__cnt"
-AGG_OPS = ("count", "sum", "avg", "min", "max")
+AGG_OPS = ("count", "sum", "avg", "min", "max", "approx_distinct")
 _OP_COL = "_mv_op"  # routing-only merge column, dropped from the table
 
 
@@ -80,6 +88,10 @@ def _nn(out: str) -> str:
 
 def _avs(out: str) -> str:
     return f"__avs_{out}"  # hidden raw sum behind an avg
+
+
+def _hll(out: str) -> str:
+    return f"__hll_{out}"  # hidden HLL sketch behind an approx_distinct
 
 
 def _views(body: dict | None) -> dict:
@@ -148,8 +160,19 @@ def _abs_exprs(aggs: dict) -> list:
             exprs.append(F.count(F.col(col)).cast("long").alias(_nn(out)))
         elif op == "min":
             exprs.append(F.min(col).alias(out))
-        else:
+        elif op == "max":
             exprs.append(F.max(col).alias(out))
+        else:  # approx_distinct: the MERGEABLE-SKETCH aggregate — the
+            # stored value is the estimate, the hidden column the HLL
+            # sketch itself (Spark's datasketches HllSketch), so an
+            # insert-only window UNIONS sketches instead of recounting
+            sk = F.hll_sketch_agg(F.col(col))
+            exprs.append(
+                F.coalesce(F.hll_sketch_estimate(sk), F.lit(0))
+                .cast("long")
+                .alias(out)
+            )
+            exprs.append(sk.alias(_hll(out)))
     return exprs
 
 
@@ -179,10 +202,16 @@ def _delta_exprs(aggs: dict, has_minmax: bool) -> list:
                 F.min(F.when(F.col("_change_type") == "insert", F.col(col)))
                 .alias("_dins_" + out)
             )
-        else:
+        elif op == "max":
             exprs.append(
                 F.max(F.when(F.col("_change_type") == "insert", F.col(col)))
                 .alias("_dins_" + out)
+            )
+        else:  # approx_distinct: sketch over the window's INSERT values
+            exprs.append(
+                F.hll_sketch_agg(
+                    F.when(F.col("_change_type") == "insert", F.col(col))
+                ).alias("_dins_" + out)
             )
     if has_minmax:
         exprs.append(
@@ -203,6 +232,8 @@ def _storage_cols(group_cols: list[str], aggs: dict) -> list[str]:
             cols.append(_nn(out))
         elif op == "avg":
             cols += [_avs(out), _nn(out)]
+        elif op == "approx_distinct":
+            cols.append(_hll(out))
     cols += [MV_CNT, MV_HW]
     return cols
 
@@ -360,6 +391,22 @@ def refresh_matview(
     ent = _registry(store).get(name)
     if ent is None:
         raise KeyError(f"refresh_matview: no materialized view {name!r}")
+    # Per-view writer lock (flock under localfs, released by the
+    # kernel on crash; a no-op under CAS where the pending claim +
+    # the per-row _mv_hw fence carry the serialization): two refresh
+    # calls recovering the SAME crashed window would otherwise race —
+    # the loser's stale absolute values could land after the winner's
+    # NEXT window and silently regress those groups.
+    with store._backend.lock(Path(store.root) / "_mv" / name):
+        return _refresh_locked(store, name, until)
+
+
+def _refresh_locked(
+    store: TableStore, name: str, until: float | None
+) -> dict:
+    ent = _registry(store).get(name)
+    if ent is None:
+        raise KeyError(f"refresh_matview: no materialized view {name!r}")
     report: dict = {"windows": [], "groups_touched": 0, "groups_recomputed": 0}
     # recovery: a recorded pending window completes FIRST, exactly as
     # recorded — never widened into the new window (double-counting)
@@ -435,7 +482,11 @@ def _apply_window(
     table, t = ent["table"], mv_table(name)
     group_cols = list(ent["group_cols"])
     aggs = {out: tuple(spec) for out, spec in ent["aggs"].items()}
-    has_minmax = any(op in ("min", "max") for op, _ in aggs.values())
+    # min/max and approx_distinct are non-invertible: groups that saw
+    # a delete re-aggregate absolutely (the others net deltas/sketches)
+    has_minmax = any(
+        op in ("min", "max", "approx_distinct") for op, _ in aggs.values()
+    )
     w: dict = {"window": [since, until], "groups_touched": 0, "groups_recomputed": 0}
     delta = store.read_changes(table, since=since, until=until)
     if delta is None:
@@ -473,7 +524,7 @@ def _apply_window(
         src = add_rows
         if recompute_keys is not None:
             rec_rows = _recompute_rows(
-                store, table, recompute_keys, group_cols, aggs, until, storage
+                store, table, recompute_keys, old, group_cols, aggs, until, storage
             )
             w["groups_recomputed"] = recompute_keys.count()
             src = add_rows.unionByName(rec_rows)
@@ -547,11 +598,25 @@ def _additive_rows(
                 cols[out] = F.when(nn > 0, raw / nn)
             else:
                 cols[out] = F.when(nn > 0, raw)
-        else:
+        elif op in ("min", "max"):
             # insert-only extreme: least/greatest skip NULLs, so an
             # all-null window leaves the stored extreme untouched
             fn = F.least if op == "min" else F.greatest
             cols[out] = fn(old_col(out), F.col("_dins_" + out))
+        else:
+            # approx_distinct, insert-only window: UNION the stored
+            # sketch with the window's sketch — the mergeable-sketch
+            # property that makes HLL the 100 TB distinct count
+            old_sk, dsk = old_col(_hll(out)), F.col("_dins_" + out)
+            merged = (
+                F.when(old_sk.isNull(), dsk)
+                .when(dsk.isNull(), old_sk)
+                .otherwise(F.hll_union(old_sk, dsk))
+            )
+            cols[_hll(out)] = merged
+            cols[out] = (
+                F.coalesce(F.hll_sketch_estimate(merged), F.lit(0)).cast("long")
+            )
     out_df = j.select(
         *group_cols,
         *[cols[c].alias(c) for c in storage if c not in group_cols],
@@ -565,6 +630,7 @@ def _recompute_rows(
     store: TableStore,
     table: str,
     keys: DataFrame,
+    old: DataFrame | None,
     group_cols: list[str],
     aggs: dict,
     until: float,
@@ -574,7 +640,18 @@ def _recompute_rows(
     base rows bounded to exactly those groups by a key join (cluster
     the base on the group column — compact(sort_by=...) — to make
     this file-prunable too). A group with no surviving base rows is a
-    delete."""
+    delete. The same ``_mv_hw`` fence as the additive branch applies:
+    groups already carrying this window (crash re-apply) are skipped,
+    so a stale re-apply can't regress a group a newer window updated."""
+    if old is not None:
+        fence = old.select(*group_cols, F.col(MV_HW).alias("_o_hw"))
+        keys = (
+            keys.join(fence, group_cols, "left")
+            .filter(
+                ~F.coalesce(F.col("_o_hw") >= F.lit(float(until)), F.lit(False))
+            )
+            .drop("_o_hw")
+        )
     base = store.read_at(table, until)
     if base is None:
         abs_g = None

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geo_explorer_etl_spark.session import load_tables
-from geo_explorer_etl_spark.sources.store import TableStore
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
 
 N_FILES = 200
 PID = 1
@@ -282,6 +282,108 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     Path(f"{sql_root}/_probe.json").write_text(
         _json.dumps({"band": bands[0]})
     )
+
+    # MATVIEW twins: two mirrored event stores, each carrying the same
+    # user_id-grouped materialized aggregate; per timed run both append
+    # an identical small delta, then one REFRESHES incrementally
+    # (change-feed window + touched-group merge) while the other pays
+    # the full re-aggregation + view rewrite — the cost a pipeline
+    # without incremental maintenance re-pays per ingest. The base is
+    # the events table replicated ×MV_BASE_REP (distinct event_ids,
+    # same users): the twins measure the ASYMMETRY — rebuild cost is
+    # base-proportional, refresh cost is delta-proportional — and at
+    # raw sf0.1 (100k rows) a full re-aggregation is cheaper than the
+    # refresh's fixed costs, so the crossover needs a base big enough
+    # to be past it (every real matview is — that's why it exists).
+    from geo_explorer_etl_spark.operators import matview as MV
+
+    big = ev.crossJoin(
+        spark.range(MV_BASE_REP).withColumnRenamed("id", "_rep")
+    ).select(
+        (F.col("event_id") * MV_BASE_REP + F.col("_rep")).alias("event_id"),
+        "ts", "user_id", "event_type", "value",
+    )
+    for root in _mv_roots(spark):
+        _shutil.rmtree(root, ignore_errors=True)
+        store = TableStore(spark, root)
+        store.replace_product_all(
+            PID, {TABLE: big.repartitionByRange(N_DEL_FILES, "event_id")}
+        )
+        MV.create_matview(
+            store, "bench", TABLE, ["user_id"], MV_AGGS,
+            n_partitions=16, replace=True,
+        )
+
+
+def _mv_roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_mv_inc", f"{wh}/bench_store_mv_full"
+
+
+MV_AGGS = {
+    "n": ("count", None),
+    "sum_value": ("sum", "value"),
+    "avg_value": ("avg", "value"),
+}
+MV_BASE_REP = 32   # base = events × 32 (see prepare: the crossover note)
+_MV_DELTA_ROWS = 1000
+_MV_DELTA_USERS = 4
+
+
+def _mv_delta(spark: SparkSession, i: int) -> DataFrame:
+    """Run ``i``'s ingest batch: fresh disjoint event_ids, rows for
+    ``_MV_DELTA_USERS`` brand-new users — every timed pass does the
+    same real work (the delete-twin run-idx rule). ``ts`` is omitted:
+    subset appends surface it as NULL and the view reads only
+    (user_id, value)."""
+    base = 10_000_000_000 + i * 1_000_000
+    return spark.range(_MV_DELTA_ROWS).select(
+        (F.lit(base) + F.col("id")).alias("event_id"),
+        (F.lit(9_000_000 + i * 100) + F.pmod(F.col("id"), F.lit(_MV_DELTA_USERS)))
+        .cast("long")
+        .alias("user_id"),
+        F.lit("bench").alias("event_type"),
+        (F.pmod(F.col("id"), F.lit(97)) * F.lit(0.5)).alias("value"),
+        F.lit(PID).cast("long").alias(PARTITION_COL),
+    )
+
+
+def store_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest a 1k-row delta and advance the materialized aggregate
+    INCREMENTALLY: read_changes scans only the appended files, the
+    merge touches only the partitions holding the 4 changed groups —
+    cost ∝ delta, not table or view size."""
+    from geo_explorer_etl_spark.operators import matview as MV
+
+    root = _mv_roots(spark)[0]
+    store = TableStore(spark, root)
+    i = _peek_run_idx(root)
+    store.append(TABLE, _mv_delta(spark, i))
+    MV.refresh_matview(store, "bench")
+    _commit_run_idx(root, i)
+    return MV.read_matview(store, "bench").filter(
+        F.col("user_id") >= 9_000_000
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("sum_value"), 2).alias("total"))
+
+
+def store_matview_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ingest without incremental maintenance: the view is
+    rebuilt by a full re-aggregation over every base row plus a whole-
+    view rewrite — what each refresh would cost at 100 TB without the
+    change-feed path."""
+    from geo_explorer_etl_spark.operators import matview as MV
+
+    root = _mv_roots(spark)[1]
+    store = TableStore(spark, root)
+    i = _peek_run_idx(root)
+    store.append(TABLE, _mv_delta(spark, i))
+    MV.create_matview(
+        store, "bench", TABLE, ["user_id"], MV_AGGS, n_partitions=16, replace=True
+    )
+    _commit_run_idx(root, i)
+    return MV.read_matview(store, "bench").filter(
+        F.col("user_id") >= 9_000_000
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("sum_value"), 2).alias("total"))
 
 
 def _sql_band(spark: SparkSession) -> tuple[int, int]:

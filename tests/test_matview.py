@@ -175,6 +175,36 @@ def test_crash_reapply_converges(spark, tmp_path):
     assert _view(store) == _expected(store)
 
 
+def test_stale_window_reapply_touches_nothing(spark, tmp_path):
+    """The _mv_hw fence on BOTH branches: re-applying an OLD window
+    after newer windows landed is a complete no-op — additive groups
+    skip on the stored watermark, and min/max recompute groups skip
+    the same way (a stale recovering refresher can't regress a group
+    a newer window updated)."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    hw0 = MV.list_matviews(store)["mv"]["hw"]
+    # window 1: a delete (recompute branch) + an append (additive)
+    store.delete_where(BASE, [("id", "==", 1)])
+    store.append(BASE, _rows_df(spark, [(80, "e", 4)]))
+    MV.refresh_matview(store, "mv")
+    hw1 = MV.list_matviews(store)["mv"]["hw"]
+    # window 2: move the SAME groups again
+    store.append(BASE, _rows_df(spark, [(81, "a", 1), (82, "e", 9)]))
+    store.delete_where(BASE, [("id", "==", 2)])
+    MV.refresh_matview(store, "mv")
+    want = _view(store)
+    assert want == _expected(store)
+    # stale re-apply of window 1 (hw0 -> hw1): every group already
+    # carries _mv_hw >= hw1 — nothing may move
+    ent = MV.list_matviews(store)["mv"]
+    w = MV._apply_window(store, "mv", ent, float(hw0), float(hw1))
+    assert w["groups_touched"] > 0  # the window itself is non-empty
+    m = w.get("merge", {})
+    assert sum(m.values()) == 0 if m else True
+    assert _view(store) == want
+
+
 def test_refresh_claim_is_exclusive(spark, tmp_path):
     store = _seed(spark, tmp_path)
     MV.create_matview(store, "mv", BASE, ["grp"], AGGS)
@@ -221,6 +251,92 @@ def test_refresh_commits_only_touched_partitions(spark, tmp_path):
     moved = [p for p in after if after[p] != before.get(p)]
     assert len(moved) == 1
     assert _view(store) == _expected(store)
+
+
+def test_approx_distinct_sketch_maintenance(spark, tmp_path):
+    """approx_distinct stores the HLL sketch beside the estimate:
+    insert windows UNION sketches (no base scan), deletes route
+    through the absolute recompute — at test cardinalities the
+    datasketches estimate is exact, so the view must equal
+    COUNT(DISTINCT v) through every transition."""
+    store = _seed(spark, tmp_path)
+    aggs = {"nd_v": ("approx_distinct", "v"), "n": ("count", None)}
+    MV.create_matview(store, "mv", BASE, ["grp"], aggs, n_partitions=4)
+
+    def expected():
+        return sorted(
+            tuple(r)
+            for r in store.read(BASE)
+            .groupBy("grp")
+            .agg(
+                F.count_distinct("v").alias("nd_v"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+
+    assert _view(store, aggs=aggs) == expected()  # incl. all-null 'c' -> 0
+    # insert-only window: repeated values + one new distinct per group
+    store.append(
+        BASE,
+        _rows_df(spark, [(90, "a", 10), (91, "a", 77), (92, "c", 5)]),
+    )
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 0  # sketch union, no base scan
+    assert _view(store, aggs=aggs) == expected()
+    # delete: sketches don't retract -> absolute recompute
+    store.delete_where(BASE, [("id", "==", 91)])
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 1
+    assert _view(store, aggs=aggs) == expected()
+
+
+def test_cascaded_matview(spark, tmp_path):
+    """A matview is itself a manifest-controlled store table with a
+    change feed — a second-level rollup over it refreshes through the
+    same machinery (the continuous-aggregate hierarchy: base →
+    per-(region, grp) → per-region)."""
+    store = _store(spark, tmp_path)
+    rows = [
+        (1, "east", "a", 10),
+        (2, "east", "a", 3),
+        (3, "east", "b", 7),
+        (4, "west", "a", 5),
+        (5, "west", "c", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "id LONG, region STRING, grp STRING, v LONG"
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.append(BASE, df)
+    store.adopt_manifests(BASE)
+    MV.create_matview(
+        store, "lvl1", BASE, ["region", "grp"],
+        {"sum_v": ("sum", "v"), "n": ("count", None)}, n_partitions=4,
+    )
+    MV.create_matview(
+        store, "lvl2", MV.mv_table("lvl1"), ["region"],
+        {"total": ("sum", "sum_v"), "groups": ("count", None)}, n_partitions=2,
+    )
+    delta = spark.createDataFrame(
+        [(6, "west", "c", 20), (7, "north", "x", 1)],
+        "id LONG, region STRING, grp STRING, v LONG",
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.append(BASE, delta)
+    store.delete_where(BASE, [("id", "==", 3)])  # kills east/b -> lvl1 delete
+    MV.refresh_matview(store, "lvl1")
+    MV.refresh_matview(store, "lvl2")
+    got = sorted(tuple(r) for r in MV.read_matview(store, "lvl2").collect())
+    want = sorted(
+        tuple(r)
+        for r in store.read(BASE)
+        .groupBy("region")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count_distinct("grp").alias("groups"),
+        )
+        .collect()
+    )
+    assert got == want
 
 
 def test_registry_lifecycle(spark, tmp_path):
