@@ -775,6 +775,17 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "store_merge_timetravel",
     oracle="""
+    WITH v3state AS (
+        SELECT o_orderkey, 'C2' AS status, o_totalprice * 3 AS price
+        FROM orders WHERE o_orderkey % 100 >= 15 AND o_orderkey % 100 < 20
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 100 >= 20 AND o_orderkey % 100 < 50
+          AND o_orderstatus <> 'P'
+        UNION ALL
+        SELECT o_orderkey, 'N', CAST(1.0 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 100 >= 95
+    )
     SELECT 'v0' AS snap, o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
     FROM orders WHERE o_orderkey % 100 < 50
     UNION ALL
@@ -796,17 +807,15 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE o_totalprice END, 2)
     FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 50
     UNION ALL
-    SELECT 'v3', o_orderkey, 'C2', ROUND(o_totalprice * 3, 2)
-    FROM orders WHERE o_orderkey % 100 >= 15 AND o_orderkey % 100 < 20
+    SELECT 'v3', o_orderkey, status, ROUND(price, 2) FROM v3state
     UNION ALL
-    SELECT 'v3', o_orderkey, o_orderstatus, ROUND(o_totalprice, 2)
-    FROM orders WHERE o_orderkey % 100 >= 20 AND o_orderkey % 100 < 50
-      AND o_orderstatus <> 'P'
+    SELECT 'mv', COUNT(*), status, ROUND(SUM(price), 2)
+    FROM v3state GROUP BY status
     UNION ALL
-    SELECT 'v3', o_orderkey, 'N', CAST(1.0 AS DOUBLE)
-    FROM orders WHERE o_orderkey % 100 >= 95
+    SELECT 'mvmax', COUNT(*), status, ROUND(MAX(price), 2)
+    FROM v3state GROUP BY status
     """,
-    tags="S11 I2 store merge update delete time-travel CDF",
+    tags="S11 I2 store merge update delete time-travel CDF matview",
 )
 def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TableStore lifecycle under the hard hash oracle: publish a
@@ -835,7 +844,13 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     DELETE, matched UPDATE, NOT MATCHED INSERT, NOT MATCHED BY SOURCE
     DELETE in one atomic swap), served through the BATCH data source
     (``spark.read.format("store")``, sources/store_source.py) so both
-    new surfaces sit under the same hash."""
+    new surfaces sit under the same hash. Round 12 adds ``mv``/
+    ``mvmax``: a MATERIALIZED AGGREGATE created at v2 and advanced
+    through the clause-MERGE by ONE incremental refresh window
+    (operators/matview.py) — DuckDB recomputes the expected GROUP BY
+    from the v3 slices, so a mis-netted delta, a missed touched
+    group, or a wrong min/max recompute under deletes breaks the
+    value hash."""
     import tempfile
     import time
 
@@ -952,6 +967,32 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # manifest file list AT CALL TIME, so the frame stays v2 even
     # after the clause-MERGE below commits v3 (snapshot isolation)
     v2 = store.read("IndicatorValues")
+    # Round 12: a MATERIALIZED AGGREGATE (operators/matview.py) joins
+    # the lifecycle under the same hash — created here (pinned to the
+    # v2 snapshot), then advanced through the clause-MERGE below by
+    # ONE incremental refresh window, so the change-feed netting, the
+    # touched-partition merge, AND the min/max recompute branch (the
+    # window has deletes; max_p forces it) must all reproduce exactly
+    # the GROUP BY DuckDB computes from first principles over the v3
+    # slices ('mv' and 'mvmax' legs).
+    from geo_explorer_etl_spark.operators.matview import (
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    create_matview(
+        store,
+        "mtt",
+        "IndicatorValues",
+        ["status"],
+        {
+            "cnt": ("count", None),
+            "sum_p": ("sum", "o_totalprice"),
+            "max_p": ("max", "o_totalprice"),
+        },
+        n_partitions=4,
+    )
     # v3 (round 11, VERDICT directive #2): ONE op-typed CDC batch
     # through the clause-MERGE grammar — matched DELETE (DV path),
     # matched UPDATE-as-replace, NOT MATCHED INSERT, and NOT MATCHED
@@ -1001,12 +1042,25 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "mtt_v3_served", store.root, "IndicatorValues", replace=True
     )
     v3_served = spark.table(v3_cat)
+    refresh_matview(store, "mtt")  # one window: the whole clause-MERGE
+    mv = read_matview(store, "mtt")
+
+    def mv_leg(tag: str, value_col: str) -> DataFrame:
+        return mv.select(
+            F.lit(tag).alias("snap"),
+            F.col("cnt").alias("o_orderkey"),
+            F.col("status").alias("o_orderstatus"),
+            F.round(value_col, 2).alias("totalprice"),
+        )
+
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
         .unionByName(tagged(v2, "v2"))
         .unionByName(tagged(v2cdf, "v2cdf"))
         .unionByName(tagged(v3_served, "v3"))
+        .unionByName(mv_leg("mv", "sum_p"))
+        .unionByName(mv_leg("mvmax", "max_p"))
     )
 
 
