@@ -353,6 +353,51 @@ def test_registry_lifecycle(spark, tmp_path):
         MV.read_matview(store, "mv")
 
 
+def test_randomized_refresh_differential(spark, tmp_path):
+    """Seeded randomized differential (the merge_apply rule): random
+    append/delete/update DML over the base, a refresh after every
+    round, and the view must equal a fresh GROUP BY of the base's
+    current snapshot every single time — across group births, deaths,
+    extreme movements, and all-null windows. Fixed seed, deterministic
+    gate."""
+    import random
+
+    rng = random.Random(23)
+    store = _store(spark, tmp_path)
+    groups = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, rng.choice(groups), rng.choice([None] + list(range(0, 50))))
+        for i in range(40)
+    ]
+    store.append(BASE, _rows_df(spark, rows))
+    store.adopt_manifests(BASE)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    live = {r[0] for r in rows}
+    next_id = 100
+    for round_no in range(5):
+        op = rng.choice(["append", "delete", "update", "mixed"])
+        if op in ("append", "mixed"):
+            batch = [
+                (next_id + i, rng.choice(groups),
+                 rng.choice([None] + list(range(0, 50))))
+                for i in range(rng.randint(1, 6))
+            ]
+            live |= {r[0] for r in batch}
+            next_id += 10
+            store.append(BASE, _rows_df(spark, batch))
+        if op in ("delete", "mixed") and live:
+            victims = rng.sample(sorted(live), min(len(live), rng.randint(1, 5)))
+            live -= set(victims)
+            store.delete_where(BASE, [("id", "in", victims)])
+        if op == "update" and live:
+            targets = rng.sample(sorted(live), min(len(live), 3))
+            store.update_where(
+                BASE, {"v": F.lit(rng.randint(0, 99))}, [("id", "in", targets)]
+            )
+        MV.refresh_matview(store, "mv")
+        assert _view(store) == _expected(store), f"round {round_no} ({op})"
+
+
 def test_bad_specs_refused(spark, tmp_path):
     store = _seed(spark, tmp_path)
     with pytest.raises(ValueError, match="not in"):
