@@ -308,32 +308,35 @@ def create_matview(
         .select(*_storage_cols(list(group_cols), aggs))
     )
     t = mv_table(name)
-    if replace:
-        _drop_mv_table(store, t)
-    elif store.exists(t):
-        raise ValueError(
-            f"create_matview: orphan table {t!r} exists without a registry "
-            "entry (crashed create) — pass replace=True to adopt"
-        )
-    store.append(t, _with_pid(mv, list(group_cols), n_partitions))
-    # first write lands listing-mode: adopt immediately so refresh's
-    # merge_apply / partition-pruned probes have manifests from day one
-    store.adopt_manifests(t)
-    n_groups = store.count_rows(t)
+    # same per-view lock refresh holds: a rebuild can't interleave
+    # with a running refresh's merge (localfs; CAS stays optimistic)
+    with store._backend.lock(Path(store.root) / "_mv" / name):
+        if replace:
+            _drop_mv_table(store, t)
+        elif store.exists(t):
+            raise ValueError(
+                f"create_matview: orphan table {t!r} exists without a registry "
+                "entry (crashed create) — pass replace=True to adopt"
+            )
+        store.append(t, _with_pid(mv, list(group_cols), n_partitions))
+        # first write lands listing-mode: adopt immediately so refresh's
+        # merge_apply / partition-pruned probes have manifests from day one
+        store.adopt_manifests(t)
+        n_groups = store.count_rows(t)
 
-    def upsert(prior):
-        reg = dict(prior or {})
-        reg[name] = {
-            "table": table,
-            "group_cols": list(group_cols),
-            "aggs": {out: [op, col] for out, (op, col) in aggs.items()},
-            "n_partitions": int(n_partitions),
-            "hw": float(hw),
-            "pending": None,
-        }
-        return reg
+        def upsert(prior):
+            reg = dict(prior or {})
+            reg[name] = {
+                "table": table,
+                "group_cols": list(group_cols),
+                "aggs": {out: [op, col] for out, (op, col) in aggs.items()},
+                "n_partitions": int(n_partitions),
+                "hw": float(hw),
+                "pending": None,
+            }
+            return reg
 
-    _cas_registry(store, upsert)
+        _cas_registry(store, upsert)
     return {"hw": float(hw), "groups": int(n_groups)}
 
 
@@ -371,8 +374,9 @@ def drop_matview(store: TableStore, name: str) -> None:
         del reg[name]
         return reg
 
-    _cas_registry(store, remove)
-    _drop_mv_table(store, mv_table(name))
+    with store._backend.lock(Path(store.root) / "_mv" / name):
+        _cas_registry(store, remove)
+        _drop_mv_table(store, mv_table(name))
 
 
 def list_matviews(store: TableStore) -> dict:
@@ -429,6 +433,40 @@ def _refresh_locked(
     _advance_hw(store, name, hw, new_hw)
     report["noop"] = False
     return report
+
+
+def refresh_all_matviews(store: TableStore, table: str | None = None) -> dict:
+    """Advance every registered view (optionally: only views DIRECTLY
+    over ``table``) — the post-ingest hook a pipeline calls after its
+    append/merge lands. Views refresh in DEPENDENCY order: a cascaded
+    rollup (a view whose base is another view's table) refreshes after
+    its parent, so one call advances a whole hierarchy consistently.
+    Views refresh independently (each is its own pending-window
+    transaction); a failure in one raises after the earlier ones have
+    advanced, and re-running converges (the refresh contract).
+    Returns ``{name: report}`` in refresh order."""
+    reg = _registry(store)
+    owner = {mv_table(n): n for n in reg}
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def visit(n: str) -> None:
+        if n in seen:
+            return
+        seen.add(n)
+        parent = owner.get(reg[n]["table"])
+        if parent is not None and parent != n:
+            visit(parent)
+        order.append(n)
+
+    for n in sorted(reg):
+        visit(n)
+    out: dict = {}
+    for name in order:
+        if table is not None and reg[name]["table"] != table:
+            continue
+        out[name] = refresh_matview(store, name)
+    return out
 
 
 def _claim_pending(store: TableStore, name: str, hw: float, new_hw: float) -> dict:
@@ -488,7 +526,18 @@ def _apply_window(
         op in ("min", "max", "approx_distinct") for op, _ in aggs.values()
     )
     w: dict = {"window": [since, until], "groups_touched": 0, "groups_recomputed": 0}
-    delta = store.read_changes(table, since=since, until=until)
+    try:
+        delta = store.read_changes(table, since=since, until=until)
+    except FileNotFoundError as e:
+        # vacuum pruned a superseded file the window needs: the view
+        # can no longer be advanced incrementally — say so, and say
+        # what to do (the read_changes retention contract)
+        raise RuntimeError(
+            f"refresh_matview({name!r}): the window [{since}, {until}] "
+            f"over {table!r} is outside vacuum retention — rebuild with "
+            "create_matview(..., replace=True), and size the vacuum "
+            "retention to at least the refresh cadence"
+        ) from e
     if delta is None:
         return w
     _refuse_null_keys(delta.select(*group_cols), group_cols, "refresh_matview")

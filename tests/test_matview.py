@@ -314,7 +314,7 @@ def test_cascaded_matview(spark, tmp_path):
         {"sum_v": ("sum", "v"), "n": ("count", None)}, n_partitions=4,
     )
     MV.create_matview(
-        store, "lvl2", MV.mv_table("lvl1"), ["region"],
+        store, "a_top", MV.mv_table("lvl1"), ["region"],
         {"total": ("sum", "sum_v"), "groups": ("count", None)}, n_partitions=2,
     )
     delta = spark.createDataFrame(
@@ -324,8 +324,32 @@ def test_cascaded_matview(spark, tmp_path):
     store.append(BASE, delta)
     store.delete_where(BASE, [("id", "==", 3)])  # kills east/b -> lvl1 delete
     MV.refresh_matview(store, "lvl1")
-    MV.refresh_matview(store, "lvl2")
-    got = sorted(tuple(r) for r in MV.read_matview(store, "lvl2").collect())
+    MV.refresh_matview(store, "a_top")
+    got = sorted(tuple(r) for r in MV.read_matview(store, "a_top").collect())
+    want = sorted(
+        tuple(r)
+        for r in store.read(BASE)
+        .groupBy("region")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count_distinct("grp").alias("groups"),
+        )
+        .collect()
+    )
+    assert got == want
+    # refresh_all advances the whole hierarchy in dependency order:
+    # lvl1 (registered later alphabetically-irrelevant) before lvl2
+    store.append(
+        BASE,
+        spark.createDataFrame(
+            [(8, "east", "a", 2)], "id LONG, region STRING, grp STRING, v LONG"
+        ).withColumn(PARTITION_COL, F.lit(1).cast("long")),
+    )
+    reports = MV.refresh_all_matviews(store)
+    # "a_top" sorts before "lvl1": only the dependency visit
+    # can put the parent first
+    assert list(reports) == ["lvl1", "a_top"]
+    got = sorted(tuple(r) for r in MV.read_matview(store, "a_top").collect())
     want = sorted(
         tuple(r)
         for r in store.read(BASE)
@@ -396,6 +420,22 @@ def test_randomized_refresh_differential(spark, tmp_path):
             )
         MV.refresh_matview(store, "mv")
         assert _view(store) == _expected(store), f"round {round_no} ({op})"
+
+
+def test_refresh_outside_vacuum_retention_raises_rebuild_hint(spark, tmp_path):
+    """A vacuum that prunes a superseded file the pending window needs
+    makes incremental advance impossible — the error says so and names
+    the remedy instead of surfacing a bare missing-file path."""
+    import pytest as _pytest
+
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    # a delete SUPERSEDES files; vacuum(0) then drops them before the
+    # view has consumed the window
+    store.delete_where(BASE, [("grp", "==", "a")], mode="cow")
+    store.vacuum(BASE, older_than_seconds=0)
+    with _pytest.raises(RuntimeError, match="outside vacuum retention"):
+        MV.refresh_matview(store, "mv")
 
 
 def test_bad_specs_refused(spark, tmp_path):
