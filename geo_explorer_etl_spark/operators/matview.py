@@ -31,8 +31,12 @@ Maintenance algebra, per group:
   estimate and UNIONS it with the insert window's sketch, the
   mergeable-sketch property that makes HLL the scale-correct distinct
   count. A group with any delete in the window re-aggregates
-  absolutely from the base snapshot (sketches don't retract). A view
-  with none of these never touches the base table at all.
+  absolutely from the base snapshot (sketches don't retract) — but
+  ONLY when the delete can actually move the state: a deleted value
+  at-or-past the stored extreme, or any non-null delete against a
+  sketch. Deletes strictly inside the stored (min, max) — the
+  scattered-update common case — stay invertible. A view with none of
+  these aggregates never touches the base table at all.
 - A group whose row count reaches zero is DELETED from the view.
 
 Crash safety / exactly-once: refresh first CAS-publishes the window
@@ -176,7 +180,7 @@ def _abs_exprs(aggs: dict) -> list:
     return exprs
 
 
-def _delta_exprs(aggs: dict, has_minmax: bool) -> list:
+def _delta_exprs(aggs: dict) -> list:
     """Netted window aggregates over change-feed rows (+1 insert /
     −1 delete) — the invertible-aggregate algebra."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
@@ -197,15 +201,18 @@ def _delta_exprs(aggs: dict, has_minmax: bool) -> list:
                 .cast("long")
                 .alias("_dnn_" + out)
             )
-        elif op == "min":
+        elif op in ("min", "max"):
+            ins = F.when(F.col("_change_type") == "insert", F.col(col))
+            dl = F.when(F.col("_change_type") == "delete", F.col(col))
+            fn = F.min if op == "min" else F.max
+            exprs.append(fn(ins).alias("_dins_" + out))
+            # the delete-side extreme decides whether the group can
+            # stay on the invertible path (_recompute_cond)
+            exprs.append(fn(dl).alias("_ddel_" + out))
             exprs.append(
-                F.min(F.when(F.col("_change_type") == "insert", F.col(col)))
-                .alias("_dins_" + out)
-            )
-        elif op == "max":
-            exprs.append(
-                F.max(F.when(F.col("_change_type") == "insert", F.col(col)))
-                .alias("_dins_" + out)
+                F.sum(F.when(dl.isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("_ddn_" + out)
             )
         else:  # approx_distinct: sketch over the window's INSERT values
             exprs.append(
@@ -213,12 +220,50 @@ def _delta_exprs(aggs: dict, has_minmax: bool) -> list:
                     F.when(F.col("_change_type") == "insert", F.col(col))
                 ).alias("_dins_" + out)
             )
-    if has_minmax:
-        exprs.append(
-            F.max(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
-            .alias("_has_del")
-        )
+            exprs.append(
+                F.sum(
+                    F.when(
+                        (F.col("_change_type") == "delete")
+                        & F.col(col).isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("_ddn_" + out)
+            )
     return exprs
+
+
+def _recompute_cond(aggs: dict):
+    """Does THIS group need the absolute base re-aggregate? Only when
+    a delete could actually move non-invertible state: a deleted value
+    at-or-past the stored extreme (min/max), or ANY non-null delete
+    against a sketch (sketches don't retract). Deletes strictly inside
+    the stored (min, max) — the scattered-update common case — stay on
+    the invertible path. NULL deletes never trigger (aggregates ignore
+    them); a group with no stored row but non-null deletes triggers
+    (an in-window insert-then-delete would otherwise corrupt the
+    insert-side extreme/sketch)."""
+    cond = F.lit(False)
+    for out, (op, _col) in aggs.items():
+        if op in ("min", "max"):
+            cmp = (
+                F.col("_ddel_" + out) <= F.col(f"_o_{out}")
+                if op == "min"
+                else F.col("_ddel_" + out) >= F.col(f"_o_{out}")
+            )
+            trig = (
+                F.when(F.col("_ddn_" + out) <= 0, F.lit(False))
+                .when(F.col(f"_o_{MV_CNT}").isNull(), F.lit(True))
+                .when(F.col(f"_o_{out}").isNull(), F.lit(True))
+                .otherwise(cmp)
+            )
+        elif op == "approx_distinct":
+            trig = F.col("_ddn_" + out) > 0
+        else:
+            continue
+        cond = cond | F.coalesce(trig, F.lit(False))
+    return cond
 
 
 def _storage_cols(group_cols: list[str], aggs: dict) -> list[str]:
@@ -542,7 +587,7 @@ def _apply_window(
         return w
     _refuse_null_keys(delta.select(*group_cols), group_cols, "refresh_matview")
     delta_g = _with_pid(
-        delta.groupBy(*group_cols).agg(*_delta_exprs(aggs, has_minmax)),
+        delta.groupBy(*group_cols).agg(*_delta_exprs(aggs)),
         group_cols,
         int(ent["n_partitions"]),
     ).persist()
@@ -559,24 +604,41 @@ def _apply_window(
             else None
         )
         storage = _storage_cols(group_cols, aggs)
+        # ONE join against the stored rows serves the crash fence AND
+        # the per-agg recompute classification
+        if old is not None:
+            o = old.select(
+                *[F.col(c).alias(f"_o_{c}") if c not in group_cols else F.col(c)
+                  for c in storage]
+            )
+            j = delta_g.join(o, group_cols, "left")
+            applied = F.col(f"_o_{MV_HW}") >= F.lit(float(until))
+            j = j.filter(~F.coalesce(applied, F.lit(False)))
+        else:
+            j = delta_g
+            for c in storage:
+                if c not in group_cols:
+                    j = j.withColumn(f"_o_{c}", F.lit(None))
 
         if has_minmax:
-            additive_g = delta_g.filter(F.col("_has_del") == 0)
-            recompute_keys = delta_g.filter(F.col("_has_del") == 1).select(
+            j = j.withColumn("_recomp", _recompute_cond(aggs))
+            additive_j = j.filter(~F.col("_recomp")).drop("_recomp")
+            recompute_keys = j.filter(F.col("_recomp")).select(
                 *group_cols, PARTITION_COL
             )
         else:
-            additive_g = delta_g
+            additive_j = j
             recompute_keys = None
 
-        add_rows = _additive_rows(additive_g, old, group_cols, aggs, until, storage)
+        add_rows = _additive_rows(additive_j, group_cols, aggs, until, storage)
         src = add_rows
         if recompute_keys is not None:
-            rec_rows = _recompute_rows(
-                store, table, recompute_keys, old, group_cols, aggs, until, storage
-            )
             w["groups_recomputed"] = recompute_keys.count()
-            src = add_rows.unionByName(rec_rows)
+            if w["groups_recomputed"]:
+                rec_rows = _recompute_rows(
+                    store, table, recompute_keys, group_cols, aggs, until, storage
+                )
+                src = add_rows.unionByName(rec_rows)
 
         if old is None:
             # first data into an empty view: every surviving row is an
@@ -604,29 +666,16 @@ def _apply_window(
 
 
 def _additive_rows(
-    delta_g: DataFrame,
-    old: DataFrame | None,
+    j: DataFrame,
     group_cols: list[str],
     aggs: dict,
     until: float,
     storage: list[str],
 ) -> DataFrame:
-    """Absolute next-state for invertible groups: stored ⊕ window
-    net. Groups whose stored ``_mv_hw`` already carries this window
-    are SKIPPED (crash re-apply) — their state is already next-state."""
-    if old is not None:
-        o = old.select(
-            *[F.col(c).alias(f"_o_{c}") if c not in group_cols else F.col(c)
-              for c in storage]
-        )
-        j = delta_g.join(o, group_cols, "left")
-        applied = F.col(f"_o_{MV_HW}") >= F.lit(float(until))
-        j = j.filter(~F.coalesce(applied, F.lit(False)))
-    else:
-        j = delta_g
-        for c in storage:
-            if c not in group_cols:
-                j = j.withColumn(f"_o_{c}", F.lit(None))
+    """Absolute next-state for invertible (or invertible-this-window)
+    groups: stored ⊕ window net. ``j`` arrives pre-joined with the
+    stored ``_o_*`` columns and already fenced on ``_mv_hw`` (crash
+    re-apply skips — _apply_window)."""
 
     def old_col(c, zero=False):
         col = F.col(f"_o_{c}")
@@ -679,28 +728,19 @@ def _recompute_rows(
     store: TableStore,
     table: str,
     keys: DataFrame,
-    old: DataFrame | None,
     group_cols: list[str],
     aggs: dict,
     until: float,
     storage: list[str],
 ) -> DataFrame:
-    """Absolute re-aggregate for min/max groups that saw a delete:
-    base rows bounded to exactly those groups by a key join (cluster
-    the base on the group column — compact(sort_by=...) — to make
-    this file-prunable too). A group with no surviving base rows is a
-    delete. The same ``_mv_hw`` fence as the additive branch applies:
-    groups already carrying this window (crash re-apply) are skipped,
-    so a stale re-apply can't regress a group a newer window updated."""
-    if old is not None:
-        fence = old.select(*group_cols, F.col(MV_HW).alias("_o_hw"))
-        keys = (
-            keys.join(fence, group_cols, "left")
-            .filter(
-                ~F.coalesce(F.col("_o_hw") >= F.lit(float(until)), F.lit(False))
-            )
-            .drop("_o_hw")
-        )
+    """Absolute re-aggregate for the groups ``_recompute_cond``
+    selected (a delete that can move non-invertible state): base rows
+    bounded to exactly those groups by a key join (cluster the base on
+    the group column — compact(sort_by=...) — to make this
+    file-prunable too). A group with no surviving base rows is a
+    delete. ``keys`` is already fenced on ``_mv_hw`` (the hoisted join
+    in _apply_window), so a stale re-apply can't regress a group a
+    newer window updated."""
     base = store.read_at(table, until)
     if base is None:
         abs_g = None

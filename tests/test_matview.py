@@ -377,6 +377,33 @@ def test_registry_lifecycle(spark, tmp_path):
         MV.read_matview(store, "mv")
 
 
+def test_interior_delete_stays_invertible(spark, tmp_path):
+    """The recompute classifier is per-agg, not per-delete: a delete
+    strictly INSIDE the stored (min, max) — the scattered-update
+    common case — and a delete of a NULL value both stay on the
+    invertible path (no base scan); only a delete at the stored
+    extreme re-aggregates."""
+    store = _store(spark, tmp_path)
+    store.append(
+        BASE,
+        _rows_df(spark, [(1, "a", 1), (2, "a", 5), (3, "a", 9), (4, "a", None)]),
+    )
+    store.adopt_manifests(BASE)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=2)
+    store.delete_where(BASE, [("id", "==", 2)])  # v=5: interior
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 0
+    assert _view(store) == _expected(store)
+    store.delete_where(BASE, [("id", "==", 4)])  # v=NULL: never triggers
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 0
+    assert _view(store) == _expected(store)
+    store.delete_where(BASE, [("id", "==", 3)])  # v=9: the stored max
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 1
+    assert _view(store) == _expected(store)
+
+
 def test_randomized_refresh_differential(spark, tmp_path):
     """Seeded randomized differential (the merge_apply rule): random
     append/delete/update DML over the base, a refresh after every
