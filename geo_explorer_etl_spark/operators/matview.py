@@ -411,6 +411,29 @@ def read_matview(store: TableStore, name: str) -> DataFrame:
     return df.select(*ent["group_cols"], *ent["aggs"])
 
 
+def register_matview_view(store: TableStore, name: str, view: str | None = None) -> str:
+    """SQL serving for a materialized view: registers a temp view over
+    the BATCH DATA SOURCE (query-time-fresh — every statement re-plans
+    the snapshot, so a refresh is visible with no re-registration),
+    projected to the user-facing columns (group keys + declared
+    outputs; maintenance columns hidden). Returns the view name
+    (default: the matview's own name). The projection prunes at the
+    pyarrow scan, so hidden sketch/counter columns cost no I/O."""
+    ent = _registry(store).get(name)
+    if ent is None:
+        raise KeyError(f"register_matview_view: no materialized view {name!r}")
+    from geo_explorer_etl_spark.sources.store_source import (
+        register_store_source,
+        store_table,
+    )
+
+    register_store_source(store.spark)
+    v = view or name
+    df = store_table(store.spark, store.root, mv_table(name), backend=store._backend.format_name)
+    df.select(*ent["group_cols"], *ent["aggs"]).createOrReplaceTempView(v)
+    return v
+
+
 def drop_matview(store: TableStore, name: str) -> None:
     def remove(prior):
         reg = dict(prior or {})

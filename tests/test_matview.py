@@ -465,6 +465,28 @@ def test_refresh_outside_vacuum_retention_raises_rebuild_hint(spark, tmp_path):
         MV.refresh_matview(store, "mv")
 
 
+def test_sql_view_over_matview_is_query_time_fresh(spark, tmp_path):
+    """register_matview_view serves the user-facing columns through
+    the batch data source: SQL equals read_matview, hidden maintenance
+    columns don't exist in the view, and a refresh is visible to the
+    NEXT statement with no re-registration (the store_table freshness
+    contract)."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    v = MV.register_matview_view(store, "mv")
+    assert v == "mv"
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM mv").collect())
+    assert got == _view(store)
+    assert set(spark.table("mv").columns) == {"grp", *AGGS}
+    store.append(BASE, _rows_df(spark, [(99, "z", 42)]))
+    MV.refresh_matview(store, "mv")
+    fresh = {r[0] for r in spark.sql("SELECT grp FROM mv").collect()}
+    assert "z" in fresh  # no re-registration needed
+    assert sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM mv").collect()
+    ) == _expected(store)
+
+
 def test_bad_specs_refused(spark, tmp_path):
     store = _seed(spark, tmp_path)
     with pytest.raises(ValueError, match="not in"):
