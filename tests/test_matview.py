@@ -487,6 +487,36 @@ def test_sql_view_over_matview_is_query_time_fresh(spark, tmp_path):
     ) == _expected(store)
 
 
+def test_matview_on_cas_backend(spark, tmp_path):
+    """The whole lifecycle on the CAS (object-store) commit backend,
+    where the per-view flock is a NO-OP and the registry blob, the
+    pending claim, and every manifest swap serialize through
+    put-if-absent CAS alone: create + DML + refresh + crash re-apply
+    must behave exactly as on localfs."""
+    store = TableStore(spark, str(tmp_path / "wh"), backend="cas")
+    store.append(
+        BASE,
+        _rows_df(spark, [(1, "a", 10), (2, "a", 3), (3, "b", 7), (4, "c", None)]),
+    )
+    store.adopt_manifests(BASE)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    assert _view(store) == _expected(store)
+    store.delete_where(BASE, [("id", "==", 1)])  # extreme -> recompute leg
+    store.append(BASE, _rows_df(spark, [(5, "d", 2)]))
+    rep = MV.refresh_matview(store, "mv")
+    assert rep["groups_recomputed"] == 1
+    assert _view(store) == _expected(store)
+    # crash re-apply converges under CAS too (no flock to lean on)
+    store.append(BASE, _rows_df(spark, [(6, "a", 99)]))
+    ent = MV.list_matviews(store)["mv"]
+    hw_new = MV._last_commit(store, BASE)
+    ent = MV._claim_pending(store, "mv", float(ent["hw"]), float(hw_new))
+    MV._apply_window(store, "mv", ent, float(ent["hw"]), float(hw_new))
+    rep = MV.refresh_matview(store, "mv")  # recovery
+    assert MV.list_matviews(store)["mv"]["pending"] is None
+    assert _view(store) == _expected(store)
+
+
 def test_bad_specs_refused(spark, tmp_path):
     store = _seed(spark, tmp_path)
     with pytest.raises(ValueError, match="not in"):
