@@ -487,6 +487,73 @@ def test_sql_view_over_matview_is_query_time_fresh(spark, tmp_path):
     ) == _expected(store)
 
 
+def test_concurrent_refreshers_converge(spark, tmp_path):
+    """Two threads refresh the same view at once: the per-view flock
+    (localfs) serializes them — the loser of the claim either waits
+    and no-ops or raises the claim error, and the view equals the
+    ground truth with the high-water advanced exactly once. No
+    double-netting under any interleaving."""
+    import threading
+
+    store = _seed(spark, tmp_path)
+    MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
+    store.append(BASE, _rows_df(spark, [(70, "a", 1), (71, "e", 5)]))
+    results: list = [None, None]
+
+    def go(i):
+        try:
+            results[i] = MV.refresh_matview(store, "mv")
+        except RuntimeError as e:  # the claim-loss error is a legal outcome
+            results[i] = e
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    applied = [
+        r for r in results
+        if isinstance(r, dict) and (r["windows"] or not r.get("noop", True))
+    ]
+    assert len(applied) == 1  # exactly one thread applied the window
+    assert MV.list_matviews(store)["mv"]["pending"] is None
+    assert _view(store) == _expected(store)
+
+
+def test_long_group_key(spark, tmp_path):
+    """Group keys aren't strings everywhere: a LONG group column must
+    hash-route, merge-match, and survive the whole refresh cycle."""
+    store = _store(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 7), (3, 20, None), (4, 30, 1)],
+        "id LONG, bucket LONG, v LONG",
+    ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+    store.append(BASE, df)
+    store.adopt_manifests(BASE)
+    aggs = {"n": ("count", None), "sum_v": ("sum", "v"), "max_v": ("max", "v")}
+    MV.create_matview(store, "mv", BASE, ["bucket"], aggs, n_partitions=4)
+    store.delete_where(BASE, [("id", "==", 2)])  # max of bucket 10
+    store.append(
+        BASE,
+        spark.createDataFrame([(5, 40, 9)], "id LONG, bucket LONG, v LONG")
+        .withColumn(PARTITION_COL, F.lit(1).cast("long")),
+    )
+    MV.refresh_matview(store, "mv")
+    got = sorted(
+        tuple(r) for r in MV.read_matview(store, "mv").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in store.read(BASE)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
 def test_matview_on_cas_backend(spark, tmp_path):
     """The whole lifecycle on the CAS (object-store) commit backend,
     where the per-view flock is a NO-OP and the registry blob, the
