@@ -554,6 +554,93 @@ def test_long_group_key(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_auto_refresh_listener(spark, tmp_path):
+    """The continuous-aggregate pipeline end to end: CDF source →
+    native store sink → MatviewRefresher listener advances the view
+    within the micro-batch's progress event — no manual refresh call
+    anywhere after setup."""
+    import time
+
+    from geo_explorer_etl_spark.streaming.cdf_source import (
+        StoreChangeFeedDataSource,
+    )
+    from geo_explorer_etl_spark.streaming.matview_refresh import (
+        attach_matview_refresher,
+        detach_matview_refresher,
+    )
+    from geo_explorer_etl_spark.streaming.store_sink import StoreSinkDataSource
+
+    spark.dataSource.register(StoreChangeFeedDataSource)
+    spark.dataSource.register(StoreSinkDataSource)
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src, dst = TableStore(spark, src_root), TableStore(spark, dst_root)
+    src.replace_product_all(
+        1, {"IndicatorValues": _rows_df(spark, [(1, "a", 10), (2, "b", 7)])}
+    )
+    t0 = 0.0
+    ck = str(tmp_path / "ck")
+
+    def drain(qname):
+        q = (
+            spark.readStream.format("store_cdf")
+            .option("path", src_root)
+            .option("table", "IndicatorValues")
+            .option("start_at", t0)
+            .option("watermark_lag", 0.0)
+            .load()
+            .filter(F.col("_change_type") == "insert")
+            .select("id", "grp", "v", PARTITION_COL)
+            .writeStream.format("store")
+            .queryName(qname)
+            .option("path", dst_root)
+            .option("table", "Sink")
+            .option("stream_id", "mvpipe")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("seed")  # sink table exists with manifests before the view
+    MV.create_matview(dst, "mv", "Sink", ["grp"], ADDITIVE_AGGS, n_partitions=2)
+    listener = attach_matview_refresher(
+        spark, dst, table="Sink", query_name="mvpipe_q"
+    )
+    try:
+        src.append("IndicatorValues", _rows_df(spark, [(3, "a", 5), (4, "z", 1)]))
+        time.sleep(0.05)
+        drain("mvpipe_q")
+        want = sorted(
+            tuple(r)
+            for r in dst.read("Sink")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("v").alias("n_v"),
+                F.sum("v").alias("sum_v"),
+                F.avg("v").alias("avg_v"),
+            )
+            .collect()
+        )
+        deadline = time.time() + 60
+        got = None
+        while time.time() < deadline:
+            got = sorted(
+                tuple(r)
+                for r in MV.read_matview(dst, "mv")
+                .select("grp", *ADDITIVE_AGGS)
+                .collect()
+            )
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert listener.errors == []
+        assert got == want  # the listener advanced the view, unprompted
+        assert listener.refreshes >= 1
+    finally:
+        detach_matview_refresher(spark, listener)
+
+
 def test_matview_on_cas_backend(spark, tmp_path):
     """The whole lifecycle on the CAS (object-store) commit backend,
     where the per-view flock is a NO-OP and the registry blob, the
