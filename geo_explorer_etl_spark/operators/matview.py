@@ -394,12 +394,14 @@ def _drop_mv_table(store: TableStore, t: str) -> None:
             shutil.rmtree(p)
 
 
-def read_matview(store: TableStore, name: str) -> DataFrame:
+def read_matview(store: TableStore, name: str) -> DataFrame | None:
     """The view's user-facing frame: group keys + declared outputs
-    (hidden maintenance columns dropped). Reading between a crash and
-    its recovery refresh can surface a PER-PARTITION torn point — some
-    partitions post-window, others pre; run ``refresh_matview`` to
-    converge (it completes the pending window first)."""
+    (hidden maintenance columns dropped); None when every group was
+    deleted (the store's every-partition-deleted state, same contract
+    as ``store.read``). Reading between a crash and its recovery
+    refresh can surface a PER-PARTITION torn point — some partitions
+    post-window, others pre; run ``refresh_matview`` to converge (it
+    completes the pending window first)."""
     ent = _registry(store).get(name)
     if ent is None:
         raise KeyError(f"read_matview: no materialized view {name!r}")
