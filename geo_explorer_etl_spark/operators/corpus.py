@@ -380,6 +380,8 @@ def ingest_corpus_batch(
     decon_ngram: int = 13,
     domain_weights: dict[str, float] | None = None,
     domain_col: str = "source",
+    ann_batch: DataFrame | None = None,
+    ann_policy: dict | None = None,
 ) -> DataFrame:
     """The INCREMENTAL twin of ``build_training_corpus`` — the daily
     ingest a production pipeline actually runs, in O(batch):
@@ -474,6 +476,28 @@ def ingest_corpus_batch(
     # untouched, so the retry's dedup decision is identical and the
     # corpus anti-join absorbs any partial append
     dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
+    if ann_batch is not None:
+        # opt-in vector upkeep (VERDICT r12 next #3 wiring): index the
+        # ACCEPTED docs' embeddings against the frozen centroids, then
+        # let the drift policy decide whether this append tipped the
+        # index into a rebuild — ingest stays a one-call pipeline
+        from geo_explorer_etl_spark.operators.ann_index import (
+            append_ann_index,
+            maintain_ann_index,
+        )
+
+        arep: dict = {}
+        accepted = ann_batch.join(
+            F.broadcast(kept.select(id_col).distinct())
+            if rep["accepted_rows"] <= 1_000_000
+            else kept.select(id_col).distinct(),
+            id_col,
+            "left_semi",
+        )
+        append_ann_index(store, accepted, report=arep)
+        if ann_policy is not None:
+            maintain_ann_index(store, report=arep, **ann_policy)
+        rep["ann"] = arep
     return kept
 
 
@@ -527,6 +551,24 @@ def _budget_admit(
         cur = store._backend.read(root, key)
         version = cur[0] if cur else 0
         body = dict(cur[1]) if cur else {}
+        # the two modes charge DISJOINT fields of this blob — a
+        # pipeline silently switching modes on one corpus would read
+        # zero consumption and overspend the total budget (ADVICE r12
+        # #4): refuse loudly, naming the recorded mode
+        stored_mode = (
+            "domain" if "domain_tokens" in body
+            else "plain" if "tokens" in body
+            else None
+        )
+        req_mode = "plain" if domain_budgets is None else "domain"
+        if stored_mode is not None and stored_mode != req_mode:
+            raise ValueError(
+                f"corpus token budget for {corpus_table!r} was charged in "
+                f"{stored_mode!r} mode but this ingest requests "
+                f"{req_mode!r} (token_budget vs domain_weights) — the "
+                "counters are not fungible; keep one mode per corpus, or "
+                f"start a new corpus table (counter blob: {key})"
+            )
         if domain_budgets is None:
             consumed = int(body.get("tokens", 0))
             last = int(body.get("last_tokens", 0))

@@ -141,6 +141,118 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    window: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """SPAN-level decontamination (VERDICT r12 next #4 — the Dolma
+    scrub): instead of dropping a contaminated document wholesale,
+    remove each matched eval ``n``-gram's exact character span ±
+    ``window`` characters and keep the rest — the right trade for
+    high-value long documents where one quoted benchmark item should
+    not cost the whole text. ``decontaminate`` (doc-drop) stays the
+    default gate; this is the opt-in surgical path.
+
+    Returns ``docs`` with ``text_col`` scrubbed in place plus
+    ``decon_spans_removed`` / ``decon_chars_removed`` ints (0 for
+    clean documents — every row passes through). Surrounding text is
+    BYTE-IDENTICAL: spans are located against the ORIGINAL string via
+    ``\\S+`` token offsets (the same token sequence ``_shingles``'
+    lower+whitespace rule produces), matched case-insensitively, then
+    overlapping/adjacent extended spans merge before one splice pass.
+
+    Scale shape: the matched-shingle sets ride the same broadcast
+    eval-shingle join as ``decontaminate`` (fact data never
+    shuffles); the splice itself is an Arrow-batched ``mapInPandas``
+    pass — row-local string arithmetic, no driver data, no shuffle
+    (the extension-operator lane, same as similarity/bpe)."""
+    ev = shingle_df(
+        eval_docs.select(
+            F.col(eval_id_col or id_col).alias("_eval_id"),
+            F.col(eval_text_col or text_col).alias("_eval_text"),
+        ),
+        "_eval_text",
+        "_eval_id",
+        n,
+    ).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        shingle_df(docs, text_col, id_col, n)
+        .join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_decon_shingles"))
+    )
+    joined = docs.join(hits, id_col, "left")
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema
+    )
+    out_schema = f"{fields}, decon_spans_removed int, decon_chars_removed int"
+    w = int(window)
+
+    def scrub(batches):
+        import re
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts, nspans, nchars = [], [], []
+            for text, grams in zip(pdf[text_col], pdf["_decon_shingles"]):
+                if grams is None or len(grams) == 0 or text is None:
+                    texts.append(text)
+                    nspans.append(0)
+                    nchars.append(0)
+                    continue
+                toks = list(re.finditer(r"\S+", text))
+                low = [m.group(0).lower() for m in toks]
+                by_len: dict[int, set] = {}
+                for g in grams:
+                    by_len.setdefault(g.count(" ") + 1, set()).add(g)
+                spans = []
+                for ln, gset in by_len.items():
+                    for i in range(len(low) - ln + 1):
+                        if " ".join(low[i : i + ln]) in gset:
+                            spans.append(
+                                (toks[i].start(), toks[i + ln - 1].end())
+                            )
+                if not spans:
+                    texts.append(text)
+                    nspans.append(0)
+                    nchars.append(0)
+                    continue
+                spans = sorted(
+                    (max(0, a - w), min(len(text), b + w)) for a, b in spans
+                )
+                merged = [list(spans[0])]
+                for a, b in spans[1:]:
+                    if a <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], b)
+                    else:
+                        merged.append([a, b])
+                out, cur = [], 0
+                for a, b in merged:
+                    out.append(text[cur:a])
+                    cur = b
+                out.append(text[cur:])
+                texts.append("".join(out))
+                nspans.append(len(merged))
+                nchars.append(sum(b - a for a, b in merged))
+            res = pdf.drop(columns=["_decon_shingles"]).copy()
+            res[text_col] = texts
+            res["decon_spans_removed"] = nspans
+            res["decon_chars_removed"] = nchars
+            yield res
+
+    return joined.mapInPandas(scrub, schema=out_schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.1
 ) -> DataFrame:

@@ -814,6 +814,14 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'mvmax', COUNT(*), status, ROUND(MAX(price), 2)
     FROM v3state GROUP BY status
+    UNION ALL
+    SELECT 'mvb', COUNT(*), CAST(CAST(o_orderkey % 7 AS INTEGER) AS VARCHAR),
+           ROUND(SUM(price), 2)
+    FROM v3state WHERE price > 1000 GROUP BY o_orderkey % 7
+    UNION ALL
+    SELECT 'mvbmax', COUNT(*), CAST(CAST(o_orderkey % 7 AS INTEGER) AS VARCHAR),
+           ROUND(MAX(price), 2)
+    FROM v3state WHERE price > 1000 GROUP BY o_orderkey % 7
     """,
     tags="S11 I2 store merge update delete time-travel CDF matview",
 )
@@ -993,6 +1001,26 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_partitions=4,
     )
+    # Round 13 (VERDICT r12 directive #2): a FILTERED, DERIVED-GROUP
+    # view — WHERE price > 1000 GROUP BY a key-bucket EXPRESSION —
+    # created at v2 and advanced through the same clause-MERGE window,
+    # so the where-predicate applied to the change feed and the
+    # derived-group delta algebra (incl. the filtered max recompute
+    # under the CDC deletes) sit under the hash too ('mvb'/'mvbmax').
+    create_matview(
+        store,
+        "mttb",
+        "IndicatorValues",
+        ["kb"],
+        {
+            "cnt": ("count", None),
+            "sum_p": ("sum", "o_totalprice"),
+            "max_p": ("max", "o_totalprice"),
+        },
+        n_partitions=4,
+        where=[("o_totalprice", ">", 1000.0)],
+        group_exprs={"kb": "CAST(o_orderkey % 7 AS INT)"},
+    )
     # v3 (round 11, VERDICT directive #2): ONE op-typed CDC batch
     # through the clause-MERGE grammar — matched DELETE (DV path),
     # matched UPDATE-as-replace, NOT MATCHED INSERT, and NOT MATCHED
@@ -1043,13 +1071,15 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v3_served = spark.table(v3_cat)
     refresh_matview(store, "mtt")  # one window: the whole clause-MERGE
+    refresh_matview(store, "mttb")
     mv = read_matview(store, "mtt")
+    mvb = read_matview(store, "mttb")
 
-    def mv_leg(tag: str, value_col: str) -> DataFrame:
-        return mv.select(
+    def mv_leg(df: DataFrame, tag: str, value_col: str, group_col) -> DataFrame:
+        return df.select(
             F.lit(tag).alias("snap"),
             F.col("cnt").alias("o_orderkey"),
-            F.col("status").alias("o_orderstatus"),
+            group_col.alias("o_orderstatus"),
             F.round(value_col, 2).alias("totalprice"),
         )
 
@@ -1059,8 +1089,10 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(v2, "v2"))
         .unionByName(tagged(v2cdf, "v2cdf"))
         .unionByName(tagged(v3_served, "v3"))
-        .unionByName(mv_leg("mv", "sum_p"))
-        .unionByName(mv_leg("mvmax", "max_p"))
+        .unionByName(mv_leg(mv, "mv", "sum_p", F.col("status")))
+        .unionByName(mv_leg(mv, "mvmax", "max_p", F.col("status")))
+        .unionByName(mv_leg(mvb, "mvb", "sum_p", F.col("kb").cast("string")))
+        .unionByName(mv_leg(mvb, "mvbmax", "max_p", F.col("kb").cast("string")))
     )
 
 

@@ -1,0 +1,179 @@
+"""SQL DML boundary for store tables (VERDICT r12 missing #2 /
+next #6): Spark's Python DataSource API has no UPDATE/DELETE/MERGE
+hooks, so ``UPDATE``/``DELETE`` statements against a registered store
+catalog table can't execute through ``spark.sql`` — but the simple
+predicate forms map EXACTLY onto ``delete_where``/``update_where``.
+``TableStore.sql`` routes those forms, and everything else fails
+LOUDLY with the Python API named, instead of whatever Spark happens
+to throw today.
+
+Deliberately a conservative router, not a SQL engine: the predicate
+grammar it accepts is precisely the store's tuple grammar
+(``col op literal`` conjunctions, ops ``= == != <> < <= > >=
+BETWEEN IN``) — the same tuples that drive zone-map file skipping,
+so a routed DELETE prunes exactly like its Python twin. Anything it
+cannot parse EXACTLY is refused with the full supported grammar in
+the error; it never guesses.
+
+SELECTs and ``INSERT INTO`` already have first-class SQL paths
+(``create_catalog_table`` / ``register_star_views(catalog=True)``,
+store_source.py) — the router points there rather than duplicating
+them.
+"""
+
+from __future__ import annotations
+
+import re
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_LIT = r"(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+_GRAMMAR = (
+    "the SQL router covers only\n"
+    "  DELETE FROM <table> [WHERE <col op literal [AND ...]>]\n"
+    "  UPDATE <table> SET <col> = <expr>[, ...] [WHERE ...]\n"
+    "with ops = == != <> < <= > >= BETWEEN..AND IN (...) over "
+    "literals (numbers, 'strings').\n"
+    "Richer predicates or MERGE: use the Python API — "
+    "TableStore.delete_where / update_where / merge_apply. "
+    "SELECT and INSERT INTO run through Spark SQL over "
+    "create_catalog_table / register_star_views(catalog=True) "
+    "(sources/store_source.py)."
+)
+
+
+def _refuse(stmt: str, why: str) -> None:
+    raise ValueError(f"store.sql: cannot route {stmt!r}: {why} — {_GRAMMAR}")
+
+
+def _lit(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _parse_preds(text: str, stmt: str) -> list:
+    """A conjunction of store-grammar clauses, or refuse."""
+    preds: list = []
+    rest = text.strip()
+    while rest:
+        m = re.match(
+            rf"(?is)^({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})(.*)$", rest
+        )
+        if m:
+            preds.append((m[1], "between", (_lit(m[2]), _lit(m[3]))))
+            rest = m[4]
+        else:
+            m = re.match(
+                rf"(?is)^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)(.*)$",
+                rest,
+            )
+            if m:
+                vals = [_lit(v) for v in _split_top(m[2])]
+                preds.append((m[1], "in", vals))
+                rest = m[3]
+            else:
+                m = re.match(
+                    rf"(?is)^({_IDENT})\s*(==|=|!=|<>|>=|<=|>|<)\s*({_LIT})(.*)$",
+                    rest,
+                )
+                if not m:
+                    _refuse(stmt, f"unparseable predicate at {rest[:40]!r}")
+                op = {"=": "==", "<>": "!="}.get(m[2], m[2])
+                preds.append((m[1], op, _lit(m[3])))
+                rest = m[4]
+        rest = rest.strip()
+        if rest:
+            m = re.match(r"(?is)^AND\s+(.*)$", rest)
+            if not m:
+                _refuse(stmt, f"expected AND or end, found {rest[:40]!r}")
+            rest = m[1]
+    if not preds:
+        _refuse(stmt, "empty WHERE")
+    return preds
+
+
+def _split_top(text: str) -> list[str]:
+    """Split on top-level commas, respecting '...' quoting (with ''
+    escapes) and parentheses — the SET-list/IN-list splitter."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    q = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if q:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    q = False
+        elif ch == "'":
+            q = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def store_sql(store, statement: str) -> int:
+    """Route one DML statement onto the store's Python DML (module
+    docstring for the exact grammar). Returns the affected-row count
+    the underlying call reports."""
+    s = statement.strip().rstrip(";").strip()
+    if not s:
+        _refuse(statement, "empty statement")
+    head = s.split(None, 1)[0].upper()
+    if head == "DELETE":
+        m = re.match(rf"(?is)^DELETE\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(.+))?$", s)
+        if not m:
+            _refuse(statement, "not of the form DELETE FROM <table> [WHERE ...]")
+        preds = _parse_preds(m[2], statement) if m[2] else None
+        return store.delete_where(m[1], preds)
+    if head == "UPDATE":
+        m = re.match(
+            rf"(?is)^UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$", s
+        )
+        if not m:
+            _refuse(statement, "not of the form UPDATE <table> SET ... [WHERE ...]")
+        sets: dict[str, str] = {}
+        for part in _split_top(m[2]):
+            sm = re.match(rf"(?s)^\s*({_IDENT})\s*=\s*(.+?)\s*$", part)
+            if not sm:
+                _refuse(statement, f"unparseable SET assignment {part.strip()!r}")
+            if re.search(r"(?i)\bselect\b", sm[2]):
+                # update_where evaluates row-local expressions only —
+                # a scalar subquery would fail deep inside Spark with
+                # an unhelpful error; refuse at the boundary instead
+                _refuse(statement, "SET expressions cannot contain subqueries")
+            sets[sm[1]] = sm[2]  # SQL expr string: update_where's grammar
+        preds = _parse_preds(m[3], statement) if m[3] else None
+        return store.update_where(m[1], sets, preds)
+    if head == "MERGE":
+        _refuse(
+            statement,
+            "MERGE has no SQL routing (clause grammar is richer than the "
+            "router's scope) — call TableStore.merge_apply",
+        )
+    if head in ("INSERT", "SELECT", "WITH"):
+        _refuse(
+            statement,
+            f"{head} belongs to Spark SQL over a registered store catalog "
+            "table, not the DML router",
+        )
+    _refuse(statement, f"unsupported statement kind {head!r}")
+    return 0  # unreachable

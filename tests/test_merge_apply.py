@@ -620,3 +620,98 @@ def test_merge_rows_multi_product_upsert_pooled(spark, tmp_path):
         exp[(pid, 1)] = "new"   # replaced
         exp[(pid, 7)] = "new"   # appended
     assert got == exp
+
+
+def test_target_condition_gates_matched_rows_both_paths(spark, tmp_path):
+    """WHEN MATCHED AND <target pred> (``target_condition``, ADVICE
+    r12 #1): a matched TARGET row failing the predicate is left
+    untouched — a gated delete skips the row, a gated replace-update
+    suppresses its source successor, and the source row never falls
+    through to the insert leg. File-level and whole-partition
+    fallback paths agree row for row."""
+    changes_rows = [
+        (2, "U", "swap", 1000.0),   # target amount 2.0 < 10: gated out
+        (14, "U", "swap", 1400.0),  # target amount 14.0 >= 10: replaced
+        (5, "D", None, None),       # gated delete: amount 5.0 < 10
+        (17, "D", None, None),      # amount 17.0 >= 10: deleted
+        (1000, "I", "new", 1.0),    # plain insert, unaffected by gates
+    ]
+    clauses = dict(
+        when_matched=[
+            {"condition": "op = 'D'", "action": "delete",
+             "target_condition": "amount >= 10"},
+            {"condition": "op = 'U'", "action": "update",
+             "target_condition": "amount >= 10"},
+        ],
+        when_not_matched=[{"condition": "op = 'I'"}],
+    )
+
+    def run(path, cap=None):
+        store = _store(spark, path, n_files=2, n=20)
+        old = TableStore.MERGE_KEYSET_CAP
+        if cap is not None:
+            TableStore.MERGE_KEYSET_CAP = cap
+        try:
+            counts = store.merge_apply(
+                "IndicatorValues", _src(spark, changes_rows), ["k"], **clauses
+            )
+        finally:
+            TableStore.MERGE_KEYSET_CAP = old
+        rows = {
+            r.k: (r.status, r.amount)
+            for r in store.read("IndicatorValues").collect()
+        }
+        return counts, rows
+
+    counts_a, rows_a = run(tmp_path / "a")
+    counts_b, rows_b = run(tmp_path / "b", cap=2)  # force the fallback
+    assert counts_a == counts_b
+    assert counts_a == {
+        "updated": 1, "deleted": 1, "inserted": 1, "deleted_by_source": 0
+    }
+    assert rows_a == rows_b
+    assert rows_a[2] == ("live", 2.0)      # gated replace: untouched
+    assert rows_a[14] == ("swap", 1400.0)  # passing replace: swapped
+    assert rows_a[5] == ("live", 5.0)      # gated delete: survived
+    assert 17 not in rows_a                # passing delete: gone
+    assert rows_a[1000] == ("new", 1.0)
+
+
+def test_target_condition_gates_set_update(spark, tmp_path):
+    """A SET-expression update with a target gate transforms only the
+    passing rows (the gate and the SET both see the pre-row)."""
+    store = _store(spark, tmp_path, n_files=2, n=20)
+    counts = store.merge_apply(
+        "IndicatorValues",
+        _src(spark, [(3, "U", None, None), (15, "U", None, None)]),
+        ["k"],
+        when_matched=[
+            {
+                "action": "update",
+                "set": {"status": "'touched'"},
+                "target_condition": "amount >= 10",
+            }
+        ],
+    )
+    assert counts["updated"] == 1
+    rows = {r.k: r.status for r in store.read("IndicatorValues").collect()}
+    assert rows[3] == "live" and rows[15] == "touched"
+
+
+def test_target_condition_rejected_off_matched_legs(spark, tmp_path):
+    store = _store(spark, tmp_path, n_files=1, n=4)
+    with pytest.raises(ValueError, match="cannot carry target_condition"):
+        store.merge_apply(
+            "IndicatorValues",
+            _src(spark, [(99, "I", "n", 1.0)]),
+            ["k"],
+            when_not_matched=[{"target_condition": "amount > 0"}],
+        )
+    with pytest.raises(ValueError, match="via 'condition'"):
+        store.merge_apply(
+            "IndicatorValues",
+            _src(spark, [(1, "U", "n", 1.0)]),
+            ["k"],
+            when_matched=[{"action": "update"}],
+            when_not_matched_by_source=[{"target_condition": "amount > 0"}],
+        )

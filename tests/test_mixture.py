@@ -151,3 +151,30 @@ def test_ingest_mixture_carries_per_domain_budget_across_batches(spark, tmp_path
         for r in build_training_corpus(union, near_dup=False, **kw).collect()
     }
     assert oneshot == got
+
+
+def test_budget_mode_switch_refused(spark, tmp_path):
+    """ADVICE r12 #4: the plain and domain budget modes charge
+    DISJOINT counter fields — switching modes on one corpus would
+    read zero consumption and overspend; the ingest refuses loudly in
+    both directions."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    kw = dict(languages=("en", "fr", "de", "es"), min_tokens=1,
+              budget_bucket_width=4)
+    ingest_corpus_batch(
+        store, _docs(spark, [(1, "code", 30)]), token_budget=100, **kw
+    )
+    with pytest.raises(ValueError, match="'plain' mode.*'domain'"):
+        ingest_corpus_batch(
+            store, _docs(spark, [(2, "web", 10)]),
+            token_budget=100, domain_weights={"code": 0.5, "web": 0.5}, **kw
+        )
+    store2 = TableStore(spark, str(tmp_path / "wh2"))
+    ingest_corpus_batch(
+        store2, _docs(spark, [(1, "code", 30)]),
+        token_budget=100, domain_weights={"code": 0.5, "web": 0.5}, **kw
+    )
+    with pytest.raises(ValueError, match="'domain' mode.*'plain'"):
+        ingest_corpus_batch(
+            store2, _docs(spark, [(2, "web", 10)]), token_budget=100, **kw
+        )

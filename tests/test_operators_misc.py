@@ -634,3 +634,53 @@ def test_corpus_decontamination_gate_drops_planted_doc(spark):
     without_gate = {r.doc_id for r in build_training_corpus(docs, **kw).collect()}
     assert with_gate == {2, 3}
     assert without_gate == {1, 2, 3}
+
+
+def test_decontaminate_spans_surgical_scrub(spark):
+    """VERDICT r12 next #4 (the Dolma span scrub): the planted 13-gram
+    span is removed with surrounding text BYTE-identical, an n-1-gram
+    overlap is untouched, clean docs pass through with zero counts,
+    ± window chars extend the cut, and adjacent matches merge into
+    one span."""
+    from geo_explorer_etl_spark.operators.dedup import decontaminate_spans
+
+    span = " ".join(f"w{i}" for i in range(13))
+    a = " ".join(f"a{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix  text {span} suffix\ttext"),  # odd whitespace kept
+            (2, "HEAD " + span.upper() + " TAIL"),      # case-insensitive hit
+            (3, " ".join(f"w{i}" for i in range(12)) + " zz"),  # n-1: clean
+            (4, f"{a} {span}"),                          # adjacent: one splice
+            (5, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"q: {span} ?"), (101, a)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r.doc_id: r
+        for r in decontaminate_spans(docs, eval_df, n=13).collect()
+    }
+    assert got[1].text == "prefix  text  suffix\ttext"
+    assert got[1].decon_spans_removed == 1
+    assert got[1].decon_chars_removed == len(span)
+    assert got[2].text == "HEAD  TAIL"
+    assert got[3].text == " ".join(f"w{i}" for i in range(12)) + " zz"
+    assert got[3].decon_spans_removed == 0
+    # doc 4: both grams match and the extended spans touch via the
+    # separating space only when window > 0; at window=0 they are two
+    assert got[4].decon_spans_removed == 2
+    assert got[4].text == " "
+    assert got[5].text is None and got[5].decon_spans_removed == 0
+
+    # window extension merges the adjacent spans into one
+    got_w = {
+        r.doc_id: r
+        for r in decontaminate_spans(docs, eval_df, n=13, window=3).collect()
+    }
+    assert got_w[4].decon_spans_removed == 1
+    assert got_w[4].text == ""
+    # window=3 eats 3 chars each side of the span: 'xt ' and ' su'
+    assert got_w[1].text == "prefix  te" + "ffix\ttext"

@@ -1,0 +1,91 @@
+"""SQL DML boundary (sources/store_sql.py, VERDICT r12 missing #2):
+the router maps the simple DELETE/UPDATE forms EXACTLY onto
+delete_where/update_where (twin-equal, count-equal), and everything
+richer is refused loudly with the Python API named — never whatever
+Spark happens to throw."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
+
+T = "IndicatorValues"
+
+
+def _store(spark, path, n=20):
+    store = TableStore(spark, str(path / "wh"))
+    df = spark.createDataFrame(
+        [(k, "live" if k % 2 else "even", float(k)) for k in range(n)],
+        "k LONG, status STRING, amount DOUBLE",
+    ).withColumn(PARTITION_COL, F.lit(3).cast("long"))
+    store.append(T, df)
+    store.adopt_manifests(T)
+    return store
+
+
+def _rows(store):
+    return sorted(
+        tuple(r) for r in store.read(T).select("k", "status", "amount").collect()
+    )
+
+
+def test_delete_routes_to_delete_where_twin(spark, tmp_path):
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    na = a.sql("DELETE FROM IndicatorValues WHERE amount >= 10 AND k IN (10, 12, 99)")
+    nb = b.delete_where(T, [("amount", ">=", 10.0), ("k", "in", [10, 12, 99])])
+    assert na == nb == 2
+    assert _rows(a) == _rows(b)
+
+
+def test_update_routes_with_exprs_and_literals(spark, tmp_path):
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    stmt = (
+        "UPDATE IndicatorValues SET status = 'patched', "
+        "amount = amount + 0.5 WHERE k BETWEEN 4 AND 7;"
+    )
+    na = a.sql(stmt)
+    nb = b.update_where(
+        T,
+        {"status": "'patched'", "amount": "amount + 0.5"},
+        [("k", "between", (4, 7))],
+    )
+    assert na == nb == 4
+    assert _rows(a) == _rows(b)
+
+
+def test_bare_delete_and_operator_spellings(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert store.sql("DELETE FROM IndicatorValues WHERE status <> 'live'") == 10
+    assert store.sql("DELETE FROM IndicatorValues WHERE k = 1") == 1
+    assert store.sql("DELETE FROM IndicatorValues") == 9  # every row
+    assert store.read(T) is None
+
+
+def test_unroutable_statements_refused_loudly(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    before = _rows(store)
+    for stmt, hint in [
+        ("MERGE INTO IndicatorValues USING x ON 1=1", "merge_apply"),
+        ("INSERT INTO IndicatorValues VALUES (1)", "Spark SQL"),
+        ("SELECT * FROM IndicatorValues", "Spark SQL"),
+        ("DELETE FROM IndicatorValues WHERE k = 1 OR k = 2", "delete_where"),
+        ("DELETE FROM IndicatorValues WHERE status IS NULL", "delete_where"),
+        ("UPDATE IndicatorValues SET k = (SELECT 1)", "update_where"),
+        ("DROP TABLE IndicatorValues", "delete_where"),
+        ("DELETE FROM IndicatorValues WHERE amount >= k", "delete_where"),
+    ]:
+        with pytest.raises(ValueError, match="store.sql: cannot route") as ei:
+            store.sql(stmt)
+        assert hint in str(ei.value)
+    assert _rows(store) == before  # refusals touched nothing
+
+
+def test_string_literal_escapes_round_trip(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.sql("UPDATE IndicatorValues SET status = 'it''s, ok' WHERE k = 2")
+    got = store.read(T).filter("k = 2").select("status").collect()[0][0]
+    assert got == "it's, ok"
