@@ -414,7 +414,30 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      COUNT(DISTINCT e.eval_id) AS decon_eval_hits,
                      MIN(d.shingle) AS decon_sample
               FROM dsh d JOIN esh e ON d.shingle = e.shingle
-              GROUP BY d.doc_id)
+              GROUP BY d.doc_id),
+    -- span-scrub leg (r13): positional 8-gram hits -> covered token
+    -- runs; documents are single-space token streams, so the char
+    -- count of a merged span run is sum(token lens) + internal
+    -- separators — exactly decontaminate_spans' splice arithmetic
+    dpos AS (SELECT k.doc_id, u.i,
+                    k.dt[u.i] || ' ' || k.dt[u.i+1] || ' ' || k.dt[u.i+2] || ' ' ||
+                    k.dt[u.i+3] || ' ' || k.dt[u.i+4] || ' ' || k.dt[u.i+5] || ' ' ||
+                    k.dt[u.i+6] || ' ' || k.dt[u.i+7] AS gram
+             FROM dtoks k, unnest(range(1, len(k.dt) - 6)) AS u(i)
+             WHERE len(k.dt) >= 8),
+    hitpos AS (SELECT DISTINCT p.doc_id, p.i
+               FROM dpos p JOIN (SELECT DISTINCT shingle FROM esh) e
+                 ON p.gram = e.shingle),
+    cov AS (SELECT DISTINCT h.doc_id, h.i + u.j AS tok
+            FROM hitpos h, unnest(range(0, 8)) AS u(j)),
+    spanstats AS (SELECT c.doc_id,
+                         SUM(len(k.dt[c.tok])) AS covchars,
+                         COUNT(*) AS ncov,
+                         SUM(CASE WHEN p.tok IS NULL THEN 1 ELSE 0 END) AS runs
+                  FROM cov c
+                  JOIN dtoks k ON k.doc_id = c.doc_id
+                  LEFT JOIN cov p ON p.doc_id = c.doc_id AND p.tok = c.tok - 1
+                  GROUP BY c.doc_id)
     SELECT t.doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars_meta,
@@ -435,8 +458,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS dup_line_fraction,
            CAST(COALESCE(dc.decon_overlap, 0) AS BIGINT) AS decon_overlap,
            CAST(COALESCE(dc.decon_eval_hits, 0) AS BIGINT) AS decon_eval_hits,
-           dc.decon_sample
+           dc.decon_sample,
+           CAST(COALESCE(sp.runs, 0) AS INTEGER) AS decon_spans_removed,
+           CAST(COALESCE(sp.covchars + sp.ncov - sp.runs, 0) AS INTEGER)
+               AS decon_chars_removed
     FROM t LEFT JOIN decon dc ON t.doc_id = dc.doc_id
+         LEFT JOIN spanstats sp ON t.doc_id = sp.doc_id
     """,
     tags="ext text quality fingerprint pii repetition decontamination",
 )
@@ -468,11 +495,27 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ev, n=8, text_col="text", id_col="doc_id",
         eval_text_col="etext", eval_id_col="eval_id",
     )
-    return q.join(decon, "doc_id", "left").select(
-        q["*"],
-        F.coalesce("decon_overlap", F.lit(0)).cast("long").alias("decon_overlap"),
-        F.coalesce("decon_eval_hits", F.lit(0)).cast("long").alias("decon_eval_hits"),
-        "decon_sample",
+    # round 13 (VERDICT r12 next #4): the SPAN-SCRUB counts join the
+    # same hash — DuckDB rebuilds the positional-hit -> covered-token-
+    # run -> splice-length arithmetic from first principles, so a
+    # wrong span location, a missed merge, or an off-by-one splice
+    # breaks the value hash (byte-identity of the cleaned text itself
+    # is pytest-pinned; the counts are its arithmetic shadow)
+    spans = DD.decontaminate_spans(
+        docs, ev, n=8, text_col="text", id_col="doc_id",
+        eval_text_col="etext", eval_id_col="eval_id",
+    ).select("doc_id", "decon_spans_removed", "decon_chars_removed")
+    return (
+        q.join(decon, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .select(
+            q["*"],
+            F.coalesce("decon_overlap", F.lit(0)).cast("long").alias("decon_overlap"),
+            F.coalesce("decon_eval_hits", F.lit(0)).cast("long").alias("decon_eval_hits"),
+            "decon_sample",
+            "decon_spans_removed",
+            "decon_chars_removed",
+        )
     )
 
 

@@ -1140,13 +1140,16 @@ class TableStore:
     def _path(self, table: str) -> str:
         return f"{self.root}/{table}"
 
-    def sql(self, statement: str) -> int:
-        """SQL DML boundary (VERDICT r12 missing #2): route ``DELETE
-        FROM`` / ``UPDATE ... SET`` statements with store-grammar
-        predicates onto ``delete_where``/``update_where``; refuse
-        everything richer LOUDLY with the Python API named
-        (sources/store_sql.py for the exact grammar). Returns the
-        affected-row count."""
+    def sql(self, statement: str):
+        """The one-stop SQL surface (VERDICT r12 missing #2):
+        ``DELETE FROM`` / ``UPDATE ... SET`` with store-grammar
+        predicates route onto ``delete_where``/``update_where``
+        (returns the affected-row count); ``SELECT``/``WITH``/
+        ``INSERT INTO`` run as FULL Spark SQL over the store tables
+        the statement names, auto-registered through the pruned
+        catalog path (returns the DataFrame); ``MERGE`` and
+        unparseable forms refuse LOUDLY with the Python API named
+        (sources/store_sql.py for the exact grammar)."""
         from .store_sql import store_sql
 
         return store_sql(self, statement)

@@ -15,10 +15,14 @@ so a routed DELETE prunes exactly like its Python twin. Anything it
 cannot parse EXACTLY is refused with the full supported grammar in
 the error; it never guesses.
 
-SELECTs and ``INSERT INTO`` already have first-class SQL paths
-(``create_catalog_table`` / ``register_star_views(catalog=True)``,
-store_source.py) — the router points there rather than duplicating
-them.
+``SELECT`` / ``WITH`` / ``INSERT INTO`` delegate to FULL Spark SQL:
+every existing store table named in the statement is first
+registered through ``create_catalog_table`` (the pruned,
+concurrency-safe serving path, store_source.py), then the statement
+runs as-is — so ``store.sql`` is the one-stop SQL surface: reads and
+inserts through Spark's engine, the simple DML forms through the
+store's own row-level DML, everything else refused with the Python
+API named.
 """
 
 from __future__ import annotations
@@ -35,9 +39,9 @@ _GRAMMAR = (
     "literals (numbers, 'strings').\n"
     "Richer predicates or MERGE: use the Python API — "
     "TableStore.delete_where / update_where / merge_apply. "
-    "SELECT and INSERT INTO run through Spark SQL over "
-    "create_catalog_table / register_star_views(catalog=True) "
-    "(sources/store_source.py)."
+    "SELECT / WITH / INSERT INTO run as full Spark SQL over the "
+    "store tables the statement names (auto-registered through "
+    "create_catalog_table, sources/store_source.py)."
 )
 
 
@@ -130,10 +134,11 @@ def _split_top(text: str) -> list[str]:
     return parts
 
 
-def store_sql(store, statement: str) -> int:
-    """Route one DML statement onto the store's Python DML (module
-    docstring for the exact grammar). Returns the affected-row count
-    the underlying call reports."""
+def store_sql(store, statement: str):
+    """Route one statement (module docstring for the exact grammar):
+    DELETE/UPDATE return the affected-row count from the store's own
+    DML; SELECT/WITH/INSERT return ``spark.sql``'s DataFrame over the
+    auto-registered catalog tables."""
     s = statement.strip().rstrip(";").strip()
     if not s:
         _refuse(statement, "empty statement")
@@ -170,10 +175,36 @@ def store_sql(store, statement: str) -> int:
             "router's scope) — call TableStore.merge_apply",
         )
     if head in ("INSERT", "SELECT", "WITH"):
-        _refuse(
-            statement,
-            f"{head} belongs to Spark SQL over a registered store catalog "
-            "table, not the DML router",
-        )
+        # full Spark SQL over the PRUNED catalog path: every existing
+        # store table named in the statement registers through
+        # create_catalog_table first (idempotent; registering a table
+        # the query doesn't use is harmless), then the statement runs
+        # as-is — SELECT returns its frame, INSERT lands through the
+        # sink's staged-files → txn → constraint-gate publish
+        from pathlib import Path
+
+        from .store_source import create_catalog_table
+
+        words = set(re.findall(rf"{_IDENT}", s))
+        root = Path(store.root)
+        registered = []
+        if root.exists():
+            for entry in sorted(root.iterdir()):
+                if entry.is_dir() and entry.name in words and store.exists(
+                    entry.name
+                ):
+                    registered.append(
+                        create_catalog_table(
+                            store.spark, entry.name, store.root, entry.name,
+                            backend=store._backend.format_name, replace=True,
+                        )
+                    )
+        if not registered:
+            _refuse(
+                statement,
+                f"{head} names no existing store table — nothing to "
+                "register against the session catalog",
+            )
+        return store.spark.sql(s)
     _refuse(statement, f"unsupported statement kind {head!r}")
     return 0  # unreachable

@@ -321,3 +321,53 @@ def test_ingest_retry_after_partial_run_converges(spark, tmp_path):
         report=rep3,
     )
     assert kept3.count() == 0
+
+
+def test_ingest_corpus_batch_ann_wiring(spark, tmp_path):
+    """VERDICT r12 next #3 wiring: ingest with ``ann_batch`` indexes
+    ONLY the accepted docs' embeddings (gated/deduped docs never reach
+    the index) and ``ann_policy`` runs the drift check in the same
+    call; the report carries the ann leg."""
+    from geo_explorer_etl_spark.operators.ann_index import (
+        INDEX_TABLE,
+        build_ann_index,
+    )
+    from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def embs(ids):
+        return spark.createDataFrame(
+            [
+                (i, "d", [float((i * 7 + j) % 5) + 0.1 for j in range(4)])
+                for i in ids
+            ],
+            "doc_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+        )
+
+    # seed index (frozen geometry for the appends)
+    build_ann_index(store, embs(range(100, 110)), n_centroids=2,
+                    id_col="doc_id", n_files=1)
+    base = store.read(INDEX_TABLE).count()
+    t = "a genuinely long document about spark shuffle and partition semantics"
+    rows = [
+        (1, t),
+        (2, t),          # exact dup of 1 -> rejected
+        (3, "zz"),       # fails the min_tokens gate
+        (4, t + " with an extra disambiguating tail of several more words"),
+    ]
+    rep: dict = {}
+    kept = ingest_corpus_batch(
+        store,
+        _ingest_docs(spark, rows),
+        min_tokens=5,
+        report=rep,
+        ann_batch=embs([1, 2, 3, 4]),
+        ann_policy={"skew_threshold": 99.0, "id_col": "doc_id"},
+    )
+    accepted = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert accepted == {1, 4}
+    got = store.read(INDEX_TABLE).count()
+    assert got == base + 2  # only the accepted docs' vectors
+    assert rep["ann"]["batch_rows"] == 2
+    assert rep["ann"]["rebuilt"] is False  # healthy threshold: no-op

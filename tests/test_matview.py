@@ -745,6 +745,9 @@ def test_replace_rebuild_crash_marker(spark, tmp_path, monkeypatch):
         MV.refresh_matview(store, "mv")
     with pytest.raises(RuntimeError, match="INTERRUPTED"):
         MV.read_matview(store, "mv")
+    # the hierarchy walk (and the streaming listener riding it) skips
+    # the broken entry visibly instead of raising
+    assert MV.refresh_all_matviews(store)["mv"]["skipped"] == "rebuilding"
     # completing the rebuild clears the marker and the view works
     MV.create_matview(store, "mv", BASE, ["grp"], AGGS, replace=True)
     assert MV.list_matviews(store)["mv"].get("rebuilding") is None
@@ -779,7 +782,7 @@ def test_filtered_bucketed_matview_differential(spark, tmp_path):
     MV.create_matview(
         store, "daily", B, ["day"],
         {"revenue": ("sum", "v"), "orders": ("count", None),
-         "top": ("max", "v")},
+         "top": ("max", "v"), "rev2": ("sum", "v * 2")},
         n_partitions=4,
         where=[("v", ">", 0)],
         group_exprs={"day": "date_trunc('DAY', ts)"},
@@ -794,17 +797,22 @@ def test_filtered_bucketed_matview_differential(spark, tmp_path):
                 F.sum("v").alias("revenue"),
                 F.count(F.lit(1)).alias("orders"),
                 F.max("v").alias("top"),
+                F.sum(F.expr("v * 2")).alias("rev2"),
             )
             .collect()
         )
-        return sorted((r["day"], r["revenue"], r["orders"], r["top"]) for r in rows)
+        return sorted(
+            (r["day"], r["revenue"], r["orders"], r["top"], r["rev2"])
+            for r in rows
+        )
 
     def got():
         df = MV.read_matview(store, "daily")
         if df is None:
             return []
         return sorted(
-            tuple(r) for r in df.select("day", "revenue", "orders", "top").collect()
+            tuple(r)
+            for r in df.select("day", "revenue", "orders", "top", "rev2").collect()
         )
 
     assert got() == truth()
@@ -925,3 +933,65 @@ def test_batch_dml_auto_refresh_hook(spark, tmp_path):
     store.append(BASE, _rows_df(spark, [(92, "e", 7)]))
     MV.refresh_matview(store, "mv")  # manual catch-up still converges
     assert _view(store) == _expected(store)
+
+
+def test_recompute_push_time_bucket_range(spark, tmp_path):
+    """Derived date_trunc groups are monotone in their source column:
+    a MAX-moving delete in a day-bucketed view pushes ONE
+    (ts BETWEEN day, next-day) range into the snapshot read — the
+    continuous-aggregate recompute prunes files too."""
+    import datetime as dt
+
+    D = dt.datetime
+    store = _store(spark, tmp_path)
+    B = "MvEvents2"
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "id LONG, ts TIMESTAMP, v LONG"
+        ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+
+    store.append(B, ev([
+        (1, D(2024, 1, 1, 5), 10), (2, D(2024, 1, 1, 9), 3),
+        (3, D(2024, 1, 2, 1), 7), (4, D(2024, 1, 2, 2), 5),
+    ]))
+    store.adopt_manifests(B)
+    MV.create_matview(
+        store, "daily2", B, ["day"],
+        {"top": ("max", "v"), "n": ("count", None)},
+        group_exprs={"day": "date_trunc('DAY', ts)"},
+    )
+    calls = []
+    orig = store.read_at
+
+    def spy(table, as_of, where=None, prune_only=False):
+        calls.append((table, where))
+        return orig(table, as_of, where=where, prune_only=prune_only)
+
+    store.read_at = spy
+    try:
+        store.delete_where(B, [("id", "==", 1)])  # day-1's MAX
+        rep = MV.refresh_matview(store, "daily2")
+    finally:
+        del store.read_at
+    assert rep["groups_recomputed"] == 1
+    ranges = [
+        t for _, w in calls if w for t in w
+        if t[0] == "ts" and t[1] == "between"
+    ]
+    assert ranges, "no time-bucket range pushed"
+    lo, hi = ranges[0][2]
+    assert lo == D(2024, 1, 1) and hi == D(2024, 1, 2)
+    got = {
+        (r["day"], r["top"], r["n"])
+        for r in MV.read_matview(store, "daily2").collect()
+    }
+    want = {
+        (r["day"], r["top"], r["n"])
+        for r in store.read(B)
+        .withColumn("day", F.expr("date_trunc('DAY', ts)"))
+        .groupBy("day")
+        .agg(F.max("v").alias("top"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

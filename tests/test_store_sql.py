@@ -70,8 +70,7 @@ def test_unroutable_statements_refused_loudly(spark, tmp_path):
     before = _rows(store)
     for stmt, hint in [
         ("MERGE INTO IndicatorValues USING x ON 1=1", "merge_apply"),
-        ("INSERT INTO IndicatorValues VALUES (1)", "Spark SQL"),
-        ("SELECT * FROM IndicatorValues", "Spark SQL"),
+        ("SELECT 1", "no existing store table"),
         ("DELETE FROM IndicatorValues WHERE k = 1 OR k = 2", "delete_where"),
         ("DELETE FROM IndicatorValues WHERE status IS NULL", "delete_where"),
         ("UPDATE IndicatorValues SET k = (SELECT 1)", "update_where"),
@@ -89,3 +88,26 @@ def test_string_literal_escapes_round_trip(spark, tmp_path):
     store.sql("UPDATE IndicatorValues SET status = 'it''s, ok' WHERE k = 2")
     got = store.read(T).filter("k = 2").select("status").collect()[0][0]
     assert got == "it's, ok"
+
+
+def test_select_and_insert_delegate_to_spark_sql(spark, tmp_path):
+    """SELECT/WITH/INSERT are full Spark SQL over auto-registered
+    catalog tables — store.sql is the one-stop surface: the SELECT
+    reads the pruned serving path, the INSERT lands through the
+    sink's txn publish and is visible to the next statement."""
+    store = _store(spark, tmp_path)
+    got = store.sql(
+        "SELECT count(*) AS n FROM IndicatorValues WHERE amount >= 10"
+    ).collect()
+    assert got[0]["n"] == 10
+    store.sql(
+        "INSERT INTO IndicatorValues "
+        "SELECT 999 AS k, 'ins' AS status, 9.5 AS amount, "
+        "3 AS IndicatorThemeId"
+    )
+    [r] = store.sql(
+        "SELECT status, amount FROM IndicatorValues WHERE k = 999"
+    ).collect()
+    assert (r["status"], r["amount"]) == ("ins", 9.5)
+    # and the row is visible to the store's own reader too
+    assert store.read(T).filter("k = 999").count() == 1
