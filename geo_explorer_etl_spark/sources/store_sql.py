@@ -199,6 +199,18 @@ def store_sql(store, statement: str):
                             backend=store._backend.format_name, replace=True,
                         )
                     )
+        # materialized views serve by NAME through their USER-FACING
+        # projection (tombstones + hidden sketch/counter columns
+        # filtered) — `SELECT ... FROM <view>` just works, while the
+        # raw MatView_<name> table stays addressable for admins
+        from geo_explorer_etl_spark.operators.matview import (
+            list_matviews,
+            register_matview_view,
+        )
+
+        for name, ent in list_matviews(store).items():
+            if name in words and not ent.get("rebuilding"):
+                registered.append(register_matview_view(store, name))
         if not registered:
             _refuse(
                 statement,

@@ -111,3 +111,22 @@ def test_select_and_insert_delegate_to_spark_sql(spark, tmp_path):
     assert (r["status"], r["amount"]) == ("ins", 9.5)
     # and the row is visible to the store's own reader too
     assert store.read(T).filter("k = 999").count() == 1
+
+
+def test_select_serves_matviews_user_facing(spark, tmp_path):
+    """A materialized view named in a SELECT serves its USER-FACING
+    projection — hidden sketch/counter columns and tombstoned groups
+    never leak through store.sql."""
+    from geo_explorer_etl_spark.operators import matview as MV
+
+    store = _store(spark, tmp_path)
+    MV.create_matview(
+        store, "by_status", T, ["status"],
+        {"n": ("count", None), "total": ("sum", "amount")},
+    )
+    store.delete_where(T, [("status", "==", "even")])
+    MV.refresh_matview(store, "by_status")  # 'even' is now a tombstone
+    rows = store.sql("SELECT * FROM by_status ORDER BY status").collect()
+    assert [r["status"] for r in rows] == ["live"]
+    assert set(rows[0].asDict()) == {"status", "n", "total"}
+    assert rows[0]["n"] == 10
