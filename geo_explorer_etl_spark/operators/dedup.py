@@ -567,3 +567,92 @@ def keep_representatives(
     return (
         labeled.filter(F.col(id_col) == F.col("component")).drop("component")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 15,
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup (the C4 / Dolma paragraph
+    dedupe): a line that already occurred anywhere earlier in the
+    corpus — ordered by ``(id, line position)`` — is removed from
+    every later document; the first occurrence survives. Duplicates
+    INSIDE one document fall out of the same rule (the first copy
+    keeps, later copies drop). Lines whose trimmed length is below
+    ``min_chars`` are never dedup-eligible (boilerplate headers,
+    blank separators — and the skew guard: the hottest line keys in
+    a web corpus are short, and they never enter the shuffle).
+
+    Returns one row per input document: ``(id, clean_text,
+    lines_kept, lines_removed, chars_removed)`` where ``clean_text``
+    is the surviving lines re-joined with ``\\n`` (possibly the empty
+    string when every line was a later duplicate) and
+    ``chars_removed = length(text) - length(clean_text)``.
+
+    Scale shape: three shuffles, all key-hashed — (1) groupBy(line)
+    over ELIGIBLE lines only, with map-side combine collapsing each
+    map partition to one ``min(struct(id, pos))`` row per distinct
+    line, so a line duplicated a million times moves one row per
+    partition, not a million; (2) the eligible lines re-join their
+    winner on the line key (AQE-planned hash join, both sides pruned
+    to eligible rows); (3) the per-document reassembly groupBy. No
+    window functions (a window over the line key would sort instead
+    of partially aggregating, and the hottest key would serialize on
+    one reducer), no Python UDFs, no driver-side collection."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1))
+        .alias("pos", "line"),
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= int(min_chars)
+    elig = lines.filter(eligible)
+    winners = elig.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
+    )
+    kept_elig = elig.join(winners, "line").select(
+        id_col,
+        "pos",
+        "line",
+        (F.struct(F.col(id_col), F.col("pos")) == F.col("_w")).alias("_keep"),
+    )
+    kept_short = lines.filter(~eligible).select(
+        id_col, "pos", "line", F.lit(True).alias("_keep")
+    )
+    all_lines = kept_elig.unionByName(kept_short)
+    out = all_lines.groupBy(id_col).agg(
+        # ordered reassembly without an order-sensitive collect:
+        # sort the (pos, line) structs AFTER collection (struct sort
+        # is field-lexicographic, pos first), then strip to the text
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("lines_kept"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("lines_removed"),
+    )
+    src_len = df.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_src_len"),
+    )
+    return out.join(src_len, id_col).select(
+        id_col,
+        "clean_text",
+        "lines_kept",
+        "lines_removed",
+        (F.col("_src_len") - F.length("clean_text"))
+        .cast("long")
+        .alias("chars_removed"),
+    )

@@ -26,16 +26,66 @@ from geo_explorer_etl_spark.session import load_tables
 @register(
     "dedup_exact",
     oracle="""
-    SELECT md5(text) AS content_hash,
+    WITH split AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS lst
+        FROM documents),
+    lns AS (
+        SELECT doc_id, lst[pos] AS line, pos
+        FROM split, UNNEST(generate_series(1, len(lst))) AS t(pos)),
+    kept AS (
+        SELECT doc_id, line, pos,
+               CASE WHEN len(trim(line)) >= 15
+                    THEN row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, pos)
+                    ELSE 1 END AS rn
+        FROM lns),
+    cleaned AS (
+        SELECT k.doc_id,
+               COALESCE(string_agg(CASE WHEN k.rn = 1 THEN k.line END,
+                                   chr(10) ORDER BY k.pos), '') AS clean
+        FROM kept k GROUP BY k.doc_id)
+    SELECT 'doc' AS leg, md5(text) AS content_hash,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
-           COUNT(*) AS n_copies
+           COUNT(*) AS n_copies,
+           CAST(0 AS BIGINT) AS chars_removed
     FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'line', md5(c.clean), CAST(c.doc_id AS BIGINT),
+           (SELECT COUNT(*) FROM kept k
+            WHERE k.doc_id = c.doc_id AND k.rn > 1),
+           CAST(len(s.text) - len(c.clean) AS BIGINT)
+    FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
     """,
-    tags="ext dedup",
+    tags="ext dedup lines",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at BOTH granularities under one hash: the document
+    leg (content-hash groupBy — the 100 TB first pass) plus the
+    LINE-level corpus dedup leg (``dedup.dedup_lines`` — the C4/Dolma
+    paragraph dedupe: keep the first occurrence of every eligible line
+    by global (doc_id, pos) order, re-emit cleaned documents). DuckDB
+    rebuilds the keep-first rule, the reassembled text's md5, and the
+    exact char-removal arithmetic from first principles, so a wrong
+    winner, a lost short line, a mis-ordered reassembly, or an
+    off-by-one splice all break the value hash."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return DD.exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+    doc_leg = DD.exact_dedup_groups(docs, text_col="text", id_col="doc_id").select(
+        F.lit("doc").alias("leg"),
+        "content_hash",
+        "canonical_doc_id",
+        "n_copies",
+        F.lit(0).cast("long").alias("chars_removed"),
+    )
+    line_leg = DD.dedup_lines(
+        docs, text_col="text", id_col="doc_id", min_chars=15
+    ).select(
+        F.lit("line").alias("leg"),
+        F.md5("clean_text").alias("content_hash"),
+        F.col("doc_id").cast("long").alias("canonical_doc_id"),
+        F.col("lines_removed").alias("n_copies"),
+        "chars_removed",
+    )
+    return doc_leg.unionByName(line_leg)
 
 
 @register(

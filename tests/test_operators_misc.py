@@ -684,3 +684,92 @@ def test_decontaminate_spans_surgical_scrub(spark):
     assert got_w[4].text == ""
     # window=3 eats 3 chars each side of the span: 'xt ' and ' su'
     assert got_w[1].text == "prefix  te" + "ffix\ttext"
+
+
+def test_dedup_lines_keep_first_and_counts(spark):
+    """Corpus-wide line dedup: the FIRST occurrence by (doc_id, pos)
+    survives, later copies drop (cross-doc AND within-doc); lines
+    shorter than min_chars are never eligible; chars_removed is the
+    exact length delta; a doc losing every line survives as ''."""
+    from geo_explorer_etl_spark.operators.dedup import dedup_lines
+
+    dup = "this line is duplicated across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{dup}\nunique first doc line content\n--\n{dup}"),
+            (2, f"prefix line of second document\n{dup}\n--"),
+            (3, dup),
+            (4, "short\n--\nok"),  # nothing eligible, all kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in dedup_lines(docs, min_chars=10).collect()
+    }
+    # doc 1: keeps the first copy, loses its own within-doc repeat
+    assert out[1]["clean_text"] == f"{dup}\nunique first doc line content\n--"
+    assert out[1]["lines_removed"] == 1
+    # doc 2: loses the cross-doc duplicate, keeps short '--'
+    assert out[2]["clean_text"] == "prefix line of second document\n--"
+    assert out[2]["lines_removed"] == 1
+    # doc 3: its only line is a later duplicate -> empty doc survives
+    assert out[3]["clean_text"] == ""
+    assert out[3]["lines_kept"] == 0 and out[3]["lines_removed"] == 1
+    # doc 4: short lines never dedup (even '--' repeated corpus-wide)
+    assert out[4]["clean_text"] == "short\n--\nok"
+    assert out[4]["lines_removed"] == 0
+    for r in out.values():
+        assert r["chars_removed"] == (
+            len({1: f"{dup}\nunique first doc line content\n--\n{dup}",
+                 2: f"prefix line of second document\n{dup}\n--",
+                 3: dup, 4: "short\n--\nok"}[r["doc_id"]])
+            - len(r["clean_text"])
+        )
+
+
+def test_dedup_lines_matches_naive_reference(spark):
+    """Seeded randomized differential vs a pure-Python keep-first
+    reference (global (doc_id, pos) order, min_chars gate)."""
+    import random as _random
+
+    from geo_explorer_etl_spark.operators.dedup import dedup_lines
+
+    rnd = _random.Random(1309)
+    pool = [
+        "alpha beta gamma delta epsilon",
+        "the quick brown fox jumps over",
+        "lorem ipsum dolor sit amet text",
+        "x",
+        "",
+        "short ln",
+        "another heavily repeated long line here",
+    ]
+    corpus = {
+        i: "\n".join(rnd.choice(pool) for _ in range(rnd.randint(0, 6)))
+        for i in range(1, 21)
+    }
+    min_chars = 9
+    seen: set[str] = set()
+    expect = {}
+    for i in sorted(corpus):
+        kept, removed = [], 0
+        for ln in corpus[i].split("\n"):
+            if len(ln.strip()) >= min_chars and ln in seen:
+                removed += 1
+            else:
+                kept.append(ln)
+                if len(ln.strip()) >= min_chars:
+                    seen.add(ln)
+        expect[i] = ("\n".join(kept), removed)
+    docs = spark.createDataFrame(
+        sorted(corpus.items()), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, min_chars=min_chars).collect()
+    }
+    assert set(got) == set(expect)
+    for i, (clean, removed) in expect.items():
+        assert got[i]["clean_text"] == clean, i
+        assert got[i]["lines_removed"] == removed, i
+        assert got[i]["chars_removed"] == len(corpus[i]) - len(clean), i
