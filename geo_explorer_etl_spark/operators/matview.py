@@ -37,6 +37,13 @@ Maintenance algebra, per group:
   sketch. Deletes strictly inside the stored (min, max) — the
   scattered-update common case — stay invertible. A view with none of
   these aggregates never touches the base table at all.
+- PERCENTILES ("p1".."p99") are FULLY INVERTIBLE: the hidden state is
+  a fixed-boundary bucket histogram (``hist_bins``, the HDR-histogram
+  contract — user-chosen resolution/range, values outside clamp to
+  the end boundaries) whose counts net +1/−1 exactly like sums, so a
+  delete NEVER triggers the recompute branch; the visible value is a
+  deterministic rank-interpolation over the counts (``_hist_est``)
+  that a SQL oracle reproduces bit for bit.
 - A group whose row count reaches zero becomes a TOMBSTONE: the row
   stays (``__cnt = 0``, aggregate columns NULL) and is filtered from
   every user-facing read. Tombstones are what make the crash fence
@@ -94,6 +101,23 @@ MV_HW = "_mv_hw"
 #: Hidden live-row count per group (group death detection).
 MV_CNT = "__cnt"
 AGG_OPS = ("count", "sum", "avg", "min", "max", "approx_distinct")
+#: Percentile ops are "p1".."p99" (p50 = median, p95, ...) — the
+#: FULLY-INVERTIBLE approximate percentile: state is a per-group
+#: fixed-boundary bucket histogram (``hist_bins``), counts net +1/−1
+#: under the change feed exactly like sums, so — unlike min/max/HLL —
+#: a delete NEVER triggers the recompute branch. The visible value is
+#: a deterministic interpolation over the counts (``_hist_est``), so
+#: a DuckDB oracle can rebuild it bit for bit from the same rows.
+import re as _re_p
+
+_PCTL = _re_p.compile(r"^p([1-9][0-9]?)$")
+
+
+def _pctl_q(op: str) -> float | None:
+    """The quantile fraction for a percentile op ("p95" -> 0.95);
+    None when ``op`` is not a percentile op."""
+    m = _PCTL.match(op)
+    return int(m[1]) / 100.0 if m else None
 #: Recompute-branch pushdown cap: up to this many distinct physical
 #: group-key values ride into ``read_at``'s zone-map pruning as an
 #: ``in`` predicate; beyond it the read falls back to the unpruned
@@ -116,6 +140,32 @@ def _avs(out: str) -> str:
 
 def _hll(out: str) -> str:
     return f"__hll_{out}"  # hidden HLL sketch behind an approx_distinct
+
+
+def _hist(out: str) -> str:
+    return f"__hist_{out}"  # hidden bucket-count histogram behind a p<NN>
+
+
+def _hidx(out: str) -> str:
+    return f"__hidx_{out}"  # per-ROW bucket index, projected pre-agg
+
+
+def _project_hist_idx(df, aggs: dict, bins: dict | None):
+    """Materialize each percentile aggregate's bucket index as ONE
+    per-row column before the groupBy (NULL when the input is NULL),
+    so the K-term comparison chain is evaluated once per row instead
+    of once per bucket inside every aggregate expression — at 64-bin
+    histograms the difference between a compact whole-stage-codegen
+    method and a janino fallback."""
+    for out, (op, col) in aggs.items():
+        if _pctl_q(op) is None:
+            continue
+        c = F.expr(str(col))
+        df = df.withColumn(
+            _hidx(out),
+            F.when(c.isNotNull(), _bucket_idx(c, (bins or {})[out])),
+        )
+    return df
 
 
 def _views(body: dict | None) -> dict:
@@ -161,8 +211,11 @@ def _check_aggs(aggs: dict, group_cols: list[str]) -> dict:
     reserved = set(group_cols) | {MV_CNT, MV_HW, PARTITION_COL}
     for out, spec in aggs.items():
         op, col = (spec, None) if isinstance(spec, str) else tuple(spec)
-        if op not in AGG_OPS:
-            raise ValueError(f"matview: agg op {op!r} not in {AGG_OPS}")
+        if op not in AGG_OPS and _pctl_q(op) is None:
+            raise ValueError(
+                f"matview: agg op {op!r} not in {AGG_OPS} and not a "
+                "percentile op ('p1'..'p99')"
+            )
         if col is None and op != "count":
             raise ValueError(f"matview: {op} needs a column ({out!r})")
         if out in reserved or out.startswith("__"):
@@ -171,7 +224,141 @@ def _check_aggs(aggs: dict, group_cols: list[str]) -> dict:
     return norm
 
 
-def _abs_exprs(aggs: dict) -> list:
+def _check_bins(aggs: dict, hist_bins: dict | None) -> dict:
+    """Validate the percentile-boundary spec: every p<NN> output needs
+    a strictly-ascending list of >= 2 finite boundaries in
+    ``hist_bins[out]`` (the HDR-histogram contract — the user picks
+    the resolution and range, the engine guarantees invertibility and
+    a deterministic estimate inside it; values outside clamp to the
+    first/last boundary)."""
+    import math
+
+    bins = {k: [float(x) for x in v] for k, v in (hist_bins or {}).items()}
+    need = {out for out, (op, _) in aggs.items() if _pctl_q(op) is not None}
+    missing = sorted(need - set(bins))
+    if missing:
+        raise ValueError(
+            f"matview: percentile output(s) {missing} need hist_bins "
+            "boundaries (create_matview(..., hist_bins={out: [b0, b1, ...]}))"
+        )
+    extra = sorted(set(bins) - need)
+    if extra:
+        raise ValueError(
+            f"matview: hist_bins for non-percentile output(s) {extra}"
+        )
+    for out, bs in bins.items():
+        if len(bs) < 2 or any(not math.isfinite(b) for b in bs):
+            raise ValueError(
+                f"matview: hist_bins[{out!r}] needs >= 2 finite boundaries"
+            )
+        if any(a >= b for a, b in zip(bs, bs[1:])):
+            raise ValueError(
+                f"matview: hist_bins[{out!r}] must be strictly ascending"
+            )
+    return bins
+
+
+def _bucket_idx(c, bounds: list[float]):
+    """Bucket index of a value: the number of boundaries it exceeds
+    (0 = at-or-below the first boundary, len(bounds) = above the last)
+    — comparisons only, no float logs, so DuckDB reproduces it
+    exactly."""
+    idx = F.lit(0)
+    for b in bounds:
+        idx = idx + F.when(c > F.lit(float(b)), 1).otherwise(0)
+    return idx
+
+
+def _hist_est(hist, r, bounds: list[float]):
+    """Deterministic percentile estimate from a bucket-count array and
+    a precomputed rank ``r``: ONE ``aggregate`` pass walks the
+    cumulative counts to the bucket holding r (recording the bucket
+    index, the cumulative count BEFORE it, and its own count), then
+    linear-interpolates inside it — clamping to the first/last
+    boundary in the open end buckets. The expression is CONSTANT-SIZE
+    in the number of buckets (the walk is a higher-order function, not
+    an unrolled when-chain — 64-bin histograms would otherwise pay an
+    O(K²) analysis/codegen tax), and every arithmetic step is integer
+    adds plus one IEEE multiply/divide chain mirrored verbatim by the
+    DuckDB oracle SQL, so the two engines agree bit for bit."""
+    k = len(bounds)
+    blit = F.array(*[F.lit(float(b)) for b in bounds])
+
+    def step(acc, i):
+        c_i = F.element_at(hist, i + 1)
+        new_cum = acc.cum + c_i
+        hit = (acc.sel == -1) & (new_cum >= r)
+        return F.struct(
+            new_cum.alias("cum"),
+            F.when(hit, i).otherwise(acc.sel).alias("sel"),
+            F.when(hit, acc.cum).otherwise(acc.prev).alias("prev"),
+            F.when(hit, c_i).otherwise(acc.cnt).alias("cnt"),
+        )
+
+    acc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k)),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(-1).alias("sel"),
+            F.lit(0).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("cnt"),
+        ),
+        step,
+    )
+    sel = acc.sel
+    lo = F.element_at(blit, sel)          # bounds[sel-1], 1-based
+    hi = F.element_at(blit, sel + 1)      # bounds[sel]
+    frac = (r - acc.prev).cast("double") / acc.cnt.cast("double")
+    return (
+        F.when(sel == 0, F.lit(float(bounds[0])))
+        .when(sel == k, F.lit(float(bounds[-1])))
+        .when(sel > 0, lo + (hi - lo) * frac)
+    )
+
+
+def _hist_zeros(k: int):
+    return F.array(*[F.lit(0).cast("long") for _ in range(k + 1)])
+
+
+def _finish_hist_ests(df, aggs: dict, bins: dict | None):
+    """Fill every percentile output from its (now-materialized) hist
+    column — applied right after any aggregation or histogram merge,
+    where ``element_at`` hits a plain column reference instead of
+    re-expanding the aggregate expression. The non-null count and the
+    rank land in temp columns first so the walk references them by
+    name instead of inlining a copy per step."""
+    for out, (op, _col) in aggs.items():
+        if (q := _pctl_q(op)) is not None:
+            bounds = (bins or {})[out]
+            hist = F.col(_hist(out))
+            nnc, rc = f"__tnn_{out}", f"__tr_{out}"
+            df = (
+                df.withColumn(
+                    nnc,
+                    F.aggregate(
+                        hist, F.lit(0).cast("long"), lambda a, x: a + x
+                    ),
+                )
+                .withColumn(
+                    rc,
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.ceil(F.lit(float(q)) * F.col(nnc)),
+                    ),
+                )
+                .withColumn(
+                    out,
+                    F.when(
+                        F.col(nnc) > 0,
+                        _hist_est(hist, F.col(rc), bounds),
+                    ),
+                )
+                .drop(nnc, rc)
+            )
+    return df
+
+
+def _abs_exprs(aggs: dict, bins: dict | None = None) -> list:
     """Absolute aggregation expressions (create / min-max recompute):
     the stored value IS the SQL aggregate, hidden columns alongside."""
     exprs = [F.count(F.lit(1)).cast("long").alias(MV_CNT)]
@@ -182,7 +369,24 @@ def _abs_exprs(aggs: dict) -> list:
         # aggregates); F.expr evaluates identically here, in the
         # change-feed deltas, and in the recompute branch
         c = None if col is None else F.expr(str(col))
-        if op == "count":
+        if (q := _pctl_q(op)) is not None:
+            # percentile: the stored value is the deterministic
+            # estimate, the hidden column the bucket-count histogram —
+            # counts are SIGN-NETTABLE, so this aggregate never rides
+            # the recompute branch (the invertibility min/max lack)
+            bounds = (bins or {})[out]
+            idx = F.col(_hidx(out))  # projected once per row upstream
+            hist = F.array(*[
+                F.sum(F.when(idx == i, 1).otherwise(0)).cast("long")
+                for i in range(len(bounds) + 1)
+            ])
+            # placeholder: the estimate is computed AFTER aggregation
+            # (_finish_hist_ests) from the materialized hist COLUMN —
+            # inlining it here would copy the whole array-of-sums once
+            # per element_at and blow up analysis/codegen at 64 bins
+            exprs.append(F.lit(None).cast("double").alias(out))
+            exprs.append(hist.alias(_hist(out)))
+        elif op == "count":
             src = F.count(F.lit(1)) if c is None else F.count(c)
             exprs.append(src.cast("long").alias(out))
         elif op == "sum":
@@ -210,14 +414,24 @@ def _abs_exprs(aggs: dict) -> list:
     return exprs
 
 
-def _delta_exprs(aggs: dict) -> list:
+def _delta_exprs(aggs: dict, bins: dict | None = None) -> list:
     """Netted window aggregates over change-feed rows (+1 insert /
     −1 delete) — the invertible-aggregate algebra."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
     exprs = [F.sum(sign).cast("long").alias("_d" + MV_CNT)]
     for out, (op, col) in aggs.items():
         c = None if col is None else F.expr(str(col))
-        if op == "count":
+        if _pctl_q(op) is not None:
+            bounds = (bins or {})[out]
+            idx = F.col(_hidx(out))  # projected once per row upstream
+            exprs.append(
+                F.array(*[
+                    F.sum(sign * F.when(idx == i, 1).otherwise(0))
+                    .cast("long")
+                    for i in range(len(bounds) + 1)
+                ]).alias("_dhist_" + out)
+            )
+        elif op == "count":
             present = (
                 F.lit(1) if c is None
                 else F.when(c.isNotNull(), 1).otherwise(0)
@@ -309,6 +523,8 @@ def _storage_cols(group_cols: list[str], aggs: dict) -> list[str]:
             cols += [_avs(out), _nn(out)]
         elif op == "approx_distinct":
             cols.append(_hll(out))
+        elif _pctl_q(op) is not None:
+            cols.append(_hist(out))
     cols += [MV_CNT, MV_HW]
     return cols
 
@@ -378,6 +594,7 @@ def create_matview(
     replace: bool = False,
     where=None,
     group_exprs: dict | None = None,
+    hist_bins: dict | None = None,
 ) -> dict:
     """Materialize ``SELECT group_cols, aggs FROM table [WHERE ...]
     GROUP BY group_cols`` as the store table ``MatView_<name>``,
@@ -398,9 +615,14 @@ def create_matview(
     #1). A view over ANOTHER view's table automatically carries the
     tombstone filter (``__cnt > 0``), so cascaded rollups never see
     dead groups. ``aggs`` maps output name → ``(op, col_or_expr)``
-    with op in count|sum|avg|min|max|approx_distinct (count takes ``None`` for
-    count(*); the input may be any row-local SQL expression —
-    ``("sum", "a*b")`` is an expression aggregate). Groups hash to ``n_partitions`` store partitions so a
+    with op in count|sum|avg|min|max|approx_distinct|p1..p99 (count
+    takes ``None`` for count(*); the input may be any row-local SQL
+    expression — ``("sum", "a*b")`` is an expression aggregate).
+    Percentile outputs additionally need ``hist_bins={out: [b0, b1,
+    ...]}`` — strictly-ascending bucket boundaries; the stored state
+    is the per-group bucket-count histogram (fully invertible, module
+    docstring) and the visible value the deterministic
+    rank-interpolated estimate. Groups hash to ``n_partitions`` store partitions so a
     refresh merges (and a probe reads) only partitions holding touched
     groups. Listing-mode base partitions are invisible to the pinned
     snapshot and the change feed — adopt_manifests them first.
@@ -415,6 +637,7 @@ def create_matview(
     at the NEW table, and the next refresh double-applied windows the
     rebuild already contained)."""
     aggs = _check_aggs(aggs, list(group_cols))
+    bins = _check_bins(aggs, hist_bins)
     group_exprs = _check_group_spec(list(group_cols), group_exprs)
     if not group_cols:
         raise ValueError("create_matview: empty group_cols")
@@ -445,8 +668,13 @@ def create_matview(
     base = _prepare_base(base, where, group_exprs)
     _refuse_null_keys(base.select(*group_cols), group_cols, "create_matview")
     mv = (
-        base.groupBy(*group_cols)
-        .agg(*_abs_exprs(aggs))
+        _finish_hist_ests(
+            _project_hist_idx(base, aggs, bins)
+            .groupBy(*group_cols)
+            .agg(*_abs_exprs(aggs, bins)),
+            aggs,
+            bins,
+        )
         .withColumn(MV_HW, F.lit(float(hw)))
         .select(*_storage_cols(list(group_cols), aggs))
     )
@@ -489,6 +717,7 @@ def create_matview(
                 "pending": None,
                 "where": where,
                 "group_exprs": group_exprs,
+                "bins": bins,
             }
             return reg
 
@@ -744,6 +973,9 @@ def _apply_window(
     table, t = ent["table"], mv_table(name)
     group_cols = list(ent["group_cols"])
     aggs = {out: tuple(spec) for out, spec in ent["aggs"].items()}
+    bins = {
+        k: [float(x) for x in v] for k, v in (ent.get("bins") or {}).items()
+    }
     # min/max and approx_distinct are non-invertible: groups that saw
     # a delete re-aggregate absolutely (the others net deltas/sketches)
     has_minmax = any(
@@ -767,7 +999,9 @@ def _apply_window(
     delta = _prepare_base(delta, ent.get("where"), ent.get("group_exprs"))
     _refuse_null_keys(delta.select(*group_cols), group_cols, "refresh_matview")
     delta_g = _with_pid(
-        delta.groupBy(*group_cols).agg(*_delta_exprs(aggs)),
+        _project_hist_idx(delta, aggs, bins)
+        .groupBy(*group_cols)
+        .agg(*_delta_exprs(aggs, bins)),
         group_cols,
         int(ent["n_partitions"]),
     ).persist()
@@ -810,7 +1044,9 @@ def _apply_window(
             additive_j = j
             recompute_keys = None
 
-        add_rows = _additive_rows(additive_j, group_cols, aggs, until, storage)
+        add_rows = _additive_rows(
+            additive_j, group_cols, aggs, until, storage, bins
+        )
         src = add_rows
         if recompute_keys is not None:
             w["groups_recomputed"] = recompute_keys.count()
@@ -858,6 +1094,7 @@ def _additive_rows(
     aggs: dict,
     until: float,
     storage: list[str],
+    bins: dict | None = None,
 ) -> DataFrame:
     """Absolute next-state for invertible (or invertible-this-window)
     groups: stored ⊕ window net. ``j`` arrives pre-joined with the
@@ -871,7 +1108,23 @@ def _additive_rows(
     cnt_new = old_col(MV_CNT, zero=True) + F.col("_d" + MV_CNT)
     cols = {MV_CNT: cnt_new.cast("long"), MV_HW: F.lit(float(until))}
     for out, (op, _col) in aggs.items():
-        if op == "count":
+        if (q := _pctl_q(op)) is not None:
+            # percentile: elementwise-net the bucket counts (the same
+            # sign algebra as a sum, one slot per bucket), then re-read
+            # the estimate off the merged histogram — no recompute
+            # branch, ever (counts subtract exactly)
+            bounds = (bins or {})[out]
+            merged = F.zip_with(
+                F.coalesce(old_col(_hist(out)), _hist_zeros(len(bounds))),
+                F.col("_dhist_" + out),
+                lambda a, b: (a + b).cast("long"),
+            )
+            cols[_hist(out)] = merged
+            # estimate filled post-select from the materialized hist
+            # column (_finish_hist_ests) — same anti-blowup rule as
+            # the aggregation sites
+            cols[out] = F.lit(None).cast("double")
+        elif op == "count":
             cols[out] = (old_col(out, zero=True) + F.col("_d_" + out)).cast("long")
         elif op in ("sum", "avg"):
             nn = (old_col(_nn(out), zero=True) + F.col("_dnn_" + out)).cast("long")
@@ -905,10 +1158,14 @@ def _additive_rows(
     # a group netting to zero rows emits a TOMBSTONE (cnt=0, aggregate
     # columns already NULL via the nn-guards), not a delete — the row
     # must keep carrying _mv_hw so stale refreshers stay fenced out
-    return j.select(
-        *group_cols,
-        *[cols[c].alias(c) for c in storage if c not in group_cols],
-        F.col(PARTITION_COL),
+    return _finish_hist_ests(
+        j.select(
+            *group_cols,
+            *[cols[c].alias(c) for c in storage if c not in group_cols],
+            F.col(PARTITION_COL),
+        ),
+        aggs,
+        bins,
     )
 
 
@@ -981,6 +1238,9 @@ def _recompute_rows(
     newer window updated."""
     where = [list(t) for t in (ent.get("where") or [])]
     exprs = ent.get("group_exprs") or {}
+    bins = {
+        k: [float(x) for x in v] for k, v in (ent.get("bins") or {}).items()
+    }
     phys = [c for c in group_cols if c not in exprs]
     # derived date_trunc buckets are MONOTONE in their source column:
     # the recomputed buckets' span translates to ONE between-range on
@@ -1029,10 +1289,14 @@ def _recompute_rows(
     if base is None:
         abs_g = None
     else:
-        abs_g = (
-            base.join(keys.select(*group_cols), group_cols)
+        abs_g = _finish_hist_ests(
+            _project_hist_idx(
+                base.join(keys.select(*group_cols), group_cols), aggs, bins
+            )
             .groupBy(*group_cols)
-            .agg(*_abs_exprs(aggs))
+            .agg(*_abs_exprs(aggs, bins)),
+            aggs,
+            bins,
         )
     k = keys
     if abs_g is not None:

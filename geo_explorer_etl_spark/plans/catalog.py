@@ -772,6 +772,64 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # store-lifecycle oracle below — VERDICT r6 directive #5. M3/M4
 # COALESCE/CASE semantics stay pinned by tests/test_functions.py over
 # functions/nulls.py and by the l1_l4/m5/f_scalar catalog entries.)
+
+#: Bucket boundaries for the mvp percentile leg — shared literal
+#: between the Spark matview (hist_bins) and the DuckDB rebuild.
+_MVP_BOUNDS = [
+    1000.0, 2000.0, 5000.0, 10000.0, 20000.0,
+    50000.0, 100000.0, 200000.0, 400000.0, 800000.0,
+]
+_MVP_Q = 0.9
+
+
+def _mvp_leg_sql() -> str:
+    """DuckDB rebuild of the percentile matview's estimator — the
+    bucket-count histogram (one CASE-sum per boundary), the rank
+    r = max(1, ceil(q*n)), the cumulative walk to the bucket holding
+    r, and the SAME interpolation arithmetic ``lo + span * ((r -
+    prev) / c)`` the engine computes in ``matview._hist_est`` — so a
+    mis-netted histogram slot, a wrong rank rule, or an off-by-one
+    bucket boundary all break the value hash."""
+    bs = _MVP_BOUNDS
+    k = len(bs)
+    idx = " + ".join(
+        f"CASE WHEN price > {b!r} THEN 1 ELSE 0 END" for b in bs
+    )
+    bounds_rows = ", ".join(
+        f"({i}, {bs[i - 1]!r}, {bs[i] - bs[i - 1]!r})" for i in range(1, k)
+    )
+    return f"""
+    UNION ALL
+    SELECT 'mvp', cg.cnt, sel.status,
+           ROUND(CASE WHEN sel.bidx = 0 THEN {bs[0]!r}
+                      WHEN sel.bidx = {k} THEN {bs[-1]!r}
+                      ELSE bb.lo + bb.span *
+                           (CAST(sel.r - sel.prevc AS DOUBLE) /
+                            CAST(sel.c AS DOUBLE))
+                 END, 2)
+    FROM (
+      SELECT status, bidx, c, cum, r, cum - c AS prevc,
+             row_number() OVER (PARTITION BY status ORDER BY bidx) AS rn
+      FROM (
+        SELECT status, bidx, c,
+               SUM(c) OVER (PARTITION BY status ORDER BY bidx) AS cum,
+               GREATEST(1, CAST(CEIL({_MVP_Q!r} *
+                   SUM(c) OVER (PARTITION BY status)) AS BIGINT)) AS r
+        FROM (
+          SELECT status, ({idx}) AS bidx, COUNT(*) AS c
+          FROM v3state WHERE price IS NOT NULL
+          GROUP BY status, 2
+        )
+      ) WHERE cum >= r
+    ) sel
+    LEFT JOIN (VALUES {bounds_rows}) AS bb(bidx, lo, span)
+           ON bb.bidx = sel.bidx
+    JOIN (SELECT status, COUNT(*) AS cnt FROM v3state GROUP BY status) cg
+      ON cg.status = sel.status
+    WHERE sel.rn = 1
+    """
+
+
 @register(
     "store_merge_timetravel",
     oracle="""
@@ -822,8 +880,8 @@ def d2_ref_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'mvbmax', COUNT(*), CAST(CAST(o_orderkey % 7 AS INTEGER) AS VARCHAR),
            ROUND(MAX(price), 2)
     FROM v3state WHERE price > 1000 GROUP BY o_orderkey % 7
-    """,
-    tags="S11 I2 store merge update delete time-travel CDF matview",
+    """ + _mvp_leg_sql(),
+    tags="S11 I2 store merge update delete time-travel CDF matview percentile",
 )
 def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TableStore lifecycle under the hard hash oracle: publish a
@@ -1024,6 +1082,22 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         where=[("o_totalprice", ">", 1000.0)],
         group_exprs={"kb": "CAST(o_orderkey % 7 AS INT)"},
     )
+    # Round 13 second wave: a PERCENTILE matview ('mvp') — the
+    # fully-invertible bucket-histogram aggregate (matview._hist_est)
+    # — created at v2 and advanced through the same clause-MERGE
+    # window. The window's deletes must NET OUT of the histogram
+    # (never a recompute), and DuckDB rebuilds the estimator —
+    # histogram, rank rule, cumulative walk, interpolation — from the
+    # v3 slices, so a wrong bucket slot or rank all break the hash.
+    create_matview(
+        store,
+        "mttp",
+        "IndicatorValues",
+        ["status"],
+        {"cnt": ("count", None), "p90_p": ("p90", "o_totalprice")},
+        hist_bins={"p90_p": list(_MVP_BOUNDS)},
+        n_partitions=4,
+    )
     # v3 (round 11, VERDICT directive #2): ONE op-typed CDC batch
     # through the clause-MERGE grammar — matched DELETE (DV path),
     # matched UPDATE-as-replace, NOT MATCHED INSERT, and NOT MATCHED
@@ -1075,8 +1149,13 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v3_served = spark.table(v3_cat)
     refresh_matview(store, "mtt")  # one window: the whole clause-MERGE
     refresh_matview(store, "mttb")
+    mttp_rep = refresh_matview(store, "mttp")
+    # the invertibility claim, enforced IN the hashed query: a pure-
+    # percentile window with deletes must never hit the recompute path
+    assert mttp_rep["groups_recomputed"] == 0, mttp_rep
     mv = read_matview(store, "mtt")
     mvb = read_matview(store, "mttb")
+    mvp = read_matview(store, "mttp")
 
     def mv_leg(df: DataFrame, tag: str, value_col: str, group_col) -> DataFrame:
         return df.select(
@@ -1096,6 +1175,7 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mv_leg(mv, "mvmax", "max_p", F.col("status")))
         .unionByName(mv_leg(mvb, "mvb", "sum_p", F.col("kb").cast("string")))
         .unionByName(mv_leg(mvb, "mvbmax", "max_p", F.col("kb").cast("string")))
+        .unionByName(mv_leg(mvp, "mvp", "p90_p", F.col("status")))
     )
 
 

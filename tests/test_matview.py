@@ -995,3 +995,189 @@ def test_recompute_push_time_bucket_range(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# -- percentile aggregates (fully-invertible bucket histograms) -------------
+
+PBINS = [5.0, 10.0, 20.0, 30.0, 40.0]
+
+
+def _pctl_ref(vals, bounds, q):
+    """The deterministic estimator, reimplemented independently: rank
+    r = max(1, ceil(q*n)); cumulative walk; linear interpolation with
+    end-bucket clamps."""
+    import math
+
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return None
+    k = len(bounds)
+    counts = [0] * (k + 1)
+    for x in vals:
+        counts[sum(1 for b in bounds if x > b)] += 1
+    r = max(1, math.ceil(q * len(vals)))
+    cum = 0
+    for i, c in enumerate(counts):
+        prev, cum = cum, cum + c
+        if cum >= r:
+            if i == 0:
+                return bounds[0]
+            if i == k:
+                return bounds[-1]
+            lo, hi = bounds[i - 1], bounds[i]
+            return lo + (hi - lo) * ((r - prev) / c)
+
+
+def _pctl_expected(store):
+    base = store.read(BASE)
+    if base is None:
+        return {}
+    rows = base.select("grp", "v").collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["grp"], []).append(
+            None if r["v"] is None else float(r["v"])
+        )
+    return {
+        g: (_pctl_ref(vs, PBINS, 0.5), _pctl_ref(vs, PBINS, 0.95))
+        for g, vs in by_g.items()
+        if any(v is not None for v in vs) or True
+    }
+
+
+def test_percentile_matview_differential(spark, tmp_path):
+    """Randomized DML rounds over a PURE-percentile view: the view
+    must equal the independent estimator over the base's current
+    snapshot after every refresh, and — the invertibility claim —
+    groups_recomputed stays 0 even when deletes remove stored
+    extremes (bucket counts subtract; nothing re-aggregates)."""
+    import random
+
+    rng = random.Random(131)
+    store = _store(spark, tmp_path)
+    groups = ["a", "b", "c"]
+    rows = [
+        (i, rng.choice(groups), rng.choice([None] + list(range(0, 45))))
+        for i in range(30)
+    ]
+    store.append(BASE, _rows_df(spark, rows))
+    store.adopt_manifests(BASE)
+    MV.create_matview(
+        store, "pv", BASE, ["grp"],
+        {"med": ("p50", "v"), "hi": ("p95", "v")},
+        hist_bins={"med": PBINS, "hi": PBINS},
+        n_partitions=4,
+    )
+    live = {r[0] for r in rows}
+    next_id = 100
+    for round_no in range(4):
+        op = ["append", "delete", "update", "mixed"][round_no]
+        if op in ("append", "mixed"):
+            batch = [
+                (next_id + i, rng.choice(groups),
+                 rng.choice([None] + list(range(0, 45))))
+                for i in range(rng.randint(1, 5))
+            ]
+            live |= {r[0] for r in batch}
+            next_id += 10
+            store.append(BASE, _rows_df(spark, batch))
+        if op in ("delete", "mixed") and live:
+            victims = rng.sample(sorted(live), min(len(live), 4))
+            live -= set(victims)
+            store.delete_where(BASE, [("id", "in", victims)])
+        if op == "update" and live:
+            targets = rng.sample(sorted(live), min(len(live), 3))
+            store.update_where(
+                BASE, {"v": F.lit(rng.randint(0, 44))},
+                [("id", "in", targets)],
+            )
+        rep = MV.refresh_matview(store, "pv")
+        assert rep["groups_recomputed"] == 0, f"round {round_no}: percentile must stay invertible"
+        got = {
+            r["grp"]: (r["med"], r["hi"])
+            for r in MV.read_matview(store, "pv").collect()
+        }
+        exp = _pctl_expected(store)
+        # groups with zero live rows tombstone out of the view
+        exp = {g: t for g, t in exp.items() if t != (None, None) or g in got}
+        for g, (m, h) in exp.items():
+            if g not in got:
+                assert m is None and h is None, (round_no, g)
+                continue
+            gm, gh = got[g]
+            for a, b in ((gm, m), (gh, h)):
+                if b is None:
+                    assert a is None, (round_no, g)
+                else:
+                    assert a is not None and abs(a - b) < 1e-12, (round_no, g, a, b)
+
+
+def test_percentile_extreme_delete_no_recompute_no_base_read(spark, tmp_path):
+    """Deleting the stored MAX of a pure-percentile group nets bucket
+    counts — groups_recomputed == 0 AND the refresh never reads the
+    base table (read_at spy), the claim min/max cannot make."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(
+        store, "pv", BASE, ["grp"], {"med": ("p50", "v")},
+        hist_bins={"med": PBINS}, n_partitions=4,
+    )
+    store.delete_where(BASE, [("id", "==", 1)])  # grp a's max (10)
+    calls = []
+    orig = store.read_at
+
+    def spy(table, ts, **kw):
+        calls.append(table)
+        return orig(table, ts, **kw)
+
+    store.read_at = spy
+    rep = MV.refresh_matview(store, "pv")
+    store.read_at = orig
+    assert rep["groups_recomputed"] == 0
+    assert BASE not in calls, "invertible refresh must not read the base"
+    got = {r["grp"]: r["med"] for r in MV.read_matview(store, "pv").collect()}
+    assert got["a"] == _pctl_ref([3.0], PBINS, 0.5)
+
+
+def test_percentile_nulls_death_and_rebirth(spark, tmp_path):
+    """All-NULL group -> NULL estimate; killing every row tombstones
+    the group; re-inserting revives it with a fresh histogram."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(
+        store, "pv", BASE, ["grp"], {"med": ("p50", "v")},
+        hist_bins={"med": PBINS}, n_partitions=4,
+    )
+    got = {r["grp"]: r["med"] for r in MV.read_matview(store, "pv").collect()}
+    assert got["c"] is None  # all-null group
+    store.delete_where(BASE, [("grp", "==", "d")])
+    MV.refresh_matview(store, "pv")
+    got = {r["grp"]: r["med"] for r in MV.read_matview(store, "pv").collect()}
+    assert "d" not in got  # tombstoned
+    store.append(BASE, _rows_df(spark, [(50, "d", 25)]))
+    store.adopt_manifests(BASE)
+    MV.refresh_matview(store, "pv")
+    got = {r["grp"]: r["med"] for r in MV.read_matview(store, "pv").collect()}
+    assert got["d"] == _pctl_ref([25.0], PBINS, 0.5)
+
+
+def test_percentile_bad_specs_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    store = _seed(spark, tmp_path)
+
+    def mk(aggs, **kw):
+        return MV.create_matview(store, "bad", BASE, ["grp"], aggs, **kw)
+
+    with _pytest.raises(ValueError, match="need hist_bins"):
+        mk({"m": ("p50", "v")})
+    with _pytest.raises(ValueError, match="strictly ascending"):
+        mk({"m": ("p50", "v")}, hist_bins={"m": [5.0, 5.0, 9.0]})
+    with _pytest.raises(ValueError, match=">= 2 finite"):
+        mk({"m": ("p50", "v")}, hist_bins={"m": [5.0]})
+    with _pytest.raises(ValueError, match=">= 2 finite"):
+        mk({"m": ("p50", "v")}, hist_bins={"m": [5.0, float("inf")]})
+    with _pytest.raises(ValueError, match="non-percentile"):
+        mk({"m": ("sum", "v")}, hist_bins={"m": [1.0, 2.0]})
+    with _pytest.raises(ValueError, match="not in"):
+        mk({"m": ("p0", "v")}, hist_bins={"m": [1.0, 2.0]})
+    with _pytest.raises(ValueError, match="not in"):
+        mk({"m": ("p100", "v")}, hist_bins={"m": [1.0, 2.0]})
