@@ -34,6 +34,11 @@ HEADLINE = [
     "w1_sequential_ids",
     "o3_topk_per_group",
     "dedup_exact",
+    # new in r13: the line-level corpus dedup (C4/Dolma paragraph
+    # dedupe) as its own row; the REGISTERED dedup_exact entry folds
+    # its hash leg, but the bench times the historical doc-only shape
+    # under the dedup_exact name (the minhash rule below)
+    "dedup_lines",
     # since round 11 the REGISTERED dedup_minhash_lsh entry carries a
     # second (incremental) leg under its hash — correctness scaffolding,
     # like store_merge_timetravel it is not what the bench times; the
@@ -131,6 +136,10 @@ def main() -> None:
     # same rule for the quality row (r12 folded the decontamination
     # leg under the registered entry's hash)
     queries["text_quality_scores"] = catalog_ext.text_quality_scores_plain
+    # same rule for the exact-dedup row (r13 folded the line-dedup
+    # leg); the operator itself gets its own new row
+    queries["dedup_exact"] = catalog_ext.dedup_exact_doc_only
+    queries["dedup_lines"] = catalog_ext.dedup_lines_bench
     for name in (
         "store_read_pruned",
         "store_read_full",

@@ -88,6 +88,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_leg.unionByName(line_leg)
 
 
+def dedup_exact_doc_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench shape for the historical `dedup_exact` row: the document
+    leg alone (the registered entry folded the line-dedup leg under
+    its hash in r13 — correctness scaffolding, not what the bench
+    times; BENCH_r<=12 comparisons stay apples-to-apples)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+def dedup_lines_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row for the LINE-level corpus dedup itself (new in r13 —
+    no historical baseline): full keep-first + document reassembly
+    over the documents table."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.dedup_lines(docs, text_col="text", id_col="doc_id", min_chars=15)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""
