@@ -569,59 +569,28 @@ def keep_representatives(
     )
 
 
-def dedup_lines(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_chars: int = 15,
-) -> DataFrame:
-    """Corpus-wide LINE-level exact dedup (the C4 / Dolma paragraph
-    dedupe): a line that already occurred anywhere earlier in the
-    corpus — ordered by ``(id, line position)`` — is removed from
-    every later document; the first occurrence survives. Duplicates
-    INSIDE one document fall out of the same rule (the first copy
-    keeps, later copies drop). Lines whose trimmed length is below
-    ``min_chars`` are never dedup-eligible (boilerplate headers,
-    blank separators — and the skew guard: the hottest line keys in
-    a web corpus are short, and they never enter the shuffle).
-
-    Returns one row per input document: ``(id, clean_text,
-    lines_kept, lines_removed, chars_removed)`` where ``clean_text``
-    is the surviving lines re-joined with ``\\n`` (possibly the empty
-    string when every line was a later duplicate) and
-    ``chars_removed = length(text) - length(clean_text)``.
-
-    Scale shape: three shuffles, all key-hashed — (1) groupBy(line)
-    over ELIGIBLE lines only, with map-side combine collapsing each
-    map partition to one ``min(struct(id, pos))`` row per distinct
-    line, so a line duplicated a million times moves one row per
-    partition, not a million; (2) the eligible lines re-join their
-    winner on the line key (AQE-planned hash join, both sides pruned
-    to eligible rows); (3) the per-document reassembly groupBy. No
-    window functions (a window over the line key would sort instead
-    of partially aggregating, and the hottest key would serialize on
-    one reducer), no Python UDFs, no driver-side collection."""
-    lines = df.select(
+def _split_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, line) rows — one per line of every document, position
+    0-based, NULL text treated as empty (Spark's split keeps trailing
+    empty strings, matching DuckDB string_split)."""
+    return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1))
         .alias("pos", "line"),
     )
-    eligible = F.length(F.trim(F.col("line"))) >= int(min_chars)
-    elig = lines.filter(eligible)
-    winners = elig.groupBy("line").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
-    )
-    kept_elig = elig.join(winners, "line").select(
-        id_col,
-        "pos",
-        "line",
-        (F.struct(F.col(id_col), F.col("pos")) == F.col("_w")).alias("_keep"),
-    )
-    kept_short = lines.filter(~eligible).select(
-        id_col, "pos", "line", F.lit(True).alias("_keep")
-    )
-    all_lines = kept_elig.unionByName(kept_short)
-    out = all_lines.groupBy(id_col).agg(
+
+
+def _line_eligible(min_chars: int) -> Column:
+    return F.length(F.trim(F.col("line"))) >= int(min_chars)
+
+
+def _reassemble_lines(
+    flagged: DataFrame, df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document reassembly of a (id, pos, line, _keep) frame:
+    surviving lines re-joined with \n in position order, plus the
+    kept/removed/chars-removed accounting. One doc-grain shuffle."""
+    out = flagged.groupBy(id_col).agg(
         # ordered reassembly without an order-sensitive collect:
         # sort the (pos, line) structs AFTER collection (struct sort
         # is field-lexicographic, pos first), then strip to the text
@@ -655,4 +624,60 @@ def dedup_lines(
         (F.col("_src_len") - F.length("clean_text"))
         .cast("long")
         .alias("chars_removed"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 15,
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup (the C4 / Dolma paragraph
+    dedupe): a line that already occurred anywhere earlier in the
+    corpus — ordered by ``(id, line position)`` — is removed from
+    every later document; the first occurrence survives. Duplicates
+    INSIDE one document fall out of the same rule (the first copy
+    keeps, later copies drop). Lines whose trimmed length is below
+    ``min_chars`` are never dedup-eligible (boilerplate headers,
+    blank separators — and the skew guard: the hottest line keys in
+    a web corpus are short, and they never enter the shuffle).
+
+    Returns one row per input document: ``(id, clean_text,
+    lines_kept, lines_removed, chars_removed)`` where ``clean_text``
+    is the surviving lines re-joined with ``\n`` (possibly the empty
+    string when every line was a later duplicate) and
+    ``chars_removed = length(text) - length(clean_text)``.
+
+    Scale shape: three shuffles, all key-hashed — (1) groupBy(line)
+    over ELIGIBLE lines only, with map-side combine collapsing each
+    map partition to one ``min(struct(id, pos))`` row per distinct
+    line, so a line duplicated a million times moves one row per
+    partition, not a million; (2) the eligible lines re-join their
+    winner on the line key (AQE-planned hash join, both sides pruned
+    to eligible rows); (3) the per-document reassembly groupBy. No
+    window functions (a window over the line key would sort instead
+    of partially aggregating, and the hottest key would serialize on
+    one reducer), no Python UDFs, no driver-side collection.
+
+    The INCREMENTAL variant (new batches dedup against a persisted
+    line index in O(batch)) is
+    ``incremental_dedup.incremental_dedup_lines``."""
+    lines = _split_lines(df, text_col, id_col)
+    eligible = _line_eligible(min_chars)
+    elig = lines.filter(eligible)
+    winners = elig.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
+    )
+    kept_elig = elig.join(winners, "line").select(
+        id_col,
+        "pos",
+        "line",
+        (F.struct(F.col(id_col), F.col("pos")) == F.col("_w")).alias("_keep"),
+    )
+    kept_short = lines.filter(~eligible).select(
+        id_col, "pos", "line", F.lit(True).alias("_keep")
+    )
+    return _reassemble_lines(
+        kept_elig.unionByName(kept_short), df, text_col, id_col
     )

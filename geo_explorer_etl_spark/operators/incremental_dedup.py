@@ -12,7 +12,10 @@ that index in O(delta), not O(corpus):
   zone-map-prunes to the few files covering the probed ranges;
 - ``DedupBandIndex``   — the LSH band keys of those documents:
   ``(band_id, band_hash, doc id)``, files range-clustered by band_hash
-  for the same reason.
+  for the same reason;
+- ``DedupLineIndex``   — one row per first-occurrence ELIGIBLE LINE
+  (``incremental_dedup_lines``, the Dolma paragraph-dedupe production
+  shape): ``(line_hash, doc id, pos)``, range-clustered by line_hash.
 
 ``incremental_dedup(store, batch)``:
 
@@ -284,3 +287,111 @@ def dedup_persist(
     n_files = max(1, min(8, int(n_rows_hint) // 50_000 + 1))
     _append_clustered(store, EXACT_TABLE, surv_hashes, "content_hash", n_files)
     _append_clustered(store, BAND_TABLE, bands_new, "band_hash", n_files)
+
+
+# -- line-level incremental dedup (the Dolma production shape) --------------
+
+LINE_TABLE = "DedupLineIndex"
+
+
+def incremental_dedup_lines(
+    store: TableStore,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 15,
+    report: dict | None = None,
+) -> DataFrame:
+    """LINE-level dedup of ``batch`` against every line previously
+    ingested through this function (and within the batch itself) — the
+    incremental twin of ``dedup.dedup_lines``, the shape a daily
+    pipeline actually runs: Dolma does this with a Bloom filter; here
+    the line index is an EXACT store table (``DedupLineIndex``, one
+    row per first-occurrence eligible line, files range-clustered on
+    the line hash), so a batch probe zone-map-prunes to the few files
+    covering its own hashes and there are no false-positive removals.
+
+    Semantics: an eligible line (trimmed length >= ``min_chars``)
+    already present in the index is removed from every batch document
+    — including the batch's own first copy; an eligible line new to
+    the corpus keeps its batch-first occurrence (min ``(id, pos)``)
+    and drops later batch copies; short lines always survive. Returns
+    the cleaned per-document frame of ``dedup_lines`` (clean_text /
+    lines_kept / lines_removed / chars_removed), MATERIALIZED before
+    the index append so the result is stable.
+
+    DETERMINISM CONTRACT (same as ``incremental_dedup``): with
+    ``id_col`` monotone across batches, batch-then-batch equals
+    ``dedup_lines`` over the union — pytest-pinned. NOT idempotent
+    under re-run: a crash AFTER the index append and BEFORE the caller
+    persists the cleaned batch must re-clean from the pre-crash
+    result, not re-run this function (the batch's own lines are now
+    indexed and would all be removed); orchestrators should persist
+    the cleaned output first, then append the index, the
+    ``ingest_corpus_batch`` ordering rule.
+
+    At 100 TB: cost ∝ batch lines, never corpus lines — the index is
+    touched only through the pruned probe (``PROBE_CAP`` fallback to a
+    full scan is loud in ``report``), and index growth is one
+    range-clustered file set per batch (``store.compact`` with
+    ``sort_by="line_hash"`` restores clustering after many appends)."""
+    from geo_explorer_etl_spark.operators.dedup import (
+        _line_eligible,
+        _reassemble_lines,
+        _split_lines,
+    )
+
+    rep = report if report is not None else {}
+    lines = _split_lines(batch, text_col, id_col)
+    elig = lines.filter(_line_eligible(min_chars)).withColumn(
+        "_lh", F.md5("line")
+    )
+    winners = elig.groupBy("_lh").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
+    )
+    hashes = [
+        r[0]
+        for r in elig.select("_lh").distinct().limit(PROBE_CAP + 1).collect()
+    ]
+    seen = None
+    if store.exists(LINE_TABLE) and hashes:
+        idx = _pruned_index(store, LINE_TABLE, "line_hash", hashes, rep)
+        seen = idx.select(F.col("line_hash").alias("_lh")).distinct()
+    if seen is not None:
+        marked = winners.join(
+            seen.withColumn("_seen", F.lit(True)), "_lh", "left"
+        )
+    else:
+        marked = winners.withColumn("_seen", F.lit(None).cast("boolean"))
+    kept_elig = elig.join(marked, "_lh").select(
+        id_col,
+        "pos",
+        "line",
+        (
+            (F.struct(F.col(id_col), F.col("pos")) == F.col("_w"))
+            & F.col("_seen").isNull()
+        ).alias("_keep"),
+    )
+    kept_short = lines.filter(~_line_eligible(min_chars)).select(
+        id_col, "pos", "line", F.lit(True).alias("_keep")
+    )
+    out = _reassemble_lines(
+        kept_elig.unionByName(kept_short), batch, text_col, id_col
+    ).localCheckpoint(eager=True)
+    # index only the NEW first occurrences (a seen winner is already
+    # indexed by the batch that first carried it)
+    new_rows = (
+        marked.filter(F.col("_seen").isNull())
+        .select(
+            F.col("_lh").alias("line_hash"),
+            F.col("_w")[id_col].alias(id_col),
+            F.col("_w")["pos"].alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_new = new_rows.count()
+    rep["new_index_rows"] = n_new
+    if n_new:
+        n_files = max(1, min(8, n_new // 200_000 + 1))
+        _append_clustered(store, LINE_TABLE, new_rows, "line_hash", n_files)
+    return out

@@ -55,8 +55,17 @@ from geo_explorer_etl_spark.session import load_tables
             WHERE k.doc_id = c.doc_id AND k.rn > 1),
            CAST(len(s.text) - len(c.clean) AS BIGINT)
     FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
+    UNION ALL
+    -- the INCREMENTAL path's leg: batch-then-batch through the
+    -- persisted line index must equal the all-at-once rule, so its
+    -- expected rows are the SAME cleaned set under a second tag
+    SELECT 'line_inc', md5(c.clean), CAST(c.doc_id AS BIGINT),
+           (SELECT COUNT(*) FROM kept k
+            WHERE k.doc_id = c.doc_id AND k.rn > 1),
+           CAST(len(s.text) - len(c.clean) AS BIGINT)
+    FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
     """,
-    tags="ext dedup lines",
+    tags="ext dedup lines incremental",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at BOTH granularities under one hash: the document
@@ -76,16 +85,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.lit(0).cast("long").alias("chars_removed"),
     )
-    line_leg = DD.dedup_lines(
-        docs, text_col="text", id_col="doc_id", min_chars=15
-    ).select(
-        F.lit("line").alias("leg"),
-        F.md5("clean_text").alias("content_hash"),
-        F.col("doc_id").cast("long").alias("canonical_doc_id"),
-        F.col("lines_removed").alias("n_copies"),
-        "chars_removed",
+    def as_leg(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("leg"),
+            F.md5("clean_text").alias("content_hash"),
+            F.col("doc_id").cast("long").alias("canonical_doc_id"),
+            F.col("lines_removed").alias("n_copies"),
+            "chars_removed",
+        )
+
+    line_leg = as_leg(
+        DD.dedup_lines(docs, text_col="text", id_col="doc_id", min_chars=15),
+        "line",
     )
-    return doc_leg.unionByName(line_leg)
+    # the INCREMENTAL path under the same hash: split the corpus at
+    # the id midpoint (monotone ids — the determinism contract), run
+    # batch-then-batch through a throwaway persisted line index, and
+    # the union must equal the all-at-once rule row for row
+    import tempfile
+
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        incremental_dedup_lines,
+    )
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    store = TableStore(spark, tempfile.mkdtemp(prefix="dedup_lines_inc_"))
+    inc1 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") <= mid))
+    inc2 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") > mid))
+    inc_leg = as_leg(inc1.unionByName(inc2), "line_inc")
+    return doc_leg.unionByName(line_leg).unionByName(inc_leg)
 
 
 def dedup_exact_doc_only(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -371,3 +371,99 @@ def test_ingest_corpus_batch_ann_wiring(spark, tmp_path):
     assert got == base + 2  # only the accepted docs' vectors
     assert rep["ann"]["batch_rows"] == 2
     assert rep["ann"]["rebuilt"] is False  # healthy threshold: no-op
+
+
+# -- line-level incremental dedup -------------------------------------------
+
+
+def _line_corpus():
+    dup_a = "this exact sentence repeats across many documents here"
+    dup_b = "another long boilerplate footer line that sites share"
+    b1 = [
+        (1, f"{dup_a}\nunique one first\n--"),
+        (2, f"prefix two\n{dup_a}\n{dup_b}"),
+        (3, "standalone three with its own content line"),
+    ]
+    b2 = [
+        (11, f"{dup_a}\nnovel line in batch two only"),     # dup vs batch 1
+        (12, f"{dup_b}\n{dup_b}\nshort"),                   # cross+within dup
+        (13, "fresh thirteen content never seen before"),
+    ]
+    return b1, b2
+
+
+def test_incremental_lines_batch_then_batch_equals_all_at_once(spark, tmp_path):
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        incremental_dedup_lines,
+    )
+
+    b1, b2 = _line_corpus()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rep1, rep2 = {}, {}
+    out1 = incremental_dedup_lines(store, _docs(spark, b1), report=rep1)
+    out2 = incremental_dedup_lines(store, _docs(spark, b2), report=rep2)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["lines_removed"], r["chars_removed"])
+        for r in out1.collect() + out2.collect()
+    }
+    exp = {
+        r["doc_id"]: (r["clean_text"], r["lines_removed"], r["chars_removed"])
+        for r in DD.dedup_lines(_docs(spark, b1 + b2)).collect()
+    }
+    assert got == exp
+    # second batch probed the pruned index and indexed only its novel lines
+    assert rep2["DedupLineIndex_probe"] == "pruned"
+    assert rep1["new_index_rows"] > 0 and rep2["new_index_rows"] > 0
+
+
+def test_incremental_lines_first_copy_of_seen_line_removed(spark, tmp_path):
+    """A batch-2 document whose FIRST line is a batch-1 line loses it
+    (the index wins over the batch-first rule), while short lines
+    always survive."""
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        incremental_dedup_lines,
+    )
+
+    b1, b2 = _line_corpus()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    incremental_dedup_lines(store, _docs(spark, b1))
+    out2 = {r["doc_id"]: r for r in
+            incremental_dedup_lines(store, _docs(spark, b2)).collect()}
+    assert out2[11]["clean_text"] == "novel line in batch two only"
+    assert out2[11]["lines_removed"] == 1
+    # doc 12: both dup_b copies removed (cross-batch), 'short' kept
+    assert out2[12]["clean_text"] == "short"
+    assert out2[12]["lines_removed"] == 2
+
+
+def test_incremental_lines_index_is_clustered_and_probe_prunes(spark, tmp_path):
+    """The line index's second-batch probe opens fewer files than the
+    full index holds (range-clustered append + zone-map pruning)."""
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        LINE_TABLE,
+        incremental_dedup_lines,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rows = [
+        (i, "\n".join(f"unique line {i} number {j} with enough length"
+                      for j in range(4)))
+        for i in range(1, 41)
+    ]
+    incremental_dedup_lines(store, _docs(spark, rows))
+    total_files = len(store.read(LINE_TABLE).inputFiles())
+    probe = {}
+    incremental_dedup_lines(
+        store, _docs(spark, [(100, "unique line 1 number 0 with enough length")]),
+        report=probe,
+    )
+    pruned = store.read(
+        LINE_TABLE,
+        where=[("line_hash", "in",
+                [__import__("hashlib").md5(
+                    b"unique line 1 number 0 with enough length").hexdigest()])],
+        prune_only=True,
+    )
+    assert probe["DedupLineIndex_probe"] == "pruned"
+    if total_files > 1:
+        assert len(pruned.inputFiles()) < total_files
