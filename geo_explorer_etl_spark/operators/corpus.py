@@ -382,13 +382,19 @@ def ingest_corpus_batch(
     domain_col: str = "source",
     ann_batch: DataFrame | None = None,
     ann_policy: dict | None = None,
+    line_dedup: bool = False,
+    line_min_chars: int = 15,
 ) -> DataFrame:
     """The INCREMENTAL twin of ``build_training_corpus`` — the daily
     ingest a production pipeline actually runs, in O(batch):
 
     1. GATES — the shared ``_apply_gates`` stage (one batch scan);
     2. DEDUP DECISION — ``dedup_decide`` against the persisted indexes
-       (new-vs-corpus AND new-vs-new), WITHOUT persisting yet;
+       (new-vs-corpus AND new-vs-new), WITHOUT persisting yet; with
+       ``line_dedup=True`` the survivors are additionally LINE-scrubbed
+       against the persisted line index (``line_dedup_decide`` — the
+       Dolma paragraph dedupe), docs scrubbed empty drop, and the
+       budget then charges the CLEANED text;
     3. BUDGET — the deterministic ascending-id token-budget prefix,
        carried ACROSS batches through a CAS-versioned running total at
        the store root. The carry counts ALL dedup-survivor tokens,
@@ -432,6 +438,31 @@ def ingest_corpus_batch(
     kept, surv_hashes, bands_new, rep = dedup_decide(
         store, gated, text_col, id_col, shingle_n, num_hashes, bands, rep
     )
+    line_rows = None
+    if line_dedup:
+        # opt-in LINE-level scrub (Dolma paragraph dedupe) of the
+        # doc-dedup survivors BEFORE the budget, so token accounting
+        # charges the text that actually lands in the corpus; docs
+        # scrubbed down to nothing are dropped (reported). The line
+        # index rows persist LAST with the other indexes — a retry
+        # whose lines are already indexed scrubs its docs empty, and
+        # the corpus anti-join absorbs it (the docs already landed).
+        from geo_explorer_etl_spark.operators.incremental_dedup import (
+            line_dedup_decide,
+        )
+
+        cleaned, line_rows, rep = line_dedup_decide(
+            store, kept, text_col, id_col, line_min_chars, rep
+        )
+        kept = kept.drop(text_col).join(
+            cleaned.select(
+                id_col, F.col("clean_text").alias(text_col)
+            ),
+            id_col,
+        )
+        before = kept.count()
+        kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
+        rep["line_scrubbed_empty"] = before - kept.count()
     if domain_weights is not None and token_budget is None:
         raise ValueError(
             "ingest_corpus_batch: domain_weights needs token_budget"
@@ -476,6 +507,12 @@ def ingest_corpus_batch(
     # untouched, so the retry's dedup decision is identical and the
     # corpus anti-join absorbs any partial append
     dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
+    if line_rows is not None:
+        from geo_explorer_etl_spark.operators.incremental_dedup import (
+            line_dedup_persist,
+        )
+
+        line_dedup_persist(store, line_rows)
     if ann_batch is not None:
         # opt-in vector upkeep (VERDICT r12 next #3 wiring): index the
         # ACCEPTED docs' embeddings against the frozen centroids, then

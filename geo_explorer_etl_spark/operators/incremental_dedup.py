@@ -294,47 +294,22 @@ def dedup_persist(
 LINE_TABLE = "DedupLineIndex"
 
 
-def incremental_dedup_lines(
+def line_dedup_decide(
     store: TableStore,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 15,
     report: dict | None = None,
-) -> DataFrame:
-    """LINE-level dedup of ``batch`` against every line previously
-    ingested through this function (and within the batch itself) — the
-    incremental twin of ``dedup.dedup_lines``, the shape a daily
-    pipeline actually runs: Dolma does this with a Bloom filter; here
-    the line index is an EXACT store table (``DedupLineIndex``, one
-    row per first-occurrence eligible line, files range-clustered on
-    the line hash), so a batch probe zone-map-prunes to the few files
-    covering its own hashes and there are no false-positive removals.
-
-    Semantics: an eligible line (trimmed length >= ``min_chars``)
-    already present in the index is removed from every batch document
-    — including the batch's own first copy; an eligible line new to
-    the corpus keeps its batch-first occurrence (min ``(id, pos)``)
-    and drops later batch copies; short lines always survive. Returns
-    the cleaned per-document frame of ``dedup_lines`` (clean_text /
-    lines_kept / lines_removed / chars_removed), MATERIALIZED before
-    the index append so the result is stable.
-
-    DETERMINISM CONTRACT (same as ``incremental_dedup``): with
-    ``id_col`` monotone across batches, batch-then-batch equals
-    ``dedup_lines`` over the union — pytest-pinned. NOT idempotent
-    under re-run: a crash AFTER the index append and BEFORE the caller
-    persists the cleaned batch must re-clean from the pre-crash
-    result, not re-run this function (the batch's own lines are now
-    indexed and would all be removed); orchestrators should persist
-    the cleaned output first, then append the index, the
-    ``ingest_corpus_batch`` ordering rule.
-
-    At 100 TB: cost ∝ batch lines, never corpus lines — the index is
-    touched only through the pruned probe (``PROBE_CAP`` fallback to a
-    full scan is loud in ``report``), and index growth is one
-    range-clustered file set per batch (``store.compact`` with
-    ``sort_by="line_hash"`` restores clustering after many appends)."""
+):
+    """The DECISION phase of line-level incremental dedup: clean the
+    batch against the persisted line index WITHOUT touching it.
+    Returns ``(cleaned, new_rows, report)`` — ``cleaned`` is the
+    per-document frame of ``dedup_lines`` (materialized), ``new_rows``
+    the first-occurrence index rows to persist afterwards
+    (``line_dedup_persist``). Split from the one-call form so
+    orchestrators control crash ordering (``ingest_corpus_batch``
+    appends the corpus before any index)."""
     from geo_explorer_etl_spark.operators.dedup import (
         _line_eligible,
         _reassemble_lines,
@@ -375,7 +350,7 @@ def incremental_dedup_lines(
     kept_short = lines.filter(~_line_eligible(min_chars)).select(
         id_col, "pos", "line", F.lit(True).alias("_keep")
     )
-    out = _reassemble_lines(
+    cleaned = _reassemble_lines(
         kept_elig.unionByName(kept_short), batch, text_col, id_col
     ).localCheckpoint(eager=True)
     # index only the NEW first occurrences (a seen winner is already
@@ -389,9 +364,63 @@ def incremental_dedup_lines(
         )
         .localCheckpoint(eager=True)
     )
+    rep["new_index_rows"] = new_rows.count()
+    return cleaned, new_rows, rep
+
+
+def line_dedup_persist(store: TableStore, new_rows: DataFrame) -> None:
+    """The PERSISTENCE phase: append the decision's first-occurrence
+    line rows, range-clustered so the next batch's probe prunes."""
     n_new = new_rows.count()
-    rep["new_index_rows"] = n_new
     if n_new:
         n_files = max(1, min(8, n_new // 200_000 + 1))
         _append_clustered(store, LINE_TABLE, new_rows, "line_hash", n_files)
-    return out
+
+
+def incremental_dedup_lines(
+    store: TableStore,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 15,
+    report: dict | None = None,
+) -> DataFrame:
+    """LINE-level dedup of ``batch`` against every line previously
+    ingested through this function (and within the batch itself) — the
+    incremental twin of ``dedup.dedup_lines``, the shape a daily
+    pipeline actually runs: Dolma does this with a Bloom filter; here
+    the line index is an EXACT store table (``DedupLineIndex``, one
+    row per first-occurrence eligible line, files range-clustered on
+    the line hash), so a batch probe zone-map-prunes to the few files
+    covering its own hashes and there are no false-positive removals.
+
+    Semantics: an eligible line (trimmed length >= ``min_chars``)
+    already present in the index is removed from every batch document
+    — including the batch's own first copy; an eligible line new to
+    the corpus keeps its batch-first occurrence (min ``(id, pos)``)
+    and drops later batch copies; short lines always survive. Returns
+    the cleaned per-document frame of ``dedup_lines`` (clean_text /
+    lines_kept / lines_removed / chars_removed), MATERIALIZED before
+    the index append so the result is stable.
+
+    DETERMINISM CONTRACT (same as ``incremental_dedup``): with
+    ``id_col`` monotone across batches, batch-then-batch equals
+    ``dedup_lines`` over the union — pytest-pinned. NOT idempotent
+    under re-run: a crash AFTER the index append and BEFORE the caller
+    persists the cleaned batch must re-clean from the pre-crash
+    result, not re-run this function (the batch's own lines are now
+    indexed and would all be removed); orchestrators should persist
+    the cleaned output first, then append the index — the
+    ``ingest_corpus_batch`` ordering, available directly as
+    ``line_dedup_decide`` + ``line_dedup_persist``.
+
+    At 100 TB: cost ∝ batch lines, never corpus lines — the index is
+    touched only through the pruned probe (``PROBE_CAP`` fallback to a
+    full scan is loud in ``report``), and index growth is one
+    range-clustered file set per batch (``store.compact`` with
+    ``sort_by="line_hash"`` restores clustering after many appends)."""
+    cleaned, new_rows, _ = line_dedup_decide(
+        store, batch, text_col, id_col, min_chars, report
+    )
+    line_dedup_persist(store, new_rows)
+    return cleaned

@@ -467,3 +467,46 @@ def test_incremental_lines_index_is_clustered_and_probe_prunes(spark, tmp_path):
     assert probe["DedupLineIndex_probe"] == "pruned"
     if total_files > 1:
         assert len(pruned.inputFiles()) < total_files
+
+
+def test_ingest_with_line_dedup_scrubs_and_converges(spark, tmp_path):
+    """ingest_corpus_batch(line_dedup=True): a batch-2 document
+    sharing a line with batch 1 lands in the corpus SCRUBBED; a doc
+    that scrubs down to nothing is dropped (reported); re-running the
+    same batch converges (corpus unchanged)."""
+    from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
+
+    shared = "a shared boilerplate line long enough to be dedup eligible"
+    l1 = "the first document has its own unique tail line here"
+    l2 = "the second document is entirely unique content with many words"
+    # texts must pass the default gates (>=5 tokens, language en-ish);
+    # doc 12 is a MASHUP of two already-seen lines from DIFFERENT docs
+    # — it survives doc-level dedup (its signature matches neither
+    # source) but the line scrub empties it
+    b1 = [(1, f"{shared}\n{l1}"), (2, l2)]
+    b2 = [
+        (11, f"{shared}\nthe eleventh document keeps this novel trailing line"),
+        (12, f"{l1}\n{l2}"),  # scrubs to nothing -> dropped
+    ]
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rep1, rep2 = {}, {}
+    ingest_corpus_batch(store, _ingest_docs(spark, b1),
+                        line_dedup=True, report=rep1)
+    ingest_corpus_batch(store, _ingest_docs(spark, b2),
+                        line_dedup=True, report=rep2)
+    corpus = {r["doc_id"]: r["text"]
+              for r in store.read("Corpus").select("doc_id", "text").collect()}
+    assert corpus[1].startswith(shared)          # first occurrence kept
+    assert corpus[11] == "the eleventh document keeps this novel trailing line"
+    assert 12 not in corpus                      # scrubbed empty -> dropped
+    assert rep2["line_scrubbed_empty"] == 1
+    # retry the SAME batch: its lines are now indexed, so the scrub
+    # empties everything, and the corpus anti-join absorbs the rest —
+    # the committed corpus must not change
+    before = sorted(corpus)
+    ingest_corpus_batch(store, _ingest_docs(spark, b2),
+                        line_dedup=True, report={})
+    after = sorted(
+        r["doc_id"] for r in store.read("Corpus").select("doc_id").collect()
+    )
+    assert after == before
