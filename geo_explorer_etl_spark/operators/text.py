@@ -70,6 +70,67 @@ def dup_line_fraction_expr(text: Column) -> Column:
     )
 
 
+def dup_line_char_fraction_expr(text: Column) -> Column:
+    """Gopher repetition: fraction of CHARACTERS sitting in duplicate
+    occurrences of a line (0.0 = all line chars distinct) — the
+    char-weighted sibling of ``dup_line_fraction_expr``, same
+    non-empty-trimmed-line universe. Row-local HOF fold."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    zero = F.lit(0).cast("long")
+    tot = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
+    dis = F.aggregate(
+        F.array_distinct(lines), zero, lambda a, x: a + F.length(x)
+    )
+    return F.when(tot <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - dis.cast("double") / tot, 4)
+    )
+
+
+def top_ngram_char_fraction_expr(text: Column, n: int = 2) -> Column:
+    """Gopher repetition: characters covered by the MOST FREQUENT word
+    n-gram (positional — overlapping occurrences each count) divided
+    by the text length; ties break to the lexicographically smallest
+    gram. Row-local: sort the positional grams, then ONE fold tracks
+    the current run and the best run — the first max in sorted order
+    IS the lexicographic tie-break, and the expression stays
+    constant-size (no per-gram unrolling)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    grams = F.array_sort(F.transform(idx, gram))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        F.lit("").alias("best"),
+        zero.alias("bestn"),
+    )
+
+    def step(acc, g):
+        new_run = F.when(g == acc.prev, acc.run + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = new_run > acc.bestn
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, g).otherwise(acc.best).alias("best"),
+            F.when(better, new_run).otherwise(acc.bestn).alias("bestn"),
+        )
+
+    acc = F.aggregate(grams, init, step)
+    chars = (acc.bestn * F.length(acc.best)).cast("double")
+    return F.when(
+        (F.size(toks) >= n) & (F.length(text) > 0),
+        F.round(chars / F.length(text), 4),
+    ).otherwise(F.lit(0.0))
+
+
 def _pii_exprs(text: Column) -> dict[str, Column]:
     """THE sequential PII pass, shared by ``pii_scrub`` and the
     quality fold (review r10 wave 8 — two inline copies had already
@@ -150,6 +211,10 @@ def quality_scores(
             e["n_emails"].alias("n_emails"),
             e["n_ipv4"].alias("n_ipv4"),
             dup_line_fraction_expr(text).alias("dup_line_fraction"),
+            # Gopher Table-A1 repetition signals (r13): char-weighted
+            # duplicate lines + most-frequent-bigram char coverage
+            dup_line_char_fraction_expr(text).alias("dup_line_char_fraction"),
+            top_ngram_char_fraction_expr(text, 2).alias("top2gram_char_frac"),
         ]
     return df.select(*cols)
 

@@ -534,7 +534,18 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM cov c
                   JOIN dtoks k ON k.doc_id = c.doc_id
                   LEFT JOIN cov p ON p.doc_id = c.doc_id AND p.tok = c.tok - 1
-                  GROUP BY c.doc_id)
+                  GROUP BY c.doc_id),
+    -- Gopher repetition legs (r13): positional word bigrams; the top
+    -- gram per doc with ties broken lexicographically smallest
+    bigr AS (SELECT k.doc_id,
+                    k.dt[u.i] || ' ' || k.dt[u.i + 1] AS g
+             FROM dtoks k, unnest(range(1, len(k.dt))) AS u(i)
+             WHERE len(k.dt) >= 2),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bigr GROUP BY doc_id, g),
+    bgtop AS (SELECT doc_id, g, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, g ASC) AS rn
+              FROM bgc)
     SELECT t.doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars_meta,
@@ -553,6 +564,16 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(lines) <= 0 THEN 0.0
                 ELSE ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
            END AS dup_line_fraction,
+           CASE WHEN COALESCE(list_sum(list_transform(lines, x -> len(x))), 0) <= 0
+                THEN 0.0
+                ELSE ROUND(1.0 -
+                     CAST(list_sum(list_transform(list_distinct(lines),
+                                                  x -> len(x))) AS DOUBLE) /
+                     list_sum(list_transform(lines, x -> len(x))), 4)
+           END AS dup_line_char_fraction,
+           CASE WHEN bt.c IS NULL OR len(t.text) <= 0 THEN 0.0
+                ELSE ROUND(CAST(bt.c * len(bt.g) AS DOUBLE) / len(t.text), 4)
+           END AS top2gram_char_frac,
            CAST(COALESCE(dc.decon_overlap, 0) AS BIGINT) AS decon_overlap,
            CAST(COALESCE(dc.decon_eval_hits, 0) AS BIGINT) AS decon_eval_hits,
            dc.decon_sample,
@@ -561,6 +582,8 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS decon_chars_removed
     FROM t LEFT JOIN decon dc ON t.doc_id = dc.doc_id
          LEFT JOIN spanstats sp ON t.doc_id = sp.doc_id
+         LEFT JOIN (SELECT doc_id, g, c FROM bgtop WHERE rn = 1) bt
+                ON t.doc_id = bt.doc_id
     """,
     tags="ext text quality fingerprint pii repetition decontamination",
 )

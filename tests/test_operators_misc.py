@@ -773,3 +773,42 @@ def test_dedup_lines_matches_naive_reference(spark):
         assert got[i]["clean_text"] == clean, i
         assert got[i]["lines_removed"] == removed, i
         assert got[i]["chars_removed"] == len(corpus[i]) - len(clean), i
+
+
+def test_gopher_repetition_signals_known_answers(spark):
+    """dup_line_char_fraction (char-weighted duplicate lines) and
+    top2gram_char_frac (most-frequent positional bigram's char
+    coverage, lexicographic tie-break) against hand-computed values."""
+    from geo_explorer_etl_spark.operators.text import (
+        dup_line_char_fraction_expr,
+        top_ngram_char_fraction_expr,
+    )
+
+    rows = [
+        # "aaaa" duplicated: lines aaaa(4) bb(2) aaaa(4): tot=10 dis=6
+        (1, "aaaa\nbb\naaaa"),
+        (2, "x y x y x y"),          # top bigram "x y" 3x, len 3 -> 9/11
+        (3, "one two three four"),   # all bigrams unique -> 1*len/18
+        (4, ""),                     # empty -> both 0.0
+        (5, "ab cd ab cd\nab cd ab cd"),  # bigram across lines too
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dlc"], r["tg"])
+        for r in df.select(
+            "doc_id",
+            dup_line_char_fraction_expr(F.col("text")).alias("dlc"),
+            top_ngram_char_fraction_expr(F.col("text"), 2).alias("tg"),
+        ).collect()
+    }
+    assert got[1][0] == round(1 - 6 / 10, 4)
+    assert got[2] == (0.0, round(3 * 3 / 11, 4))
+    # ties (every bigram count 1): lexicographically smallest gram is
+    # "four three"? no - grams are positional: "one two","two three",
+    # "three four"; sorted -> "one two" wins; len("one two")=7 -> 7/18
+    assert got[3] == (0.0, round(7 / 18, 4))
+    assert got[4] == (0.0, 0.0)
+    # doc 5: line dup: tot=22 dis=11 -> 0.5; bigrams of the token
+    # stream (newline is whitespace): ab cd ab cd ab cd ab cd ->
+    # "ab cd" occurs 4x ("cd ab" 3x), len 5 -> 20/23
+    assert got[5] == (0.5, round(20 / 23, 4))
