@@ -43,7 +43,13 @@ Maintenance algebra, per group:
   the end boundaries) whose counts net +1/−1 exactly like sums, so a
   delete NEVER triggers the recompute branch; the visible value is a
   deterministic rank-interpolation over the counts (``_hist_est``)
-  that a SQL oracle reproduces bit for bit.
+  that a SQL oracle reproduces bit for bit. Percentiles COMPOSE
+  across cascade levels: a child view whose input is a parent view's
+  hidden ``__hist_*`` column element-wise MERGES the parent
+  histograms (``_hist_modes`` — merging subgroup histograms equals
+  the histogram of the union exactly, so the rollup's estimate is
+  identical to aggregating the base rows directly, and the rollup
+  stays fully invertible too).
 - A group whose row count reaches zero becomes a TOMBSTONE: the row
   stays (``__cnt = 0``, aggregate columns NULL) and is filtered from
   every user-facing read. Tombstones are what make the crash fence
@@ -150,7 +156,7 @@ def _hidx(out: str) -> str:
     return f"__hidx_{out}"  # per-ROW bucket index, projected pre-agg
 
 
-def _project_hist_idx(df, aggs: dict, bins: dict | None):
+def _project_hist_idx(df, aggs: dict, bins: dict | None, modes: dict | None = None):
     """Materialize each percentile aggregate's bucket index as ONE
     per-row column before the groupBy (NULL when the input is NULL),
     so the K-term comparison chain is evaluated once per row instead
@@ -158,7 +164,7 @@ def _project_hist_idx(df, aggs: dict, bins: dict | None):
     histograms the difference between a compact whole-stage-codegen
     method and a janino fallback."""
     for out, (op, col) in aggs.items():
-        if _pctl_q(op) is None:
+        if _pctl_q(op) is None or (modes or {}).get(out) == "merge":
             continue
         c = F.expr(str(col))
         df = df.withColumn(
@@ -256,6 +262,53 @@ def _check_bins(aggs: dict, hist_bins: dict | None) -> dict:
                 f"matview: hist_bins[{out!r}] must be strictly ascending"
             )
     return bins
+
+
+def _hist_modes(base, aggs: dict, bins: dict, parent_ent: dict | None) -> dict:
+    """Per-percentile-output input MODE, resolved from the base
+    frame's schema at create time and frozen in the registry:
+
+    - "bucket" — scalar input: bucketize each row's value (the leaf
+      view over raw data);
+    - "merge"  — array<numeric> input: the rows ARE histograms
+      (a parent matview's hidden ``__hist_*`` column) and the child
+      element-wise SUMS them — the cascaded-percentile rollup.
+      Merging subgroup histograms equals the histogram of the union
+      EXACTLY, so a rollup's estimate is identical to aggregating the
+      base rows directly — and it stays fully invertible.
+
+    When the base is another matview and the input names one of its
+    hidden hist columns, the child's ``hist_bins`` must EQUAL the
+    parent's for that output (bucket i must mean the same interval in
+    both) — refused loudly otherwise."""
+    from pyspark.sql.types import ArrayType
+
+    modes: dict[str, str] = {}
+    for out, (op, col) in aggs.items():
+        if _pctl_q(op) is None:
+            continue
+        dt = base.select(F.expr(str(col)).alias("_x")).schema[0].dataType
+        if not isinstance(dt, ArrayType):
+            modes[out] = "bucket"
+            continue
+        modes[out] = "merge"
+        if parent_ent is not None:
+            src = str(col).strip().strip("`")
+            for pout, pspec in parent_ent.get("aggs", {}).items():
+                if _pctl_q(tuple(pspec)[0]) is None or _hist(pout) != src:
+                    continue
+                pbins = [
+                    float(x)
+                    for x in (parent_ent.get("bins") or {}).get(pout, [])
+                ]
+                if pbins and pbins != bins[out]:
+                    raise ValueError(
+                        f"matview: rollup output {out!r} merges parent "
+                        f"histogram {src!r} but hist_bins differ from the "
+                        "parent's — bucket boundaries must be identical "
+                        "across cascade levels"
+                    )
+    return modes
 
 
 def _bucket_idx(c, bounds: list[float]):
@@ -358,7 +411,7 @@ def _finish_hist_ests(df, aggs: dict, bins: dict | None):
     return df
 
 
-def _abs_exprs(aggs: dict, bins: dict | None = None) -> list:
+def _abs_exprs(aggs: dict, bins: dict | None = None, modes: dict | None = None) -> list:
     """Absolute aggregation expressions (create / min-max recompute):
     the stored value IS the SQL aggregate, hidden columns alongside."""
     exprs = [F.count(F.lit(1)).cast("long").alias(MV_CNT)]
@@ -375,6 +428,17 @@ def _abs_exprs(aggs: dict, bins: dict | None = None) -> list:
             # counts are SIGN-NETTABLE, so this aggregate never rides
             # the recompute branch (the invertibility min/max lack)
             bounds = (bins or {})[out]
+            if (modes or {}).get(out) == "merge":
+                # cascaded rollup: the input rows ARE histograms — the
+                # child's histogram is their element-wise sum (exactly
+                # the histogram of the union of the parents' inputs)
+                hist = F.array(*[
+                    F.sum(F.element_at(c, i + 1)).cast("long")
+                    for i in range(len(bounds) + 1)
+                ])
+                exprs.append(F.lit(None).cast("double").alias(out))
+                exprs.append(hist.alias(_hist(out)))
+                continue
             idx = F.col(_hidx(out))  # projected once per row upstream
             hist = F.array(*[
                 F.sum(F.when(idx == i, 1).otherwise(0)).cast("long")
@@ -414,7 +478,7 @@ def _abs_exprs(aggs: dict, bins: dict | None = None) -> list:
     return exprs
 
 
-def _delta_exprs(aggs: dict, bins: dict | None = None) -> list:
+def _delta_exprs(aggs: dict, bins: dict | None = None, modes: dict | None = None) -> list:
     """Netted window aggregates over change-feed rows (+1 insert /
     −1 delete) — the invertible-aggregate algebra."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
@@ -423,6 +487,16 @@ def _delta_exprs(aggs: dict, bins: dict | None = None) -> list:
         c = None if col is None else F.expr(str(col))
         if _pctl_q(op) is not None:
             bounds = (bins or {})[out]
+            if (modes or {}).get(out) == "merge":
+                exprs.append(
+                    F.array(*[
+                        F.sum(sign * F.coalesce(
+                            F.element_at(c, i + 1), F.lit(0)
+                        )).cast("long")
+                        for i in range(len(bounds) + 1)
+                    ]).alias("_dhist_" + out)
+                )
+                continue
             idx = F.col(_hidx(out))  # projected once per row upstream
             exprs.append(
                 F.array(*[
@@ -667,11 +741,15 @@ def create_matview(
         raise ValueError(f"create_matview: base table {table!r} is empty")
     base = _prepare_base(base, where, group_exprs)
     _refuse_null_keys(base.select(*group_cols), group_cols, "create_matview")
+    parent_ent = next(
+        (reg0[n] for n in reg0 if mv_table(n) == table), None
+    )
+    modes = _hist_modes(base, aggs, bins, parent_ent)
     mv = (
         _finish_hist_ests(
-            _project_hist_idx(base, aggs, bins)
+            _project_hist_idx(base, aggs, bins, modes)
             .groupBy(*group_cols)
-            .agg(*_abs_exprs(aggs, bins)),
+            .agg(*_abs_exprs(aggs, bins, modes)),
             aggs,
             bins,
         )
@@ -718,6 +796,7 @@ def create_matview(
                 "where": where,
                 "group_exprs": group_exprs,
                 "bins": bins,
+                "hist_mode": modes,
             }
             return reg
 
@@ -976,6 +1055,7 @@ def _apply_window(
     bins = {
         k: [float(x) for x in v] for k, v in (ent.get("bins") or {}).items()
     }
+    modes = dict(ent.get("hist_mode") or {})
     # min/max and approx_distinct are non-invertible: groups that saw
     # a delete re-aggregate absolutely (the others net deltas/sketches)
     has_minmax = any(
@@ -999,9 +1079,9 @@ def _apply_window(
     delta = _prepare_base(delta, ent.get("where"), ent.get("group_exprs"))
     _refuse_null_keys(delta.select(*group_cols), group_cols, "refresh_matview")
     delta_g = _with_pid(
-        _project_hist_idx(delta, aggs, bins)
+        _project_hist_idx(delta, aggs, bins, modes)
         .groupBy(*group_cols)
-        .agg(*_delta_exprs(aggs, bins)),
+        .agg(*_delta_exprs(aggs, bins, modes)),
         group_cols,
         int(ent["n_partitions"]),
     ).persist()
@@ -1241,6 +1321,7 @@ def _recompute_rows(
     bins = {
         k: [float(x) for x in v] for k, v in (ent.get("bins") or {}).items()
     }
+    modes = dict(ent.get("hist_mode") or {})
     phys = [c for c in group_cols if c not in exprs]
     # derived date_trunc buckets are MONOTONE in their source column:
     # the recomputed buckets' span translates to ONE between-range on
@@ -1291,10 +1372,11 @@ def _recompute_rows(
     else:
         abs_g = _finish_hist_ests(
             _project_hist_idx(
-                base.join(keys.select(*group_cols), group_cols), aggs, bins
+                base.join(keys.select(*group_cols), group_cols),
+                aggs, bins, modes,
             )
             .groupBy(*group_cols)
-            .agg(*_abs_exprs(aggs, bins)),
+            .agg(*_abs_exprs(aggs, bins, modes)),
             aggs,
             bins,
         )

@@ -1181,3 +1181,79 @@ def test_percentile_bad_specs_refused(spark, tmp_path):
         mk({"m": ("p0", "v")}, hist_bins={"m": [1.0, 2.0]})
     with _pytest.raises(ValueError, match="not in"):
         mk({"m": ("p100", "v")}, hist_bins={"m": [1.0, 2.0]})
+
+
+def test_percentile_rollup_cascade(spark, tmp_path):
+    """A child view over a parent matview's table merges the parent's
+    hidden histograms element-wise — and because merging subgroup
+    histograms equals the histogram of the union EXACTLY, the rollup's
+    estimate must equal the direct estimate over ALL base rows of the
+    child group, through multiple DML+refresh rounds, with the child
+    never recomputing (merge mode is invertible too)."""
+    store = _store(spark, tmp_path)
+    rows = [
+        (i, ["a", "b"][i % 2], f"s{i % 3}", float((7 * i) % 41))
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, sub STRING, v DOUBLE")
+    store.append(BASE, df.withColumn(PARTITION_COL, F.lit(1).cast("long")))
+    store.adopt_manifests(BASE)
+    MV.create_matview(
+        store, "leaf", BASE, ["grp", "sub"], {"med": ("p50", "v")},
+        hist_bins={"med": PBINS}, n_partitions=4,
+    )
+    MV.create_matview(
+        store, "roll", MV.mv_table("leaf"), ["grp"],
+        {"med_all": ("p50", "__hist_med")},
+        hist_bins={"med_all": PBINS}, n_partitions=2,
+    )
+
+    def check(tag):
+        base = store.read(BASE)
+        by_g = {}
+        for r in base.select("grp", "v").collect():
+            by_g.setdefault(r["grp"], []).append(r["v"])
+        exp = {g: _pctl_ref(vs, PBINS, 0.5) for g, vs in by_g.items()}
+        got = {
+            r["grp"]: r["med_all"]
+            for r in MV.read_matview(store, "roll").collect()
+        }
+        assert set(got) == set(exp), tag
+        for g in exp:
+            assert abs(got[g] - exp[g]) < 1e-12, (tag, g, got[g], exp[g])
+
+    check("create")
+    # DML rounds: extreme deletes, appends, updates — refresh the
+    # whole hierarchy in dependency order each time
+    store.delete_where(BASE, [("v", ">", 35.0)])
+    reps = MV.refresh_all_matviews(store)
+    assert reps["roll"]["groups_recomputed"] == 0
+    check("delete")
+    add = spark.createDataFrame(
+        [(100 + i, "a", "s9", float(3 + i)) for i in range(6)],
+        "id LONG, grp STRING, sub STRING, v DOUBLE",
+    )
+    store.append(BASE, add.withColumn(PARTITION_COL, F.lit(1).cast("long")))
+    store.adopt_manifests(BASE)
+    MV.refresh_all_matviews(store)
+    check("append-new-subgroup")
+    store.update_where(BASE, {"v": F.lit(11.0)}, [("grp", "==", "b")])
+    reps = MV.refresh_all_matviews(store)
+    assert reps["roll"]["groups_recomputed"] == 0
+    check("update")
+
+
+def test_percentile_rollup_bins_must_match_parent(spark, tmp_path):
+    import pytest as _pytest
+
+    store = _seed(spark, tmp_path)
+    MV.create_matview(
+        store, "leaf", BASE, ["grp"], {"med": ("p50", "v")},
+        hist_bins={"med": PBINS}, n_partitions=2,
+    )
+    with _pytest.raises(ValueError, match="identical across cascade"):
+        MV.create_matview(
+            store, "roll", MV.mv_table("leaf"), ["grp"],
+            {"m2": ("p50", "__hist_med")},
+            hist_bins={"m2": [1.0, 2.0, 3.0]}, n_partitions=2,
+        )
