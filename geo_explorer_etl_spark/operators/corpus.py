@@ -412,9 +412,13 @@ def ingest_corpus_batch(
        batch digest so a retry neither double-charges tokens nor
        re-admits against a self-charged counter. A crash at any point
        leaves a state from which re-running the SAME batch converges
-       to the committed outcome; only a crash BETWEEN the two index
-       appends narrows future near-dup recall for this batch's docs
-       (each append is itself atomic).
+       to the committed outcome. Index order: LINE rows first (once
+       the exact index holds the batch, a retry keeps nothing and
+       could never re-derive them), then exact+band; only a crash
+       between the exact and band appends narrows future near-dup
+       recall for this batch's docs (each append is itself atomic),
+       and the budget's retry digest is computed over the PRE-scrub
+       survivors so every window re-admits without double-charging.
 
     Returns the batch's accepted rows (materialized). With monotone
     ids, the corpus table after N ingests equals
@@ -451,6 +455,7 @@ def ingest_corpus_batch(
             line_dedup_decide,
         )
 
+        pre_scrub = kept
         cleaned, line_rows, rep = line_dedup_decide(
             store, kept, text_col, id_col, line_min_chars, rep
         )
@@ -459,10 +464,12 @@ def ingest_corpus_batch(
                 id_col, F.col("clean_text").alias(text_col)
             ),
             id_col,
-        )
-        before = kept.count()
-        kept = kept.filter(F.length(F.trim(F.col(text_col))) > 0)
-        rep["line_scrubbed_empty"] = before - kept.count()
+        ).filter(F.length(F.trim(F.col(text_col))) > 0)
+        # counted off the already-materialized cleaned frame — no
+        # re-execution of the scrub join (review r13)
+        rep["line_scrubbed_empty"] = cleaned.filter(
+            F.length(F.trim(F.col("clean_text"))) == 0
+        ).count()
     if domain_weights is not None and token_budget is None:
         raise ValueError(
             "ingest_corpus_batch: domain_weights needs token_budget"
@@ -477,6 +484,10 @@ def ingest_corpus_batch(
                 else None
             ),
             domain_col=domain_col,
+            # retry digest over the PRE-scrub survivors (stable across
+            # every crash window; the post-scrub set shrinks on a
+            # retry whose lines are already indexed)
+            digest_basis=pre_scrub if line_dedup else None,
         )
     rep["accepted_rows"] = kept.count()
     if rep["accepted_rows"]:
@@ -506,13 +517,21 @@ def ingest_corpus_batch(
     # index rows LAST: a crash before this point leaves the indexes
     # untouched, so the retry's dedup decision is identical and the
     # corpus anti-join absorbs any partial append
-    dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
+    # line index rows BEFORE the exact/band indexes: once the exact
+    # index holds this batch, a retry's dedup_decide keeps nothing and
+    # can never re-derive the line rows — persisting lines first makes
+    # every crash window recoverable (review r13: the old order lost
+    # the batch's line rows permanently on a crash between the two
+    # persists; with this order a crash after the line persist retries
+    # into scrubbed-empty docs that the corpus anti-join absorbs,
+    # while the pre-scrub budget digest still recognizes the retry)
     if line_rows is not None:
         from geo_explorer_etl_spark.operators.incremental_dedup import (
             line_dedup_persist,
         )
 
         line_dedup_persist(store, line_rows)
+    dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
     if ann_batch is not None:
         # opt-in vector upkeep (VERDICT r12 next #3 wiring): index the
         # ACCEPTED docs' embeddings against the frozen centroids, then
@@ -542,6 +561,7 @@ def _budget_admit(
     store, corpus_table: str, kept: DataFrame, text_col: str, id_col: str,
     token_budget: int, bucket_width: int, rep: dict,
     domain_budgets: dict[str, int] | None = None, domain_col: str = "source",
+    digest_basis: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-batch budget admission under optimistic concurrency: read
     the counter version, compute the prefix against the remaining
@@ -563,8 +583,14 @@ def _budget_admit(
 
     key = f"_corpus_budget_{corpus_table}.json"
     # batch digest: the survivor id span + count identifies a retry
-    # (ids are unique and monotone by contract)
-    stats = kept.select(
+    # (ids are unique and monotone by contract). ``digest_basis``
+    # overrides the frame it is computed from: the line-scrub path
+    # passes the PRE-scrub doc-dedup survivors, which are stable
+    # across every crash-retry window (the post-scrub set is NOT —
+    # a retry whose lines already landed in the index scrubs docs
+    # empty, and a digest over that set would miss the match and
+    # double-charge the residue)
+    stats = (digest_basis if digest_basis is not None else kept).select(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]

@@ -665,11 +665,15 @@ def dedup_lines(
     ``incremental_dedup.incremental_dedup_lines``."""
     lines = _split_lines(df, text_col, id_col)
     eligible = _line_eligible(min_chars)
-    elig = lines.filter(eligible)
-    winners = elig.groupBy("line").agg(
+    # key the shuffle on a 32-hex digest, not the raw line bytes —
+    # web-corpus lines run hundreds of bytes and both the groupBy and
+    # the re-join would move them twice (review r13; the incremental
+    # twin already keys on md5, and the two are pinned equal)
+    elig = lines.filter(eligible).withColumn("_lh", F.md5("line"))
+    winners = elig.groupBy("_lh").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
     )
-    kept_elig = elig.join(winners, "line").select(
+    kept_elig = elig.join(winners, "_lh").select(
         id_col,
         "pos",
         "line",

@@ -292,6 +292,15 @@ def dedup_persist(
 # -- line-level incremental dedup (the Dolma production shape) --------------
 
 LINE_TABLE = "DedupLineIndex"
+#: Line probes get their OWN (smaller) cap: md5 keys are uniform over
+#: the hash space, so an in-list probe only skips files while the
+#: probe count is small relative to the file count — a file covering
+#: 1/F of the space is hit by B uniform values with p = 1-(1-1/F)^B,
+#: ~1 already at B in the low thousands. Beyond the cap the right
+#: shape is ONE distributed pass over the index (read + hash join),
+#: not a pretend prune — and the driver never collects the hash list
+#: at all (the old path hauled 100k strings up before deciding).
+LINE_PROBE_CAP = 10_000
 
 
 def line_dedup_decide(
@@ -324,13 +333,17 @@ def line_dedup_decide(
     winners = elig.groupBy("_lh").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
     )
-    hashes = [
-        r[0]
-        for r in elig.select("_lh").distinct().limit(PROBE_CAP + 1).collect()
-    ]
+    # count the capped distinct BEFORE any driver collect — over the
+    # cap, no hash list is ever hauled to the driver (review r13)
+    n_hashes = elig.select("_lh").distinct().limit(LINE_PROBE_CAP + 1).count()
     seen = None
-    if store.exists(LINE_TABLE) and hashes:
-        idx = _pruned_index(store, LINE_TABLE, "line_hash", hashes, rep)
+    if store.exists(LINE_TABLE) and n_hashes:
+        if n_hashes <= LINE_PROBE_CAP:
+            hashes = [r[0] for r in elig.select("_lh").distinct().collect()]
+            idx = _pruned_index(store, LINE_TABLE, "line_hash", hashes, rep)
+        else:
+            rep[f"{LINE_TABLE}_probe"] = "full_scan"
+            idx = store.read(LINE_TABLE)
         seen = idx.select(F.col("line_hash").alias("_lh")).distinct()
     if seen is not None:
         marked = winners.join(

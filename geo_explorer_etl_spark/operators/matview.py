@@ -291,23 +291,35 @@ def _hist_modes(base, aggs: dict, bins: dict, parent_ent: dict | None) -> dict:
         if not isinstance(dt, ArrayType):
             modes[out] = "bucket"
             continue
-        modes[out] = "merge"
-        if parent_ent is not None:
-            src = str(col).strip().strip("`")
-            for pout, pspec in parent_ent.get("aggs", {}).items():
-                if _pctl_q(tuple(pspec)[0]) is None or _hist(pout) != src:
-                    continue
-                pbins = [
+        # an array input is ONLY meaningful as a parent view's hidden
+        # histogram — treating an arbitrary array<numeric> column as
+        # bucket counts would silently sum raw values into count slots
+        # (review r13): refuse anything that does not resolve to a
+        # parent percentile's __hist_* column
+        src = str(col).strip().strip("`")
+        parent_bins = None
+        for pout, pspec in (parent_ent or {}).get("aggs", {}).items():
+            if _pctl_q(tuple(pspec)[0]) is not None and _hist(pout) == src:
+                parent_bins = [
                     float(x)
                     for x in (parent_ent.get("bins") or {}).get(pout, [])
                 ]
-                if pbins and pbins != bins[out]:
-                    raise ValueError(
-                        f"matview: rollup output {out!r} merges parent "
-                        f"histogram {src!r} but hist_bins differ from the "
-                        "parent's — bucket boundaries must be identical "
-                        "across cascade levels"
-                    )
+                break
+        if parent_bins is None:
+            raise ValueError(
+                f"matview: percentile output {out!r} has ARRAY input "
+                f"{src!r}, which is only valid as a parent matview's "
+                "hidden __hist_* column (the cascaded-percentile "
+                "rollup); for raw data give a numeric row expression"
+            )
+        if parent_bins != bins[out]:
+            raise ValueError(
+                f"matview: rollup output {out!r} merges parent "
+                f"histogram {src!r} but hist_bins differ from the "
+                "parent's — bucket boundaries must be identical "
+                "across cascade levels"
+            )
+        modes[out] = "merge"
     return modes
 
 

@@ -510,3 +510,55 @@ def test_ingest_with_line_dedup_scrubs_and_converges(spark, tmp_path):
         r["doc_id"] for r in store.read("Corpus").select("doc_id").collect()
     )
     assert after == before
+
+
+def test_ingest_line_dedup_crash_between_persists_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the line-index persist but BEFORE the exact/band
+    persist (the r13 review window): the retry must converge — corpus
+    identical, every index complete, and the budget counter charged
+    exactly once (the pre-scrub digest recognizes the retry even
+    though its post-scrub survivor set collapses)."""
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+    from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
+
+    shared = "a shared boilerplate line long enough to be dedup eligible"
+    b1 = [(1, f"{shared}\nthe first document has its own unique tail line here"),
+          (2, "the second document is entirely unique content with many words")]
+    b2 = [(11, f"{shared}\nthe eleventh document keeps this novel trailing line"),
+          (13, "a fresh thirteenth document with plenty of unique words")]
+
+    def run(root, crash_second):
+        store = TableStore(spark, str(tmp_path / root))
+        ingest_corpus_batch(store, _ingest_docs(spark, b1),
+                            line_dedup=True, token_budget=10_000)
+        if crash_second:
+            real = ID.dedup_persist
+
+            def boom(*a, **k):
+                raise RuntimeError("crash before exact/band persist")
+
+            monkeypatch.setattr(ID, "dedup_persist", boom)
+            try:
+                ingest_corpus_batch(store, _ingest_docs(spark, b2),
+                                    line_dedup=True, token_budget=10_000)
+            except RuntimeError:
+                pass
+            monkeypatch.setattr(ID, "dedup_persist", real)
+        ingest_corpus_batch(store, _ingest_docs(spark, b2),
+                            line_dedup=True, token_budget=10_000)
+        corpus = sorted(
+            (r["doc_id"], r["text"])
+            for r in store.read("Corpus").select("doc_id", "text").collect()
+        )
+        blob = store._backend.read(
+            __import__("pathlib").Path(store.root), "_corpus_budget_Corpus.json"
+        )[1]
+        n_exact = store.read(ID.EXACT_TABLE).count()
+        n_lines = store.read(ID.LINE_TABLE).count()
+        return corpus, blob["tokens"], n_exact, n_lines
+
+    clean = run("clean", crash_second=False)
+    crashed = run("crashed", crash_second=True)
+    assert crashed == clean

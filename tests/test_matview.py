@@ -1041,7 +1041,6 @@ def _pctl_expected(store):
     return {
         g: (_pctl_ref(vs, PBINS, 0.5), _pctl_ref(vs, PBINS, 0.95))
         for g, vs in by_g.items()
-        if any(v is not None for v in vs) or True
     }
 
 
@@ -1256,4 +1255,24 @@ def test_percentile_rollup_bins_must_match_parent(spark, tmp_path):
             store, "roll", MV.mv_table("leaf"), ["grp"],
             {"m2": ("p50", "__hist_med")},
             hist_bins={"m2": [1.0, 2.0, 3.0]}, n_partitions=2,
+        )
+
+
+def test_percentile_array_input_on_raw_table_refused(spark, tmp_path):
+    """An array-typed percentile input that is NOT a parent view's
+    hidden histogram refuses loudly — silently summing raw array
+    values into bucket-count slots would corrupt the estimate."""
+    import pytest as _pytest
+
+    store = _store(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [3.0])],
+        "id LONG, grp STRING, vals ARRAY<DOUBLE>",
+    )
+    store.append(BASE, df.withColumn(PARTITION_COL, F.lit(1).cast("long")))
+    store.adopt_manifests(BASE)
+    with _pytest.raises(ValueError, match="only valid as a parent"):
+        MV.create_matview(
+            store, "bad", BASE, ["grp"], {"p": ("p50", "vals")},
+            hist_bins={"p": [1.0, 2.0, 3.0]}, n_partitions=2,
         )
