@@ -113,6 +113,11 @@ HEADLINE = [
     # rewrite a pipeline without incremental maintenance re-pays
     "store_matview_refresh",
     "store_matview_rebuild",
+    # r13 extreme-churn twins: a touch update on the top-value band —
+    # the percentile view NETS (groups_recomputed==0 asserted
+    # in-query), the max view pays the recompute re-aggregate
+    "store_matview_pctl_net",
+    "store_matview_max_recompute",
 ]
 
 
@@ -164,6 +169,8 @@ def main() -> None:
         "store_sql_unpruned",
         "store_matview_refresh",
         "store_matview_rebuild",
+        "store_matview_pctl_net",
+        "store_matview_max_recompute",
     ):
         queries[name] = getattr(store_bench, name)
 

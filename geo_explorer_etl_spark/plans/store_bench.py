@@ -316,6 +316,121 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
             n_partitions=16, replace=True,
         )
 
+    # percentile-vs-minmax EXTREME-churn twins (r13): same big base,
+    # clustered on the GROUP key so the max view's recompute branch
+    # can file-prune; each timed pass runs an idempotent TOUCH update
+    # (SET value = value) on the top-1% value band — the CDF emits a
+    # delete+insert at each touched group's stored extreme, which the
+    # percentile view NETS (zero base reads, asserted in-query) while
+    # the max view re-aggregates every group whose max sat in the
+    # band. The threshold and the histogram bins derive from the data
+    # once, here, untimed.
+    import json as _json
+
+    # the twins use a 20% SLICE of the raw events base: they are
+    # sentinels for the two refresh paths' MACHINERY under extreme
+    # churn (update_where scan+DV commit, CDF window, touched-
+    # partition merge, and the max view's recompute re-aggregate) —
+    # the base-size asymmetry itself is pytest-pinned structurally
+    # (the percentile refresh provably reads zero base files), so
+    # paying a full-table scan per pass here would only re-measure
+    # scan throughput the other store twins already cover
+    evs = ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0)
+    qs, ub = evs.agg(
+        F.expr(
+            "percentile(value, array(0.05,0.15,0.25,0.35,0.45,"
+            "0.55,0.65,0.75,0.85,0.95,0.9))"
+        ),
+        F.expr("percentile(user_id, array(0.05, 0.051))"),
+    ).first()
+    thr = float(qs[-1])
+    bins = sorted({float(q) for q in qs[:-1]})
+    if len(bins) < 2:
+        mn, mx = evs.agg(F.min("value"), F.max("value")).first()
+        bins = [float(mn), float(mx) + 1.0]
+    for root, aggs, hb in (
+        (_mv_pctl_roots(spark)[0],
+         {"p95_value": ("p95", "value")}, {"p95_value": bins}),
+        (_mv_pctl_roots(spark)[1],
+         {"max_value": ("max", "value")}, None),
+    ):
+        _shutil.rmtree(root, ignore_errors=True)
+        store = TableStore(spark, root)
+        store.replace_product_all(
+            PID, {TABLE: evs.repartitionByRange(N_DEL_FILES, "user_id")}
+        )
+        MV.create_matview(
+            store, "bench", TABLE, ["user_id"], aggs,
+            n_partitions=8, replace=True, hist_bins=hb,
+        )
+        Path(root, "_bench_thr.json").write_text(
+            _json.dumps({"thr": thr, "ulo": float(ub[0]), "uhi": float(ub[1])})
+        )
+
+
+def _mv_pctl_roots(spark: SparkSession) -> tuple[str, str]:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return f"{wh}/bench_store_mv_pctl", f"{wh}/bench_store_mv_minmax"
+
+
+def _mv_touch_refresh(spark: SparkSession, root: str):
+    import json as _json
+    from pathlib import Path
+
+    from geo_explorer_etl_spark.operators import matview as MV
+
+    cfg = _json.loads(Path(root, "_bench_thr.json").read_text())
+    store = TableStore(spark, root)
+    # extreme churn confined to a ~0.1% group band: groups hash across
+    # view partitions, so a wide churn band touches every partition
+    # and the merge rewrite swamps the per-group refresh work this
+    # twin exists to measure
+    store.update_where(
+        TABLE,
+        {"value": "value"},
+        [
+            ("value", ">", cfg["thr"]),
+            ("user_id", "between", (cfg["ulo"], cfg["uhi"])),
+        ],
+    )
+    return store, MV.refresh_matview(store, "bench")
+
+
+def store_matview_pctl_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-churn refresh against a PERCENTILE view — the one
+    refresh shape no other bench row exercises: the touch update's
+    CDF window is deletion-vector slices + rewrite files (not plain
+    appends), and every deleted value sits at its group's stored
+    extreme. The percentile view NETS bucket counts through it:
+    groups_recomputed must be 0 (asserted — the invertibility claim,
+    enforced in-bench) and no base file is re-read. Cost is the
+    update commit + DV-slice change feed + touched-partition merge."""
+    from geo_explorer_etl_spark.operators import matview as MV
+
+    store, rep = _mv_touch_refresh(spark, _mv_pctl_roots(spark)[0])
+    assert rep["groups_recomputed"] == 0, rep
+    return MV.read_matview(store, "bench").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("p95_value"), 2).alias("total"),
+    )
+
+
+def store_matview_max_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME churn against a MAX view: every touched group whose
+    stored max sat in the band re-aggregates from the base. The twin
+    claim is that this lands WITHIN NOISE of the percentile row —
+    because the r13-pruned recompute opens only the touched groups'
+    zone-map files on the group-clustered base (the pre-r13 unpruned
+    branch planned every live file and this row would have shown
+    it); a regression in that pruning reopens the gap here."""
+    from geo_explorer_etl_spark.operators import matview as MV
+
+    store, _rep = _mv_touch_refresh(spark, _mv_pctl_roots(spark)[1])
+    return MV.read_matview(store, "bench").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("max_value"), 2).alias("total"),
+    )
+
 
 def _mv_roots(spark: SparkSession) -> tuple[str, str]:
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
