@@ -632,6 +632,7 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 15,
+    scope: str = "corpus",
 ) -> DataFrame:
     """Corpus-wide LINE-level exact dedup (the C4 / Dolma paragraph
     dedupe): a line that already occurred anywhere earlier in the
@@ -660,9 +661,18 @@ def dedup_lines(
     of partially aggregating, and the hottest key would serialize on
     one reducer), no Python UDFs, no driver-side collection.
 
+    ``scope="document"`` restricts the rule to WITHIN each document
+    (Dolma's paragraph-dedupe document mode): later copies of a line
+    inside one doc drop, but the same line in another doc survives —
+    no cross-document shuffle at all (the winner reduce and re-join
+    key on (id, line), so both shuffles are doc-local and the hottest
+    corpus-wide line key never concentrates anywhere).
+
     The INCREMENTAL variant (new batches dedup against a persisted
     line index in O(batch)) is
     ``incremental_dedup.incremental_dedup_lines``."""
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"dedup_lines: scope {scope!r} not in corpus|document")
     lines = _split_lines(df, text_col, id_col)
     eligible = _line_eligible(min_chars)
     # key the shuffle on a 32-hex digest, not the raw line bytes —
@@ -670,10 +680,11 @@ def dedup_lines(
     # the re-join would move them twice (review r13; the incremental
     # twin already keys on md5, and the two are pinned equal)
     elig = lines.filter(eligible).withColumn("_lh", F.md5("line"))
-    winners = elig.groupBy("_lh").agg(
+    wkey = ["_lh"] if scope == "corpus" else [id_col, "_lh"]
+    winners = elig.groupBy(*wkey).agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
     )
-    kept_elig = elig.join(winners, "_lh").select(
+    kept_elig = elig.join(winners, wkey).select(
         id_col,
         "pos",
         "line",

@@ -1156,14 +1156,9 @@ def _apply_window(
             store.append(t, src)
             store.adopt_manifests(t)
             return w
-        # ONE materialization of the next-state rows (bounded by the
-        # touched groups): merge_apply executes its source lineage
-        # once per key-probe and once per touched partition, and this
-        # frame's lineage re-runs the delta aggregate + the stored-row
-        # join + (sometimes) the recompute re-aggregate each time —
-        # measured 4.2 s for a 2-row, 2-partition refresh before the
-        # checkpoint, ~1 s after (r13)
-        src = src.localCheckpoint(eager=True)
+        # merge_apply materializes its source once (its own
+        # localCheckpoint), so the delta aggregate + stored-row join +
+        # recompute union lineage runs exactly one time
         rep = store.merge_apply(
             t,
             src,

@@ -37,12 +37,19 @@ from geo_explorer_etl_spark.session import load_tables
                CASE WHEN len(trim(line)) >= 15
                     THEN row_number() OVER (PARTITION BY line
                                             ORDER BY doc_id, pos)
-                    ELSE 1 END AS rn
+                    ELSE 1 END AS rn,
+               CASE WHEN len(trim(line)) >= 15
+                    THEN row_number() OVER (PARTITION BY doc_id, line
+                                            ORDER BY pos)
+                    ELSE 1 END AS rnd
         FROM lns),
     cleaned AS (
         SELECT k.doc_id,
                COALESCE(string_agg(CASE WHEN k.rn = 1 THEN k.line END,
-                                   chr(10) ORDER BY k.pos), '') AS clean
+                                   chr(10) ORDER BY k.pos), '') AS clean,
+               COALESCE(string_agg(CASE WHEN k.rnd = 1 THEN k.line END,
+                                   chr(10) ORDER BY k.pos), '') AS cleand,
+               SUM(CASE WHEN k.rnd > 1 THEN 1 ELSE 0 END) AS remd
         FROM kept k GROUP BY k.doc_id)
     SELECT 'doc' AS leg, md5(text) AS content_hash,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
@@ -63,6 +70,13 @@ from geo_explorer_etl_spark.session import load_tables
            (SELECT COUNT(*) FROM kept k
             WHERE k.doc_id = c.doc_id AND k.rn > 1),
            CAST(len(s.text) - len(c.clean) AS BIGINT)
+    FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
+    UNION ALL
+    -- DOCUMENT-scope leg: the within-doc rule only (Dolma's document
+    -- mode) — cross-doc duplicates survive, in-doc repeats drop
+    SELECT 'line_doc', md5(c.cleand), CAST(c.doc_id AS BIGINT),
+           c.remd,
+           CAST(len(s.text) - len(c.cleand) AS BIGINT)
     FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
     """,
     tags="ext dedup lines incremental",
@@ -98,6 +112,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.dedup_lines(docs, text_col="text", id_col="doc_id", min_chars=15),
         "line",
     )
+    doc_leg2 = as_leg(
+        DD.dedup_lines(
+            docs, text_col="text", id_col="doc_id", min_chars=15,
+            scope="document",
+        ),
+        "line_doc",
+    )
     # the INCREMENTAL path under the same hash: split the corpus at
     # the id midpoint (monotone ids — the determinism contract), run
     # batch-then-batch through a throwaway persisted line index, and
@@ -115,7 +136,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc1 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") <= mid))
     inc2 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") > mid))
     inc_leg = as_leg(inc1.unionByName(inc2), "line_inc")
-    return doc_leg.unionByName(line_leg).unionByName(inc_leg)
+    return (
+        doc_leg.unionByName(line_leg)
+        .unionByName(inc_leg)
+        .unionByName(doc_leg2)
+    )
 
 
 def dedup_exact_doc_only(spark: SparkSession, sf_dir: str) -> DataFrame:

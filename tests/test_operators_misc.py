@@ -812,3 +812,26 @@ def test_gopher_repetition_signals_known_answers(spark):
     # stream (newline is whitespace): ab cd ab cd ab cd ab cd ->
     # "ab cd" occurs 4x ("cd ab" 3x), len 5 -> 20/23
     assert got[5] == (0.5, round(20 / 23, 4))
+
+
+def test_dedup_lines_document_scope(spark):
+    """scope='document': in-doc repeats drop, cross-doc copies
+    survive; bad scope refused."""
+    import pytest as _pytest
+
+    from geo_explorer_etl_spark.operators.dedup import dedup_lines
+
+    dup = "this line is duplicated across documents"
+    docs = spark.createDataFrame(
+        [(1, f"{dup}\nunique\n{dup}"), (2, dup)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, min_chars=10, scope="document").collect()
+    }
+    assert out[1]["clean_text"] == f"{dup}\nunique"
+    assert out[1]["lines_removed"] == 1
+    assert out[2]["clean_text"] == dup       # cross-doc copy survives
+    assert out[2]["lines_removed"] == 0
+    with _pytest.raises(ValueError, match="scope"):
+        dedup_lines(docs, scope="nope").collect()
