@@ -1276,3 +1276,60 @@ def test_percentile_array_input_on_raw_table_refused(spark, tmp_path):
             store, "bad", BASE, ["grp"], {"p": ("p50", "vals")},
             hist_bins={"p": [1.0, 2.0, 3.0]}, n_partitions=2,
         )
+
+
+def test_hist_estimator_randomized_differential(spark):
+    """_finish_hist_ests over 200 seeded random histograms × 4
+    quantiles must equal the independent Python estimator EXACTLY
+    (same rank rule, same walk, same interpolation arithmetic) —
+    including empty histograms (NULL), single-bucket mass, and
+    end-bucket clamps."""
+    import random as _random
+
+    rng = _random.Random(777)
+    k = len(PBINS)
+    rows = []
+    for i in range(200):
+        shape = rng.random()
+        if shape < 0.05:
+            counts = [0] * (k + 1)                      # empty -> NULL
+        elif shape < 0.15:
+            counts = [0] * (k + 1)
+            counts[rng.randrange(k + 1)] = rng.randint(1, 50)  # one bucket
+        else:
+            counts = [rng.randint(0, 20) for _ in range(k + 1)]
+        rows.append((i, counts))
+    df = spark.createDataFrame(rows, "id LONG, h ARRAY<BIGINT>")
+
+    def ref(counts, q):
+        import math
+
+        nn = sum(counts)
+        if nn == 0:
+            return None
+        r = max(1, math.ceil(q * nn))
+        cum = 0
+        for i, c in enumerate(counts):
+            prev, cum = cum, cum + c
+            if cum >= r:
+                if i == 0:
+                    return PBINS[0]
+                if i == k:
+                    return PBINS[-1]
+                lo, hi = PBINS[i - 1], PBINS[i]
+                return lo + (hi - lo) * ((r - prev) / c)
+
+    for op in ("p5", "p50", "p95", "p99"):
+        q = int(op[1:]) / 100.0
+        out = MV._finish_hist_ests(
+            df.withColumn(MV._hist("x"), F.col("h")),
+            {"x": (op, "h")},
+            {"x": PBINS},
+        )
+        got = {r["id"]: r["x"] for r in out.select("id", "x").collect()}
+        for i, counts in rows:
+            e = ref(counts, q)
+            if e is None:
+                assert got[i] is None, (op, i)
+            else:
+                assert got[i] == e, (op, i, counts, got[i], e)
