@@ -303,3 +303,34 @@ class ChangeFeedReader:
 
         cas_update(self.store._backend, self._dir, self._key, advance)
         return changes
+
+
+def corpus_ingest_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    store,
+    stream_id: str,
+    **ingest_kwargs,
+):
+    """Exactly-once STREAMING corpus ingest: each micro-batch runs the
+    full ``ingest_corpus_batch`` pipeline (gates → doc dedup →
+    optional line scrub → budget → corpus append → index appends).
+    foreachBatch is only at-least-once, so the store's epoch ledger
+    skips a replayed batch OUTRIGHT before the pipeline runs — the
+    one composition rule the LINE index needs: a replayed batch whose
+    lines already landed in ``DedupLineIndex`` would scrub its own
+    documents empty (the ingest still converges through the corpus
+    anti-join and the pre-scrub budget digest, pytest-pinned, but
+    skipping is cheaper and keeps the per-batch report truthful). A
+    crash mid-ingest re-runs the batch on replay and converges by the
+    ingest's own crash contract; the epoch records only after the
+    whole pipeline returns."""
+    from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
+
+    def apply(df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) <= int(store._epoch_ledger().get(stream_id, -1)):
+            return  # replayed batch: the pipeline already committed
+        ingest_corpus_batch(store, df, **ingest_kwargs)
+        store._record_epoch(stream_id, int(epoch_id))
+
+    return upsert_sink(stream_df, checkpoint_dir, apply)

@@ -562,3 +562,62 @@ def test_ingest_line_dedup_crash_between_persists_converges(
     clean = run("clean", crash_second=False)
     crashed = run("crashed", crash_second=True)
     assert crashed == clean
+
+
+def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
+    """Streaming corpus ingest end-to-end: a file stream of documents
+    drained through corpus_ingest_sink runs the FULL pipeline (gates,
+    dedup, line scrub, corpus append, index appends) per micro-batch;
+    a replayed epoch is skipped outright by the ledger — critical for
+    the line index, whose re-run would scrub the batch's docs empty."""
+    from geo_explorer_etl_spark.streaming.incremental import corpus_ingest_sink
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    shared = "a shared boilerplate line long enough to be dedup eligible"
+    docs = _ingest_docs(spark, [
+        (1, f"{shared}\nthe first document has its own unique tail line here"),
+        (2, "the second document is entirely unique content with many words"),
+    ])
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import shutil
+
+    part = next((tmp_path / "stage").glob("part-*.parquet"))
+    shutil.copy(part, src / "b0.parquet")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = corpus_ingest_sink(
+        stream, str(tmp_path / "ckpt"), store, "corpus_stream",
+        line_dedup=True,
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in store.read("Corpus").select("doc_id").collect())
+    assert ids == [1, 2]
+    from geo_explorer_etl_spark.operators.incremental_dedup import LINE_TABLE
+
+    n_lines = store.read(LINE_TABLE).count()
+    # simulate the foreachBatch replay of epoch 0: skipped outright,
+    # nothing re-scrubbed, nothing re-appended
+    from geo_explorer_etl_spark.operators import corpus as CP
+
+    called = {"n": 0}
+    real = CP.ingest_corpus_batch
+
+    def spy(*a, **k):
+        called["n"] += 1
+        return real(*a, **k)
+
+    CP.ingest_corpus_batch = spy
+    try:
+        q2 = corpus_ingest_sink(
+            stream, str(tmp_path / "ckpt2"), store, "corpus_stream",
+            line_dedup=True,
+        )
+        q2.awaitTermination(120)
+    finally:
+        CP.ingest_corpus_batch = real
+    assert called["n"] == 0  # ledger skipped the replayed epoch
+    assert sorted(
+        r["doc_id"] for r in store.read("Corpus").select("doc_id").collect()
+    ) == [1, 2]
+    assert store.read(LINE_TABLE).count() == n_lines
