@@ -131,6 +131,46 @@ def top_ngram_char_fraction_expr(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def dup_ngram_char_fraction_expr(text: Column, n: int = 5) -> Column:
+    """Gopher repetition: characters covered by word n-grams that
+    occur MORE THAN ONCE (each occurrence counts — the documented
+    overlap-unaware simplification of Gopher's char-coverage rule),
+    divided by the text length. Same sorted-gram single fold as the
+    top-gram scan, accumulating incrementally: when a run reaches 2
+    it contributes both occurrences at once, every further repeat
+    adds one more — so Σ per duplicate gram is exactly count·len and
+    the fold needs no end-of-array special case."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    grams = F.array_sort(F.transform(idx, gram))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("acc")
+    )
+
+    def step(acc, g):
+        new_run = F.when(g == acc.prev, acc.run + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        add = (
+            F.when(new_run == 2, 2 * F.length(g))
+            .when(new_run > 2, F.length(g))
+            .otherwise(F.lit(0))
+        ).cast("long")
+        return F.struct(
+            g.alias("prev"), new_run.alias("run"), (acc.acc + add).alias("acc")
+        )
+
+    covered = F.aggregate(grams, init, step).acc
+    return F.when(
+        (F.size(toks) >= n) & (F.length(text) > 0),
+        F.round(covered.cast("double") / F.length(text), 4),
+    ).otherwise(F.lit(0.0))
+
+
 def _pii_exprs(text: Column) -> dict[str, Column]:
     """THE sequential PII pass, shared by ``pii_scrub`` and the
     quality fold (review r10 wave 8 — two inline copies had already
@@ -215,6 +255,7 @@ def quality_scores(
             # duplicate lines + most-frequent-bigram char coverage
             dup_line_char_fraction_expr(text).alias("dup_line_char_fraction"),
             top_ngram_char_fraction_expr(text, 2).alias("top2gram_char_frac"),
+            dup_ngram_char_fraction_expr(text, 5).alias("dup5gram_char_frac"),
         ]
     return df.select(*cols)
 

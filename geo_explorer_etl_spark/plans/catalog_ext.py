@@ -570,7 +570,16 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgtop AS (SELECT doc_id, g, c,
                      row_number() OVER (PARTITION BY doc_id
                                         ORDER BY c DESC, g ASC) AS rn
-              FROM bgc)
+              FROM bgc),
+    g5 AS (SELECT k.doc_id,
+                  k.dt[u.i] || ' ' || k.dt[u.i + 1] || ' ' ||
+                  k.dt[u.i + 2] || ' ' || k.dt[u.i + 3] || ' ' ||
+                  k.dt[u.i + 4] AS g
+           FROM dtoks k, unnest(range(1, len(k.dt) - 3)) AS u(i)
+           WHERE len(k.dt) >= 5),
+    g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+    g5dup AS (SELECT doc_id, SUM(c * len(g)) AS covered
+              FROM g5c WHERE c >= 2 GROUP BY doc_id)
     SELECT t.doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars_meta,
@@ -599,6 +608,10 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bt.c IS NULL OR len(t.text) <= 0 THEN 0.0
                 ELSE ROUND(CAST(bt.c * len(bt.g) AS DOUBLE) / len(t.text), 4)
            END AS top2gram_char_frac,
+           CASE WHEN len(toks) < 5 OR len(t.text) <= 0 THEN 0.0
+                ELSE ROUND(CAST(COALESCE(g5.covered, 0) AS DOUBLE)
+                           / len(t.text), 4)
+           END AS dup5gram_char_frac,
            CAST(COALESCE(dc.decon_overlap, 0) AS BIGINT) AS decon_overlap,
            CAST(COALESCE(dc.decon_eval_hits, 0) AS BIGINT) AS decon_eval_hits,
            dc.decon_sample,
@@ -609,6 +622,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          LEFT JOIN spanstats sp ON t.doc_id = sp.doc_id
          LEFT JOIN (SELECT doc_id, g, c FROM bgtop WHERE rn = 1) bt
                 ON t.doc_id = bt.doc_id
+         LEFT JOIN g5dup g5 ON t.doc_id = g5.doc_id
     """,
     tags="ext text quality fingerprint pii repetition decontamination",
 )

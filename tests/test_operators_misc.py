@@ -835,3 +835,30 @@ def test_dedup_lines_document_scope(spark):
     assert out[2]["lines_removed"] == 0
     with _pytest.raises(ValueError, match="scope"):
         dedup_lines(docs, scope="nope").collect()
+
+
+def test_dup_ngram_char_fraction_known_answers(spark):
+    from geo_explorer_etl_spark.operators.text import (
+        dup_ngram_char_fraction_expr,
+    )
+
+    rows = [
+        # "a b c d e" ×3 interleaved: tokens a b c d e a b c d e a b c d e
+        # positional 5-grams: 11 grams; "a b c d e" appears at 1,6,11 (3x)
+        # others appear... "b c d e a" at 2,7 (2x) etc. all 5-grams of a
+        # period-5 stream repeat: counts: "a b c d e" 3, others 2 each
+        # covered = 3*9 + 4 grams * 2 * 9 = 27 + 72 = 99; len = 29
+        (1, "a b c d e a b c d e a b c d e"),
+        (2, "one two three four five six"),  # no dup 5-gram -> 0
+        (3, "short text"),                   # <5 tokens -> 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", dup_ngram_char_fraction_expr(F.col("text"), 5).alias("f")
+        ).collect()
+    }
+    assert got[1] == round(99 / 29, 4)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
