@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_embedding_cosine_ivf",
     "ann_cosine_topk",
     "text_quality_scores",
+    # r13: the Gopher char-coverage repetition folds time separately
+    # (the registered entry carries them under its hash; timing them
+    # under the historical quality name would break comparability)
+    "text_repetition_signals",
     "sessionize_events",
     "asof_join_events",
     "range_join_business_hours",
@@ -145,6 +149,7 @@ def main() -> None:
     # leg); the operator itself gets its own new row
     queries["dedup_exact"] = catalog_ext.dedup_exact_doc_only
     queries["dedup_lines"] = catalog_ext.dedup_lines_bench
+    queries["text_repetition_signals"] = catalog_ext.text_repetition_signals
     for name in (
         "store_read_pruned",
         "store_read_full",

@@ -218,11 +218,15 @@ def quality_scores(
     id_col: str,
     with_fingerprint: bool = False,
     with_pii: bool = False,
+    with_repetition: bool = False,
 ) -> DataFrame:
     """Per-document quality features: token count, stopword ratio,
     distinct-token ratio, punctuation count — optionally plus the
-    order-insensitive content fingerprint and the PII/repetition
-    hygiene signals (all row-local, one scan)."""
+    order-insensitive content fingerprint, the PII hygiene signals
+    (incl. the line-count duplicate fraction), and — separately
+    gated, ``with_repetition`` — the heavier Gopher char-coverage
+    repetition family (each is a per-row sorted-gram fold, ~3-4x the
+    plain scan's cost; all row-local, one scan either way)."""
     text = F.col(text_col)
     toks = _ws_tokens(text)
     lt = F.lower(text)
@@ -251,8 +255,12 @@ def quality_scores(
             e["n_emails"].alias("n_emails"),
             e["n_ipv4"].alias("n_ipv4"),
             dup_line_fraction_expr(text).alias("dup_line_fraction"),
-            # Gopher Table-A1 repetition signals (r13): char-weighted
-            # duplicate lines + most-frequent-bigram char coverage
+        ]
+    if with_repetition:
+        # Gopher Table-A1 repetition signals (r13): char-weighted
+        # duplicate lines, most-frequent-bigram char coverage, and
+        # duplicate-5-gram char coverage
+        cols += [
             dup_line_char_fraction_expr(text).alias("dup_line_char_fraction"),
             top_ngram_char_fraction_expr(text, 2).alias("top2gram_char_frac"),
             dup_ngram_char_fraction_expr(text, 5).alias("dup5gram_char_frac"),

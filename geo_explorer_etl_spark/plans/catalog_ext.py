@@ -644,7 +644,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     q = TX.quality_scores(
         docs, text_col="text", id_col="doc_id",
-        with_fingerprint=True, with_pii=True,
+        with_fingerprint=True, with_pii=True, with_repetition=True,
     )
     ev = docs.filter(F.col("doc_id") % 101 == 0).select(
         F.col("doc_id").alias("eval_id"),
@@ -683,11 +683,31 @@ def text_quality_scores_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCH_r<=11 timed under the name text_quality_scores, kept
     separately so round-over-round timings stay comparable (the
     registered entry now carries the decontamination leg too — the
-    dedup_minhash_batch_only rule)."""
+    dedup_minhash_batch_only rule; the r13 Gopher repetition folds
+    likewise time under their own row, text_repetition_signals)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return TX.quality_scores(
         docs, text_col="text", id_col="doc_id",
         with_fingerprint=True, with_pii=True,
+    )
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH row for the Gopher char-coverage repetition family alone
+    (new in r13, no historical baseline): three per-row sorted-gram
+    folds over the documents table."""
+    from geo_explorer_etl_spark.operators.text import (
+        dup_line_char_fraction_expr,
+        dup_ngram_char_fraction_expr,
+        top_ngram_char_fraction_expr,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        dup_line_char_fraction_expr(F.col("text")).alias("dup_line_char_fraction"),
+        top_ngram_char_fraction_expr(F.col("text"), 2).alias("top2gram_char_frac"),
+        dup_ngram_char_fraction_expr(F.col("text"), 5).alias("dup5gram_char_frac"),
     )
 
 

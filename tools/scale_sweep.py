@@ -83,6 +83,7 @@ def main() -> None:
     queries["text_quality_scores"] = catalog_ext.text_quality_scores_plain
     queries["dedup_exact"] = catalog_ext.dedup_exact_doc_only
     queries["dedup_lines"] = catalog_ext.dedup_lines_bench
+    queries["text_repetition_signals"] = catalog_ext.text_repetition_signals
     # every store twin in the headline resolves from store_bench —
     # one rule, so a twin added to bench.py can't silently KeyError
     # here (review r10: the hand-kept list fell behind)
