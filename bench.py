@@ -19,6 +19,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def comparable_overrides():
+    """The comparable-shape query overrides: registered entries that
+    folded correctness legs under their hash keep their HISTORICAL
+    operator shape under the benched name (the r11 minhash rule), and
+    new-surface rows resolve here too. ONE definition — bench.py and
+    tools/scale_sweep.py both consume it, so an override added here
+    can never silently diverge between the bench and the sweep
+    (review r13: the hand-copied list was already two files wide)."""
+    from geo_explorer_etl_spark.plans import catalog_ext
+
+    return {
+        "dedup_minhash_lsh": catalog_ext.dedup_minhash_batch_only,
+        "text_quality_scores": catalog_ext.text_quality_scores_plain,
+        "dedup_exact": catalog_ext.dedup_exact_doc_only,
+        "dedup_lines": catalog_ext.dedup_lines_bench,
+        "text_repetition_signals": catalog_ext.text_repetition_signals,
+    }
+
+
 HEADLINE = [
     "flagship_primary_query",
     "q1_pricing_summary",
@@ -135,21 +154,10 @@ def main() -> None:
     from geo_explorer_etl_spark.session import get_spark
 
     spark = get_spark("bench", cpus=cpus)
-    from geo_explorer_etl_spark.plans import catalog_ext
-
     queries = dict(all_queries())
     queries["bridge_join_bucketed"] = bucketed_bench.bridge_join_bucketed
     queries["bridge_join_plain"] = bucketed_bench.bridge_join_plain
-    # comparable operator shape for the minhash row (see BENCH list note)
-    queries["dedup_minhash_lsh"] = catalog_ext.dedup_minhash_batch_only
-    # same rule for the quality row (r12 folded the decontamination
-    # leg under the registered entry's hash)
-    queries["text_quality_scores"] = catalog_ext.text_quality_scores_plain
-    # same rule for the exact-dedup row (r13 folded the line-dedup
-    # leg); the operator itself gets its own new row
-    queries["dedup_exact"] = catalog_ext.dedup_exact_doc_only
-    queries["dedup_lines"] = catalog_ext.dedup_lines_bench
-    queries["text_repetition_signals"] = catalog_ext.text_repetition_signals
+    queries.update(comparable_overrides())
     for name in (
         "store_read_pruned",
         "store_read_full",

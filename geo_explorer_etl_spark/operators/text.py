@@ -132,42 +132,94 @@ def top_ngram_char_fraction_expr(text: Column, n: int = 2) -> Column:
 
 
 def dup_ngram_char_fraction_expr(text: Column, n: int = 5) -> Column:
-    """Gopher repetition: characters covered by word n-grams that
-    occur MORE THAN ONCE (each occurrence counts — the documented
-    overlap-unaware simplification of Gopher's char-coverage rule),
-    divided by the text length. Same sorted-gram single fold as the
-    top-gram scan, accumulating incrementally: when a run reaches 2
-    it contributes both occurrences at once, every further repeat
-    adds one more — so Σ per duplicate gram is exactly count·len and
-    the fold needs no end-of-array special case."""
+    """Gopher repetition: the fraction of CHARACTERS covered by at
+    least one occurrence of a DUPLICATED word n-gram — true distinct
+    coverage, bounded by 1.0, so Gopher Table-A1's published drop
+    thresholds (~0.10-0.15 for the 5..10-gram family) apply directly
+    (review r13: the first cut multi-counted overlapping occurrences
+    and exceeded 1 on repetitive text). Covered chars = the covered
+    tokens' lengths plus the separators INSIDE contiguous covered
+    runs — the same arithmetic the decontamination span leg hashes.
+
+    Expression-shape rule (the second r13 lesson): a HOF lambda
+    re-evaluates every outer subexpression it references once PER
+    ELEMENT, so the duplicated-gram set and the token-length table
+    ride in the fold's INITIAL ACCUMULATOR — evaluated once per row —
+    and the walk is interval algebra over the flagged gram positions
+    (each covered token charged exactly once via the last-covered-end
+    watermark), never a per-position scan of a rebuilt flags array
+    (which made the first formulation O(L²·split) and hung the
+    oracle differential)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    t_cnt = F.size(toks)
+    m = t_cnt - (n - 1)  # number of positional n-grams
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
-    grams = F.array_sort(F.transform(idx, gram))
+    grams = F.transform(F.sequence(F.lit(1), m), gram)
     zero = F.lit(0).cast("long")
-    init = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"), zero.alias("acc")
+    dup_init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        F.array().cast("array<string>").alias("d"),
     )
 
-    def step(acc, g):
+    def dup_step(acc, g):
         new_run = F.when(g == acc.prev, acc.run + 1).otherwise(
             F.lit(1).cast("long")
         )
-        add = (
-            F.when(new_run == 2, 2 * F.length(g))
-            .when(new_run > 2, F.length(g))
-            .otherwise(F.lit(0))
-        ).cast("long")
         return F.struct(
-            g.alias("prev"), new_run.alias("run"), (acc.acc + add).alias("acc")
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(new_run == 2, F.array_append(acc.d, g))
+            .otherwise(acc.d)
+            .alias("d"),
         )
 
-    covered = F.aggregate(grams, init, step).acc
+    dupset = F.aggregate(F.array_sort(grams), dup_init, dup_step).d
+    walk_init = F.struct(
+        dupset.alias("d"),                       # evaluated ONCE per row
+        F.transform(toks, F.length).alias("l"),  # token-length table
+        F.lit(-(10**9)).cast("int").alias("end"),
+        zero.alias("cc"),
+        zero.alias("nc"),
+        zero.alias("runs"),
+    )
+    indexed = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(i.alias("i"), gram(i).alias("g")),
+    )
+
+    def walk_step(acc, el):
+        flag = F.array_contains(acc.d, el.g)
+        lo = F.greatest(el.i, acc.end + 1)
+        hi = el.i + (n - 1)
+        span = F.when(
+            flag,
+            F.aggregate(
+                F.sequence(lo, hi),
+                zero,
+                lambda a, p: a + F.element_at(acc.l, p),
+            ),
+        ).otherwise(zero)
+        return F.struct(
+            acc.d.alias("d"),
+            acc.l.alias("l"),
+            F.when(flag, hi).otherwise(acc.end).cast("int").alias("end"),
+            (acc.cc + span).cast("long").alias("cc"),
+            (acc.nc + F.when(flag, hi - lo + 1).otherwise(0))
+            .cast("long")
+            .alias("nc"),
+            (acc.runs + F.when(flag & (el.i > acc.end + 1), 1).otherwise(0))
+            .cast("long")
+            .alias("runs"),
+        )
+
+    walk = F.aggregate(indexed, walk_init, walk_step)
+    chars = (walk.cc + walk.nc - walk.runs).cast("double")
     return F.when(
-        (F.size(toks) >= n) & (F.length(text) > 0),
-        F.round(covered.cast("double") / F.length(text), 4),
+        (t_cnt >= n) & (F.length(text) > 0),
+        F.round(chars / F.length(text), 4),
     ).otherwise(F.lit(0.0))
 
 

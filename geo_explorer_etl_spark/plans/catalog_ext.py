@@ -571,15 +571,26 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      row_number() OVER (PARTITION BY doc_id
                                         ORDER BY c DESC, g ASC) AS rn
               FROM bgc),
-    g5 AS (SELECT k.doc_id,
+    g5 AS (SELECT k.doc_id, u.i,
                   k.dt[u.i] || ' ' || k.dt[u.i + 1] || ' ' ||
                   k.dt[u.i + 2] || ' ' || k.dt[u.i + 3] || ' ' ||
                   k.dt[u.i + 4] AS g
            FROM dtoks k, unnest(range(1, len(k.dt) - 3)) AS u(i)
            WHERE len(k.dt) >= 5),
-    g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
-    g5dup AS (SELECT doc_id, SUM(c * len(g)) AS covered
-              FROM g5c WHERE c >= 2 GROUP BY doc_id)
+    g5dups AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g
+               HAVING COUNT(*) >= 2),
+    hit5 AS (SELECT DISTINCT p.doc_id, p.i
+             FROM g5 p JOIN g5dups d ON p.doc_id = d.doc_id AND p.g = d.g),
+    cov5 AS (SELECT DISTINCT h.doc_id, h.i + u.j AS tok
+             FROM hit5 h, unnest(range(0, 5)) AS u(j)),
+    g5dup AS (SELECT c.doc_id,
+                     SUM(len(k.dt[c.tok])) + COUNT(*) -
+                     SUM(CASE WHEN p.tok IS NULL THEN 1 ELSE 0 END)
+                         AS covered
+              FROM cov5 c
+              JOIN dtoks k ON k.doc_id = c.doc_id
+              LEFT JOIN cov5 p ON p.doc_id = c.doc_id AND p.tok = c.tok - 1
+              GROUP BY c.doc_id)
     SELECT t.doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars_meta,

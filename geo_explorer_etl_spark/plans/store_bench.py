@@ -408,7 +408,8 @@ def store_matview_pctl_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_explorer_etl_spark.operators import matview as MV
 
     store, rep = _mv_touch_refresh(spark, _mv_pctl_roots(spark)[0])
-    assert rep["groups_recomputed"] == 0, rep
+    if rep["groups_recomputed"] != 0:  # survives python -O, unlike assert
+        raise AssertionError(f"percentile refresh recomputed: {rep}")
     return MV.read_matview(store, "bench").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("p95_value"), 2).alias("total"),

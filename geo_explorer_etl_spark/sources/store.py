@@ -4779,7 +4779,12 @@ class TableStore:
         # every touched partition's rewrite would otherwise re-execute
         # the caller's whole source lineage (matview refresh measured
         # a 2-row merge at 4.2 s from exactly this, r13) — the per-pid
-        # persist only caches the filtered slice, not the parent plan
+        # persist only caches the filtered slice, not the parent plan.
+        # Block lifetime: localCheckpoint blocks are released by the
+        # ContextCleaner once this frame goes unreferenced (end of
+        # this call) — the codebase-wide localCheckpoint convention;
+        # there is no reliable eager-release API for checkpointed
+        # data from PySpark (Dataset.unpersist only covers persist())
         source = source.localCheckpoint(eager=True)
         probe_rows = (
             source.select(PARTITION_COL, *eff_keys)

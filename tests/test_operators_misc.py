@@ -838,19 +838,23 @@ def test_dedup_lines_document_scope(spark):
 
 
 def test_dup_ngram_char_fraction_known_answers(spark):
+    """TRUE distinct coverage (bounded by 1.0): chars covered by at
+    least one duplicated-5-gram occurrence + in-run separators, over
+    text length."""
     from geo_explorer_etl_spark.operators.text import (
         dup_ngram_char_fraction_expr,
     )
 
     rows = [
-        # "a b c d e" ×3 interleaved: tokens a b c d e a b c d e a b c d e
-        # positional 5-grams: 11 grams; "a b c d e" appears at 1,6,11 (3x)
-        # others appear... "b c d e a" at 2,7 (2x) etc. all 5-grams of a
-        # period-5 stream repeat: counts: "a b c d e" 3, others 2 each
-        # covered = 3*9 + 4 grams * 2 * 9 = 27 + 72 = 99; len = 29
+        # period-5 stream: every position covered -> full coverage 1.0
         (1, "a b c d e a b c d e a b c d e"),
-        (2, "one two three four five six"),  # no dup 5-gram -> 0
-        (3, "short text"),                   # <5 tokens -> 0
+        # "p q r s t" dups at 1/10, "q r s t u" at 2/11 -> covered
+        # token positions {1..6, 10..15}: covchars 12, runs 2, ncov 12
+        # -> chars 12 + (12-2) = 22; len 29
+        (2, "p q r s t u m n o p q r s t u"),
+        (3, "one two three four five six"),  # no dup 5-gram -> 0
+        (4, "short text"),                   # <5 tokens -> 0
+        (5, ""),                             # empty -> 0
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
@@ -859,6 +863,7 @@ def test_dup_ngram_char_fraction_known_answers(spark):
             "doc_id", dup_ngram_char_fraction_expr(F.col("text"), 5).alias("f")
         ).collect()
     }
-    assert got[1] == round(99 / 29, 4)
-    assert got[2] == 0.0
-    assert got[3] == 0.0
+    assert got[1] == 1.0
+    assert got[2] == round(22 / 29, 4)
+    assert got[3] == 0.0 and got[4] == 0.0 and got[5] == 0.0
+    assert all(v <= 1.0 for v in got.values())

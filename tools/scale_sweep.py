@@ -73,17 +73,13 @@ def main() -> None:
 
     spark = get_spark("scale_sweep", cpus=32)
     ensure_derived_sf005(spark)
-    from geo_explorer_etl_spark.plans import catalog_ext
+    from bench import comparable_overrides
 
     queries = dict(all_queries())
     queries["bridge_join_bucketed"] = bucketed_bench.bridge_join_bucketed
     queries["bridge_join_plain"] = bucketed_bench.bridge_join_plain
-    # the bench's comparable-shape overrides (bench.py HEADLINE notes)
-    queries["dedup_minhash_lsh"] = catalog_ext.dedup_minhash_batch_only
-    queries["text_quality_scores"] = catalog_ext.text_quality_scores_plain
-    queries["dedup_exact"] = catalog_ext.dedup_exact_doc_only
-    queries["dedup_lines"] = catalog_ext.dedup_lines_bench
-    queries["text_repetition_signals"] = catalog_ext.text_repetition_signals
+    # the bench's comparable-shape overrides — THE shared definition
+    queries.update(comparable_overrides())
     # every store twin in the headline resolves from store_bench —
     # one rule, so a twin added to bench.py can't silently KeyError
     # here (review r10: the hand-kept list fell behind)
