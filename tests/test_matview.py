@@ -1333,3 +1333,77 @@ def test_hist_estimator_randomized_differential(spark):
                 assert got[i] is None, (op, i)
             else:
                 assert got[i] == e, (op, i, counts, got[i], e)
+
+
+def test_continuous_aggregate_percentile_integration(spark, tmp_path):
+    """ALL the r13 matview features in one view — ``WHERE v > 0 GROUP
+    BY date_trunc('DAY', ts)`` with a PERCENTILE aggregate beside a
+    max — maintained through appends, filter-crossing updates, and an
+    extreme-moving delete; after every window the view equals a fresh
+    filtered day-bucketed aggregate with the independent estimator,
+    and the percentile slot itself never forces a recompute (only the
+    max does)."""
+    import datetime as dt
+
+    D = dt.datetime
+    store = _store(spark, tmp_path)
+    B = "MvEvents"
+    BINS = [2.0, 5.0, 10.0, 20.0]
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "id LONG, ts TIMESTAMP, v LONG"
+        ).withColumn(PARTITION_COL, F.lit(1).cast("long"))
+
+    store.append(B, ev([
+        (1, D(2024, 1, 1, 5), 10), (2, D(2024, 1, 1, 9), -3),
+        (3, D(2024, 1, 1, 11), 4), (4, D(2024, 1, 2, 2), 5),
+        (5, D(2024, 1, 2, 8), 1), (6, D(2024, 1, 2, 9), 25),
+    ]))
+    store.adopt_manifests(B)
+    MV.create_matview(
+        store, "daily", B, ["day"],
+        {"p90v": ("p90", "v"), "top": ("max", "v")},
+        n_partitions=4,
+        where=[("v", ">", 0)],
+        group_exprs={"day": "date_trunc('DAY', ts)"},
+        hist_bins={"p90v": BINS},
+    )
+
+    def truth():
+        rows = (
+            store.read(B).filter("v > 0")
+            .withColumn("day", F.expr("date_trunc('DAY', ts)"))
+            .select("day", "v").collect()
+        )
+        by_day = {}
+        for r in rows:
+            by_day.setdefault(r["day"], []).append(float(r["v"]))
+        return {
+            d: (_pctl_ref(vs, BINS, 0.9), max(vs))
+            for d, vs in by_day.items()
+        }
+
+    def view():
+        return {
+            r["day"]: (r["p90v"], r["top"])
+            for r in MV.read_matview(store, "daily").collect()
+        }
+
+    assert view() == truth()
+    # append into one day + a brand-new day
+    store.append(B, ev([(7, D(2024, 1, 1, 20), 8),
+                        (8, D(2024, 1, 5, 3), 3)]))
+    store.adopt_manifests(B)
+    MV.refresh_matview(store, "daily")
+    assert view() == truth()
+    # update CROSSING the filter boundary (v -3 -> 6 enters the view)
+    store.update_where(B, {"v": F.lit(6)}, [("id", "==", 2)])
+    MV.refresh_matview(store, "daily")
+    assert view() == truth()
+    # delete the day-2 MAX (25): max recomputes, percentile nets —
+    # the per-agg classifier decides per group
+    store.delete_where(B, [("id", "==", 6)])
+    rep = MV.refresh_matview(store, "daily")
+    assert rep["groups_recomputed"] == 1  # only day 2, only for max
+    assert view() == truth()
