@@ -298,6 +298,7 @@ def export_shards(
     seed: int,
     table: str = "TrainingShards",
     id_col: str = "doc_id",
+    shuffle_within: bool = False,
 ) -> dict:
     """Deterministic training-shard export — VERDICT r10 directive #5:
     the step after ``build_training_corpus`` that turns the budgeted
@@ -316,6 +317,13 @@ def export_shards(
     - SIZES: hash-uniform — shards differ by O(sqrt(rows/shards))
       (pytest-pinned tolerance), the standard trade for a stateless
       membership function.
+    - ORDER: id-sorted within each shard by default (debuggable,
+      delta-friendly); ``shuffle_within=True`` orders rows by
+      ``xxhash64(seed+1, id)`` instead — the deterministic seeded
+      WITHIN-shard shuffle a training consumer reading shards
+      sequentially needs (id order replays ingest order, which is a
+      curriculum bias; same seed → identical order across runs and
+      partitionings, ties impossible while ids are distinct).
 
     Returns ``{"table", "n_shards", "rows", "files"}``. Refuses an
     existing table: shard exports are immutable artifacts — write a
@@ -344,7 +352,19 @@ def export_shards(
         # guarantee is per-directory, not a perfect hash (VERDICT r11
         # nit). Rows id-sorted within.
         .repartition(n_shards, PARTITION_COL)
-        .sortWithinPartitions(id_col)
+        # the partition col LEADS the sort: dynamic-partition writers
+        # require task rows clustered by the partition columns and
+        # insert their own (order-destroying) sort otherwise — with
+        # the prefix satisfied, rows stream to each shard's file in
+        # exactly this order (review r13: the shuffled order came
+        # back writer-mangled without it whenever two shard values
+        # collided into one task)
+        .sortWithinPartitions(
+            F.col(PARTITION_COL),
+            F.xxhash64(F.lit(int(seed) + 1), F.col(id_col))
+            if shuffle_within
+            else F.col(id_col),
+        )
     )
     store.append(table, out)
     # plain append leaves fresh partitions in listing mode; adoption

@@ -86,3 +86,48 @@ def test_round_trip_equals_corpus_and_refuses_overwrite(spark, tmp_path):
     assert a == b
     with pytest.raises(ValueError, match="already exists"):
         export_shards(store, df, 4, seed=1)
+
+
+def test_shuffle_within_is_deterministic_and_not_id_order(spark, tmp_path):
+    """shuffle_within=True: within-shard row order is a pure function
+    of (seed, id) — identical across exports and partitionings,
+    different from id order, and membership unchanged."""
+    from geo_explorer_etl_spark.operators.corpus import export_shards
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    orders = []
+    for rep, parts in ((0, 4), (1, 9)):
+        store = TableStore(spark, str(tmp_path / f"wh{rep}"))
+        export_shards(
+            store, docs.repartition(parts), n_shards=4, seed=7,
+            shuffle_within=True,
+        )
+        per_shard = {}
+        import pyarrow.parquet as pq
+
+        df = store.read("TrainingShards")
+        for f in sorted(df.inputFiles()):
+            ids = pq.read_table(f.removeprefix("file:"), columns=["doc_id"])
+            per_shard[f.rsplit("/", 2)[-2]] = ids["doc_id"].to_pylist()
+        orders.append(per_shard)
+    assert orders[0] == orders[1]  # deterministic across partitionings
+    assert any(
+        ids != sorted(ids) for ids in orders[0].values()
+    )  # actually shuffled
+    # membership matches the unshuffled export (same seed)
+    store = TableStore(spark, str(tmp_path / "wh_plain"))
+    export_shards(store, docs, n_shards=4, seed=7)
+    plain = {
+        k: sorted(v)
+        for k, v in (
+            (f.rsplit("/", 2)[-2],
+             __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+                 f.removeprefix("file:"), columns=["doc_id"]
+             )["doc_id"].to_pylist())
+            for f in sorted(store.read("TrainingShards").inputFiles())
+        )
+    }
+    assert {k: sorted(v) for k, v in orders[0].items()} == plain
