@@ -324,12 +324,33 @@ def corpus_ingest_sink(
     skipping is cheaper and keeps the per-batch report truthful). A
     crash mid-ingest re-runs the batch on replay and converges by the
     ingest's own crash contract; the epoch records only after the
-    whole pipeline returns."""
+    whole pipeline returns.
+
+    PAIRING RULE (shared with every epoch-ledger sink, and fatal to
+    get wrong here): ``stream_id`` names the (stream, CHECKPOINT)
+    pairing — epoch ids are checkpoint-relative, so a RESET or
+    deleted checkpoint restarts them at 0 and the old ledger
+    high-water would make the skip below silently drop genuinely new
+    batches. Resetting the checkpoint REQUIRES a new ``stream_id``;
+    every skip warns with exactly this instruction so an operator
+    who broke the pairing sees it in the logs instead of missing
+    data."""
+    import warnings
+
     from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
 
     def apply(df: DataFrame, epoch_id: int) -> None:
-        if int(epoch_id) <= int(store._epoch_ledger().get(stream_id, -1)):
-            return  # replayed batch: the pipeline already committed
+        recorded = int(store._epoch_ledger().get(stream_id, -1))
+        if int(epoch_id) <= recorded:
+            warnings.warn(
+                f"corpus_ingest_sink({stream_id!r}): skipping epoch "
+                f"{epoch_id} <= recorded {recorded} as a replay — if "
+                "you RESET this stream's checkpoint, this is silent "
+                "data loss: use a NEW stream_id with a fresh "
+                "checkpoint (epoch ids are checkpoint-relative)",
+                stacklevel=2,
+            )
+            return
         ingest_corpus_batch(store, df, **ingest_kwargs)
         store._record_epoch(stream_id, int(epoch_id))
 

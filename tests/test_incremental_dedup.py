@@ -607,6 +607,15 @@ def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
         called["n"] += 1
         return real(*a, **k)
 
+    # the skip must be LOUD: the warning names the checkpoint/
+    # stream_id pairing rule (a reset checkpoint with the old
+    # stream_id is silent data loss otherwise — review r13). The
+    # microbatch thread emits it, so capture by patching warn itself.
+    import warnings as _warnings
+
+    seen: list[str] = []
+    real_warn = _warnings.warn
+    _warnings.warn = lambda msg, *a, **k: seen.append(str(msg))
     CP.ingest_corpus_batch = spy
     try:
         q2 = corpus_ingest_sink(
@@ -616,6 +625,8 @@ def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
         q2.awaitTermination(120)
     finally:
         CP.ingest_corpus_batch = real
+        _warnings.warn = real_warn
+    assert any("NEW stream_id" in m for m in seen)
     assert called["n"] == 0  # ledger skipped the replayed epoch
     assert sorted(
         r["doc_id"] for r in store.read("Corpus").select("doc_id").collect()
