@@ -323,7 +323,8 @@ def export_shards(
       WITHIN-shard shuffle a training consumer reading shards
       sequentially needs (id order replays ingest order, which is a
       curriculum bias; same seed → identical order across runs and
-      partitionings, ties impossible while ids are distinct).
+      partitionings — ``id_col`` breaks the astronomically-rare
+      64-bit hash tie deterministically).
 
     Returns ``{"table", "n_shards", "rows", "files"}``. Refuses an
     existing table: shard exports are immutable artifacts — write a
@@ -361,9 +362,11 @@ def export_shards(
         # collided into one task)
         .sortWithinPartitions(
             F.col(PARTITION_COL),
-            F.xxhash64(F.lit(int(seed) + 1), F.col(id_col))
-            if shuffle_within
-            else F.col(id_col),
+            *(
+                [F.xxhash64(F.lit(int(seed) + 1), F.col(id_col)), F.col(id_col)]
+                if shuffle_within
+                else [F.col(id_col)]
+            ),
         )
     )
     store.append(table, out)

@@ -186,8 +186,11 @@ def dup_ngram_char_fraction_expr(text: Column, n: int = 5) -> Column:
         zero.alias("runs"),
     )
     indexed = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.struct(i.alias("i"), gram(i).alias("g")),
+        grams,
+        # 2-arg lambda: the element AND its 0-based index — reuses the
+        # materialized gram array instead of rebuilding every gram
+        # (the function's own materialize-once rule, review r13)
+        lambda g, i0: F.struct((i0 + 1).alias("i"), g.alias("g")),
     )
 
     def walk_step(acc, el):

@@ -335,20 +335,26 @@ def corpus_ingest_sink(
     every skip warns with exactly this instruction so an operator
     who broke the pairing sees it in the logs instead of missing
     data."""
-    import warnings
+    import logging
 
     from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
+
+    log = logging.getLogger(__name__)
 
     def apply(df: DataFrame, epoch_id: int) -> None:
         recorded = int(store._epoch_ledger().get(stream_id, -1))
         if int(epoch_id) <= recorded:
-            warnings.warn(
-                f"corpus_ingest_sink({stream_id!r}): skipping epoch "
-                f"{epoch_id} <= recorded {recorded} as a replay — if "
-                "you RESET this stream's checkpoint, this is silent "
-                "data loss: use a NEW stream_id with a fresh "
-                "checkpoint (epoch ids are checkpoint-relative)",
-                stacklevel=2,
+            # logging, not warnings.warn: the per-callsite warning
+            # registry would swallow the SECOND identical skip in one
+            # driver process — exactly the re-run an operator does
+            # while debugging missing data (review r13)
+            log.warning(
+                "corpus_ingest_sink(%r): skipping epoch %s <= recorded "
+                "%s as a replay — if you RESET this stream's "
+                "checkpoint, this is silent data loss: use a NEW "
+                "stream_id with a fresh checkpoint (epoch ids are "
+                "checkpoint-relative)",
+                stream_id, epoch_id, recorded,
             )
             return
         ingest_corpus_batch(store, df, **ingest_kwargs)

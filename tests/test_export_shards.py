@@ -124,7 +124,7 @@ def test_shuffle_within_is_deterministic_and_not_id_order(spark, tmp_path):
         k: sorted(v)
         for k, v in (
             (f.rsplit("/", 2)[-2],
-             __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+             pq.read_table(
                  f.removeprefix("file:"), columns=["doc_id"]
              )["doc_id"].to_pylist())
             for f in sorted(store.read("TrainingShards").inputFiles())

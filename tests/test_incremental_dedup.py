@@ -607,15 +607,25 @@ def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
         called["n"] += 1
         return real(*a, **k)
 
-    # the skip must be LOUD: the warning names the checkpoint/
-    # stream_id pairing rule (a reset checkpoint with the old
-    # stream_id is silent data loss otherwise — review r13). The
-    # microbatch thread emits it, so capture by patching warn itself.
-    import warnings as _warnings
+    # the skip must be LOUD on EVERY occurrence: it logs (not
+    # warnings.warn, whose per-callsite registry swallows the second
+    # identical skip) naming the checkpoint/stream_id pairing rule —
+    # a reset checkpoint with the old stream_id is silent data loss
+    # otherwise (review r13). Logging is process-global, so the
+    # microbatch thread's record lands in a handler attached here.
+    import logging as _logging
 
     seen: list[str] = []
-    real_warn = _warnings.warn
-    _warnings.warn = lambda msg, *a, **k: seen.append(str(msg))
+
+    class _Grab(_logging.Handler):
+        def emit(self, record):
+            seen.append(record.getMessage())
+
+    grab = _Grab()
+    sink_log = _logging.getLogger(
+        "geo_explorer_etl_spark.streaming.incremental"
+    )
+    sink_log.addHandler(grab)
     CP.ingest_corpus_batch = spy
     try:
         q2 = corpus_ingest_sink(
@@ -625,7 +635,7 @@ def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
         q2.awaitTermination(120)
     finally:
         CP.ingest_corpus_batch = real
-        _warnings.warn = real_warn
+        sink_log.removeHandler(grab)
     assert any("NEW stream_id" in m for m in seen)
     assert called["n"] == 0  # ledger skipped the replayed epoch
     assert sorted(
