@@ -327,8 +327,17 @@ def line_dedup_decide(
 
     rep = report if report is not None else {}
     lines = _split_lines(batch, text_col, id_col)
-    elig = lines.filter(_line_eligible(min_chars)).withColumn(
-        "_lh", F.md5("line")
+    # persist the exploded+hashed batch ONCE: four consumers below
+    # (capped distinct count, under-cap distinct collect, the winners
+    # groupBy, the kept_elig join) would otherwise each re-run the
+    # split/posexplode/md5 lineage (ADVICE r13 #1); unpersisted after
+    # the outputs are checkpointed
+    from pyspark.storagelevel import StorageLevel
+
+    elig = (
+        lines.filter(_line_eligible(min_chars))
+        .withColumn("_lh", F.md5("line"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     winners = elig.groupBy("_lh").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
@@ -378,6 +387,7 @@ def line_dedup_decide(
         .localCheckpoint(eager=True)
     )
     rep["new_index_rows"] = new_rows.count()
+    elig.unpersist()
     return cleaned, new_rows, rep
 
 

@@ -800,14 +800,19 @@ def _mvp_leg_sql() -> str:
     )
     return f"""
     UNION ALL
-    SELECT 'mvp', cg.cnt, sel.status,
+    -- driven from the GROUP list (cg), LEFT-joined to the non-NULL
+    -- price histogram walk (sel): a status group whose prices are all
+    -- NULL still emits its row, with a NULL estimate — the matview's
+    -- NULL-estimate-on-empty-histogram contract (ADVICE r13 #2)
+    SELECT 'mvp', cg.cnt, cg.status,
            ROUND(CASE WHEN sel.bidx = 0 THEN {bs[0]!r}
                       WHEN sel.bidx = {k} THEN {bs[-1]!r}
                       ELSE bb.lo + bb.span *
                            (CAST(sel.r - sel.prevc AS DOUBLE) /
                             CAST(sel.c AS DOUBLE))
                  END, 2)
-    FROM (
+    FROM (SELECT status, COUNT(*) AS cnt FROM v3state GROUP BY status) cg
+    LEFT JOIN (
       SELECT status, bidx, c, cum, r, cum - c AS prevc,
              row_number() OVER (PARTITION BY status ORDER BY bidx) AS rn
       FROM (
@@ -821,12 +826,9 @@ def _mvp_leg_sql() -> str:
           GROUP BY status, 2
         )
       ) WHERE cum >= r
-    ) sel
+    ) sel ON sel.status = cg.status AND sel.rn = 1
     LEFT JOIN (VALUES {bounds_rows}) AS bb(bidx, lo, span)
            ON bb.bidx = sel.bidx
-    JOIN (SELECT status, COUNT(*) AS cnt FROM v3state GROUP BY status) cg
-      ON cg.status = sel.status
-    WHERE sel.rn = 1
     """
 
 

@@ -122,8 +122,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the INCREMENTAL path under the same hash: split the corpus at
     # the id midpoint (monotone ids — the determinism contract), run
     # batch-then-batch through a throwaway persisted line index, and
-    # the union must equal the all-at-once rule row for row
-    import tempfile
+    # the union must equal the all-at-once rule row for row.
+    # The throwaway store is the registry's ONLY plan-construction
+    # side effect (VERDICT r13 wrong #1): give it a per-invocation-
+    # fresh, asserted-new path under the session warehouse and remove
+    # it before returning — the incremental legs are eagerly
+    # localCheckpoint'ed, so nothing the returned plan executes ever
+    # touches the store again, and repeated correctness/bench runs
+    # can't accumulate orphaned temp roots (ADVICE r13 #3).
+    import os
+    import shutil
+    import uuid
 
     from geo_explorer_etl_spark.operators.incremental_dedup import (
         incremental_dedup_lines,
@@ -132,15 +141,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     mid = (int(lo) + int(hi)) // 2
-    store = TableStore(spark, tempfile.mkdtemp(prefix="dedup_lines_inc_"))
-    inc1 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") <= mid))
-    inc2 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") > mid))
-    inc_leg = as_leg(inc1.unionByName(inc2), "line_inc")
-    return (
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    root = os.path.join(wh, "_tmp", f"dedup_lines_inc_{uuid.uuid4().hex}")
+    # exist_ok=False IS the freshness assertion (survives `python -O`)
+    os.makedirs(root, exist_ok=False)
+    try:
+        store = TableStore(spark, root)
+        inc1 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") <= mid))
+        inc2 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") > mid))
+        inc_leg = as_leg(inc1.unionByName(inc2), "line_inc")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = (
         doc_leg.unionByName(line_leg)
         .unionByName(inc_leg)
         .unionByName(doc_leg2)
     )
+    _log_leg_digests("dedup_exact", out)
+    return out
+
+
+def _log_leg_digests(name: str, df: DataFrame) -> None:
+    """Per-leg, order-insensitive diagnostic digests (VERDICT r13
+    next #1): one ``leg, count, xor-of-row-hashes`` line per leg on
+    stderr at BUILD time, so a red driver hash cell localizes to
+    doc / line / line_inc / line_doc in one look. xor of xxhash64 over
+    every column is commutative — partitioning and collection order
+    cannot change it. One extra Spark job per build; the bench times
+    the plain doc/line shapes, not this registered entry."""
+    import sys
+
+    rows = (
+        df.groupBy("leg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+            ).alias("x"),
+        )
+        .collect()
+    )
+    for r in sorted(rows, key=lambda r: r["leg"]):
+        print(
+            f"[{name} digest] leg={r['leg']} n={r['n']} xor={r['x'] & 0xFFFFFFFFFFFFFFFF:016x}",
+            file=sys.stderr,
+        )
 
 
 def dedup_exact_doc_only(spark: SparkSession, sf_dir: str) -> DataFrame:
