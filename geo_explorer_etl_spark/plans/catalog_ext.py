@@ -147,12 +147,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(wh, "_tmp", f"dedup_lines_inc_{uuid.uuid4().hex}")
     # exist_ok=False IS the freshness assertion (survives `python -O`)
     os.makedirs(root, exist_ok=False)
+    store = TableStore(spark, root)
     try:
-        store = TableStore(spark, root)
         inc1 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") <= mid))
         inc2 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") > mid))
         inc_leg = as_leg(inc1.unionByName(inc2), "line_inc")
     finally:
+        from geo_explorer_etl_spark.operators.incremental_dedup import (
+            line_mirror_drop,
+        )
+
+        line_mirror_drop(store)
         shutil.rmtree(root, ignore_errors=True)
     out = (
         doc_leg.unionByName(line_leg)

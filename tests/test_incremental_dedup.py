@@ -469,6 +469,93 @@ def test_incremental_lines_index_is_clustered_and_probe_prunes(spark, tmp_path):
         assert len(pruned.inputFiles()) < total_files
 
 
+def test_incremental_lines_overcap_joins_bucketed_mirror_without_index_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """Beyond LINE_PROBE_CAP the decide path must join the BUCKETED
+    mirror, not re-shuffle the ever-growing index per batch (VERDICT
+    r13 next #2): the recorded join plan shows the mirror's bucketed
+    scan with ZERO Exchange on the index side — only the batch's
+    winners move — and the over-cap result still equals the
+    all-at-once rule."""
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    b1, b2 = _line_corpus()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ID.incremental_dedup_lines(store, _docs(spark, b1))
+    monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)  # force the over-cap branch
+    rep = {}
+    # at test scale AQE would broadcast the tiny mirror (a
+    # BroadcastExchange OF the index side) — the 100 TB index can't
+    # broadcast, so pin the plan that exists at scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = ID.incremental_dedup_lines(store, _docs(spark, b2), report=rep)
+        got = {r["doc_id"]: (r["clean_text"], r["lines_removed"]) for r in out2.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rep["DedupLineIndex_probe"] == "bucketed_mirror"
+    plan = rep["_mirror_join_plan"]
+    assert "Bucketed: true" in plan, plan
+    # walk the mirror scan's ancestor chain up to the join: NO Exchange
+    # may sit between them (the index side never shuffles); the batch
+    # side is free to shuffle into the mirror's bucketing
+    import re
+
+    def _marker(l):  # tree-node marker column ("+- " or ":- ")
+        m = re.search(r"[+:]- ", l)
+        return m.start() if m else None
+
+    tree = [(pos, l) for l in plan.splitlines() if (pos := _marker(l)) is not None]
+    scan_i = next(
+        i for i, (_, l) in enumerate(tree)
+        if "Scan parquet" in l and "dedup_line_mirror" in l
+    )
+    depth = tree[scan_i][0]
+    found_join = False
+    for i in range(scan_i - 1, -1, -1):
+        d, line = tree[i]
+        if d < depth:  # a strict ancestor of the scan
+            depth = d
+            assert "Exchange" not in line, plan
+            if "Join" in line:
+                found_join = True
+                break
+    assert found_join, f"no join above the mirror scan:\n{plan}"
+    assert got[11] == ("novel line in batch two only", 1)
+    assert got[12] == ("short", 2)
+
+
+def test_incremental_lines_stale_mirror_falls_back_to_full_scan(
+    spark, tmp_path, monkeypatch
+):
+    """A mirror that missed an append (crash between the clustered and
+    bucketed writes, simulated by corrupting the sync marker) is
+    DETECTED — the decide path reports staleness, falls back to the
+    plain store read, and the result is unchanged."""
+    import json
+
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    b1, b2 = _line_corpus()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ID.incremental_dedup_lines(store, _docs(spark, b1))
+    marker = ID._mirror_marker(store)
+    with open(marker) as f:
+        rows = json.load(f)["rows"]
+    with open(marker, "w") as f:
+        json.dump({"rows": rows - 1}, f)
+    monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)
+    rep = {}
+    out2 = ID.incremental_dedup_lines(store, _docs(spark, b2), report=rep)
+    assert rep["DedupLineIndex_probe"] == "full_scan"
+    assert "stale" in rep["DedupLineIndex_mirror"]
+    got = {r["doc_id"]: (r["clean_text"], r["lines_removed"]) for r in out2.collect()}
+    assert got[11] == ("novel line in batch two only", 1)
+    assert got[12] == ("short", 2)
+
+
 def test_ingest_with_line_dedup_scrubs_and_converges(spark, tmp_path):
     """ingest_corpus_batch(line_dedup=True): a batch-2 document
     sharing a line with batch 1 lands in the corpus SCRUBBED; a doc
