@@ -39,8 +39,9 @@ Maintenance algebra, per group:
   these aggregates never touches the base table at all.
 - PERCENTILES ("p1".."p99") are FULLY INVERTIBLE: the hidden state is
   a fixed-boundary bucket histogram (``hist_bins``, the HDR-histogram
-  contract — user-chosen resolution/range, values outside clamp to
-  the end boundaries) whose counts net +1/−1 exactly like sums, so a
+  contract — user-chosen or create-time auto-derived resolution/range;
+  values outside clamp to the end boundaries and are COUNTED, per
+  refresh report and registry entry) whose counts net +1/−1 exactly like sums, so a
   delete NEVER triggers the recompute branch; the visible value is a
   deterministic rank-interpolation over the counts (``_hist_est``)
   that a SQL oracle reproduces bit for bit. Percentiles COMPOSE
@@ -230,29 +231,51 @@ def _check_aggs(aggs: dict, group_cols: list[str]) -> dict:
     return norm
 
 
+#: Boundary count for auto-derived percentile bins: 64 log-spaced
+#: boundaries over the observed create-time range give ≤ ~18% relative
+#: bucket width across 3 decades at 65 longs of state per group.
+AUTO_BINS = 64
+
+
 def _check_bins(aggs: dict, hist_bins: dict | None) -> dict:
-    """Validate the percentile-boundary spec: every p<NN> output needs
-    a strictly-ascending list of >= 2 finite boundaries in
-    ``hist_bins[out]`` (the HDR-histogram contract — the user picks
-    the resolution and range, the engine guarantees invertibility and
-    a deterministic estimate inside it; values outside clamp to the
-    first/last boundary)."""
+    """Validate the percentile-boundary spec. Each p<NN> output takes
+    either a strictly-ascending list of >= 2 finite boundaries (the
+    HDR-histogram contract — the user picks resolution and range, the
+    engine guarantees invertibility and a deterministic estimate
+    inside it; values outside clamp to the first/last boundary and
+    are COUNTED, see the clamp audit), or ``"auto"`` /
+    ``("auto", K)`` / simply OMITTED — boundaries are then derived at
+    create time from the base snapshot (log-spaced over the observed
+    range when positive, linear otherwise; VERDICT r13 next #3) and
+    frozen in the registry like explicit ones. Returns lists for
+    explicit specs and ``("auto", K)`` sentinels for derived ones —
+    ``_derive_auto_bins`` resolves the sentinels."""
     import math
 
-    bins = {k: [float(x) for x in v] for k, v in (hist_bins or {}).items()}
+    raw = dict(hist_bins or {})
     need = {out for out, (op, _) in aggs.items() if _pctl_q(op) is not None}
-    missing = sorted(need - set(bins))
-    if missing:
-        raise ValueError(
-            f"matview: percentile output(s) {missing} need hist_bins "
-            "boundaries (create_matview(..., hist_bins={out: [b0, b1, ...]}))"
-        )
-    extra = sorted(set(bins) - need)
+    extra = sorted(set(raw) - need)
     if extra:
         raise ValueError(
             f"matview: hist_bins for non-percentile output(s) {extra}"
         )
-    for out, bs in bins.items():
+    bins: dict = {}
+    for out in need:
+        v = raw.get(out, "auto")
+        if v == "auto":
+            v = ("auto", AUTO_BINS)
+        if (
+            isinstance(v, tuple)
+            and len(v) == 2
+            and v[0] == "auto"
+        ):
+            if not isinstance(v[1], int) or v[1] < 2:
+                raise ValueError(
+                    f"matview: hist_bins[{out!r}] ('auto', K) needs int K >= 2"
+                )
+            bins[out] = ("auto", v[1])
+            continue
+        bs = [float(x) for x in v]
         if len(bs) < 2 or any(not math.isfinite(b) for b in bs):
             raise ValueError(
                 f"matview: hist_bins[{out!r}] needs >= 2 finite boundaries"
@@ -261,7 +284,68 @@ def _check_bins(aggs: dict, hist_bins: dict | None) -> dict:
             raise ValueError(
                 f"matview: hist_bins[{out!r}] must be strictly ascending"
             )
+        bins[out] = bs
     return bins
+
+
+def _is_auto(spec) -> bool:
+    return isinstance(spec, tuple) and spec and spec[0] == "auto"
+
+
+def _derive_auto_bins(base, aggs: dict, bins: dict, modes: dict) -> list[str]:
+    """Resolve ``("auto", K)`` bin sentinels in place: ONE agg pass
+    collects min/max of every auto output's input expression over the
+    pinned create snapshot, then K boundaries are log-spaced over
+    [lo, hi] when lo > 0 (the long-tailed-positive shape percentile
+    views usually watch) and linear-spaced otherwise. Merge-mode
+    (cascaded) autos were already inherited from the parent by
+    ``_hist_modes``. All-NULL inputs can't be derived — refused
+    loudly, asking for explicit boundaries. Returns the outputs that
+    were auto-derived (recorded in the registry for visibility).
+    Future data outside the observed range clamps to the end
+    boundaries — and is counted per refresh (the clamp audit), so a
+    drifting distribution is visible, not silent."""
+    import math
+
+    auto = {out: spec[1] for out, spec in bins.items() if _is_auto(spec)}
+    if not auto:
+        return []
+    probes = []
+    for out in sorted(auto):
+        c = F.expr(str(aggs[out][1]))
+        probes.append(F.min(c).alias(f"_lo_{out}"))
+        probes.append(F.max(c).alias(f"_hi_{out}"))
+    row = base.agg(*probes).first()
+    for out, k in auto.items():
+        lo, hi = row[f"_lo_{out}"], row[f"_hi_{out}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"matview: cannot auto-derive hist_bins[{out!r}] — the "
+                "input is all-NULL in the create snapshot; pass explicit "
+                "boundaries"
+            )
+        lo, hi = float(lo), float(hi)
+        if not (math.isfinite(lo) and math.isfinite(hi)):
+            raise ValueError(
+                f"matview: cannot auto-derive hist_bins[{out!r}] from a "
+                "non-finite observed range [{lo}, {hi}]; pass explicit "
+                "boundaries"
+            )
+        if hi <= lo:
+            bs = [lo, lo + 1.0]  # single-point range: one unit bucket
+        elif lo > 0:
+            ratio = hi / lo
+            bs = [lo * ratio ** (i / (k - 1)) for i in range(k)]
+        else:
+            bs = [lo + (hi - lo) * i / (k - 1) for i in range(k)]
+        # strict ascent can collapse under float rounding on narrow
+        # ranges — dedupe, and fall back to the 2-boundary span
+        out_bs = [bs[0]]
+        for b in bs[1:]:
+            if b > out_bs[-1]:
+                out_bs.append(b)
+        bins[out] = out_bs if len(out_bs) >= 2 else [lo, hi]
+    return sorted(auto)
 
 
 def _hist_modes(base, aggs: dict, bins: dict, parent_ent: dict | None) -> dict:
@@ -312,7 +396,11 @@ def _hist_modes(base, aggs: dict, bins: dict, parent_ent: dict | None) -> dict:
                 "hidden __hist_* column (the cascaded-percentile "
                 "rollup); for raw data give a numeric row expression"
             )
-        if parent_bins != bins[out]:
+        if _is_auto(bins[out]):
+            # a rollup's only valid boundaries ARE the parent's —
+            # auto inherits them (resolved here, frozen in the registry)
+            bins[out] = parent_bins
+        elif parent_bins != bins[out]:
             raise ValueError(
                 f"matview: rollup output {out!r} merges parent "
                 f"histogram {src!r} but hist_bins differ from the "
@@ -487,6 +575,47 @@ def _abs_exprs(aggs: dict, bins: dict | None = None, modes: dict | None = None) 
                 .alias(out)
             )
             exprs.append(sk.alias(_hll(out)))
+    return exprs
+
+
+def _clamp_outs(aggs: dict, modes: dict | None) -> list[str]:
+    """Percentile outputs whose inputs are RAW values (bucket mode) —
+    the ones a clamp can silently distort. Merge-mode inputs are
+    already bucketed; their clamps were counted by the parent view at
+    ingest level."""
+    return sorted(
+        out
+        for out, (op, _c) in aggs.items()
+        if _pctl_q(op) is not None and (modes or {}).get(out) != "merge"
+    )
+
+
+def _clamp_exprs(
+    aggs: dict, bins: dict | None, modes: dict | None, delta: bool = False
+) -> list:
+    """Clamp AUDIT counters (VERDICT r13 missing #1): per percentile
+    output, how many arriving values fall STRICTLY outside the
+    histogram's boundary range — those rows land in the open end
+    buckets and their estimates clamp to the first/last boundary, so
+    this count is the view's tail-distortion exposure. Counted over
+    the create snapshot and over every refresh window's INSERT rows
+    (arrivals — a deleted out-of-range row doesn't un-distort history),
+    surfaced in the refresh report and accumulated in the registry
+    entry (``entry["clamps"]``)."""
+    exprs = []
+    for out in _clamp_outs(aggs, modes):
+        c = F.expr(str(aggs[out][1]))
+        bs = (bins or {})[out]
+        outside = (c < F.lit(float(bs[0]))) | (c > F.lit(float(bs[-1])))
+        if delta:
+            hit = (F.col("_change_type") == "insert") & outside
+            name = "_dclamp_" + out
+        else:
+            hit = outside
+            name = "_clamp_" + out
+        exprs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(name)
+        )
     return exprs
 
 
@@ -704,11 +833,21 @@ def create_matview(
     with op in count|sum|avg|min|max|approx_distinct|p1..p99 (count
     takes ``None`` for count(*); the input may be any row-local SQL
     expression — ``("sum", "a*b")`` is an expression aggregate).
-    Percentile outputs additionally need ``hist_bins={out: [b0, b1,
-    ...]}`` — strictly-ascending bucket boundaries; the stored state
-    is the per-group bucket-count histogram (fully invertible, module
+    Percentile outputs take ``hist_bins={out: [b0, b1, ...]}`` —
+    strictly-ascending bucket boundaries — or ``"auto"`` /
+    ``("auto", K)`` / simply omitted, which derives K (default
+    ``AUTO_BINS``) boundaries from the create snapshot: log-spaced
+    over the observed range when positive, linear otherwise, frozen
+    in the registry exactly like explicit ones (``entry["bins_auto"]``
+    records which outputs were derived). The stored state is the
+    per-group bucket-count histogram (fully invertible, module
     docstring) and the visible value the deterministic
-    rank-interpolated estimate. Groups hash to ``n_partitions`` store partitions so a
+    rank-interpolated estimate. Values outside the boundary range
+    clamp to the end boundaries AND are counted — the create
+    snapshot's count lands in ``entry["clamps"]`` and every refresh
+    window's INSERT-side count lands in the report (``"clamped"``)
+    and accumulates there, so a drifting distribution distorting the
+    tails is visible, never silent. Groups hash to ``n_partitions`` store partitions so a
     refresh merges (and a probe reads) only partitions holding touched
     groups. Listing-mode base partitions are invisible to the pinned
     snapshot and the change feed — adopt_manifests them first.
@@ -757,14 +896,25 @@ def create_matview(
         (reg0[n] for n in reg0 if mv_table(n) == table), None
     )
     modes = _hist_modes(base, aggs, bins, parent_ent)
+    auto_outs = _derive_auto_bins(base, aggs, bins, modes)
+    clamp_cols = _clamp_exprs(aggs, bins, modes)
+    agged = (
+        _project_hist_idx(base, aggs, bins, modes)
+        .groupBy(*group_cols)
+        .agg(*_abs_exprs(aggs, bins, modes), *clamp_cols)
+    )
+    clamps: dict = {}
+    if clamp_cols:
+        # groups-sized checkpoint: the clamp totals read and the view
+        # write share ONE aggregation over the base snapshot
+        agged = agged.localCheckpoint(eager=True)
+        couts = _clamp_outs(aggs, modes)
+        tot = agged.agg(
+            *[F.sum("_clamp_" + o).alias(o) for o in couts]
+        ).first()
+        clamps = {o: int(tot[o] or 0) for o in couts}
     mv = (
-        _finish_hist_ests(
-            _project_hist_idx(base, aggs, bins, modes)
-            .groupBy(*group_cols)
-            .agg(*_abs_exprs(aggs, bins, modes)),
-            aggs,
-            bins,
-        )
+        _finish_hist_ests(agged, aggs, bins)
         .withColumn(MV_HW, F.lit(float(hw)))
         .select(*_storage_cols(list(group_cols), aggs))
     )
@@ -809,6 +959,10 @@ def create_matview(
                 "group_exprs": group_exprs,
                 "bins": bins,
                 "hist_mode": modes,
+                # clamp audit: create-snapshot out-of-range counts,
+                # accumulated by every refresh window's arrivals
+                "clamps": clamps,
+                "bins_auto": auto_outs,
             }
             return reg
 
@@ -925,15 +1079,29 @@ def _refresh_locked(
     store: TableStore, name: str, until: float | None
 ) -> dict:
     ent = _live_entry(store, name, "refresh_matview")
-    report: dict = {"windows": [], "groups_touched": 0, "groups_recomputed": 0}
+    report: dict = {
+        "windows": [],
+        "groups_touched": 0,
+        "groups_recomputed": 0,
+        "clamped": {},
+    }
+
+    def tally(w: dict) -> None:
+        report["windows"].append(w)
+        report["groups_touched"] += w["groups_touched"]
+        report["groups_recomputed"] += w["groups_recomputed"]
+        for o, n in (w.get("clamped") or {}).items():
+            report["clamped"][o] = report["clamped"].get(o, 0) + n
+
     # recovery: a recorded pending window completes FIRST, exactly as
     # recorded — never widened into the new window (double-counting)
     if ent.get("pending") is not None:
         w = _apply_window(store, name, ent, float(ent["hw"]), float(ent["pending"]))
-        report["windows"].append(w)
-        report["groups_touched"] += w["groups_touched"]
-        report["groups_recomputed"] += w["groups_recomputed"]
-        ent = _advance_hw(store, name, float(ent["hw"]), float(ent["pending"]))
+        tally(w)
+        ent = _advance_hw(
+            store, name, float(ent["hw"]), float(ent["pending"]),
+            clamps=w.get("clamped"),
+        )
     hw = float(ent["hw"])
     new_hw = _last_commit(store, ent["table"]) if until is None else float(until)
     if new_hw is None or new_hw <= hw:
@@ -941,10 +1109,8 @@ def _refresh_locked(
         return report
     ent = _claim_pending(store, name, hw, new_hw)
     w = _apply_window(store, name, ent, hw, new_hw)
-    report["windows"].append(w)
-    report["groups_touched"] += w["groups_touched"]
-    report["groups_recomputed"] += w["groups_recomputed"]
-    _advance_hw(store, name, hw, new_hw)
+    tally(w)
+    _advance_hw(store, name, hw, new_hw, clamps=w.get("clamped"))
     report["noop"] = False
     return report
 
@@ -1037,7 +1203,13 @@ def _claim_pending(store: TableStore, name: str, hw: float, new_hw: float) -> di
     return out
 
 
-def _advance_hw(store: TableStore, name: str, hw: float, new_hw: float) -> dict:
+def _advance_hw(
+    store: TableStore,
+    name: str,
+    hw: float,
+    new_hw: float,
+    clamps: dict | None = None,
+) -> dict:
     out: dict = {}
 
     def advance(prior):
@@ -1047,6 +1219,14 @@ def _advance_hw(store: TableStore, name: str, hw: float, new_hw: float) -> dict:
             return None  # someone else completed it — converged either way
         ent["hw"] = float(new_hw)
         ent["pending"] = None
+        if clamps:
+            # clamp audit accumulates ATOMICALLY with the hw advance —
+            # a re-applied crashed window can't double-count (its
+            # first attempt never advanced)
+            prev = dict(ent.get("clamps") or {})
+            for o, n in clamps.items():
+                prev[o] = int(prev.get(o, 0)) + int(n)
+            ent["clamps"] = prev
         reg[name] = ent
         out.update(ent)
         return reg
@@ -1093,7 +1273,10 @@ def _apply_window(
     delta_g = _with_pid(
         _project_hist_idx(delta, aggs, bins, modes)
         .groupBy(*group_cols)
-        .agg(*_delta_exprs(aggs, bins, modes)),
+        .agg(
+            *_delta_exprs(aggs, bins, modes),
+            *_clamp_exprs(aggs, bins, modes, delta=True),
+        ),
         group_cols,
         int(ent["n_partitions"]),
     ).persist()
@@ -1101,6 +1284,12 @@ def _apply_window(
         w["groups_touched"] = delta_g.count()
         if not w["groups_touched"]:
             return w
+        couts = _clamp_outs(aggs, modes)
+        if couts:
+            tot = delta_g.agg(
+                *[F.sum("_dclamp_" + o).alias(o) for o in couts]
+            ).first()
+            w["clamped"] = {o: int(tot[o] or 0) for o in couts}
         pids = [
             r[0] for r in delta_g.select(PARTITION_COL).distinct().collect()
         ]  # ≤ n_partitions values, bounded by construction

@@ -1166,8 +1166,11 @@ def test_percentile_bad_specs_refused(spark, tmp_path):
     def mk(aggs, **kw):
         return MV.create_matview(store, "bad", BASE, ["grp"], aggs, **kw)
 
-    with _pytest.raises(ValueError, match="need hist_bins"):
-        mk({"m": ("p50", "v")})
+    with _pytest.raises(ValueError, match="needs int K"):
+        mk({"m": ("p50", "v")}, hist_bins={"m": ("auto", 1)})
+    with _pytest.raises(ValueError, match="cannot auto-derive"):
+        # all-NULL input: no observed range to derive from
+        mk({"m": ("p50", "v + NULL")})
     with _pytest.raises(ValueError, match="strictly ascending"):
         mk({"m": ("p50", "v")}, hist_bins={"m": [5.0, 5.0, 9.0]})
     with _pytest.raises(ValueError, match=">= 2 finite"):
@@ -1180,6 +1183,130 @@ def test_percentile_bad_specs_refused(spark, tmp_path):
         mk({"m": ("p0", "v")}, hist_bins={"m": [1.0, 2.0]})
     with _pytest.raises(ValueError, match="not in"):
         mk({"m": ("p100", "v")}, hist_bins={"m": [1.0, 2.0]})
+
+
+def test_percentile_auto_bins_randomized_differential(spark, tmp_path):
+    """hist_bins OMITTED (VERDICT r13 next #3): boundaries auto-derive
+    at create time — log-spaced over the observed range (positive
+    input), frozen in the registry with the outputs recorded in
+    ``bins_auto`` — and the view then tracks the independent estimator
+    computed over those SAME derived boundaries through randomized DML
+    rounds (later arrivals outside the create-time range clamp, on
+    both sides of the differential)."""
+    import math
+    import random
+
+    rng = random.Random(17)
+    store = _store(spark, tmp_path)
+    rows = [
+        (i, rng.choice(["a", "b"]),
+         rng.choice([None] + [int(10 ** rng.uniform(0.5, 3.5)) for _ in range(3)]))
+        for i in range(40)
+    ]
+    store.append(BASE, _rows_df(spark, rows))
+    store.adopt_manifests(BASE)
+    MV.create_matview(
+        store, "pva", BASE, ["grp"], {"med": ("p50", "v")}, n_partitions=2,
+    )
+    ent = MV._registry(store)["pva"]
+    assert ent["bins_auto"] == ["med"]
+    bins = ent["bins"]["med"]
+    vals = [float(v) for _, _, v in rows if v is not None]
+    assert bins[0] == min(vals) and abs(bins[-1] - max(vals)) < 1e-6 * max(vals)
+    assert len(bins) == MV.AUTO_BINS
+    # log-spaced: constant ratio between consecutive boundaries
+    ratios = [b2 / b1 for b1, b2 in zip(bins, bins[1:])]
+    assert max(ratios) - min(ratios) < 1e-6
+
+    def expected():
+        base = store.read(BASE)
+        by_g = {}
+        for r in base.select("grp", "v").collect():
+            by_g.setdefault(r["grp"], []).append(
+                None if r["v"] is None else float(r["v"])
+            )
+        return {g: _pctl_ref(vs, bins, 0.5) for g, vs in by_g.items()}
+
+    live = {r[0] for r in rows}
+    next_id = 1000
+    for round_no in range(3):
+        batch = [
+            (next_id + i, rng.choice(["a", "b"]),
+             rng.choice([None, 1, 50000, int(10 ** rng.uniform(0, 4))]))
+            for i in range(rng.randint(2, 5))
+        ]  # includes values OUTSIDE the create-time range (clamps)
+        next_id += 10
+        store.append(BASE, _rows_df(spark, batch))
+        live |= {r[0] for r in batch}
+        victims = rng.sample(sorted(live), 3)
+        live -= set(victims)
+        store.delete_where(BASE, [("id", "in", victims)])
+        rep = MV.refresh_matview(store, "pva")
+        assert rep["groups_recomputed"] == 0
+        got = {
+            r["grp"]: r["med"]
+            for r in MV.read_matview(store, "pva").collect()
+        }
+        exp = expected()
+        assert set(got) == set(exp)
+        for g in got:
+            if exp[g] is None:
+                assert got[g] is None
+            else:
+                assert math.isclose(got[g], exp[g], rel_tol=1e-9), (g, got[g], exp[g])
+
+
+def test_percentile_clamp_audit(spark, tmp_path):
+    """Out-of-range arrivals are COUNTED, not silent: the create
+    snapshot's clamps land in the registry entry, every refresh
+    window's INSERT-side clamps land in the report and accumulate
+    atomically with the hw advance, and deletes never count."""
+    store = _store(spark, tmp_path)
+    store.append(
+        BASE,
+        _rows_df(spark, [(1, "a", 12), (2, "a", 3), (3, "b", 15)]),
+    )
+    store.adopt_manifests(BASE)
+    MV.create_matview(
+        store, "pvc", BASE, ["grp"], {"med": ("p50", "v")},
+        hist_bins={"med": [10.0, 20.0]}, n_partitions=2,
+    )
+    ent = MV._registry(store)["pvc"]
+    assert ent["clamps"] == {"med": 1}  # the v=3 seed row
+    assert ent["bins_auto"] == []
+    # arrivals: two outside (5 < 10, 100 > 20), one inside, one NULL
+    store.append(
+        BASE,
+        _rows_df(spark, [(10, "a", 5), (11, "b", 100), (12, "a", 11),
+                         (13, "b", None)]),
+    )
+    rep = MV.refresh_matview(store, "pvc")
+    assert rep["clamped"] == {"med": 2}
+    assert MV._registry(store)["pvc"]["clamps"] == {"med": 3}
+    # deleting an out-of-range row doesn't un-count it
+    store.delete_where(BASE, [("id", "in", [10])])
+    rep = MV.refresh_matview(store, "pvc")
+    assert rep["clamped"] == {"med": 0}
+    assert MV._registry(store)["pvc"]["clamps"] == {"med": 3}
+
+
+def test_percentile_rollup_auto_bins_inherit_parent(spark, tmp_path):
+    """A cascaded rollup with OMITTED hist_bins inherits the parent's
+    boundaries (the only valid choice) instead of refusing."""
+    store = _seed(spark, tmp_path)
+    MV.create_matview(
+        store, "lvl1p", BASE, ["grp"], {"med": ("p50", "v")},
+        hist_bins={"med": PBINS}, n_partitions=2,
+    )
+    MV.create_matview(
+        store, "lvl2p", MV.mv_table("lvl1p"), ["grp"],
+        {"med_all": ("p50", "__hist_med")}, n_partitions=2,
+    )
+    ent = MV._registry(store)["lvl2p"]
+    assert ent["bins"]["med_all"] == PBINS
+    assert ent["hist_mode"]["med_all"] == "merge"
+    # merge-mode inputs are pre-bucketed: no clamp counter for them
+    assert ent["clamps"] == {}
 
 
 def test_percentile_rollup_cascade(spark, tmp_path):
