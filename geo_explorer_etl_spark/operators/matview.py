@@ -873,14 +873,22 @@ def create_matview(
             f"create_matview: {name!r} exists (over {existing['table']!r}) — "
             "pass replace=True to rebuild"
         )
-    where = [list(t) for t in (where or [])]
+    from geo_explorer_etl_spark.sources.store import (
+        _where_and,
+        _where_disjuncts,
+        _where_listify,
+    )
+
+    where = _where_listify(where)
     if any(mv_table(n) == table for n in reg0):
         # cascaded rollup over another view's TABLE: its tombstones
         # (dead groups, __cnt=0) must be invisible here — both in the
-        # snapshot and in every change-feed window
+        # snapshot and in every change-feed window; an OR-form WHERE
+        # gets the clause DISTRIBUTED into every disjunct
         tomb = [MV_CNT, ">", 0]
-        if tomb not in where:
-            where.append(tomb)
+        ds = _where_disjuncts(where) if where else [[]]
+        if not all(tomb in [list(t) for t in d] for d in ds):
+            where = _where_listify(_where_and(where, tomb))
     hw = _last_commit(store, table)
     if hw is None:
         raise ValueError(
@@ -1520,7 +1528,9 @@ def _recompute_rows(
     ``keys`` is already fenced on ``_mv_hw`` (the hoisted join
     in _apply_window), so a stale re-apply can't regress a group a
     newer window updated."""
-    where = [list(t) for t in (ent.get("where") or [])]
+    from geo_explorer_etl_spark.sources.store import _where_and, _where_listify
+
+    where = _where_listify(ent.get("where") or [])
     exprs = ent.get("group_exprs") or {}
     bins = {
         k: [float(x) for x in v] for k, v in (ent.get("bins") or {}).items()
@@ -1555,16 +1565,19 @@ def _recompute_rows(
                 stacklevel=2,
             )
         else:
+            # _where_and distributes each pushed clause across OR
+            # disjuncts when the view's WHERE is a disjunction
             for c in phys:
-                push.append([c, "in", sorted({r[c] for r in probe})])
+                push = _where_and(push, [c, "in", sorted({r[c] for r in probe})])
             for c, (unit, src) in trunc.items():
                 vals = {r[c] for r in probe if r[c] is not None}
                 if vals:
                     # [min bucket, start of the bucket AFTER max]: an
                     # inclusive-between SUPERSET — prune_only, the key
                     # join keeps it exact
-                    push.append(
-                        [src, "between", (min(vals), _bucket_next(max(vals), unit))]
+                    push = _where_and(
+                        push,
+                        [src, "between", (min(vals), _bucket_next(max(vals), unit))],
                     )
     # prune_only: the IN probe is a file-skip superset (the key join
     # is exact); the WHERE rows re-filter in _prepare_base

@@ -1309,6 +1309,48 @@ def test_percentile_rollup_auto_bins_inherit_parent(spark, tmp_path):
     assert ent["clamps"] == {}
 
 
+def test_matview_or_where_filters_and_refreshes(spark, tmp_path):
+    """A matview WHERE in the OR disjunct form filters the create
+    snapshot, every refresh window, and the recompute branch
+    identically — checked through appends and deletes against a
+    manual recompute of the same disjunction."""
+    store = _store(spark, tmp_path)
+    rows = [(i, "a" if i % 2 else "b", i * 10) for i in range(10)]
+    store.append(BASE, _rows_df(spark, rows))
+    store.adopt_manifests(BASE)
+    w = [[("grp", "==", "a")], "or", [("v", ">", 70)]]
+    MV.create_matview(
+        store, "orv", BASE, ["grp"],
+        {"n": ("count", None), "mx": ("max", "v")},
+        where=w, n_partitions=2,
+    )
+
+    def expected():
+        base = store.read(BASE)
+        got = {}
+        for r in base.collect():
+            if r["grp"] == "a" or (r["v"] is not None and r["v"] > 70):
+                g = got.setdefault(r["grp"], [0, None])
+                g[0] += 1
+                g[1] = r["v"] if g[1] is None else max(g[1], r["v"])
+        return {k: tuple(v) for k, v in got.items()}
+
+    def view():
+        df = MV.read_matview(store, "orv")
+        return {r["grp"]: (r["n"], r["mx"]) for r in (df.collect() if df is not None else [])}
+
+    assert view() == expected()
+    # appends on both sides of the disjunction + one matching neither
+    store.append(BASE, _rows_df(spark, [(100, "a", 5), (101, "b", 95), (102, "b", 1)]))
+    MV.refresh_matview(store, "orv")
+    assert view() == expected()
+    # delete a stored max (recompute branch) and a filtered-out row
+    store.delete_where(BASE, [("id", "in", [9, 102])])
+    rep = MV.refresh_matview(store, "orv")
+    assert rep["groups_recomputed"] >= 1  # the max group re-aggregated
+    assert view() == expected()
+
+
 def test_percentile_rollup_cascade(spark, tmp_path):
     """A child view over a parent matview's table merges the parent's
     hidden histograms element-wise — and because merging subgroup

@@ -65,13 +65,54 @@ def test_bare_delete_and_operator_spellings(spark, tmp_path):
     assert store.read(T) is None
 
 
+def test_or_predicates_route_with_and_precedence(spark, tmp_path):
+    """WHERE ... OR ... routes to the store's disjunct grammar with
+    standard precedence (AND binds tighter than OR), for DELETE and
+    UPDATE both — twin-checked against the Python API's OR form."""
+    from geo_explorer_etl_spark.sources.store_sql import _parse_preds
+
+    # parser shape: a AND b OR c == [[a, b], "or", [c]]
+    assert _parse_preds("k = 1 AND status = 'live' OR amount > 18", "t") == [
+        [("k", "==", 1), ("status", "==", "live")],
+        "or",
+        [("amount", ">", 18)],
+    ]
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    na = a.sql(
+        "DELETE FROM IndicatorValues WHERE k < 3 AND status = 'live' OR amount >= 18"
+    )
+    nb = b.delete_where(
+        T,
+        [[("k", "<", 3), ("status", "==", "live")], "or", [("amount", ">=", 18)]],
+    )
+    assert na == nb == 3  # k=1 plus k in (18, 19)
+    assert _rows(a) == _rows(b)
+    na = a.sql(
+        "UPDATE IndicatorValues SET amount = amount + 100 "
+        "WHERE k IN (2, 4) OR k BETWEEN 14 AND 15"
+    )
+    nb = b.update_where(
+        T,
+        {"amount": "amount + 100"},
+        [[("k", "in", [2, 4])], "or", [("k", "between", (14, 15))]],
+    )
+    assert na == nb == 4
+    assert _rows(a) == _rows(b)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expected AND, OR or end"):
+        a.sql("DELETE FROM IndicatorValues WHERE k = 1 OR")
+
+
 def test_unroutable_statements_refused_loudly(spark, tmp_path):
     store = _store(spark, tmp_path)
     before = _rows(store)
     for stmt, hint in [
         ("MERGE INTO IndicatorValues USING x ON 1=1", "merge_apply"),
         ("SELECT 1", "no existing store table"),
-        ("DELETE FROM IndicatorValues WHERE k = 1 OR k = 2", "delete_where"),
+        # flat OR routes since r14; PARENTHESIZED disjuncts stay out of scope
+        ("DELETE FROM IndicatorValues WHERE (k = 1 OR k = 2)", "delete_where"),
         ("DELETE FROM IndicatorValues WHERE status IS NULL", "delete_where"),
         ("UPDATE IndicatorValues SET k = (SELECT 1)", "update_where"),
         ("DROP TABLE IndicatorValues", "delete_where"),
