@@ -35,6 +35,7 @@ def comparable_overrides():
         "dedup_exact": catalog_ext.dedup_exact_doc_only,
         "dedup_lines": catalog_ext.dedup_lines_bench,
         "text_repetition_signals": catalog_ext.text_repetition_signals,
+        "dedup_substrings": catalog_ext.dedup_substrings_bench,
     }
 
 
@@ -58,6 +59,10 @@ HEADLINE = [
     # its hash leg, but the bench times the historical doc-only shape
     # under the dedup_exact name (the minhash rule below)
     "dedup_lines",
+    # new in r14: the exact-substring dedup (Lee et al. 50-token rule,
+    # window-fingerprint approximation) — folded under dedup_exact's
+    # hash in the registry, timed here at the paper's window=50
+    "dedup_substrings",
     # since round 11 the REGISTERED dedup_minhash_lsh entry carries a
     # second (incremental) leg under its hash — correctness scaffolding,
     # like store_merge_timetravel it is not what the bench times; the

@@ -696,3 +696,109 @@ def dedup_lines(
     return _reassemble_lines(
         kept_elig.unionByName(kept_short), df, text_col, id_col
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup — the Lee et al. 2022 50-token rule
+    (Deduplicating Training Data Makes Language Models Better), in the
+    Spark shape of the suffix-array family: every ``window``-token run
+    that occurs ``min_count``+ times across the corpus keeps its FIRST
+    occurrence by global ``(id, token position)`` order and is spliced
+    out of every other position — including later repeats INSIDE the
+    first document, matching the paper's "keep one copy" rule.
+
+    Fingerprints are md5 over every stride-1 token window (a
+    duplicated run of >= ``window`` tokens shares at least one
+    window, so detection is EXACT at window granularity — the
+    approximation vs a true suffix array is only that shorter shared
+    runs are invisible and removal is window-quantized). Documents are
+    WHITESPACE-NORMALIZED: tokens are ``\\s+`` splits of the trimmed
+    text and ``clean_text`` re-joins survivors with single spaces, so
+    the splice arithmetic is exact and engine-reproducible
+    (``chars_removed`` is against the normalized text, the same basis
+    DuckDB recomputes).
+
+    Returns one row per input document: ``(id, clean_text,
+    windows_removed, tokens_removed, chars_removed)``.
+
+    Scale shape (the dedup_lines pattern at token grain): ONE row-local
+    window-hash projection (O(tokens x window) compute, no shuffle),
+    one md5-keyed winner groupBy with map-side combine (a
+    million-copy boilerplate window moves one row per partition), one
+    fingerprint-keyed join pruned to duplicated fingerprints, one
+    doc-grain collect of losing window starts (bounded by the doc's
+    own window count), and a row-local splice: covered positions via
+    flatten+distinct, survivors via array_except (hash-set
+    semantics, O(tokens)), rebuild via element_at. No window
+    functions over the fingerprint key, no driver-side collection.
+    """
+    if window < 2:
+        raise ValueError(f"dedup_substrings: window {window} < 2")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    fps = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.col("_n") >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - window),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, window))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("wpos", "_fp"),
+    )
+    wins = fps.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("_w"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    losers = (
+        fps.join(wins.filter(F.col("_c") >= int(min_count)), "_fp")
+        .filter(F.struct(F.col(id_col), F.col("wpos")) != F.col("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("wpos")).alias("_starts"),
+            F.count(F.lit(1)).alias("windows_removed"),
+        )
+    )
+    out = base.join(losers, id_col, "left").withColumn(
+        "_cov",
+        F.when(
+            F.col("_starts").isNotNull(),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("_starts"),
+                        lambda s: F.sequence(s, s + window - 1),
+                    )
+                )
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    clean = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_except(F.sequence(F.lit(0), F.col("_n") - 1), F.col("_cov")),
+            lambda p: F.element_at(F.col("_tk"), p + 1),
+        ),
+    )
+    norm = F.concat_ws(" ", F.col("_tk"))
+    return out.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.col("windows_removed"), F.lit(0)).cast("long").alias(
+            "windows_removed"
+        ),
+        F.size("_cov").cast("long").alias("tokens_removed"),
+        (F.length(norm) - F.length(clean)).cast("long").alias("chars_removed"),
+    )

@@ -50,7 +50,32 @@ from geo_explorer_etl_spark.session import load_tables
                COALESCE(string_agg(CASE WHEN k.rnd = 1 THEN k.line END,
                                    chr(10) ORDER BY k.pos), '') AS cleand,
                SUM(CASE WHEN k.rnd > 1 THEN 1 ELSE 0 END) AS remd
-        FROM kept k GROUP BY k.doc_id)
+        FROM kept k GROUP BY k.doc_id),
+    -- exact-substring leg (r14): stride-1 10-token window fingerprints,
+    -- global keep-first, covered-token splice over the WHITESPACE-
+    -- NORMALIZED text (single-space token stream on both engines)
+    stoks AS (SELECT doc_id,
+                     string_split_regex(trim(COALESCE(text, '')), '\\s+') AS st
+              FROM documents),
+    swin AS (SELECT doc_id, i, md5(array_to_string(st[i:i+9], ' ')) AS fp
+             FROM stoks, UNNEST(generate_series(1, len(st) - 9)) AS t(i)
+             WHERE len(st) >= 10),
+    smark AS (SELECT doc_id, i,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn,
+                     COUNT(*) OVER (PARTITION BY fp) AS c
+              FROM swin),
+    slose AS (SELECT doc_id, i FROM smark WHERE c >= 2 AND rn > 1),
+    scov AS (SELECT DISTINCT l.doc_id, l.i + u.j AS tok
+             FROM slose l, UNNEST(generate_series(0, 9)) AS u(j)),
+    sclean AS (SELECT s.doc_id,
+                      COALESCE(string_agg(CASE WHEN c.tok IS NULL THEN s.st[u.i] END,
+                                          ' ' ORDER BY u.i), '') AS clean,
+                      (SELECT COUNT(*) FROM slose l WHERE l.doc_id = s.doc_id)
+                          AS wrem
+               FROM stoks s
+               CROSS JOIN UNNEST(generate_series(1, len(s.st))) AS u(i)
+               LEFT JOIN scov c ON c.doc_id = s.doc_id AND c.tok = u.i
+               GROUP BY s.doc_id)
     SELECT 'doc' AS leg, md5(text) AS content_hash,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
            COUNT(*) AS n_copies,
@@ -78,6 +103,11 @@ from geo_explorer_etl_spark.session import load_tables
            c.remd,
            CAST(len(s.text) - len(c.cleand) AS BIGINT)
     FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
+    UNION ALL
+    SELECT 'substr', md5(sc.clean), CAST(sc.doc_id AS BIGINT),
+           CAST(sc.wrem AS BIGINT),
+           CAST(len(array_to_string(st.st, ' ')) - len(sc.clean) AS BIGINT)
+    FROM sclean sc JOIN stoks st ON st.doc_id = sc.doc_id
     """,
     tags="ext dedup lines incremental",
 )
@@ -159,10 +189,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         line_mirror_drop(store)
         shutil.rmtree(root, ignore_errors=True)
+    # r14 (VERDICT r13 next #6): the EXACT-SUBSTRING dedup leg — the
+    # Lee et al. 50-token rule at window=10 so the testdata's shared
+    # lines fire it; DuckDB rebuilds the stride-1 window fingerprints,
+    # the global keep-first rule, the covered-token splice and the
+    # normalized char arithmetic from first principles.
+    sub_leg = DD.dedup_substrings(docs, text_col="text", id_col="doc_id", window=10).select(
+        F.lit("substr").alias("leg"),
+        F.md5("clean_text").alias("content_hash"),
+        F.col("doc_id").cast("long").alias("canonical_doc_id"),
+        F.col("windows_removed").alias("n_copies"),
+        "chars_removed",
+    )
     out = (
         doc_leg.unionByName(line_leg)
         .unionByName(inc_leg)
         .unionByName(doc_leg2)
+        .unionByName(sub_leg)
     )
     _log_leg_digests("dedup_exact", out)
     return out
@@ -1337,3 +1380,13 @@ def range_join_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(ev, intervals, "ts", "win_start", "win_end", bucket_seconds=3600).select(
         "event_id", "day"
     )
+
+
+def dedup_substrings_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row for the exact-substring dedup (new in r14 — no
+    historical baseline): the Lee et al. rule at the paper's
+    window=50 over the documents table. The REGISTERED dedup_exact
+    entry folds a window=10 leg under its DuckDB hash; this times the
+    production shape."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.dedup_substrings(docs, text_col="text", id_col="doc_id", window=50)

@@ -867,3 +867,70 @@ def test_dup_ngram_char_fraction_known_answers(spark):
     assert got[2] == round(22 / 29, 4)
     assert got[3] == 0.0 and got[4] == 0.0 and got[5] == 0.0
     assert all(v <= 1.0 for v in got.values())
+
+
+def test_dedup_substrings_keeps_first_splices_rest(spark):
+    """The Lee-et-al exact-substring rule (window-quantized): a
+    planted cross-doc 10-token run keeps its first occurrence by
+    (id, pos) and is spliced out of every later one — including a
+    WITHIN-doc repeat — with the surrounding tokens byte-identical
+    (whitespace-normalized), short shared runs invisible, and the
+    token/char arithmetic exact."""
+    from geo_explorer_etl_spark.operators.dedup import dedup_substrings
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{run} tail one"),
+        (2, f"prefix   two {run} suffix"),          # extra whitespace normalizes
+        (3, f"left {run} mid {run} right"),          # cross-doc + second copy
+        (4, "alpha beta gamma delta epsilon short"),  # < window: invisible
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in dedup_substrings(df, window=10).collect()}
+    assert got[1]["clean_text"] == f"{run} tail one"          # first keeps all
+    assert got[1]["windows_removed"] == 0
+    assert got[2]["clean_text"] == "prefix two suffix"
+    assert got[2]["windows_removed"] == 1
+    assert got[2]["tokens_removed"] == 10
+    assert got[2]["chars_removed"] == len(run) + 1            # run + one joiner
+    assert got[3]["clean_text"] == "left mid right"
+    assert got[3]["windows_removed"] == 2
+    assert got[3]["tokens_removed"] == 20
+    assert got[4]["clean_text"] == rows[3][1]                 # sub-window run survives
+    assert got[5]["clean_text"] == "" and got[6]["clean_text"] == ""
+    assert all(r["chars_removed"] >= 0 for r in got.values())
+
+
+def test_dedup_substrings_within_doc_repeat_and_min_count(spark):
+    """A run repeated ONLY inside one doc still dedups (the paper's
+    keep-one-copy rule); min_count=3 leaves a twice-occurring run
+    alone."""
+    from geo_explorer_etl_spark.operators.dedup import dedup_substrings
+
+    run = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(7, f"{run} {run}"), (8, f"other {run} words")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in dedup_substrings(df, window=10).collect()}
+    # doc 7 pos 0 is the global winner; its own repeat AND doc 8's copy drop.
+    # the straddling windows (ten one, nine ten one ...) occur once each
+    assert got[7]["clean_text"] == run
+    assert got[8]["clean_text"] == "other words"
+    got3 = {
+        r["doc_id"]: r
+        for r in dedup_substrings(df, window=10, min_count=3).collect()
+    }
+    assert got3[7]["windows_removed"] + got3[8]["windows_removed"] == 2
+    # (three total occurrences -> winner keeps, two copies removed even
+    # at min_count=3; a run occurring only twice would survive)
+    df2 = spark.createDataFrame(
+        [(9, f"{run} x"), (10, f"y {run}")], "doc_id LONG, text STRING"
+    )
+    got2 = {
+        r["doc_id"]: r
+        for r in dedup_substrings(df2, window=10, min_count=3).collect()
+    }
+    assert got2[9]["windows_removed"] == 0 and got2[10]["windows_removed"] == 0
