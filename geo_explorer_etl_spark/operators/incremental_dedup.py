@@ -302,10 +302,15 @@ LINE_TABLE = "DedupLineIndex"
 #: at all (the old path hauled 100k strings up before deciding).
 LINE_PROBE_CAP = 10_000
 
-#: Bucket count of the line index's co-located mirror. At 100 TB the
-#: mirror is the join's static side: more buckets = smaller per-task
-#: sort runs on the batch side; the mirror itself never shuffles at
-#: any count.
+#: Bucket count for NEWLY-CREATED line-index mirrors. The bucket
+#: count is also the over-cap join's parallelism ceiling on the index
+#: side (one task per bucket), so size it to the CLUSTER before first
+#: ingest — 64 suits local boxes; a 1000-executor deployment wants
+#: thousands. The count is frozen per mirror at creation (bucketBy
+#: appends must match the existing spec): the sync marker records it,
+#: and every later append/registration honors the RECORDED count, so
+#: changing this constant mid-life can never corrupt an existing
+#: mirror — rebuild the mirror (drop + re-ingest) to rescale.
 LINE_MIRROR_BUCKETS = 64
 
 
@@ -348,12 +353,13 @@ def _line_mirror_append(store: TableStore, new_rows: DataFrame) -> None:
 
     name = _mirror_name(store)
     loc = _mirror_loc(store)
+    n_buckets = _mirror_buckets(store)
     _ensure_mirror_registered(store)
     (
         new_rows.select("line_hash")
-        .repartition(LINE_MIRROR_BUCKETS, F.col("line_hash"))
+        .repartition(n_buckets, F.col("line_hash"))
         .write.mode("append")
-        .bucketBy(LINE_MIRROR_BUCKETS, "line_hash")
+        .bucketBy(n_buckets, "line_hash")
         .sortBy("line_hash")
         .option("path", loc)
         .format("parquet")
@@ -362,7 +368,21 @@ def _line_mirror_append(store: TableStore, new_rows: DataFrame) -> None:
     marker = _mirror_marker(store)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as f:
-        json.dump({"rows": store.count_rows(LINE_TABLE)}, f)
+        json.dump({"rows": store.count_rows(LINE_TABLE), "buckets": n_buckets}, f)
+
+
+def _mirror_buckets(store: TableStore) -> int:
+    """The mirror's FROZEN bucket count: the marker's recorded value
+    when the mirror exists (appends must match the table's spec),
+    else the module default for a brand-new mirror."""
+    import json
+    import os
+
+    marker = _mirror_marker(store)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return int(json.load(f).get("buckets", LINE_MIRROR_BUCKETS))
+    return int(LINE_MIRROR_BUCKETS)
 
 
 def _ensure_mirror_registered(store: TableStore) -> None:
@@ -380,7 +400,7 @@ def _ensure_mirror_registered(store: TableStore) -> None:
     spark.sql(
         f"CREATE TABLE {name} (line_hash STRING) USING PARQUET "
         f"CLUSTERED BY (line_hash) SORTED BY (line_hash) "
-        f"INTO {LINE_MIRROR_BUCKETS} BUCKETS LOCATION '{loc}'"
+        f"INTO {_mirror_buckets(store)} BUCKETS LOCATION '{loc}'"
     )
 
 
