@@ -260,12 +260,16 @@ def store_sql(store, statement: str):
         for name, ent in list_matviews(store).items():
             if name in words and not ent.get("rebuilding"):
                 registered.append(register_matview_view(store, name))
-        if not registered:
+        if not registered and head == "INSERT":
             _refuse(
                 statement,
-                f"{head} names no existing store table — nothing to "
+                "INSERT names no existing store table — nothing to "
                 "register against the session catalog",
             )
+        # a SELECT/WITH naming no store table still delegates (r14):
+        # literals (`SELECT 1`), session temp views, and previously
+        # registered tables are all valid Spark SQL — an unknown name
+        # gets Spark's own TABLE_OR_VIEW_NOT_FOUND, which is loud too
         return store.spark.sql(s)
     _refuse(statement, f"unsupported statement kind {head!r}")
     return 0  # unreachable

@@ -164,7 +164,7 @@ def test_unroutable_statements_refused_loudly(spark, tmp_path):
     before = _rows(store)
     for stmt, hint in [
         ("MERGE INTO IndicatorValues USING x ON 1=1", "merge_apply"),
-        ("SELECT 1", "no existing store table"),
+        ("INSERT INTO nosuch VALUES (1)", "no existing store table"),
         # flat OR routes since r14; PARENTHESIZED disjuncts stay out of scope
         ("DELETE FROM IndicatorValues WHERE (k = 1 OR k = 2)", "delete_where"),
         ("DELETE FROM IndicatorValues WHERE status IS NULL", "delete_where"),
