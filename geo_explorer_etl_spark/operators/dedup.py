@@ -740,6 +740,27 @@ def dedup_substrings(
     """
     if window < 2:
         raise ValueError(f"dedup_substrings: window {window} < 2")
+    base, fps = _window_fingerprints(df, text_col, id_col, window)
+    wins = fps.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("_w"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    losers = (
+        fps.join(wins.filter(F.col("_c") >= int(min_count)), "_fp")
+        .filter(F.struct(F.col(id_col), F.col("wpos")) != F.col("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("wpos")).alias("_starts"),
+            F.count(F.lit(1)).alias("windows_removed"),
+        )
+    )
+    return _splice_windows(base, losers, id_col, window)
+
+
+def _window_fingerprints(df, text_col: str, id_col: str, window: int):
+    """(base, fps): the tokenized doc frame (``_tk`` array + ``_n``)
+    and one (id, wpos, _fp) row per stride-1 token window — md5 over
+    the space-joined window, row-local O(tokens x window) compute."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = df.select(F.col(id_col), toks.alias("_tk")).withColumn(
         "_n", F.size("_tk")
@@ -758,19 +779,14 @@ def dedup_substrings(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("wpos", "_fp"),
     )
-    wins = fps.groupBy("_fp").agg(
-        F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("_w"),
-        F.count(F.lit(1)).alias("_c"),
-    )
-    losers = (
-        fps.join(wins.filter(F.col("_c") >= int(min_count)), "_fp")
-        .filter(F.struct(F.col(id_col), F.col("wpos")) != F.col("_w"))
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(F.collect_list("wpos")).alias("_starts"),
-            F.count(F.lit(1)).alias("windows_removed"),
-        )
-    )
+    return base, fps
+
+
+def _splice_windows(base, losers, id_col: str, window: int):
+    """Remove every losing window's tokens from its doc and rebuild:
+    covered set via flatten+distinct, survivors via array_except
+    (hash-set, O(tokens)), re-join with single spaces. ``losers`` is
+    the per-doc (id, _starts, windows_removed) frame."""
     out = base.join(losers, id_col, "left").withColumn(
         "_cov",
         F.when(

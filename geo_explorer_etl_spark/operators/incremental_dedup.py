@@ -314,98 +314,106 @@ LINE_PROBE_CAP = 10_000
 LINE_MIRROR_BUCKETS = 64
 
 
-def _mirror_name(store: TableStore) -> str:
-    """Catalog table name for this store's line-index mirror — derived
-    from the store root so two stores in one session never collide."""
+def _mirror_name(store: TableStore, table: str = None) -> str:
+    """Catalog table name for a store index table's bucketed mirror —
+    derived from the store root AND the index table, so two stores in
+    one session (or two mirrored indexes of one store) never collide."""
     import hashlib
     import os
 
+    table = table or LINE_TABLE
     digest = hashlib.md5(os.path.abspath(store.root).encode()).hexdigest()[:12]
-    return f"dedup_line_mirror_{digest}"
+    return f"dedup_mirror_{table.lower()}_{digest}"
 
 
-def _mirror_loc(store: TableStore) -> str:
+def _mirror_loc(store: TableStore, table: str = None) -> str:
     import os
 
-    return os.path.join(store.root, "_bucketed", LINE_TABLE)
+    return os.path.join(store.root, "_bucketed", table or LINE_TABLE)
 
 
-def _mirror_marker(store: TableStore) -> str:
+def _mirror_marker(store: TableStore, table: str = None) -> str:
     import os
 
-    return os.path.join(store.root, "_bucketed", f"_{LINE_TABLE}_rows.json")
+    return os.path.join(
+        store.root, "_bucketed", f"_{table or LINE_TABLE}_rows.json"
+    )
 
 
-def _line_mirror_append(store: TableStore, new_rows: DataFrame) -> None:
-    """Maintain the line index's BUCKETED mirror (VERDICT r13 next #2):
-    a catalog table CLUSTERED BY (line_hash) under the store root, so
-    the over-cap decide path joins the index WITHOUT shuffling it —
-    only the batch's lines move (plan-pinned). Storage is paid twice
-    (the BucketedStore.mirror_product trade): each batch appends its
-    new first-occurrence hashes once range-clustered (zone-map probes)
-    and once bucketed (the over-cap join side). The mirror holds ONLY
-    ``line_hash`` — membership is all the decide path reads — and the
+def _mirror_append(
+    store: TableStore, table: str, col: str, new_rows: DataFrame
+) -> None:
+    """Maintain an index table's BUCKETED mirror (VERDICT r13 next #2):
+    a catalog table CLUSTERED BY (col) under the store root, so the
+    over-cap decide path joins the index WITHOUT shuffling it — only
+    the batch's keys move (plan-pinned). Storage is paid twice (the
+    BucketedStore.mirror_product trade): each batch appends its new
+    first-occurrence keys once range-clustered (zone-map probes) and
+    once bucketed (the over-cap join side). The mirror holds ONLY the
+    hash column — membership is all the decide path reads — and the
     sync marker records the store table's metadata-only row count, so
     a mirror that missed an append (crash between the two writes) is
     detected and the decide path falls back to the store read."""
     import json
     import os
 
-    name = _mirror_name(store)
-    loc = _mirror_loc(store)
-    n_buckets = _mirror_buckets(store)
-    _ensure_mirror_registered(store)
+    name = _mirror_name(store, table)
+    loc = _mirror_loc(store, table)
+    n_buckets = _mirror_buckets(store, table)
+    _ensure_mirror_registered(store, table, col)
     (
-        new_rows.select("line_hash")
-        .repartition(n_buckets, F.col("line_hash"))
+        new_rows.select(col)
+        .repartition(n_buckets, F.col(col))
         .write.mode("append")
-        .bucketBy(n_buckets, "line_hash")
-        .sortBy("line_hash")
+        .bucketBy(n_buckets, col)
+        .sortBy(col)
         .option("path", loc)
         .format("parquet")
         .saveAsTable(name)
     )
-    marker = _mirror_marker(store)
+    marker = _mirror_marker(store, table)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as f:
-        json.dump({"rows": store.count_rows(LINE_TABLE), "buckets": n_buckets}, f)
+        json.dump({"rows": store.count_rows(table), "buckets": n_buckets}, f)
 
 
-def _mirror_buckets(store: TableStore) -> int:
+def _mirror_buckets(store: TableStore, table: str = None) -> int:
     """The mirror's FROZEN bucket count: the marker's recorded value
     when the mirror exists (appends must match the table's spec),
     else the module default for a brand-new mirror."""
     import json
     import os
 
-    marker = _mirror_marker(store)
+    marker = _mirror_marker(store, table)
     if os.path.isfile(marker):
         with open(marker) as f:
             return int(json.load(f).get("buckets", LINE_MIRROR_BUCKETS))
     return int(LINE_MIRROR_BUCKETS)
 
 
-def _ensure_mirror_registered(store: TableStore) -> None:
-    """Re-attach the mirror to a fresh session's in-memory catalog: the
+def _ensure_mirror_registered(store: TableStore, table: str, col: str) -> None:
+    """Re-attach a mirror to a fresh session's in-memory catalog: the
     bucket spec lives in the catalog, not the parquet files, so a new
     session must re-CREATE the external entry (bucket ids re-derive
     from the file names) before Spark will plan a bucketed scan."""
     import os
 
     spark = store.spark
-    name = _mirror_name(store)
-    loc = _mirror_loc(store)
+    name = _mirror_name(store, table)
+    loc = _mirror_loc(store, table)
     if spark.catalog.tableExists(name) or not os.path.isdir(loc):
         return
     spark.sql(
-        f"CREATE TABLE {name} (line_hash STRING) USING PARQUET "
-        f"CLUSTERED BY (line_hash) SORTED BY (line_hash) "
-        f"INTO {_mirror_buckets(store)} BUCKETS LOCATION '{loc}'"
+        f"CREATE TABLE {name} ({col} STRING) USING PARQUET "
+        f"CLUSTERED BY ({col}) SORTED BY ({col}) "
+        f"INTO {_mirror_buckets(store, table)} BUCKETS LOCATION '{loc}'"
     )
 
 
-def line_mirror_read(store: TableStore, report: dict | None = None) -> DataFrame | None:
-    """The bucketed line-index mirror, or ``None`` when it is missing
+def _mirror_read(
+    store: TableStore, table: str, col: str, report: dict | None = None
+) -> DataFrame | None:
+    """An index table's bucketed mirror, or ``None`` when it is missing
     or STALE (its marker row count disagrees with the store table's
     metadata-only count — e.g. a crash between the clustered append
     and the mirror append, or out-of-band DML on the index). Staleness
@@ -415,24 +423,30 @@ def line_mirror_read(store: TableStore, report: dict | None = None) -> DataFrame
     import os
 
     rep = report if report is not None else {}
-    marker = _mirror_marker(store)
+    marker = _mirror_marker(store, table)
     if not os.path.isfile(marker):
         return None
     with open(marker) as f:
         rows = json.load(f).get("rows")
-    actual = store.count_rows(LINE_TABLE)
+    actual = store.count_rows(table)
     if rows != actual:
-        rep[f"{LINE_TABLE}_mirror"] = f"stale (mirror={rows}, store={actual})"
+        rep[f"{table}_mirror"] = f"stale (mirror={rows}, store={actual})"
         return None
-    _ensure_mirror_registered(store)
-    return store.spark.table(_mirror_name(store))
+    _ensure_mirror_registered(store, table, col)
+    return store.spark.table(_mirror_name(store, table))
+
+
+def line_mirror_read(store: TableStore, report: dict | None = None) -> DataFrame | None:
+    return _mirror_read(store, LINE_TABLE, "line_hash", report)
 
 
 def line_mirror_drop(store: TableStore) -> None:
-    """Detach the mirror's catalog entry (the data lives under the
-    store root and goes with it) — throwaway stores call this before
-    removing their root so the session catalog never dangles."""
-    store.spark.sql(f"DROP TABLE IF EXISTS {_mirror_name(store)}")
+    """Detach this store's mirrors' catalog entries (the data lives
+    under the store root and goes with it) — throwaway stores call
+    this before removing their root so the session catalog never
+    dangles."""
+    for t in (LINE_TABLE, WINDOW_TABLE):
+        store.spark.sql(f"DROP TABLE IF EXISTS {_mirror_name(store, t)}")
 
 
 def line_dedup_decide(
@@ -554,7 +568,7 @@ def line_dedup_persist(store: TableStore, new_rows: DataFrame) -> None:
         # crash between the two leaves the mirror stale, which
         # line_mirror_read detects (marker vs metadata count) and the
         # decide path falls back to the plain read
-        _line_mirror_append(store, new_rows)
+        _mirror_append(store, LINE_TABLE, "line_hash", new_rows)
 
 
 def incremental_dedup_lines(
@@ -603,4 +617,144 @@ def incremental_dedup_lines(
         store, batch, text_col, id_col, min_chars, report
     )
     line_dedup_persist(store, new_rows)
+    return cleaned
+
+
+# -- incremental exact-substring dedup (the Lee et al. production shape) -----
+
+WINDOW_TABLE = "DedupWindowIndex"
+
+
+def substring_dedup_decide(
+    store: TableStore,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    report: dict | None = None,
+):
+    """DECISION phase of incremental exact-substring dedup: splice the
+    batch against the persisted window-fingerprint index WITHOUT
+    touching it. Returns ``(cleaned, new_rows, report)`` — ``cleaned``
+    the per-document frame of ``dedup.dedup_substrings``
+    (materialized), ``new_rows`` the batch's first-occurrence window
+    fingerprints to persist afterwards (``substring_dedup_persist``).
+
+    Rule (the keep-one-copy semantics at ``min_count=2`` — the only
+    count an exact-membership index can carry): a window fingerprint
+    already in the index loses EVERY batch occurrence (the corpus
+    first copy lives elsewhere); a fingerprint new to the corpus keeps
+    its batch-first occurrence (min ``(id, wpos)``) and loses later
+    batch copies only when the batch itself repeats it. EVERY unseen
+    fingerprint indexes (not just removed ones) — the next batch must
+    see a once-occurring window to drop its second copy.
+
+    Probe shape = the line index's: capped distinct count decides
+    BEFORE any collect; under LINE_PROBE_CAP a zone-map-pruned in-list
+    read; over it the bucketed mirror joins with ZERO Exchange on the
+    index side (stale mirror falls back to the plain read, loudly)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from geo_explorer_etl_spark.operators.dedup import (
+        _splice_windows,
+        _window_fingerprints,
+    )
+
+    rep = report if report is not None else {}
+    base, fps = _window_fingerprints(batch, text_col, id_col, window)
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    winners = fps.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("_w"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    n_prints = fps.select("_fp").distinct().limit(LINE_PROBE_CAP + 1).count()
+    seen = None
+    if store.exists(WINDOW_TABLE) and n_prints:
+        if n_prints <= LINE_PROBE_CAP:
+            prints = [r[0] for r in fps.select("_fp").distinct().collect()]
+            idx = _pruned_index(store, WINDOW_TABLE, "window_hash", prints, rep)
+            seen = idx.select(F.col("window_hash").alias("_fp")).distinct()
+        else:
+            mirror = _mirror_read(store, WINDOW_TABLE, "window_hash", rep)
+            if mirror is not None:
+                rep[f"{WINDOW_TABLE}_probe"] = "bucketed_mirror"
+                seen = mirror.select(F.col("window_hash").alias("_fp"))
+            else:
+                rep[f"{WINDOW_TABLE}_probe"] = "full_scan"
+                idx = store.read(WINDOW_TABLE)
+                seen = idx.select(F.col("window_hash").alias("_fp")).distinct()
+    if seen is not None:
+        marked = winners.join(
+            seen.withColumn("_seen", F.lit(True)), "_fp", "left"
+        )
+    else:
+        marked = winners.withColumn("_seen", F.lit(None).cast("boolean"))
+    occ = fps.join(marked, "_fp")
+    losers = (
+        occ.filter(
+            F.col("_seen").isNotNull()
+            | (
+                (F.col("_c") >= 2)
+                & (F.struct(F.col(id_col), F.col("wpos")) != F.col("_w"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("wpos")).alias("_starts"),
+            F.count(F.lit(1)).alias("windows_removed"),
+        )
+    )
+    cleaned = _splice_windows(base, losers, id_col, window).localCheckpoint(
+        eager=True
+    )
+    new_rows = (
+        marked.filter(F.col("_seen").isNull())
+        .select(
+            F.col("_fp").alias("window_hash"),
+            F.col("_w")[id_col].alias(id_col),
+            F.col("_w")["wpos"].alias("wpos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rep["new_index_rows"] = new_rows.count()
+    fps.unpersist()
+    return cleaned, new_rows, rep
+
+
+def substring_dedup_persist(store: TableStore, new_rows: DataFrame) -> None:
+    """PERSISTENCE phase: append the first-occurrence window prints —
+    range-clustered for the next batch's zone-map probe, then the
+    bucketed mirror (a crash between the two leaves the mirror
+    detectably stale; decide falls back to the plain read)."""
+    n_new = new_rows.count()
+    if n_new:
+        n_files = max(1, min(8, n_new // 200_000 + 1))
+        _append_clustered(store, WINDOW_TABLE, new_rows, "window_hash", n_files)
+        _mirror_append(store, WINDOW_TABLE, "window_hash", new_rows)
+
+
+def incremental_dedup_substrings(
+    store: TableStore,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    report: dict | None = None,
+) -> DataFrame:
+    """Exact-substring dedup of ``batch`` against every window
+    previously ingested through this function (and within the batch)
+    — the incremental twin of ``dedup.dedup_substrings`` at
+    ``min_count=2``, the shape a daily Lee-et-al pipeline runs: cost
+    is O(batch windows), the corpus-sized fingerprint index is touched
+    only through the pruned probe / bucketed mirror.
+
+    DETERMINISM CONTRACT (the line/exact rule): with ``id_col``
+    monotone across batches, batch-then-batch equals the all-at-once
+    ``dedup_substrings(window, min_count=2)`` on the union —
+    pytest-pinned. The cleaned frame materializes BEFORE the index
+    append (the ingest crash-ordering rule)."""
+    cleaned, new_rows, rep = substring_dedup_decide(
+        store, batch, text_col, id_col, window, report
+    )
+    substring_dedup_persist(store, new_rows)
     return cleaned

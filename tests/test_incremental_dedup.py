@@ -510,7 +510,7 @@ def test_incremental_lines_overcap_joins_bucketed_mirror_without_index_exchange(
     tree = [(pos, l) for l in plan.splitlines() if (pos := _marker(l)) is not None]
     scan_i = next(
         i for i, (_, l) in enumerate(tree)
-        if "Scan parquet" in l and "dedup_line_mirror" in l
+        if "Scan parquet" in l and "dedup_mirror_" in l
     )
     depth = tree[scan_i][0]
     found_join = False
@@ -729,3 +729,89 @@ def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
         r["doc_id"] for r in store.read("Corpus").select("doc_id").collect()
     ) == [1, 2]
     assert store.read(LINE_TABLE).count() == n_lines
+
+
+def test_incremental_substrings_batch_then_batch_equals_all_at_once(
+    spark, tmp_path
+):
+    """The Lee-et-al rule run daily: batch-then-batch through the
+    persisted window-fingerprint index equals the all-at-once
+    dedup_substrings(min_count=2) on the union (monotone ids) — a
+    batch-2 doc repeating a batch-1 run loses it, a batch-1 run seen
+    ONCE still indexes (so its second copy in batch 2 drops), and
+    within-batch repeats fall to the batch-first rule."""
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+    from geo_explorer_etl_spark.operators.dedup import dedup_substrings
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    run2 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    b1 = [
+        (1, f"{run} tail one"),
+        (2, f"once only {run2} here now"),
+        (3, f"left {run} mid {run} right"),
+    ]
+    b2 = [
+        (11, f"batch two copy {run} end"),
+        (12, f"{run2} second corpus copy"),
+        (13, "nothing shared at all in this document"),
+    ]
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rep1, rep2 = {}, {}
+    out1 = ID.incremental_dedup_substrings(
+        store, _docs(spark, b1), window=10, report=rep1
+    )
+    out2 = ID.incremental_dedup_substrings(
+        store, _docs(spark, b2), window=10, report=rep2
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["windows_removed"], r["chars_removed"])
+        for r in out1.collect() + out2.collect()
+    }
+    exp = {
+        r["doc_id"]: (r["clean_text"], r["windows_removed"], r["chars_removed"])
+        for r in dedup_substrings(
+            _docs(spark, b1 + b2), window=10, min_count=2
+        ).collect()
+    }
+    assert got == exp
+    assert got[11][0] == "batch two copy end"
+    assert got[12][0] == "second corpus copy"
+    assert rep1["new_index_rows"] > 0 and rep2["new_index_rows"] > 0
+    assert rep2["DedupWindowIndex_probe"] == "pruned"
+
+
+def test_incremental_substrings_overcap_mirror_and_stale_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """Over LINE_PROBE_CAP the window index joins its bucketed mirror
+    (no Exchange on the index side is pinned by the line twin — the
+    machinery is shared); a corrupted sync marker falls back to the
+    plain read with the result unchanged."""
+    import json
+
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ID.incremental_dedup_substrings(
+        store, _docs(spark, [(1, f"{run} tail")]), window=10
+    )
+    monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)
+    rep = {}
+    out = ID.incremental_dedup_substrings(
+        store, _docs(spark, [(5, f"pre {run} post")]), window=10, report=rep
+    )
+    assert rep["DedupWindowIndex_probe"] == "bucketed_mirror"
+    assert out.collect()[0]["clean_text"] == "pre post"
+    marker = ID._mirror_marker(store, ID.WINDOW_TABLE)
+    with open(marker) as f:
+        rows = json.load(f)["rows"]
+    with open(marker, "w") as f:
+        json.dump({"rows": rows - 1}, f)
+    rep = {}
+    out = ID.incremental_dedup_substrings(
+        store, _docs(spark, [(7, f"x {run} y")]), window=10, report=rep
+    )
+    assert rep["DedupWindowIndex_probe"] == "full_scan"
+    assert "stale" in rep["DedupWindowIndex_mirror"]
+    assert out.collect()[0]["clean_text"] == "x y"
