@@ -407,6 +407,8 @@ def ingest_corpus_batch(
     ann_policy: dict | None = None,
     line_dedup: bool = False,
     line_min_chars: int = 15,
+    substring_dedup: bool = False,
+    substring_window: int = 50,
 ) -> DataFrame:
     """The INCREMENTAL twin of ``build_training_corpus`` — the daily
     ingest a production pipeline actually runs, in O(batch):
@@ -417,7 +419,10 @@ def ingest_corpus_batch(
        ``line_dedup=True`` the survivors are additionally LINE-scrubbed
        against the persisted line index (``line_dedup_decide`` — the
        Dolma paragraph dedupe), docs scrubbed empty drop, and the
-       budget then charges the CLEANED text;
+       budget then charges the CLEANED text; ``substring_dedup=True``
+       additionally splices corpus-duplicated ``substring_window``-token
+       runs (the Lee et al. rule, ``substring_dedup_decide``) — both
+       scrubs compose, line first;
     3. BUDGET — the deterministic ascending-id token-budget prefix,
        carried ACROSS batches through a CAS-versioned running total at
        the store root. The carry counts ALL dedup-survivor tokens,
@@ -466,6 +471,8 @@ def ingest_corpus_batch(
         store, gated, text_col, id_col, shingle_n, num_hashes, bands, rep
     )
     line_rows = None
+    window_rows = None
+    pre_scrub = kept
     if line_dedup:
         # opt-in LINE-level scrub (Dolma paragraph dedupe) of the
         # doc-dedup survivors BEFORE the budget, so token accounting
@@ -478,7 +485,6 @@ def ingest_corpus_batch(
             line_dedup_decide,
         )
 
-        pre_scrub = kept
         cleaned, line_rows, rep = line_dedup_decide(
             store, kept, text_col, id_col, line_min_chars, rep
         )
@@ -491,6 +497,28 @@ def ingest_corpus_batch(
         # counted off the already-materialized cleaned frame — no
         # re-execution of the scrub join (review r13)
         rep["line_scrubbed_empty"] = cleaned.filter(
+            F.length(F.trim(F.col("clean_text"))) == 0
+        ).count()
+    if substring_dedup:
+        # opt-in EXACT-SUBSTRING scrub (the Lee et al. window rule)
+        # over the (possibly line-cleaned) survivors, before the
+        # budget for the same reason as the line scrub; window index
+        # rows persist with the line rows (before the exact/band
+        # indexes — the same crash-window reasoning)
+        from geo_explorer_etl_spark.operators.incremental_dedup import (
+            substring_dedup_decide,
+        )
+
+        cleaned2, window_rows, rep = substring_dedup_decide(
+            store, kept, text_col, id_col, substring_window, rep
+        )
+        kept = kept.drop(text_col).join(
+            cleaned2.select(
+                id_col, F.col("clean_text").alias(text_col)
+            ),
+            id_col,
+        ).filter(F.length(F.trim(F.col(text_col))) > 0)
+        rep["substring_scrubbed_empty"] = cleaned2.filter(
             F.length(F.trim(F.col("clean_text"))) == 0
         ).count()
     if domain_weights is not None and token_budget is None:
@@ -510,7 +538,9 @@ def ingest_corpus_batch(
             # retry digest over the PRE-scrub survivors (stable across
             # every crash window; the post-scrub set shrinks on a
             # retry whose lines are already indexed)
-            digest_basis=pre_scrub if line_dedup else None,
+            digest_basis=(
+                pre_scrub if (line_dedup or substring_dedup) else None
+            ),
         )
     rep["accepted_rows"] = kept.count()
     if rep["accepted_rows"]:
@@ -554,6 +584,12 @@ def ingest_corpus_batch(
         )
 
         line_dedup_persist(store, line_rows)
+    if window_rows is not None:
+        from geo_explorer_etl_spark.operators.incremental_dedup import (
+            substring_dedup_persist,
+        )
+
+        substring_dedup_persist(store, window_rows)
     dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
     if ann_batch is not None:
         # opt-in vector upkeep (VERDICT r12 next #3 wiring): index the

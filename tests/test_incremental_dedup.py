@@ -815,3 +815,43 @@ def test_incremental_substrings_overcap_mirror_and_stale_fallback(
     assert rep["DedupWindowIndex_probe"] == "full_scan"
     assert "stale" in rep["DedupWindowIndex_mirror"]
     assert out.collect()[0]["clean_text"] == "x y"
+
+
+def test_ingest_with_substring_dedup_scrubs_and_converges(spark, tmp_path):
+    """ingest_corpus_batch(substring_dedup=True): a batch-2 document
+    repeating a batch-1 10-token run lands in the corpus SPLICED; a
+    doc that scrubs down to nothing is dropped (reported); re-running
+    the same batch leaves the corpus unchanged."""
+    from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
+
+    run = "the quick brown fox jumps over the lazy dog tonight"
+    run2 = "a shared boilerplate passage about spark shuffles and zone maps"
+    store = TableStore(spark, str(tmp_path / "wh"))
+    kw = dict(min_tokens=1, substring_dedup=True, substring_window=10)
+    b1 = [
+        (1, f"{run} with a fresh ending here"),
+        (2, run2),
+    ]
+    # doc 12 is a MASHUP of two seen runs from DIFFERENT docs — it
+    # survives doc-level dedup (signature matches neither source) but
+    # every token is covered by the seen windows -> scrubs empty
+    b2 = [
+        (11, f"in the beginning of it all {run} and then the closing bits arrive"),
+        (12, f"{run} {run2}"),  # scrubs to nothing -> dropped
+        (13, "a genuinely novel document with nothing shared anywhere in the corpus"),
+    ]
+    ingest_corpus_batch(store, _ingest_docs(spark, b1), **kw)
+    rep: dict = {}
+    ingest_corpus_batch(store, _ingest_docs(spark, b2), report=rep, **kw)
+    assert rep["substring_scrubbed_empty"] == 1
+    rows = {r["doc_id"]: r["text"] for r in store.read("Corpus").collect()}
+    assert rows[1] == f"{run} with a fresh ending here"
+    assert rows[11] == "in the beginning of it all and then the closing bits arrive"
+    assert 12 not in rows and 13 in rows
+    # retry converges: same batch again, corpus byte-stable
+    before = sorted(rows.items())
+    ingest_corpus_batch(store, _ingest_docs(spark, b2), **kw)
+    after = sorted(
+        (r["doc_id"], r["text"]) for r in store.read("Corpus").collect()
+    )
+    assert after == before
