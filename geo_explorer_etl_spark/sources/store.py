@@ -287,7 +287,18 @@ def _file_may_match(stats: dict[str, list] | None, where) -> bool:
 
 def _conj_may_match(stats: dict[str, list] | None, where) -> bool:
     blooms = (stats or {}).get("__bloom__") or {}
+    nullc = (stats or {}).get("__nulls__") or {}
     for col, op, val in where:
+        if op == "isnull":
+            # a recorded ZERO null count proves no row matches; a
+            # missing count keeps the file (conservative)
+            if nullc.get(col) == 0:
+                return False
+            continue
+        if op == "notnull":
+            # only an all-null file is excludable, and manifests carry
+            # no per-file row counts alongside the stats — keep
+            continue
         if op == "==" and col in blooms:
             if not _bloom_may_contain(blooms[col], val):
                 return False
@@ -381,6 +392,15 @@ def _conj_all_match(stats: dict[str, list] | None, where) -> bool:
         return False
     nulls = stats.get("__nulls__") or {}
     for col, op, val in where:
+        if op == "notnull":
+            # a recorded zero null count proves every row matches
+            if nulls.get(col) != 0:
+                return False
+            continue
+        if op == "isnull":
+            # proving ALL rows null needs a per-file row count the
+            # stats don't carry — rewrite instead (never wrong)
+            return False
         if op not in ("==", "!=", ">=", ">", "<=", "<", "between", "in"):
             return False
         s = stats.get(col)
@@ -1127,6 +1147,10 @@ def _conj_expr(where):
             exprs.append(c.between(val[0], val[1]))
         elif op == "in":
             exprs.append(c.isin(list(val)))
+        elif op == "isnull":
+            exprs.append(c.isNull())
+        elif op == "notnull":
+            exprs.append(c.isNotNull())
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
     return functools.reduce(lambda a, b: a & b, exprs)
@@ -5555,6 +5579,12 @@ class TableStore:
             preds = [tuple(p) for p in check]
             if not preds:
                 raise ValueError("add_constraint: check needs at least one predicate")
+            if any(p[1] in ("isnull", "notnull") for p in preds):
+                raise ValueError(
+                    "add_constraint: use not_null=[cols] for null "
+                    "constraints — isnull/notnull CHECK predicates have "
+                    "no footer-first negation probe"
+                )
             _where_expr(preds)  # op whitelist + shape validation
             if any(c == PARTITION_COL for c, _, _ in preds):
                 raise ValueError(

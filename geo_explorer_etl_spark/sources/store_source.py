@@ -114,6 +114,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
 )
@@ -130,10 +132,12 @@ FILE_COL = "_store_file"
 SCHEMA_OPTS_KEY = "store_source_options"
 
 #: Filter classes translatable to the store's where-tuple grammar
-#: (store.py `read`: == >= > <= < between in). IsNull/IsNotNull,
+#: (store.py `read`: == >= > <= < between in isnull notnull).
 #: Not(...) and the String* matchers have no zone-map semantics here
 #: and simply stay Spark-side.
 _FILTER_OPS: dict[type, str] = {
+    IsNull: "isnull",
+    IsNotNull: "notnull",
     EqualTo: "==",
     GreaterThan: ">",
     GreaterThanOrEqual: ">=",
@@ -199,7 +203,9 @@ def translate_filters(filters) -> list[tuple]:
         col = f.attribute[0]
         if col == FILE_COL:
             continue  # provenance column exists only in the output
-        if op == "in":
+        if op in ("isnull", "notnull"):
+            out.append((col, op, None))
+        elif op == "in":
             vals = list(f.value)
             if vals and all(isinstance(v, _LITERAL_TYPES) for v in vals):
                 out.append((col, "in", vals))
@@ -395,6 +401,10 @@ def _pa_filter(where: tuple, names: list[str]):
             e = fld <= val
         elif op == "in":
             e = fld.isin(list(val))
+        elif op == "isnull":
+            e = fld.is_null()
+        elif op == "notnull":
+            e = ~fld.is_null()
         else:  # pragma: no cover - translate_filters never emits others
             continue
         expr = e if expr is None else (expr & e)

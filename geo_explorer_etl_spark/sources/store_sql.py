@@ -43,9 +43,9 @@ _GRAMMAR = (
     "the SQL router covers only\n"
     "  DELETE FROM <table> [WHERE <col op literal [AND|OR ...]>]\n"
     "  UPDATE <table> SET <col> = <expr>[, ...] [WHERE ...]\n"
-    "with ops = == != <> < <= > >= BETWEEN..AND IN (...) over "
-    "literals (numbers, 'strings'); AND binds tighter than OR, "
-    "no parentheses.\n"
+    "with ops = == != <> < <= > >= BETWEEN..AND IN (...) "
+    "IS [NOT] NULL over literals (numbers, 'strings'); AND binds "
+    "tighter than OR, no parentheses.\n"
     "Richer predicates or MERGE: use the Python API — "
     "TableStore.delete_where / update_where / merge_apply. "
     "SELECT / WITH / INSERT INTO run as full Spark SQL over the "
@@ -95,6 +95,23 @@ def _parse_preds(text: str, stmt: str) -> list:
     disjuncts: list[list] = [[]]
     rest = text.strip()
     while rest:
+        m = re.match(rf"(?is)^({_IDENT})\s+IS\s+(NOT\s+)?NULL(.*)$", rest)
+        if m:
+            disjuncts[-1].append((m[1], "notnull" if m[2] else "isnull", None))
+            rest = m[3]
+            rest = rest.strip()
+            if rest:
+                ma = re.match(r"(?is)^AND\s+(.*)$", rest)
+                if ma:
+                    rest = ma[1]
+                    continue
+                ma = re.match(r"(?is)^OR\s+(.*)$", rest)
+                if ma:
+                    disjuncts.append([])
+                    rest = ma[1]
+                    continue
+                _refuse(stmt, f"expected AND, OR or end, found {rest[:40]!r}")
+            continue
         m = re.match(
             rf"(?is)^({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})(.*)$", rest
         )

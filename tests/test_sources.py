@@ -3860,3 +3860,57 @@ def test_auto_compact_policy_triggers_and_scoping(spark, tmp_path):
     assert store.count_rows("IndicatorValues") == 100 + 70 + 5
     # second call: healthy store, metadata no-op
     assert store.auto_compact("IndicatorValues") == {}
+
+
+def test_isnull_predicate_prunes_on_recorded_null_counts(spark, tmp_path):
+    """isnull/notnull — the grammar's null-ACCEPTING ops: an ``isnull``
+    read prunes every file whose manifest records a ZERO null count
+    for the column, results equal read().filter(isNull/isNotNull), and
+    the delete fast path proves notnull from the zero count."""
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+
+    def frame(lo, nulls):
+        return spark.range(lo, lo + 100).select(
+            F.col("id"),
+            (F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+             if nulls else F.col("id")).cast("double").alias("Value"),
+        ).coalesce(1)
+
+    store.replace_product_all(3, {"IndicatorValues": frame(0, nulls=False)})
+    store.append(
+        "IndicatorValues",
+        frame(100, nulls=True).withColumn("IndicatorThemeId", F.lit(3).cast("long")),
+    )
+    store.append(
+        "IndicatorValues",
+        frame(200, nulls=False).withColumn("IndicatorThemeId", F.lit(3).cast("long")),
+    )
+    assert len(store.live_files("IndicatorValues")) == 3
+    w = [("Value", "isnull", None)]
+    # THE PIN: only the null-bearing file is opened
+    assert len(store.live_files("IndicatorValues", w)) == 1
+    got = sorted(r["id"] for r in store.read("IndicatorValues", w).collect())
+    assert got == [100, 110, 120, 130, 140, 150, 160, 170, 180, 190]
+    nn = store.read("IndicatorValues", [("Value", "notnull", None)])
+    assert nn.count() == 290
+    # DML: delete the null rows; the two null-free files must survive
+    # untouched (file-level may-match prune), and notnull's all-match
+    # proof lets a whole-file delete drop without rewrite
+    assert store.delete_where("IndicatorValues", w) == 10
+    assert store.read("IndicatorValues").count() == 290
+    assert (
+        store.delete_where(
+            "IndicatorValues",
+            [("Value", "notnull", None), ("id", "<", 100)],
+        )
+        == 100
+    )
+    # pushdown filter translation covers the null-intent classes
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    from geo_explorer_etl_spark.sources.store_source import translate_filters
+
+    got_f = translate_filters([IsNull(("Value",)), IsNotNull(("other",))])
+    assert got_f == [("Value", "isnull", None), ("other", "notnull", None)]

@@ -175,10 +175,11 @@ def test_translate_filters_keeps_only_safe_conjuncts():
             GreaterThan(("b",), 1.5),
             LessThanOrEqual(("c",), "x"),
             In(("d",), (1, 2, 3)),
-            IsNotNull(("a",)),  # no zone-map semantics -> dropped
+            IsNotNull(("a",)),  # null-intent op — translates since r14
             StringStartsWith(("c",), "ab"),  # dropped
             EqualTo(("nested", "f"), 1),  # nested -> dropped
             EqualTo((FILE_COL,), "p"),  # output-only column -> dropped
+            IsNotNull((FILE_COL,)),  # the freshness sentinel -> dropped
         ]
     )
     assert got == [
@@ -186,6 +187,7 @@ def test_translate_filters_keeps_only_safe_conjuncts():
         ("b", ">", 1.5),
         ("c", "<=", "x"),
         ("d", "in", [1, 2, 3]),
+        ("a", "notnull", None),
     ]
 
 

@@ -167,7 +167,8 @@ def test_unroutable_statements_refused_loudly(spark, tmp_path):
         ("INSERT INTO nosuch VALUES (1)", "no existing store table"),
         # flat OR routes since r14; PARENTHESIZED disjuncts stay out of scope
         ("DELETE FROM IndicatorValues WHERE (k = 1 OR k = 2)", "delete_where"),
-        ("DELETE FROM IndicatorValues WHERE status IS NULL", "delete_where"),
+        # IS [NOT] NULL routes since r14; LIKE stays out of scope
+        ("DELETE FROM IndicatorValues WHERE status LIKE 'x%'", "delete_where"),
         ("UPDATE IndicatorValues SET k = (SELECT 1)", "update_where"),
         ("DROP TABLE IndicatorValues", "delete_where"),
         ("DELETE FROM IndicatorValues WHERE amount >= k", "delete_where"),
@@ -225,3 +226,31 @@ def test_select_serves_matviews_user_facing(spark, tmp_path):
     assert [r["status"] for r in rows] == ["live"]
     assert set(rows[0].asDict()) == {"status", "n", "total"}
     assert rows[0]["n"] == 10
+
+
+def test_is_null_predicates_route(spark, tmp_path):
+    """IS NULL / IS NOT NULL route to the store's isnull/notnull ops
+    (the grammar's only null-accepting predicates), composing with
+    AND/OR — twin-checked against the Python API."""
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    for s in (a, b):
+        s.sql("UPDATE IndicatorValues SET status = NULL WHERE k IN (3, 6, 9)")
+    assert a.sql("SELECT COUNT(*) AS n FROM IndicatorValues WHERE status IS NULL").collect()[0][0] == 3
+    na = a.sql("DELETE FROM IndicatorValues WHERE status IS NULL AND k > 5")
+    nb = b.delete_where(T, [("status", "isnull", None), ("k", ">", 5)])
+    assert na == nb == 2
+    na = a.sql(
+        "UPDATE IndicatorValues SET amount = -1.0 "
+        "WHERE status IS NULL OR k = 19"
+    )
+    nb = b.update_where(
+        T, {"amount": "-1.0"},
+        [[("status", "isnull", None)], "or", [("k", "==", 19)]],
+    )
+    assert na == nb == 2
+    assert _rows(a) == _rows(b)
+    assert (
+        a.sql("DELETE FROM IndicatorValues WHERE status IS NOT NULL")
+        == b.delete_where(T, [("status", "notnull", None)])
+    )
