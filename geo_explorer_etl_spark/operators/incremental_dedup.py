@@ -758,3 +758,32 @@ def incremental_dedup_substrings(
     )
     substring_dedup_persist(store, new_rows)
     return cleaned
+
+
+def mirror_compact(store: TableStore, table: str = None, col: str = "line_hash") -> int:
+    """Rewrite an index table's bucketed mirror into one file set —
+    every batch append adds a file per touched bucket (bucketed
+    appends never rewrite), so after N batches each bucket holds up to
+    N files: open-file overhead on every over-cap join and no trusted
+    sortBy order. Rebuilds FROM THE SOURCE INDEX (the store table is
+    the truth — a stale mirror comes back current as a side effect),
+    one distributed job at the marker-frozen bucket count, marker
+    refreshed last. Returns the mirror row count. The maintenance
+    companion of ``store.compact`` for the range-clustered side."""
+    import os
+    import shutil
+
+    table = table or LINE_TABLE
+    idx = store.read(table)
+    store.spark.sql(f"DROP TABLE IF EXISTS {_mirror_name(store, table)}")
+    loc = _mirror_loc(store, table)
+    marker = _mirror_marker(store, table)
+    if idx is None:
+        shutil.rmtree(loc, ignore_errors=True)
+        if os.path.isfile(marker):
+            os.remove(marker)
+        return 0
+    rows = idx.select(col).localCheckpoint(eager=True)
+    shutil.rmtree(loc, ignore_errors=True)
+    _mirror_append(store, table, col, rows)
+    return rows.count()

@@ -855,3 +855,44 @@ def test_ingest_with_substring_dedup_scrubs_and_converges(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in store.read("Corpus").collect()
     )
     assert after == before
+
+
+def test_mirror_compact_collapses_files_and_heals_staleness(spark, tmp_path, monkeypatch):
+    """After N batches the mirror holds ~N files per touched bucket;
+    mirror_compact rebuilds it from the source index into one file
+    set, a STALE mirror comes back current, and the over-cap decide
+    path keeps using it with results unchanged."""
+    import glob
+    import json
+
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for i in range(3):
+        ID.incremental_dedup_lines(
+            store,
+            _docs(spark, [(i * 10 + 1,
+                           f"unique enough line number {i} for the dedup index here")]),
+        )
+    loc = ID._mirror_loc(store, ID.LINE_TABLE)
+    before = len(glob.glob(f"{loc}/part-*"))
+    assert before >= 3  # one file set per batch append
+    # corrupt the marker: compact must heal it, not fall back forever
+    marker = ID._mirror_marker(store, ID.LINE_TABLE)
+    with open(marker) as f:
+        meta = json.load(f)
+    with open(marker, "w") as f:
+        json.dump({"rows": meta["rows"] - 1, "buckets": meta["buckets"]}, f)
+    n = ID.mirror_compact(store, ID.LINE_TABLE, "line_hash")
+    assert n == store.count_rows(ID.LINE_TABLE)
+    after = len(glob.glob(f"{loc}/part-*"))
+    assert after < before
+    monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)
+    rep = {}
+    out = ID.incremental_dedup_lines(
+        store,
+        _docs(spark, [(99, "unique enough line number 0 for the dedup index here")]),
+        report=rep,
+    )
+    assert rep["DedupLineIndex_probe"] == "bucketed_mirror"
+    assert out.collect()[0]["clean_text"] == ""
