@@ -214,28 +214,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _log_leg_digests(name: str, df: DataFrame) -> None:
     """Per-leg, order-insensitive diagnostic digests (VERDICT r13
     next #1): one ``leg, count, xor-of-row-hashes`` line per leg on
-    stderr at BUILD time, so a red driver hash cell localizes to
-    doc / line / line_inc / line_doc in one look. xor of xxhash64 over
-    every column is commutative — partitioning and collection order
-    cannot change it. One extra Spark job per build; the bench times
-    the plain doc/line shapes, not this registered entry."""
+    stderr AND appended to ``spark-warehouse/_diag/<name>_digests.jsonl``
+    at BUILD time, so a red driver hash cell localizes to doc / line /
+    line_inc / line_doc / substr in one look — with or without the
+    driver's stderr. xor of xxhash64 over every column is commutative
+    — partitioning and collection order cannot change it. One extra
+    Spark job per build; the bench times the plain shapes, not this
+    registered entry. Diagnostics NEVER break the gate: any failure
+    here warns and returns."""
+    import json
+    import os
     import sys
+    import time
+    import warnings
 
-    rows = (
-        df.groupBy("leg")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
-            ).alias("x"),
+    try:
+        rows = (
+            df.groupBy("leg")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+                ).alias("x"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    for r in sorted(rows, key=lambda r: r["leg"]):
-        print(
-            f"[{name} digest] leg={r['leg']} n={r['n']} xor={r['x'] & 0xFFFFFFFFFFFFFFFF:016x}",
-            file=sys.stderr,
-        )
+        digests = {
+            r["leg"]: {"n": r["n"], "xor": f"{r['x'] & 0xFFFFFFFFFFFFFFFF:016x}"}
+            for r in rows
+        }
+        for leg in sorted(digests):
+            d = digests[leg]
+            print(
+                f"[{name} digest] leg={leg} n={d['n']} xor={d['xor']}",
+                file=sys.stderr,
+            )
+        spark = df.sparkSession
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        if wh.startswith("file:"):
+            wh = wh[len("file:"):]
+        diag = os.path.join(wh, "_diag")
+        os.makedirs(diag, exist_ok=True)
+        with open(os.path.join(diag, f"{name}_digests.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": time.time(), "legs": digests}) + "\n")
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(f"{name}: leg digest diagnostics failed: {e}", stacklevel=2)
 
 
 def dedup_exact_doc_only(spark: SparkSession, sf_dir: str) -> DataFrame:
