@@ -13,7 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def uom_from_combo(combo_uoms: Column, sep: str = r"\s+") -> Column:
+def uom_from_combo(combo_uoms: Column, sep: str = "[ \t\n\f\r]+") -> Column:
     """M1 — extract the single real UOM code from a member-combination
     UOM string like ``"nan nan 229.0"`` (reference dfhandler.py:263–265).
 

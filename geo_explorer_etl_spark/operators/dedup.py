@@ -30,6 +30,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from geo_explorer_etl_spark.operators.text import WS_RE
+
 # Universal-hash modulus for the minhash family (Mersenne prime 2^31-1):
 # base values and coefficients stay below 2^31, so c*a + d < 2^62 never
 # overflows ANSI-mode 64-bit arithmetic in Spark or DuckDB.
@@ -50,7 +52,7 @@ def minhash_coefficients(
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.split(F.trim(F.lower(text)), WS_RE)
 
 
 def _shingles(text: Column, n: int) -> Column:
@@ -463,7 +465,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     from geo_explorer_etl_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    toks_sql = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
+    toks_sql = (
+        f"array_distinct(split(trim(lower({text_col})), '{WS_RE}'))"
+    )
     tok_hash = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
     expr = f"""
       aggregate(
@@ -761,7 +765,7 @@ def _window_fingerprints(df, text_col: str, id_col: str, window: int):
     """(base, fps): the tokenized doc frame (``_tk`` array + ``_n``)
     and one (id, wpos, _fp) row per stride-1 token window — md5 over
     the space-joined window, row-local O(tokens x window) compute."""
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_RE)
     base = df.select(F.col(id_col), toks.alias("_tk")).withColumn(
         "_n", F.size("_tk")
     )

@@ -35,8 +35,16 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+?\d[\d()\s.-]{7,}\d"
 
 
+
+#: Whitespace-tokenizer class, written out EXPLICITLY so Spark (Java
+#: regex) and the DuckDB oracles (RE2) agree on every input: Java's
+#: \s additionally matches \x0B (vertical tab) while RE2's does not —
+#: a generated text containing one would silently split the engines.
+#: This is RE2's \s, which Java interprets identically.
+WS_RE = "[ \t\n\f\r]+"
+
 def _ws_tokens(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), WS_RE)
 
 
 def _count_in(toks: Column, words: list[str]) -> Column:
@@ -47,7 +55,7 @@ def fingerprint_expr(text: Column) -> Column:
     """md5 of the sorted distinct token set — the order-insensitive
     content fingerprint used by both ``fingerprint`` and the combined
     quality query."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = F.split(F.trim(F.lower(text)), WS_RE)
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
@@ -97,7 +105,7 @@ def top_ngram_char_fraction_expr(text: Column, n: int = 2) -> Column:
     the current run and the best run — the first max in sorted order
     IS the lexicographic tie-break, and the expression stays
     constant-size (no per-gram unrolling)."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = F.split(F.trim(F.lower(text)), WS_RE)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
@@ -150,7 +158,7 @@ def dup_ngram_char_fraction_expr(text: Column, n: int = 5) -> Column:
     watermark), never a per-position scan of a rebuilt flags array
     (which made the first formulation O(L²·split) and hung the
     oracle differential)."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = F.split(F.trim(F.lower(text)), WS_RE)
     t_cnt = F.size(toks)
     m = t_cnt - (n - 1)  # number of positional n-grams
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -510,7 +518,7 @@ def unigram_logprob(
     boundary break on the token string, so the model is deterministic."""
     text = F.col(text_col)
     toks = F.filter(
-        F.split(F.trim(F.lower(text)), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.trim(F.lower(text)), WS_RE), lambda x: x != F.lit("")
     )
     exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     counts = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
@@ -549,7 +557,7 @@ def langid(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stopword-vote language ID (en/fr/de/es) with a deterministic
     argmax tiebreak (en > fr > de > es). A heuristic by construction —
     the oracle checks the formula, not linguistic truth."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
     en = _count_in(toks, STOPWORDS_EN)
     fr = _count_in(toks, STOPWORDS_FR)
     de = _count_in(toks, STOPWORDS_DE)
