@@ -84,7 +84,9 @@ def dup_line_char_fraction_expr(text: Column) -> Column:
     char-weighted sibling of ``dup_line_fraction_expr``, same
     non-empty-trimmed-line universe. Row-local HOF fold."""
     lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        # coalesce: NULL text is an EMPTY document (fraction 0.0, like
+        # the DuckDB leg's COALESCE(list_sum(...), 0) guard), not NULL
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
     )
     zero = F.lit(0).cast("long")

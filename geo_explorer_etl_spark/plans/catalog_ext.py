@@ -27,7 +27,12 @@ from geo_explorer_etl_spark.session import load_tables
     "dedup_exact",
     oracle="""
     WITH split AS (
-        SELECT doc_id, text, string_split(text, chr(10)) AS lst
+        -- COALESCE like the Spark side's _split_lines: a NULL text is
+        -- an EMPTY document (one '' line), not an absent one — without
+        -- it the UNNEST drops the doc from every line leg (caught by
+        -- the r14 adversarial-parity test)
+        SELECT doc_id, COALESCE(text, '') AS text,
+               string_split(COALESCE(text, ''), chr(10)) AS lst
         FROM documents),
     lns AS (
         SELECT doc_id, lst[pos] AS line, pos
@@ -737,7 +742,8 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bt.c IS NULL OR len(t.text) <= 0 THEN 0.0
                 ELSE ROUND(CAST(bt.c * len(bt.g) AS DOUBLE) / len(t.text), 4)
            END AS top2gram_char_frac,
-           CASE WHEN len(toks) < 5 OR len(t.text) <= 0 THEN 0.0
+           CASE WHEN COALESCE(len(toks), 0) < 5
+                     OR COALESCE(len(t.text), 0) <= 0 THEN 0.0
                 ELSE ROUND(CAST(COALESCE(g5.covered, 0) AS DOUBLE)
                            / len(t.text), 4)
            END AS dup5gram_char_frac,
