@@ -229,17 +229,20 @@ def main() -> None:
     times = {name: min(ts) for name, ts in samples.items()}
     spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
     total = round(sum(times.values()), 3)
+    # Key order matters: the driver's capture keeps only the TAIL of
+    # this line, so the headline per-query dict and the total go LAST
+    # (VERDICT r14 nit — BENCH_r{13,14}.json lost "value" entirely).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": total,
                 "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "sf": sf,
                 "runs": runs,
                 "agg": "min",
+                "spread": spread,
+                "sf": sf,
+                "queries": times,
+                "value": total,
             }
         )
     )

@@ -67,6 +67,26 @@ BAND_TABLE = "DedupBandIndex"
 PROBE_CAP = 100_000
 #: All index rows live in one reserved store partition.
 INDEX_PID = 0
+#: Opt-in plan capture for the over-cap mirror join (ADVICE r14 low):
+#: the formatted-plan string exists for the plan-pin TESTS, not for
+#: production batches — default off, and failures never break dedup.
+CAPTURE_PLANS = False
+
+
+def _capture_plan(df: DataFrame) -> str | None:
+    """Formatted plan via the PUBLIC ``df.explain`` surface (stdout
+    redirect), so the capture works under classic and Connect alike;
+    any failure degrades to None instead of breaking the batch."""
+    import contextlib
+    import io
+
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+    except Exception:  # noqa: BLE001 — diagnostics must never raise
+        return None
 
 
 def _content_hash(text_col: str):
@@ -341,7 +361,8 @@ def _mirror_marker(store: TableStore, table: str = None) -> str:
 
 
 def _mirror_append(
-    store: TableStore, table: str, col: str, new_rows: DataFrame
+    store: TableStore, table: str, col: str, new_rows: DataFrame,
+    n_new: int | None = None,
 ) -> None:
     """Maintain an index table's BUCKETED mirror (VERDICT r13 next #2):
     a catalog table CLUSTERED BY (col) under the store root, so the
@@ -350,19 +371,50 @@ def _mirror_append(
     BucketedStore.mirror_product trade): each batch appends its new
     first-occurrence keys once range-clustered (zone-map probes) and
     once bucketed (the over-cap join side). The mirror holds ONLY the
-    hash column — membership is all the decide path reads — and the
-    sync marker records the store table's metadata-only row count, so
-    a mirror that missed an append (crash between the two writes) is
-    detected and the decide path falls back to the store read."""
+    hash column — membership is all the decide path reads.
+
+    SYNC RULE (ADVICE r14 high): staleness is checked BEFORE the
+    append, against the store count MINUS this batch. A crash between
+    a prior batch's clustered append and its mirror append leaves the
+    mirror missing that batch's hashes; appending only THIS batch and
+    stamping the current store count would mark the mirror fresh
+    while it permanently under-dedups. Out-of-sync (missed batch,
+    torn marker, out-of-band index DML) → rebuild from the source
+    index via ``mirror_compact``, which includes both the crashed
+    batch and this one because both already live in the store."""
+    import json
+    import os
+
+    n_new = new_rows.count() if n_new is None else n_new
+    store_rows = store.count_rows(table)  # includes this batch's rows
+    expected_before = store_rows - n_new
+    marker = _mirror_marker(store, table)
+    synced = expected_before == 0  # brand-new mirror for a new index
+    if os.path.isfile(marker) and os.path.isdir(_mirror_loc(store, table)):
+        with open(marker) as f:
+            synced = json.load(f).get("rows") == expected_before
+    if not synced:
+        mirror_compact(store, table, col)
+        return
+    _mirror_write(store, table, col, new_rows, marker_rows=store_rows)
+
+
+def _mirror_write(
+    store: TableStore, table: str, col: str, rows: DataFrame,
+    marker_rows: int, n_buckets: int | None = None,
+) -> None:
+    """The raw bucketed append + marker refresh (marker written LAST,
+    so any crash window leaves a detectably-stale marker, never a
+    fresh marker over missing rows)."""
     import json
     import os
 
     name = _mirror_name(store, table)
     loc = _mirror_loc(store, table)
-    n_buckets = _mirror_buckets(store, table)
+    n_buckets = n_buckets or _mirror_buckets(store, table)
     _ensure_mirror_registered(store, table, col)
     (
-        new_rows.select(col)
+        rows.select(col)
         .repartition(n_buckets, F.col(col))
         .write.mode("append")
         .bucketBy(n_buckets, col)
@@ -374,7 +426,7 @@ def _mirror_append(
     marker = _mirror_marker(store, table)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as f:
-        json.dump({"rows": store.count_rows(table), "buckets": n_buckets}, f)
+        json.dump({"rows": marker_rows, "buckets": n_buckets}, f)
 
 
 def _mirror_buckets(store: TableStore, table: str = None) -> int:
@@ -432,8 +484,20 @@ def _mirror_read(
     if rows != actual:
         rep[f"{table}_mirror"] = f"stale (mirror={rows}, store={actual})"
         return None
-    _ensure_mirror_registered(store, table, col)
-    return store.spark.table(_mirror_name(store, table))
+    # ADVICE r14 medium: a matching marker does NOT guarantee the
+    # mirror files exist (crash in mirror_compact between rmtree and
+    # the rebuild append leaves the store count unchanged) — a missing
+    # dir or an unresolvable catalog entry degrades to the plain store
+    # read instead of raising out of the decide path.
+    if not os.path.isdir(_mirror_loc(store, table)):
+        rep[f"{table}_mirror"] = "stale (mirror files missing)"
+        return None
+    try:
+        _ensure_mirror_registered(store, table, col)
+        return store.spark.table(_mirror_name(store, table))
+    except Exception as e:  # noqa: BLE001 — fallback, never a crash
+        rep[f"{table}_mirror"] = f"stale (unresolvable: {e})"
+        return None
 
 
 def line_mirror_read(store: TableStore, report: dict | None = None) -> DataFrame | None:
@@ -516,14 +580,16 @@ def line_dedup_decide(
         marked = winners.join(
             seen.withColumn("_seen", F.lit(True)), "_lh", "left"
         )
-        if rep.get(f"{LINE_TABLE}_probe") == "bucketed_mirror":
+        if CAPTURE_PLANS and rep.get(f"{LINE_TABLE}_probe") == "bucketed_mirror":
             # the plan the mirror exists FOR, recorded so the no-
             # Exchange-on-the-index-side claim is pinnable on the real
             # decide path (the outputs are checkpointed below, which
-            # erases the join from their plans)
-            rep["_mirror_join_plan"] = marked._sc._jvm.PythonSQLUtils.explainString(
-                marked._jdf.queryExecution(), "formatted"
-            )
+            # erases the join from their plans). Opt-in (CAPTURE_PLANS)
+            # and failure-tolerant: production batches skip it entirely
+            # (ADVICE r14 low — no private JVM API on the hot path).
+            plan = _capture_plan(marked)
+            if plan is not None:
+                rep["_mirror_join_plan"] = plan
     else:
         marked = winners.withColumn("_seen", F.lit(None).cast("boolean"))
     kept_elig = elig.join(marked, "_lh").select(
@@ -568,7 +634,7 @@ def line_dedup_persist(store: TableStore, new_rows: DataFrame) -> None:
         # crash between the two leaves the mirror stale, which
         # line_mirror_read detects (marker vs metadata count) and the
         # decide path falls back to the plain read
-        _mirror_append(store, LINE_TABLE, "line_hash", new_rows)
+        _mirror_append(store, LINE_TABLE, "line_hash", new_rows, n_new=n_new)
 
 
 def incremental_dedup_lines(
@@ -730,7 +796,7 @@ def substring_dedup_persist(store: TableStore, new_rows: DataFrame) -> None:
     if n_new:
         n_files = max(1, min(8, n_new // 200_000 + 1))
         _append_clustered(store, WINDOW_TABLE, new_rows, "window_hash", n_files)
-        _mirror_append(store, WINDOW_TABLE, "window_hash", new_rows)
+        _mirror_append(store, WINDOW_TABLE, "window_hash", new_rows, n_new=n_new)
 
 
 def incremental_dedup_substrings(
@@ -775,15 +841,22 @@ def mirror_compact(store: TableStore, table: str = None, col: str = "line_hash")
 
     table = table or LINE_TABLE
     idx = store.read(table)
-    store.spark.sql(f"DROP TABLE IF EXISTS {_mirror_name(store, table)}")
+    # freeze the bucket count BEFORE removing the marker, then remove
+    # the marker FIRST: any crash inside the rebuild window leaves a
+    # marker-less (= detectably stale) mirror, never a fresh-looking
+    # marker over missing or partial files (ADVICE r14 medium)
+    n_buckets = _mirror_buckets(store, table)
     loc = _mirror_loc(store, table)
     marker = _mirror_marker(store, table)
+    if os.path.isfile(marker):
+        os.remove(marker)
+    store.spark.sql(f"DROP TABLE IF EXISTS {_mirror_name(store, table)}")
     if idx is None:
         shutil.rmtree(loc, ignore_errors=True)
-        if os.path.isfile(marker):
-            os.remove(marker)
         return 0
     rows = idx.select(col).localCheckpoint(eager=True)
     shutil.rmtree(loc, ignore_errors=True)
-    _mirror_append(store, table, col, rows)
-    return rows.count()
+    n = rows.count()
+    _mirror_write(store, table, col, rows, marker_rows=store.count_rows(table),
+                  n_buckets=n_buckets)
+    return n

@@ -328,7 +328,7 @@ def _derive_auto_bins(base, aggs: dict, bins: dict, modes: dict) -> list[str]:
         if not (math.isfinite(lo) and math.isfinite(hi)):
             raise ValueError(
                 f"matview: cannot auto-derive hist_bins[{out!r}] from a "
-                "non-finite observed range [{lo}, {hi}]; pass explicit "
+                f"non-finite observed range [{lo}, {hi}]; pass explicit "
                 "boundaries"
             )
         if hi <= lo:

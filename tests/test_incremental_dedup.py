@@ -484,6 +484,7 @@ def test_incremental_lines_overcap_joins_bucketed_mirror_without_index_exchange(
     store = TableStore(spark, str(tmp_path / "wh"))
     ID.incremental_dedup_lines(store, _docs(spark, b1))
     monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)  # force the over-cap branch
+    monkeypatch.setattr(ID, "CAPTURE_PLANS", True)  # opt-in plan capture
     rep = {}
     # at test scale AQE would broadcast the tiny mirror (a
     # BroadcastExchange OF the index side) — the 100 TB index can't
@@ -896,3 +897,74 @@ def test_mirror_compact_collapses_files_and_heals_staleness(spark, tmp_path, mon
     )
     assert rep["DedupLineIndex_probe"] == "bucketed_mirror"
     assert out.collect()[0]["clean_text"] == ""
+
+
+def test_mirror_append_heals_batch_missed_by_crash(spark, tmp_path, monkeypatch):
+    """ADVICE r14 high: a crash between a batch's clustered append and
+    its mirror append must NOT be masked by the next batch's marker
+    write. The next successful persist detects the mirror is missing a
+    whole batch (marker-vs-store-minus-batch check BEFORE appending)
+    and rebuilds from the source index — so an over-cap probe still
+    sees the crashed batch's lines as duplicates."""
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ID.incremental_dedup_lines(
+        store, _docs(spark, [(1, "seed line long enough for eligibility here")])
+    )
+    # batch 2 "crashes" after the store append, before the mirror one
+    monkeypatch.setattr(ID, "_mirror_append", lambda *a, **k: None)
+    ID.incremental_dedup_lines(
+        store, _docs(spark, [(2, "crashed batch line long enough for the index")])
+    )
+    monkeypatch.undo()
+    monkeypatch.setattr(ID, "CAPTURE_PLANS", False)
+    # batch 3 persists normally: the pre-append sync check must spot
+    # the missed batch and rebuild instead of stamping a fresh marker
+    ID.incremental_dedup_lines(
+        store, _docs(spark, [(3, "third batch line long enough for the index too")])
+    )
+    mirror = ID.line_mirror_read(store)
+    assert mirror is not None, "mirror should be fresh after the heal"
+    assert mirror.count() == store.count_rows(ID.LINE_TABLE)
+    # the crashed batch's line is IN the healed mirror: an over-cap
+    # decide dedups against it
+    monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)
+    rep = {}
+    out = ID.incremental_dedup_lines(
+        store,
+        _docs(spark, [(9, "crashed batch line long enough for the index")]),
+        report=rep,
+    )
+    assert rep["DedupLineIndex_probe"] == "bucketed_mirror"
+    row = out.collect()[0]
+    assert row["clean_text"] == "" and row["lines_removed"] == 1
+
+
+def test_mirror_read_falls_back_when_files_missing(spark, tmp_path, monkeypatch):
+    """ADVICE r14 medium: marker fresh + counts matching but the
+    mirror DIRECTORY gone (crash in mirror_compact between rmtree and
+    the rebuild) must degrade to the plain store read, not raise."""
+    import shutil
+
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ID.incremental_dedup_lines(
+        store, _docs(spark, [(1, "a line definitely long enough for the index")])
+    )
+    shutil.rmtree(ID._mirror_loc(store, ID.LINE_TABLE))
+    rep = {}
+    assert ID.line_mirror_read(store, rep) is None
+    assert "missing" in rep[f"{ID.LINE_TABLE}_mirror"]
+    # the over-cap decide path survives on the full-scan fallback
+    monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)
+    rep2 = {}
+    out = ID.incremental_dedup_lines(
+        store,
+        _docs(spark, [(2, "a line definitely long enough for the index")]),
+        report=rep2,
+    )
+    assert rep2["DedupLineIndex_probe"] == "full_scan"
+    row = out.collect()[0]
+    assert row["clean_text"] == "" and row["lines_removed"] == 1
