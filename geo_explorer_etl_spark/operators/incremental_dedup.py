@@ -698,6 +698,7 @@ def substring_dedup_decide(
     id_col: str = "doc_id",
     window: int = 50,
     report: dict | None = None,
+    normalize: bool = False,
 ):
     """DECISION phase of incremental exact-substring dedup: splice the
     batch against the persisted window-fingerprint index WITHOUT
@@ -770,9 +771,9 @@ def substring_dedup_decide(
             F.count(F.lit(1)).alias("windows_removed"),
         )
     )
-    cleaned = _splice_windows(base, losers, id_col, window).localCheckpoint(
-        eager=True
-    )
+    cleaned = _splice_windows(
+        base, losers, id_col, window, normalize=normalize
+    ).localCheckpoint(eager=True)
     new_rows = (
         marked.filter(F.col("_seen").isNull())
         .select(
@@ -806,6 +807,7 @@ def incremental_dedup_substrings(
     id_col: str = "doc_id",
     window: int = 50,
     report: dict | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup of ``batch`` against every window
     previously ingested through this function (and within the batch)
@@ -820,7 +822,7 @@ def incremental_dedup_substrings(
     pytest-pinned. The cleaned frame materializes BEFORE the index
     append (the ingest crash-ordering rule)."""
     cleaned, new_rows, rep = substring_dedup_decide(
-        store, batch, text_col, id_col, window, report
+        store, batch, text_col, id_col, window, report, normalize=normalize
     )
     substring_dedup_persist(store, new_rows)
     return cleaned

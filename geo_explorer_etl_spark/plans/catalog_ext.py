@@ -199,7 +199,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lines fire it; DuckDB rebuilds the stride-1 window fingerprints,
     # the global keep-first rule, the covered-token splice and the
     # normalized char arithmetic from first principles.
-    sub_leg = DD.dedup_substrings(docs, text_col="text", id_col="doc_id", window=10).select(
+    # normalize=True: the ORACLE basis — DuckDB rebuilds the
+    # normalized splice arithmetic; the byte-exact default splice is
+    # pytest-pinned (tests/test_operators_misc.py)
+    sub_leg = DD.dedup_substrings(
+        docs, text_col="text", id_col="doc_id", window=10, normalize=True
+    ).select(
         F.lit("substr").alias("leg"),
         F.md5("clean_text").alias("content_hash"),
         F.col("doc_id").cast("long").alias("canonical_doc_id"),

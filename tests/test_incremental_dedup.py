@@ -775,8 +775,8 @@ def test_incremental_substrings_batch_then_batch_equals_all_at_once(
         ).collect()
     }
     assert got == exp
-    assert got[11][0] == "batch two copy end"
-    assert got[12][0] == "second corpus copy"
+    assert got[11][0] == "batch two copy  end"  # byte-exact: flanking seps stay
+    assert got[12][0] == " second corpus copy"
     assert rep1["new_index_rows"] > 0 and rep2["new_index_rows"] > 0
     assert rep2["DedupWindowIndex_probe"] == "pruned"
 
@@ -803,7 +803,7 @@ def test_incremental_substrings_overcap_mirror_and_stale_fallback(
         store, _docs(spark, [(5, f"pre {run} post")]), window=10, report=rep
     )
     assert rep["DedupWindowIndex_probe"] == "bucketed_mirror"
-    assert out.collect()[0]["clean_text"] == "pre post"
+    assert out.collect()[0]["clean_text"] == "pre  post"
     marker = ID._mirror_marker(store, ID.WINDOW_TABLE)
     with open(marker) as f:
         rows = json.load(f)["rows"]
@@ -815,7 +815,7 @@ def test_incremental_substrings_overcap_mirror_and_stale_fallback(
     )
     assert rep["DedupWindowIndex_probe"] == "full_scan"
     assert "stale" in rep["DedupWindowIndex_mirror"]
-    assert out.collect()[0]["clean_text"] == "x y"
+    assert out.collect()[0]["clean_text"] == "x  y"
 
 
 def test_ingest_with_substring_dedup_scrubs_and_converges(spark, tmp_path):
@@ -847,7 +847,7 @@ def test_ingest_with_substring_dedup_scrubs_and_converges(spark, tmp_path):
     assert rep["substring_scrubbed_empty"] == 1
     rows = {r["doc_id"]: r["text"] for r in store.read("Corpus").collect()}
     assert rows[1] == f"{run} with a fresh ending here"
-    assert rows[11] == "in the beginning of it all and then the closing bits arrive"
+    assert rows[11] == "in the beginning of it all  and then the closing bits arrive"
     assert 12 not in rows and 13 in rows
     # retry converges: same batch again, corpus byte-stable
     before = sorted(rows.items())

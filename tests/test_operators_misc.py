@@ -873,15 +873,16 @@ def test_dedup_substrings_keeps_first_splices_rest(spark):
     """The Lee-et-al exact-substring rule (window-quantized): a
     planted cross-doc 10-token run keeps its first occurrence by
     (id, pos) and is spliced out of every later one — including a
-    WITHIN-doc repeat — with the surrounding tokens byte-identical
-    (whitespace-normalized), short shared runs invisible, and the
+    WITHIN-doc repeat — BYTE-EXACTLY (VERDICT r14 next #3): only the
+    losing windows' exact char spans go; every other byte, including
+    whitespace runs, survives untouched. Short shared runs invisible;
     token/char arithmetic exact."""
     from geo_explorer_etl_spark.operators.dedup import dedup_substrings
 
     run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [
         (1, f"{run} tail one"),
-        (2, f"prefix   two {run} suffix"),          # extra whitespace normalizes
+        (2, f"prefix   two {run} suffix"),          # space run SURVIVES
         (3, f"left {run} mid {run} right"),          # cross-doc + second copy
         (4, "alpha beta gamma delta epsilon short"),  # < window: invisible
         (5, ""),
@@ -891,16 +892,58 @@ def test_dedup_substrings_keeps_first_splices_rest(spark):
     got = {r["doc_id"]: r for r in dedup_substrings(df, window=10).collect()}
     assert got[1]["clean_text"] == f"{run} tail one"          # first keeps all
     assert got[1]["windows_removed"] == 0
-    assert got[2]["clean_text"] == "prefix two suffix"
+    # byte-exact splice: exactly the run's span goes; the triple space
+    # and the separators flanking the removed span stay
+    assert got[2]["clean_text"] == "prefix   two  suffix"
     assert got[2]["windows_removed"] == 1
     assert got[2]["tokens_removed"] == 10
-    assert got[2]["chars_removed"] == len(run) + 1            # run + one joiner
-    assert got[3]["clean_text"] == "left mid right"
+    assert got[2]["chars_removed"] == len(run)
+    assert got[3]["clean_text"] == "left  mid  right"
     assert got[3]["windows_removed"] == 2
     assert got[3]["tokens_removed"] == 20
+    assert got[3]["chars_removed"] == 2 * len(run)
     assert got[4]["clean_text"] == rows[3][1]                 # sub-window run survives
-    assert got[5]["clean_text"] == "" and got[6]["clean_text"] == ""
+    assert got[5]["clean_text"] == "" and got[6]["clean_text"] is None
     assert all(r["chars_removed"] >= 0 for r in got.values())
+
+    # normalize=True: the r14 oracle basis — single-space rejoin of
+    # surviving tokens, chars against the normalized text
+    norm = {
+        r["doc_id"]: r
+        for r in dedup_substrings(df, window=10, normalize=True).collect()
+    }
+    assert norm[2]["clean_text"] == "prefix two suffix"
+    assert norm[2]["chars_removed"] == len(run) + 1           # run + one joiner
+    assert norm[3]["clean_text"] == "left mid right"
+    assert norm[6]["clean_text"] == ""
+
+
+def test_dedup_substrings_byte_exact_preserves_formatting(spark):
+    """The done-criterion pin (VERDICT r14 next #3): a document with
+    tabs, newlines and multi-space runs keeps its EXACT original bytes
+    outside spliced spans — and a doc with nothing removed passes
+    through byte-identical, not whitespace-normalized (ADVICE r14
+    medium)."""
+    from geo_explorer_etl_spark.operators.dedup import dedup_substrings
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    formatted = f"keep\tthis\n\nexact   layout\n{run}\nand\t\tthis tail too"
+    untouched = "no dup here\n\tbut\tlots   of\n layout to preserve intact now"
+    df = spark.createDataFrame(
+        [(1, f"{run} first copy wins"), (2, formatted), (3, untouched)],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in dedup_substrings(df, window=10).collect()}
+    # zero-removal docs: byte-identical passthrough
+    assert got[3]["clean_text"] == untouched
+    assert got[1]["clean_text"] == f"{run} first copy wins"
+    # the hit doc: exactly the run's chars go; both flanking newlines
+    # and every tab/space-run elsewhere survive
+    assert got[2]["clean_text"] == (
+        f"keep\tthis\n\nexact   layout\n\nand\t\tthis tail too"
+    )
+    assert got[2]["chars_removed"] == len(run)
+    assert got[2]["tokens_removed"] == 10
 
 
 def test_dedup_substrings_within_doc_repeat_and_min_count(spark):
@@ -916,9 +959,10 @@ def test_dedup_substrings_within_doc_repeat_and_min_count(spark):
     )
     got = {r["doc_id"]: r for r in dedup_substrings(df, window=10).collect()}
     # doc 7 pos 0 is the global winner; its own repeat AND doc 8's copy drop.
-    # the straddling windows (ten one, nine ten one ...) occur once each
-    assert got[7]["clean_text"] == run
-    assert got[8]["clean_text"] == "other words"
+    # the straddling windows (ten one, nine ten one ...) occur once each.
+    # byte-exact splice: the separator adjoining each removed span stays
+    assert got[7]["clean_text"] == f"{run} "
+    assert got[8]["clean_text"] == "other  words"
     got3 = {
         r["doc_id"]: r
         for r in dedup_substrings(df, window=10, min_count=3).collect()
