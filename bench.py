@@ -31,6 +31,7 @@ def comparable_overrides():
 
     return {
         "dedup_minhash_lsh": catalog_ext.dedup_minhash_batch_only,
+        "dedup_ngram_jaccard": catalog_ext.dedup_ngram_jaccard_plain,
         "text_quality_scores": catalog_ext.text_quality_scores_plain,
         "dedup_exact": catalog_ext.dedup_exact_doc_only,
         "dedup_lines": catalog_ext.dedup_lines_bench,

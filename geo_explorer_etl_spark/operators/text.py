@@ -20,7 +20,12 @@ STOPWORDS_DE = ["der", "die", "das", "und", "ein", "zu"]
 STOPWORDS_ES = ["el", "la", "de", "y", "un", "en"]
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The symbol class spells out WS_RE's whitespace set instead of \s:
+# Java's \s matches \x0B (vertical tab), RE2's does not — with \s the
+# engine and a DuckDB oracle disagree by one token per \x0B (the same
+# skew the r14 WS_RE fix closed for the splitting tokenizers; caught
+# by the r15 adversarial-parity gate on text_token_count_bpe).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 PUNCT_RE = "[.,;:!?]"
 
 # PII patterns, deliberately restricted to syntax BOTH Java regex

@@ -872,6 +872,9 @@ def _mvp_leg_sql() -> str:
     SELECT 'orq', o_orderkey, status, ROUND(price, 2) FROM v3state
     WHERE status = 'N' OR price > 100000.0
     UNION ALL
+    SELECT 'likeq', o_orderkey, status, ROUND(price, 2) FROM v3state
+    WHERE status LIKE 'C%' OR status LIKE '%F'
+    UNION ALL
     SELECT 'mv', COUNT(*), status, ROUND(SUM(price), 2)
     FROM v3state GROUP BY status
     UNION ALL
@@ -1179,6 +1182,14 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "IndicatorValues",
         where=[[("status", "==", "N")], "or", [("o_totalprice", ">", 100000.0)]],
     )
+    # r15 (VERDICT r14 next #4): LIKE through the tuple grammar under
+    # the same hash — a zone-map-prunable PREFIX pattern OR'd with an
+    # honest full-scan suffix pattern, both read through the renamed
+    # column's mapping; DuckDB evaluates the same LIKEs over v3state.
+    likeq = store.read(
+        "IndicatorValues",
+        where=[[("status", "like", "C%")], "or", [("status", "like", "%F")]],
+    )
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
@@ -1186,6 +1197,7 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(v2cdf, "v2cdf"))
         .unionByName(tagged(v3_served, "v3"))
         .unionByName(tagged(orq, "orq"))
+        .unionByName(tagged(likeq, "likeq"))
         .unionByName(mv_leg(mv, "mv", "sum_p", F.col("status")))
         .unionByName(mv_leg(mv, "mvmax", "max_p", F.col("status")))
         .unionByName(mv_leg(mvb, "mvb", "sum_p", F.col("kb").cast("string")))

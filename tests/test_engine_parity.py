@@ -41,19 +41,38 @@ def _adversarial_rows():
 @pytest.fixture(scope="module")
 def adversarial_sf(spark, tmp_path_factory):
     """A minimal sf-dir: just documents.parquet (the only table the
-    dedup_exact entry reads)."""
+    dedup-leg entries read). ``source`` cycles the mixture recipe's
+    domains so text_token_count_bpe's mix leg is non-vacuous."""
+    from pyspark.sql import functions as F
+
     d = tmp_path_factory.mktemp("adversarial_sf")
     spark.createDataFrame(
         _adversarial_rows(), "doc_id LONG, text STRING"
+    ).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string"))
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
     return str(d)
 
 
-def test_dedup_exact_hash_green_on_adversarial_text(spark, adversarial_sf):
+#: the five entries carrying the dedup legs since the r15 split
+#: (VERDICT r14 next #1): entry -> its dedup leg tag
+_LEG_ENTRIES = {
+    "dedup_exact": "doc",
+    "dedup_ngram_jaccard": "line",
+    "dedup_minhash_lsh": "line_inc",
+    "dedup_simhash": "line_doc",
+    "text_token_count_bpe": "substr",
+}
+
+
+@pytest.mark.parametrize("entry_name", sorted(_LEG_ENTRIES))
+def test_dedup_leg_entries_hash_green_on_adversarial_text(
+    spark, adversarial_sf, entry_name
+):
     import __spark_entry__ as entry
 
-    fn = entry.queries()["dedup_exact"]
-    sql = entry.oracle_sql()["dedup_exact"]
+    fn = entry.queries()[entry_name]
+    sql = entry.oracle_sql()[entry_name]
     spark_pdf = fn(spark, adversarial_sf).toPandas()
     con = duckdb.connect()
     con.sql(
@@ -61,12 +80,18 @@ def test_dedup_exact_hash_green_on_adversarial_text(spark, adversarial_sf):
         f"read_parquet('{adversarial_sf}/documents.parquet/*.parquet')"
     )
     duck_pdf = con.sql(sql).df()
-    problems = compare("dedup_exact[adversarial]", spark_pdf, duck_pdf)
+    problems = compare(f"{entry_name}[adversarial]", spark_pdf, duck_pdf)
     assert not problems, problems
-    # the probes were non-vacuous: dups fired on every shape
-    legs = spark_pdf.groupby("leg")["n_copies"].sum()
-    assert legs["doc"] > len(_adversarial_rows()) - 2  # rows minus the dup
-    assert legs["line"] > 0 and legs["substr"] > 0
+    # the probe was non-vacuous: the carried dedup leg fired
+    leg = _LEG_ENTRIES[entry_name]
+    if leg == "doc":
+        assert spark_pdf["n_copies"].sum() > len(_adversarial_rows()) - 2
+    else:
+        picked = spark_pdf[spark_pdf["leg"] == leg]
+        assert len(picked) > 0
+        # doc 14 repeats a line within itself, doc 12 a window — every
+        # leg's dup rule fires on this corpus
+        assert picked["n_copies"].sum() > 0
 
 
 def test_quality_scores_hash_green_on_adversarial_text(spark, adversarial_sf):

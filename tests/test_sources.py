@@ -3914,3 +3914,67 @@ def test_isnull_predicate_prunes_on_recorded_null_counts(spark, tmp_path):
 
     got_f = translate_filters([IsNull(("Value",)), IsNotNull(("other",))])
     assert got_f == [("Value", "isnull", None), ("other", "notnull", None)]
+
+
+def test_like_prefix_zone_map_skipping(spark, tmp_path):
+    """Prefix LIKE prunes on string zone maps (VERDICT r14 next #4):
+    a 'be%' probe opens only the file whose [min, max] admits the
+    prefix range; '%x' / '_x' patterns keep every file (honest scan);
+    results always equal read().filter(col.like(...)); OR of LIKEs
+    unions file sets across disjuncts."""
+    from geo_explorer_etl_spark.sources.store import (
+        TableStore,
+        _like_prefix,
+        _like_prefix_upper,
+    )
+
+    # prefix extraction + exclusive upper bound unit pins
+    assert _like_prefix("ab%") == "ab" and _like_prefix("%ab") == ""
+    assert _like_prefix("a_b%") == "a" and _like_prefix(r"a\%b") == "a"
+    assert _like_prefix_upper("ab") == "ac"
+    assert _like_prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _like_prefix_upper(chr(0x10FFFF)) is None
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+
+    def frame(prefix):
+        return spark.createDataFrame(
+            [(f"{prefix}-{i:03d}", i) for i in range(50)],
+            "code STRING, v LONG",
+        )
+
+    store.replace_product_all(7, {"IndicatorValues": frame("alpha").coalesce(1)})
+    for p in ("beta", "gamma"):
+        store.append(
+            "IndicatorValues",
+            frame(p).coalesce(1).withColumn(
+                "IndicatorThemeId", F.lit(7).cast("long")
+            ),
+        )
+    assert len(store.live_files("IndicatorValues")) == 3
+
+    # THE PIN: the prefix probe opens exactly the covering file
+    like = [("code", "like", "be%")]
+    assert len(store.live_files("IndicatorValues", like)) == 1
+    got = sorted(r["code"] for r in store.read("IndicatorValues", like).collect())
+    want = sorted(
+        r["code"]
+        for r in store.read("IndicatorValues")
+        .filter(F.col("code").like("be%"))
+        .collect()
+    )
+    assert got == want and len(got) == 50
+
+    # non-prefix patterns cannot prune — every file kept, result exact
+    for pat in ("%-001", "_eta%"):
+        w = [("code", "like", pat)]
+        assert len(store.live_files("IndicatorValues", w)) == 3
+        assert store.read("IndicatorValues", w).count() == (
+            3 if pat == "%-001" else 1 * 50
+        )
+
+    # OR of two prefix LIKEs unions the two covering file sets
+    orw = [[("code", "like", "al%")], "or", [("code", "like", "ga%")]]
+    assert len(store.live_files("IndicatorValues", orw)) == 2
+    assert store.read("IndicatorValues", orw).count() == 100

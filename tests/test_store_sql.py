@@ -167,8 +167,8 @@ def test_unroutable_statements_refused_loudly(spark, tmp_path):
         ("INSERT INTO nosuch VALUES (1)", "no existing store table"),
         # flat OR routes since r14; PARENTHESIZED disjuncts stay out of scope
         ("DELETE FROM IndicatorValues WHERE (k = 1 OR k = 2)", "delete_where"),
-        # IS [NOT] NULL routes since r14; LIKE stays out of scope
-        ("DELETE FROM IndicatorValues WHERE status LIKE 'x%'", "delete_where"),
+        # LIKE routes since r15; NOT LIKE stays out of scope
+        ("DELETE FROM IndicatorValues WHERE status NOT LIKE 'x%'", "delete_where"),
         ("UPDATE IndicatorValues SET k = (SELECT 1)", "update_where"),
         ("DROP TABLE IndicatorValues", "delete_where"),
         ("DELETE FROM IndicatorValues WHERE amount >= k", "delete_where"),
@@ -254,3 +254,27 @@ def test_is_null_predicates_route(spark, tmp_path):
         a.sql("DELETE FROM IndicatorValues WHERE status IS NOT NULL")
         == b.delete_where(T, [("status", "notnull", None)])
     )
+
+
+def test_like_predicates_route(spark, tmp_path):
+    """WHERE col LIKE 'pattern' routes into the tuple grammar (VERDICT
+    r14 next #4): prefix, suffix and infix patterns all twin-equal the
+    Python API; NOT LIKE stays refused (pinned above)."""
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    na = a.sql("DELETE FROM IndicatorValues WHERE status LIKE 'ev%'")
+    nb = b.delete_where(T, [("status", "like", "ev%")])
+    assert na == nb == 10
+    assert _rows(a) == _rows(b)
+    # suffix (non-prefix) pattern: honest scan, same result as filter
+    na = a.sql("UPDATE IndicatorValues SET status = 'x' WHERE status LIKE '%ve'")
+    nb = b.update_where(T, {"status": "'x'"}, [("status", "like", "%ve")])
+    assert na == nb == 10
+    assert _rows(a) == _rows(b)
+    # LIKE OR LIKE keeps disjunct precedence
+    a2 = _store(spark, tmp_path / "a2")
+    n = a2.sql(
+        "DELETE FROM IndicatorValues WHERE status LIKE 'li%' AND k < 5 "
+        "OR status LIKE '%en'"
+    )
+    assert n == 10 + 2  # all 10 'even' rows + k in (1, 3)
