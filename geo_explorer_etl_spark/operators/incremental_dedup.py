@@ -67,6 +67,19 @@ BAND_TABLE = "DedupBandIndex"
 PROBE_CAP = 100_000
 #: All index rows live in one reserved store partition.
 INDEX_PID = 0
+#: Mirror auto-compaction policy (VERDICT r14 next #2 — the mirrors
+#: join the store's auto_compact discipline): every batch append adds
+#: one file per touched bucket (bucketed appends never rewrite), so a
+#: months-long daily pipeline accretes one file SET per batch and the
+#: over-cap probe pays per-file open overhead that grows without
+#: bound. After each mirror append the persist path counts the
+#: accreted file sets (a driver-side ls, no Spark job) and runs
+#: ``mirror_compact`` when they exceed this threshold — exactly the
+#: fragmentation trigger ``TableStore.auto_compact`` applies to the
+#: range-clustered side. Set to 0/None to disable (manual
+#: ``mirror_compact`` stays available).
+MIRROR_AUTO_COMPACT_FILESETS = 16
+
 #: Opt-in plan capture for the over-cap mirror join (ADVICE r14 low):
 #: the formatted-plan string exists for the plan-pin TESTS, not for
 #: production batches — default off, and failures never break dedup.
@@ -396,12 +409,33 @@ def _mirror_append(
     if not synced:
         mirror_compact(store, table, col)
         return
-    _mirror_write(store, table, col, new_rows, marker_rows=store_rows)
+    sets = _mirror_filesets(store, table) + 1
+    _mirror_write(store, table, col, new_rows, marker_rows=store_rows, sets=sets)
+    # accretion policy: one file set lands per batch append — compact
+    # when the sets exceed the threshold so over-cap probes never
+    # degrade unboundedly (VERDICT r14 next #2)
+    if MIRROR_AUTO_COMPACT_FILESETS and sets > MIRROR_AUTO_COMPACT_FILESETS:
+        mirror_compact(store, table, col)
+
+
+def _mirror_filesets(store: TableStore, table: str) -> int:
+    """File sets accreted since the last compact — the marker counts
+    them (one per append; compact resets to 1). A missing marker or a
+    pre-r15 marker without the counter reads as 0 (the next append
+    records 1). Driver-side file read, no Spark job."""
+    import json
+    import os
+
+    marker = _mirror_marker(store, table)
+    if not os.path.isfile(marker):
+        return 0
+    with open(marker) as f:
+        return int(json.load(f).get("sets", 0))
 
 
 def _mirror_write(
     store: TableStore, table: str, col: str, rows: DataFrame,
-    marker_rows: int, n_buckets: int | None = None,
+    marker_rows: int, n_buckets: int | None = None, sets: int = 1,
 ) -> None:
     """The raw bucketed append + marker refresh (marker written LAST,
     so any crash window leaves a detectably-stale marker, never a
@@ -426,7 +460,7 @@ def _mirror_write(
     marker = _mirror_marker(store, table)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as f:
-        json.dump({"rows": marker_rows, "buckets": n_buckets}, f)
+        json.dump({"rows": marker_rows, "buckets": n_buckets, "sets": sets}, f)
 
 
 def _mirror_buckets(store: TableStore, table: str = None) -> int:

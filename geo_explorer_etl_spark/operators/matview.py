@@ -236,6 +236,14 @@ def _check_aggs(aggs: dict, group_cols: list[str]) -> dict:
 #: bucket width across 3 decades at 65 longs of state per group.
 AUTO_BINS = 64
 
+#: Clamp ALERT policy (VERDICT r14 next #5): when an output's
+#: CUMULATIVE clamped/arrived ratio exceeds the fraction (with at
+#: least MIN_ROWS arrivals, so a two-row view can't trip on one
+#: outlier), the refresh report recommends a rebuild with re-derived
+#: bins — once per output until a rebuild resets the audit.
+CLAMP_ALERT_FRACTION = 0.05
+CLAMP_ALERT_MIN_ROWS = 100
+
 
 def _check_bins(aggs: dict, hist_bins: dict | None) -> dict:
     """Validate the percentile-boundary spec. Each p<NN> output takes
@@ -601,20 +609,23 @@ def _clamp_exprs(
     the create snapshot and over every refresh window's INSERT rows
     (arrivals — a deleted out-of-range row doesn't un-distort history),
     surfaced in the refresh report and accumulated in the registry
-    entry (``entry["clamps"]``)."""
+    entry (``entry["clamps"]``). Also counts TOTAL non-null arrivals
+    per output (``entry["hist_rows"]``) — the denominator the clamp
+    ALERT policy divides by (VERDICT r14 next #5)."""
     exprs = []
     for out in _clamp_outs(aggs, modes):
         c = F.expr(str(aggs[out][1]))
         bs = (bins or {})[out]
         outside = (c < F.lit(float(bs[0]))) | (c > F.lit(float(bs[-1])))
-        if delta:
-            hit = (F.col("_change_type") == "insert") & outside
-            name = "_dclamp_" + out
-        else:
-            hit = outside
-            name = "_clamp_" + out
+        arrived = F.col("_change_type") == "insert" if delta else F.lit(True)
+        pre = "_d" if delta else "_"
         exprs.append(
-            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(name)
+            F.sum(F.when(arrived & outside, 1).otherwise(0))
+            .cast("long").alias(pre + "clamp_" + out)
+        )
+        exprs.append(
+            F.sum(F.when(arrived & c.isNotNull(), 1).otherwise(0))
+            .cast("long").alias(pre + "crows_" + out)
         )
     return exprs
 
@@ -912,15 +923,18 @@ def create_matview(
         .agg(*_abs_exprs(aggs, bins, modes), *clamp_cols)
     )
     clamps: dict = {}
+    hist_rows: dict = {}
     if clamp_cols:
         # groups-sized checkpoint: the clamp totals read and the view
         # write share ONE aggregation over the base snapshot
         agged = agged.localCheckpoint(eager=True)
         couts = _clamp_outs(aggs, modes)
         tot = agged.agg(
-            *[F.sum("_clamp_" + o).alias(o) for o in couts]
+            *[F.sum("_clamp_" + o).alias(o) for o in couts],
+            *[F.sum("_crows_" + o).alias("_r_" + o) for o in couts],
         ).first()
         clamps = {o: int(tot[o] or 0) for o in couts}
+        hist_rows = {o: int(tot["_r_" + o] or 0) for o in couts}
     mv = (
         _finish_hist_ests(agged, aggs, bins)
         .withColumn(MV_HW, F.lit(float(hw)))
@@ -968,9 +982,22 @@ def create_matview(
                 "bins": bins,
                 "hist_mode": modes,
                 # clamp audit: create-snapshot out-of-range counts,
-                # accumulated by every refresh window's arrivals
+                # accumulated by every refresh window's arrivals;
+                # hist_rows is the total-arrivals denominator and
+                # clamp_alert the once-only recommendation latch
+                # (VERDICT r14 next #5)
                 "clamps": clamps,
+                "hist_rows": hist_rows,
+                "clamp_alert": [],
                 "bins_auto": auto_outs,
+                # the ORIGINAL hist_bins spec, auto sentinels intact —
+                # rebuild_matview re-derives boundaries from the
+                # rebuild snapshot instead of freezing the old range
+                "bins_spec": {
+                    out: (["auto", len(bins[out])] if out in auto_outs
+                          else list(bins[out]))
+                    for out in bins
+                },
             }
             return reg
 
@@ -1061,6 +1088,37 @@ def list_matviews(store: TableStore) -> dict:
     return _registry(store)
 
 
+def rebuild_matview(store: TableStore, name: str) -> dict:
+    """Rebuild a registered view FROM ITS OWN REGISTRY SPEC — the
+    opt-in action for a ``rebuild_recommended`` refresh report
+    (VERDICT r14 next #5): auto-derived percentile bins re-derive
+    from the CURRENT base snapshot (``bins_spec`` keeps the original
+    ``("auto", K)`` sentinels), so a drifted distribution comes back
+    with in-range boundaries, and the fresh entry resets the clamp
+    audit and the alert latch. Explicit boundary lists rebuild
+    unchanged (the user picked them; re-deriving would silently move
+    their buckets)."""
+    ent = _registry(store).get(name)
+    if ent is None:
+        raise KeyError(f"rebuild_matview: no materialized view {name!r}")
+    spec = {
+        out: (("auto", int(s[1])) if list(s)[0] == "auto" else list(s))
+        for out, s in (ent.get("bins_spec") or {}).items()
+    }
+    return create_matview(
+        store,
+        name,
+        ent["table"],
+        group_cols=list(ent["group_cols"]),
+        aggs={out: tuple(s) for out, s in ent["aggs"].items()},
+        n_partitions=int(ent["n_partitions"]),
+        where=ent.get("where") or None,
+        group_exprs=ent.get("group_exprs"),
+        hist_bins=spec or None,
+        replace=True,
+    )
+
+
 def refresh_matview(
     store: TableStore, name: str, until: float | None = None
 ) -> dict:
@@ -1087,6 +1145,7 @@ def _refresh_locked(
     store: TableStore, name: str, until: float | None
 ) -> dict:
     ent = _live_entry(store, name, "refresh_matview")
+    alert0 = set(ent.get("clamp_alert") or [])
     report: dict = {
         "windows": [],
         "groups_touched": 0,
@@ -1101,6 +1160,22 @@ def _refresh_locked(
         for o, n in (w.get("clamped") or {}).items():
             report["clamped"][o] = report["clamped"].get(o, 0) + n
 
+    def recommend(ent_after: dict) -> None:
+        # surface OUTPUTS whose alert latched DURING this refresh —
+        # exactly once per output per view lifetime (the latch lives
+        # in the registry; a rebuild resets it). The caller acts on it
+        # with rebuild_matview (opt-in — never an automatic rebuild
+        # mid-refresh).
+        new = set(ent_after.get("clamp_alert") or []) - alert0
+        if new:
+            cl = ent_after.get("clamps") or {}
+            rw = ent_after.get("hist_rows") or {}
+            report["rebuild_recommended"] = {
+                o: round(cl.get(o, 0) / max(1, rw.get(o, 0)), 4)
+                for o in sorted(new)
+            }
+            alert0.update(new)
+
     # recovery: a recorded pending window completes FIRST, exactly as
     # recorded — never widened into the new window (double-counting)
     if ent.get("pending") is not None:
@@ -1108,8 +1183,9 @@ def _refresh_locked(
         tally(w)
         ent = _advance_hw(
             store, name, float(ent["hw"]), float(ent["pending"]),
-            clamps=w.get("clamped"),
+            clamps=w.get("clamped"), hist_rows=w.get("hist_rows"),
         )
+        recommend(ent)
     hw = float(ent["hw"])
     new_hw = _last_commit(store, ent["table"]) if until is None else float(until)
     if new_hw is None or new_hw <= hw:
@@ -1118,7 +1194,11 @@ def _refresh_locked(
     ent = _claim_pending(store, name, hw, new_hw)
     w = _apply_window(store, name, ent, hw, new_hw)
     tally(w)
-    _advance_hw(store, name, hw, new_hw, clamps=w.get("clamped"))
+    ent = _advance_hw(
+        store, name, hw, new_hw,
+        clamps=w.get("clamped"), hist_rows=w.get("hist_rows"),
+    )
+    recommend(ent)
     report["noop"] = False
     return report
 
@@ -1217,6 +1297,7 @@ def _advance_hw(
     hw: float,
     new_hw: float,
     clamps: dict | None = None,
+    hist_rows: dict | None = None,
 ) -> dict:
     out: dict = {}
 
@@ -1227,14 +1308,33 @@ def _advance_hw(
             return None  # someone else completed it — converged either way
         ent["hw"] = float(new_hw)
         ent["pending"] = None
-        if clamps:
+        if clamps or hist_rows:
             # clamp audit accumulates ATOMICALLY with the hw advance —
             # a re-applied crashed window can't double-count (its
             # first attempt never advanced)
             prev = dict(ent.get("clamps") or {})
-            for o, n in clamps.items():
+            for o, n in (clamps or {}).items():
                 prev[o] = int(prev.get(o, 0)) + int(n)
             ent["clamps"] = prev
+            rows = dict(ent.get("hist_rows") or {})
+            for o, n in (hist_rows or {}).items():
+                rows[o] = int(rows.get(o, 0)) + int(n)
+            ent["hist_rows"] = rows
+            # the ALERT latch (VERDICT r14 next #5): an output whose
+            # cumulative clamped/arrived ratio breaches the policy is
+            # recorded ONCE, atomically with the audit that tripped it
+            # — refresh surfaces newly-latched outputs as a rebuild
+            # recommendation, and only a rebuild (fresh entry) resets
+            alert = list(ent.get("clamp_alert") or [])
+            for o, n in prev.items():
+                r = rows.get(o, 0)
+                if (
+                    o not in alert
+                    and r >= CLAMP_ALERT_MIN_ROWS
+                    and n / r > CLAMP_ALERT_FRACTION
+                ):
+                    alert.append(o)
+            ent["clamp_alert"] = sorted(alert)
         reg[name] = ent
         out.update(ent)
         return reg
@@ -1295,9 +1395,11 @@ def _apply_window(
         couts = _clamp_outs(aggs, modes)
         if couts:
             tot = delta_g.agg(
-                *[F.sum("_dclamp_" + o).alias(o) for o in couts]
+                *[F.sum("_dclamp_" + o).alias(o) for o in couts],
+                *[F.sum("_dcrows_" + o).alias("_r_" + o) for o in couts],
             ).first()
             w["clamped"] = {o: int(tot[o] or 0) for o in couts}
+            w["hist_rows"] = {o: int(tot["_r_" + o] or 0) for o in couts}
         pids = [
             r[0] for r in delta_g.select(PARTITION_COL).distinct().collect()
         ]  # ≤ n_partitions values, bounded by construction

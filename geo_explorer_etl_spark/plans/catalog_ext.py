@@ -350,10 +350,11 @@ def _duck_leg_digests(
 
 
 def dedup_exact_doc_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench shape for the historical `dedup_exact` row: the document
-    leg alone (the registered entry folded the line-dedup leg under
-    its hash in r13 — correctness scaffolding, not what the bench
-    times; BENCH_r<=12 comparisons stay apples-to-apples)."""
+    """Bench shape for the `dedup_exact` row: the document leg alone,
+    WITHOUT the registered entry's digest diagnostics (since r15 the
+    registered entry is also doc-only — the r13/r14 folded legs moved
+    to other entries — but the bench keeps timing the plain operator
+    so BENCH_r<=12 comparisons stay apples-to-apples)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return DD.exact_dedup_groups(docs, text_col="text", id_col="doc_id")
 

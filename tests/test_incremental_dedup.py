@@ -968,3 +968,58 @@ def test_mirror_read_falls_back_when_files_missing(spark, tmp_path, monkeypatch)
     assert rep2["DedupLineIndex_probe"] == "full_scan"
     row = out.collect()[0]
     assert row["clean_text"] == "" and row["lines_removed"] == 1
+
+
+def test_mirror_auto_compacts_on_fileset_threshold(spark, tmp_path, monkeypatch):
+    """VERDICT r14 next #2: the mirror joins the store's auto-compact
+    discipline — once accreted file sets exceed the threshold the
+    persist path compacts EXACTLY once (the counter resets to one
+    set), the marker stays fresh, and the over-cap decide still joins
+    the bucketed mirror with the zero-Exchange plan."""
+    import glob
+
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    monkeypatch.setattr(ID, "MIRROR_AUTO_COMPACT_FILESETS", 3)
+    compacts: list = []
+    real = ID.mirror_compact
+
+    def spy(*a, **k):
+        compacts.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ID, "mirror_compact", spy)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for i in range(5):
+        ID.incremental_dedup_lines(
+            store,
+            _docs(spark, [(i * 10 + 1,
+                           f"unique enough line number {i} for the dedup index ok")]),
+        )
+    # batches 1-3 accrete sets 1..3; batch 4 crosses (4 > 3) -> ONE
+    # compact; batch 5 lands set 2 of the compacted mirror -> none
+    assert len(compacts) == 1
+    loc = ID._mirror_loc(store, ID.LINE_TABLE)
+    assert ID._mirror_filesets(store, ID.LINE_TABLE) <= 2
+    assert len(glob.glob(f"{loc}/part-*")) < 5 * ID._mirror_buckets(store, ID.LINE_TABLE)
+    # marker fresh: the mirror serves the over-cap decide
+    mirror = ID.line_mirror_read(store)
+    assert mirror is not None
+    assert mirror.count() == store.count_rows(ID.LINE_TABLE)
+    monkeypatch.setattr(ID, "LINE_PROBE_CAP", 0)
+    monkeypatch.setattr(ID, "CAPTURE_PLANS", True)
+    rep = {}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ID.incremental_dedup_lines(
+            store,
+            _docs(spark, [(99, "unique enough line number 0 for the dedup index ok")]),
+            report=rep,
+        )
+        row = out.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rep["DedupLineIndex_probe"] == "bucketed_mirror"
+    assert "Bucketed: true" in rep["_mirror_join_plan"]
+    assert row["clean_text"] == "" and row["lines_removed"] == 1

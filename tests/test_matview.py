@@ -1576,3 +1576,62 @@ def test_continuous_aggregate_percentile_integration(spark, tmp_path):
     rep = MV.refresh_matview(store, "daily")
     assert rep["groups_recomputed"] == 1  # only day 2, only for max
     assert view() == truth()
+
+
+def test_clamp_alert_recommends_rebuild_once_and_rebuild_heals(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 next #5: a drifted stream whose cumulative
+    clamped/arrived ratio breaches the policy trips a rebuild
+    recommendation EXACTLY once (the latch is registry-persisted);
+    rebuild_matview re-derives the auto bins from the current
+    snapshot, restoring in-range coverage and resetting the audit —
+    and the view's estimates stay correct throughout."""
+    monkeypatch.setattr(MV, "CLAMP_ALERT_MIN_ROWS", 5)
+    store = _store(spark, tmp_path)
+    # create snapshot observes a narrow [10, 100] positive range
+    store.append(
+        BASE, _rows_df(spark, [(i, "a", 10 + i) for i in range(10)])
+    )
+    store.adopt_manifests(BASE)
+    MV.create_matview(
+        store, "pal", BASE, ["grp"], {"med": ("p50", "v")}, n_partitions=2,
+    )
+    ent = MV._registry(store)["pal"]
+    assert ent["bins_auto"] == ["med"] and ent["clamp_alert"] == []
+    assert ent["hist_rows"] == {"med": 10}
+    lo0, hi0 = ent["bins"]["med"][0], ent["bins"]["med"][-1]
+
+    # the stream drifts: a batch far outside the derived range
+    store.append(
+        BASE, _rows_df(spark, [(100 + i, "a", 100000 + i) for i in range(4)])
+    )
+    rep = MV.refresh_matview(store, "pal")
+    # 4/14 ≈ 0.29 > 0.05 and arrivals >= 5: the alert latches NOW
+    assert rep["rebuild_recommended"] == {"med": round(4 / 14, 4)}
+    assert MV._registry(store)["pal"]["clamp_alert"] == ["med"]
+
+    # further drift does NOT re-recommend (once per output)
+    store.append(
+        BASE, _rows_df(spark, [(200 + i, "a", 200000 + i) for i in range(3)])
+    )
+    rep2 = MV.refresh_matview(store, "pal")
+    assert "rebuild_recommended" not in rep2
+    assert MV._registry(store)["pal"]["clamps"]["med"] == 7
+
+    # the opt-in action: rebuild from the registry spec — auto bins
+    # re-derive over the CURRENT range, audit and latch reset
+    MV.rebuild_matview(store, "pal")
+    ent2 = MV._registry(store)["pal"]
+    assert ent2["clamp_alert"] == [] and ent2["clamps"] == {"med": 0}
+    assert ent2["hist_rows"] == {"med": 17}
+    assert ent2["bins"]["med"][0] == lo0  # still covers the old floor
+    assert ent2["bins"]["med"][-1] > hi0  # and the drifted ceiling
+    assert ent2["bins"]["med"][-1] >= 200002.0
+    # estimates remain sane: the median of the union sits in-range
+    got = {r["grp"]: r["med"] for r in MV.read_matview(store, "pal").collect()}
+    assert lo0 <= got["a"] <= ent2["bins"]["med"][-1]
+    # and the rebuilt view keeps refreshing without a recommendation
+    store.append(BASE, _rows_df(spark, [(300, "a", 50)]))
+    rep3 = MV.refresh_matview(store, "pal")
+    assert "rebuild_recommended" not in rep3
