@@ -37,6 +37,7 @@ def comparable_overrides():
         "dedup_lines": catalog_ext.dedup_lines_bench,
         "text_repetition_signals": catalog_ext.text_repetition_signals,
         "dedup_substrings": catalog_ext.dedup_substrings_bench,
+        "dedup_substrings_exact": catalog_ext.dedup_substrings_exact_bench,
     }
 
 
@@ -64,6 +65,10 @@ HEADLINE = [
     # window-fingerprint approximation) — folded under dedup_exact's
     # hash in the registry, timed here at the paper's window=50
     "dedup_substrings",
+    # r15: the byte-exact splice (the operator's new default) timed as
+    # its own row — dedup_substrings keeps the r14 normalized shape so
+    # round-over-round comparisons stay apples-to-apples
+    "dedup_substrings_exact",
     # since round 11 the REGISTERED dedup_minhash_lsh entry carries a
     # second (incremental) leg under its hash — correctness scaffolding,
     # like store_merge_timetravel it is not what the bench times; the

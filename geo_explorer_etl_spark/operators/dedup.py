@@ -855,7 +855,13 @@ def _splice_windows(base, losers, id_col: str, window: int,
         )
 
     # byte-exact path: clean docs pass through column-only; losers
-    # splice row-locally over Arrow batches
+    # splice row-locally over Arrow batches. The losers frame (the
+    # whole fingerprint → winner → covered-starts pipeline) feeds BOTH
+    # joins below — materialize it once (it is small: one row per doc
+    # WITH removals) or the anti-join and the inner join each re-run
+    # the full fingerprint explosion (measured 2× the entry's bench
+    # time at sf0.01).
+    losers = losers.localCheckpoint(eager=True)
     no_hit = base.join(losers, id_col, "left_anti").select(
         F.col(id_col),
         F.col("_orig").alias("clean_text"),

@@ -1618,10 +1618,25 @@ def range_join_business_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_substrings_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench row for the exact-substring dedup (new in r14 — no
-    historical baseline): the Lee et al. rule at the paper's
-    window=50 over the documents table. The REGISTERED dedup_exact
-    entry folds a window=10 leg under its DuckDB hash; this times the
-    production shape."""
+    """Bench row for the exact-substring dedup: the Lee et al. rule at
+    the paper's window=50 over the documents table, NORMALIZED output
+    — the r14 shape, kept under this name so BENCH_r14 comparisons
+    stay apples-to-apples (since r15 the operator's DEFAULT is the
+    byte-exact splice, timed separately as dedup_substrings_exact).
+    The registered `text_token_count_bpe` entry carries the window=10
+    oracle leg; this times the production scale shape."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.dedup_substrings(
+        docs, text_col="text", id_col="doc_id", window=50, normalize=True
+    )
+
+
+def dedup_substrings_exact_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row for the BYTE-EXACT substring splice (r15, VERDICT r14
+    next #3 — no pre-r15 baseline): the same rule with losing windows'
+    exact char spans removed from the original text. Pays ~2 extra
+    passes over the normalized shape (the losers frame materializes
+    once; clean docs route column-only, only losers cross the Arrow
+    boundary) — the honest production default."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return DD.dedup_substrings(docs, text_col="text", id_col="doc_id", window=50)
