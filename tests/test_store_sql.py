@@ -278,3 +278,56 @@ def test_like_predicates_route(spark, tmp_path):
         "OR status LIKE '%en'"
     )
     assert n == 10 + 2  # all 10 'even' rows + k in (1, 3)
+
+
+def test_in_subquery_predicates_route(spark, tmp_path, monkeypatch):
+    """WHERE col IN (SELECT ...) materializes through the router's own
+    SELECT delegation into the tuple grammar (VERDICT r14 missing #4):
+    twin-equal the Python API, NULL subquery values drop (they can
+    never match), multi-column subqueries and over-cap value sets
+    refuse loudly without touching rows."""
+    import geo_explorer_etl_spark.sources.store_sql as SQ
+
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    na = a.sql(
+        "DELETE FROM IndicatorValues WHERE k IN "
+        "(SELECT k FROM IndicatorValues WHERE amount >= 16.0)"
+    )
+    nb = b.delete_where(T, [("k", "in", [16, 17, 18, 19])])
+    assert na == nb == 4
+    assert _rows(a) == _rows(b)
+    # UPDATE with a subquery over ANOTHER relation (a temp view)
+    spark.createDataFrame([(2,), (4,), (None,)], "kk LONG").createOrReplaceTempView(
+        "picked_keys"
+    )
+    try:
+        na = a.sql(
+            "UPDATE IndicatorValues SET status = 'picked' "
+            "WHERE k IN (SELECT kk FROM picked_keys)"
+        )
+        nb = b.update_where(T, {"status": "'picked'"}, [("k", "in", [2, 4])])
+        assert na == nb == 2
+        assert _rows(a) == _rows(b)
+    finally:
+        spark.catalog.dropTempView("picked_keys")
+    # AND/OR composition around the subquery clause
+    n = a.sql(
+        "DELETE FROM IndicatorValues WHERE k IN "
+        "(SELECT k FROM IndicatorValues WHERE status = 'picked') AND k < 3 "
+        "OR k = 15"
+    )
+    assert n == 2  # k=2 (picked, <3) and k=15
+    before = _rows(a)
+    with pytest.raises(ValueError, match="exactly ONE column"):
+        a.sql(
+            "DELETE FROM IndicatorValues WHERE k IN "
+            "(SELECT k, status FROM IndicatorValues)"
+        )
+    monkeypatch.setattr(SQ, "SUBQUERY_IN_CAP", 2)
+    with pytest.raises(ValueError, match="more than 2 distinct"):
+        a.sql(
+            "DELETE FROM IndicatorValues WHERE k IN "
+            "(SELECT k FROM IndicatorValues)"
+        )
+    assert _rows(a) == before  # refusals touched nothing
