@@ -325,8 +325,11 @@ def _duck_leg_digests(
         con = duckdb.connect()
         for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
             t = os.path.splitext(os.path.basename(p))[0]
+            # the driver's testdata tables are plain files; a
+            # Spark-written table is a DIRECTORY of part files
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
         parts = ", ".join(
             f"coalesce(CAST({c} AS VARCHAR), '<NULL>')" for c in cols
