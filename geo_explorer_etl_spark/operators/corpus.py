@@ -229,6 +229,96 @@ def mixture_budgets(token_budget: int, weights: dict[str, float]) -> dict[str, i
     return out
 
 
+#: split_corpus resolution: assignments are exact integer basis
+#: points over this many hash cells.
+SPLIT_CELLS = 10_000
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment (r15): each
+    row's split is a PURE FUNCTION of ``(seed, id)`` — the first 15
+    hex chars of ``md5(f"{seed}:{id}")`` taken mod ``SPLIT_CELLS``,
+    compared against cumulative integer thresholds. Properties a
+    training pipeline needs and a bare ``randomSplit`` lacks:
+
+    - machine-, partitioning- and run-independent: re-running on a
+      re-shuffled or re-partitioned corpus can NEVER move a document
+      across splits (randomSplit's per-partition sampling does);
+    - engine-reproducible: any engine with md5 rebuilds the identical
+      assignment (the DuckDB oracle does, bit for bit);
+    - exact proportions at the cell grain: weights resolve to integer
+      basis points by the ``mixture_budgets`` largest-remainder rule
+      (weights must cover 1.0 — a split, unlike a mixture, cannot
+      leave documents unassigned), so thresholds are exact, not
+      float-accumulated;
+    - row-local: zero shuffle at any scale.
+
+    Returns ``df`` plus ``out_col``; NULL ids get a NULL split
+    (surface them upstream — a null key has no stable identity).
+    Threshold order is the ``weights`` dict's insertion order."""
+    if not weights:
+        raise ValueError("split_corpus: empty weights")
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(
+            f"split_corpus: weights sum to {total_w:.6f} — a split must "
+            "cover exactly 1.0 (every document belongs to one split)"
+        )
+    cells = mixture_budgets(SPLIT_CELLS, weights)
+    if min(cells.values()) == 0:
+        tiny = [d for d, c in cells.items() if c == 0]
+        raise ValueError(
+            f"split_corpus: weight(s) {tiny} resolve to zero of "
+            f"{SPLIT_CELLS} cells — raise the weight or SPLIT_CELLS"
+        )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % SPLIT_CELLS
+    )
+    expr = None
+    cum = 0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += cells[name]
+        cond = h < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(
+        out_col, F.when(F.col(id_col).isNull(), None).otherwise(last)
+    )
+
+
+def split_corpus_threshold_sql(
+    weights: dict[str, float], id_col: str = "doc_id", seed: int = 42
+) -> str:
+    """The ANSI-SQL twin of ``split_corpus``'s assignment expression
+    (oracle construction): a CASE over the same md5-derived cell and
+    the same largest-remainder thresholds."""
+    cells = mixture_budgets(SPLIT_CELLS, weights)
+    hsql = (
+        f"CAST(('0x' || substr(md5(CONCAT('{seed}:', "
+        f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT) % {SPLIT_CELLS}"
+    )
+    names = list(weights)
+    arms, cum = [], 0
+    for name in names[:-1]:
+        cum += cells[name]
+        arms.append(f"WHEN {hsql} < {cum} THEN '{name}'")
+    body = " ".join(arms)
+    return f"CASE WHEN {id_col} IS NULL THEN NULL {body} ELSE '{names[-1]}' END"
+
+
 def _prefix_under_budget_by_domain(
     docs: DataFrame,
     text_col: str,

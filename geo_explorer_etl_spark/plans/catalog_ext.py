@@ -1130,9 +1130,26 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: the registered split leg's fixed recipe + seed (the oracle inlines
+#: the same thresholds through split_corpus_threshold_sql)
+_SPLIT_WEIGHTS = {"train": 0.98, "val": 0.01, "test": 0.01}
+_SPLIT_SEED = 42
+
+
+def _split_case_sql() -> str:
+    from geo_explorer_etl_spark.operators.corpus import (
+        split_corpus_threshold_sql,
+    )
+
+    return split_corpus_threshold_sql(_SPLIT_WEIGHTS, "doc_id", _SPLIT_SEED)
+
+
+split_case = _split_case_sql()
+
+
 @register(
     "text_langid",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
                FROM documents),
     scores AS (
@@ -1160,16 +1177,30 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS lm_logprob
            FROM tok2 t2 LEFT JOIN vocab v USING (tok)
            GROUP BY t2.doc_id)
-    SELECT lang.doc_id, lang.lang_guess, lm.lm_logprob
+    SELECT 'lang' AS leg, lang.doc_id, lang.lang_guess, lm.lm_logprob,
+           CAST(NULL AS VARCHAR) AS split
     FROM lang LEFT JOIN lm USING (doc_id)
+    UNION ALL
+    -- the DETERMINISTIC SPLIT leg (r15): md5-derived cell mod 10000
+    -- against largest-remainder thresholds — DuckDB rebuilds the
+    -- exact assignment, so a drifted hash, threshold rounding, or
+    -- partitioning dependence breaks the value hash
+    SELECT 'split', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           {split_case}
+    FROM documents
     """,
-    tags="ext text langid lm-score",
+    tags="ext text langid lm-score split",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID + the corpus-estimated unigram LM score (the
     CCNet-style perplexity-proxy quality filter) — the lone text op
     needing GLOBAL corpus statistics, folded here to keep the
-    registry at the 50-entry cap."""
+    registry at the 50-entry cap. Since r15 also carries the
+    DETERMINISTIC train/val/test split leg (``corpus.split_corpus``:
+    split = pure function of (seed, id), machine/partitioning/
+    run-independent — the property ``randomSplit`` lacks)."""
+    from geo_explorer_etl_spark.operators.corpus import split_corpus
+
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     lang = TX.langid(docs, text_col="text", id_col="doc_id")
     # lang already enumerates every doc_id; restore_ids=False skips the
@@ -1177,7 +1208,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = TX.unigram_logprob(
         docs, text_col="text", id_col="doc_id", restore_ids=False
     )
-    return lang.join(lm, "doc_id", "left")
+    host = lang.join(lm, "doc_id", "left").select(
+        F.lit("lang").alias("leg"), "*"
+    )
+    split = split_corpus(
+        docs, _SPLIT_WEIGHTS, id_col="doc_id", seed=_SPLIT_SEED
+    ).select(F.lit("split").alias("leg"), "doc_id", "split")
+    return host.unionByName(split, allowMissingColumns=True)
 
 
 # ---------------------------------------------------------------------------

@@ -178,3 +178,45 @@ def test_budget_mode_switch_refused(spark, tmp_path):
         ingest_corpus_batch(
             store2, _docs(spark, [(2, "web", 10)]), token_budget=100, **kw
         )
+
+
+def test_split_corpus_deterministic_and_exact(spark):
+    """split_corpus (r15): assignment is a pure function of (seed, id)
+    — identical across re-partitionings and runs, proportions land
+    near the basis-point thresholds, weights must cover 1.0, NULL ids
+    get NULL, and the SQL twin produces the identical assignment."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.operators.corpus import split_corpus
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in split_corpus(docs, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs.repartition(17), w).collect()
+    }
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 2000 - 0.8) < 0.03
+    assert abs(c["val"] / 2000 - 0.1) < 0.02
+    # (the DuckDB-side twin is pinned by the text_langid oracle leg —
+    # verify_local/oracle-parity run the exact CASE against this rule)
+    # seed/shape pins: different seed moves SOME docs, same seed none
+    a2 = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs, w, seed=43).collect()
+    }
+    assert a2 != a and set(a2) == set(a)
+    # NULL id -> NULL split
+    nulled = spark.createDataFrame([(None,), (1,)], "doc_id LONG")
+    got = {r["doc_id"]: r["split"] for r in split_corpus(nulled, w).collect()}
+    assert got[None] is None and got[1] in w
+    with pytest.raises(ValueError, match="cover exactly 1.0"):
+        split_corpus(docs, {"train": 0.5})
+    with pytest.raises(ValueError, match="zero of"):
+        split_corpus(docs, {"train": 0.99999, "val": 0.00001})
