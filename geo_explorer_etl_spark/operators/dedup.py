@@ -482,6 +482,93 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return df.select(F.col(id_col), F.expr(expr).alias(f"simhash{bits}"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 48,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate PAIRS from SimHash signatures — the
+    multi-probe banding Manku et al. (WWW'07) run at web scale: the
+    ``bits``-bit signature splits into ``max_hamming + 1`` contiguous
+    bands, and by pigeonhole ANY pair within Hamming distance
+    ``max_hamming`` agrees exactly on at least one band — so an
+    equi-join on (band_id, band_value) finds every such pair, and a
+    row-local ``bit_count(xor)`` verify discards the false bucket
+    collisions. Returns ``(doc_a, doc_b, hamming)``, exact w.r.t. the
+    signature (no recall loss below the threshold — unlike MinHash
+    banding, whose recall is probabilistic).
+
+    Scale shape: one row-local signature pass (``simhash``), one hash
+    shuffle on the high-cardinality band value, a row-local verify.
+    ``bits`` defaults to 48 (bands of 12 bits — 4096 values each) —
+    16-bit signatures band into 4-bit chunks whose 16 distinct values
+    collide everything at corpus size. ``max_bucket_size`` bounds the
+    pathological bucket (templated/empty docs all but share a
+    signature): over-full buckets DROP before the self-join — at
+    corpus scale those are boilerplate, and byte-identical copies are
+    already caught by ``exact_dedup_groups`` upstream. bits ≤ 60 (one
+    md5-derived word — the engine-reproducibility contract)."""
+    if bits > 60 or bits < (max_hamming + 1):
+        raise ValueError(
+            f"simhash_pairs: bits={bits} must be in [max_hamming+1, 60]"
+        )
+    bands = max_hamming + 1
+    sig = simhash(df, text_col, id_col, bits=bits).withColumnRenamed(
+        f"simhash{bits}", "_sh"
+    )
+    width = bits // bands  # band b covers [b*width, ...); last takes the rest
+    banded = sig.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    (
+                        F.shiftright(F.col("_sh"), b * width)
+                        % F.lit(
+                            1 << (width if b < bands - 1 else bits - b * width)
+                        )
+                    ).alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_b"),
+    ).select(id_col, "_sh", "_b.band_id", "_b.band_val")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_id", "band_val")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"),
+        "band_id", "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(
+                F.col("_sa").bitwiseXOR(F.col("_sb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

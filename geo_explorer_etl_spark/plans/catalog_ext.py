@@ -640,13 +640,41 @@ def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, b.bit,
                CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
                           >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
-        FROM toks, (SELECT unnest(range(0, 16)) AS bit) b)
+        FROM toks, (SELECT unnest(range(0, 16)) AS bit) b),
+    -- 48-bit signatures for the PAIRS leg (docs < 100, the jaccard
+    -- subset): same md5 vote rule, wider word
+    bits48 AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                          >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM toks, (SELECT unnest(range(0, 48)) AS bit) b
+        WHERE doc_id < 100),
+    sh48 AS (
+        SELECT d.doc_id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS sh
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        LEFT JOIN (
+            SELECT doc_id,
+                   SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh
+            FROM (SELECT doc_id, bit, SUM(v) AS sgn FROM bits48 GROUP BY doc_id, bit)
+            GROUP BY doc_id) s ON s.doc_id = d.doc_id),
+    sbands AS (
+        SELECT doc_id, sh, b.band_id, (sh >> (b.band_id * 12)) % 4096 AS band_val
+        FROM sh48, (SELECT unnest(range(0, 4)) AS band_id) b),
+    spairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM sbands a JOIN sbands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3)
     -- LEFT JOIN back to documents: a NULL-text doc has no token rows
     -- (unnest of NULL), but the engine still emits its row with an
     -- all-zero signature — without the join the oracle silently drops
     -- it (r15 adversarial-parity find, the NULL-text class again)
     SELECT 'simhash' AS leg, d.doc_id,
            CAST(COALESCE(s.sh, 0) AS BIGINT) AS simhash16,
+           CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS BIGINT) AS hamming,
            {_HOST_PAD_SQL}
     FROM documents d LEFT JOIN (
         SELECT doc_id,
@@ -654,22 +682,40 @@ def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, bit, SUM(v) AS sgn FROM bits GROUP BY doc_id, bit)
         GROUP BY doc_id) s ON s.doc_id = d.doc_id
     UNION ALL
+    -- the banded-SimHash near-dup PAIRS leg (r15): pigeonhole bands +
+    -- exact Hamming verify, rebuilt from first principles
+    SELECT 'pairs', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           p.doc_a, p.doc_b, CAST(p.hamming AS BIGINT),
+           {_HOST_PAD_SQL}
+    FROM spairs p
+    UNION ALL
     SELECT q.leg, CAST(NULL AS BIGINT) AS doc_id,
            CAST(NULL AS BIGINT) AS simhash16,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            q.content_hash, q.canonical_doc_id, q.n_copies, q.chars_removed
     FROM ({_line_leg_sql("line_doc", scope="document")}) q
     """,
-    tags="ext dedup simhash lines",
+    tags="ext dedup simhash pairs lines",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (host leg 'simhash') + since r15 the
     DOCUMENT-SCOPE line-dedup leg ('line_doc', Dolma's document mode:
-    within-doc repeats drop, cross-doc duplicates survive), moved here
-    from the `dedup_exact` fold so a divergence localizes to THIS leg
-    (VERDICT r14 next #1)."""
+    within-doc repeats drop, cross-doc duplicates survive — moved here
+    from the `dedup_exact` fold so a divergence localizes to THIS leg,
+    VERDICT r14 next #1) + the banded-SimHash near-dup PAIRS leg
+    ('pairs', ``dedup.simhash_pairs``: 48-bit signatures, pigeonhole
+    bands = max_hamming+1 so recall below the threshold is EXACT,
+    row-local bit_count verify — the Manku et al. web-dedup shape)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     host = DD.simhash(docs, text_col="text", id_col="doc_id", bits=16).select(
         F.lit("simhash").alias("leg"), "*"
+    )
+    pairs = DD.simhash_pairs(
+        docs.filter(F.col("doc_id") < 100),
+        text_col="text", id_col="doc_id", bits=48, max_hamming=3,
+    ).select(
+        F.lit("pairs").alias("leg"), "doc_a", "doc_b",
+        F.col("hamming").cast("long").alias("hamming"),
     )
     line_doc = _dedup_leg_frame(
         DD.dedup_lines(
@@ -678,7 +724,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "line_doc",
     )
-    out = host.unionByName(line_doc, allowMissingColumns=True)
+    out = host.unionByName(pairs, allowMissingColumns=True).unionByName(
+        line_doc, allowMissingColumns=True
+    )
     _log_leg_digests("dedup_simhash", out, sf_dir)
     return out
 

@@ -978,3 +978,58 @@ def test_dedup_substrings_within_doc_repeat_and_min_count(spark):
         for r in dedup_substrings(df2, window=10, min_count=3).collect()
     }
     assert got2[9]["windows_removed"] == 0 and got2[10]["windows_removed"] == 0
+
+
+def test_simhash_pairs_banded_hamming(spark):
+    """simhash_pairs (r15): exact w.r.t. the signature — every pair
+    within max_hamming lands (pigeonhole: bands = max_hamming + 1),
+    nothing beyond it does, identical docs pair at hamming 0, the
+    bucket cap drops pathological buckets, and bad bits refuse."""
+    import itertools
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.operators.dedup import simhash, simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base),                                  # identical -> hamming 0
+        (3, base + " extra few words here"),        # near-dup of 1/2
+        (4, " ".join(f"other{i}" for i in range(60))),  # far
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(df, "text", "doc_id", bits=48, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0
+    # ground truth: brute-force hamming over the signatures — the
+    # banded join must find EXACTLY the pairs within the threshold
+    sig = {
+        r["doc_id"]: r["simhash48"]
+        for r in simhash(df, "text", "doc_id", bits=48).collect()
+    }
+    want = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == want
+    # NULL and empty text both signature deterministically (5 vs 6:
+    # NULL -> all-zero, '' -> md5('') votes)
+    assert 5 in sig and 6 in sig
+    # bucket cap: every doc shares every band in a clone corpus -> a
+    # cap of 2 drops the 4-clone buckets entirely
+    clones = spark.createDataFrame(
+        [(i, base) for i in range(4)], "doc_id LONG, text STRING"
+    )
+    assert (
+        simhash_pairs(clones, "text", "doc_id", bits=48, max_hamming=3,
+                      max_bucket_size=2).count() == 0
+    )
+    with pytest.raises(ValueError, match="bits=64"):
+        simhash_pairs(df, "text", "doc_id", bits=64)
