@@ -837,6 +837,15 @@ def dedup_substrings(
     if window < 2:
         raise ValueError(f"dedup_substrings: window {window} < 2")
     base, fps = _window_fingerprints(df, text_col, id_col, window)
+    if not normalize:
+        # the byte-exact splice MATERIALIZES the losers frame (it
+        # feeds two routing joins) — without a persist the
+        # checkpoint's RDD job loses the single-plan exchange reuse
+        # and re-runs the O(tokens×window) fingerprint explosion
+        # twice (measured 5× the normalized pass at sf0.1)
+        from pyspark.storagelevel import StorageLevel
+
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     wins = fps.groupBy("_fp").agg(
         F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("_w"),
         F.count(F.lit(1)).alias("_c"),
@@ -850,7 +859,12 @@ def dedup_substrings(
             F.count(F.lit(1)).alias("windows_removed"),
         )
     )
-    return _splice_windows(base, losers, id_col, window, normalize=normalize)
+    out = _splice_windows(base, losers, id_col, window, normalize=normalize)
+    if not normalize:
+        # the splice checkpointed losers during construction; nothing
+        # the returned plan executes touches fps again
+        fps.unpersist()
+    return out
 
 
 def _window_fingerprints(df, text_col: str, id_col: str, window: int):
@@ -949,6 +963,22 @@ def _splice_windows(base, losers, id_col: str, window: int,
     # the full fingerprint explosion (measured 2× the entry's bench
     # time at sf0.01).
     losers = losers.localCheckpoint(eager=True)
+    n_losers = losers.count()  # checkpointed: a metadata-cheap job
+    if not n_losers:
+        # nothing to splice anywhere: ONE passthrough scan, no joins,
+        # no Python — the common no-duplicated-windows case
+        return base.select(
+            F.col(id_col),
+            F.col("_orig").alias("clean_text"),
+            F.lit(0).cast("long").alias("windows_removed"),
+            F.lit(0).cast("long").alias("tokens_removed"),
+            F.lit(0).cast("long").alias("chars_removed"),
+        )
+    if n_losers <= 1_000_000:
+        # the loser set is splice-plan small (one row per doc WITH
+        # removals): broadcast it so neither routing join shuffles the
+        # corpus — the corpus side stays two sequential scans
+        losers = F.broadcast(losers)
     no_hit = base.join(losers, id_col, "left_anti").select(
         F.col(id_col),
         F.col("_orig").alias("clean_text"),

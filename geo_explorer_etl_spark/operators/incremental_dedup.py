@@ -402,7 +402,10 @@ def _mirror_append(
     store_rows = store.count_rows(table)  # includes this batch's rows
     expected_before = store_rows - n_new
     marker = _mirror_marker(store, table)
-    synced = expected_before == 0  # brand-new mirror for a new index
+    # brand-new mirror for a new index — but ONLY if no leftover
+    # mirror files exist (a marker-less dir is a crash remnant;
+    # appending onto it would resurrect stale hashes as "seen")
+    synced = expected_before == 0 and not os.path.isdir(_mirror_loc(store, table))
     if os.path.isfile(marker) and os.path.isdir(_mirror_loc(store, table)):
         with open(marker) as f:
             synced = json.load(f).get("rows") == expected_before
