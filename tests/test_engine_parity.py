@@ -120,3 +120,32 @@ def test_quality_scores_hash_green_on_adversarial_text(spark, adversarial_sf):
     duck_pdf = con.sql(sql).df()
     problems = compare("text_quality_scores[adversarial]", spark_pdf, duck_pdf)
     assert not problems, problems
+
+
+def test_dual_side_leg_digests_artifact(spark):
+    """The r15 digest artifact (VERDICT r14 next #1c): building a leg
+    entry appends one jsonl record carrying BOTH sides — the Spark
+    frame's per-leg canonical digests and the registered oracle run
+    through the local DuckDB — and on healthy data the two sides are
+    byte-equal, so a future red round localizes to the side that
+    moved."""
+    import json
+    import os
+
+    import __spark_entry__ as entry
+    from tests.conftest import SF_SMOKE
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    path = os.path.join(wh, "_diag", "dedup_exact_digests.jsonl")
+    n0 = sum(1 for _ in open(path)) if os.path.exists(path) else 0
+    entry.queries()["dedup_exact"](spark, SF_SMOKE).count()
+    with open(path) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == n0 + 1
+    rec = json.loads(lines[-1])
+    assert set(rec) >= {"ts", "spark", "duck"}
+    assert rec["spark"].keys() == rec["duck"].keys() == {"doc"}
+    assert rec["spark"]["doc"] == rec["duck"]["doc"]
+    assert rec["spark"]["doc"]["n"] > 0
