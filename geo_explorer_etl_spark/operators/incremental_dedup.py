@@ -865,6 +865,38 @@ def incremental_dedup_substrings(
     return cleaned
 
 
+#: (index table, hash column) for every mirrored index this module
+#: maintains — the sweep list mirrors_auto_compact walks.
+MIRRORED_INDEXES = (("DedupLineIndex", "line_hash"),
+                    ("DedupWindowIndex", "window_hash"))
+
+
+def mirrors_auto_compact(
+    store: TableStore, threshold: int | None = None
+) -> dict:
+    """Policy sweep over every index mirror of this store — the
+    explicit maintenance companion of ``TableStore.auto_compact`` for
+    the bucketed side (VERDICT r14 next #2): compact exactly the
+    mirrors whose accreted file sets exceed ``threshold`` (default
+    ``MIRROR_AUTO_COMPACT_FILESETS``). The per-batch persist path
+    already triggers this automatically; the sweep exists for ops
+    parity — a nightly maintenance job calls ``store.auto_compact()``
+    and this back to back. Healthy mirrors are a marker read each
+    (no Spark job). Returns ``{table: {"sets": n, "compacted":
+    bool}}`` for mirrors that exist."""
+    thr = MIRROR_AUTO_COMPACT_FILESETS if threshold is None else threshold
+    report: dict = {}
+    for table, col in MIRRORED_INDEXES:
+        sets = _mirror_filesets(store, table)
+        if not sets:
+            continue
+        hit = bool(thr) and sets > thr
+        if hit:
+            mirror_compact(store, table, col)
+        report[table] = {"sets": sets, "compacted": hit}
+    return report
+
+
 def mirror_compact(store: TableStore, table: str = None, col: str = "line_hash") -> int:
     """Rewrite an index table's bucketed mirror into one file set —
     every batch append adds a file per touched bucket (bucketed

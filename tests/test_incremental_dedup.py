@@ -1023,3 +1023,31 @@ def test_mirror_auto_compacts_on_fileset_threshold(spark, tmp_path, monkeypatch)
     assert rep["DedupLineIndex_probe"] == "bucketed_mirror"
     assert "Bucketed: true" in rep["_mirror_join_plan"]
     assert row["clean_text"] == "" and row["lines_removed"] == 1
+
+
+def test_mirrors_auto_compact_sweep(spark, tmp_path, monkeypatch):
+    """mirrors_auto_compact: the explicit maintenance sweep compacts
+    exactly the breaching mirrors (healthy ones are a marker read),
+    reporting per-table file sets."""
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    monkeypatch.setattr(ID, "MIRROR_AUTO_COMPACT_FILESETS", 0)  # accrete
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for i in range(3):
+        ID.incremental_dedup_lines(
+            store,
+            _docs(spark, [(i * 10 + 1,
+                           f"one unique line number {i} long enough for the index")]),
+        )
+    ID.incremental_dedup_substrings(
+        store,
+        _docs(spark, [(99, "ten tokens alpha beta gamma delta epsilon zeta eta theta")]),
+        window=8,
+    )
+    rep = ID.mirrors_auto_compact(store, threshold=2)
+    assert rep[ID.LINE_TABLE] == {"sets": 3, "compacted": True}
+    assert rep[ID.WINDOW_TABLE] == {"sets": 1, "compacted": False}
+    assert ID._mirror_filesets(store, ID.LINE_TABLE) == 1  # reset by compact
+    # both mirrors stay fresh and serve
+    assert ID.line_mirror_read(store) is not None
+    assert ID._mirror_read(store, ID.WINDOW_TABLE, "window_hash") is not None
