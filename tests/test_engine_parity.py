@@ -149,3 +149,68 @@ def test_dual_side_leg_digests_artifact(spark):
     assert rec["spark"].keys() == rec["duck"].keys() == {"doc"}
     assert rec["spark"]["doc"] == rec["duck"]["doc"]
     assert rec["spark"]["doc"]["n"] > 0
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf(spark, tmp_path_factory):
+    """A seeded RANDOMIZED corpus (deterministic — no flake): random
+    words over a small vocab (guaranteed collisions), random
+    whitespace drawn from every class the engines could disagree on
+    (space runs, tab, LF, CRLF, vertical tab, NBSP, thin space),
+    planted duplicate lines and token windows, empty/None/ws-only
+    docs. The driver's gate runs on regenerated data each round; the
+    hand-built adversarial corpus probes KNOWN edges — this samples
+    the space between them."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1509)
+    vocab = [f"w{i}" for i in range(40)] + ["the", "and", "of", "a"]
+    seps = [" ", "  ", "   ", "\t", "\n", "\r\n", "\x0b", " ", " "]
+
+    def doc():
+        n = rng.randint(0, 60)
+        out = []
+        for i in range(n):
+            out.append(rng.choice(vocab))
+            if i < n - 1:
+                out.append(rng.choice(seps))
+        return "".join(out)
+
+    rows = []
+    for i in range(70):
+        rows.append((i, doc()))
+    # planted cross-doc duplicates: exact, shared line, shared window
+    rows.append((100, rows[3][1]))
+    shared_line = "this exact shared line is long enough to dedup"
+    rows.append((101, f"{shared_line}\n{rows[5][1]}"))
+    rows.append((102, f"prefix text\n{shared_line}\ntail"))
+    run = " ".join(rng.choice(vocab) for _ in range(12))
+    rows.append((103, f"{run} unique tail one"))
+    rows.append((104, f"other head {run}"))
+    rows += [(110, ""), (111, None), (112, " \t "), (113, "\x0b")]
+    d = tmp_path_factory.mktemp("fuzz_sf")
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string"))
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("entry_name", sorted(_LEG_ENTRIES))
+def test_dedup_leg_entries_hash_green_on_fuzz_corpus(
+    spark, fuzz_sf, entry_name
+):
+    import __spark_entry__ as entry
+
+    fn = entry.queries()[entry_name]
+    sql = entry.oracle_sql()[entry_name]
+    spark_pdf = fn(spark, fuzz_sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fuzz_sf}/documents.parquet/*.parquet')"
+    )
+    duck_pdf = con.sql(sql).df()
+    problems = compare(f"{entry_name}[fuzz]", spark_pdf, duck_pdf)
+    assert not problems, problems
