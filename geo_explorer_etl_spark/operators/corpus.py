@@ -304,7 +304,23 @@ def split_corpus_threshold_sql(
 ) -> str:
     """The ANSI-SQL twin of ``split_corpus``'s assignment expression
     (oracle construction): a CASE over the same md5-derived cell and
-    the same largest-remainder thresholds."""
+    the same largest-remainder thresholds. Split names and the id
+    column interpolate into SQL text, so both validate against a
+    word regex first (ADVICE r15: a name carrying a quote would
+    produce broken — or injectable — oracle SQL)."""
+    import re
+
+    for nm in list(weights):
+        if not re.fullmatch(r"\w+", str(nm)):
+            raise ValueError(
+                f"split_corpus_threshold_sql: split name {nm!r} is not a "
+                "bare word — names interpolate into SQL text"
+            )
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", id_col):
+        raise ValueError(
+            f"split_corpus_threshold_sql: id_col {id_col!r} is not a bare "
+            "identifier"
+        )
     cells = mixture_budgets(SPLIT_CELLS, weights)
     hsql = (
         f"CAST(('0x' || substr(md5(CONCAT('{seed}:', "

@@ -833,6 +833,12 @@ def dedup_substrings(
     flatten+distinct, survivors via array_except (hash-set
     semantics, O(tokens)), rebuild via element_at. No window
     functions over the fingerprint key, no driver-side collection.
+
+    NOTE (ADVICE r15): with ``normalize=False`` this call is EAGER —
+    the loser frame materializes (localCheckpoint + count) at
+    plan-construction time, so constructing the result costs the full
+    fingerprint job even if the returned frame is never acted on.
+    ``normalize=True`` stays fully lazy (pure column ops end to end).
     """
     if window < 2:
         raise ValueError(f"dedup_substrings: window {window} < 2")

@@ -1170,10 +1170,14 @@ def _refresh_locked(
         if new:
             cl = ent_after.get("clamps") or {}
             rw = ent_after.get("hist_rows") or {}
-            report["rebuild_recommended"] = {
+            # MERGE, never assign (ADVICE r15): the pending-recovery
+            # window and the main window each call this once — an
+            # output latched during recovery must survive a different
+            # output latching in the main window of the same refresh
+            report.setdefault("rebuild_recommended", {}).update({
                 o: round(cl.get(o, 0) / max(1, rw.get(o, 0)), 4)
                 for o in sorted(new)
-            }
+            })
             alert0.update(new)
 
     # recovery: a recorded pending window completes FIRST, exactly as

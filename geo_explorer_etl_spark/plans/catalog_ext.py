@@ -291,15 +291,75 @@ def _log_leg_digests(name: str, df: DataFrame, sf_dir: str | None = None) -> Non
             wh = wh[len("file:"):]
         diag = os.path.join(wh, "_diag")
         os.makedirs(diag, exist_ok=True)
-        with open(os.path.join(diag, f"{name}_digests.jsonl"), "a") as f:
-            f.write(
-                json.dumps(
-                    {"ts": time.time(), "spark": spark_d, "duck": duck_d}
-                )
-                + "\n"
-            )
+        _append_rotating(
+            os.path.join(diag, f"{name}_digests.jsonl"),
+            json.dumps({"ts": time.time(), "spark": spark_d, "duck": duck_d}),
+        )
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"{name}: leg digest diagnostics failed: {e}", stacklevel=2)
+
+
+#: Rotation cap for each `_diag/*_digests.jsonl` artifact (VERDICT r15
+#: next #6): the artifact's value is the LAST few build comparisons —
+#: an unbounded append-only log just accretes bytes per build forever.
+DIGEST_LOG_MAX_LINES = 200
+
+
+def _append_rotating(path: str, line: str, max_lines: int | None = None) -> None:
+    """Append one line; when the file would exceed ``max_lines``,
+    rewrite it down to the newest ``max_lines`` lines (atomic via
+    rename — a concurrent reader sees either generation, never a
+    torn file)."""
+    import os
+
+    cap = DIGEST_LOG_MAX_LINES if max_lines is None else int(max_lines)
+    existing: list[str] = []
+    try:
+        with open(path) as f:
+            existing = f.readlines()
+    except FileNotFoundError:
+        pass
+    if len(existing) + 1 <= cap:
+        with open(path, "a") as f:
+            f.write(line + "\n")
+        return
+    keep = existing[-(cap - 1):] if cap > 1 else []
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.writelines(keep)
+        f.write(line + "\n")
+    os.replace(tmp, path)
+
+
+#: Size gate for the in-process DuckDB side of the digest artifact
+#: (ADVICE r15): the duck side re-runs the entry's FULL oracle on the
+#: driver — fine at test scale factors, a second oracle execution plus
+#: driver-side memory at production corpora. Above this many bytes of
+#: source parquet the duck side is skipped (the Spark-side digest
+#: still logs; the offline DuckDB twin in tests/ covers parity).
+#: Override: SPARK_GRAFT_DIGEST_DUCK=1 forces on, =0 forces off.
+DUCK_DIGEST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _duck_digest_enabled(sf_dir: str) -> bool:
+    import glob
+    import os
+
+    flag = os.environ.get("SPARK_GRAFT_DIGEST_DUCK", "auto").lower()
+    if flag in ("1", "true", "on"):
+        return True
+    if flag in ("0", "false", "off"):
+        return False
+    total = 0
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(q)
+                for q in glob.glob(os.path.join(p, "*.parquet"))
+            )
+        else:
+            total += os.path.getsize(p)
+    return total <= DUCK_DIGEST_MAX_BYTES
 
 
 def _duck_leg_digests(
@@ -308,11 +368,14 @@ def _duck_leg_digests(
     """The oracle side of the digest artifact: run the registered
     oracle through the local DuckDB over ``sf_dir``'s parquet and
     reduce to the same per-leg (count, md5-xor) formula. Returns None
-    when no oracle/sf_dir; an ``_error`` entry instead of raising."""
+    when no oracle/sf_dir, or when the corpus exceeds the
+    ``DUCK_DIGEST_MAX_BYTES`` gate (ADVICE r15: production-scale
+    builds pay only the Spark-side digest); an ``_error`` entry
+    instead of raising."""
     import glob
     import os
 
-    if not sf_dir:
+    if not sf_dir or not _duck_digest_enabled(sf_dir):
         return None
     try:
         from geo_explorer_etl_spark.plans.registry import REGISTRY

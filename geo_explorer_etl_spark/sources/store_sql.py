@@ -103,19 +103,31 @@ SUBQUERY_IN_CAP = 100_000
 def _scan_balanced(text: str, stmt: str) -> tuple[str, str]:
     """Split ``text`` (starting just inside an opening paren) at its
     matching close paren, respecting '...' string literals (with ''
-    escapes). Returns (inner, after)."""
+    escapes), "..." quoted identifiers, \\`...\\` quoted identifiers
+    and ``--`` line comments (ADVICE r15: a paren inside a comment or
+    a quoted identifier must not unbalance the scan). Returns
+    (inner, after)."""
     depth, i, n = 1, 0, len(text)
-    in_str = False
     while i < n:
         ch = text[i]
-        if in_str:
-            if ch == "'":
-                if i + 1 < n and text[i + 1] == "'":
-                    i += 2
-                    continue
-                in_str = False
-        elif ch == "'":
-            in_str = True
+        if ch == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch in ('"', "`"):
+            close = ch
+            i += 1
+            while i < n and text[i] != close:
+                i += 1
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
         elif ch == "(":
             depth += 1
         elif ch == ")":

@@ -151,6 +151,40 @@ def test_dual_side_leg_digests_artifact(spark):
     assert rec["spark"]["doc"]["n"] > 0
 
 
+def test_digest_artifact_rotates_at_cap(tmp_path):
+    """VERDICT r15 next #6: the _diag jsonl artifacts are capped —
+    appending beyond DIGEST_LOG_MAX_LINES keeps only the newest
+    lines, atomically, instead of accreting bytes per build forever."""
+    from geo_explorer_etl_spark.plans.catalog_ext import _append_rotating
+
+    p = str(tmp_path / "x_digests.jsonl")
+    for i in range(7):
+        _append_rotating(p, f"line{i}", max_lines=5)
+    lines = open(p).read().splitlines()
+    assert lines == [f"line{i}" for i in range(2, 7)]
+    _append_rotating(p, "line7", max_lines=5)
+    assert open(p).read().splitlines() == [f"line{i}" for i in range(3, 8)]
+
+
+def test_duck_digest_side_gated_by_size_and_env(tmp_path, monkeypatch):
+    """ADVICE r15: the in-process DuckDB oracle re-run is gated — a
+    corpus above DUCK_DIGEST_MAX_BYTES skips the duck side (Spark
+    digest still logs), and SPARK_GRAFT_DIGEST_DUCK forces either
+    way."""
+    from geo_explorer_etl_spark.plans import catalog_ext as CE
+    from tests.conftest import SF_SMOKE
+
+    assert CE._duck_digest_enabled(SF_SMOKE)  # test SFs are tiny
+    monkeypatch.setattr(CE, "DUCK_DIGEST_MAX_BYTES", 10)
+    assert not CE._duck_digest_enabled(SF_SMOKE)
+    assert CE._duck_leg_digests("dedup_exact", [], False, SF_SMOKE) is None
+    monkeypatch.setenv("SPARK_GRAFT_DIGEST_DUCK", "1")
+    assert CE._duck_digest_enabled(SF_SMOKE)
+    monkeypatch.setenv("SPARK_GRAFT_DIGEST_DUCK", "0")
+    monkeypatch.setattr(CE, "DUCK_DIGEST_MAX_BYTES", 1 << 30)
+    assert not CE._duck_digest_enabled(SF_SMOKE)
+
+
 @pytest.fixture(scope="module")
 def fuzz_sf(spark, tmp_path_factory):
     """A seeded RANDOMIZED corpus (deterministic — no flake): random

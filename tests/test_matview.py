@@ -1635,3 +1635,39 @@ def test_clamp_alert_recommends_rebuild_once_and_rebuild_heals(
     store.append(BASE, _rows_df(spark, [(300, "a", 50)]))
     rep3 = MV.refresh_matview(store, "pal")
     assert "rebuild_recommended" not in rep3
+
+
+def test_clamp_recommendations_merge_across_recovery_and_main_window(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15: one refresh can latch DIFFERENT outputs in its
+    pending-recovery window and its main window — the report must
+    carry BOTH (the old assign dropped the recovery window's
+    recommendation when the main window latched)."""
+    monkeypatch.setattr(MV, "CLAMP_ALERT_MIN_ROWS", 1)
+    base = "MvBase2"
+    sch = "id LONG, grp STRING, v LONG, w LONG"
+
+    def rows(rs):
+        return spark.createDataFrame(rs, sch).withColumn(
+            PARTITION_COL, F.lit(1).cast("long")
+        )
+
+    store = _store(spark, tmp_path)
+    store.append(base, rows([(i, "a", 10 + i, 10 + i) for i in range(10)]))
+    store.adopt_manifests(base)
+    MV.create_matview(
+        store, "mv2", base, ["grp"],
+        {"m1": ("p50", "v"), "m2": ("p50", "w")}, n_partitions=2,
+    )
+    # window 1 drifts ONLY v; claim the window then crash before apply
+    store.append(base, rows([(100 + i, "a", 100000 + i, 12) for i in range(4)]))
+    ent = MV.list_matviews(store)["mv2"]
+    hw1 = MV._last_commit(store, base)
+    MV._claim_pending(store, "mv2", float(ent["hw"]), float(hw1))
+    # window 2 drifts ONLY w; ONE refresh now runs recovery (latches
+    # m1) and the main window (latches m2)
+    store.append(base, rows([(200 + i, "a", 12, 200000 + i) for i in range(4)]))
+    rep = MV.refresh_matview(store, "mv2")
+    assert set(rep["rebuild_recommended"]) == {"m1", "m2"}
+    assert sorted(MV._registry(store)["mv2"]["clamp_alert"]) == ["m1", "m2"]

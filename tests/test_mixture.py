@@ -220,3 +220,23 @@ def test_split_corpus_deterministic_and_exact(spark):
         split_corpus(docs, {"train": 0.5})
     with pytest.raises(ValueError, match="zero of"):
         split_corpus(docs, {"train": 0.99999, "val": 0.00001})
+
+
+def test_split_threshold_sql_validates_interpolated_names():
+    """ADVICE r15: split names and id_col interpolate into the oracle
+    CASE text — non-word names refuse loudly instead of emitting
+    broken (or injectable) SQL."""
+    import pytest
+
+    from geo_explorer_etl_spark.operators.corpus import (
+        split_corpus_threshold_sql,
+    )
+
+    ok = split_corpus_threshold_sql({"train": 0.9, "val": 0.1})
+    assert "WHEN" in ok and "'train'" in ok
+    with pytest.raises(ValueError, match="not a bare word"):
+        split_corpus_threshold_sql({"tr'ain": 0.9, "val": 0.1})
+    with pytest.raises(ValueError, match="not a bare identifier"):
+        split_corpus_threshold_sql(
+            {"train": 0.9, "val": 0.1}, id_col="doc_id; DROP"
+        )

@@ -331,3 +331,30 @@ def test_in_subquery_predicates_route(spark, tmp_path, monkeypatch):
             "(SELECT k FROM IndicatorValues)"
         )
     assert _rows(a) == before  # refusals touched nothing
+
+
+def test_in_subquery_scan_skips_comments_and_quoted_identifiers(
+    spark, tmp_path
+):
+    """ADVICE r15: a close-paren inside a ``--`` comment, a backtick
+    identifier or a double-quoted literal must not mis-split the
+    IN (SELECT ...) scan."""
+    a = _store(spark, tmp_path / "a")
+    n = a.sql(
+        "DELETE FROM IndicatorValues WHERE k IN "
+        "(SELECT k -- weird ) comment\n"
+        "FROM IndicatorValues WHERE amount >= 16.0)"
+    )
+    assert n == 4
+    n2 = a.sql(
+        "DELETE FROM IndicatorValues WHERE k IN "
+        "(SELECT k AS `odd)name` FROM IndicatorValues WHERE k < 2)"
+    )
+    assert n2 == 2
+    # Spark treats "..." as a string literal by default — the scanner
+    # must skip its paren either way
+    n3 = a.sql(
+        "DELETE FROM IndicatorValues WHERE k IN "
+        '(SELECT k FROM IndicatorValues WHERE status != "x)y" AND k < 4)'
+    )
+    assert n3 == 2
