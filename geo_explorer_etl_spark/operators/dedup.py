@@ -37,6 +37,12 @@ from geo_explorer_etl_spark.operators.text import WS_RE
 # overflows ANSI-mode 64-bit arithmetic in Spark or DuckDB.
 MERSENNE_P = (1 << 31) - 1
 
+#: Byte cap for broadcasting the byte-exact splice's loser frame
+#: (VERDICT r15 next #2): ~64 MB of estimated (row + window-start)
+#: payload — past it the routing joins shuffle instead (identical
+#: output, no driver-side materialization of an unbounded frame).
+SPLICE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
 
 def minhash_coefficients(
     num_hashes: int, seed: int = 42
@@ -969,7 +975,11 @@ def _splice_windows(base, losers, id_col: str, window: int,
     # the full fingerprint explosion (measured 2× the entry's bench
     # time at sf0.01).
     losers = losers.localCheckpoint(eager=True)
-    n_losers = losers.count()  # checkpointed: a metadata-cheap job
+    agg = losers.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("windows_removed"), F.lit(0)).alias("w"),
+    ).collect()[0]
+    n_losers, total_windows = agg["n"], int(agg["w"])
     if not n_losers:
         # nothing to splice anywhere: ONE passthrough scan, no joins,
         # no Python — the common no-duplicated-windows case
@@ -980,7 +990,15 @@ def _splice_windows(base, losers, id_col: str, window: int,
             F.lit(0).cast("long").alias("tokens_removed"),
             F.lit(0).cast("long").alias("chars_removed"),
         )
-    if n_losers <= 1_000_000:
+    # broadcast by PAYLOAD, not row count (VERDICT r15 next #2): the
+    # frame's weight is the _starts arrays — pathological long-doc
+    # losers can carry millions of window starts in few rows, and a
+    # row-count gate would happily broadcast gigabytes. Estimate from
+    # the checkpointed frame's own aggregates (windows_removed ==
+    # len(_starts) by construction) and fall back to the plain
+    # shuffled joins beyond the cap — same result, no driver OOM.
+    est_bytes = n_losers * 64 + total_windows * 16
+    if est_bytes <= SPLICE_BROADCAST_MAX_BYTES:
         # the loser set is splice-plan small (one row per doc WITH
         # removals): broadcast it so neither routing join shuffles the
         # corpus — the corpus side stays two sequential scans

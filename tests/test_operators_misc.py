@@ -946,6 +946,38 @@ def test_dedup_substrings_byte_exact_preserves_formatting(spark):
     assert got[2]["tokens_removed"] == 10
 
 
+def test_dedup_substrings_splice_shuffle_fallback_identical(
+    spark, monkeypatch
+):
+    """VERDICT r15 next #2: the loser broadcast gates on estimated
+    PAYLOAD (row + window-start bytes), not row count — pathological
+    long-doc losers (few rows, huge _starts arrays) must take the
+    shuffled-join fallback, and the fallback's output is byte-equal
+    to the broadcast path's."""
+    from geo_explorer_etl_spark.operators import dedup as DD
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # ONE loser row whose doc repeats the run many times: the row
+    # count (1) says broadcast, the window payload says otherwise
+    rows = [
+        (1, f"{run} original winner"),
+        (2, " filler ".join([run] * 120)),
+        (3, "clean untouched document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    base = {
+        r["doc_id"]: tuple(r)
+        for r in DD.dedup_substrings(df, window=10).collect()
+    }
+    assert base[2][2] > 0  # windows_removed: doc 2 is the loser
+    monkeypatch.setattr(DD, "SPLICE_BROADCAST_MAX_BYTES", 1)
+    forced = {
+        r["doc_id"]: tuple(r)
+        for r in DD.dedup_substrings(df, window=10).collect()
+    }
+    assert forced == base
+
+
 def test_dedup_substrings_within_doc_repeat_and_min_count(spark):
     """A run repeated ONLY inside one doc still dedups (the paper's
     keep-one-copy rule); min_count=3 leaves a twice-occurring run
