@@ -501,6 +501,9 @@ def ingest_corpus_batch(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    near_dup_mode: str = "minhash",
+    simhash_bits: int = 96,
+    max_hamming: int = 3,
     token_budget: int | None = None,
     budget_bucket_width: int = 100_000,
     corpus_table: str = "Corpus",
@@ -521,7 +524,11 @@ def ingest_corpus_batch(
 
     1. GATES — the shared ``_apply_gates`` stage (one batch scan);
     2. DEDUP DECISION — ``dedup_decide`` against the persisted indexes
-       (new-vs-corpus AND new-vs-new), WITHOUT persisting yet; with
+       (new-vs-corpus AND new-vs-new), WITHOUT persisting yet;
+       ``near_dup_mode`` picks the fuzzy leg (VERDICT r15 next #1c):
+       ``"minhash"`` (shingle-Jaccard banding) or ``"simhash"``
+       (``simhash_bits``-bit banded signatures with exact recall at
+       Hamming ≤ ``max_hamming``) — one mode per store, enforced; with
        ``line_dedup=True`` the survivors are additionally LINE-scrubbed
        against the persisted line index (``line_dedup_decide`` — the
        Dolma paragraph dedupe), docs scrubbed empty drop, and the
@@ -574,7 +581,9 @@ def ingest_corpus_batch(
         eval_df=eval_df, decon_ngram=decon_ngram,
     )
     kept, surv_hashes, bands_new, rep = dedup_decide(
-        store, gated, text_col, id_col, shingle_n, num_hashes, bands, rep
+        store, gated, text_col, id_col, shingle_n, num_hashes, bands, rep,
+        near_dup=near_dup_mode, simhash_bits=simhash_bits,
+        max_hamming=max_hamming,
     )
     line_rows = None
     window_rows = None
@@ -696,7 +705,17 @@ def ingest_corpus_batch(
         )
 
         substring_dedup_persist(store, window_rows)
-    dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        BAND_TABLE,
+        SIMHASH_BAND_TABLE,
+    )
+
+    dedup_persist(
+        store, surv_hashes, bands_new, rep.get("kept_rows", 0),
+        band_table=(
+            BAND_TABLE if near_dup_mode == "minhash" else SIMHASH_BAND_TABLE
+        ),
+    )
     if ann_batch is not None:
         # opt-in vector upkeep (VERDICT r12 next #3 wiring): index the
         # ACCEPTED docs' embeddings against the frozen centroids, then

@@ -488,13 +488,148 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return df.select(F.col(id_col), F.expr(expr).alias(f"simhash{bits}"))
 
 
+#: One md5-derived signature word is 60 bits (15 hex chars); two
+#: independent words (hex chars 1–15 and 17–31 of the same digest)
+#: give the 64–128-bit signatures web-scale SimHash dedup runs
+#: (VERDICT r15 next #1b) while keeping the engine-reproducibility
+#: contract: any engine with md5 rebuilds both words bit for bit.
+SIMHASH_WORD_BITS = 60
+SIMHASH_MAX_BITS = 120
+
+#: Finite DEFAULT bucket cap for the banded self-join (VERDICT r15
+#: next #1a): on boilerplate-heavy corpora whole cohorts share a
+#: signature, and an uncapped band bucket of B docs emits B²/2 pairs.
+#: Mirrors MinHash's drop/salt semantics — out of the box the join is
+#: never quadratic; pass ``max_bucket_size=None`` to opt out.
+SIMHASH_DEFAULT_BUCKET_CAP = 256
+
+
+def simhash_wide(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 96
+) -> DataFrame:
+    """SimHash signature per document for ``bits`` ≤ 120, as TWO
+    md5-derived words ``(id, sh0, sh1)``: bit i < 60 comes from word
+    0 (md5 hex chars 1–15 of the token digest), bit i ≥ 60 from word
+    1 (chars 17–31) — so for bits ≤ 60 ``sh0`` equals ``simhash``'s
+    single-word signature exactly (pytest-pinned) and ``sh1`` is 0.
+
+    Scale shape (the ``minhash_signatures`` argument, measured there):
+    explode distinct tokens → one md5 per token → per-bit ±1 votes as
+    ``bits`` conditional SUM aggregates with map-side partial
+    aggregation — exploded rows ride whole-stage codegen, and only
+    one signature row per doc crosses the wire. Documents with no
+    token rows (NULL text) re-enter via a left join with an all-zero
+    signature, matching ``simhash`` and the DuckDB oracle."""
+    if not (1 <= bits <= SIMHASH_MAX_BITS):
+        raise ValueError(
+            f"simhash_wide: bits={bits} must be in [1, {SIMHASH_MAX_BITS}]"
+        )
+    from geo_explorer_etl_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), WS_RE))
+        ).alias("_t"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_w0"),
+        F.conv(F.substring(F.md5(F.col("_t")), 17, 15), 16, 10)
+        .cast("long")
+        .alias("_w1"),
+    )
+
+    def vote(bit: int) -> Column:
+        w = F.col("_w0") if bit < SIMHASH_WORD_BITS else F.col("_w1")
+        off = bit % SIMHASH_WORD_BITS
+        return F.sum(
+            F.when(
+                F.shiftright(w, off).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{bit}")
+
+    voted = ex.groupBy(id_col).agg(*[vote(b) for b in range(bits)])
+
+    def word(lo: int, hi: int) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(lo, hi):
+            out = out + F.when(
+                F.col(f"_v{b}") > 0, F.lit(1 << (b - lo)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    sigs = voted.select(
+        F.col(id_col),
+        word(0, min(bits, SIMHASH_WORD_BITS)).alias("sh0"),
+        (
+            word(SIMHASH_WORD_BITS, bits)
+            if bits > SIMHASH_WORD_BITS
+            else F.lit(0).cast("long")
+        ).alias("sh1"),
+    )
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("sh0"), F.lit(0).cast("long")).alias("sh0"),
+            F.coalesce(F.col("sh1"), F.lit(0).cast("long")).alias("sh1"),
+        )
+    )
+
+
+def simhash_band_specs(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """THE banding rule for SimHash pairs, shared by the Spark
+    operator, the incremental index and the DuckDB oracle builders:
+    ``max_hamming + 1`` contiguous bands over the ``bits``-bit space,
+    band b covering [b*width, (b+1)*width) with the last band taking
+    the remainder. Returns [(band_id, lo, hi), ...]."""
+    bands = max_hamming + 1
+    width = bits // bands
+    return [
+        (b, b * width, (b + 1) * width if b < bands - 1 else bits)
+        for b in range(bands)
+    ]
+
+
+def simhash_band_val(lo: int, hi: int, sh0: Column, sh1: Column) -> Column:
+    """Band value = bits [lo, hi) of the two-word signature, as a
+    Column. Three cases: fully in word 0, fully in word 1, or
+    straddling the 60-bit boundary (low part = sh0's top bits — no
+    mask needed, sh0 < 2^60 — plus word-1 bits shifted above them)."""
+    W = SIMHASH_WORD_BITS
+    if hi <= W:
+        return F.shiftright(sh0, lo) % F.lit(1 << (hi - lo))
+    if lo >= W:
+        return F.shiftright(sh1, lo - W) % F.lit(1 << (hi - lo))
+    return F.shiftright(sh0, lo) + (sh1 % F.lit(1 << (hi - W))) * F.lit(
+        1 << (W - lo)
+    )
+
+
+def simhash_band_val_sql(lo: int, hi: int, sh0: str = "sh0", sh1: str = "sh1") -> str:
+    """The ANSI-SQL twin of ``simhash_band_val`` — identical
+    arithmetic, so a DuckDB oracle rebuilds the exact band keys."""
+    W = SIMHASH_WORD_BITS
+    if hi <= W:
+        return f"({sh0} >> {lo}) % {1 << (hi - lo)}"
+    if lo >= W:
+        return f"({sh1} >> {lo - W}) % {1 << (hi - lo)}"
+    return f"(({sh0} >> {lo}) + (({sh1} % {1 << (hi - W)}) * {1 << (W - lo)}))"
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    bits: int = 48,
+    bits: int = 96,
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = SIMHASH_DEFAULT_BUCKET_CAP,
+    overflow: str = "drop",
+    report: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate PAIRS from SimHash signatures — the
     multi-probe banding Manku et al. (WWW'07) run at web scale: the
@@ -507,67 +642,95 @@ def simhash_pairs(
     signature (no recall loss below the threshold — unlike MinHash
     banding, whose recall is probabilistic).
 
-    Scale shape: one row-local signature pass (``simhash``), one hash
-    shuffle on the high-cardinality band value, a row-local verify.
-    ``bits`` defaults to 48 (bands of 12 bits — 4096 values each) —
-    16-bit signatures band into 4-bit chunks whose 16 distinct values
-    collide everything at corpus size. ``max_bucket_size`` bounds the
-    pathological bucket (templated/empty docs all but share a
-    signature): over-full buckets DROP before the self-join — at
-    corpus scale those are boilerplate, and byte-identical copies are
-    already caught by ``exact_dedup_groups`` upstream. bits ≤ 60 (one
-    md5-derived word — the engine-reproducibility contract)."""
-    if bits > 60 or bits < (max_hamming + 1):
+    Scale shape: one row-local signature pass (``simhash_wide`` — two
+    md5 words give up to 120 signature bits, VERDICT r15 next #1b),
+    one hash shuffle on the high-cardinality band value, a row-local
+    two-word ``bit_count(xor)`` verify. ``bits`` defaults to 96
+    (bands of 24 bits at the default threshold — 16M values each, so
+    band collisions at corpus size are overwhelmingly REAL near-dups).
+
+    ``max_bucket_size`` bounds the pathological bucket (templated/
+    empty docs all but share a signature; a bucket of B docs emits
+    B²/2 pairs) and now defaults FINITE (VERDICT r15 next #1a), with
+    MinHash's two overflow behaviors:
+
+    - ``overflow="drop"`` (default): over-full buckets drop before
+      the self-join — at corpus scale they are boilerplate, and
+      byte-identical copies are already caught by
+      ``exact_dedup_groups`` upstream;
+    - ``overflow="salt"``: shard each over-full bucket into ⌈B/cap⌉
+      xxhash-shards and self-join within shards — a bounded-recall
+      floor (~1/shards of the bucket's pairs) at the same per-task
+      bound.
+
+    ``report`` (optional dict) receives ``overfull_buckets`` /
+    ``overfull_rows`` / ``overflow`` — the drops are counted, never
+    silent (costs one small extra aggregation job)."""
+    if bits > SIMHASH_MAX_BITS or bits < (max_hamming + 1):
         raise ValueError(
-            f"simhash_pairs: bits={bits} must be in [max_hamming+1, 60]"
+            f"simhash_pairs: bits={bits} must be in "
+            f"[max_hamming+1, {SIMHASH_MAX_BITS}]"
         )
-    bands = max_hamming + 1
-    sig = simhash(df, text_col, id_col, bits=bits).withColumnRenamed(
-        f"simhash{bits}", "_sh"
-    )
-    width = bits // bands  # band b covers [b*width, ...); last takes the rest
+    if overflow not in ("drop", "salt"):
+        raise ValueError(f"simhash_pairs: unknown overflow {overflow!r}")
+    sig = simhash_wide(df, text_col, id_col, bits=bits)
     banded = sig.select(
         id_col,
-        "_sh",
+        "sh0",
+        "sh1",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    (
-                        F.shiftright(F.col("_sh"), b * width)
-                        % F.lit(
-                            1 << (width if b < bands - 1 else bits - b * width)
-                        )
-                    ).alias("band_val"),
+                    simhash_band_val(lo, hi, F.col("sh0"), F.col("sh1")).alias(
+                        "band_val"
+                    ),
                 )
-                for b in range(bands)
+                for b, lo, hi in simhash_band_specs(bits, max_hamming)
             ])
         ).alias("_b"),
-    ).select(id_col, "_sh", "_b.band_id", "_b.band_val")
+    ).select(id_col, "sh0", "sh1", "_b.band_id", "_b.band_val")
+    join_keys = ["band_id", "band_val"]
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band_id", "band_val")
-        banded = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
+        banded = banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        if report is not None:
+            over = banded.filter(F.col("_n") > max_bucket_size).agg(
+                F.count_distinct("band_id", "band_val").alias("b"),
+                F.count(F.lit(1)).alias("r"),
+            ).collect()[0]
+            report["overfull_buckets"] = over["b"]
+            report["overfull_rows"] = over["r"]
+            report["overflow"] = overflow
+        if overflow == "salt":
+            shards = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
+            banded = banded.withColumn(
+                "_shard",
+                F.when(F.col("_n") <= max_bucket_size, F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col)), shards).cast("int")
+                ),
+            ).drop("_n")
+            join_keys = join_keys + ["_shard"]
+        else:
+            banded = banded.filter(F.col("_n") <= max_bucket_size).drop("_n")
     a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"),
-        "band_id", "band_val",
+        F.col(id_col).alias("doc_a"), F.col("sh0").alias("_sa0"),
+        F.col("sh1").alias("_sa1"), *join_keys,
     )
     b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"),
-        "band_id", "band_val",
+        F.col(id_col).alias("doc_b"), F.col("sh0").alias("_sb0"),
+        F.col("sh1").alias("_sb1"), *join_keys,
     )
     return (
-        a.join(b, ["band_id", "band_val"])
+        a.join(b, join_keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b",
-            F.bit_count(
-                F.col("_sa").bitwiseXOR(F.col("_sb"))
+            (
+                F.bit_count(F.col("_sa0").bitwiseXOR(F.col("_sb0")))
+                + F.bit_count(F.col("_sa1").bitwiseXOR(F.col("_sb1")))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

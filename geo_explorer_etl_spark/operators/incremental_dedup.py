@@ -60,6 +60,13 @@ from geo_explorer_etl_spark.sources.store import PARTITION_COL, TableStore
 
 EXACT_TABLE = "DedupExactIndex"
 BAND_TABLE = "DedupBandIndex"
+#: The ALTERNATIVE near-dup index (VERDICT r15 next #1c): banded
+#: SimHash band values + the two signature words, so the probe join
+#: can verify Hamming distance row-locally against persisted docs.
+#: One near-dup mode per store — the decide phase refuses a store
+#: already carrying the other mode's index (recall would silently
+#: halve if the two indexes coexisted half-populated).
+SIMHASH_BAND_TABLE = "DedupSimhashBandIndex"
 #: Driver-side bound on probe value lists (the same role as
 #: TableStore.MERGE_KEYSET_CAP): a batch whose hash/band-key set
 #: exceeds it probes with a FULL index scan instead — correct, logged
@@ -121,6 +128,34 @@ def _band_rows(
     return DD.band_keys(sig, id_col, num_hashes, bands)
 
 
+def _simhash_band_rows(
+    df: DataFrame, text_col: str, id_col: str, bits: int, max_hamming: int
+) -> DataFrame:
+    """(doc id, band_id, band_hash, sh0, sh1) rows through the SAME
+    ``dedup.simhash_band_specs`` banding the batch operator uses
+    (VERDICT r15 next #1c) — band_hash is the band value as a string
+    (the probe/cluster column, same role as the MinHash band_hash),
+    and the two signature words ride along so the candidate join
+    verifies Hamming distance row-locally against persisted docs."""
+    sig = DD.simhash_wide(df, text_col, id_col, bits=bits)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    DD.simhash_band_val(lo, hi, F.col("sh0"), F.col("sh1"))
+                    .cast("string")
+                    .alias("band_hash"),
+                )
+                for b, lo, hi in DD.simhash_band_specs(bits, max_hamming)
+            ])
+        ).alias("_b"),
+        "sh0",
+        "sh1",
+    ).select(id_col, "_b.band_id", "_b.band_hash", "sh0", "sh1")
+
+
 def _append_clustered(
     store: TableStore, table: str, df: DataFrame, cluster_col: str, n_files: int
 ) -> None:
@@ -169,10 +204,19 @@ def incremental_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     report: dict | None = None,
+    near_dup: str = "minhash",
+    simhash_bits: int = 96,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Dedup ``batch`` against everything previously ingested through
     this function (and within itself), persist the survivors' index
     rows, and return the kept batch rows (all original columns).
+
+    ``near_dup`` selects the fuzzy leg: ``"minhash"`` (shingle
+    Jaccard, probabilistic banding recall) or ``"simhash"``
+    (``simhash_bits``-bit two-word signatures, EXACT recall at
+    Hamming ≤ ``max_hamming`` — VERDICT r15 next #1c). One mode per
+    store; switching modes on an existing index refuses loudly.
 
     The returned frame is MATERIALIZED (the index append already ran,
     and the decision must not re-evaluate against the post-append
@@ -188,9 +232,13 @@ def incremental_dedup(
     retry converges instead of losing the batch) call the two phases
     directly."""
     kept, surv_hashes, bands_new, rep = dedup_decide(
-        store, batch, text_col, id_col, n, num_hashes, bands, report
+        store, batch, text_col, id_col, n, num_hashes, bands, report,
+        near_dup=near_dup, simhash_bits=simhash_bits, max_hamming=max_hamming,
     )
-    dedup_persist(store, surv_hashes, bands_new, rep.get("kept_rows", 0))
+    dedup_persist(
+        store, surv_hashes, bands_new, rep.get("kept_rows", 0),
+        band_table=BAND_TABLE if near_dup == "minhash" else SIMHASH_BAND_TABLE,
+    )
     return kept
 
 
@@ -203,14 +251,31 @@ def dedup_decide(
     num_hashes: int = 16,
     bands: int = 4,
     report: dict | None = None,
+    near_dup: str = "minhash",
+    simhash_bits: int = 96,
+    max_hamming: int = 3,
 ):
     """The DECISION phase: returns ``(kept, surv_hashes, bands_new,
     report)`` without touching the persisted indexes — kept and the
     index frames are materialized (localCheckpoint), so they stay
-    stable however the caller orders its writes."""
+    stable however the caller orders its writes. ``near_dup``:
+    ``incremental_dedup``'s docstring (one mode per store)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if near_dup not in ("minhash", "simhash"):
+        raise ValueError(f"dedup_decide: unknown near_dup mode {near_dup!r}")
+    band_table = BAND_TABLE if near_dup == "minhash" else SIMHASH_BAND_TABLE
+    other_table = SIMHASH_BAND_TABLE if near_dup == "minhash" else BAND_TABLE
+    if store.exists(other_table):
+        raise ValueError(
+            f"dedup_decide: store already carries a "
+            f"{'SimHash' if near_dup == 'minhash' else 'MinHash'} band "
+            f"index ({other_table}) — one near-dup mode per store (a "
+            "mixed index would silently narrow recall); re-ingest into "
+            "a fresh store to switch modes"
+        )
     rep: dict = report if report is not None else {}
+    rep["near_dup_mode"] = near_dup
     hashed = batch.withColumn("_ch", _content_hash(text_col))
     # -- exact leg ---------------------------------------------------------
     batch_hashes = [
@@ -238,45 +303,92 @@ def dedup_decide(
     survivors = survivors.localCheckpoint(eager=True)
 
     # -- near-dup leg ------------------------------------------------------
-    bands_new = _band_rows(
-        survivors, text_col, id_col, n, num_hashes, bands
-    ).localCheckpoint(eager=True)
+    if near_dup == "simhash":
+        bands_new = _simhash_band_rows(
+            survivors, text_col, id_col, simhash_bits, max_hamming
+        ).localCheckpoint(eager=True)
+    else:
+        bands_new = _band_rows(
+            survivors, text_col, id_col, n, num_hashes, bands
+        ).localCheckpoint(eager=True)
     band_keys = [
         r[0]
         for r in bands_new.select("band_hash").distinct().limit(PROBE_CAP + 1).collect()
     ]
     old_bands = (
-        _pruned_index(store, BAND_TABLE, "band_hash", band_keys, rep)
-        if store.exists(BAND_TABLE)
+        _pruned_index(store, band_table, "band_hash", band_keys, rep)
+        if store.exists(band_table)
         else None
     )
-    new_a = bands_new.select(
-        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
-    )
-    new_b = bands_new.select(
-        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
-    )
-    edges = (
-        new_a.join(new_b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    if old_bands is not None:
-        corpus_edges = (
-            bands_new.join(
-                old_bands.select(
-                    F.col(id_col).alias("_old_id"), "band_id", "band_hash"
-                ),
-                ["band_id", "band_hash"],
+    if near_dup == "simhash":
+        # candidate = band agreement; EDGE = verified Hamming ≤ cap —
+        # the row-local two-word bit_count verify makes incremental
+        # recall EXACT w.r.t. the signature, same as the batch operator
+        def _ham(a0, a1, b0, b1):
+            return F.bit_count(F.col(a0).bitwiseXOR(F.col(b0))) + F.bit_count(
+                F.col(a1).bitwiseXOR(F.col(b1))
             )
-            # orient corpus edges old->new so the component label a new
-            # doc inherits is the OLD id (always smaller under the
-            # monotone-id contract) — any old contact dooms the new doc
-            .select(
-                F.col("_old_id").alias("doc_a"), F.col(id_col).alias("doc_b")
-            )
+
+        new_a = bands_new.select(
+            F.col(id_col).alias("doc_a"), "band_id", "band_hash",
+            F.col("sh0").alias("_a0"), F.col("sh1").alias("_a1"),
         )
-        edges = edges.unionByName(corpus_edges)
+        new_b = bands_new.select(
+            F.col(id_col).alias("doc_b"), "band_id", "band_hash",
+            F.col("sh0").alias("_b0"), F.col("sh1").alias("_b1"),
+        )
+        edges = (
+            new_a.join(new_b, ["band_id", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(_ham("_a0", "_a1", "_b0", "_b1") <= max_hamming)
+            .select("doc_a", "doc_b")
+        )
+        if old_bands is not None:
+            corpus_edges = (
+                bands_new.join(
+                    old_bands.select(
+                        F.col(id_col).alias("_old_id"), "band_id", "band_hash",
+                        F.col("sh0").alias("_b0"), F.col("sh1").alias("_b1"),
+                    ),
+                    ["band_id", "band_hash"],
+                )
+                .filter(_ham("sh0", "sh1", "_b0", "_b1") <= max_hamming)
+                .select(
+                    F.col("_old_id").alias("doc_a"),
+                    F.col(id_col).alias("doc_b"),
+                )
+            )
+            edges = edges.unionByName(corpus_edges)
+    else:
+        new_a = bands_new.select(
+            F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+        )
+        new_b = bands_new.select(
+            F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+        )
+        edges = (
+            new_a.join(new_b, ["band_id", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        if old_bands is not None:
+            corpus_edges = (
+                bands_new.join(
+                    old_bands.select(
+                        F.col(id_col).alias("_old_id"), "band_id", "band_hash"
+                    ),
+                    ["band_id", "band_hash"],
+                )
+                # orient corpus edges old->new so the component label a
+                # new doc inherits is the OLD id (always smaller under
+                # the monotone-id contract) — any old contact dooms the
+                # new doc
+                .select(
+                    F.col("_old_id").alias("doc_a"),
+                    F.col(id_col).alias("doc_b"),
+                )
+            )
+            edges = edges.unionByName(corpus_edges)
     edges = edges.distinct()
     # the delta subgraph: new docs + directly-touched old ids only —
     # bounded by the batch's band contacts, never the corpus
@@ -314,12 +426,15 @@ def dedup_persist(
     surv_hashes: DataFrame,
     bands_new: DataFrame,
     n_rows_hint: int = 0,
+    band_table: str = BAND_TABLE,
 ) -> None:
     """The PERSISTENCE phase: append the decision's index rows
-    (range-clustered, one atomic manifest extend per table)."""
+    (range-clustered, one atomic manifest extend per table).
+    ``band_table`` names the near-dup index the decision built
+    (MinHash or SimHash — the caller passes the mode's table)."""
     n_files = max(1, min(8, int(n_rows_hint) // 50_000 + 1))
     _append_clustered(store, EXACT_TABLE, surv_hashes, "content_hash", n_files)
-    _append_clustered(store, BAND_TABLE, bands_new, "band_hash", n_files)
+    _append_clustered(store, band_table, bands_new, "band_hash", n_files)
 
 
 # -- line-level incremental dedup (the Dolma production shape) --------------

@@ -693,6 +693,14 @@ def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The 96-bit pairs-leg banding CASE, generated from the SAME band
+# specs the Spark operator uses (one definition governs both engines)
+_SH96_BAND_CASE = " ".join(
+    f"WHEN {b} THEN {DD.simhash_band_val_sql(lo, hi)}"
+    for b, lo, hi in DD.simhash_band_specs(96, 3)
+)
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -704,32 +712,41 @@ def dedup_minhash_batch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
                           >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
         FROM toks, (SELECT unnest(range(0, 16)) AS bit) b),
-    -- 48-bit signatures for the PAIRS leg (docs < 100, the jaccard
-    -- subset): same md5 vote rule, wider word
-    bits48 AS (
+    -- 96-bit TWO-WORD signatures for the PAIRS leg (docs < 100, the
+    -- jaccard subset): same md5 vote rule; bit i < 60 from hex chars
+    -- 1-15 of the token digest, bit i >= 60 from chars 17-31 — the
+    -- r15 next #1b web-scale widening, rebuilt from first principles
+    bits96 AS (
         SELECT doc_id, b.bit,
-               CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
-                          >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
-        FROM toks, (SELECT unnest(range(0, 48)) AS bit) b
+               CASE WHEN (CASE WHEN b.bit < 60
+                          THEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) >> b.bit)
+                          ELSE (CAST(('0x' || substr(md5(tok), 17, 15)) AS BIGINT) >> (b.bit - 60))
+                          END) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM toks, (SELECT unnest(range(0, 96)) AS bit) b
         WHERE doc_id < 100),
-    sh48 AS (
-        SELECT d.doc_id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS sh
+    sh96 AS (
+        SELECT d.doc_id, CAST(COALESCE(s.sh0, 0) AS BIGINT) AS sh0,
+               CAST(COALESCE(s.sh1, 0) AS BIGINT) AS sh1
         FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
         LEFT JOIN (
             SELECT doc_id,
-                   SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh
-            FROM (SELECT doc_id, bit, SUM(v) AS sgn FROM bits48 GROUP BY doc_id, bit)
+                   SUM(CASE WHEN sgn > 0 AND bit < 60
+                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh0,
+                   SUM(CASE WHEN sgn > 0 AND bit >= 60
+                       THEN (CAST(1 AS BIGINT) << (bit - 60)) ELSE 0 END) AS sh1
+            FROM (SELECT doc_id, bit, SUM(v) AS sgn FROM bits96 GROUP BY doc_id, bit)
             GROUP BY doc_id) s ON s.doc_id = d.doc_id),
     sbands AS (
-        SELECT doc_id, sh, b.band_id, (sh >> (b.band_id * 12)) % 4096 AS band_val
-        FROM sh48, (SELECT unnest(range(0, 4)) AS band_id) b),
+        SELECT doc_id, sh0, sh1, b.band_id,
+               CASE b.band_id {_SH96_BAND_CASE} END AS band_val
+        FROM sh96, (SELECT unnest(range(0, 4)) AS band_id) b),
     spairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.sh, b.sh)) AS hamming
+               bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) AS hamming
         FROM sbands a JOIN sbands b
           ON a.band_id = b.band_id AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+        WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) <= 3)
     -- LEFT JOIN back to documents: a NULL-text doc has no token rows
     -- (unnest of NULL), but the engine still emits its row with an
     -- all-zero signature — without the join the oracle silently drops
@@ -766,16 +783,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-doc repeats drop, cross-doc duplicates survive — moved here
     from the `dedup_exact` fold so a divergence localizes to THIS leg,
     VERDICT r14 next #1) + the banded-SimHash near-dup PAIRS leg
-    ('pairs', ``dedup.simhash_pairs``: 48-bit signatures, pigeonhole
-    bands = max_hamming+1 so recall below the threshold is EXACT,
-    row-local bit_count verify — the Manku et al. web-dedup shape)."""
+    ('pairs', ``dedup.simhash_pairs``: since r16 96-BIT two-md5-word
+    signatures — VERDICT r15 next #1b — pigeonhole bands =
+    max_hamming+1 so recall below the threshold is EXACT, row-local
+    two-word bit_count verify — the Manku et al. web-dedup shape).
+    The cap is None HERE because the oracle is cap-free and the
+    doc_id<100 subset bounds every bucket at 100 anyway; production
+    callers get the finite default."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     host = DD.simhash(docs, text_col="text", id_col="doc_id", bits=16).select(
         F.lit("simhash").alias("leg"), "*"
     )
     pairs = DD.simhash_pairs(
         docs.filter(F.col("doc_id") < 100),
-        text_col="text", id_col="doc_id", bits=48, max_hamming=3,
+        text_col="text", id_col="doc_id", bits=96, max_hamming=3,
+        max_bucket_size=None,
     ).select(
         F.lit("pairs").alias("leg"), "doc_a", "doc_b",
         F.col("hamming").cast("long").alias("hamming"),

@@ -1051,3 +1051,113 @@ def test_mirrors_auto_compact_sweep(spark, tmp_path, monkeypatch):
     # both mirrors stay fresh and serve
     assert ID.line_mirror_read(store) is not None
     assert ID._mirror_read(store, ID.WINDOW_TABLE, "window_hash") is not None
+
+
+def test_incremental_dedup_simhash_mode(spark, tmp_path):
+    """The SimHash near-dup leg (VERDICT r15 next #1c): batches dedup
+    against the persisted DedupSimhashBandIndex with EXACT recall at
+    Hamming <= max_hamming, batch-then-batch equals the all-at-once
+    simhash pipeline on the union, and mixing near-dup modes on one
+    store refuses loudly."""
+    import pytest
+
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        SIMHASH_BAND_TABLE,
+        dedup_decide,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    far = " ".join(f"other{i}" for i in range(60))
+    third = " ".join(f"third{i}" for i in range(60))
+    b1 = [(1, base), (2, far)]
+    # 3 = case/whitespace variant of 1 (different md5, IDENTICAL token
+    # set -> hamming 0); 5 = case variant of 4 within the batch
+    b2 = [(3, base.upper() + "  "), (4, third), (5, third.upper())]
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rep1: dict = {}
+    kept1 = incremental_dedup(
+        store, _docs(spark, b1), near_dup="simhash", report=rep1
+    )
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 2]
+    assert rep1["near_dup_mode"] == "simhash"
+    assert store.exists(SIMHASH_BAND_TABLE)
+    idx = store.read(SIMHASH_BAND_TABLE)
+    assert set(idx.columns) >= {"doc_id", "band_id", "band_hash", "sh0", "sh1"}
+    rep2: dict = {}
+    kept2 = incremental_dedup(
+        store, _docs(spark, b2), near_dup="simhash", report=rep2
+    )
+    assert sorted(r.doc_id for r in kept2.collect()) == [4]
+    assert rep2[f"{SIMHASH_BAND_TABLE}_probe"] == "pruned"
+
+    # all-at-once equality over the union: exact dedup -> simhash
+    # pairs -> components -> min-id representative
+    union = _docs(spark, b1 + b2)
+    exact = DD.exact_dedup_groups(union, "text", "doc_id")
+    survivors = union.join(
+        exact.select(F.col("canonical_doc_id").alias("doc_id")).distinct(),
+        "doc_id", "left_semi",
+    )
+    pairs = DD.simhash_pairs(
+        survivors, "text", "doc_id", bits=96, max_hamming=3,
+        max_bucket_size=None,
+    )
+    comp = DD.connected_components(pairs, "doc_a", "doc_b")
+    labeled = survivors.join(comp, survivors.doc_id == comp.node, "left")
+    want = sorted(
+        r.doc_id
+        for r in labeled.filter(
+            F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+        ).select("doc_id").collect()
+    )
+    assert want == [1, 2, 4]
+
+    # mode mixing refuses in BOTH directions
+    with pytest.raises(ValueError, match="SimHash band"):
+        dedup_decide(store, _docs(spark, [(9, "x y z")]), near_dup="minhash")
+    store2 = TableStore(spark, str(tmp_path / "wh2"))
+    incremental_dedup(store2, _docs(spark, b1))  # minhash default
+    with pytest.raises(ValueError, match="MinHash band"):
+        dedup_decide(store2, _docs(spark, [(9, "x y z")]), near_dup="simhash")
+    with pytest.raises(ValueError, match="unknown near_dup"):
+        dedup_decide(store2, _docs(spark, [(9, "x")]), near_dup="phash")
+
+
+def test_ingest_corpus_batch_simhash_leg(spark, tmp_path):
+    """ingest_corpus_batch(near_dup_mode='simhash'): the one-call
+    pipeline rides the SimHash index — cross-batch case-variant
+    near-dups drop, the corpus equals the survivors, and the MinHash
+    band table never appears."""
+    from geo_explorer_etl_spark.operators.corpus import ingest_corpus_batch
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        SIMHASH_BAND_TABLE,
+    )
+
+    def docs(rows):
+        return _docs(spark, rows).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+
+    base = " ".join(f"alpha{i}" for i in range(40))
+    far = " ".join(f"beta{i}" for i in range(40))
+    store = TableStore(spark, str(tmp_path / "wh"))
+    kw = dict(
+        languages=("en", "fr", "de", "es"), min_tokens=1,
+        near_dup_mode="simhash",
+    )
+    rep1: dict = {}
+    ingest_corpus_batch(
+        store, docs([(1, base), (2, far)]), report=rep1, **kw
+    )
+    assert rep1["accepted_rows"] == 2 and rep1["near_dup_mode"] == "simhash"
+    rep2: dict = {}
+    ingest_corpus_batch(
+        store,
+        docs([(3, base.upper()), (4, "gamma delta epsilon zeta")]),
+        report=rep2,
+        **kw,
+    )
+    assert rep2["accepted_rows"] == 1  # 3 doomed via the simhash index
+    got = sorted(r.doc_id for r in store.read("Corpus").collect())
+    assert got == [1, 2, 4]
+    assert store.exists(SIMHASH_BAND_TABLE) and not store.exists(BAND_TABLE)

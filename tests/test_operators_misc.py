@@ -1063,5 +1063,148 @@ def test_simhash_pairs_banded_hamming(spark):
         simhash_pairs(clones, "text", "doc_id", bits=48, max_hamming=3,
                       max_bucket_size=2).count() == 0
     )
-    with pytest.raises(ValueError, match="bits=64"):
-        simhash_pairs(df, "text", "doc_id", bits=64)
+    with pytest.raises(ValueError, match="bits=128"):
+        simhash_pairs(df, "text", "doc_id", bits=128)
+    with pytest.raises(ValueError, match="overflow"):
+        simhash_pairs(df, "text", "doc_id", overflow="explode")
+
+
+def test_simhash_wide_matches_simhash_and_widens(spark):
+    """simhash_wide (VERDICT r15 next #1b): for bits ≤ 60 the
+    explode-aggregate shape reproduces ``simhash``'s single-word
+    signature EXACTLY (sh1 = 0); for bits > 60 the second md5 word
+    populates, NULL text stays all-zero, and the shared band-spec
+    helpers cover the full bit space with the straddling band split
+    across both words."""
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.operators.dedup import (
+        simhash,
+        simhash_band_specs,
+        simhash_band_val,
+        simhash_wide,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "the   quick\tbrown\nfox"),
+        (3, ""),
+        (4, None),
+        (5, "ALPHA Beta gamma DELTA"),  # case-folds to doc 1's tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for bits in (16, 48, 60):
+        narrow = {
+            r["doc_id"]: r[f"simhash{bits}"]
+            for r in simhash(df, "text", "doc_id", bits=bits).collect()
+        }
+        wide = {
+            r["doc_id"]: (r["sh0"], r["sh1"])
+            for r in simhash_wide(df, "text", "doc_id", bits=bits).collect()
+        }
+        assert {k: v[0] for k, v in wide.items()} == narrow, bits
+        assert all(v[1] == 0 for v in wide.values())
+    w96 = {
+        r["doc_id"]: (r["sh0"], r["sh1"])
+        for r in simhash_wide(df, "text", "doc_id", bits=96).collect()
+    }
+    assert w96[4] == (0, 0)                      # NULL text -> all-zero
+    assert w96[1] == w96[5]                      # tokenizer case-folds
+    assert any(v[1] != 0 for v in w96.values())  # word 1 in play
+    assert all(0 <= v[0] < (1 << 60) and 0 <= v[1] < (1 << 36) for v in w96.values())
+    # band specs tile [0, bits) contiguously; band values reassemble
+    # the signature (straddle arithmetic is exact)
+    specs = simhash_band_specs(96, 3)
+    assert [s[1] for s in specs] == [0, 24, 48, 72] and specs[-1][2] == 96
+    vals = df.select(F.col("doc_id")).join(
+        simhash_wide(df, "text", "doc_id", 96), "doc_id"
+    ).select(
+        "doc_id", "sh0", "sh1",
+        *[
+            simhash_band_val(lo, hi, F.col("sh0"), F.col("sh1")).alias(f"b{b}")
+            for b, lo, hi in specs
+        ],
+    ).collect()
+    for r in vals:
+        full = r["sh0"] | (r["sh1"] << 60)
+        for b, lo, hi in specs:
+            assert r[f"b{b}"] == (full >> lo) % (1 << (hi - lo))
+
+
+def test_simhash_pairs_wide_bits_exact_and_skew_capped(spark):
+    """The r15 done-criteria (next #1): at bits=96 the banded join is
+    still EXACT against two-word brute force; a pathological
+    100k-identical-doc corpus completes under the FINITE DEFAULT cap
+    with the drops counted in the report (never silent); salt mode
+    keeps a bounded-recall floor with hamming-0 pairs intact."""
+    import itertools
+
+    from geo_explorer_etl_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_wide,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base + " extra few words here"),
+        (4, " ".join(f"other{i}" for i in range(60))),
+        (5, None),
+        (6, ""),
+        (7, base + " extra few words there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(
+            df, "text", "doc_id", bits=96, max_hamming=8
+        ).collect()
+    }
+    sig = {
+        r["doc_id"]: r["sh0"] | (r["sh1"] << 60)
+        for r in simhash_wide(df, "text", "doc_id", bits=96).collect()
+    }
+    want = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 8
+    }
+    assert got == want and got.get((1, 2)) == 0
+
+    # skew: 100k identical docs -> every band bucket holds all 100k
+    # rows; the DEFAULT cap drops them all, the join emits nothing,
+    # and the report carries the counts
+    clones = spark.range(100_000).selectExpr(
+        "id AS doc_id", f"'{base}' AS text"
+    )
+    rep: dict = {}
+    assert (
+        simhash_pairs(clones, "text", "doc_id", bits=96, report=rep).count()
+        == 0
+    )
+    assert rep["overflow"] == "drop"
+    assert rep["overfull_buckets"] == 4          # one per band
+    assert rep["overfull_rows"] == 4 * 100_000
+
+    # salt: shards bound every task at ~cap docs and keep ~1/shards
+    # of the bucket's pairs — identical docs, so every surviving pair
+    # verifies at hamming 0
+    small = spark.range(300).selectExpr("id AS doc_id", f"'{base}' AS text")
+    rep2: dict = {}
+    pairs = simhash_pairs(
+        small, "text", "doc_id", bits=96, max_bucket_size=50,
+        overflow="salt", report=rep2,
+    ).collect()
+    assert rep2["overflow"] == "salt" and rep2["overfull_rows"] == 4 * 300
+    n_all = 300 * 299 // 2
+    assert 0 < len(pairs) < n_all                # partial, non-zero recall
+    assert all(r["hamming"] == 0 for r in pairs)
+
+    # scale-shape pin: the wide banded join stays a hash equi-join —
+    # no CartesianProduct/BroadcastNestedLoop at any bits width
+    plan = (
+        simhash_pairs(df, "text", "doc_id", bits=96)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
