@@ -875,6 +875,9 @@ def _mvp_leg_sql() -> str:
     SELECT 'likeq', o_orderkey, status, ROUND(price, 2) FROM v3state
     WHERE status LIKE 'C%' OR status LIKE '%F'
     UNION ALL
+    SELECT 'parenq', o_orderkey, status, ROUND(price, 2) FROM v3state
+    WHERE NOT ((status = 'C2' OR status = 'N') AND price < 100000.0)
+    UNION ALL
     SELECT 'mv', COUNT(*), status, ROUND(SUM(price), 2)
     FROM v3state GROUP BY status
     UNION ALL
@@ -1190,6 +1193,20 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "IndicatorValues",
         where=[[("status", "like", "C%")], "or", [("status", "like", "%F")]],
     )
+    # r16 (VERDICT r15 next #3): a PARENTHESIZED predicate through the
+    # store.sql DELETE router under the same hash — `(a OR b) AND c`
+    # distributes into the DNF grammar (the paren placement changes
+    # the deleted set on this data: without them C2 rows above 100k
+    # would go too); DuckDB keeps the complement of the same boolean.
+    snap_v3 = store.read("IndicatorValues").select(
+        "o_orderkey", "status", "o_totalprice"
+    )
+    store.replace_product_all(1, {"ParenT": snap_v3})
+    store.sql(
+        "DELETE FROM ParenT WHERE (status = 'C2' OR status = 'N') "
+        "AND o_totalprice < 100000.0"
+    )
+    parenq = store.read("ParenT")
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
@@ -1198,6 +1215,7 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(v3_served, "v3"))
         .unionByName(tagged(orq, "orq"))
         .unionByName(tagged(likeq, "likeq"))
+        .unionByName(tagged(parenq, "parenq"))
         .unionByName(mv_leg(mv, "mv", "sum_p", F.col("status")))
         .unionByName(mv_leg(mv, "mvmax", "max_p", F.col("status")))
         .unionByName(mv_leg(mvb, "mvb", "sum_p", F.col("kb").cast("string")))

@@ -310,10 +310,51 @@ def _conj_may_match(stats: dict[str, list] | None, where) -> bool:
                 _bloom_test(*decoded, v, blooms[col].get("shape")) for v in val
             ):
                 return False
+        if op == "notin" and len(val) > 0 and any(v is None for v in val):
+            # `col NOT IN (..., NULL)` can never be TRUE for ANY row
+            # (equal to a member -> FALSE; otherwise the NULL member
+            # makes the result UNKNOWN) — every file is provably empty
+            return False
         s = (stats or {}).get(col)
         if not s or col in ("__bloom__", "__nulls__"):
             continue
         mn, mx = s
+        if op == "notin":
+            # prune only a single-valued file whose one value is a
+            # listed member: every non-null row then equals a member
+            # (-> FALSE) and null rows never match a null-rejecting
+            # predicate — provably empty without a null count
+            members = [_normalize_bound(v) for v in val]
+            if (
+                members
+                and all(
+                    v is not None and _stat_comparable(mn, v) for v in members
+                )
+                and mn == mx
+                and mn in members
+            ):
+                return False
+            continue
+        if op == "notlike":
+            # VERDICT r15 next #3: keep every file UNLESS the zone map
+            # proves ALL rows match the positive pattern — possible
+            # only for a pure prefix pattern 'pre%' with the file's
+            # whole [min, max] inside [pre, upper(pre)) (then every
+            # non-null value starts with pre and NOT LIKE matches no
+            # row; nulls never match a null-rejecting predicate).
+            # Everything else scans honestly, never a wrong prune.
+            pre = _like_prefix(val)
+            if (
+                pre
+                and str(val) == pre + "%"
+                and isinstance(mn, str)
+                and isinstance(mx, str)
+                and mn >= pre
+            ):
+                up = _like_prefix_upper(pre)
+                if up is not None and mx < up:
+                    return False
+            continue
         if op == "in":
             # prune only when EVERY set member provably misses; any
             # non-comparable member keeps the file
@@ -1189,8 +1230,16 @@ def _conj_expr(where):
             exprs.append(c.between(val[0], val[1]))
         elif op == "in":
             exprs.append(c.isin(list(val)))
+        elif op == "notin":
+            if len(val) > 0 and any(v is None for v in val):
+                # a NULL member makes NOT IN never-true (3VL)
+                exprs.append(F.lit(False))
+            else:
+                exprs.append(~c.isin(list(val)))
         elif op == "like":
             exprs.append(c.like(str(val)))
+        elif op == "notlike":
+            exprs.append(~c.like(str(val)))
         elif op == "isnull":
             exprs.append(c.isNull())
         elif op == "notnull":
@@ -5628,6 +5677,12 @@ class TableStore:
                     "add_constraint: use not_null=[cols] for null "
                     "constraints — isnull/notnull CHECK predicates have "
                     "no footer-first negation probe"
+                )
+            if any(p[1] in ("like", "notlike", "notin") for p in preds):
+                raise ValueError(
+                    "add_constraint: like/notlike/notin CHECK predicates "
+                    "have no footer-first negation probe — constrain with "
+                    "comparison/between/in predicates"
                 )
             _where_expr(preds)  # op whitelist + shape validation
             if any(c == PARTITION_COL for c, _, _ in preds):

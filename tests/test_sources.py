@@ -3978,3 +3978,79 @@ def test_like_prefix_zone_map_skipping(spark, tmp_path):
     orw = [[("code", "like", "al%")], "or", [("code", "like", "ga%")]]
     assert len(store.live_files("IndicatorValues", orw)) == 2
     assert store.read("IndicatorValues", orw).count() == 100
+
+
+def test_notlike_and_notin_zone_map_semantics(spark, tmp_path):
+    """VERDICT r15 next #3 (store side): NOT LIKE keeps every file
+    unless the zone map PROVES all rows match the positive prefix
+    pattern (pure 'pre%' form, [min,max] inside the prefix range);
+    NOT IN prunes single-valued files on listed members and goes
+    never-true on a NULL member; rows always equal the Spark-filter
+    ground truth (3VL: NULL column rows never match either)."""
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+
+    def frame(prefix):
+        return spark.createDataFrame(
+            [(f"{prefix}-{i:03d}", i) for i in range(50)],
+            "code STRING, v LONG",
+        )
+
+    store.replace_product_all(7, {"IndicatorValues": frame("alpha").coalesce(1)})
+    for p in ("beta", "gamma"):
+        store.append(
+            "IndicatorValues",
+            frame(p).coalesce(1).withColumn(
+                "IndicatorThemeId", F.lit(7).cast("long")
+            ),
+        )
+    assert len(store.live_files("IndicatorValues")) == 3
+
+    # pure prefix pattern: the beta file is PROVABLY all-matching ->
+    # pruned for NOT LIKE; the other two open and scan
+    w = [("code", "notlike", "be%")]
+    assert len(store.live_files("IndicatorValues", w)) == 2
+    got = sorted(r["code"] for r in store.read("IndicatorValues", w).collect())
+    want = sorted(
+        r["code"]
+        for r in store.read("IndicatorValues")
+        .filter(~F.col("code").like("be%"))
+        .collect()
+    )
+    assert got == want and len(got) == 100
+
+    # non-pure pattern ('be%a'): no proof possible -> every file kept,
+    # row filter decides (honest scan, exact result)
+    w2 = [("code", "notlike", "be%a")]
+    assert len(store.live_files("IndicatorValues", w2)) == 3
+    assert store.read("IndicatorValues", w2).count() == 150
+
+    # NOT IN: single-valued files prune on listed members
+    kinds = TableStore(spark, str(tmp_path / "store2"))
+    mk = lambda k: spark.createDataFrame(  # noqa: E731
+        [(k, i) for i in range(10)], "kind STRING, v LONG"
+    ).coalesce(1)
+    kinds.replace_product_all(1, {"T": mk("a")})
+    for k in ("b", "c"):
+        kinds.append(
+            "T", mk(k).withColumn("IndicatorThemeId", F.lit(1).cast("long"))
+        )
+    w3 = [("kind", "notin", ["b", "c"])]
+    assert len(kinds.live_files("T", w3)) == 1
+    assert kinds.read("T", w3).count() == 10
+    assert {r["kind"] for r in kinds.read("T", w3).collect()} == {"a"}
+    # a NULL member flips NOT IN to never-true: zero files, zero rows
+    w4 = [("kind", "notin", ["b", None])]
+    assert kinds.live_files("T", w4) == []
+    assert kinds.read("T", w4).count() == 0
+    # NULL column rows match neither IN nor NOT IN
+    kinds.append(
+        "T",
+        spark.createDataFrame([(None, 99)], "kind STRING, v LONG")
+        .coalesce(1)
+        .withColumn("IndicatorThemeId", F.lit(1).cast("long")),
+    )
+    assert kinds.read("T", [("kind", "notin", ["a"])]).count() == 20
+    assert kinds.read("T", [("kind", "in", ["a", "b", "c"])]).count() == 30

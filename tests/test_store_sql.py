@@ -165,10 +165,9 @@ def test_unroutable_statements_refused_loudly(spark, tmp_path):
     for stmt, hint in [
         ("MERGE INTO IndicatorValues USING x ON 1=1", "merge_apply"),
         ("INSERT INTO nosuch VALUES (1)", "no existing store table"),
-        # flat OR routes since r14; PARENTHESIZED disjuncts stay out of scope
-        ("DELETE FROM IndicatorValues WHERE (k = 1 OR k = 2)", "delete_where"),
-        # LIKE routes since r15; NOT LIKE stays out of scope
-        ("DELETE FROM IndicatorValues WHERE status NOT LIKE 'x%'", "delete_where"),
+        # parens / NOT LIKE / NOT IN route since r16 (their own test);
+        # column-vs-column and NOT BETWEEN stay out of scope
+        ("DELETE FROM IndicatorValues WHERE k NOT BETWEEN 1 AND 3", "delete_where"),
         ("UPDATE IndicatorValues SET k = (SELECT 1)", "update_where"),
         ("DROP TABLE IndicatorValues", "delete_where"),
         ("DELETE FROM IndicatorValues WHERE amount >= k", "delete_where"),
@@ -358,3 +357,89 @@ def test_in_subquery_scan_skips_comments_and_quoted_identifiers(
         '(SELECT k FROM IndicatorValues WHERE status != "x)y" AND k < 4)'
     )
     assert n3 == 2
+
+
+def test_parenthesized_and_not_predicates_route(spark, tmp_path):
+    """VERDICT r15 next #3 (router side): parentheses nest and
+    distribute into the store's DNF grammar, NOT LIKE / NOT IN route
+    (NULL-semantics exact), precedence still AND-over-OR, and the
+    DNF expansion bound refuses loudly."""
+    import pytest
+
+    # (a OR b) AND c — the canonical paren override
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    na = a.sql(
+        "DELETE FROM IndicatorValues WHERE (k < 3 OR k > 16) "
+        "AND status = 'live'"
+    )
+    nb = b.delete_where(
+        T,
+        [[("k", "<", 3), ("status", "==", "live")], "or",
+         [("k", ">", 16), ("status", "==", "live")]],
+    )
+    assert na == nb == 3  # k=1, 17, 19
+    assert _rows(a) == _rows(b)
+
+    # paren-free twin keeps AND-over-OR precedence: a OR b AND c
+    c = _store(spark, tmp_path / "c")
+    nc = c.sql(
+        "DELETE FROM IndicatorValues WHERE k < 3 OR k > 16 "
+        "AND status = 'live'"
+    )
+    assert nc == 5  # k=0,1,2 OR (17,19)
+
+    # nested parens + NOT LIKE + NOT IN in one statement
+    d = _store(spark, tmp_path / "d")
+    nd = d.sql(
+        "DELETE FROM IndicatorValues WHERE "
+        "((status NOT LIKE 'li%' AND k NOT IN (0, 2)) OR (k BETWEEN 18 AND 19))"
+    )
+    # evens except 0,2 -> 4,6,8,10,12,14,16,18 (8) plus 19
+    assert nd == 9
+    left = {r[0] for r in _rows(d)}
+    assert left == {0, 1, 2, 3, 5, 7, 9, 11, 13, 15, 17}
+
+    # NOT IN (SELECT ...) with a NULL member: never-true, deletes 0
+    e = _store(spark, tmp_path / "e")
+    spark.createDataFrame([(2,), (None,)], "kk LONG").createOrReplaceTempView(
+        "nn_keys"
+    )
+    try:
+        ne = e.sql(
+            "DELETE FROM IndicatorValues WHERE k NOT IN "
+            "(SELECT kk FROM nn_keys)"
+        )
+        assert ne == 0
+        # without the NULL member the complement deletes
+        ne2 = e.sql(
+            "DELETE FROM IndicatorValues WHERE k NOT IN "
+            "(SELECT kk FROM nn_keys WHERE kk IS NOT NULL)"
+        )
+        assert ne2 == 19  # everything but k=2
+    finally:
+        spark.catalog.dropTempView("nn_keys")
+
+    # UPDATE with parens routes identically to the Python twin
+    f1 = _store(spark, tmp_path / "f1")
+    f2 = _store(spark, tmp_path / "f2")
+    nf = f1.sql(
+        "UPDATE IndicatorValues SET status = 'x' "
+        "WHERE (k = 1 OR k = 2) AND amount < 10.0"
+    )
+    ng = f2.update_where(
+        T, {"status": "'x'"},
+        [[("k", "==", 1), ("amount", "<", 10.0)], "or",
+         [("k", "==", 2), ("amount", "<", 10.0)]],
+    )
+    assert nf == ng == 2 and _rows(f1) == _rows(f2)
+
+    # unbalanced parens and DNF blowup refuse loudly, touching nothing
+    g = _store(spark, tmp_path / "g")
+    before = _rows(g)
+    with pytest.raises(ValueError, match="unbalanced parentheses"):
+        g.sql("DELETE FROM IndicatorValues WHERE (k = 1 OR k = 2")
+    blowup = " AND ".join("(k = 1 OR k = 2)" for _ in range(8))  # 2^8 disjuncts
+    with pytest.raises(ValueError, match="expands past"):
+        g.sql(f"DELETE FROM IndicatorValues WHERE {blowup}")
+    assert _rows(g) == before
