@@ -240,6 +240,7 @@ def split_corpus(
     id_col: str = "doc_id",
     seed: int = 42,
     out_col: str = "split",
+    stratify_by: str | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test split assignment (r15): each
     row's split is a PURE FUNCTION of ``(seed, id)`` — the first 15
@@ -259,6 +260,19 @@ def split_corpus(
       float-accumulated;
     - row-local: zero shuffle at any scale.
 
+    ``stratify_by`` (VERDICT r15 next #4) names a column to STRATIFY
+    on: the hash input becomes ``f"{seed}:{stratum}:{id}"``, so the
+    cell distribution — and therefore the threshold proportions — is
+    uniform WITHIN every stratum independently (a domain cannot drift
+    toward val because its ids happened to cluster in the unsalted
+    hash space), while the assignment stays a pure function of
+    (seed, stratum, id): replay-safe across partitionings, runs and
+    machines, and changing one document's stratum value moves only
+    that document. A NULL stratum is its own stratum
+    (``'__null__'``). Strata containing ``:`` fold into the key
+    verbatim (numeric ids cannot collide; exotic string-id corpora
+    should avoid ``:`` in the stratifier).
+
     Returns ``df`` plus ``out_col``; NULL ids get a NULL split
     (surface them upstream — a null key has no stable identity).
     Threshold order is the ``weights`` dict's insertion order."""
@@ -277,14 +291,18 @@ def split_corpus(
             f"split_corpus: weight(s) {tiny} resolve to zero of "
             f"{SPLIT_CELLS} cells — raise the weight or SPLIT_CELLS"
         )
+    if stratify_by is None:
+        key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    else:
+        key = F.concat(
+            F.lit(f"{seed}:"),
+            F.coalesce(F.col(stratify_by).cast("string"), F.lit("__null__")),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
     h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long") % SPLIT_CELLS
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        % SPLIT_CELLS
     )
     expr = None
     cum = 0
@@ -300,14 +318,18 @@ def split_corpus(
 
 
 def split_corpus_threshold_sql(
-    weights: dict[str, float], id_col: str = "doc_id", seed: int = 42
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    stratify_by: str | None = None,
 ) -> str:
     """The ANSI-SQL twin of ``split_corpus``'s assignment expression
     (oracle construction): a CASE over the same md5-derived cell and
-    the same largest-remainder thresholds. Split names and the id
-    column interpolate into SQL text, so both validate against a
-    word regex first (ADVICE r15: a name carrying a quote would
-    produce broken — or injectable — oracle SQL)."""
+    the same largest-remainder thresholds, stratified when
+    ``stratify_by`` is set. Split names and the column identifiers
+    interpolate into SQL text, so all validate against a word regex
+    first (ADVICE r15: a name carrying a quote would produce broken —
+    or injectable — oracle SQL)."""
     import re
 
     for nm in list(weights):
@@ -316,15 +338,24 @@ def split_corpus_threshold_sql(
                 f"split_corpus_threshold_sql: split name {nm!r} is not a "
                 "bare word — names interpolate into SQL text"
             )
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", id_col):
-        raise ValueError(
-            f"split_corpus_threshold_sql: id_col {id_col!r} is not a bare "
-            "identifier"
-        )
+    for ident in [id_col] + ([stratify_by] if stratify_by else []):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+            raise ValueError(
+                f"split_corpus_threshold_sql: column {ident!r} is not a "
+                "bare identifier"
+            )
     cells = mixture_budgets(SPLIT_CELLS, weights)
+    if stratify_by is None:
+        keysql = f"CONCAT('{seed}:', CAST({id_col} AS VARCHAR))"
+    else:
+        keysql = (
+            f"CONCAT('{seed}:', "
+            f"COALESCE(CAST({stratify_by} AS VARCHAR), '__null__'), ':', "
+            f"CAST({id_col} AS VARCHAR))"
+        )
     hsql = (
-        f"CAST(('0x' || substr(md5(CONCAT('{seed}:', "
-        f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT) % {SPLIT_CELLS}"
+        f"CAST(('0x' || substr(md5({keysql}), 1, 15)) AS BIGINT) "
+        f"% {SPLIT_CELLS}"
     )
     names = list(weights)
     arms, cum = [], 0

@@ -1269,15 +1269,18 @@ _SPLIT_WEIGHTS = {"train": 0.98, "val": 0.01, "test": 0.01}
 _SPLIT_SEED = 42
 
 
-def _split_case_sql() -> str:
+def _split_case_sql(stratify_by: str | None = None) -> str:
     from geo_explorer_etl_spark.operators.corpus import (
         split_corpus_threshold_sql,
     )
 
-    return split_corpus_threshold_sql(_SPLIT_WEIGHTS, "doc_id", _SPLIT_SEED)
+    return split_corpus_threshold_sql(
+        _SPLIT_WEIGHTS, "doc_id", _SPLIT_SEED, stratify_by=stratify_by
+    )
 
 
 split_case = _split_case_sql()
+split_strat_case = _split_case_sql(stratify_by="source")
 
 
 @register(
@@ -1311,15 +1314,20 @@ split_case = _split_case_sql()
            FROM tok2 t2 LEFT JOIN vocab v USING (tok)
            GROUP BY t2.doc_id)
     SELECT 'lang' AS leg, lang.doc_id, lang.lang_guess, lm.lm_logprob,
-           CAST(NULL AS VARCHAR) AS split
+           CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS VARCHAR) AS split_strat
     FROM lang LEFT JOIN lm USING (doc_id)
     UNION ALL
     -- the DETERMINISTIC SPLIT leg (r15): md5-derived cell mod 10000
     -- against largest-remainder thresholds — DuckDB rebuilds the
     -- exact assignment, so a drifted hash, threshold rounding, or
-    -- partitioning dependence breaks the value hash
+    -- partitioning dependence breaks the value hash. Since r16 the
+    -- leg also carries the STRATIFIED assignment (VERDICT r15 next
+    -- #4): the same thresholds over md5(seed:source:id), so a
+    -- drifted salt construction breaks the hash too
     SELECT 'split', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
-           {split_case}
+           {split_case},
+           {split_strat_case}
     FROM documents
     """,
     tags="ext text langid lm-score split",
@@ -1331,7 +1339,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry at the 50-entry cap. Since r15 also carries the
     DETERMINISTIC train/val/test split leg (``corpus.split_corpus``:
     split = pure function of (seed, id), machine/partitioning/
-    run-independent — the property ``randomSplit`` lacks)."""
+    run-independent — the property ``randomSplit`` lacks) plus, since
+    r16, its STRATIFIED twin (``stratify_by="source"``: proportions
+    hold within every domain, VERDICT r15 next #4)."""
     from geo_explorer_etl_spark.operators.corpus import split_corpus
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -1345,8 +1355,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lang").alias("leg"), "*"
     )
     split = split_corpus(
-        docs, _SPLIT_WEIGHTS, id_col="doc_id", seed=_SPLIT_SEED
-    ).select(F.lit("split").alias("leg"), "doc_id", "split")
+        split_corpus(docs, _SPLIT_WEIGHTS, id_col="doc_id", seed=_SPLIT_SEED),
+        _SPLIT_WEIGHTS, id_col="doc_id", seed=_SPLIT_SEED,
+        out_col="split_strat", stratify_by="source",
+    ).select(F.lit("split").alias("leg"), "doc_id", "split", "split_strat")
     return host.unionByName(split, allowMissingColumns=True)
 
 

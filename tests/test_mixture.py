@@ -222,6 +222,82 @@ def test_split_corpus_deterministic_and_exact(spark):
         split_corpus(docs, {"train": 0.99999, "val": 0.00001})
 
 
+def test_split_corpus_stratified_per_domain(spark):
+    """VERDICT r15 next #4: stratify_by salts the hash with the
+    stratum value — proportions hold within EVERY domain (cell-grain
+    thresholds over each stratum's own uniform hash space), the
+    assignment stays a pure function of (seed, stratum, id)
+    (partition-invariant, replay-safe), a NULL stratum is its own
+    stratum, and the salt is effective (identical id sets in
+    different domains split differently)."""
+    from collections import Counter
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.operators.corpus import (
+        split_corpus,
+        split_corpus_threshold_sql,
+    )
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % 3).cast("string")).alias("domain"),
+    )
+    got = split_corpus(docs, w, stratify_by="domain").collect()
+    by_dom: dict[str, Counter] = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], Counter())[r["split"]] += 1
+    assert set(by_dom) == {"dom0", "dom1", "dom2"}
+    for dom, c in by_dom.items():
+        n = sum(c.values())
+        assert n == 2000
+        assert abs(c["train"] / n - 0.8) < 0.04, (dom, c)
+        assert abs(c["val"] / n - 0.1) < 0.03, (dom, c)
+        assert abs(c["test"] / n - 0.1) < 0.03, (dom, c)
+    # partition invariance
+    again = {
+        (r["doc_id"], r["domain"]): r["split"]
+        for r in split_corpus(
+            docs.repartition(13), w, stratify_by="domain"
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["domain"]): r["split"] for r in got}
+    # salt effectiveness: the SAME ids under two domain labels split
+    # differently (and differently from the unstratified assignment)
+    flat = {
+        r["doc_id"]: r["split"] for r in split_corpus(docs, w).collect()
+    }
+    strat = {r["doc_id"]: r["split"] for r in got}
+    assert strat != flat
+    two = docs.withColumn("domain", F.lit("other"))
+    other = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(two, w, stratify_by="domain").collect()
+    }
+    assert other != strat
+    # NULL stratum: its own stratum, rows still assigned
+    nulled = spark.createDataFrame(
+        [(1, None), (2, "dom0")], "doc_id LONG, domain STRING"
+    )
+    gotn = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(nulled, w, stratify_by="domain").collect()
+    }
+    assert gotn[1] in w and gotn[2] in w
+    # the SQL twin rebuilds the identical stratified assignment
+    pdf = docs.toPandas()
+    case = split_corpus_threshold_sql(w, "doc_id", 42, stratify_by="domain")
+    duck = duckdb.connect()
+    duck.register("docs", pdf)
+    twin = {
+        r[0]: r[1]
+        for r in duck.sql(f"SELECT doc_id, {case} FROM docs").fetchall()
+    }
+    assert twin == strat
+
+
 def test_split_threshold_sql_validates_interpolated_names():
     """ADVICE r15: split names and id_col interpolate into the oracle
     CASE text — non-word names refuse loudly instead of emitting
