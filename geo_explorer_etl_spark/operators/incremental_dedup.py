@@ -87,6 +87,16 @@ INDEX_PID = 0
 #: ``mirror_compact`` stays available).
 MIRROR_AUTO_COMPACT_FILESETS = 16
 
+#: Deferred-compaction window (VERDICT r15 next #5): a breach batch
+#: MARKS the sync marker (``breach_age`` field) instead of paying the
+#: compaction inline, so ingest latency stays flat — the
+#: ``mirrors_auto_compact`` maintenance sweep is the DEFAULT executor
+#: of the actual rewrite. If the sweep hasn't run after this many
+#: further marked appends, the persist path compacts inline as the
+#: fallback (the over-cap probe tax must stay bounded even without a
+#: nightly job). 0 = always inline (the r15 behavior).
+MIRROR_COMPACT_DEFER_BATCHES = 8
+
 #: Opt-in plan capture for the over-cap mirror join (ADVICE r14 low):
 #: the formatted-plan string exists for the plan-pin TESTS, not for
 #: production batches — default off, and failures never break dedup.
@@ -528,11 +538,22 @@ def _mirror_append(
         mirror_compact(store, table, col)
         return
     sets = _mirror_filesets(store, table) + 1
-    _mirror_write(store, table, col, new_rows, marker_rows=store_rows, sets=sets)
-    # accretion policy: one file set lands per batch append — compact
-    # when the sets exceed the threshold so over-cap probes never
-    # degrade unboundedly (VERDICT r14 next #2)
-    if MIRROR_AUTO_COMPACT_FILESETS and sets > MIRROR_AUTO_COMPACT_FILESETS:
+    # accretion policy (VERDICT r14 next #2, deferred r15 next #5):
+    # one file set lands per batch append. Crossing the threshold
+    # MARKS the marker (breach_age counts marked appends) and leaves
+    # the rewrite to the mirrors_auto_compact sweep — ingest latency
+    # stays flat; only when the sweep has missed
+    # MIRROR_COMPACT_DEFER_BATCHES marked appends does the persist
+    # path compact inline as the bounded-tax fallback.
+    over = bool(MIRROR_AUTO_COMPACT_FILESETS) and (
+        sets > MIRROR_AUTO_COMPACT_FILESETS
+    )
+    age = _mirror_breach_age(store, table) + 1 if over else 0
+    _mirror_write(
+        store, table, col, new_rows, marker_rows=store_rows, sets=sets,
+        breach_age=age,
+    )
+    if over and age > MIRROR_COMPACT_DEFER_BATCHES:
         mirror_compact(store, table, col)
 
 
@@ -551,9 +572,24 @@ def _mirror_filesets(store: TableStore, table: str) -> int:
         return int(json.load(f).get("sets", 0))
 
 
+def _mirror_breach_age(store: TableStore, table: str) -> int:
+    """Marked appends since the accretion threshold was first crossed
+    (0 = no live breach). Lives in the sync marker; compaction —
+    sweep or inline — resets it."""
+    import json
+    import os
+
+    marker = _mirror_marker(store, table)
+    if not os.path.isfile(marker):
+        return 0
+    with open(marker) as f:
+        return int(json.load(f).get("breach_age", 0))
+
+
 def _mirror_write(
     store: TableStore, table: str, col: str, rows: DataFrame,
     marker_rows: int, n_buckets: int | None = None, sets: int = 1,
+    breach_age: int = 0,
 ) -> None:
     """The raw bucketed append + marker refresh (marker written LAST,
     so any crash window leaves a detectably-stale marker, never a
@@ -578,7 +614,15 @@ def _mirror_write(
     marker = _mirror_marker(store, table)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as f:
-        json.dump({"rows": marker_rows, "buckets": n_buckets, "sets": sets}, f)
+        json.dump(
+            {
+                "rows": marker_rows,
+                "buckets": n_buckets,
+                "sets": sets,
+                "breach_age": breach_age,
+            },
+            f,
+        )
 
 
 def _mirror_buckets(store: TableStore, table: str = None) -> int:
@@ -993,22 +1037,26 @@ def mirrors_auto_compact(
     explicit maintenance companion of ``TableStore.auto_compact`` for
     the bucketed side (VERDICT r14 next #2): compact exactly the
     mirrors whose accreted file sets exceed ``threshold`` (default
-    ``MIRROR_AUTO_COMPACT_FILESETS``). The per-batch persist path
-    already triggers this automatically; the sweep exists for ops
-    parity — a nightly maintenance job calls ``store.auto_compact()``
+    ``MIRROR_AUTO_COMPACT_FILESETS``) or whose marker carries a live
+    breach mark. Since r16 (VERDICT r15 next #5) this sweep is the
+    DEFAULT executor of the rewrite: breach batches only MARK the
+    marker and return fast; the persist path compacts inline only
+    after ``MIRROR_COMPACT_DEFER_BATCHES`` marked appends without a
+    sweep — a nightly maintenance job calls ``store.auto_compact()``
     and this back to back. Healthy mirrors are a marker read each
-    (no Spark job). Returns ``{table: {"sets": n, "compacted":
-    bool}}`` for mirrors that exist."""
+    (no Spark job). Returns ``{table: {"sets": n, "marked": bool,
+    "compacted": bool}}`` for mirrors that exist."""
     thr = MIRROR_AUTO_COMPACT_FILESETS if threshold is None else threshold
     report: dict = {}
     for table, col in MIRRORED_INDEXES:
         sets = _mirror_filesets(store, table)
         if not sets:
             continue
-        hit = bool(thr) and sets > thr
+        marked = _mirror_breach_age(store, table) > 0
+        hit = marked or (bool(thr) and sets > thr)
         if hit:
             mirror_compact(store, table, col)
-        report[table] = {"sets": sets, "compacted": hit}
+        report[table] = {"sets": sets, "marked": marked, "compacted": hit}
     return report
 
 

@@ -981,6 +981,8 @@ def test_mirror_auto_compacts_on_fileset_threshold(spark, tmp_path, monkeypatch)
     from geo_explorer_etl_spark.operators import incremental_dedup as ID
 
     monkeypatch.setattr(ID, "MIRROR_AUTO_COMPACT_FILESETS", 3)
+    # defer window 0 = the r15 always-inline behavior this test pins
+    monkeypatch.setattr(ID, "MIRROR_COMPACT_DEFER_BATCHES", 0)
     compacts: list = []
     real = ID.mirror_compact
 
@@ -1045,8 +1047,10 @@ def test_mirrors_auto_compact_sweep(spark, tmp_path, monkeypatch):
         window=8,
     )
     rep = ID.mirrors_auto_compact(store, threshold=2)
-    assert rep[ID.LINE_TABLE] == {"sets": 3, "compacted": True}
-    assert rep[ID.WINDOW_TABLE] == {"sets": 1, "compacted": False}
+    assert rep[ID.LINE_TABLE] == {"sets": 3, "marked": False, "compacted": True}
+    assert rep[ID.WINDOW_TABLE] == {
+        "sets": 1, "marked": False, "compacted": False,
+    }
     assert ID._mirror_filesets(store, ID.LINE_TABLE) == 1  # reset by compact
     # both mirrors stay fresh and serve
     assert ID.line_mirror_read(store) is not None
@@ -1161,3 +1165,63 @@ def test_ingest_corpus_batch_simhash_leg(spark, tmp_path):
     got = sorted(r.doc_id for r in store.read("Corpus").collect())
     assert got == [1, 2, 4]
     assert store.exists(SIMHASH_BAND_TABLE) and not store.exists(BAND_TABLE)
+
+
+def test_mirror_breach_marks_then_sweep_compacts_then_inline_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r15 next #5: a breach batch MARKS the sync marker and
+    returns without compacting (ingest latency flat); the
+    mirrors_auto_compact sweep performs the rewrite exactly once and
+    clears the mark; when the sweep never runs, the persist path
+    compacts inline after MIRROR_COMPACT_DEFER_BATCHES marked
+    appends — the bounded-tax fallback. The mirror stays fresh and
+    serving throughout."""
+    from geo_explorer_etl_spark.operators import incremental_dedup as ID
+
+    monkeypatch.setattr(ID, "MIRROR_AUTO_COMPACT_FILESETS", 2)
+    compacts: list = []
+    real = ID.mirror_compact
+
+    def spy(*a, **k):
+        compacts.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ID, "mirror_compact", spy)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def batch(i):
+        ID.incremental_dedup_lines(
+            store,
+            _docs(spark, [(i * 10 + 1,
+                           f"unique line number {i} long enough for the index")]),
+        )
+
+    for i in range(4):
+        batch(i)
+    # sets went 1,2,3,4: batches 3 and 4 breached -> MARKED only
+    assert compacts == []
+    assert ID._mirror_filesets(store, ID.LINE_TABLE) == 4
+    assert ID._mirror_breach_age(store, ID.LINE_TABLE) == 2
+    assert ID.line_mirror_read(store) is not None  # still fresh, serves
+    # the sweep is the default executor: compacts exactly once, resets
+    rep = ID.mirrors_auto_compact(store)
+    assert rep[ID.LINE_TABLE] == {"sets": 4, "marked": True, "compacted": True}
+    assert len(compacts) == 1
+    assert ID._mirror_filesets(store, ID.LINE_TABLE) == 1
+    assert ID._mirror_breach_age(store, ID.LINE_TABLE) == 0
+    mirror = ID.line_mirror_read(store)
+    assert mirror is not None
+    assert mirror.count() == store.count_rows(ID.LINE_TABLE)
+    # no sweep this time: after DEFER marked appends the persist path
+    # falls back to ONE inline compact
+    monkeypatch.setattr(ID, "MIRROR_COMPACT_DEFER_BATCHES", 2)
+    for i in range(4, 9):
+        batch(i)
+    # sets 2,3,4,5: breaches at 3 (age1), 4 (age2), 5 (age3>2 -> inline)
+    assert len(compacts) == 2
+    assert ID._mirror_breach_age(store, ID.LINE_TABLE) == 0
+    assert ID._mirror_filesets(store, ID.LINE_TABLE) <= 2
+    mirror = ID.line_mirror_read(store)
+    assert mirror is not None
+    assert mirror.count() == store.count_rows(ID.LINE_TABLE)
