@@ -38,6 +38,7 @@ def comparable_overrides():
         "text_repetition_signals": catalog_ext.text_repetition_signals,
         "dedup_substrings": catalog_ext.dedup_substrings_bench,
         "dedup_substrings_exact": catalog_ext.dedup_substrings_exact_bench,
+        "dedup_simhash_pairs": catalog_ext.dedup_simhash_pairs_bench,
     }
 
 
@@ -75,6 +76,10 @@ HEADLINE = [
     # bench keeps timing the plain batch operator under this name so
     # every BENCH_r<=10 comparison stays apples-to-apples
     "dedup_minhash_lsh",
+    # r16: the wide (96-bit two-md5-word) banded-SimHash near-dup
+    # pairs over the full corpus at the default finite bucket cap —
+    # the production near-dup shape (no pre-r16 baseline)
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine_bucketed",
     "dedup_embedding_cosine_ivf",

@@ -1825,3 +1825,15 @@ def dedup_substrings_exact_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary) — the honest production default."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return DD.dedup_substrings(docs, text_col="text", id_col="doc_id", window=50)
+
+
+def dedup_simhash_pairs_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row for the WIDE banded-SimHash pairs (r16, VERDICT r15
+    next #1 — no pre-r16 baseline): bits=96 two-md5-word signatures
+    over the FULL documents table at the default finite bucket cap —
+    the production near-dup shape (the registered entry's pairs leg
+    times only the doc_id<100 oracle subset)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return DD.simhash_pairs(
+        docs, text_col="text", id_col="doc_id", bits=96, max_hamming=3
+    )
