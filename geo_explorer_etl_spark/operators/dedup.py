@@ -542,22 +542,27 @@ def simhash_wide(
         .alias("_w1"),
     )
 
-    def vote(bit: int) -> Column:
+    # per-bit SET-COUNTS, not ±1 votes: sum((w >> off) & 1) plus one
+    # shared token count — vote > 0 ⟺ 2·set > n, identical bit rule
+    # with a branch-free aggregate body (measured ~25% faster at
+    # sf0.1: the 96-agg plan's codegen is the fixed cost, and the
+    # when/otherwise arms doubled its size)
+    def setcount(bit: int) -> Column:
         w = F.col("_w0") if bit < SIMHASH_WORD_BITS else F.col("_w1")
-        off = bit % SIMHASH_WORD_BITS
         return F.sum(
-            F.when(
-                F.shiftright(w, off).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"_v{bit}")
+            F.shiftright(w, bit % SIMHASH_WORD_BITS).bitwiseAND(F.lit(1))
+        ).alias(f"_s{bit}")
 
-    voted = ex.groupBy(id_col).agg(*[vote(b) for b in range(bits)])
+    voted = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"), *[setcount(b) for b in range(bits)]
+    )
 
     def word(lo: int, hi: int) -> Column:
         out = F.lit(0).cast("long")
         for b in range(lo, hi):
             out = out + F.when(
-                F.col(f"_v{b}") > 0, F.lit(1 << (b - lo)).cast("long")
+                F.col(f"_s{b}") * 2 > F.col("_n"),
+                F.lit(1 << (b - lo)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         return out
 
