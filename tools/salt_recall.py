@@ -86,6 +86,34 @@ def main() -> None:
                  "cluster_pair_recall": round(len(in_cluster(salt)) / max(len(base), 1), 3),
                  "survivors": survivors(salt)},
     }
+
+    # the SAME fixture through the wide banded-SimHash pairs (r16):
+    # max_hamming=8 so the one-token cluster perturbations land inside
+    # the threshold; recall measured against simhash's own uncapped set
+    from geo_explorer_etl_spark.operators.dedup import simhash_pairs
+
+    def spairs(**kw):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_pairs(
+                docs, "text", "doc_id", bits=96, max_hamming=8, **kw
+            ).collect()
+        }
+
+    s_un = spairs(max_bucket_size=None)
+    s_drop = spairs(max_bucket_size=cap, overflow="drop")
+    s_salt = spairs(max_bucket_size=cap, overflow="salt")
+    s_base = in_cluster(s_un)
+    out["simhash96"] = {
+        "uncapped": {"candidates": len(s_un), "cluster_pairs": len(s_base),
+                     "survivors": survivors(s_un)},
+        "drop": {"candidates": len(s_drop),
+                 "cluster_pair_recall": round(len(in_cluster(s_drop)) / max(len(s_base), 1), 3),
+                 "survivors": survivors(s_drop)},
+        "salt": {"candidates": len(s_salt),
+                 "cluster_pair_recall": round(len(in_cluster(s_salt)) / max(len(s_base), 1), 3),
+                 "survivors": survivors(s_salt)},
+    }
     print(json.dumps(out))
 
 
