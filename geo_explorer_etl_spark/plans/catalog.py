@@ -878,6 +878,9 @@ def _mvp_leg_sql() -> str:
     SELECT 'parenq', o_orderkey, status, ROUND(price, 2) FROM v3state
     WHERE NOT ((status = 'C2' OR status = 'N') AND price < 100000.0)
     UNION ALL
+    SELECT 'notq', o_orderkey, status, ROUND(price, 2) FROM v3state
+    WHERE NOT (status LIKE 'C%') AND NOT (price = 1.0)
+    UNION ALL
     SELECT 'mv', COUNT(*), status, ROUND(SUM(price), 2)
     FROM v3state GROUP BY status
     UNION ALL
@@ -1207,6 +1210,14 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND o_totalprice < 100000.0"
     )
     parenq = store.read("ParenT")
+    # r16: the NOT ops through the tuple grammar under the same hash —
+    # NOT LIKE drops the 'C2' rows (zone maps keep files honestly: no
+    # pure-prefix all-match proof here), NOT IN drops the price-1.0
+    # inserts; DuckDB evaluates the same negations over v3state.
+    notq = store.read(
+        "IndicatorValues",
+        where=[("status", "notlike", "C%"), ("o_totalprice", "notin", [1.0])],
+    )
     return (
         tagged(store.read_at("IndicatorValues", t0), "v0")
         .unionByName(tagged(store.read_at("IndicatorValues", t1), "v1"))
@@ -1216,6 +1227,7 @@ def store_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(orq, "orq"))
         .unionByName(tagged(likeq, "likeq"))
         .unionByName(tagged(parenq, "parenq"))
+        .unionByName(tagged(notq, "notq"))
         .unionByName(mv_leg(mv, "mv", "sum_p", F.col("status")))
         .unionByName(mv_leg(mv, "mvmax", "max_p", F.col("status")))
         .unionByName(mv_leg(mvb, "mvb", "sum_p", F.col("kb").cast("string")))

@@ -443,3 +443,76 @@ def test_parenthesized_and_not_predicates_route(spark, tmp_path):
     with pytest.raises(ValueError, match="expands past"):
         g.sql(f"DELETE FROM IndicatorValues WHERE {blowup}")
     assert _rows(g) == before
+
+
+# -- differential property: router parse vs Spark's own SQL parse --------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _clause_strategy():
+    ints = st.integers(-5, 25)
+    nums = st.integers(-5, 25).map(lambda i: f"{i}.5")
+    strs = st.sampled_from(["live", "even", "ev", "li"])
+    cmps = st.sampled_from(["=", "==", "!=", "<>", "<", "<=", ">", ">="])
+    return st.one_of(
+        st.tuples(cmps, ints).map(lambda t: f"k {t[0]} {t[1]}"),
+        st.tuples(cmps, nums).map(lambda t: f"amount {t[0]} {t[1]}"),
+        st.tuples(cmps, strs).map(lambda t: f"status {t[0]} '{t[1]}'"),
+        st.tuples(ints, ints).map(
+            lambda t: f"k BETWEEN {min(t)} AND {max(t)}"
+        ),
+        st.lists(ints, min_size=1, max_size=4).map(
+            lambda vs: f"k IN ({', '.join(map(str, vs))})"
+        ),
+        st.lists(ints, min_size=1, max_size=4).map(
+            lambda vs: f"k NOT IN ({', '.join(map(str, vs))})"
+        ),
+        st.sampled_from(["li%", "%ve", "l_ve", "x%", "%v%"]).map(
+            lambda p: f"status LIKE '{p}'"
+        ),
+        st.sampled_from(["li%", "%ve", "ev%"]).map(
+            lambda p: f"status NOT LIKE '{p}'"
+        ),
+        st.just("status IS NULL"),
+        st.just("status IS NOT NULL"),
+    )
+
+
+_pred_strategy = st.recursive(
+    _clause_strategy(),
+    lambda kids: st.one_of(
+        st.tuples(kids, st.sampled_from(["AND", "OR"]), kids).map(
+            lambda t: f"{t[0]} {t[1]} {t[2]}"
+        ),
+        kids.map(lambda s: f"({s})"),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_pred_strategy)
+def test_router_predicate_semantics_match_spark_sql(spark, text):
+    """The r16 recursive-descent parser, differentially (VERDICT r15
+    next #3): for ANY AND/OR/paren combination of the routed clause
+    forms, the store grammar the router produces must evaluate
+    row-for-row like Spark's own parse of the SAME predicate text —
+    precedence, parens, 3VL NULL handling, NOT forms, everything."""
+    from geo_explorer_etl_spark.sources.store import _where_expr
+    from geo_explorer_etl_spark.sources.store_sql import _parse_preds
+
+    df = spark.createDataFrame(
+        [
+            (k, ["live", "even", None][k % 3], k + 0.5)
+            for k in range(-2, 23)
+        ],
+        "k LONG, status STRING, amount DOUBLE",
+    )
+    preds = _parse_preds(text, text)
+    got = df.select(
+        "k",
+        F.coalesce(F.expr(text), F.lit(False)).alias("want"),
+        F.coalesce(_where_expr(preds), F.lit(False)).alias("have"),
+    ).collect()
+    bad = [(r["k"], r["want"], r["have"]) for r in got if r["want"] != r["have"]]
+    assert not bad, (text, bad)
