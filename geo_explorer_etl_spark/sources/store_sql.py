@@ -47,11 +47,12 @@ _GRAMMAR = (
     "the SQL router covers only\n"
     "  DELETE FROM <table> [WHERE <predicate>]\n"
     "  UPDATE <table> SET <col> = <expr>[, ...] [WHERE <predicate>]\n"
-    "with predicates = AND/OR combinations, parenthesized freely, of\n"
-    "  col == != <> < <= > >= literal | col BETWEEN lit AND lit |\n"
+    "with predicates = AND/OR/NOT combinations, parenthesized freely, of\n"
+    "  col == != <> < <= > >= literal | col [NOT] BETWEEN lit AND lit |\n"
     "  col [NOT] IN (literals) | col [NOT] IN (SELECT one-column ...) |\n"
     "  col [NOT] LIKE 'pattern' | col IS [NOT] NULL\n"
-    "over literals (numbers, 'strings'); AND binds tighter than OR; "
+    "over literals (numbers, 'strings'); NOT binds tighter than AND "
+    "than OR (NOT negates via De Morgan — 3VL-exact); "
     "the whole predicate flattens to at most 64 OR-disjuncts (prefix "
     "LIKE patterns zone-map-prune; NOT LIKE prunes only files provably "
     "all-matching the positive prefix pattern; NOT IN is "
@@ -248,17 +249,70 @@ def _parse_and(text: str, stmt: str, store) -> tuple[list[list], str]:
 
 
 def _parse_factor(text: str, stmt: str, store) -> tuple[list[list], str]:
-    """factor := '(' expr ')' | clause — unambiguous: clauses always
-    start with an identifier, never '('."""
+    """factor := NOT factor | '(' expr ')' | col NOT BETWEEN a AND b
+    | clause — unambiguous: clauses start with an identifier, never
+    '(' or a bare NOT keyword. NOT negates through De Morgan over the
+    factor's DNF (sound in Kleene 3VL: every clause op has an exact
+    null-rejecting complement in the store grammar), re-expanded
+    under the same MAX_DISJUNCTS bound."""
     t = text.lstrip()
+    m = re.match(r"(?is)^NOT\s+(?!LIKE\b|IN\b|NULL\b|BETWEEN\b)(.*)$", t)
+    if m:
+        dnf, rest = _parse_factor(m[1], stmt, store)
+        return _negate_dnf(dnf, stmt), rest
     if t.startswith("("):
         dnf, rest = _parse_or(t[1:], stmt, store)
         rest = rest.lstrip()
         if not rest.startswith(")"):
             _refuse(stmt, "unbalanced parentheses in WHERE")
         return dnf, rest[1:]
+    m = re.match(
+        rf"(?is)^({_IDENT})\s+NOT\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})(.*)$",
+        t,
+    )
+    if m:
+        # col NOT BETWEEN a AND b == col < a OR col > b (both sides
+        # null-rejecting, so the rewrite is 3VL-exact)
+        return [[(m[1], "<", _lit(m[2]))], [(m[1], ">", _lit(m[3]))]], m[4]
     clause, rest = _parse_clause(t, stmt, store)
     return [[clause]], rest
+
+
+_NEG_OP = {
+    "==": "!=", "!=": "==", "<": ">=", ">=": "<", ">": "<=", "<=": ">",
+    "in": "notin", "notin": "in", "like": "notlike", "notlike": "like",
+    "isnull": "notnull", "notnull": "isnull",
+}
+
+
+def _negate_clause(clause: tuple) -> list[list]:
+    """The 3VL-exact complement of one store clause, as a mini-DNF
+    (a list of single-clause disjuncts): every op maps to its dual —
+    NOT(col = v) == col != v, NOT(col IN s) == col NOT IN s (NULL
+    members flip to never-true exactly as SQL's NOT IN does),
+    NOT BETWEEN splits into the < / > disjunction."""
+    col, op, val = clause
+    if op == "between":
+        return [[(col, "<", val[0])], [(col, ">", val[1])]]
+    return [[(col, _NEG_OP[op], val)]]
+
+
+def _negate_dnf(dnf: list[list], stmt: str) -> list[list]:
+    """De Morgan: NOT(OR of conjunctions) = AND over each
+    conjunction's OR-of-negated-clauses, re-expanded to DNF under
+    the MAX_DISJUNCTS bound."""
+    out: list[list] = [[]]
+    for conj in dnf:
+        neg: list[list] = []
+        for c in conj:
+            neg.extend(_negate_clause(c))
+        out = [a + b for a in out for b in neg]
+        if len(out) > MAX_DISJUNCTS:
+            _refuse(
+                stmt,
+                f"predicate expands past {MAX_DISJUNCTS} OR-disjuncts",
+            )
+    return out
 
 
 def _parse_clause(rest: str, stmt: str, store) -> tuple[tuple, str]:

@@ -165,9 +165,9 @@ def test_unroutable_statements_refused_loudly(spark, tmp_path):
     for stmt, hint in [
         ("MERGE INTO IndicatorValues USING x ON 1=1", "merge_apply"),
         ("INSERT INTO nosuch VALUES (1)", "no existing store table"),
-        # parens / NOT LIKE / NOT IN route since r16 (their own test);
-        # column-vs-column and NOT BETWEEN stay out of scope
-        ("DELETE FROM IndicatorValues WHERE k NOT BETWEEN 1 AND 3", "delete_where"),
+        # parens and every NOT form route since r16 (their own tests);
+        # column-vs-column and arithmetic stay out of scope
+        ("DELETE FROM IndicatorValues WHERE k % 2 = 0", "delete_where"),
         ("UPDATE IndicatorValues SET k = (SELECT 1)", "update_where"),
         ("DROP TABLE IndicatorValues", "delete_where"),
         ("DELETE FROM IndicatorValues WHERE amount >= k", "delete_where"),
@@ -461,6 +461,12 @@ def _clause_strategy():
         st.tuples(ints, ints).map(
             lambda t: f"k BETWEEN {min(t)} AND {max(t)}"
         ),
+        st.tuples(ints, ints).map(
+            lambda t: f"k NOT BETWEEN {min(t)} AND {max(t)}"
+        ),
+        st.tuples(cmps, strs).map(
+            lambda t: f"NOT status {t[0]} '{t[1]}'"
+        ),
         st.lists(ints, min_size=1, max_size=4).map(
             lambda vs: f"k IN ({', '.join(map(str, vs))})"
         ),
@@ -485,6 +491,7 @@ _pred_strategy = st.recursive(
             lambda t: f"{t[0]} {t[1]} {t[2]}"
         ),
         kids.map(lambda s: f"({s})"),
+        kids.map(lambda s: f"NOT ({s})"),
     ),
     max_leaves=6,
 )
@@ -516,3 +523,33 @@ def test_router_predicate_semantics_match_spark_sql(spark, text):
     ).collect()
     bad = [(r["k"], r["want"], r["have"]) for r in got if r["want"] != r["have"]]
     assert not bad, (text, bad)
+
+
+def test_general_not_and_not_between_route(spark, tmp_path):
+    """r16: factor-level NOT (De Morgan through the DNF) and
+    NOT BETWEEN (the < / > disjunction rewrite) route with 3VL-exact
+    semantics, twin-checked against the Python API."""
+    a = _store(spark, tmp_path / "a")
+    b = _store(spark, tmp_path / "b")
+    na = a.sql("DELETE FROM IndicatorValues WHERE k NOT BETWEEN 3 AND 16")
+    nb = b.delete_where(T, [[("k", "<", 3)], "or", [("k", ">", 16)]])
+    assert na == nb == 6  # 0,1,2,17,18,19
+    assert _rows(a) == _rows(b)
+    na = a.sql(
+        "DELETE FROM IndicatorValues WHERE NOT (status = 'live' OR k < 6)"
+    )
+    nb = b.delete_where(T, [("status", "!=", "live"), ("k", ">=", 6)])
+    assert na == nb == 6  # even rows 6..16
+    assert _rows(a) == _rows(b)
+    # double negation and NOT over AND both land exactly
+    nc = a.sql(
+        "DELETE FROM IndicatorValues WHERE NOT NOT k = 3"
+    )
+    assert nc == 1
+    nd = a.sql(
+        "DELETE FROM IndicatorValues WHERE NOT (k >= 5 AND status LIKE 'li%')"
+    )
+    # remaining: 4..16 odd/live minus 3; NOT(k>=5 AND live) keeps
+    # live rows >= 5 only
+    assert {r[0] for r in _rows(a)} == {5, 7, 9, 11, 13, 15}
+    assert nd > 0
