@@ -50,6 +50,9 @@ def build_training_corpus(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    near_dup_mode: str = "minhash",
+    simhash_bits: int = 96,
+    max_hamming: int = 3,
     token_budget: int | None = None,
     budget_bucket_width: int = 100_000,
     eval_df: DataFrame | None = None,
@@ -80,10 +83,26 @@ def build_training_corpus(
     kept = kept.join(canon, id_col)
 
     if near_dup:
-        pairs = DD.minhash_lsh_candidates(
-            kept, text_col=text_col, id_col=id_col,
-            n=shingle_n, num_hashes=num_hashes, bands=bands,
-        )
+        # near_dup_mode mirrors ingest_corpus_batch (VERDICT r15 next
+        # #1c): "simhash" = banded wide signatures with exact recall at
+        # the Hamming cap — the batch twin of the incremental SimHash
+        # index, so batch-equals-ingest holds in BOTH modes
+        if near_dup_mode == "simhash":
+            pairs = DD.simhash_pairs(
+                kept, text_col=text_col, id_col=id_col,
+                bits=simhash_bits, max_hamming=max_hamming,
+                max_bucket_size=None,
+            )
+        elif near_dup_mode == "minhash":
+            pairs = DD.minhash_lsh_candidates(
+                kept, text_col=text_col, id_col=id_col,
+                n=shingle_n, num_hashes=num_hashes, bands=bands,
+            )
+        else:
+            raise ValueError(
+                f"build_training_corpus: unknown near_dup_mode "
+                f"{near_dup_mode!r}"
+            )
         kept = DD.keep_representatives(kept, pairs, id_col=id_col)
 
     if domain_weights is not None:

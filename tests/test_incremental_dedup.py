@@ -1165,6 +1165,26 @@ def test_ingest_corpus_batch_simhash_leg(spark, tmp_path):
     got = sorted(r.doc_id for r in store.read("Corpus").collect())
     assert got == [1, 2, 4]
     assert store.exists(SIMHASH_BAND_TABLE) and not store.exists(BAND_TABLE)
+    # batch-equals-ingest holds in simhash mode too: the BATCH builder
+    # with near_dup_mode="simhash" over the union reproduces the
+    # incrementally-built corpus (r16 symmetry)
+    from geo_explorer_etl_spark.operators.corpus import build_training_corpus
+
+    union = docs(
+        [(1, base), (2, far), (3, base.upper()), (4, "gamma delta epsilon zeta")]
+    )
+    want = sorted(
+        r.doc_id
+        for r in build_training_corpus(
+            union, languages=("en", "fr", "de", "es"), min_tokens=1,
+            near_dup_mode="simhash",
+        ).collect()
+    )
+    assert want == got
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown near_dup_mode"):
+        build_training_corpus(union, near_dup_mode="phash")
 
 
 def test_mirror_breach_marks_then_sweep_compacts_then_inline_fallback(
