@@ -558,13 +558,21 @@ def simhash_wide(
     )
 
     def word(lo: int, hi: int) -> Column:
-        out = F.lit(0).cast("long")
-        for b in range(lo, hi):
-            out = out + F.when(
+        terms = [
+            F.when(
                 F.col(f"_s{b}") * 2 > F.col("_n"),
                 F.lit(1 << (b - lo)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
-        return out
+            for b in range(lo, hi)
+        ]
+        # balanced reduction, not a left-deep chain: a depth-60 add
+        # tree measurably slows analysis/codegen of the cold plan
+        while len(terms) > 1:
+            terms = [
+                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
 
     sigs = voted.select(
         F.col(id_col),
