@@ -304,10 +304,14 @@ def _conj_may_match(stats: dict[str, list] | None, where) -> bool:
                 return False
         if op == "in" and col in blooms and len(val) > 0:
             # empty set never prunes (conservative — same contract as
-            # the zone-map branch, property-pinned)
+            # the zone-map branch, property-pinned); None members are
+            # inert for a positive IN (r16: they ride the list only
+            # for negation) — prune on the non-null subset, exactly
             decoded = _bloom_decode(blooms[col])  # once per file, not per member
             if decoded is not None and not any(
-                _bloom_test(*decoded, v, blooms[col].get("shape")) for v in val
+                _bloom_test(*decoded, v, blooms[col].get("shape"))
+                for v in val
+                if v is not None
             ):
                 return False
         if op == "notin" and len(val) > 0 and any(v is None for v in val):
@@ -356,10 +360,15 @@ def _conj_may_match(stats: dict[str, list] | None, where) -> bool:
                     return False
             continue
         if op == "in":
-            # prune only when EVERY set member provably misses; any
-            # non-comparable member keeps the file
+            # prune only when EVERY non-null set member provably
+            # misses (None members are inert for a positive IN — a
+            # row can never become TRUE through NULL, so the non-null
+            # subset decides exactly); any non-comparable member
+            # keeps the file
             proven_empty = True
             for v0 in val:
+                if v0 is None:
+                    continue
                 v = _normalize_bound(v0)
                 if v is None or not _stat_comparable(mn, v) or mn <= v <= mx:
                     proven_empty = False
@@ -1229,7 +1238,10 @@ def _conj_expr(where):
         elif op == "between":
             exprs.append(c.between(val[0], val[1]))
         elif op == "in":
-            exprs.append(c.isin(list(val)))
+            # None members are inert for a positive IN (3VL: the row
+            # can never become TRUE through NULL) — they exist in the
+            # list only so a later negation to notin sees them
+            exprs.append(c.isin([v for v in val if v is not None]))
         elif op == "notin":
             if len(val) > 0 and any(v is None for v in val):
                 # a NULL member makes NOT IN never-true (3VL)

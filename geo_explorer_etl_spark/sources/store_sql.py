@@ -151,18 +151,18 @@ def _scan_balanced(text: str, stmt: str) -> tuple[str, str]:
     return "", ""  # unreachable
 
 
-def _subquery_values(store, inner: str, stmt: str, keep_null: bool = False) -> list:
+def _subquery_values(store, inner: str, stmt: str) -> list:
     """Materialize an IN-subquery into the tuple grammar's value list
     (VERDICT r14 missing #4): the subquery runs through the router's
     own SELECT delegation (store tables auto-register through the
     pruned catalog path), distinct values collect under
     SUBQUERY_IN_CAP — refused loudly beyond it, never a silent
-    unbounded driver haul. NULL members drop for IN: ``col IN (...)``
-    can never be TRUE for a NULL member (three-valued logic makes the
-    row UNKNOWN, which a WHERE treats as FALSE), so the pruned list
-    is semantics-preserving. For NOT IN (``keep_null=True``) a NULL
-    member flips the predicate to never-true instead — ONE None stays
-    in the list so the store grammar's notin evaluates it exactly."""
+    unbounded driver haul. A NULL member is preserved as ONE trailing
+    None (r16): a positive IN never becomes TRUE through it (the
+    evaluator ignores None members — 3VL), but the clause may later
+    be NEGATED by a wrapping NOT, and NOT(col IN (..., NULL)) is
+    never-true — dropping the None at materialization would make that
+    negation delete the complement instead of nothing."""
     if store is None:
         _refuse(stmt, "IN (SELECT ...) needs a store-bound call")
     df = store_sql(store, inner)
@@ -182,7 +182,7 @@ def _subquery_values(store, inner: str, stmt: str, keep_null: bool = False) -> l
     vals = [r[0] for r in rows]
     has_null = any(v is None for v in vals)
     vals = [v for v in vals if v is not None]
-    if keep_null and has_null:
+    if has_null:
         vals.append(None)
     return vals
 
@@ -337,7 +337,7 @@ def _parse_clause(rest: str, stmt: str, store) -> tuple[tuple, str]:
     )
     if m:
         inner, after = _scan_balanced(m[3], stmt)
-        vals = _subquery_values(store, inner, stmt, keep_null=bool(m[2]))
+        vals = _subquery_values(store, inner, stmt)
         return (m[1], "notin" if m[2] else "in", vals), after
     m = re.match(
         rf"(?is)^({_IDENT})\s+(NOT\s+)?IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)(.*)$",

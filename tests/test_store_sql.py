@@ -553,3 +553,37 @@ def test_general_not_and_not_between_route(spark, tmp_path):
     # live rows >= 5 only
     assert {r[0] for r in _rows(a)} == {5, 7, 9, 11, 13, 15}
     assert nd > 0
+
+
+def test_not_over_in_subquery_keeps_null_semantics(spark, tmp_path):
+    """r16 3VL pin: a NULL member of an IN-subquery must survive
+    materialization so a WRAPPING NOT sees it — NOT(k IN (..., NULL))
+    is never-true and deletes NOTHING (the old keep_null=only-for-
+    direct-NOT-IN dropped the NULL before negation and deleted the
+    complement)."""
+    store = _store(spark, tmp_path)
+    spark.createDataFrame([(2,), (None,)], "kk LONG").createOrReplaceTempView(
+        "nn_keys2"
+    )
+    try:
+        before = _rows(store)
+        n = store.sql(
+            "DELETE FROM IndicatorValues WHERE NOT "
+            "(k IN (SELECT kk FROM nn_keys2))"
+        )
+        assert n == 0 and _rows(store) == before
+        # double negation restores the positive IN exactly
+        n2 = store.sql(
+            "DELETE FROM IndicatorValues WHERE NOT (k NOT IN "
+            "(SELECT kk FROM nn_keys2 WHERE kk IS NOT NULL))"
+        )
+        assert n2 == 1  # k = 2
+        # and the POSITIVE in with a NULL member still matches its
+        # non-null values (None member inert)
+        n3 = store.sql(
+            "DELETE FROM IndicatorValues WHERE k IN "
+            "(SELECT kk FROM nn_keys2)"
+        )
+        assert n3 == 0  # k=2 already gone; NULL matches nothing
+    finally:
+        spark.catalog.dropTempView("nn_keys2")
