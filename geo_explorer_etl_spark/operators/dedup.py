@@ -784,6 +784,14 @@ def connected_components(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # materialize the edge set ONCE: every iteration below joins
+    # against `edges`, and the caller's pair plan is typically a full
+    # LSH/banding pipeline — without this cut each label round
+    # re-executed that pipeline end to end (measured: the incremental
+    # simhash decide spent ~4× its signature cost re-deriving edges
+    # across iterations; the batch keep_representatives path re-ran
+    # the MinHash join per round the same way)
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
