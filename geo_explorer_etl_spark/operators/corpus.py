@@ -765,6 +765,11 @@ def ingest_corpus_batch(
         band_table=(
             BAND_TABLE if near_dup_mode == "minhash" else SIMHASH_BAND_TABLE
         ),
+        simhash_spec=(
+            (simhash_bits, max_hamming)
+            if near_dup_mode == "simhash"
+            else None
+        ),
     )
     if ann_batch is not None:
         # opt-in vector upkeep (VERDICT r12 next #3 wiring): index the

@@ -599,9 +599,32 @@ def simhash_band_specs(bits: int, max_hamming: int) -> list[tuple[int, int, int]
     operator, the incremental index and the DuckDB oracle builders:
     ``max_hamming + 1`` contiguous bands over the ``bits``-bit space,
     band b covering [b*width, (b+1)*width) with the last band taking
-    the remainder. Returns [(band_id, lo, hi), ...]."""
+    the remainder. Returns [(band_id, lo, hi), ...].
+
+    Validation lives HERE so every consumer gets it (r16 review find:
+    the incremental leg accepted degenerate specs the batch operator
+    refused): ``max_hamming`` ≥ 0, at least one bit per band
+    (zero-width bands collide everything — a quadratic self-join),
+    and no band wider than 60 bits (``simhash_band_val``'s straddle
+    arithmetic must stay inside signed-64 ANSI math in Spark AND the
+    DuckDB twin — the module's engine-reproducibility contract)."""
+    if max_hamming < 0:
+        raise ValueError(f"simhash bands: max_hamming={max_hamming} < 0")
     bands = max_hamming + 1
     width = bits // bands
+    if width < 1:
+        raise ValueError(
+            f"simhash bands: bits={bits} splits into {bands} bands of "
+            "zero width — every doc would share every band value "
+            "(quadratic self-join); raise bits or lower max_hamming"
+        )
+    last_width = bits - (bands - 1) * width
+    if max(width, last_width) > SIMHASH_WORD_BITS:
+        raise ValueError(
+            f"simhash bands: a {max(width, last_width)}-bit band value "
+            f"overflows 64-bit arithmetic (max {SIMHASH_WORD_BITS} bits "
+            "per band) — raise max_hamming or lower bits"
+        )
     return [
         (b, b * width, (b + 1) * width if b < bands - 1 else bits)
         for b in range(bands)

@@ -138,6 +138,54 @@ def _band_rows(
     return DD.band_keys(sig, id_col, num_hashes, bands)
 
 
+def _simhash_spec_marker(store: TableStore) -> str:
+    import os
+
+    return os.path.join(store.root, "_dedup_simhash_spec.json")
+
+
+def _check_simhash_spec(store: TableStore, bits: int, max_hamming: int) -> None:
+    """Refuse a decide whose (bits, max_hamming) differ from the spec
+    the persisted index was built under (r16 review find): band
+    values computed under a different spec silently never match the
+    recorded ones — near-dups against the existing corpus would be
+    missed with no error, exactly the failure the one-mode-per-store
+    guard exists to prevent."""
+    import json
+    import os
+
+    p = _simhash_spec_marker(store)
+    if not os.path.isfile(p):
+        return
+    with open(p) as f:
+        rec = json.load(f)
+    if rec.get("bits") != bits or rec.get("max_hamming") != max_hamming:
+        raise ValueError(
+            f"dedup_decide: store's SimHash index was built with "
+            f"bits={rec.get('bits')}, max_hamming={rec.get('max_hamming')} "
+            f"— this call passed bits={bits}, max_hamming={max_hamming}; "
+            "band values under different specs never match (silent "
+            "recall loss); use the recorded spec or rebuild the index"
+        )
+
+
+def _record_simhash_spec(store: TableStore, bits: int, max_hamming: int) -> None:
+    """Write-if-absent, BEFORE the first band append (any persisted
+    band row is then always covered by a spec marker — a crash
+    between marker and append retries into an empty-index marker,
+    which is harmless)."""
+    import json
+    import os
+
+    p = _simhash_spec_marker(store)
+    if os.path.isfile(p):
+        return
+    tmp = f"{p}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"bits": bits, "max_hamming": max_hamming}, f)
+    os.replace(tmp, p)
+
+
 def _simhash_band_rows(
     df: DataFrame, text_col: str, id_col: str, bits: int, max_hamming: int
 ) -> DataFrame:
@@ -248,6 +296,9 @@ def incremental_dedup(
     dedup_persist(
         store, surv_hashes, bands_new, rep.get("kept_rows", 0),
         band_table=BAND_TABLE if near_dup == "minhash" else SIMHASH_BAND_TABLE,
+        simhash_spec=(
+            (simhash_bits, max_hamming) if near_dup == "simhash" else None
+        ),
     )
     return kept
 
@@ -314,6 +365,7 @@ def dedup_decide(
 
     # -- near-dup leg ------------------------------------------------------
     if near_dup == "simhash":
+        _check_simhash_spec(store, simhash_bits, max_hamming)
         bands_new = _simhash_band_rows(
             survivors, text_col, id_col, simhash_bits, max_hamming
         ).localCheckpoint(eager=True)
@@ -330,75 +382,45 @@ def dedup_decide(
         if store.exists(band_table)
         else None
     )
-    if near_dup == "simhash":
-        # candidate = band agreement; EDGE = verified Hamming ≤ cap —
-        # the row-local two-word bit_count verify makes incremental
-        # recall EXACT w.r.t. the signature, same as the batch operator
-        def _ham(a0, a1, b0, b1):
-            return F.bit_count(F.col(a0).bitwiseXOR(F.col(b0))) + F.bit_count(
-                F.col(a1).bitwiseXOR(F.col(b1))
-            )
+    # ONE edge construction for both modes (r16 review): candidate =
+    # band agreement; in simhash mode an EDGE additionally requires
+    # the row-local two-word Hamming verify ≤ cap, making incremental
+    # recall EXACT w.r.t. the signature, same as the batch operator.
+    sig_cols = ("sh0", "sh1") if near_dup == "simhash" else ()
 
-        new_a = bands_new.select(
-            F.col(id_col).alias("doc_a"), "band_id", "band_hash",
-            F.col("sh0").alias("_a0"), F.col("sh1").alias("_a1"),
+    def _side(frame: DataFrame, out_id: str, tag: str) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias(out_id), "band_id", "band_hash",
+            *[F.col(c).alias(f"_{tag}{i}") for i, c in enumerate(sig_cols)],
         )
-        new_b = bands_new.select(
-            F.col(id_col).alias("doc_b"), "band_id", "band_hash",
-            F.col("sh0").alias("_b0"), F.col("sh1").alias("_b1"),
+
+    def _verified(cand: DataFrame, a0: str, a1: str) -> DataFrame:
+        if not sig_cols:
+            return cand
+        ham = F.bit_count(
+            F.col(a0).bitwiseXOR(F.col("_b0"))
+        ) + F.bit_count(F.col(a1).bitwiseXOR(F.col("_b1")))
+        return cand.filter(ham <= max_hamming)
+
+    edges = _verified(
+        _side(bands_new, "doc_a", "a")
+        .join(_side(bands_new, "doc_b", "b"), ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b")),
+        "_a0", "_a1",
+    ).select("doc_a", "doc_b")
+    if old_bands is not None:
+        # orient corpus edges old->new so the component label a new
+        # doc inherits is the OLD id (always smaller under the
+        # monotone-id contract) — any old contact dooms the new doc
+        corpus_edges = _verified(
+            bands_new.join(
+                _side(old_bands, "_old_id", "b"), ["band_id", "band_hash"]
+            ),
+            "sh0", "sh1",
+        ).select(
+            F.col("_old_id").alias("doc_a"), F.col(id_col).alias("doc_b")
         )
-        edges = (
-            new_a.join(new_b, ["band_id", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .filter(_ham("_a0", "_a1", "_b0", "_b1") <= max_hamming)
-            .select("doc_a", "doc_b")
-        )
-        if old_bands is not None:
-            corpus_edges = (
-                bands_new.join(
-                    old_bands.select(
-                        F.col(id_col).alias("_old_id"), "band_id", "band_hash",
-                        F.col("sh0").alias("_b0"), F.col("sh1").alias("_b1"),
-                    ),
-                    ["band_id", "band_hash"],
-                )
-                .filter(_ham("sh0", "sh1", "_b0", "_b1") <= max_hamming)
-                .select(
-                    F.col("_old_id").alias("doc_a"),
-                    F.col(id_col).alias("doc_b"),
-                )
-            )
-            edges = edges.unionByName(corpus_edges)
-    else:
-        new_a = bands_new.select(
-            F.col(id_col).alias("doc_a"), "band_id", "band_hash"
-        )
-        new_b = bands_new.select(
-            F.col(id_col).alias("doc_b"), "band_id", "band_hash"
-        )
-        edges = (
-            new_a.join(new_b, ["band_id", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        if old_bands is not None:
-            corpus_edges = (
-                bands_new.join(
-                    old_bands.select(
-                        F.col(id_col).alias("_old_id"), "band_id", "band_hash"
-                    ),
-                    ["band_id", "band_hash"],
-                )
-                # orient corpus edges old->new so the component label a
-                # new doc inherits is the OLD id (always smaller under
-                # the monotone-id contract) — any old contact dooms the
-                # new doc
-                .select(
-                    F.col("_old_id").alias("doc_a"),
-                    F.col(id_col).alias("doc_b"),
-                )
-            )
-            edges = edges.unionByName(corpus_edges)
+        edges = edges.unionByName(corpus_edges)
     edges = edges.distinct()
     # the delta subgraph: new docs + directly-touched old ids only —
     # bounded by the batch's band contacts, never the corpus
@@ -437,12 +459,19 @@ def dedup_persist(
     bands_new: DataFrame,
     n_rows_hint: int = 0,
     band_table: str = BAND_TABLE,
+    simhash_spec: tuple[int, int] | None = None,
 ) -> None:
     """The PERSISTENCE phase: append the decision's index rows
     (range-clustered, one atomic manifest extend per table).
     ``band_table`` names the near-dup index the decision built
-    (MinHash or SimHash — the caller passes the mode's table)."""
+    (MinHash or SimHash — the caller passes the mode's table);
+    ``simhash_spec`` = (bits, max_hamming) records the SimHash
+    construction parameters next to the index on first persist, so
+    later decides refuse a drifted spec instead of silently missing
+    every cross-batch near-dup."""
     n_files = max(1, min(8, int(n_rows_hint) // 50_000 + 1))
+    if simhash_spec is not None and band_table == SIMHASH_BAND_TABLE:
+        _record_simhash_spec(store, *simhash_spec)
     _append_clustered(store, EXACT_TABLE, surv_hashes, "content_hash", n_files)
     _append_clustered(store, band_table, bands_new, "band_hash", n_files)
 

@@ -306,28 +306,28 @@ DIGEST_LOG_MAX_LINES = 200
 
 
 def _append_rotating(path: str, line: str, max_lines: int | None = None) -> None:
-    """Append one line; when the file would exceed ``max_lines``,
-    rewrite it down to the newest ``max_lines`` lines (atomic via
-    rename — a concurrent reader sees either generation, never a
-    torn file)."""
+    """Append one line (plain O_APPEND — concurrent builders never
+    lose each other's records on the hot path, r16 review find); only
+    when the file has grown to TWICE the cap rewrite it down to the
+    newest ``max_lines`` lines (atomic via rename — a concurrent
+    reader sees either generation, never a torn file; a line landing
+    exactly during the rare rewrite can be lost, the accepted
+    tolerance for a diagnostics artifact)."""
     import os
 
     cap = DIGEST_LOG_MAX_LINES if max_lines is None else int(max_lines)
-    existing: list[str] = []
+    with open(path, "a") as f:
+        f.write(line + "\n")
     try:
         with open(path) as f:
             existing = f.readlines()
-    except FileNotFoundError:
-        pass
-    if len(existing) + 1 <= cap:
-        with open(path, "a") as f:
-            f.write(line + "\n")
+    except FileNotFoundError:  # pragma: no cover - concurrent rotation
         return
-    keep = existing[-(cap - 1):] if cap > 1 else []
+    if len(existing) <= 2 * cap:
+        return
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        f.writelines(keep)
-        f.write(line + "\n")
+        f.writelines(existing[-cap:])
     os.replace(tmp, path)
 
 

@@ -327,7 +327,12 @@ def _conj_may_match(stats: dict[str, list] | None, where) -> bool:
             # prune only a single-valued file whose one value is a
             # listed member: every non-null row then equals a member
             # (-> FALSE) and null rows never match a null-rejecting
-            # predicate — provably empty without a null count
+            # predicate — provably empty without a null count. NOT on
+            # a float-statted file: parquet min/max IGNORE NaN, and
+            # NaN != v is TRUE under Spark semantics, so a [5.0, NaN]
+            # file reports mn=mx=5.0 while its NaN row MATCHES
+            # NOT IN (5.0) — the same nan_possible guard the '!='
+            # branch below applies (r16 review find)
             members = [_normalize_bound(v) for v in val]
             if (
                 members
@@ -336,6 +341,7 @@ def _conj_may_match(stats: dict[str, list] | None, where) -> bool:
                 )
                 and mn == mx
                 and mn in members
+                and not (isinstance(mn, float) or isinstance(mx, float))
             ):
                 return False
             continue

@@ -219,7 +219,7 @@ def _parse_or(text: str, stmt: str, store) -> tuple[list[list], str]:
     """expr := term (OR term)* — DNF union."""
     dnf, rest = _parse_and(text, stmt, store)
     while True:
-        m = re.match(r"(?is)^\s*OR\s+(.*)$", rest)
+        m = re.match(r"(?is)^\s*OR(?=\s|\()\s*(.*)$", rest)
         if not m:
             return dnf, rest
         nxt, rest = _parse_and(m[1], stmt, store)
@@ -236,7 +236,7 @@ def _parse_and(text: str, stmt: str, store) -> tuple[list[list], str]:
     over each side's disjuncts)."""
     dnf, rest = _parse_factor(text, stmt, store)
     while True:
-        m = re.match(r"(?is)^\s*AND\s+(.*)$", rest)
+        m = re.match(r"(?is)^\s*AND(?=\s|\()\s*(.*)$", rest)
         if not m:
             return dnf, rest
         nxt, rest = _parse_factor(m[1], stmt, store)
@@ -256,7 +256,8 @@ def _parse_factor(text: str, stmt: str, store) -> tuple[list[list], str]:
     null-rejecting complement in the store grammar), re-expanded
     under the same MAX_DISJUNCTS bound."""
     t = text.lstrip()
-    m = re.match(r"(?is)^NOT\s+(?!LIKE\b|IN\b|NULL\b|BETWEEN\b)(.*)$", t)
+    # (?=\s|\() — "NOT(k = 1)" without a space is valid SQL too
+    m = re.match(r"(?is)^NOT(?=\s|\()\s*(?!LIKE\b|IN\b|NULL\b|BETWEEN\b)(.*)$", t)
     if m:
         dnf, rest = _parse_factor(m[1], stmt, store)
         return _negate_dnf(dnf, stmt), rest

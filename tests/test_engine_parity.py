@@ -158,12 +158,16 @@ def test_digest_artifact_rotates_at_cap(tmp_path):
     from geo_explorer_etl_spark.plans.catalog_ext import _append_rotating
 
     p = str(tmp_path / "x_digests.jsonl")
-    for i in range(7):
+    # under 2x the cap: plain atomic appends, nothing lost
+    for i in range(10):
         _append_rotating(p, f"line{i}", max_lines=5)
-    lines = open(p).read().splitlines()
-    assert lines == [f"line{i}" for i in range(2, 7)]
-    _append_rotating(p, "line7", max_lines=5)
-    assert open(p).read().splitlines() == [f"line{i}" for i in range(3, 8)]
+    assert open(p).read().splitlines() == [f"line{i}" for i in range(10)]
+    # crossing 2x the cap triggers ONE rewrite down to the newest cap
+    _append_rotating(p, "line10", max_lines=5)
+    assert open(p).read().splitlines() == [f"line{i}" for i in range(6, 11)]
+    # and appends keep accumulating from there
+    _append_rotating(p, "line11", max_lines=5)
+    assert open(p).read().splitlines() == [f"line{i}" for i in range(6, 12)]
 
 
 def test_duck_digest_side_gated_by_size_and_env(tmp_path, monkeypatch):

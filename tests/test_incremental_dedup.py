@@ -1245,3 +1245,50 @@ def test_mirror_breach_marks_then_sweep_compacts_then_inline_fallback(
     mirror = ID.line_mirror_read(store)
     assert mirror is not None
     assert mirror.count() == store.count_rows(ID.LINE_TABLE)
+
+
+def test_simhash_spec_drift_refused(spark, tmp_path):
+    """r16 review find: the persisted SimHash index records its
+    (bits, max_hamming) spec on first persist; a later decide under a
+    DIFFERENT spec refuses loudly instead of silently missing every
+    cross-batch near-dup (band values under different specs never
+    match). Degenerate band specs refuse at the shared definition."""
+    import pytest
+
+    from geo_explorer_etl_spark.operators import dedup as DDop
+    from geo_explorer_etl_spark.operators.incremental_dedup import (
+        dedup_decide,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    incremental_dedup(
+        store, _docs(spark, [(1, "alpha beta gamma")]), near_dup="simhash"
+    )
+    with pytest.raises(ValueError, match="built with bits=96"):
+        dedup_decide(
+            store, _docs(spark, [(2, "x y z")]), near_dup="simhash",
+            simhash_bits=64,
+        )
+    with pytest.raises(ValueError, match="built with"):
+        dedup_decide(
+            store, _docs(spark, [(2, "x y z")]), near_dup="simhash",
+            max_hamming=5,
+        )
+    # same spec keeps working
+    kept = incremental_dedup(
+        store, _docs(spark, [(2, "delta epsilon zeta")]), near_dup="simhash"
+    )
+    assert kept.count() == 1
+    # shared band-spec validation: zero-width bands and >60-bit bands
+    with pytest.raises(ValueError, match="zero width"):
+        DDop.simhash_band_specs(2, 3)
+    with pytest.raises(ValueError, match="overflows 64-bit"):
+        DDop.simhash_band_specs(96, 0)
+    with pytest.raises(ValueError, match="max_hamming=-1"):
+        DDop.simhash_band_specs(96, -1)
+    with pytest.raises(ValueError, match="overflows 64-bit"):
+        dedup_decide(
+            store2 := TableStore(spark, str(tmp_path / "wh2")),
+            _docs(spark, [(1, "a b")]), near_dup="simhash", max_hamming=0,
+        )
+    del store2

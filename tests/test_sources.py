@@ -4054,3 +4054,27 @@ def test_notlike_and_notin_zone_map_semantics(spark, tmp_path):
     )
     assert kinds.read("T", [("kind", "notin", ["a"])]).count() == 20
     assert kinds.read("T", [("kind", "in", ["a", "b", "c"])]).count() == 30
+
+
+def test_notin_zone_map_keeps_nan_rows(spark, tmp_path):
+    """r16 review find: parquet min/max ignore NaN, so a [5.0, NaN]
+    file reports mn=mx=5.0 — but NaN != 5.0 is TRUE under Spark
+    semantics, so NOT IN (5.0) must KEEP the file and return the NaN
+    row (the sibling '!=' branch has the same guard)."""
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan"))], "id LONG, x DOUBLE"
+    ).coalesce(1)
+    store.replace_product_all(1, {"T": df})
+    w = [("x", "notin", [5.0])]
+    assert len(store.live_files("T", w)) == 1  # NOT pruned
+    got = store.read("T", w).collect()
+    assert len(got) == 1 and got[0]["id"] == 2
+    # int-statted single-valued files still prune exactly
+    store2 = TableStore(spark, str(tmp_path / "store2"))
+    store2.replace_product_all(
+        1, {"T": spark.createDataFrame([(1, 5), (2, 5)], "id LONG, x LONG").coalesce(1)}
+    )
+    assert store2.live_files("T", [("x", "notin", [5])]) == []

@@ -587,3 +587,14 @@ def test_not_over_in_subquery_keeps_null_semantics(spark, tmp_path):
         assert n3 == 0  # k=2 already gone; NULL matches nothing
     finally:
         spark.catalog.dropTempView("nn_keys2")
+
+
+def test_keyword_paren_adjacency_routes(spark, tmp_path):
+    """r16 review find: NOT(/AND(/OR( without a trailing space are
+    valid SQL (the common machine-generated form) and must route."""
+    store = _store(spark, tmp_path)
+    n = store.sql(
+        "DELETE FROM IndicatorValues WHERE NOT(k = 1) AND(k < 4) OR(k = 19)"
+    )
+    assert n == 4  # 0, 2, 3, 19
+    assert {r[0] for r in _rows(store)} == set(range(4, 19)) | {1}
