@@ -513,13 +513,20 @@ def simhash_wide(
     1 (chars 17–31) — so for bits ≤ 60 ``sh0`` equals ``simhash``'s
     single-word signature exactly (pytest-pinned) and ``sh1`` is 0.
 
-    Scale shape (the ``minhash_signatures`` argument, measured there):
-    explode distinct tokens → one md5 per token → per-bit ±1 votes as
-    ``bits`` conditional SUM aggregates with map-side partial
-    aggregation — exploded rows ride whole-stage codegen, and only
-    one signature row per doc crosses the wire. Documents with no
-    token rows (NULL text) re-enter via a left join with an all-zero
-    signature, matching ``simhash`` and the DuckDB oracle."""
+    Scale shape (r16 — OPTIMIZATION_r16.md): ENTIRELY ROW-LOCAL, like
+    the narrow ``simhash`` but with the md5 hoisted OUT of the bit
+    loop — one ``transform`` materializes each distinct token's two
+    hash words once per document, then a nested higher-order
+    ``aggregate`` (bits × tokens integer ops, no hashing) folds the
+    ±1 votes into each word. Zero Exchange, zero join: the signature
+    column rides whatever partitioning the corpus already has.
+    Documents with no tokens (NULL text) propagate NULL through the
+    fold and coalesce to the all-zero signature. The r15 shape
+    (explode distinct tokens → 96 per-bit SUM aggregates → join-back)
+    shuffled little but its 100+-expression plan cost ~2.2 s of
+    Catalyst analysis per fresh build and its aggregate ran outside
+    whole-stage codegen (>100 buffer fields) — measured 6× slower
+    than this shape at sf0.1 with byte-identical output."""
     if not (1 <= bits <= SIMHASH_MAX_BITS):
         raise ValueError(
             f"simhash_wide: bits={bits} must be in [1, {SIMHASH_MAX_BITS}]"
@@ -527,70 +534,38 @@ def simhash_wide(
     from geo_explorer_etl_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    ex = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), WS_RE))
-        ).alias("_t"),
-    ).select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("_w0"),
-        F.conv(F.substring(F.md5(F.col("_t")), 17, 15), 16, 10)
-        .cast("long")
-        .alias("_w1"),
+    toks = f"array_distinct(split(trim(lower({text_col})), '{WS_RE}'))"
+    ws = (
+        f"transform({toks}, t -> named_struct("
+        f"'w0', cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), "
+        f"'w1', cast(conv(substring(md5(t), 17, 15), 16, 10) as bigint)))"
     )
+    stage = df.select(F.col(id_col), F.expr(ws).alias("_ws"))
 
-    # per-bit SET-COUNTS, not ±1 votes: sum((w >> off) & 1) plus one
-    # shared token count — vote > 0 ⟺ 2·set > n, identical bit rule
-    # with a branch-free aggregate body (measured ~25% faster at
-    # sf0.1: the 96-agg plan's codegen is the fixed cost, and the
-    # when/otherwise arms doubled its size)
-    def setcount(bit: int) -> Column:
-        w = F.col("_w0") if bit < SIMHASH_WORD_BITS else F.col("_w1")
-        return F.sum(
-            F.shiftright(w, bit % SIMHASH_WORD_BITS).bitwiseAND(F.lit(1))
-        ).alias(f"_s{bit}")
-
-    voted = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"), *[setcount(b) for b in range(bits)]
-    )
-
-    def word(lo: int, hi: int) -> Column:
-        terms = [
-            F.when(
-                F.col(f"_s{b}") * 2 > F.col("_n"),
-                F.lit(1 << (b - lo)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for b in range(lo, hi)
-        ]
-        # balanced reduction, not a left-deep chain: a depth-60 add
-        # tree measurably slows analysis/codegen of the cold plan
-        while len(terms) > 1:
-            terms = [
-                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-                for i in range(0, len(terms), 2)
-            ]
-        return terms[0]
-
-    sigs = voted.select(
-        F.col(id_col),
-        word(0, min(bits, SIMHASH_WORD_BITS)).alias("sh0"),
-        (
-            word(SIMHASH_WORD_BITS, bits)
-            if bits > SIMHASH_WORD_BITS
-            else F.lit(0).cast("long")
-        ).alias("sh1"),
-    )
-    return (
-        df.select(id_col)
-        .join(sigs, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("sh0"), F.lit(0).cast("long")).alias("sh0"),
-            F.coalesce(F.col("sh1"), F.lit(0).cast("long")).alias("sh1"),
+    def word_sql(lo: int, hi: int, field: str) -> str:
+        # bit b of word `field`: majority vote over tokens, ±1 per
+        # token — vote > 0 sets weight 2^(b-lo). The inner aggregate
+        # re-scans the (already-hashed) token array per bit: bits ×
+        # tokens integer lambda ops, embarrassingly parallel.
+        return (
+            f"aggregate(sequence({lo}, {hi - 1}), cast(0 as bigint), "
+            f"(acc, b) -> acc + if("
+            f"aggregate(_ws, cast(0 as bigint), "
+            f"(a, w) -> a + (((w.{field} >> (b % {SIMHASH_WORD_BITS})) & 1) * 2 - 1)"
+            f") > 0, "
+            f"shiftleft(cast(1 as bigint), b - {lo}), cast(0 as bigint)))"
         )
+
+    w0 = word_sql(0, min(bits, SIMHASH_WORD_BITS), "w0")
+    w1 = (
+        word_sql(SIMHASH_WORD_BITS, bits, "w1")
+        if bits > SIMHASH_WORD_BITS
+        else "cast(0 as bigint)"
+    )
+    return stage.select(
+        F.col(id_col),
+        F.expr(f"coalesce({w0}, cast(0 as bigint))").alias("sh0"),
+        F.expr(f"coalesce({w1}, cast(0 as bigint))").alias("sh1"),
     )
 
 
@@ -710,6 +685,20 @@ def simhash_pairs(
     if overflow not in ("drop", "salt"):
         raise ValueError(f"simhash_pairs: unknown overflow {overflow!r}")
     sig = simhash_wide(df, text_col, id_col, bits=bits)
+    specs = simhash_band_specs(bits, max_hamming)
+    if max_bucket_size is None:
+        return _simhash_pairs_join(sig, id_col, specs, max_hamming)
+
+    # Finite cap (the default): buckets are ≤ cap docs, so pairs can be
+    # generated ROW-LOCALLY from one collect_list per bucket instead of
+    # a banded self-join — one hash shuffle of the banded rows replaces
+    # {window count (shuffle+sort) + two self-join legs that each
+    # recomputed the whole signature pass} (guide §2.4: remove shuffles
+    # outright). The signature frame is lazily localCheckpoint'ed so
+    # the bucket-size pre-pass and the grouped pass share one
+    # materialization — a few dozen bytes per doc, and plan
+    # construction stays lazy.
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         id_col,
         "sh0",
@@ -722,35 +711,106 @@ def simhash_pairs(
                         "band_val"
                     ),
                 )
-                for b, lo, hi in simhash_band_specs(bits, max_hamming)
+                for b, lo, hi in specs
+            ])
+        ).alias("_b"),
+    ).select(id_col, "sh0", "sh1", "_b.band_id", "_b.band_val")
+    # Over-full buckets only (count > cap): normally empty or tiny —
+    # AQE broadcast-joins it at runtime; on a degenerate corpus it can
+    # reach rows/cap entries, which a plain join (NOT a forced
+    # broadcast) still handles by sharing the (band_id, band_val)
+    # partitioning with the groupBy below.
+    sizes = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+    )
+    if report is not None:
+        over = sizes.agg(
+            F.count(F.lit(1)).alias("b"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+        ).collect()[0]
+        report["overfull_buckets"] = over["b"]
+        report["overfull_rows"] = int(over["r"])
+        report["overflow"] = overflow
+    joined = banded.join(sizes, ["band_id", "band_val"], "left")
+    group_keys = ["band_id", "band_val"]
+    if overflow == "salt":
+        shards = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
+        joined = joined.withColumn(
+            "_shard",
+            F.when(F.col("_n").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), shards).cast("int")
+            ),
+        )
+        group_keys = group_keys + ["_shard"]
+    else:
+        joined = joined.filter(F.col("_n").isNull())
+    grouped = (
+        joined.groupBy(*group_keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("sh0").alias("s0"),
+                        F.col("sh1").alias("s1"),
+                    )
+                )
+            ).alias("m")
+        )
+        .filter(F.size("m") >= 2)
+    )
+    # In-bucket pair expansion: m is id-sorted, so element i pairs with
+    # every later element (a < b by construction for non-NULL ids; a
+    # NULL id yields a NULL comparison and is dropped, exactly like the
+    # doc_a < doc_b filter of the join shape). The hamming verify runs
+    # INSIDE the array so only true near-dup pairs are exploded.
+    pair_expr = f"""
+      filter(
+        flatten(transform(m, (x, xi) ->
+          transform(slice(m, xi + 2, size(m)), y ->
+            struct(x.i AS a, y.i AS b,
+                   bit_count(x.s0 ^ y.s0) + bit_count(x.s1 ^ y.s1) AS h)))),
+        p -> p.h <= {max_hamming})
+    """
+    return (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select(
+            F.col("_p.a").alias("doc_a"),
+            F.col("_p.b").alias("doc_b"),
+            F.col("_p.h").alias("hamming"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_pairs_join(
+    sig: DataFrame, id_col: str, specs: list[tuple[int, int, int]],
+    max_hamming: int,
+) -> DataFrame:
+    """The UNCAPPED banded self-join (``max_bucket_size=None``, the
+    explicit opt-out): kept on the join shape because row-local
+    expansion of an unbounded bucket would materialize B²/2 pair
+    structs in one row — the join spills gracefully instead."""
+    banded = sig.select(
+        id_col,
+        "sh0",
+        "sh1",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    simhash_band_val(lo, hi, F.col("sh0"), F.col("sh1")).alias(
+                        "band_val"
+                    ),
+                )
+                for b, lo, hi in specs
             ])
         ).alias("_b"),
     ).select(id_col, "sh0", "sh1", "_b.band_id", "_b.band_val")
     join_keys = ["band_id", "band_val"]
-    if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_id", "band_val")
-        banded = banded.withColumn("_n", F.count(F.lit(1)).over(w))
-        if report is not None:
-            over = banded.filter(F.col("_n") > max_bucket_size).agg(
-                F.count_distinct("band_id", "band_val").alias("b"),
-                F.count(F.lit(1)).alias("r"),
-            ).collect()[0]
-            report["overfull_buckets"] = over["b"]
-            report["overfull_rows"] = over["r"]
-            report["overflow"] = overflow
-        if overflow == "salt":
-            shards = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
-            banded = banded.withColumn(
-                "_shard",
-                F.when(F.col("_n") <= max_bucket_size, F.lit(0)).otherwise(
-                    F.pmod(F.xxhash64(F.col(id_col)), shards).cast("int")
-                ),
-            ).drop("_n")
-            join_keys = join_keys + ["_shard"]
-        else:
-            banded = banded.filter(F.col("_n") <= max_bucket_size).drop("_n")
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("sh0").alias("_sa0"),
         F.col("sh1").alias("_sa1"), *join_keys,
