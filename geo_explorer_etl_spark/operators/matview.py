@@ -1381,7 +1381,6 @@ def _apply_window(
     if delta is None:
         return w
     delta = _prepare_base(delta, ent.get("where"), ent.get("group_exprs"))
-    _refuse_null_keys(delta.select(*group_cols), group_cols, "refresh_matview")
     delta_g = _with_pid(
         _project_hist_idx(delta, aggs, bins, modes)
         .groupBy(*group_cols)
@@ -1393,20 +1392,37 @@ def _apply_window(
         int(ent["n_partitions"]),
     ).persist()
     try:
-        w["groups_touched"] = delta_g.count()
+        # ONE probe job over the (persisted) delta groups replaces four
+        # sequential driver actions — the NULL-key refusal, the
+        # groups_touched count, the clamp totals and the touched-pid
+        # set were each their own Spark job (r16, guide §5: small jobs
+        # on the refresh path are pure scheduling overhead; this also
+        # materializes the cache the later join reads)
+        couts = _clamp_outs(aggs, modes)
+        null_key = None
+        for c in group_cols:
+            n = F.col(c).isNull()
+            null_key = n if null_key is None else (null_key | n)
+        probe = delta_g.agg(
+            F.count(F.lit(1)).alias("__g"),
+            F.max(F.when(null_key, 1).otherwise(0)).alias("__nullkey"),
+            F.collect_set(PARTITION_COL).alias("__pids"),
+            *[F.sum("_dclamp_" + o).alias(o) for o in couts],
+            *[F.sum("_dcrows_" + o).alias("_r_" + o) for o in couts],
+        ).first()
+        if probe["__nullkey"]:
+            raise ValueError(
+                f"refresh_matview: NULL in group column(s) {group_cols} — "
+                "materialized views need non-null group keys (filter or "
+                "coalesce upstream)"
+            )
+        w["groups_touched"] = int(probe["__g"])
         if not w["groups_touched"]:
             return w
-        couts = _clamp_outs(aggs, modes)
         if couts:
-            tot = delta_g.agg(
-                *[F.sum("_dclamp_" + o).alias(o) for o in couts],
-                *[F.sum("_dcrows_" + o).alias("_r_" + o) for o in couts],
-            ).first()
-            w["clamped"] = {o: int(tot[o] or 0) for o in couts}
-            w["hist_rows"] = {o: int(tot["_r_" + o] or 0) for o in couts}
-        pids = [
-            r[0] for r in delta_g.select(PARTITION_COL).distinct().collect()
-        ]  # ≤ n_partitions values, bounded by construction
+            w["clamped"] = {o: int(probe[o] or 0) for o in couts}
+            w["hist_rows"] = {o: int(probe["_r_" + o] or 0) for o in couts}
+        pids = sorted(probe["__pids"])  # ≤ n_partitions, bounded by construction
         old = (
             store.read(t, where=[(PARTITION_COL, "in", pids)], prune_only=True)
             if store.exists(t)

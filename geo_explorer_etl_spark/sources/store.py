@@ -4327,7 +4327,7 @@ class TableStore:
             live_cnt = self._dml_live_counts(
                 keyed_live, candidates, manifest.get("rows", {}), snapshot_dv
             )
-            match_cnt, inline_pos = self._dml_matched_counts(
+            match_cnt, inline_pos, _ = self._dml_matched_counts(
                 matched, want_positions=True
             )
             full_drop, dv_files, rewrite = self._dml_dv_split(
@@ -4580,18 +4580,28 @@ class TableStore:
         return live_cnt
 
     def _dml_matched_counts(
-        self, matched: DataFrame, want_positions: bool
-    ) -> tuple[dict[str, int], dict[str, list[int]]]:
+        self, matched: DataFrame, want_positions: bool,
+        clause_col: str | None = None,
+    ) -> tuple[dict[str, int], dict[str, list[int]], dict[int, int]]:
         """ONE aggregation over the matched-rows frame: per-file
         counts, plus matched positions capped by a window row-number
         BEFORE the collect (the row-number sort spills to disk and the
         when(rn<=cap) keeps each aggregation buffer at most
         DV_INLINE_POSITIONS entries — a half-matched 100M-row file
-        must never buffer every position in one executor state)."""
+        must never buffer every position in one executor state).
+
+        ``clause_col`` (r16): additionally group by a clause-label
+        column and return per-clause row counts as the third element —
+        merge_apply's per-clause tally rides the SAME job instead of a
+        second aggregation over the cached frame (the row-number cap
+        is per ``__dv_name`` regardless, so per-file counts/positions
+        merge driver-side to exactly the ungrouped result)."""
         match_cnt: dict[str, int] = {}
-        inline_pos: dict[str, list[int]] = {}
+        inline_pos_raw: dict[str, list[int]] = {}
+        clause_cnt: dict[int, int] = {}
+        keys = ["__dv_name"] + ([clause_col] if clause_col else [])
         if not want_positions:
-            agg = matched.groupBy("__dv_name").agg(F.count(F.lit(1)).alias("m"))
+            agg = matched.groupBy(*keys).agg(F.count(F.lit(1)).alias("m"))
         else:
             from pyspark.sql.window import Window
 
@@ -4600,25 +4610,33 @@ class TableStore:
             )
             agg = (
                 matched.withColumn("__rn", rn)
-                .groupBy("__dv_name")
+                .groupBy(*keys)
                 .agg(
                     F.count(F.lit(1)).alias("m"),
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("__rn") <= self.DV_INLINE_POSITIONS,
-                                F.col("__dv_pos"),
-                            )
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") <= self.DV_INLINE_POSITIONS,
+                            F.col("__dv_pos"),
                         )
                     ).alias("pos"),
                 )
             )
         for r in agg.collect():
             n = r["__dv_name"]
-            match_cnt[n] = int(r["m"])
-            if want_positions and 0 < match_cnt[n] <= self.DV_INLINE_POSITIONS:
-                inline_pos[n] = [int(x) for x in r["pos"]]
-        return match_cnt, inline_pos
+            match_cnt[n] = match_cnt.get(n, 0) + int(r["m"])
+            if clause_col:
+                c = int(r[clause_col])
+                clause_cnt[c] = clause_cnt.get(c, 0) + int(r["m"])
+            if want_positions:
+                inline_pos_raw.setdefault(n, []).extend(
+                    int(x) for x in r["pos"]
+                )
+        inline_pos = {
+            n: sorted(ps)
+            for n, ps in inline_pos_raw.items()
+            if 0 < match_cnt[n] <= self.DV_INLINE_POSITIONS
+        }
+        return match_cnt, inline_pos, clause_cnt
 
     def _dml_dv_split(
         self,
@@ -5269,41 +5287,70 @@ class TableStore:
             return _rename_to_logical(keyed_live(subset), colmap)
 
         # which source keys are PRESENT in the target (bounded by the
-        # probe cap, hence broadcastable); the ambiguity check below is
-        # the standard MERGE error — two source rows updating/deleting
-        # one target key have no defined winner
+        # probe cap, hence broadcastable + collectable); the ambiguity
+        # check below is the standard MERGE error — two source rows
+        # updating/deleting one target key have no defined winner.
+        #
+        # r16 (guide §2.4/§5): TWO driver actions replace four. One
+        # src-local stats job tallies rows per (key, matched-clause,
+        # not-matched-clause); one target job collects the present key
+        # set. Everything the old per-action subtrees derived — the
+        # ambiguity check, the removal map, the inserted-row count —
+        # falls out driver-side, and the collected rows re-broadcast
+        # as LocalRelations so no later action re-scans candidate
+        # files (ReusedExchange never crosses actions).
+        spark_s = src.sparkSession
+        src_stats = (
+            src_l.groupBy(*key_cols, "__mc", "__nmc")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .collect()
+            if (wm or wnm)
+            else []
+        )
         if cand_m:
-            present = F.broadcast(
+            key_schema = src.select(*key_cols).schema
+            present_rows = (
                 logical_live(cand_m)
                 .join(all_keys, key_cols, "left_semi")
                 .select(*key_cols)
                 .distinct()
+                .collect()
             )
+            present = F.broadcast(
+                spark_s.createDataFrame(present_rows, key_schema)
+            )
+            present_keys = {tuple(r[c] for c in key_cols) for r in present_rows}
             src_hit = src_l.join(present, key_cols, "left_semi")
-            if wm:
-                dup = (
-                    src_hit.filter(F.col("__mc").isNotNull())
-                    .groupBy(*key_cols)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(1)
-                    .collect()
-                )
-                if dup:
-                    raise ValueError(
-                        f"merge_apply({table!r}): multiple source rows match "
-                        f"target key {tuple(dup[0][c] for c in key_cols)} with "
-                        "update/delete clauses — MERGE is ambiguous"
-                    )
-            removal_map = F.broadcast(
-                src_hit.filter(F.col("__mc").isNotNull())
-                .select(*key_cols, "__mc")
-                .distinct()
-            )
             src_unmatched = src_l.join(present, key_cols, "left_anti")
         else:
-            removal_map = None
+            present_keys = set()
             src_unmatched = src_l
+        removal_map = None
+        ins_rows = 0
+        per_key: dict = {}
+        rm_pairs: set = set()
+        for r in src_stats:
+            k = tuple(r[c] for c in key_cols)
+            if k in present_keys:
+                if r["__mc"] is not None:
+                    per_key[k] = per_key.get(k, 0) + int(r["__cnt"])
+                    rm_pairs.add((k, int(r["__mc"])))
+            elif r["__nmc"] is not None:
+                ins_rows += int(r["__cnt"])
+        dup_key = next((k for k, n in per_key.items() if n > 1), None)
+        if dup_key is not None:
+            raise ValueError(
+                f"merge_apply({table!r}): multiple source rows match "
+                f"target key {dup_key} with "
+                "update/delete clauses — MERGE is ambiguous"
+            )
+        if wm and cand_m:
+            removal_map = F.broadcast(
+                spark_s.createDataFrame(
+                    [(*k, mc) for k, mc in rm_pairs],
+                    src_l.select(*key_cols, "__mc").schema,
+                )
+            )
         # the removal set: matched targets labeled by clause, plus the
         # by-source leg labeled -1 (its rows never carry a wm clause)
         matched = None
@@ -5339,11 +5386,9 @@ class TableStore:
                 live_cnt = self._dml_live_counts(
                     keyed_live, candidates, manifest.get("rows", {}), snapshot_dv
                 )
-                match_cnt, inline_pos = self._dml_matched_counts(
-                    matched, want_positions=True
+                match_cnt, inline_pos, clause_cnt = self._dml_matched_counts(
+                    matched, want_positions=True, clause_col="__mc"
                 )
-                for r in matched.groupBy("__mc").count().collect():
-                    clause_cnt[int(r["__mc"])] = int(r["count"])
                 full_drop, dv_files, rewrite = self._dml_dv_split(
                     candidates, match_cnt, live_cnt, snapshot_dv, mode,
                     extra_removed=set(),
@@ -5418,7 +5463,13 @@ class TableStore:
                     "__mc", "__nmc", *drops
                 )
                 pieces.append(ins)
-                counts["inserted"] = ins.count()
+                # inserted rows were already tallied driver-side by the
+                # src-stats job (keys outside the present set with a
+                # not-matched clause) — no count() action here. An
+                # Observation riding the write was tried and REVERTED:
+                # repartitionByRange samples its child to fit range
+                # boundaries, so CollectMetrics below it fires twice.
+                counts["inserted"] = ins_rows
             survivors = None
             if rewrite:
                 survivors = logical_live(rewrite).join(
@@ -6258,7 +6309,7 @@ class TableStore:
         match_cnt: dict[str, int] = {}
         inline_pos: dict[str, list[int]] = {}
         if candidates:
-            match_cnt, inline_pos = self._dml_matched_counts(
+            match_cnt, inline_pos, _ = self._dml_matched_counts(
                 matched_of(candidates), want_positions=(mode != "cow")
             )
         scanned_drop, dv_files, rewrite = self._dml_dv_split(
@@ -6477,7 +6528,7 @@ class TableStore:
 
             matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            match_cnt, inline_pos = self._dml_matched_counts(
+            match_cnt, inline_pos, _ = self._dml_matched_counts(
                 matched, want_positions=(mode != "cow")
             )
             full, dv_files, rewrite = self._dml_dv_split(

@@ -53,7 +53,13 @@ def main() -> None:
         raise SystemExit("usage: profile_row.py <row> [row...]")
     global ACTIVE
 
-    from pyspark.sql import DataFrame
+    # Spark 4: the session returns pyspark.sql.classic.dataframe.DataFrame,
+    # which OVERRIDES the action methods — patching the abstract base in
+    # pyspark.sql does not intercept them.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # Spark 3.x
+        from pyspark.sql import DataFrame
     from pyspark.sql.readwriter import DataFrameWriter
 
     for m in ("count", "collect", "first", "head", "toPandas",
