@@ -1042,9 +1042,15 @@ def read_matview(store: TableStore, name: str) -> DataFrame | None:
     if df is None:
         return None
     live = df.filter(F.col(MV_CNT) > 0)
-    if not live.limit(1).count():
-        # every group tombstoned: keep the empty-view contract
-        return None
+    # manifest fast path (r16, guide §5): an unmasked file whose
+    # recorded max(cnt) > 0 PROVES a live (non-tombstone) group, so
+    # the common read skips the probe job; only all-tombstone-or-
+    # unknown snapshots pay the scan that keeps the empty-view
+    # contract exact
+    if not store.proves_live_row(mv_table(name), MV_CNT, 0):
+        if not live.limit(1).count():
+            # every group tombstoned: keep the empty-view contract
+            return None
     return live.select(*ent["group_cols"], *ent["aggs"])
 
 
@@ -1460,12 +1466,12 @@ def _apply_window(
         )
         src = add_rows
         if recompute_keys is not None:
-            w["groups_recomputed"] = recompute_keys.count()
-            if w["groups_recomputed"]:
-                rec_rows = _recompute_rows(
-                    store, table, recompute_keys, group_cols, aggs, until,
-                    storage, ent,
-                )
+            n_rec, rec_rows = _recompute_rows(
+                store, table, recompute_keys, group_cols, aggs, until,
+                storage, ent,
+            )
+            w["groups_recomputed"] = n_rec
+            if n_rec:
                 src = add_rows.unionByName(rec_rows)
 
         if old is None:
@@ -1636,9 +1642,11 @@ def _recompute_rows(
     until: float,
     storage: list[str],
     ent: dict,
-) -> DataFrame:
+) -> tuple[int, DataFrame | None]:
     """Absolute re-aggregate for the groups ``_recompute_cond``
-    selected (a delete that can move non-invertible state): base rows
+    selected — returns ``(groups_recomputed, rows | None)`` so the
+    caller's tally rides the push-probe job below instead of paying
+    its own count over the same join: base rows
     bounded to exactly those groups by a key join, AND — for physical
     (non-derived) group columns, up to ``RECOMPUTE_PUSH_CAP`` distinct
     values — by ``(col, "in", keys)`` predicates pushed into
@@ -1669,13 +1677,22 @@ def _recompute_rows(
         if c in exprs and (m := _parse_date_trunc(exprs[c])) is not None
     }
     push = list(where)
+    # ONE probe job serves BOTH the groups_recomputed tally and the
+    # push-down value sets (r16, guide §5): the caller's separate
+    # keys.count() re-executed the whole delta⋈stored join a second
+    # time — grouping by the pushable columns keeps the probe bounded
+    # (limit CAP+1) while the per-group counts sum to the exact total
+    # on the non-overflow path.
     if phys or trunc:
         probe = (
-            keys.select(*(phys + list(trunc)))
-            .distinct()
+            keys.groupBy(*(phys + list(trunc)))
+            .agg(F.count(F.lit(1)).alias("__n"))
             .limit(RECOMPUTE_PUSH_CAP + 1)
             .collect()
         )
+        n_rec = sum(int(r["__n"]) for r in probe)
+        if not probe:
+            return 0, None
         if len(probe) > RECOMPUTE_PUSH_CAP:
             import warnings
 
@@ -1686,6 +1703,7 @@ def _recompute_rows(
                 "stay bounded by the key join)",
                 stacklevel=2,
             )
+            n_rec = keys.count()  # the limit truncated the tally: re-count
         else:
             # _where_and distributes each pushed clause across OR
             # disjuncts when the view's WHERE is a disjunction
@@ -1701,6 +1719,12 @@ def _recompute_rows(
                         push,
                         [src, "between", (min(vals), _bucket_next(max(vals), unit))],
                     )
+    else:
+        # no pushable column (all derived, non-trunc groups): the
+        # count is the only driver-side need
+        n_rec = keys.count()
+        if not n_rec:
+            return 0, None
     # prune_only: the IN probe is a file-skip superset (the key join
     # is exact); the WHERE rows re-filter in _prepare_base
     base = store.read_at(table, until, where=push or None, prune_only=True)
@@ -1737,7 +1761,7 @@ def _recompute_rows(
             return F.coalesce(F.col(MV_CNT), F.lit(0)).cast("long")
         return F.col(c)
 
-    return j.select(
+    return n_rec, j.select(
         *group_cols,
         *[col_for(c).alias(c) for c in storage if c not in group_cols],
         F.col(PARTITION_COL),

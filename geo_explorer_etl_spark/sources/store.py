@@ -1723,6 +1723,41 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return Path(self._path(table)).exists()
 
+    def proves_live_row(self, table: str, col: str, above) -> bool:
+        """Driver-side EXISTENCE proof from manifest metadata: True
+        when some partition's manifest records a file with NO
+        deletion-vector mask whose ``col`` max exceeds ``above`` —
+        parquet max is attained by a real (non-null) row and the file
+        is unmasked, so ``col > above`` provably has a live match and
+        the caller can skip its probe scan (r16, guide §5: emptiness
+        probes on hot read paths were a full Spark job each). False
+        means UNKNOWN (missing stats/manifest, masked file), never
+        "provably empty" — callers must fall back to scanning."""
+        root = Path(self._path(table))
+        if not root.exists():
+            return False
+        v = _normalize_bound(above)
+        if v is None:
+            return False
+        for entry in sorted(root.iterdir()):
+            if not (
+                entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")
+            ):
+                continue
+            m = self._manifest(entry)
+            if m is None:
+                continue
+            phys = (m.get("colmap") or {}).get(col, col)
+            dv = m.get("dv") or {}
+            stats = m.get("stats") or {}
+            for n in m.get("files") or []:
+                if n in dv:
+                    continue
+                s = (stats.get(n) or {}).get(phys)
+                if s and _stat_comparable(s[1], v) and s[1] > v:
+                    return True
+        return False
+
     def _live_files(self, table_dir: Path, where=None, dv_out: list | None = None) -> list[str]:
         """Resolve the table's live data files through the per-partition
         ``_committed.json`` manifests (snapshot isolation: a publish
@@ -5067,30 +5102,6 @@ class TableStore:
         # this call) — the codebase-wide localCheckpoint convention;
         # there is no reliable eager-release API for checkpointed
         # data from PySpark (Dataset.unpersist only covers persist())
-        source = source.localCheckpoint(eager=True)
-        probe_rows = (
-            source.select(PARTITION_COL, *eff_keys)
-            .distinct()
-            .limit(self.MERGE_KEYSET_CAP + 1)
-            .collect()
-        )
-        overflow = len(probe_rows) > self.MERGE_KEYSET_CAP
-        if overflow:
-            pids = [r[0] for r in source.select(PARTITION_COL).distinct().collect()]
-            probe_by_pid: dict | None = None
-        else:
-            probe_by_pid = {}
-            for r in probe_rows:
-                per = probe_by_pid.setdefault(r[0], {c: set() for c in eff_keys})
-                for c in eff_keys:
-                    if r[c] is not None:
-                        per[c].add(r[c])
-            pids = sorted(probe_by_pid, key=lambda p: (p is None, p))
-        if any(p is None for p in pids):
-            raise ValueError(
-                f"merge_apply({table!r}): source frame has NULL "
-                f"{PARTITION_COL} rows — every row must carry a product id"
-            )
         drop_cols = list(drop_cols or [])
         bad_drop = set(drop_cols) & set(key_cols)
         if bad_drop:
@@ -5102,6 +5113,55 @@ class TableStore:
             raise ValueError(
                 f"merge_apply: reserved column name(s) {sorted(clash)} collide "
                 "with the clause-routing labels — rename the source column(s)"
+            )
+        source = source.localCheckpoint(eager=True)
+        # ONE global stats job (r16, guide §5): group the source by
+        # (pid, keys, matched-clause, not-matched-clause). From its
+        # rows the driver derives everything the old per-action
+        # subtrees computed — the key probe (zone-map candidate
+        # values + the overflow decision), and every partition's
+        # per-key clause tally (ambiguity check, insert counts,
+        # removal pairs) that previously cost one src-stats job PER
+        # partition. A (pid, key) pair carries at most ``combos``
+        # label combinations, so the limit both bounds the collect
+        # and proves overflow when it truncates.
+        mc_g = self._clause_label(wm) if wm else F.lit(None).cast("int")
+        nmc_g = self._clause_label(wnm) if wnm else F.lit(None).cast("int")
+        combos = (len(wm) + 1) * (len(wnm) + 1)
+        stats_rows = (
+            source.withColumn("__mc", mc_g)
+            .withColumn("__nmc", nmc_g)
+            .groupBy(PARTITION_COL, *eff_keys, "__mc", "__nmc")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .limit(combos * self.MERGE_KEYSET_CAP + 1)
+            .collect()
+        )
+        n_pairs = len({(r[0], tuple(r[c] for c in eff_keys)) for r in stats_rows})
+        overflow = (
+            len(stats_rows) > combos * self.MERGE_KEYSET_CAP
+            or n_pairs > self.MERGE_KEYSET_CAP
+        )
+        if overflow:
+            pids = [r[0] for r in source.select(PARTITION_COL).distinct().collect()]
+            probe_by_pid: dict | None = None
+            stats_by_pid: dict | None = None
+        else:
+            probe_by_pid = {}
+            stats_by_pid = {}
+            for r in stats_rows:
+                per = probe_by_pid.setdefault(r[0], {c: set() for c in eff_keys})
+                for c in eff_keys:
+                    if r[c] is not None:
+                        per[c].add(r[c])
+                stats_by_pid.setdefault(r[0], []).append(
+                    (tuple(r[c] for c in eff_keys), r["__mc"], r["__nmc"],
+                     int(r["__cnt"]))
+                )
+            pids = sorted(probe_by_pid, key=lambda p: (p is None, p))
+        if any(p is None for p in pids):
+            raise ValueError(
+                f"merge_apply({table!r}): source frame has NULL "
+                f"{PARTITION_COL} rows — every row must carry a product id"
             )
         totals = {"updated": 0, "deleted": 0, "inserted": 0, "deleted_by_source": 0}
         from pyspark import StorageLevel
@@ -5128,6 +5188,7 @@ class TableStore:
                             {c: sorted(v) for c, v in probe_by_pid[pid].items()},
                             mode,
                             drop_cols,
+                            stats_by_pid[pid],
                         )
                     if counts is not None and counts is not False:
                         return counts
@@ -5185,6 +5246,7 @@ class TableStore:
         probe_vals: dict[str, list],
         mode: str,
         drop_cols: list[str] | None = None,
+        key_stats: list[tuple] | None = None,
     ):
         """One partition's clause-MERGE under a single manifest swap.
         Returns a counts dict (done), False (not applicable — caller
@@ -5194,7 +5256,17 @@ class TableStore:
         routing (source rows label their first matching clause, target
         rows inherit the label through a broadcast key map) and the
         by-source delete leg (anti-join against the full source key
-        set, candidates bounded by the clause predicate's zone maps)."""
+        set, candidates bounded by the clause predicate's zone maps).
+
+        ``key_stats`` carries this partition's slice of merge_apply's
+        global source-stats job — ``(key_tuple, mc, nmc, row_count)``
+        per distinct label combination — so the partition pays exactly
+        ONE read-side job: a probe over the candidate files joined to
+        the broadcast key/clause pairs that yields, per file, presence
+        (which source keys have a live target row — gated rows still
+        count), the removal counts and the capped inline DV positions
+        (r16, guide §5: presence, ambiguity, src-stats and matched
+        counts were four driver actions)."""
         from pyspark.sql import Column
 
         part = Path(self._path(table)) / f"{PARTITION_COL}={pid}"
@@ -5278,7 +5350,24 @@ class TableStore:
         mc = self._clause_label(wm) if wm else F.lit(None).cast("int")
         nmc = self._clause_label(wnm) if wnm else F.lit(None).cast("int")
         src_l = src.withColumn("__mc", mc).withColumn("__nmc", nmc)
-        all_keys = F.broadcast(src.select(*key_cols).distinct())
+        spark_s = src.sparkSession
+        key_schema = src.select(*key_cols).schema
+        key_stats = key_stats or []
+        # this partition's distinct source keys, rebuilt driver-side
+        # from the global stats job — a broadcast LocalRelation, so
+        # the by-source anti-join never re-scans the cached source
+        keys_seen: list[tuple] = []
+        pair_mcs: dict[tuple, set] = {}
+        key_nmc: set = set()
+        for k, mc_v, nmc_v, _cnt in key_stats:
+            if k not in pair_mcs:
+                keys_seen.append(k)
+                pair_mcs[k] = set()
+            if mc_v is not None:
+                pair_mcs[k].add(int(mc_v))
+            if nmc_v is not None:
+                key_nmc.add(k)
+        all_keys = F.broadcast(spark_s.createDataFrame(keys_seen, key_schema))
         _, keyed_live, dv_positions_cached, _dv = self._dml_scan_ctx(
             part, manifest, pid
         )
@@ -5286,108 +5375,139 @@ class TableStore:
         def logical_live(subset: list[str]) -> DataFrame:
             return _rename_to_logical(keyed_live(subset), colmap)
 
-        # which source keys are PRESENT in the target (bounded by the
-        # probe cap, hence broadcastable + collectable); the ambiguity
-        # check below is the standard MERGE error — two source rows
-        # updating/deleting one target key have no defined winner.
-        #
-        # r16 (guide §2.4/§5): TWO driver actions replace four. One
-        # src-local stats job tallies rows per (key, matched-clause,
-        # not-matched-clause); one target job collects the present key
-        # set. Everything the old per-action subtrees derived — the
-        # ambiguity check, the removal map, the inserted-row count —
-        # falls out driver-side, and the collected rows re-broadcast
-        # as LocalRelations so no later action re-scans candidate
-        # files (ReusedExchange never crosses actions).
-        spark_s = src.sparkSession
-        src_stats = (
-            src_l.groupBy(*key_cols, "__mc", "__nmc")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .collect()
-            if (wm or wnm)
-            else []
-        )
-        if cand_m:
-            key_schema = src.select(*key_cols).schema
-            present_rows = (
-                logical_live(cand_m)
-                .join(all_keys, key_cols, "left_semi")
-                .select(*key_cols)
-                .distinct()
-                .collect()
-            )
-            present = F.broadcast(
-                spark_s.createDataFrame(present_rows, key_schema)
-            )
-            present_keys = {tuple(r[c] for c in key_cols) for r in present_rows}
-            src_hit = src_l.join(present, key_cols, "left_semi")
-            src_unmatched = src_l.join(present, key_cols, "left_anti")
-        else:
-            present_keys = set()
-            src_unmatched = src_l
-        removal_map = None
-        ins_rows = 0
-        per_key: dict = {}
-        rm_pairs: set = set()
-        for r in src_stats:
-            k = tuple(r[c] for c in key_cols)
-            if k in present_keys:
-                if r["__mc"] is not None:
-                    per_key[k] = per_key.get(k, 0) + int(r["__cnt"])
-                    rm_pairs.add((k, int(r["__mc"])))
-            elif r["__nmc"] is not None:
-                ins_rows += int(r["__cnt"])
-        dup_key = next((k for k, n in per_key.items() if n > 1), None)
-        if dup_key is not None:
-            raise ValueError(
-                f"merge_apply({table!r}): multiple source rows match "
-                f"target key {dup_key} with "
-                "update/delete clauses — MERGE is ambiguous"
-            )
-        if wm and cand_m:
-            removal_map = F.broadcast(
-                spark_s.createDataFrame(
-                    [(*k, mc) for k, mc in rm_pairs],
-                    src_l.select(*key_cols, "__mc").schema,
-                )
-            )
-        # the removal set: matched targets labeled by clause, plus the
-        # by-source leg labeled -1 (its rows never carry a wm clause)
-        matched = None
+        # ONE read-side probe job (r16, guide §5): candidate files
+        # joined to the broadcast (key, clause) pairs yield presence
+        # (which source keys have a live target row — rows failing a
+        # clause's target gate still prove presence), per-file removal
+        # counts, per-clause tallies and the capped inline positions,
+        # all in one aggregation; the by-source delete leg rides the
+        # same job as label -1. The ambiguity check (two source rows
+        # updating/deleting one PRESENT target key) then falls out
+        # driver-side from the global key_stats.
+        pair_schema = src_l.select(*key_cols, "__mc").schema
+        probe_pairs: list[tuple] = []
+        for k in keys_seen:
+            if pair_mcs[k]:
+                probe_pairs.extend((*k, m) for m in sorted(pair_mcs[k]))
+            elif k in key_nmc:
+                # insert-only key: presence detection still needed
+                probe_pairs.append((*k, None))
+        from pyspark import StorageLevel
+
+        probe_df = None
         legs = []
-        if removal_map is not None and wm:
-            legs.append(
-                self._gate_matched_leg(
-                    logical_live(cand_m).join(removal_map, key_cols, "inner"),
-                    wm,
-                )
+        if cand_m and probe_pairs:
+            pr = logical_live(cand_m).join(
+                F.broadcast(spark_s.createDataFrame(probe_pairs, pair_schema)),
+                key_cols,
+                "inner",
             )
+            rm = F.col("__mc").isNotNull()
+            for i in range(len(wm)):
+                gate = self._target_gate(wm, i)
+                if gate is not None:
+                    rm = rm & ((F.col("__mc") != i) | gate)
+            legs.append(pr.withColumn("__rm", rm))
         if wbs and cand_b:
             legs.append(
                 logical_live(cand_b)
                 .filter(bs_pred)
                 .join(all_keys, key_cols, "left_anti")
                 .withColumn("__mc", F.lit(-1))
+                .withColumn("__rm", F.lit(True))
             )
+        if legs:
+            probe_df = legs[0]
+            for l_ in legs[1:]:
+                probe_df = probe_df.unionByName(l_, allowMissingColumns=True)
+            # the probe aggregation below materializes this cache, so
+            # the write job (survivors anti-join, SET transforms, the
+            # gated-replace broadcast) and any dense-DV second pass
+            # read the joined rows instead of re-scanning candidates
+            probe_df = probe_df.persist(StorageLevel.MEMORY_AND_DISK)
+        present_keys: set = set()
+        match_cnt: dict[str, int] = {}
+        clause_cnt: dict[int, int] = {}
+        inline_raw: dict[str, list[int]] = {}
+        if probe_df is not None:
+            from pyspark.sql.window import Window
+
+            rn = F.row_number().over(
+                Window.partitionBy("__dv_name", "__rm").orderBy("__dv_pos")
+            )
+            for r in (
+                probe_df.select(
+                    "__dv_name", "__dv_pos", *key_cols, "__mc", "__rm"
+                )
+                .withColumn("__rn", rn)
+                .groupBy("__dv_name", *key_cols, "__mc", "__rm")
+                .agg(
+                    F.count(F.lit(1)).alias("m"),
+                    F.collect_list(
+                        F.when(
+                            F.col("__rm")
+                            & (F.col("__rn") <= self.DV_INLINE_POSITIONS),
+                            F.col("__dv_pos"),
+                        )
+                    ).alias("pos"),
+                )
+                .collect()
+            ):
+                if r["__mc"] is None or r["__mc"] != -1:
+                    present_keys.add(tuple(r[c] for c in key_cols))
+                if r["__rm"]:
+                    n = r["__dv_name"]
+                    match_cnt[n] = match_cnt.get(n, 0) + int(r["m"])
+                    c_ = int(r["__mc"])
+                    clause_cnt[c_] = clause_cnt.get(c_, 0) + int(r["m"])
+                    inline_raw.setdefault(n, []).extend(
+                        int(x) for x in r["pos"]
+                    )
+        inline_pos = {
+            n: sorted(ps)
+            for n, ps in inline_raw.items()
+            if 0 < match_cnt[n] <= self.DV_INLINE_POSITIONS
+        }
+        ins_rows = 0
+        per_key: dict = {}
+        for k, mc_v, nmc_v, cnt in key_stats:
+            if k in present_keys:
+                if mc_v is not None:
+                    per_key[k] = per_key.get(k, 0) + cnt
+            elif nmc_v is not None:
+                ins_rows += cnt
+        dup_key = next((k for k, n in per_key.items() if n > 1), None)
+        if dup_key is not None:
+            probe_df.unpersist()
+            raise ValueError(
+                f"merge_apply({table!r}): multiple source rows match "
+                f"target key {dup_key} with "
+                "update/delete clauses — MERGE is ambiguous"
+            )
+        if present_keys:
+            present = F.broadcast(
+                spark_s.createDataFrame(sorted(present_keys), key_schema)
+            )
+            src_hit = src_l.join(present, key_cols, "left_semi")
+            src_unmatched = src_l.join(present, key_cols, "left_anti")
+        else:
+            src_unmatched = src_l
+        # the removal set: matched targets labeled by clause (rows a
+        # target gate fenced out already carry __rm = false), plus the
+        # by-source leg labeled -1 — a filter over the cached probe
+        matched = (
+            probe_df.filter("__rm").drop("__rm")
+            if probe_df is not None and (match_cnt or clause_cnt)
+            else None
+        )
         counts = {"updated": 0, "deleted": 0, "inserted": 0, "deleted_by_source": 0}
         dv_updates: dict[str, dict] = {}
         full_drop: list[str] = []
         rewrite: list[str] = []
-        clause_cnt: dict[int, int] = {}
-        from pyspark import StorageLevel
-
-        if legs:
-            matched = legs[0]
-            for l_ in legs[1:]:
-                matched = matched.unionByName(l_, allowMissingColumns=True)
-            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if matched is not None:
                 live_cnt = self._dml_live_counts(
                     keyed_live, candidates, manifest.get("rows", {}), snapshot_dv
-                )
-                match_cnt, inline_pos, clause_cnt = self._dml_matched_counts(
-                    matched, want_positions=True, clause_col="__mc"
                 )
                 full_drop, dv_files, rewrite = self._dml_dv_split(
                     candidates, match_cnt, live_cnt, snapshot_dv, mode,
@@ -5410,7 +5530,7 @@ class TableStore:
             replace_idx = [
                 i for i, c in enumerate(wm) if c["action"] == "update" and not c["set"]
             ]
-            if replace_idx and removal_map is not None:
+            if replace_idx and present_keys:
                 # a replace clause with a target gate lands its source
                 # successor ONLY for keys with a passing target row —
                 # otherwise a fenced-out (stale) update would still
@@ -5494,8 +5614,8 @@ class TableStore:
                     part, _rename_to_physical(merged, colmap), max(1, len(rewrite)), "merge"
                 )
         finally:
-            if matched is not None:
-                matched.unpersist()
+            if probe_df is not None:
+                probe_df.unpersist()
         for i, c in enumerate(wm):
             n = clause_cnt.get(i, 0)
             counts["updated" if c["action"] == "update" else "deleted"] += n

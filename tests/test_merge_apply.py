@@ -561,14 +561,16 @@ def test_merge_apply_pooled_conflict_retry_per_product(spark, tmp_path):
     aborted = set()
     lock = threading.Lock()
 
-    def flaky(table, src, key_cols, wm, wnm, wbs, pid, probe_vals, mode, drops):
+    def flaky(table, src, key_cols, wm, wnm, wbs, pid, probe_vals, mode, drops,
+              key_stats=None):
         with lock:
             first = pid % 2 == 1 and pid not in aborted
             if first:
                 aborted.add(pid)
         if first:
             return None  # simulate a swap aborted under concurrent replace
-        return real(table, src, key_cols, wm, wnm, wbs, pid, probe_vals, mode, drops)
+        return real(table, src, key_cols, wm, wnm, wbs, pid, probe_vals, mode,
+                    drops, key_stats)
 
     store._merge_apply_partition = flaky
     try:
