@@ -427,7 +427,14 @@ def minhash_lsh_candidates(
       over-full buckets may still hide real near-dups worth a
       recall floor; pick drop when they are known boilerplate.
     """
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # ONE materialization of the signatures (r16, guide §5): the band
+    # self-join reads ``banded`` from both legs, and without the
+    # checkpoint each leg re-ran the whole scan → shingle explode →
+    # md5 → 16-min aggregation pipeline (the captured plan showed the
+    # signature subtree twice). One row of 16 longs per doc — tiny.
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).localCheckpoint(
+        eager=True
+    )
     banded = band_keys(sig, id_col, num_hashes, bands)
     join_keys = ["band_id", "band_hash"]
     if max_bucket_size is not None:

@@ -473,19 +473,28 @@ def bucketed_near_dup_pairs(
     # the pair-join formulation moved, and the scoring itself is one
     # vectorized numpy sweep per tile pair instead of an interpreted
     # fold per pair.
-    banded = (
+    # The signature frame is materialized ONCE (r16, guide §4/§5): the
+    # tiled scorer references its input from four plan positions (the
+    # bucket-count aggregate and both legs of the tile self-join), and
+    # without the checkpoint each copy re-ran the parquet scan AND this
+    # Python signature stage — the captured plan showed 4× MapInPandas
+    # over the same subtree. Checkpointing BEFORE the band explode
+    # keeps the stored volume at one row per vector; the explode
+    # re-runs per reference, a cheap JVM generator over cached rows.
+    sig = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         # null ids/vectors never pair (the scorer drops them too) —
         # gone BEFORE the numpy stage, where a None would poison the
         # whole batch matmul
         .filter(F.col("_id").isNotNull() & F.col("_vec").isNotNull())
         .mapInPandas(add_sig, schema=sig_schema)
-        .select(
-            "_id",
-            "_vec",
-            "_sig",
-            F.posexplode(F.col("_sig")).alias("_band", "_bucket"),
-        )
+        .localCheckpoint(eager=True)
+    )
+    banded = sig.select(
+        "_id",
+        "_vec",
+        "_sig",
+        F.posexplode(F.col("_sig")).alias("_band", "_bucket"),
     )
     return _block_score_pairs(
         banded,
@@ -502,6 +511,7 @@ def stride_seed_vectors(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> list[list[float]]:
     """Deterministic data-adaptive IVF seeds: the corpus vectors whose
     id satisfies ``id % step == 0 and id < k*step`` with
@@ -515,9 +525,12 @@ def stride_seed_vectors(
     across engines. This is the zero-iteration point on the k-means
     spectrum (FAISS-style sampled seeds); ``train_centroids`` is the
     Lloyd-refined variant for when cross-engine reproducibility isn't
-    required. Cost: one count() plus a k-row collect.
+    required. Cost: one count() plus a k-row collect — pass ``n`` when
+    the caller already counted the corpus (the IVF catalog entries
+    derive k from the same count) to skip the second scan.
     """
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     if n == 0:
         return []
     step = max(n // k, 1)
@@ -699,11 +712,15 @@ def ivf_near_dup_pairs(
         assign, schema=f"{id_col} {id_type}, _cell int, _sim double, _probes array<int>"
     )
     if scorer == "tiled":
+        # materialized ONCE (r16, guide §4/§5): the tiled scorer reads
+        # its input from four plan positions; without the checkpoint
+        # each copy re-ran the scan, the Python assignment stage AND
+        # the vector join (4× MapInPandas in the captured plan)
         grouped = assigned.join(
             emb.select(F.col(id_col), F.col(vec_col).alias("_vec")), id_col
         ).select(
             F.col(id_col).alias("_id"), F.col("_vec"), F.col("_cell"), F.col("_probes")
-        )
+        ).localCheckpoint(eager=True)
         return _block_score_pairs(
             grouped,
             key_cols=["_cell"],

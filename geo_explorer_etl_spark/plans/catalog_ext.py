@@ -1576,7 +1576,7 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # libms and silently desync the cell set from the oracle's
     # floor(sqrt(n)). isqrt == floor(sqrt(n)) for all n, by definition.
     k = max(16, min(4096, math.isqrt(n)))
-    cents = SIM.stride_seed_vectors(emb, k=k)
+    cents = SIM.stride_seed_vectors(emb, k=k, n=n)
     return SIM.ivf_near_dup_pairs(
         emb, threshold=0.4, nprobe=_IVF_DEDUP_NPROBE, centroids=cents
     )
