@@ -4078,3 +4078,33 @@ def test_notin_zone_map_keeps_nan_rows(spark, tmp_path):
         1, {"T": spark.createDataFrame([(1, 5), (2, 5)], "id LONG, x LONG").coalesce(1)}
     )
     assert store2.live_files("T", [("x", "notin", [5])]) == []
+
+
+def test_dv_mask_filter_gates_on_file_count(spark, tmp_path):
+    """r16 perf gate: the literal DV mask filter is one OR branch per
+    masked file evaluated by every scanned row, so it only runs for a
+    FEW masked files; wide soaks take the broadcast-join probe. Both
+    paths must return identical rows."""
+    from pyspark.sql import functions as F
+
+    from geo_explorer_etl_spark.sources.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    store.replace_product_all(1, {"T": df.repartitionByRange(8, "k")})
+    # scattered delete masks every one of the 8 files
+    store.delete_where(
+        "T", [("k", "in", tuple(range(0, 200, 25)))], mode="dv"
+    )
+    # 8 masked files > DV_FILTER_MAX_FILES=4: the filter form refuses
+    triples = [("p", f"f{i}", [1, 2]) for i in range(8)]
+    assert store._dv_mask_filter(triples, "exclude") is None
+    assert store._dv_mask_filter(triples[:2], "exclude") is not None
+    # end-to-end equality between the two paths
+    joined = {r["k"] for r in store.read("T").collect()}
+    store2 = TableStore(spark, str(tmp_path / "store"))
+    store2.DV_FILTER_MAX_FILES = 10_000  # force the literal-filter form
+    filtered = {r["k"] for r in store2.read("T").collect()}
+    assert joined == filtered == set(range(200)) - set(range(0, 200, 25))
