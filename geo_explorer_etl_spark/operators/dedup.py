@@ -1122,7 +1122,17 @@ def dedup_substrings(
     """
     if window < 2:
         raise ValueError(f"dedup_substrings: window {window} < 2")
-    base, fps = _window_fingerprints(df, text_col, id_col, window)
+    # raw 16-byte digests only on the byte-exact path: there the fps
+    # frame is persisted and feeds two shuffles + a cache, where the
+    # halved key bytes shrink the persisted frame and both exchanges
+    # (guide §2.3; sf0.1 wall time is noise-bound — the bytes win is
+    # the 100 TB term). The normalized path runs the pipeline once
+    # unpersisted, where hex keys measured FASTER (binary group-by
+    # keys miss the hash aggregate's fast row map: +70% wall there),
+    # so it keeps the string form.
+    base, fps = _window_fingerprints(
+        df, text_col, id_col, window, raw=not normalize
+    )
     if not normalize:
         # the byte-exact splice MATERIALIZES the losers frame (it
         # feeds two routing joins) — without a persist the
@@ -1153,27 +1163,39 @@ def dedup_substrings(
     return out
 
 
-def _window_fingerprints(df, text_col: str, id_col: str, window: int):
+def _window_fingerprints(
+    df, text_col: str, id_col: str, window: int, raw: bool = False
+):
     """(base, fps): the tokenized doc frame (``_orig`` original text +
     ``_tk`` array + ``_n``) and one (id, wpos, _fp) row per stride-1
     token window — md5 over the space-joined window, row-local
-    O(tokens x window) compute."""
+    O(tokens x window) compute.
+
+    ``raw=True`` emits ``_fp`` as the 16-byte digest (``unhex``)
+    instead of the 32-char hex string: the batch operator only ever
+    uses the fingerprint for groupBy/join equality, and hex↔binary md5
+    is bijective, so grouping is identical while the winner shuffle,
+    the routing join and the persisted frame carry half the key bytes
+    (guide §2.3, narrower types). The INCREMENTAL path keeps the hex
+    default — its fingerprints persist as ``window_hash`` index rows,
+    where the string form is the zone-map/probe contract."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_RE)
     base = df.select(
         F.col(id_col), F.col(text_col).alias("_orig"), toks.alias("_tk")
     ).withColumn("_n", F.size("_tk"))
+    fp_ty = "binary" if raw else "string"
+
+    def fp(i):
+        h = F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, window)))
+        return F.unhex(h) if raw else h
+
     fps = base.select(
         id_col,
         F.posexplode(
             F.when(
                 F.col("_n") >= window,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n") - window),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, window))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+                F.transform(F.sequence(F.lit(0), F.col("_n") - window), fp),
+            ).otherwise(F.array().cast(f"array<{fp_ty}>"))
         ).alias("wpos", "_fp"),
     )
     return base, fps

@@ -20,8 +20,9 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EVENTS: list[tuple[float, str, str]] = []
+EVENTS: list[tuple[float, float, str, str]] = []
 ACTIVE = False
+T_BASE = 0.0
 
 
 def _site() -> str:
@@ -42,7 +43,7 @@ def _wrap(cls, name):
         try:
             return orig(self, *a, **kw)
         finally:
-            EVENTS.append((time.perf_counter() - t0, name, _site()))
+            EVENTS.append((t0 - T_BASE, time.perf_counter() - t0, name, _site()))
 
     setattr(cls, name, timed)
 
@@ -91,16 +92,17 @@ def main() -> None:
         fn = queries[row]
         fn(spark, "/root/testdata/sf0.001").count()  # warm-up, untimed
         EVENTS.clear()
+        global T_BASE
         ACTIVE = True
-        t0 = time.perf_counter()
+        T_BASE = t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         wall = time.perf_counter() - t0
         ACTIVE = False
         print(f"\n=== {row}: wall {wall:.3f}s, "
               f"{len(EVENTS)} actions, action-sum "
-              f"{sum(e[0] for e in EVENTS):.3f}s ===")
-        for dur, op, site in EVENTS:
-            print(f"  {dur:7.3f}s  {op:<16} {site}")
+              f"{sum(e[1] for e in EVENTS):.3f}s ===")
+        for start, dur, op, site in sorted(EVENTS):
+            print(f"  @{start:7.3f}  {dur:7.3f}s  {op:<16} {site}")
 
 
 if __name__ == "__main__":
