@@ -271,8 +271,15 @@ def ngram_jaccard_pairs(
     well distributed) -> count per pair -> join doc sizes (broadcastable
     summary). The shingle join bounds candidates to docs that actually
     share content — never a full cross join.
+
+    The shingle frame feeds FOUR plan positions (both self-join legs
+    plus the two size lookups); materialize it once (lazy
+    localCheckpoint, the similarity/minhash signature-frame pattern)
+    so the corpus is scanned and shingled exactly one time — the
+    captured before-plan ran 4 scan+explode passes and 20 Exchanges
+    for one logical pass (guide §2.4).
     """
-    sh = shingle_df(df, text_col, id_col, n)
+    sh = shingle_df(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # Explicit aliases: a bare self-join on `shingle` would resolve both
     # sides to the same attribute id (Spark's trivially-true-predicate
