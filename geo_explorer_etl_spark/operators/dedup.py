@@ -962,12 +962,17 @@ def _line_eligible(min_chars: int) -> Column:
     return F.length(F.trim(F.col("line"))) >= int(min_chars)
 
 
-def _reassemble_lines(
-    flagged: DataFrame, df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
+def _reassemble_lines(flagged: DataFrame, id_col: str) -> DataFrame:
     """Per-document reassembly of a (id, pos, line, _keep) frame:
     surviving lines re-joined with \n in position order, plus the
-    kept/removed/chars-removed accounting. One doc-grain shuffle."""
+    kept/removed/chars-removed accounting. One doc-grain shuffle.
+
+    ``flagged`` carries EVERY line of each document (callers union the
+    kept-eligible and short frames), and ``split(text, '\\n', -1)``
+    followed by ``join('\\n')`` is the identity — so the source length
+    is ``sum(length(line)) + count - 1`` and rides this aggregate. The
+    former shape re-scanned the corpus for ``length(text)`` and paid a
+    doc-key join to attach it (guide §2.4: one pass, not two)."""
     out = flagged.groupBy(id_col).agg(
         # ordered reassembly without an order-sensitive collect:
         # sort the (pos, line) structs AFTER collection (struct sort
@@ -989,12 +994,9 @@ def _reassemble_lines(
         F.sum(F.when(F.col("_keep"), 0).otherwise(1))
         .cast("long")
         .alias("lines_removed"),
+        (F.sum(F.length("line")) + F.count(F.lit(1)) - 1).alias("_src_len"),
     )
-    src_len = df.select(
-        F.col(id_col),
-        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_src_len"),
-    )
-    return out.join(src_len, id_col).select(
+    return out.select(
         id_col,
         "clean_text",
         "lines_kept",
@@ -1051,6 +1053,12 @@ def dedup_lines(
     ``incremental_dedup.incremental_dedup_lines``."""
     if scope not in ("corpus", "document"):
         raise ValueError(f"dedup_lines: scope {scope!r} not in corpus|document")
+    # the exploded frame feeds three plan positions (the winner
+    # aggregate, the winner re-join and the short-line passthrough);
+    # re-splitting is DELIBERATE — a localCheckpoint of the exploded
+    # corpus measured +35% at sf0.1 (materializing ~corpus bytes costs
+    # more than two extra row-local pruned scans, and the same holds
+    # at scale: split is compute-trivial and shuffle-free)
     lines = _split_lines(df, text_col, id_col)
     eligible = _line_eligible(min_chars)
     # key the shuffle on a 32-hex digest, not the raw line bytes —
@@ -1071,9 +1079,7 @@ def dedup_lines(
     kept_short = lines.filter(~eligible).select(
         id_col, "pos", "line", F.lit(True).alias("_keep")
     )
-    return _reassemble_lines(
-        kept_elig.unionByName(kept_short), df, text_col, id_col
-    )
+    return _reassemble_lines(kept_elig.unionByName(kept_short), id_col)
 
 
 def dedup_substrings(

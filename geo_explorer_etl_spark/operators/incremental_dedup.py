@@ -830,7 +830,7 @@ def line_dedup_decide(
         id_col, "pos", "line", F.lit(True).alias("_keep")
     )
     cleaned = _reassemble_lines(
-        kept_elig.unionByName(kept_short), batch, text_col, id_col
+        kept_elig.unionByName(kept_short), id_col
     ).localCheckpoint(eager=True)
     # index only the NEW first occurrences (a seen winner is already
     # indexed by the batch that first carried it)
