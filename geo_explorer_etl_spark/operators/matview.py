@@ -910,24 +910,32 @@ def create_matview(
     if base is None:
         raise ValueError(f"create_matview: base table {table!r} is empty")
     base = _prepare_base(base, where, group_exprs)
-    _refuse_null_keys(base.select(*group_cols), group_cols, "create_matview")
     parent_ent = next(
         (reg0[n] for n in reg0 if mv_table(n) == table), None
     )
     modes = _hist_modes(base, aggs, bins, parent_ent)
     auto_outs = _derive_auto_bins(base, aggs, bins, modes)
     clamp_cols = _clamp_exprs(aggs, bins, modes)
+    # groups-sized checkpoint, ALWAYS (r16, guide §1.2/§5): the
+    # NULL-key refusal used to be its own FULL base scan before the
+    # aggregation pass (filter isNull → limit 1 → count reads every
+    # row when keys are clean — the common case); a NULL group key
+    # survives groupBy as a null-keyed GROUP row, so probing the
+    # aggregated frame detects exactly the same condition on a
+    # groups-sized frame. Checkpointing the aggregate materializes it
+    # once and the null probe, the clamp-totals read and the view
+    # write all read the cache — ONE pass over the base snapshot
+    # instead of two. The probe stays BEFORE the lock/drop, so a
+    # refused replace-create still leaves the old view untouched.
     agged = (
         _project_hist_idx(base, aggs, bins, modes)
         .groupBy(*group_cols)
         .agg(*_abs_exprs(aggs, bins, modes), *clamp_cols)
-    )
+    ).localCheckpoint(eager=True)
+    _refuse_null_keys(agged.select(*group_cols), group_cols, "create_matview")
     clamps: dict = {}
     hist_rows: dict = {}
     if clamp_cols:
-        # groups-sized checkpoint: the clamp totals read and the view
-        # write share ONE aggregation over the base snapshot
-        agged = agged.localCheckpoint(eager=True)
         couts = _clamp_outs(aggs, modes)
         tot = agged.agg(
             *[F.sum("_clamp_" + o).alias(o) for o in couts],

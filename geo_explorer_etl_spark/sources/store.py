@@ -4895,7 +4895,7 @@ class TableStore:
         p = Path(self._path(table))
         if not p.exists():
             return 0
-        adopted = 0
+        work: list[tuple[Path, list[str]]] = []
         for entry in sorted(p.iterdir()):
             if not (entry.is_dir() and entry.name.startswith(f"{PARTITION_COL}=")):
                 continue
@@ -4904,10 +4904,32 @@ class TableStore:
             names = sorted(f.name for f in entry.glob("*.parquet"))
             if not names:
                 continue
+            work.append((entry, names))
+
+        def adopt_one(item: tuple[Path, list[str]]) -> None:
+            entry, names = item
             schema = self._footer_schema(entry / names[0])
             self._write_committed(entry, names, schema_json=schema.json())
-            adopted += 1
-        return adopted
+
+        # independent partitions adopt in parallel (r16, guide §1.2):
+        # each adoption is ~one py4j footer-schema round trip plus a
+        # pyarrow stats harvest per file — fixed driver-side latency
+        # that a 16-partition first write paid SERIALLY (measured
+        # 1.19 s of the 2.4 s matview create, ~70 ms/partition); the
+        # pool overlaps the round trips exactly like the DML
+        # partition pool. Manifest publishes stay per-partition
+        # atomic, so ordering between partitions never mattered.
+        if len(work) <= 1:
+            for item in work:
+                adopt_one(item)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.DELETE_PARALLELISM, len(work))
+            ) as pool:
+                list(pool.map(adopt_one, work))
+        return len(work)
 
     # -- MERGE clause grammar ---------------------------------------------
     # merge_rows is upsert-by-key only; merge_apply is the full
