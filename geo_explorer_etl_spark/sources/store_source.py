@@ -216,15 +216,63 @@ def translate_filters(filters) -> list[tuple]:
 
 @dataclass
 class StoreScanPartition(InputPartition):
-    """One live data file of the snapshot. Picklable by design (plain
-    strings/ints/lists) — it ships to executors."""
+    """One scan SPLIT: one or more live data files of the snapshot,
+    packed by the same size rule Spark's native file source uses
+    (``maxPartitionBytes`` + per-file open cost — guide §6: thousands
+    of tiny files must not mean thousands of Python-worker tasks).
+    Each file entry is ``(path, dv_mask_positions|None,
+    partition_value|None)``. Picklable by design (plain
+    strings/ints/tuples) — it ships to executors."""
 
-    path: str
+    files: tuple  # ((path, mask|None, partition_value|None), ...)
     colmap: dict
-    mask: tuple | None  # DV positions to EXCLUDE, or None
-    partition_value: int | None
     out_schema_json: str = field(default="")
     where: tuple = field(default=())  # physical-name pyarrow row-group hints
+
+
+#: Split-packing knobs (Spark's file-source defaults): a split closes
+#: at ``_MAX_SPLIT_BYTES`` of charged cost, every file charges its
+#: size plus ``_OPEN_COST_BYTES``, and the plan never packs below
+#: ``_MIN_SPLITS`` splits (the ``files.minPartitionNum`` analog —
+#: keeps a small table parallel across the cluster; override via
+#: ``STORE_SOURCE_MIN_SPLITS`` for non-default core counts).
+_MAX_SPLIT_BYTES = 128 * 1024 * 1024
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def _min_splits() -> int:
+    import os
+
+    return int(os.environ.get("STORE_SOURCE_MIN_SPLITS", "32"))
+
+
+def _pack_splits(entries: list[tuple]) -> list[tuple]:
+    """Greedy size-ordered packing of ``(path, mask, pv, size)`` file
+    entries into splits — Spark's ``FilePartition.getFilePartitions``
+    rule: charge each file size + open cost, close a split at
+    ``maxSplitBytes = min(MAX, max(total/minSplits, OPEN))``. Returns
+    a list of entry lists."""
+    if not entries:
+        return []
+    total = sum(e[3] + _OPEN_COST_BYTES for e in entries)
+    max_split = min(
+        _MAX_SPLIT_BYTES, max(total // max(1, _min_splits()), _OPEN_COST_BYTES)
+    )
+    splits: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_bytes = 0
+    # descending size-first packing (Spark sorts files largest-first
+    # so the tail splits stay balanced)
+    for e in sorted(entries, key=lambda e: -e[3]):
+        cost = e[3] + _OPEN_COST_BYTES
+        if cur and cur_bytes + cost > max_split:
+            splits.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(e)
+        cur_bytes += cost
+    if cur:
+        splits.append(cur)
+    return splits
 
 
 def _schema_options(schema: T.StructType) -> dict | None:
@@ -300,30 +348,41 @@ class StoreBatchReader(DataSourceReader):
             (colmap.get(c, c), op, tuple(v) if isinstance(v, list) else v)
             for (c, op, v) in self._where
         )
-        parts = []
+        import os
+
+        entries = []
         for f in files:
             raw = Path(f).parent.name.split("=", 1)
             try:
                 pv: int | None = int(raw[1]) if len(raw) == 2 else None
             except (ValueError, IndexError):
                 pv = None
-            parts.append(
-                StoreScanPartition(
-                    path=f,
-                    colmap=dict(colmap),
-                    mask=masks.get(f),
-                    partition_value=pv,
-                    out_schema_json=out_json,
-                    where=pwhere,
-                )
+            try:
+                size = os.path.getsize(f)
+            except OSError:
+                size = _OPEN_COST_BYTES  # unknown: charge the open cost
+            entries.append((f, masks.get(f), pv, size))
+        # pack files into size-bounded splits (r16, guide §6/§4): one
+        # Python-worker task per FILE made a many-small-files table pay
+        # task setup + Arrow round-trip per file; the packed plan pays
+        # it per ~128 MB of charged input while the min-splits floor
+        # keeps small tables parallel. Every file is still listed and
+        # read — packing changes scheduling, never the snapshot.
+        return [
+            StoreScanPartition(
+                files=tuple((f, m, pv) for f, m, pv, _ in split),
+                colmap=dict(colmap),
+                out_schema_json=out_json,
+                where=pwhere,
             )
-        return parts
+            for split in _pack_splits(entries)
+        ]
 
     def read(self, partition: StoreScanPartition):
-        """EXECUTOR-side file materialization: pyarrow read (+ row-group
-        predicate skipping when no DV mask re-indexes the file), DV
-        exclusion, physical→logical rename, alignment to the output
-        schema — Arrow RecordBatches end to end."""
+        """EXECUTOR-side split materialization, file by file: pyarrow
+        read (+ row-group predicate skipping when no DV mask re-indexes
+        the file), DV exclusion, physical→logical rename, alignment to
+        the output schema — Arrow RecordBatches end to end."""
         import json
 
         import numpy as np
@@ -331,50 +390,51 @@ class StoreBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        pf = pq.ParquetFile(partition.path)
-        flt = None
-        if partition.mask is None and partition.where:
-            flt = _pa_filter(partition.where, pf.schema_arrow.names)
-        if flt is not None:
-            import pyarrow.dataset as ds
-
-            tbl = ds.dataset(partition.path, format="parquet").to_table(
-                filter=flt
-            )
-        else:
-            tbl = pf.read()
-        if partition.mask is not None:
-            sel = np.ones(tbl.num_rows, dtype=bool)
-            pos = np.asarray(partition.mask, dtype="int64")
-            bad = pos[(pos < 0) | (pos >= tbl.num_rows)]
-            if len(bad):
-                # same refusal as cdf_source: a position beyond the
-                # file is sidecar/file corruption; dropping it would
-                # resurrect a deleted row
-                raise ValueError(
-                    f"store: deletion-vector position {int(bad[0])} out "
-                    f"of range for {partition.path} ({tbl.num_rows} rows)"
-                    " — mask/file mismatch; run fsck"
-                )
-            sel[pos] = False
-            tbl = tbl.filter(pa.array(sel))
         inv = {v: k for k, v in (partition.colmap or {}).items()}
-        tbl = tbl.rename_columns([inv.get(c, c) for c in tbl.column_names])
         target = to_arrow_schema(
             T.StructType.fromJson(json.loads(partition.out_schema_json))
         )
-        n = tbl.num_rows
-        arrays = []
-        for f in target:
-            if f.name == FILE_COL:
-                arrays.append(pa.array([partition.path] * n, type=f.type))
-            elif f.name == PARTITION_COL and f.name not in tbl.column_names:
-                arrays.append(pa.array([partition.partition_value] * n, type=f.type))
-            elif f.name in tbl.column_names:
-                arrays.append(tbl.column(f.name).combine_chunks().cast(f.type))
-            else:  # pre-evolution file: surface the column as nulls
-                arrays.append(pa.nulls(n, type=f.type))
-        yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
+        for path, mask, partition_value in partition.files:
+            pf = pq.ParquetFile(path)
+            flt = None
+            if mask is None and partition.where:
+                flt = _pa_filter(partition.where, pf.schema_arrow.names)
+            if flt is not None:
+                import pyarrow.dataset as ds
+
+                tbl = ds.dataset(path, format="parquet").to_table(
+                    filter=flt
+                )
+            else:
+                tbl = pf.read()
+            if mask is not None:
+                sel = np.ones(tbl.num_rows, dtype=bool)
+                pos = np.asarray(mask, dtype="int64")
+                bad = pos[(pos < 0) | (pos >= tbl.num_rows)]
+                if len(bad):
+                    # same refusal as cdf_source: a position beyond the
+                    # file is sidecar/file corruption; dropping it would
+                    # resurrect a deleted row
+                    raise ValueError(
+                        f"store: deletion-vector position {int(bad[0])} out "
+                        f"of range for {path} ({tbl.num_rows} rows)"
+                        " — mask/file mismatch; run fsck"
+                    )
+                sel[pos] = False
+                tbl = tbl.filter(pa.array(sel))
+            tbl = tbl.rename_columns([inv.get(c, c) for c in tbl.column_names])
+            n = tbl.num_rows
+            arrays = []
+            for f in target:
+                if f.name == FILE_COL:
+                    arrays.append(pa.array([path] * n, type=f.type))
+                elif f.name == PARTITION_COL and f.name not in tbl.column_names:
+                    arrays.append(pa.array([partition_value] * n, type=f.type))
+                elif f.name in tbl.column_names:
+                    arrays.append(tbl.column(f.name).combine_chunks().cast(f.type))
+                else:  # pre-evolution file: surface the column as nulls
+                    arrays.append(pa.nulls(n, type=f.type))
+            yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
 
 
 def _pa_filter(where: tuple, names: list[str]):

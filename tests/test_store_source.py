@@ -148,11 +148,11 @@ def test_pushdown_prunes_file_plan_and_row_groups(spark, tmp_path):
         {"path": root, "table": "IndicatorValues", "pushdown": "true"},
     )
     full = reader.partitions()
-    assert len(full) == 2
+    assert sum(len(p.files) for p in full) == 2
     list(reader.pushFilters([EqualTo((PARTITION_COL,), 1)]))
     pruned = reader.partitions()
-    assert len(pruned) == 1
-    assert f"{PARTITION_COL}=1" in pruned[0].path
+    assert sum(len(p.files) for p in pruned) == 1
+    assert f"{PARTITION_COL}=1" in pruned[0].files[0][0]
 
     pt = store_table(spark, root, "IndicatorValues", pushdown=True)
     got = pt.filter(F.col(PARTITION_COL) == 1).count()
@@ -647,3 +647,34 @@ def test_register_star_views_catalog_mode_pruned_and_fresh(spark, tmp_path):
             register_star_views(spark, store, catalog=True, snapshot=True)
     finally:
         spark.sql("DROP TABLE IF EXISTS IndicatorValues")
+
+
+def test_pack_splits_rule():
+    """The split-packing rule (r16, guide §6): every file lands in
+    exactly one split; tiny files pack together instead of one task
+    each; a file above the split budget gets its own split; and the
+    min-splits floor keeps small tables parallel."""
+    from geo_explorer_etl_spark.sources.store_source import (
+        _MAX_SPLIT_BYTES,
+        _OPEN_COST_BYTES,
+        _pack_splits,
+    )
+
+    # 200 tiny files: charged cost is ~200 * open-cost; the floor
+    # (default 32) keeps >= 32 splits, far fewer than 200 tasks
+    tiny = [(f"f{i}", None, 1, 1024) for i in range(200)]
+    splits = _pack_splits(tiny)
+    assert 32 <= len(splits) < 200
+    flat = [e[0] for s in splits for e in s]
+    assert sorted(flat) == sorted(e[0] for e in tiny)  # exactly once
+
+    # two huge files never share a split
+    huge = [("a", None, 1, _MAX_SPLIT_BYTES), ("b", None, 1, _MAX_SPLIT_BYTES)]
+    assert len(_pack_splits(huge)) == 2
+
+    # a handful of small files: min-splits floor drives one file per
+    # split (small tables stay parallel)
+    few = [(f"f{i}", None, 1, _OPEN_COST_BYTES) for i in range(4)]
+    assert len(_pack_splits(few)) == 4
+
+    assert _pack_splits([]) == []
