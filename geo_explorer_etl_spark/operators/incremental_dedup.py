@@ -777,13 +777,19 @@ def line_dedup_decide(
     winners = elig.groupBy("_lh").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
     )
-    # count the capped distinct BEFORE any driver collect — over the
-    # cap, no hash list is ever hauled to the driver (review r13)
-    n_hashes = elig.select("_lh").distinct().limit(LINE_PROBE_CAP + 1).count()
+    # ONE capped collect decides the route AND yields the under-cap
+    # hash list (r16: the limit-CAP+1-then-collect discipline the
+    # dedup_decide and SQL-router probes already use) — the former
+    # count-then-collect shape ran the distinct twice; the driver
+    # haul stays bounded at CAP+1 hashes either way (review r13)
+    hash_rows = (
+        elig.select("_lh").distinct().limit(LINE_PROBE_CAP + 1).collect()
+    )
+    n_hashes = len(hash_rows)
     seen = None
     if store.exists(LINE_TABLE) and n_hashes:
         if n_hashes <= LINE_PROBE_CAP:
-            hashes = [r[0] for r in elig.select("_lh").distinct().collect()]
+            hashes = [r[0] for r in hash_rows]
             idx = _pruned_index(store, LINE_TABLE, "line_hash", hashes, rep)
             seen = idx.select(F.col("line_hash").alias("_lh")).distinct()
         else:
@@ -941,10 +947,12 @@ def substring_dedup_decide(
     fingerprint indexes (not just removed ones) — the next batch must
     see a once-occurring window to drop its second copy.
 
-    Probe shape = the line index's: capped distinct count decides
-    BEFORE any collect; under LINE_PROBE_CAP a zone-map-pruned in-list
-    read; over it the bucketed mirror joins with ZERO Exchange on the
-    index side (stale mirror falls back to the plain read, loudly)."""
+    Probe shape = the line index's: ONE capped distinct collect
+    (bounded at LINE_PROBE_CAP + 1 rows) decides the route and yields
+    the under-cap fingerprint list; under LINE_PROBE_CAP a
+    zone-map-pruned in-list read; over it the bucketed mirror joins
+    with ZERO Exchange on the index side (stale mirror falls back to
+    the plain read, loudly)."""
     from pyspark.storagelevel import StorageLevel
 
     from geo_explorer_etl_spark.operators.dedup import (
@@ -959,11 +967,16 @@ def substring_dedup_decide(
         F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("_w"),
         F.count(F.lit(1)).alias("_c"),
     )
-    n_prints = fps.select("_fp").distinct().limit(LINE_PROBE_CAP + 1).count()
+    # ONE capped collect (the line-index discipline above): route
+    # decision + under-cap fingerprint list from the same job
+    print_rows = (
+        fps.select("_fp").distinct().limit(LINE_PROBE_CAP + 1).collect()
+    )
+    n_prints = len(print_rows)
     seen = None
     if store.exists(WINDOW_TABLE) and n_prints:
         if n_prints <= LINE_PROBE_CAP:
-            prints = [r[0] for r in fps.select("_fp").distinct().collect()]
+            prints = [r[0] for r in print_rows]
             idx = _pruned_index(store, WINDOW_TABLE, "window_hash", prints, rep)
             seen = idx.select(F.col("window_hash").alias("_fp")).distinct()
         else:
