@@ -1283,7 +1283,10 @@ def _splice_windows(base, losers, id_col: str, window: int,
     # WITH removals) or the anti-join and the inner join each re-run
     # the full fingerprint explosion (measured 2× the entry's bench
     # time at sf0.01).
-    losers = losers.localCheckpoint(eager=True)
+    # LAZY: the routing aggregate right below reads every loser row,
+    # so its job materializes the checkpoint — eager=True paid a
+    # separate fingerprint-pipeline job first (r16, guide §1.2)
+    losers = losers.localCheckpoint(eager=False)
     agg = losers.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("windows_removed"), F.lit(0)).alias("w"),

@@ -361,18 +361,24 @@ def dedup_decide(
 
     rn = F.row_number().over(Window.partitionBy("_ch").orderBy(F.col(id_col)))
     survivors = fresh.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
-    survivors = survivors.localCheckpoint(eager=True)
+    # LAZY checkpoints (r16, guide §1.2): the band-keys probe below is
+    # a full shuffle aggregate over bands_new, whose single plan
+    # reference to survivors computes once — so ONE job materializes
+    # both frames where eager=True ran two checkpoint jobs first. Every
+    # later reader (the band self-join legs, kept, surv_hashes) hits
+    # the cached blocks.
+    survivors = survivors.localCheckpoint(eager=False)
 
     # -- near-dup leg ------------------------------------------------------
     if near_dup == "simhash":
         _check_simhash_spec(store, simhash_bits, max_hamming)
         bands_new = _simhash_band_rows(
             survivors, text_col, id_col, simhash_bits, max_hamming
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     else:
         bands_new = _band_rows(
             survivors, text_col, id_col, n, num_hashes, bands
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     band_keys = [
         r[0]
         for r in bands_new.select("band_hash").distinct().limit(PROBE_CAP + 1).collect()
@@ -436,7 +442,8 @@ def dedup_decide(
     kept = (
         survivors.join(keep_ids, id_col, "left_semi")
         .drop("_ch")
-        .localCheckpoint(eager=True)
+        # lazy: kept_rows right below materializes it in the same job
+        .localCheckpoint(eager=False)
     )
     rep["batch_rows"] = batch.count()
     rep["kept_rows"] = kept.count()
@@ -447,9 +454,12 @@ def dedup_decide(
     # such a doc and break the batch-equals-all-at-once contract).
     # Exact-dropped docs need no rows: their signature is identical to
     # their surviving twin's.
+    # lazy: a cheap projection of the already-cached survivors —
+    # materialized by the persist phase's first action (store-state
+    # independent lineage, so deferral cannot change the rows)
     surv_hashes = survivors.select(
         F.col("_ch").alias("content_hash"), F.col(id_col)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return kept, surv_hashes, bands_new, rep
 
 
@@ -847,7 +857,9 @@ def line_dedup_decide(
             F.col("_w")[id_col].alias(id_col),
             F.col("_w")["pos"].alias("pos"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the count right below materializes it (still BEFORE
+        # the index append and the elig unpersist)
+        .localCheckpoint(eager=False)
     )
     rep["new_index_rows"] = new_rows.count()
     elig.unpersist()
@@ -1019,7 +1031,9 @@ def substring_dedup_decide(
             F.col("_w")[id_col].alias(id_col),
             F.col("_w")["wpos"].alias("wpos"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the count right below materializes it (still BEFORE
+        # the index append and the fps unpersist)
+        .localCheckpoint(eager=False)
     )
     rep["new_index_rows"] = new_rows.count()
     fps.unpersist()

@@ -795,21 +795,6 @@ def _check_group_spec(group_cols: list[str], group_exprs: dict | None) -> dict:
     return exprs
 
 
-def _refuse_null_keys(df: DataFrame, group_cols: list[str], ctx: str) -> None:
-    """NULL group keys cannot round-trip a key-equality MERGE (SQL
-    NULL never equals NULL) — refuse loudly up front rather than let a
-    NULL group duplicate on every refresh."""
-    cond = None
-    for c in group_cols:
-        n = F.col(c).isNull()
-        cond = n if cond is None else (cond | n)
-    if df.filter(cond).limit(1).count():
-        raise ValueError(
-            f"{ctx}: NULL in group column(s) {group_cols} — materialized "
-            "views need non-null group keys (filter or coalesce upstream)"
-        )
-
-
 def create_matview(
     store: TableStore,
     name: str,
@@ -931,18 +916,32 @@ def create_matview(
         _project_hist_idx(base, aggs, bins, modes)
         .groupBy(*group_cols)
         .agg(*_abs_exprs(aggs, bins, modes), *clamp_cols)
-    ).localCheckpoint(eager=True)
-    _refuse_null_keys(agged.select(*group_cols), group_cols, "create_matview")
-    clamps: dict = {}
-    hist_rows: dict = {}
-    if clamp_cols:
-        couts = _clamp_outs(aggs, modes)
-        tot = agged.agg(
-            *[F.sum("_clamp_" + o).alias(o) for o in couts],
-            *[F.sum("_crows_" + o).alias("_r_" + o) for o in couts],
-        ).first()
-        clamps = {o: int(tot[o] or 0) for o in couts}
-        hist_rows = {o: int(tot["_r_" + o] or 0) for o in couts}
+    ).localCheckpoint(eager=False)
+    # ONE probe aggregation over the (lazily checkpointed) aggregate
+    # serves the NULL-key refusal AND the clamp totals, and its full
+    # scan materializes the checkpoint partitions in the same job —
+    # the r16 _apply_window probe shape applied to create: what was
+    # checkpoint job + null-probe job + clamp-totals job is one job
+    # (guide §1.2/§5: sequential small driver actions are pure
+    # scheduling overhead on a groups-sized frame).
+    couts = _clamp_outs(aggs, modes) if clamp_cols else []
+    null_key = None
+    for c in group_cols:
+        nk = F.col(c).isNull()
+        null_key = nk if null_key is None else (null_key | nk)
+    probe = agged.agg(
+        F.max(F.when(null_key, 1).otherwise(0)).alias("__nullkey"),
+        *[F.sum("_clamp_" + o).alias(o) for o in couts],
+        *[F.sum("_crows_" + o).alias("_r_" + o) for o in couts],
+    ).first()
+    if probe["__nullkey"]:
+        raise ValueError(
+            f"create_matview: NULL in group column(s) {group_cols} — "
+            "materialized views need non-null group keys (filter or "
+            "coalesce upstream)"
+        )
+    clamps = {o: int(probe[o] or 0) for o in couts}
+    hist_rows = {o: int(probe["_r_" + o] or 0) for o in couts}
     mv = (
         _finish_hist_ests(agged, aggs, bins)
         .withColumn(MV_HW, F.lit(float(hw)))

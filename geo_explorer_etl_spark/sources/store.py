@@ -4203,8 +4203,12 @@ class TableStore:
         # most files are candidates anyway).
         # ONE materialization of the upsert batch first — same rule as
         # merge_apply: the probe plus every touched partition would
-        # otherwise re-execute the caller's source lineage
-        df = df.localCheckpoint(eager=True)
+        # otherwise re-execute the caller's source lineage. LAZY: the
+        # probe collect right below is a full shuffle aggregate over
+        # the frame, so its map stage materializes every checkpoint
+        # partition in the same job — eager=True paid one extra Spark
+        # job for nothing (r16, guide §1.2 job shape).
+        df = df.localCheckpoint(eager=False)
         probe_rows = (
             df.select(PARTITION_COL, *eff_keys)
             .distinct()
@@ -5148,7 +5152,11 @@ class TableStore:
                 f"merge_apply: reserved column name(s) {sorted(clash)} collide "
                 "with the clause-routing labels — rename the source column(s)"
             )
-        source = source.localCheckpoint(eager=True)
+        # LAZY checkpoint: the global stats job right below aggregates
+        # over the whole source, so its map stage materializes every
+        # checkpoint partition — fused with the probe in ONE job
+        # (r16, guide §1.2; eager=True was a separate job)
+        source = source.localCheckpoint(eager=False)
         # ONE global stats job (r16, guide §5): group the source by
         # (pid, keys, matched-clause, not-matched-clause). From its
         # rows the driver derives everything the old per-action
