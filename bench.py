@@ -143,9 +143,13 @@ HEADLINE = [
     "store_scan_soaked",
     "store_scan_autocompacted",
     # SQL serving twins (r12): the pruned catalog-table path vs the
-    # complete-snapshot temp-view path for the same narrow-band query
+    # complete-snapshot temp-view path for the same narrow-band query;
+    # r17 adds the projection twin — the same temp-view path with the
+    # view registered narrow (columns=[event_id,value]), measuring the
+    # full-width I/O a declared projection recovers
     "store_sql_pruned",
     "store_sql_unpruned",
+    "store_sql_projected",
     # MATVIEW twins (r12): the same 1k-row ingest advancing a
     # materialized aggregate incrementally (change-feed window +
     # touched-partition merge) vs the full re-aggregation + view
@@ -196,6 +200,7 @@ def main() -> None:
         "store_scan_autocompacted",
         "store_sql_pruned",
         "store_sql_unpruned",
+        "store_sql_projected",
         "store_matview_refresh",
         "store_matview_rebuild",
         "store_matview_pctl_net",
@@ -243,6 +248,18 @@ def main() -> None:
     # Key order matters: the driver's capture keeps only the TAIL of
     # this line, so the headline per-query dict and the total go LAST
     # (VERDICT r14 nit — BENCH_r{13,14}.json lost "value" entirely).
+    # The per-query min->max spread is NOT printed on the stdout line
+    # any more (VERDICT r16 "What's wrong" #2): with 49 rows the spread
+    # dict doubled the line length and the driver's tail capture lost
+    # the head of the JSON for BENCH_r15 (parsed: null), erasing the
+    # round-over-round comparison. The measurement itself is unchanged
+    # (same runs, same agg, same timed action); the spread still goes
+    # to STDERR for local noise discipline, stdout stays minimal so the
+    # tail always parses.
+    print(
+        json.dumps({"spread": spread}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -250,7 +267,6 @@ def main() -> None:
                 "unit": "sec",
                 "runs": runs,
                 "agg": "min",
-                "spread": spread,
                 "sf": sf,
                 "queries": times,
                 "value": total,

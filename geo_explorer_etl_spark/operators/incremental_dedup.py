@@ -317,10 +317,19 @@ def dedup_decide(
     max_hamming: int = 3,
 ):
     """The DECISION phase: returns ``(kept, surv_hashes, bands_new,
-    report)`` without touching the persisted indexes — kept and the
-    index frames are materialized (localCheckpoint), so they stay
-    stable however the caller orders its writes. ``near_dup``:
-    ``incremental_dedup``'s docstring (one mode per store)."""
+    report)`` without touching the persisted indexes. The returned
+    frames carry LAZY localCheckpoint marks: each is cached (block-
+    level) by the first job that touches it, but lineage truncation
+    only lands on the topmost marked frame of that job
+    (``doCheckpoint`` finalizes one mark per job unless
+    ``spark.checkpoint.checkpointAllMarkedAncestors`` is set), so
+    ``survivors``/``kept`` may keep their original store-reading
+    lineage with cached blocks in front of it. That is still stable
+    however the caller orders its writes: store reads pin an explicit
+    file list at plan time, so even a recompute after block loss
+    replays the same snapshot (see the surv_hashes note below).
+    ``near_dup``: ``incremental_dedup``'s docstring (one mode per
+    store)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     if near_dup not in ("minhash", "simhash"):
@@ -455,8 +464,12 @@ def dedup_decide(
     # Exact-dropped docs need no rows: their signature is identical to
     # their surviving twin's.
     # lazy: a cheap projection of the already-cached survivors —
-    # materialized by the persist phase's first action (store-state
-    # independent lineage, so deferral cannot change the rows)
+    # cached by the persist phase's first action. Deferral cannot
+    # change the rows NOT because the lineage avoids the store (it
+    # anti-joins a pruned read of EXACT_TABLE) but because store reads
+    # pin an explicit file list at plan time and the checkpoint blocks
+    # are cached: a later index append never enters this plan, and a
+    # recompute after block loss replays the same pinned snapshot.
     surv_hashes = survivors.select(
         F.col("_ch").alias("content_hash"), F.col(id_col)
     ).localCheckpoint(eager=False)

@@ -1410,32 +1410,92 @@ def _apply_window(
         # groups_touched count, the clamp totals and the touched-pid
         # set were each their own Spark job (r16, guide §5: small jobs
         # on the refresh path are pure scheduling overhead; this also
-        # materializes the cache the later join reads)
+        # materializes the cache the later join reads). r17: the same
+        # job ALSO collects the per-group keys (capped per pid via the
+        # row_number-inside-collect_list trick — collect_list skips
+        # NULLs, so the aggregation buffer never holds more than
+        # CAP+1 structs per pid), which hands merge_apply its source
+        # stats and removes the merge's global stats job + source
+        # checkpoint round (guide §5; the delta_g persist already
+        # guarantees one computation of the window aggregate).
+        from pyspark.sql.window import Window as _W
+
+        from geo_explorer_etl_spark.sources.store import TableStore as _TS
+
+        cap = _TS.MERGE_KEYSET_CAP
+        # per-pid key-collect cap sized so the DRIVER haul is bounded
+        # by ~cap structs total regardless of partition count; a pid
+        # with more groups than this truncates its list, which the
+        # completeness check below turns into the stats=None fallback
+        # (merge_apply then runs its own capped global stats job) —
+        # the fusion targets small refresh windows where fixed job
+        # costs dominate, and big windows are data-bound anyway.
+        per_cap = max(64, cap // max(1, int(ent["n_partitions"])))
         couts = _clamp_outs(aggs, modes)
         null_key = None
         for c in group_cols:
             n = F.col(c).isNull()
             null_key = n if null_key is None else (null_key | n)
-        probe = delta_g.agg(
-            F.count(F.lit(1)).alias("__g"),
-            F.max(F.when(null_key, 1).otherwise(0)).alias("__nullkey"),
-            F.collect_set(PARTITION_COL).alias("__pids"),
-            *[F.sum("_dclamp_" + o).alias(o) for o in couts],
-            *[F.sum("_dcrows_" + o).alias("_r_" + o) for o in couts],
-        ).first()
-        if probe["__nullkey"]:
+        rn = F.row_number().over(
+            _W.partitionBy(PARTITION_COL).orderBy(*group_cols)
+        )
+        probe_rows = (
+            delta_g.withColumn("__rn", rn)
+            .groupBy(PARTITION_COL)
+            .agg(
+                F.count(F.lit(1)).alias("__g"),
+                F.max(F.when(null_key, 1).otherwise(0)).alias("__nullkey"),
+                *[F.sum("_dclamp_" + o).alias(o) for o in couts],
+                *[F.sum("_dcrows_" + o).alias("_r_" + o) for o in couts],
+                F.collect_list(
+                    F.when(
+                        F.col("__rn") <= per_cap,
+                        F.struct(*[F.col(c) for c in group_cols]),
+                    )
+                ).alias("__keys"),
+            )
+            .collect()
+        )
+        if any(r["__nullkey"] for r in probe_rows):
             raise ValueError(
                 f"refresh_matview: NULL in group column(s) {group_cols} — "
                 "materialized views need non-null group keys (filter or "
                 "coalesce upstream)"
             )
-        w["groups_touched"] = int(probe["__g"])
+        w["groups_touched"] = sum(int(r["__g"]) for r in probe_rows)
         if not w["groups_touched"]:
             return w
         if couts:
-            w["clamped"] = {o: int(probe[o] or 0) for o in couts}
-            w["hist_rows"] = {o: int(probe["_r_" + o] or 0) for o in couts}
-        pids = sorted(probe["__pids"])  # ≤ n_partitions, bounded by construction
+            w["clamped"] = {
+                o: sum(int(r[o] or 0) for r in probe_rows) for o in couts
+            }
+            w["hist_rows"] = {
+                o: sum(int(r["_r_" + o] or 0) for r in probe_rows)
+                for o in couts
+            }
+        pids = sorted(r[PARTITION_COL] for r in probe_rows)
+        # merge source stats (merge_apply's private contract): complete
+        # exactly when no pid's key list was truncated and the total
+        # stays under the merge keyset cap. The keys are the DELTA
+        # groups — a SUPERSET of the merge source's keys (the read-time
+        # _mv_hw fence below may drop groups a newer window already
+        # wrote; those probe as present, remove nothing through the
+        # merge-time gate, and land no successor).
+        src_stats: list[tuple] | None = []
+        total = 0
+        for r in probe_rows:
+            keys = r["__keys"]
+            if len(keys) != int(r["__g"]):
+                src_stats = None
+                break
+            total += len(keys)
+            if total > cap:
+                src_stats = None
+                break
+            src_stats.extend(
+                (r[PARTITION_COL], {c: k[c] for c in group_cols}, 0, 0, 1)
+                for k in keys
+            )
         old = (
             store.read(t, where=[(PARTITION_COL, "in", pids)], prune_only=True)
             if store.exists(t)
@@ -1488,13 +1548,17 @@ def _apply_window(
             store.append(t, src)
             store.adopt_manifests(t)
             return w
-        # merge_apply materializes its source once (its own
-        # localCheckpoint), so the delta aggregate + stored-row join +
-        # recompute union lineage runs exactly one time
+        # src_stats hands merge_apply its source stats so the merge
+        # runs ZERO global jobs (r17 — the probe above collected the
+        # same rows); on the rare overflow (None) merge_apply falls
+        # back to its own stats job + source checkpoint. The src
+        # lineage reads the persisted delta_g plus the pid-pruned
+        # stored rows, so a per-partition recompute stays delta-sized.
         rep = store.merge_apply(
             t,
             src,
             key_cols=group_cols,
+            _source_stats=src_stats,
             when_matched=[
                 # replace-row with the absolute new state (dead groups
                 # arrive as tombstone rows, cnt=0) — gated by the

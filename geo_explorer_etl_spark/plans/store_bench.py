@@ -279,6 +279,15 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     store_table(spark, sql_root, TABLE).createOrReplaceTempView(
         "bench_store_sql_view"
     )
+    # r17 projection twin: the SAME aggregate through a temp view
+    # registered with an explicit column projection (store_table
+    # columns=[...]) — the only projection channel the Python source
+    # API offers (store_source.read docstring). The delta vs
+    # store_sql_unpruned is the full-width parquet I/O a narrow
+    # serving view recovers.
+    store_table(
+        spark, sql_root, TABLE, columns=["event_id", "value"]
+    ).createOrReplaceTempView("bench_store_sql_proj_view")
     Path(f"{sql_root}/_probe.json").write_text(
         _json.dumps({"band": bands[0]})
     )
@@ -533,6 +542,20 @@ def store_sql_unpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT count(*) AS n, round(sum(value), 2) AS total "
         f"FROM bench_store_sql_view WHERE event_id BETWEEN {lo} AND {hi}"
+    )
+
+
+def store_sql_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identical aggregate through a temp view registered with an
+    explicit (event_id, value) projection — same complete-snapshot
+    planning as store_sql_unpruned, but the executor read prunes the
+    parquet I/O to the two columns the view declares (r17; the Python
+    source API has no per-query projection channel, so narrow serving
+    views are declared narrow at registration)."""
+    lo, hi = _sql_band(spark)
+    return spark.sql(
+        "SELECT count(*) AS n, round(sum(value), 2) AS total "
+        f"FROM bench_store_sql_proj_view WHERE event_id BETWEEN {lo} AND {hi}"
     )
 
 

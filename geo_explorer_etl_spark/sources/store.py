@@ -4656,8 +4656,18 @@ class TableStore:
         else:
             from pyspark.sql.window import Window
 
+            # the row-number window partitions by the SAME keys the
+            # aggregation groups by (r17, guide §2.4): the window's
+            # exchange satisfies the aggregate's distribution, so the
+            # probe pays ONE shuffle, not two. Cap semantics stay
+            # sound: inline positions are only USED for files whose
+            # total matches <= DV_INLINE_POSITIONS, and within such a
+            # file every (clause) group holds <= that many rows, so a
+            # per-group cap keeps all of them; groups in files over
+            # the cap stay bounded per aggregation buffer exactly as
+            # the per-file cap bounded them.
             rn = F.row_number().over(
-                Window.partitionBy("__dv_name").orderBy("__dv_pos")
+                Window.partitionBy(*keys).orderBy("__dv_pos")
             )
             agg = (
                 matched.withColumn("__rn", rn)
@@ -5081,6 +5091,7 @@ class TableStore:
         when_not_matched_by_source: list[dict] | None = None,
         mode: str = "auto",
         drop_cols: list[str] | None = None,
+        _source_stats: list[tuple] | None = None,
     ) -> dict:
         """Conditional-clause MERGE (Delta's ``WHEN MATCHED [AND cond]
         THEN UPDATE/DELETE / WHEN NOT MATCHED THEN INSERT / WHEN NOT
@@ -5115,7 +5126,26 @@ class TableStore:
         through the write-ahead txn, the same conservative path as
         ``merge_rows``. Multiple source rows matching one target key
         raise (the ambiguous-MERGE error), except when all of them are
-        pure inserts."""
+        pure inserts.
+
+        ``_source_stats`` (r17, PRIVATE — matview refresh only): the
+        caller supplies the rows the global source-stats job would
+        have collected, as ``[(pid, {key_col: val}, mc, nmc, cnt),
+        ...]`` where mc/nmc are the clause labels each row's first
+        matching when_matched / when_not_matched clause would assign
+        (None when no clause applies). The caller MUST guarantee (a)
+        the list covers a SUPERSET of the source frame's distinct
+        (pid, key) pairs whose extras are keys a when_matched
+        target_condition provably fences out (fenced keys probe as
+        present, remove nothing, and land no successor — semantics
+        identical), (b) the pair count is <= MERGE_KEYSET_CAP, and
+        (c) the source frame's lineage is already cached (the global
+        stats job doubles as the source materialization; skipping it
+        means each partition's write may recompute the source plan).
+        With stats supplied, merge_apply runs ZERO global jobs before
+        the per-partition work (guide §5: the matview refresh measured
+        the stats job + the checkpoint's planning round at ~0.45 s of
+        pure fixed cost on a 150-group window)."""
         if mode not in ("auto", "cow", "dv"):
             raise ValueError(f"merge_apply mode {mode!r} not in auto|cow|dv")
         if PARTITION_COL not in source.columns:
@@ -5152,37 +5182,52 @@ class TableStore:
                 f"merge_apply: reserved column name(s) {sorted(clash)} collide "
                 "with the clause-routing labels — rename the source column(s)"
             )
-        # LAZY checkpoint: the global stats job right below aggregates
-        # over the whole source, so its map stage materializes every
-        # checkpoint partition — fused with the probe in ONE job
-        # (r16, guide §1.2; eager=True was a separate job)
-        source = source.localCheckpoint(eager=False)
-        # ONE global stats job (r16, guide §5): group the source by
-        # (pid, keys, matched-clause, not-matched-clause). From its
-        # rows the driver derives everything the old per-action
-        # subtrees computed — the key probe (zone-map candidate
-        # values + the overflow decision), and every partition's
-        # per-key clause tally (ambiguity check, insert counts,
-        # removal pairs) that previously cost one src-stats job PER
-        # partition. A (pid, key) pair carries at most ``combos``
-        # label combinations, so the limit both bounds the collect
-        # and proves overflow when it truncates.
-        mc_g = self._clause_label(wm) if wm else F.lit(None).cast("int")
-        nmc_g = self._clause_label(wnm) if wnm else F.lit(None).cast("int")
-        combos = (len(wm) + 1) * (len(wnm) + 1)
-        stats_rows = (
-            source.withColumn("__mc", mc_g)
-            .withColumn("__nmc", nmc_g)
-            .groupBy(PARTITION_COL, *eff_keys, "__mc", "__nmc")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .limit(combos * self.MERGE_KEYSET_CAP + 1)
-            .collect()
-        )
-        n_pairs = len({(r[0], tuple(r[c] for c in eff_keys)) for r in stats_rows})
-        overflow = (
-            len(stats_rows) > combos * self.MERGE_KEYSET_CAP
-            or n_pairs > self.MERGE_KEYSET_CAP
-        )
+        if _source_stats is not None:
+            # caller-supplied stats (docstring): no global job at all —
+            # normalize to the collected-row shape below
+            norm = [
+                (pid, tuple(kd[c] for c in eff_keys), mc_v, nmc_v, int(cnt))
+                for pid, kd, mc_v, nmc_v, cnt in _source_stats
+            ]
+            overflow = False
+        else:
+            # LAZY checkpoint: the global stats job right below
+            # aggregates over the whole source, so its map stage
+            # materializes every checkpoint partition — fused with the
+            # probe in ONE job (r16, guide §1.2; eager=True was a
+            # separate job)
+            source = source.localCheckpoint(eager=False)
+            # ONE global stats job (r16, guide §5): group the source by
+            # (pid, keys, matched-clause, not-matched-clause). From its
+            # rows the driver derives everything the old per-action
+            # subtrees computed — the key probe (zone-map candidate
+            # values + the overflow decision), and every partition's
+            # per-key clause tally (ambiguity check, insert counts,
+            # removal pairs) that previously cost one src-stats job PER
+            # partition. A (pid, key) pair carries at most ``combos``
+            # label combinations, so the limit both bounds the collect
+            # and proves overflow when it truncates.
+            mc_g = self._clause_label(wm) if wm else F.lit(None).cast("int")
+            nmc_g = self._clause_label(wnm) if wnm else F.lit(None).cast("int")
+            combos = (len(wm) + 1) * (len(wnm) + 1)
+            stats_rows = (
+                source.withColumn("__mc", mc_g)
+                .withColumn("__nmc", nmc_g)
+                .groupBy(PARTITION_COL, *eff_keys, "__mc", "__nmc")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .limit(combos * self.MERGE_KEYSET_CAP + 1)
+                .collect()
+            )
+            norm = [
+                (r[0], tuple(r[c] for c in eff_keys), r["__mc"], r["__nmc"],
+                 int(r["__cnt"]))
+                for r in stats_rows
+            ]
+            n_pairs = len({(p, k) for p, k, _, _, _ in norm})
+            overflow = (
+                len(stats_rows) > combos * self.MERGE_KEYSET_CAP
+                or n_pairs > self.MERGE_KEYSET_CAP
+            )
         if overflow:
             pids = [r[0] for r in source.select(PARTITION_COL).distinct().collect()]
             probe_by_pid: dict | None = None
@@ -5190,14 +5235,13 @@ class TableStore:
         else:
             probe_by_pid = {}
             stats_by_pid = {}
-            for r in stats_rows:
-                per = probe_by_pid.setdefault(r[0], {c: set() for c in eff_keys})
-                for c in eff_keys:
-                    if r[c] is not None:
-                        per[c].add(r[c])
-                stats_by_pid.setdefault(r[0], []).append(
-                    (tuple(r[c] for c in eff_keys), r["__mc"], r["__nmc"],
-                     int(r["__cnt"]))
+            for pid_v, key_t, mc_v, nmc_v, cnt in norm:
+                per = probe_by_pid.setdefault(pid_v, {c: set() for c in eff_keys})
+                for c, v in zip(eff_keys, key_t):
+                    if v is not None:
+                        per[c].add(v)
+                stats_by_pid.setdefault(pid_v, []).append(
+                    (key_t, mc_v, nmc_v, cnt)
                 )
             pids = sorted(probe_by_pid, key=lambda p: (p is None, p))
         if any(p is None for p in pids):
@@ -5474,8 +5518,13 @@ class TableStore:
         if probe_df is not None:
             from pyspark.sql.window import Window
 
+            # window partitioned by the aggregate's own keys so one
+            # exchange serves both (r17, guide §2.4 — see
+            # _dml_matched_counts for the cap-soundness argument)
             rn = F.row_number().over(
-                Window.partitionBy("__dv_name", "__rm").orderBy("__dv_pos")
+                Window.partitionBy(
+                    "__dv_name", *key_cols, "__mc", "__rm"
+                ).orderBy("__dv_pos")
             )
             for r in (
                 probe_df.select(
@@ -5526,6 +5575,20 @@ class TableStore:
                 f"target key {dup_key} with "
                 "update/delete clauses — MERGE is ambiguous"
             )
+        if ins_rows == 0 and not match_cnt and not clause_cnt:
+            # provably NOTHING lands in this partition — no matched
+            # removal (every probed key absent or fenced by a
+            # target_condition, e.g. pending-window recovery re-apply),
+            # no insert, no by-source delete. Skip the write and the
+            # manifest swap entirely (r17): the old path unioned empty
+            # pieces and committed an empty file + a manifest version
+            # for a no-op.
+            if probe_df is not None:
+                probe_df.unpersist()
+            return {
+                "updated": 0, "deleted": 0, "inserted": 0,
+                "deleted_by_source": 0,
+            }
         if present_keys:
             present = F.broadcast(
                 spark_s.createDataFrame(sorted(present_keys), key_schema)
@@ -5648,12 +5711,13 @@ class TableStore:
                 )
             new_names: list[str] = []
             if merged is not None:
+                n_out = max(1, len(rewrite))
                 merged = merged.repartitionByRange(
-                    max(1, len(rewrite)), *key_cols
+                    n_out, *key_cols
                 ).sortWithinPartitions(*key_cols)
                 part.mkdir(parents=True, exist_ok=True)
                 new_names = self._dml_write_files(
-                    part, _rename_to_physical(merged, colmap), max(1, len(rewrite)), "merge"
+                    part, _rename_to_physical(merged, colmap), n_out, "merge"
                 )
         finally:
             if probe_df is not None:

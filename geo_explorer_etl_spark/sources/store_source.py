@@ -382,7 +382,20 @@ class StoreBatchReader(DataSourceReader):
         """EXECUTOR-side split materialization, file by file: pyarrow
         read (+ row-group predicate skipping when no DV mask re-indexes
         the file), DV exclusion, physical→logical rename, alignment to
-        the output schema — Arrow RecordBatches end to end."""
+        the output schema — Arrow RecordBatches end to end.
+
+        COLUMN PRUNING happens here (r17, guide §6): only the file
+        columns the OUTPUT SCHEMA needs are read from parquet. Spark
+        4.1's Python source API has no required-columns pushdown
+        (PythonScanBuilder implements only SupportsPushDownFilters),
+        so per-query projection cannot reach this reader — but a view
+        registered with an explicit projection (``store_table(...,
+        columns=[...])`` / ``create_catalog_table(..., columns=[...])``)
+        narrows the output schema, and this read honors it: a
+        SELECT-two-columns view over a wide table pays two columns of
+        I/O, not full width. When the schema is full-width (the
+        default) the column list covers the file and pyarrow takes its
+        normal whole-file path."""
         import json
 
         import numpy as np
@@ -391,20 +404,31 @@ class StoreBatchReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         inv = {v: k for k, v in (partition.colmap or {}).items()}
+        fwd = dict(partition.colmap or {})  # logical -> physical
         target = to_arrow_schema(
             T.StructType.fromJson(json.loads(partition.out_schema_json))
         )
+        # physical names the output schema needs from each file
+        want_phys = {
+            fwd.get(f.name, f.name)
+            for f in target
+            if f.name not in (FILE_COL, PARTITION_COL)
+        } | {PARTITION_COL}
         for path, mask, partition_value in partition.files:
             pf = pq.ParquetFile(path)
+            file_names = pf.schema_arrow.names
+            cols = [c for c in file_names if c in want_phys]
             flt = None
             if mask is None and partition.where:
-                flt = _pa_filter(partition.where, pf.schema_arrow.names)
+                flt = _pa_filter(partition.where, file_names)
             if flt is not None:
                 import pyarrow.dataset as ds
 
                 tbl = ds.dataset(path, format="parquet").to_table(
-                    filter=flt
+                    filter=flt, columns=cols
                 )
+            elif len(cols) < len(file_names):
+                tbl = pf.read(columns=cols)
             else:
                 tbl = pf.read()
             if mask is not None:
@@ -586,6 +610,32 @@ class StoreBatchDataSource(DataSource):
                 "append or publish first"
             )
         fields = [T.StructField(f.name, f.dataType, True) for f in payload.fields]
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            # registration-time PROJECTION (r17): the declared schema
+            # carries only the requested columns, so read() prunes the
+            # parquet I/O to them — the only projection channel the
+            # Python source API offers (module read() docstring).
+            import json
+
+            want = list(json.loads(cols_opt))
+            have = {f.name for f in fields} | {PARTITION_COL}
+            unknown = sorted(set(want) - have)
+            if unknown:
+                raise ValueError(
+                    f"store: columns option names unknown column(s) "
+                    f"{unknown} — table {table!r} has {sorted(have)}"
+                )
+            keep = set(want)
+            fields = [f for f in fields if f.name in keep]
+            if PARTITION_COL in keep and PARTITION_COL not in {
+                f.name for f in fields
+            }:
+                fields.append(T.StructField(PARTITION_COL, T.LongType(), True))
+            names = {f.name for f in fields}
+            if _flag(self.options, "metadata") and FILE_COL not in names:
+                fields.append(T.StructField(FILE_COL, T.StringType(), True))
+            return T.StructType(fields)
         names = {f.name for f in fields}
         if PARTITION_COL not in names:
             fields.append(T.StructField(PARTITION_COL, T.LongType(), True))
@@ -616,24 +666,34 @@ def store_table(
     backend: str = "localfs",
     pushdown: bool = False,
     keep_file_col: bool = False,
+    columns: list[str] | None = None,
 ):
     """A query-time-fresh DataFrame over a store table: every action
     re-resolves the manifest snapshot (the baked-in sentinel predicate
     forces the pushFilters re-plan round — module docstring). This is
     what ``register_star_views`` registers, so SQL over the store
-    reflects DML with no re-registration."""
+    reflects DML with no re-registration.
+
+    ``columns`` (r17): registration-time projection — the view serves
+    ONLY these columns and the executor read prunes the parquet I/O to
+    them (read() docstring: the API has no per-query projection
+    channel, so narrow serving views must be declared narrow). Columns
+    renamed/dropped later still raise the stale-schema error."""
+    import json as _json
+
     from pyspark.sql import functions as F
 
-    df = (
+    rd = (
         spark.read.format("store")
         .option("path", root)
         .option("table", table)
         .option("backend", backend)
         .option("metadata", "true")
         .option("pushdown", "true" if pushdown else "false")
-        .load()
-        .filter(F.col(FILE_COL).isNotNull())
     )
+    if columns:
+        rd = rd.option("columns", _json.dumps(list(columns)))
+    df = rd.load().filter(F.col(FILE_COL).isNotNull())
     return df if keep_file_col else df.drop(FILE_COL)
 
 
@@ -645,6 +705,7 @@ def create_catalog_table(
     backend: str = "localfs",
     pushdown: bool = True,
     replace: bool = False,
+    columns: list[str] | None = None,
 ) -> str:
     """Register a store table in the SESSION CATALOG — the pruned,
     concurrency-safe SQL entry point (module docstring: options ride
@@ -662,6 +723,8 @@ def create_catalog_table(
 
     Returns ``name``. ``replace=True`` drops an existing table first
     (the temp-view ``createOrReplaceTempView`` ergonomics)."""
+    import json as _json
+
     register_store_source(spark)
     opts = {
         "path": root,
@@ -669,6 +732,9 @@ def create_catalog_table(
         "backend": backend,
         "pushdown": "true" if pushdown else "false",
     }
+    if columns:
+        # registration-time projection (store_table docstring)
+        opts["columns"] = _json.dumps(list(columns))
     payload = StoreBatchDataSource(opts).schema()
     schema = T.StructType(
         [

@@ -26,7 +26,7 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from geo_explorer_etl_spark.session import get_spark
 
-    s = get_spark("pytest", cpus=8)
+    s = get_spark("pytest", cpus=int(os.environ.get("PYTEST_SPARK_CPUS", "8")))
     yield s
 
 

@@ -31,6 +31,7 @@ def _emb(spark, sf="/root/testdata/sf0.01"):
     return load_tables(spark, sf, "embeddings")["embeddings"]
 
 
+@pytest.mark.slow
 def test_incremental_index_equals_full_rebuild_on_union(spark, tmp_path):
     """With the SAME frozen centroids, building from three appends
     must produce the exact (vec_id, cell) assignment set a one-shot
@@ -63,6 +64,7 @@ def test_incremental_index_equals_full_rebuild_on_union(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.slow
 def test_index_topk_equals_in_memory_ivf_and_recall_gates(spark, tmp_path):
     """Two pins on the persisted serving path, averaged over several
     query points:
@@ -113,6 +115,7 @@ def test_index_topk_equals_in_memory_ivf_and_recall_gates(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.slow
 def test_index_probe_is_zone_map_file_pruned(spark, tmp_path):
     """The file-skip pin: a 2-cell probe opens FEWER files than the
     index holds (appends are range-clustered on cell), and the probed
@@ -158,6 +161,7 @@ def test_build_is_atomic_and_rebuild_replaces(spark, tmp_path):
         build_ann_index(store, emb.limit(0))
 
 
+@pytest.mark.slow
 def test_ivf_pq_codes_recall_and_incremental_encode(spark, tmp_path):
     """IVF-PQ: (1) the ADC-shortlist + exact-refine top-k recovers the
     plain index top-k (recall ≥0.9 at pq_refine=8 over several
@@ -279,6 +283,7 @@ def _cluster(rng_off, n, center, dim=4):
     return rows
 
 
+@pytest.mark.slow
 def test_maintain_ann_index_drift_policy(spark, tmp_path):
     """VERDICT r12 missing #3 closed: drifted appends pile into few
     frozen cells; maintain_ann_index acts on the skew signal with

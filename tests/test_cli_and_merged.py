@@ -96,6 +96,7 @@ def merged_env(spark, tmp_path):
     return pipe, str(csv)
 
 
+@pytest.mark.slow
 def test_merged_sibling_reuses_master_indicators(merged_env):
     pipe, csv = merged_env
     pipe.insert_product([PID, SIBLING_PID], csv_path_for=lambda p: csv)
@@ -133,6 +134,7 @@ def test_merged_sibling_reuses_master_indicators(merged_env):
     assert meta_pids == {PID}
 
 
+@pytest.mark.slow
 def test_sql_frontend_matches_dataframe_view(spark, tmp_path):
     """register_star_views + sql_primary_query produce the same rows
     as the DataFrame-API primary_query over the same warehouse."""

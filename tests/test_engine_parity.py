@@ -66,6 +66,7 @@ _LEG_ENTRIES = {
 
 
 @pytest.mark.parametrize("entry_name", sorted(_LEG_ENTRIES))
+@pytest.mark.slow
 def test_dedup_leg_entries_hash_green_on_adversarial_text(
     spark, adversarial_sf, entry_name
 ):
@@ -237,6 +238,7 @@ def fuzz_sf(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize("entry_name", sorted(_LEG_ENTRIES))
+@pytest.mark.slow
 def test_dedup_leg_entries_hash_green_on_fuzz_corpus(
     spark, fuzz_sf, entry_name
 ):

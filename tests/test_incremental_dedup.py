@@ -5,6 +5,8 @@ zone-map-pruned file reads, never a full signature-table scan."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from geo_explorer_etl_spark.operators import dedup as DD
@@ -75,6 +77,7 @@ def _all_at_once_keep(spark, rows, n=3, num_hashes=16, bands=4):
     return sorted(r.doc_id for r in kept.select("doc_id").collect())
 
 
+@pytest.mark.slow
 def test_batch_then_batch_equals_all_at_once(spark, tmp_path):
     b1, b2, b3 = _corpus_rows()
     store = TableStore(spark, str(tmp_path / "wh"))
@@ -92,6 +95,7 @@ def test_batch_then_batch_equals_all_at_once(spark, tmp_path):
     assert 22 in kept_ids
 
 
+@pytest.mark.slow
 def test_index_probe_is_zone_map_pruned(spark, tmp_path):
     """The file-skip pin: after several batches the band-index probe
     for one batch's keys must open FEWER files than the table holds
@@ -119,6 +123,7 @@ def test_index_probe_is_zone_map_pruned(spark, tmp_path):
     assert len(probed_exact) < len(all_exact)
 
 
+@pytest.mark.slow
 def test_report_and_empty_and_first_batch(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "wh"))
     rep: dict = {}
@@ -137,6 +142,7 @@ def test_report_and_empty_and_first_batch(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_transitive_drop_through_a_dropped_near_dup(spark, tmp_path):
     """The index must hold ALL exact-survivors, kept AND dropped: a
     batch-2 doc whose only corpus contact is a batch-1 near-dup that
@@ -188,6 +194,7 @@ def _ingest_docs(spark, rows):
     )
 
 
+@pytest.mark.slow
 def test_ingest_corpus_batch_equals_build_training_corpus(spark, tmp_path):
     """The end-to-end incremental pipeline: N gated+deduped+budgeted
     ingests equal ONE build_training_corpus over the concatenation
@@ -239,6 +246,7 @@ def test_ingest_corpus_batch_equals_build_training_corpus(spark, tmp_path):
     assert store.describe("Corpus")["rows"] == len(expected)
 
 
+@pytest.mark.slow
 def test_budget_counts_rejected_tokens_like_the_global_prefix(spark, tmp_path):
     """Review r11: the cross-batch carry must count ALL dedup-survivor
     tokens, accepted or rejected — the global prefix's cumulative sum
@@ -269,6 +277,7 @@ def test_budget_counts_rejected_tokens_like_the_global_prefix(spark, tmp_path):
     assert sorted(accepted) == expected == [1]  # 2 overflows, 11 stays out
 
 
+@pytest.mark.slow
 def test_ingest_retry_after_partial_run_converges(spark, tmp_path):
     """Review r11 crash ordering: a run that died AFTER the corpus
     append but BEFORE the index persist must converge when the same
@@ -323,6 +332,7 @@ def test_ingest_retry_after_partial_run_converges(spark, tmp_path):
     assert kept3.count() == 0
 
 
+@pytest.mark.slow
 def test_ingest_corpus_batch_ann_wiring(spark, tmp_path):
     """VERDICT r12 next #3 wiring: ingest with ``ann_batch`` indexes
     ONLY the accepted docs' embeddings (gated/deduped docs never reach
@@ -557,6 +567,7 @@ def test_incremental_lines_stale_mirror_falls_back_to_full_scan(
     assert got[12] == ("short", 2)
 
 
+@pytest.mark.slow
 def test_ingest_with_line_dedup_scrubs_and_converges(spark, tmp_path):
     """ingest_corpus_batch(line_dedup=True): a batch-2 document
     sharing a line with batch 1 lands in the corpus SCRUBBED; a doc
@@ -600,6 +611,7 @@ def test_ingest_with_line_dedup_scrubs_and_converges(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_ingest_line_dedup_crash_between_persists_converges(
     spark, tmp_path, monkeypatch
 ):
@@ -652,6 +664,7 @@ def test_ingest_line_dedup_crash_between_persists_converges(
     assert crashed == clean
 
 
+@pytest.mark.slow
 def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
     """Streaming corpus ingest end-to-end: a file stream of documents
     drained through corpus_ingest_sink runs the FULL pipeline (gates,
@@ -732,6 +745,7 @@ def test_corpus_ingest_sink_streaming_exactly_once(spark, tmp_path):
     assert store.read(LINE_TABLE).count() == n_lines
 
 
+@pytest.mark.slow
 def test_incremental_substrings_batch_then_batch_equals_all_at_once(
     spark, tmp_path
 ):
@@ -781,6 +795,7 @@ def test_incremental_substrings_batch_then_batch_equals_all_at_once(
     assert rep2["DedupWindowIndex_probe"] == "pruned"
 
 
+@pytest.mark.slow
 def test_incremental_substrings_overcap_mirror_and_stale_fallback(
     spark, tmp_path, monkeypatch
 ):
@@ -818,6 +833,7 @@ def test_incremental_substrings_overcap_mirror_and_stale_fallback(
     assert out.collect()[0]["clean_text"] == "x  y"
 
 
+@pytest.mark.slow
 def test_ingest_with_substring_dedup_scrubs_and_converges(spark, tmp_path):
     """ingest_corpus_batch(substring_dedup=True): a batch-2 document
     repeating a batch-1 10-token run lands in the corpus SPLICED; a
@@ -858,6 +874,7 @@ def test_ingest_with_substring_dedup_scrubs_and_converges(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_mirror_compact_collapses_files_and_heals_staleness(spark, tmp_path, monkeypatch):
     """After N batches the mirror holds ~N files per touched bucket;
     mirror_compact rebuilds it from the source index into one file
@@ -970,6 +987,7 @@ def test_mirror_read_falls_back_when_files_missing(spark, tmp_path, monkeypatch)
     assert row["clean_text"] == "" and row["lines_removed"] == 1
 
 
+@pytest.mark.slow
 def test_mirror_auto_compacts_on_fileset_threshold(spark, tmp_path, monkeypatch):
     """VERDICT r14 next #2: the mirror joins the store's auto-compact
     discipline — once accreted file sets exceed the threshold the
@@ -1027,6 +1045,7 @@ def test_mirror_auto_compacts_on_fileset_threshold(spark, tmp_path, monkeypatch)
     assert row["clean_text"] == "" and row["lines_removed"] == 1
 
 
+@pytest.mark.slow
 def test_mirrors_auto_compact_sweep(spark, tmp_path, monkeypatch):
     """mirrors_auto_compact: the explicit maintenance sweep compacts
     exactly the breaching mirrors (healthy ones are a marker read),
@@ -1057,6 +1076,7 @@ def test_mirrors_auto_compact_sweep(spark, tmp_path, monkeypatch):
     assert ID._mirror_read(store, ID.WINDOW_TABLE, "window_hash") is not None
 
 
+@pytest.mark.slow
 def test_incremental_dedup_simhash_mode(spark, tmp_path):
     """The SimHash near-dup leg (VERDICT r15 next #1c): batches dedup
     against the persisted DedupSimhashBandIndex with EXACT recall at
@@ -1127,6 +1147,7 @@ def test_incremental_dedup_simhash_mode(spark, tmp_path):
         dedup_decide(store2, _docs(spark, [(9, "x")]), near_dup="phash")
 
 
+@pytest.mark.slow
 def test_ingest_corpus_batch_simhash_leg(spark, tmp_path):
     """ingest_corpus_batch(near_dup_mode='simhash'): the one-call
     pipeline rides the SimHash index — cross-batch case-variant
@@ -1187,6 +1208,7 @@ def test_ingest_corpus_batch_simhash_leg(spark, tmp_path):
         build_training_corpus(union, near_dup_mode="phash")
 
 
+@pytest.mark.slow
 def test_mirror_breach_marks_then_sweep_compacts_then_inline_fallback(
     spark, tmp_path, monkeypatch
 ):
@@ -1247,6 +1269,7 @@ def test_mirror_breach_marks_then_sweep_compacts_then_inline_fallback(
     assert mirror.count() == store.count_rows(ID.LINE_TABLE)
 
 
+@pytest.mark.slow
 def test_simhash_spec_drift_refused(spark, tmp_path):
     """r16 review find: the persisted SimHash index records its
     (bits, max_hamming) spec on first persist; a later decide under a

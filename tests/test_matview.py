@@ -123,6 +123,7 @@ def test_refresh_after_delete_and_update(spark, tmp_path):
     assert _view(store) == _expected(store)
 
 
+@pytest.mark.slow
 def test_group_death_and_rebirth(spark, tmp_path):
     store = _seed(spark, tmp_path)
     MV.create_matview(store, "mv", BASE, ["grp"], AGGS, n_partitions=4)
@@ -136,6 +137,7 @@ def test_group_death_and_rebirth(spark, tmp_path):
     assert _view(store) == _expected(store)
 
 
+@pytest.mark.slow
 def test_sum_null_transitions_additive(spark, tmp_path):
     """A sum/avg-only view exercises the INVERTIBLE delete path (no
     min/max → never touches the base table): the hidden non-null count
@@ -175,6 +177,7 @@ def test_crash_reapply_converges(spark, tmp_path):
     assert _view(store) == _expected(store)
 
 
+@pytest.mark.slow
 def test_stale_window_reapply_touches_nothing(spark, tmp_path):
     """The _mv_hw fence on BOTH branches: re-applying an OLD window
     after newer windows landed is a complete no-op — additive groups
@@ -253,6 +256,7 @@ def test_refresh_commits_only_touched_partitions(spark, tmp_path):
     assert _view(store) == _expected(store)
 
 
+@pytest.mark.slow
 def test_approx_distinct_sketch_maintenance(spark, tmp_path):
     """approx_distinct stores the HLL sketch beside the estimate:
     insert windows UNION sketches (no base scan), deletes route
@@ -291,6 +295,7 @@ def test_approx_distinct_sketch_maintenance(spark, tmp_path):
     assert _view(store, aggs=aggs) == expected()
 
 
+@pytest.mark.slow
 def test_cascaded_matview(spark, tmp_path):
     """A matview is itself a manifest-controlled store table with a
     change feed — a second-level rollup over it refreshes through the
@@ -377,6 +382,7 @@ def test_registry_lifecycle(spark, tmp_path):
         MV.read_matview(store, "mv")
 
 
+@pytest.mark.slow
 def test_interior_delete_stays_invertible(spark, tmp_path):
     """The recompute classifier is per-agg, not per-delete: a delete
     strictly INSIDE the stored (min, max) — the scattered-update
@@ -404,6 +410,7 @@ def test_interior_delete_stays_invertible(spark, tmp_path):
     assert _view(store) == _expected(store)
 
 
+@pytest.mark.slow
 def test_randomized_refresh_differential(spark, tmp_path):
     """Seeded randomized differential (the merge_apply rule): random
     append/delete/update DML over the base, a refresh after every
@@ -465,6 +472,7 @@ def test_refresh_outside_vacuum_retention_raises_rebuild_hint(spark, tmp_path):
         MV.refresh_matview(store, "mv")
 
 
+@pytest.mark.slow
 def test_sql_view_over_matview_is_query_time_fresh(spark, tmp_path):
     """register_matview_view serves the user-facing columns through
     the batch data source: SQL equals read_matview, hidden maintenance
@@ -554,6 +562,7 @@ def test_long_group_key(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_auto_refresh_listener(spark, tmp_path):
     """The continuous-aggregate pipeline end to end: CDF source →
     native store sink → MatviewRefresher listener advances the view
@@ -641,6 +650,7 @@ def test_streaming_auto_refresh_listener(spark, tmp_path):
         detach_matview_refresher(spark, listener)
 
 
+@pytest.mark.slow
 def test_matview_on_cas_backend(spark, tmp_path):
     """The whole lifecycle on the CAS (object-store) commit backend,
     where the per-view flock is a NO-OP and the registry blob, the
@@ -683,6 +693,7 @@ def test_bad_specs_refused(spark, tmp_path):
         MV.create_matview(store, "mv", "NoSuch", ["grp"], AGGS)
 
 
+@pytest.mark.slow
 def test_merge_time_fence_blocks_stale_refresher(spark, tmp_path):
     """ADVICE r12 #1 (the CAS-backend TOCTOU): a refresher that READ
     its stored rows before a faster peer applied newer windows merges
@@ -756,6 +767,7 @@ def test_replace_rebuild_crash_marker(spark, tmp_path, monkeypatch):
     assert _view(store) == _expected(store)
 
 
+@pytest.mark.slow
 def test_filtered_bucketed_matview_differential(spark, tmp_path):
     """VERDICT r12 directive #2 — the continuous-aggregate shape:
     ``WHERE v > 0 GROUP BY date_trunc('DAY', ts)`` maintained
@@ -885,6 +897,7 @@ def test_recompute_push_prunes_base_files(spark, tmp_path):
     assert _view(store) == _expected(store)
 
 
+@pytest.mark.slow
 def test_batch_dml_auto_refresh_hook(spark, tmp_path):
     """VERDICT r12 next #5: enable_auto_refresh registers an
     on_commit hook — batch DML (append/delete/update) advances the
@@ -1044,6 +1057,7 @@ def _pctl_expected(store):
     }
 
 
+@pytest.mark.slow
 def test_percentile_matview_differential(spark, tmp_path):
     """Randomized DML rounds over a PURE-percentile view: the view
     must equal the independent estimator over the base's current
@@ -1137,6 +1151,7 @@ def test_percentile_extreme_delete_no_recompute_no_base_read(spark, tmp_path):
     assert got["a"] == _pctl_ref([3.0], PBINS, 0.5)
 
 
+@pytest.mark.slow
 def test_percentile_nulls_death_and_rebirth(spark, tmp_path):
     """All-NULL group -> NULL estimate; killing every row tombstones
     the group; re-inserting revives it with a fresh histogram."""
@@ -1185,6 +1200,7 @@ def test_percentile_bad_specs_refused(spark, tmp_path):
         mk({"m": ("p100", "v")}, hist_bins={"m": [1.0, 2.0]})
 
 
+@pytest.mark.slow
 def test_percentile_auto_bins_randomized_differential(spark, tmp_path):
     """hist_bins OMITTED (VERDICT r13 next #3): boundaries auto-derive
     at create time — log-spaced over the observed range (positive
@@ -1256,6 +1272,7 @@ def test_percentile_auto_bins_randomized_differential(spark, tmp_path):
                 assert math.isclose(got[g], exp[g], rel_tol=1e-9), (g, got[g], exp[g])
 
 
+@pytest.mark.slow
 def test_percentile_clamp_audit(spark, tmp_path):
     """Out-of-range arrivals are COUNTED, not silent: the create
     snapshot's clamps land in the registry entry, every refresh
@@ -1309,6 +1326,7 @@ def test_percentile_rollup_auto_bins_inherit_parent(spark, tmp_path):
     assert ent["clamps"] == {}
 
 
+@pytest.mark.slow
 def test_matview_or_where_filters_and_refreshes(spark, tmp_path):
     """A matview WHERE in the OR disjunct form filters the create
     snapshot, every refresh window, and the recompute branch
@@ -1351,6 +1369,7 @@ def test_matview_or_where_filters_and_refreshes(spark, tmp_path):
     assert view() == expected()
 
 
+@pytest.mark.slow
 def test_percentile_rollup_cascade(spark, tmp_path):
     """A child view over a parent matview's table merges the parent's
     hidden histograms element-wise — and because merging subgroup
@@ -1504,6 +1523,7 @@ def test_hist_estimator_randomized_differential(spark):
                 assert got[i] == e, (op, i, counts, got[i], e)
 
 
+@pytest.mark.slow
 def test_continuous_aggregate_percentile_integration(spark, tmp_path):
     """ALL the r13 matview features in one view — ``WHERE v > 0 GROUP
     BY date_trunc('DAY', ts)`` with a PERCENTILE aggregate beside a
@@ -1578,6 +1598,7 @@ def test_continuous_aggregate_percentile_integration(spark, tmp_path):
     assert view() == truth()
 
 
+@pytest.mark.slow
 def test_clamp_alert_recommends_rebuild_once_and_rebuild_heals(
     spark, tmp_path, monkeypatch
 ):
@@ -1637,6 +1658,7 @@ def test_clamp_alert_recommends_rebuild_once_and_rebuild_heals(
     assert "rebuild_recommended" not in rep3
 
 
+@pytest.mark.slow
 def test_clamp_recommendations_merge_across_recovery_and_main_window(
     spark, tmp_path, monkeypatch
 ):

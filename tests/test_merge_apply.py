@@ -45,6 +45,7 @@ def _src(spark, rows):
     ).withColumn(PARTITION_COL, F.lit(PID).cast("long"))
 
 
+@pytest.mark.slow
 def test_cdc_batch_applies_in_one_call(spark, tmp_path):
     """The standard CDC shape: one op-typed batch with interleaved
     deletes, updates, and inserts lands in ONE merge_apply call."""
@@ -97,6 +98,7 @@ def test_cdc_batch_applies_in_one_call(spark, tmp_path):
     assert ops[8] == "U" and ops[4] is None
 
 
+@pytest.mark.slow
 def test_scattered_matched_delete_writes_only_sidecars(spark, tmp_path):
     """The r10 'done' pin: a scattered matched-DELETE (one key per
     file) writes ONLY deletion-vector sidecars — zero data files
@@ -199,6 +201,7 @@ def test_first_match_wins_and_ambiguity_raises(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_merge_apply_equals_composed_primitives(spark, tmp_path):
     """Differential: one merge_apply call equals the hand-composed
     delete_where + merge_rows + update_where sequence on a twin store."""
@@ -244,6 +247,7 @@ def test_merge_apply_equals_composed_primitives(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_fallback_whole_partition_matches_file_level(spark, tmp_path):
     """Over-cap key sets take the whole-partition fallback; its result
     must equal the file-level path's on the same inputs."""
@@ -407,6 +411,7 @@ def test_merge_apply_swap_aborts_and_retries_under_concurrent_replace(
     assert all((part / n).exists() for n in m["files"])
 
 
+@pytest.mark.slow
 def test_merge_apply_randomized_differential_vs_model(spark, tmp_path):
     """Seeded property differential: random op batches (clause-routed
     deletes, replaces, SET-updates, inserts, by-source deletes) applied
@@ -473,6 +478,7 @@ def test_merge_apply_randomized_differential_vs_model(spark, tmp_path):
         assert got == model, f"round {round_no}"
 
 
+@pytest.mark.slow
 def test_merge_apply_multi_product_cdc_batch_pooled(spark, tmp_path):
     """VERDICT r11 wrong #1: a multi-product CDC batch routes through
     the pooled per-partition runner (more products than
@@ -624,6 +630,7 @@ def test_merge_rows_multi_product_upsert_pooled(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_target_condition_gates_matched_rows_both_paths(spark, tmp_path):
     """WHEN MATCHED AND <target pred> (``target_condition``, ADVICE
     r12 #1): a matched TARGET row failing the predicate is left

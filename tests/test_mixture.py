@@ -96,6 +96,7 @@ def test_mixture_is_deterministic_across_partitionings(spark):
     assert a == b and a
 
 
+@pytest.mark.slow
 def test_build_training_corpus_mixture_gate(spark):
     """End-to-end through the builder: weights × budget admit exactly
     the per-domain prefixes; domain_weights without token_budget is a
@@ -116,6 +117,7 @@ def test_build_training_corpus_mixture_gate(spark):
         build_training_corpus(docs, domain_weights={"code": 1.0})
 
 
+@pytest.mark.slow
 def test_ingest_mixture_carries_per_domain_budget_across_batches(spark, tmp_path):
     """The CAS carry per domain: batch 1 consumes most of 'code';
     batch 2's code docs admit only against the remainder while 'web'
@@ -153,6 +155,7 @@ def test_ingest_mixture_carries_per_domain_budget_across_batches(spark, tmp_path
     assert oneshot == got
 
 
+@pytest.mark.slow
 def test_budget_mode_switch_refused(spark, tmp_path):
     """ADVICE r12 #4: the plain and domain budget modes charge
     DISJOINT counter fields — switching modes on one corpus would

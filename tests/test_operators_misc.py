@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from geo_explorer_etl_spark.operators.skew import salted_count, salted_join
@@ -301,6 +303,7 @@ def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
     assert len(capped_pairs) <= len(salted_pairs) <= uncapped
 
 
+@pytest.mark.slow
 def test_build_training_corpus_composition(spark):
     """The end-to-end corpus builder: every gate's invariant holds on
     the survivor set, the result is deterministic, and the token budget
@@ -1131,6 +1134,7 @@ def test_simhash_wide_matches_simhash_and_widens(spark):
             assert r[f"b{b}"] == (full >> lo) % (1 << (hi - lo))
 
 
+@pytest.mark.slow
 def test_simhash_pairs_wide_bits_exact_and_skew_capped(spark):
     """The r15 done-criteria (next #1): at bits=96 the banded join is
     still EXACT against two-word brute force; a pathological

@@ -95,6 +95,7 @@ def env(spark, tmp_path):
     return pipe, str(csv)
 
 
+@pytest.mark.slow
 def test_insert_then_counts(env):
     pipe, csv = env
     pipe.insert_product([PID], csv_path_for=lambda pid: csv)
@@ -127,6 +128,7 @@ def test_insert_then_counts(env):
     assert store.read("RelatedCharts").count() == 4
 
 
+@pytest.mark.slow
 def test_insert_guard_and_replace_idempotence(env):
     pipe, csv = env
     pipe.insert_product([PID], csv_path_for=lambda pid: csv)
@@ -146,6 +148,7 @@ def test_insert_guard_and_replace_idempotence(env):
     assert v.distinct().count() == v.count() == 4
 
 
+@pytest.mark.slow
 def test_delete_product(env):
     pipe, csv = env
     pipe.insert_product([PID], csv_path_for=lambda pid: csv)
@@ -155,6 +158,7 @@ def test_delete_product(env):
     assert iv is None or iv.count() == 0
 
 
+@pytest.mark.slow
 def test_pipeline_bucketed_mirror_join_has_no_shuffle(env, spark):
     """E2 with the opt-in bucketed mirror: the values⋈bridge join over
     the mirror tables (PrimaryQuery's spine) runs end-to-end with ZERO
@@ -192,6 +196,7 @@ def test_pipeline_bucketed_mirror_join_has_no_shuffle(env, spark):
     assert spark.table("IndicatorValuesBucketed").count() == 4
 
 
+@pytest.mark.slow
 def test_refresh_date_range_filters_unknown_and_merged(env):
     pipe, csv = env
     pipe.insert_product([PID], csv_path_for=lambda pid: csv)
@@ -203,6 +208,7 @@ def test_refresh_date_range_filters_unknown_and_merged(env):
     assert ran2 == []
 
 
+@pytest.mark.slow
 def test_store_backed_primary_query_serving(env, spark):
     """serve_primary_query (the §2.14 web read driven off the store
     with zone-map + dynamic file pruning) must return exactly what

@@ -240,6 +240,7 @@ def test_indicator_values_orphans_and_nullreason(cube, lookups):
     assert seq_ids == list(range(9001, 9006))
 
 
+@pytest.mark.slow
 def test_bridges_and_idempotence(spark, cube, lookups, members, metadata):
     pol = ProductPolicy(product_id=PID, mixed_geo=True)
     prep = SS.prepare_values(cube, pol)
@@ -281,6 +282,7 @@ def test_date_dimension_growth_anti_join(spark, cube, members):
     assert SS.grow_date_dimension(prep, date_dim, all_known).count() == 0
 
 
+@pytest.mark.slow
 def test_presentation_and_read_side_views(spark, cube, members, lookups, metadata):
     pol = ProductPolicy(product_id=PID, mixed_geo=True)
     prep = SS.prepare_values(cube, pol)

@@ -8,6 +8,8 @@ every value still matches."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from geo_explorer_etl_spark.plans.catalog import flagship_primary_query
@@ -48,6 +50,7 @@ def test_rowlocal_text_ops_have_no_exchange(spark):
     assert "Exchange" not in plan, plan
 
 
+@pytest.mark.slow
 def test_no_python_udf_in_any_catalog_query(spark):
     """Reference-parity invariant (SURVEY §2.13): zero row-at-a-time
     Python evaluation in the whole catalog. mapInPandas appears only

@@ -39,6 +39,7 @@ def _drain(spark, src_root, target, ck):
     q.awaitTermination()
 
 
+@pytest.mark.slow
 def test_replica_tracks_source_through_dml(spark, tmp_path):
     src = TableStore(spark, str(tmp_path / "src"))
     dst = TableStore(spark, str(tmp_path / "dst"))
@@ -111,6 +112,7 @@ def test_apply_change_batch_is_idempotent(spark, tmp_path):
     assert _rows(dst) == first == [(1, 100.0), (9, 9.0)]
 
 
+@pytest.mark.slow
 def test_two_pipelines_one_target_do_not_share_a_ledger_key(spark, tmp_path):
     """Review r11: a shared constant stream_id would let the second
     pipeline's batches 0..high-water be dropped silently (its fresh
@@ -138,6 +140,7 @@ def test_two_pipelines_one_target_do_not_share_a_ledger_key(spark, tmp_path):
     assert got is not None and got.count() == 1  # NOT silently dropped
 
 
+@pytest.mark.slow
 def test_replicate_store_whole_store_convenience(spark, tmp_path):
     """replicate_store (r12): every existing source table with a key
     mapping replicates in one call; tables without keys are skipped

@@ -3,6 +3,8 @@ with canned transport, merge registry ordering."""
 
 from __future__ import annotations
 
+import pytest
+
 import zipfile
 
 from pyspark.sql import functions as F
@@ -1581,6 +1583,7 @@ def test_history_api_and_retention(spark, tmp_path):
     assert store.read_at("IndicatorValues", time.time()).count() == 2
 
 
+@pytest.mark.slow
 def test_merge_rows_rewrites_only_candidate_files(spark, tmp_path):
     """VERDICT r7 directive #1: file-granularity MERGE. An upsert
     whose keys live in 1 of N files must rewrite EXACTLY that file —
@@ -1710,6 +1713,7 @@ def test_merge_rows_wide_keyset_falls_back_to_partition_rewrite(spark, tmp_path)
     assert got == {(i, "up") for i in range(8)} | {(8, "a"), (9, "a")}
 
 
+@pytest.mark.slow
 def test_merge_rows_bloom_candidates_on_hash_scattered_layout(spark, tmp_path):
     """On a hash-scattered layout (zone maps span everything) the
     candidate selection falls through to the per-file BLOOMS: a
@@ -2139,6 +2143,7 @@ def test_merge_rows_with_partition_col_in_key_cols(spark, tmp_path):
     assert got == [(9, "z")]
 
 
+@pytest.mark.slow
 def test_repeated_merges_preserve_zone_map_clustering(spark, tmp_path):
     """VERDICT r9 directive #3: the file-granular merge rewrite used
     to round-robin the rewritten rows, so a merge touching 2+ files
@@ -2191,6 +2196,7 @@ def test_repeated_merges_preserve_zone_map_clustering(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_delete_where_scattered_writes_only_sidecars(spark, tmp_path):
     """VERDICT r9 directive #1 'done' pin: a scattered small delete
     whose keys touch EVERY file writes ONLY deletion-vector sidecars —
@@ -2713,6 +2719,7 @@ def test_replace_after_rename_preserves_column_mapping(spark, tmp_path):
         store.replace_product("IndicatorValues", frame(1, [(9, "z")], "k long, label string"), 1)
 
 
+@pytest.mark.slow
 def test_dv_partition_mask_budget_demotes_to_rewrite(spark, tmp_path):
     """Review r9 #4: per-file and per-call caps alone let repeated
     scattered deletes accrete an unbounded read-side mask. The
@@ -2980,6 +2987,7 @@ def test_read_changes_same_ts_partitions_merge_declared_schemas(spark, tmp_path)
     assert rows[2] == (None, 9.5, "insert")
 
 
+@pytest.mark.slow
 def test_update_where_scattered_writes_sidecars_and_one_insert(spark, tmp_path):
     """VERDICT r10 directive #1 'done' pin: a scattered UPDATE whose
     keys touch EVERY file writes ONLY deletion-vector sidecars plus
@@ -3134,6 +3142,7 @@ def test_update_where_validation_and_dense_paths(spark, tmp_path):
     assert store.read("IndicatorValues").schema["v"].dataType.simpleString() == "double"
 
 
+@pytest.mark.slow
 def test_merge_rows_scattered_dv_writes_sidecars(spark, tmp_path):
     """VERDICT r10 directive #2 'done' pin: a scattered upsert whose
     keys touch EVERY file writes ONLY deletion-vector sidecars (the
@@ -3391,6 +3400,7 @@ def test_constraints_lifecycle_and_add_time_validation(spark, tmp_path):
         store.drop_constraint("IndicatorValues", "nonneg")
 
 
+@pytest.mark.slow
 def test_constraints_block_every_value_bearing_write(spark, tmp_path):
     """Each write path that introduces new values refuses a violating
     batch BEFORE its snapshot point: the table reads back exactly as
@@ -3810,6 +3820,7 @@ def test_append_reenforces_constraint_published_mid_flight(spark, tmp_path):
     assert store.count_rows("IndicatorValues") == 1
 
 
+@pytest.mark.slow
 def test_auto_compact_policy_triggers_and_scoping(spark, tmp_path):
     """auto_compact (VERDICT r10 stretch): a fragmented partition and a
     DV-burdened partition breach policy and get compacted; a healthy
@@ -3980,6 +3991,7 @@ def test_like_prefix_zone_map_skipping(spark, tmp_path):
     assert store.read("IndicatorValues", orw).count() == 100
 
 
+@pytest.mark.slow
 def test_notlike_and_notin_zone_map_semantics(spark, tmp_path):
     """VERDICT r15 next #3 (store side): NOT LIKE keeps every file
     unless the zone map PROVES all rows match the positive prefix

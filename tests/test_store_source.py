@@ -36,6 +36,7 @@ def _publish(spark, root, pids=(1, 2), n=100):
     return store
 
 
+@pytest.mark.slow
 def test_sql_view_fresh_after_dml_without_reregistration(spark, tmp_path):
     """The r10 'done' pin: one registered view reflects delete_where,
     update_where and merge_rows the moment they commit."""
@@ -369,6 +370,7 @@ def _cat(spark, root, name, **kw):
     return create_catalog_table(spark, name, root, **kw)
 
 
+@pytest.mark.slow
 def test_catalog_table_fresh_after_dml_per_statement(spark, tmp_path):
     """Every SQL statement over a catalog table re-resolves the
     snapshot (fresh provider per statement) — DML is visible with no
@@ -425,6 +427,7 @@ def test_catalog_filtered_query_never_opens_pruned_files(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cat_unpruned")
 
 
+@pytest.mark.slow
 def test_catalog_concurrent_filtered_and_filterless_stay_correct(spark, tmp_path):
     """The r11 poison regression INVERTED: pushdown on, a filtered and
     a filterless query hammering the same catalog table from two
@@ -612,6 +615,7 @@ def test_dataframe_write_append_and_overwrite_refused(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_register_star_views_catalog_mode_pruned_and_fresh(spark, tmp_path):
     """register_star_views(catalog=True): the views land as catalog
     tables (the pruned SQL path), reflect DML per statement, accept
@@ -678,3 +682,60 @@ def test_pack_splits_rule():
     assert len(_pack_splits(few)) == 4
 
     assert _pack_splits([]) == []
+
+
+def test_projected_view_serves_only_declared_columns(spark, tmp_path):
+    """r17 registration-time projection: a view registered with
+    columns=[...] serves exactly those columns with values identical
+    to the full-width view, the executor read prunes the parquet I/O
+    to them, unknown columns raise, and DML freshness is unchanged."""
+    import json
+
+    root = str(tmp_path / "wh")
+    store = _publish(spark, root)
+    register_store_source(spark)
+
+    proj = store_table(spark, root, "IndicatorValues", columns=["Value"])
+    assert proj.columns == ["Value"]
+
+    both = store_table(
+        spark, root, "IndicatorValues",
+        columns=["IndicatorValueId", "Value"],
+    )
+    assert set(both.columns) == {"IndicatorValueId", "Value"}
+    full = store_table(spark, root, "IndicatorValues")
+    assert sorted(
+        (r.IndicatorValueId, r.Value) for r in both.collect()
+    ) == sorted((r.IndicatorValueId, r.Value) for r in full.collect())
+
+    # the partition column is servable when asked for
+    withpid = store_table(
+        spark, root, "IndicatorValues",
+        columns=["IndicatorValueId", PARTITION_COL],
+    )
+    assert set(withpid.columns) == {"IndicatorValueId", PARTITION_COL}
+    assert withpid.filter(F.col(PARTITION_COL) == 2).count() == 100
+
+    # unknown column refused loudly at registration
+    with pytest.raises(Exception, match="unknown column"):
+        store_table(spark, root, "IndicatorValues", columns=["nope"]).count()
+
+    # freshness through DML is unchanged by the projection
+    both.createOrReplaceTempView("iv_proj")
+    store.delete_where("IndicatorValues", [("IndicatorValueId", "<", 1050)])
+    assert spark.sql("SELECT count(*) c FROM iv_proj").collect()[0].c == 150
+
+    # the executor read prunes the parquet I/O: reader partitions
+    # under the projected schema list only the needed physical columns
+    reader = StoreBatchReader(
+        proj.sparkSession.read.format("store")
+        .option("path", root)
+        .option("table", "IndicatorValues")
+        .option("columns", json.dumps(["Value"]))
+        .load()
+        .schema,
+        {"path": root, "table": "IndicatorValues"},
+    )
+    [part] = [p for p in reader.partitions()][:1]
+    batches = list(reader.read(part))
+    assert all(b.schema.names == ["Value"] for b in batches)

@@ -279,6 +279,7 @@ def test_like_predicates_route(spark, tmp_path):
     assert n == 10 + 2  # all 10 'even' rows + k in (1, 3)
 
 
+@pytest.mark.slow
 def test_in_subquery_predicates_route(spark, tmp_path, monkeypatch):
     """WHERE col IN (SELECT ...) materializes through the router's own
     SELECT delegation into the tuple grammar (VERDICT r14 missing #4):
@@ -359,6 +360,7 @@ def test_in_subquery_scan_skips_comments_and_quoted_identifiers(
     assert n3 == 2
 
 
+@pytest.mark.slow
 def test_parenthesized_and_not_predicates_route(spark, tmp_path):
     """VERDICT r15 next #3 (router side): parentheses nest and
     distribute into the store's DNF grammar, NOT LIKE / NOT IN route
@@ -499,6 +501,7 @@ _pred_strategy = st.recursive(
 
 @settings(max_examples=60, deadline=None)
 @given(_pred_strategy)
+@pytest.mark.slow
 def test_router_predicate_semantics_match_spark_sql(spark, text):
     """The r16 recursive-descent parser, differentially (VERDICT r15
     next #3): for ANY AND/OR/paren combination of the routed clause

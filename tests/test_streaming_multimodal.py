@@ -599,6 +599,7 @@ def test_change_feed_reader_incremental_cursor(spark, tmp_path):
     assert sorted(got) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_change_feed_syncs_serving_copy_exactly_once(spark, tmp_path):
     """The composition the CDF exists for at 100 TB: a SERVING-COPY
     sync subscribes to a primary store's change feed and applies each
@@ -930,6 +931,7 @@ def test_synced_serving_copy_prunes_point_reads_by_bloom(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in got2] == [(100, "new")]
 
 
+@pytest.mark.slow
 def test_store_cdf_streaming_source_matches_poll_and_survives_kill(spark, tmp_path):
     """VERDICT r9 directive #6: the change feed as a NATIVE streaming
     source (spark.readStream.format('store_cdf')). An availableNow run
@@ -1271,6 +1273,7 @@ def test_store_cdf_read_raises_on_out_of_range_mask(tmp_path):
     assert sum(b.num_rows for b in batches) == 2
 
 
+@pytest.mark.slow
 def test_store_sink_streaming_end_to_end_exactly_once(spark, tmp_path):
     """VERDICT r10 directive #6: the store as a NATIVE streaming SINK
     (df.writeStream.format('store')). A store→transform→store pipeline

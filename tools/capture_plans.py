@@ -1,5 +1,5 @@
 """Capture .explain('formatted') for headline/declared queries into
-plans/r16/<query>_<tag>.txt (guide §1: record the plan shape before
+plans/r17/<query>_<tag>.txt (guide §1: record the plan shape before
 and after each change).
 
 Usage: python tools/capture_plans.py <tag> [row ...]
@@ -41,7 +41,7 @@ def main() -> None:
     store_bench.prepare(spark, sf_dir)
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r16")
+        os.path.abspath(__file__))), "plans", "r17")
     os.makedirs(out_dir, exist_ok=True)
     for row in rows or bench.HEADLINE:
         df = queries[row](spark, sf_dir)
