@@ -4656,18 +4656,16 @@ class TableStore:
         else:
             from pyspark.sql.window import Window
 
-            # the row-number window partitions by the SAME keys the
-            # aggregation groups by (r17, guide §2.4): the window's
-            # exchange satisfies the aggregate's distribution, so the
-            # probe pays ONE shuffle, not two. Cap semantics stay
-            # sound: inline positions are only USED for files whose
-            # total matches <= DV_INLINE_POSITIONS, and within such a
-            # file every (clause) group holds <= that many rows, so a
-            # per-group cap keeps all of them; groups in files over
-            # the cap stay bounded per aggregation buffer exactly as
-            # the per-file cap bounded them.
+            # NOTE (r17, measured): the window's per-file partitioning
+            # already SATISFIES the aggregate's clustered distribution
+            # (HashPartitioning on a subset of the groupBy keys), so
+            # this shape pays exactly ONE shuffle as-is — a re-key of
+            # the window to the full groupBy key list produced a
+            # byte-identical plan (plans/r17/dml_matched_counts_probe_
+            # {before,after}.txt) and was dropped; the per-FILE cap is
+            # also the stronger aggregation-buffer bound.
             rn = F.row_number().over(
-                Window.partitionBy(*keys).orderBy("__dv_pos")
+                Window.partitionBy("__dv_name").orderBy("__dv_pos")
             )
             agg = (
                 matched.withColumn("__rn", rn)
@@ -5518,13 +5516,12 @@ class TableStore:
         if probe_df is not None:
             from pyspark.sql.window import Window
 
-            # window partitioned by the aggregate's own keys so one
-            # exchange serves both (r17, guide §2.4 — see
-            # _dml_matched_counts for the cap-soundness argument)
+            # one shuffle by construction: the window's (file, rm)
+            # partitioning satisfies the aggregate's clustered
+            # distribution (subset of its grouping keys) — see the
+            # _dml_matched_counts note (r17, measured)
             rn = F.row_number().over(
-                Window.partitionBy(
-                    "__dv_name", *key_cols, "__mc", "__rm"
-                ).orderBy("__dv_pos")
+                Window.partitionBy("__dv_name", "__rm").orderBy("__dv_pos")
             )
             for r in (
                 probe_df.select(

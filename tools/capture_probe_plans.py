@@ -1,14 +1,18 @@
-"""Capture the DML matched-counts probe plan BEFORE vs AFTER the r17
-window/groupBy key alignment (guide §2.4), into
-plans/r17/dml_matched_counts_probe_{before,after}.txt.
+"""Capture the DML matched-counts probe plan with the window keyed by
+file only ("before") vs by the aggregation's full key list ("after"),
+into plans/r17/dml_matched_counts_probe_{before,after}.txt.
+
+MEASURED NEGATIVE RESULT (r17): both shapes compile to a byte-identical
+single-Exchange plan — HashPartitioning on the window's file key is a
+SUBSET of the aggregate's grouping keys, so it already satisfies the
+aggregate's ClusteredDistribution and no second Exchange ever existed.
+The probe therefore keeps its original window spec (whose per-file cap
+is also the stronger aggregation-buffer bound); these captures are the
+evidence for why the "align the window keys" idea was dropped.
 
 The probe is internal DML machinery (never a declared query), so
 capture_plans.py can't reach it; this script rebuilds the exact probe
-frame both ways over a real store layout and explains each. "before"
-reconstructs the pre-r17 window spec (partitionBy __dv_name only —
-a second Exchange between the window sort and the aggregation);
-"after" is the shipped shape (window partitioned by the aggregation's
-own keys — one Exchange serves both).
+frame both ways over a real store layout and explains each.
 
 Usage: python tools/capture_probe_plans.py
 """
@@ -59,9 +63,9 @@ def main() -> None:
     )
     os.makedirs(out_dir, exist_ok=True)
 
-    # "before" reconstructs the pre-r17 spec: the merge probe grouped
-    # by (__dv_name, key...) while the window partitioned by
-    # __dv_name alone — two different distributions, two Exchanges.
+    # "before": window keyed by file alone (the shipped shape);
+    # "after": window keyed by the aggregate's full key list. Both
+    # compile to the same single-Exchange plan (module docstring).
     before = (
         matched.withColumn(
             "__rn",
